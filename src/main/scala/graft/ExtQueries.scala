@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis, Vectors}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-training-data-pipeline extension operators over the `documents` /
+  * `embeddings` tables (builder brief + SURVEY.md §7.1.6): dedup, similarity
+  * search, text analysis, multimodal plumbing. SQL-expressible ops carry a
+  * DuckDB oracle; hash-based ops (MinHash/SimHash/LSH — engine-specific
+  * hashing) are rows-only here and verified by ScalaTest instead.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: one hash-shuffle on the key, map-side partial agg
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d), "doc_id", Seq("text"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    // n-gram Jaccard near-dup pairs, blocked by (lang, length bucket) so the
+    // self-join is an equi-join — per-block quadratic, never global
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          Seq(col("lang"), floor(col("n_chars") / 64)), n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // MinHash+LSH candidate pairs verified at Jaccard ≥ 0.5 — signature and
+    // banding are xxhash64-based, so rows-only (ScalaTest checks recall
+    // against the exact-Jaccard oracle operator above)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), "doc_id", "text",
+          numHashes = 32, bands = 8, shingleK = 5, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-k against the vec_id=0 query vector — the
+    // exact baseline every ANN variant is measured against
+    "ann_bruteforce" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // LSH-bucketed ANN (random hyperplanes, multi-table): the 100 TB scale
+    // path — probes only matching buckets; rows-only (approximate + hashed)
+    "ann_lsh" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      Similarity.lshTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10, nBits = 8, tables = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // exact embedding near-dup pairs (full pair space is fine at the
+    // fixture's 2k vectors; at scale swap in the LSH blocking)
+    "emb_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(embs(s, d), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // per-document text statistics: token counts, ratios, quality score,
+    // rolling-hash fingerprint — one narrow codegen'd pass
+    "text_stats" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
+          round(TextAnalysis.avgWordLen(col("text")), 6).as("avg_word_len"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // heuristic language ID (stopword-marker scoring + CJK detection)
+    "text_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // multimodal: binary payload → decoded metadata via the stubbed codec
+    // (mapPartitions plumbing — schema and batch shape are the real thing)
+    "mm_decode_meta" -> ((s, d) => {
+      val media = docs(s, d).select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"))
+      Multimodal.decode(media, new Multimodal.FakeCodec(16))
+        .select(col("media_id"), col("meta.nBytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
+    }),
+
+    // multimodal: pseudo-frame sampling over the binary payload
+    "mm_frame_sample" -> ((s, d) =>
+      docs(s, d).select(col("doc_id").as("media_id"),
+          size(Multimodal.sampleFrames(col("text").cast("binary"), 64, 2))
+            .as("n_frames"))
+        .orderBy("media_id")))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS nb,
+        |         string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, lang, nb,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS ngrams
+        |  FROM toks)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.ngrams, b.ngrams))) AS jac
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id AND a.lang = b.lang AND a.nb = b.nb
+        |    AND len(list_distinct(list_concat(a.ngrams, b.ngrams))) > 0)
+        |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(qv, qv))) AS score
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, round(score, 6) AS score FROM s
+        |ORDER BY s.score DESC, vec_id LIMIT 10""".stripMargin,
+    "emb_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, trim(text) AS tt FROM documents),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(tt) = 0 THEN 0
+        |      ELSE len(string_split_regex(tt, '\s+')) END AS n_tokens,
+        |    len(regexp_extract_all(text,
+        |      '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_subwords,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text,
+        |        '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text)
+        |      END AS punct_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text,
+        |        '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text)
+        |      END AS alpha_ratio,
+        |    CASE WHEN length(tt) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(string_split_regex(lower(tt), '\s+'),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in',
+        |          'is','it','for','on','with','as','at','by','be','this',
+        |          'that','are'], x))) AS DOUBLE)
+        |        / len(string_split_regex(lower(tt), '\s+')) END AS stop_ratio,
+        |    CASE WHEN length(tt) = 0 THEN 0
+        |      ELSE len(string_split_regex(tt, '\s+')) END AS nt,
+        |    regexp_replace(lower(tt), '\s+', ' ', 'g') AS norm
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_subwords,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(alpha_ratio, 6) AS alpha_ratio,
+        |  round(CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / n_tokens END, 6) AS avg_word_len,
+        |  round(stop_ratio, 6) AS stopword_ratio,
+        |  round(greatest(0.0,
+        |    least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.3
+        |    + least(stop_ratio * 4.0, 1.0) * 0.3
+        |    + alpha_ratio * 0.4
+        |    - least(punct_ratio * 4.0, 1.0) * 0.2), 4) AS quality,
+        |  CASE WHEN length(norm) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_transform(generate_series(1, length(norm)),
+        |        i -> CAST(unicode(substr(norm, i, 1)) AS BIGINT)),
+        |      (acc, x) -> (acc * 131 + x) % 1000000007) END AS fingerprint
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(n % 640 AS INT) AS width, CAST(n % 480 AS INT) AS height
+        |FROM (SELECT doc_id AS media_id,
+        |        octet_length(CAST(text AS BLOB)) AS n FROM documents)
+        |ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT media_id,
+        |  CAST(CASE WHEN n < 64 THEN 0 ELSE ((n // 64) + 1) // 2 END AS INT)
+        |    AS n_frames
+        |FROM (SELECT doc_id AS media_id,
+        |        octet_length(CAST(text AS BLOB)) AS n FROM documents)
+        |ORDER BY media_id""".stripMargin)
+}

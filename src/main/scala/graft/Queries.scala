@@ -1,0 +1,423 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.JobText
+
+/** Parity + analytics queries: one per operator row of SURVEY.md §2, mapped
+  * onto the driver's testdata tables (FIXTURES.md §A), each with a
+  * DuckDB-runnable oracle twin.
+  *
+  * Determinism rules (SURVEY.md §7.4.3/§5.2): every now()-anchored op takes
+  * an injected literal anchor; every query ends in a total ORDER BY; double
+  * aggregates are rounded so partial-aggregation summation order can't flip
+  * the hash; all timestamps stay TIMESTAMP_NTZ (see [[Tables]]).
+  */
+object Queries {
+
+  /** Injected literal anchor for lineitem/orders-era timestamps. */
+  val LAnchor = "1998-06-01 00:00:00"
+  /** Watermark literal for the events table (F1/C2). */
+  val EvWatermark = "2024-01-20 00:00:00"
+  /** Injected "now" anchor for events-era computations (E4/E11). */
+  val EvAnchor = "2024-02-01 00:00:00"
+
+  private def ntz(s: String): Column = lit(s).cast("timestamp_ntz")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2+F1+P1 — staging scan with watermark predicate + projection
+    // (reference `src/topcv_pipeline.py:119-126`); Catalyst pushes both the
+    // filter and the column pruning into the parquet scan.
+    "s2_scan_filter" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") > ntz(EvWatermark))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    // F2 — deadline-window filter (`script.sql:51-54`), injected anchor
+    "f2_deadline_window" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ntz(LAnchor) + expr("INTERVAL 20 DAYS"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F3 — numeric threshold filter (`script.sql:56-59`)
+    "f3_salary_threshold" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")),
+
+    // F4 — substring/LIKE filter (`script.sql:66-76`)
+    "f4_like_filter" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").like("%blue%"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")),
+
+    // A1+F4 — COUNT(*) under a LIKE filter (`script.sql:66-69`)
+    "a1_like_count" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").contains("widget"))
+        .agg(count(lit(1)).as("n_jobs"))),
+
+    // P1/P2 — projection with renaming (`src/topcv_pipeline.py:131-141`)
+    "p2_rename" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey").as("order_id"),
+          col("o_totalprice").as("total"),
+          col("o_orderpriority").as("priority"))
+        .orderBy("order_id")),
+
+    // P3 — column drop (`update` dropped staging→jobs,
+    // `src/create_table.py:57` vs `:65-76`)
+    "p3_drop" -> ((s, d) =>
+      t(s, d, "nation").drop("n_regionkey").orderBy("n_nationkey")),
+
+    // E1 — clean_title over synthesized raw titles (emoji + " - " suffix)
+    "e1_clean_title" -> ((s, d) => {
+      val k = pmod(col("p_partkey"), lit(3))
+      val raw = when(k === 0, concat(col("p_name"), lit(" - Lương Upto 30Tr")))
+        .when(k === 1, concat(lit("🔥 "), col("p_name")))
+        .otherwise(col("p_name"))
+      t(s, d, "part")
+        .select(col("p_partkey"), raw.as("title_raw"),
+          JobText.cleanTitle(raw).as("title_clean"))
+        .orderBy("p_partkey")
+    }),
+
+    // E2+E3 — clean_salary + transform_salary over synthesized raw strings;
+    // the oracle recomputes expected values from the same integers.
+    "e2_clean_salary" -> ((s, d) => {
+      val k = pmod(col("o_orderkey"), lit(5))
+      val v1 = pmod(col("o_orderkey"), lit(50)) + 5
+      val v2 = v1 + 10
+      val u1 = (pmod(col("o_orderkey"), lit(20)) + 5) * 100
+      val str = (c: Column) => c.cast("string")
+      val raw = when(k === 0, lit("Thỏa thuận"))
+        .when(k === 1, concat(str(v1), lit(" - "), str(v2), lit(" triệu")))
+        .when(k === 2, concat(str(v1), lit(" triệu")))
+        .when(k === 3, concat(str(u1), lit(" - "), str(u1 + 500), lit(" USD")))
+        .otherwise(concat(lit("Lên đến "), str(v1), lit(" củ")))
+      val sal = JobText.cleanSalary(raw)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), raw.as("salary_raw"),
+          sal.getField("lo").as("lo"), sal.getField("hi").as("hi"),
+          sal.getField("negotiable").as("negotiable"),
+          JobText.salaryAvg(sal).as("salary_avg"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E4 — Vietnamese relative-duration parsing → posted/due dates
+    "e4_calculate_dates" -> ((s, d) => {
+      val h = pmod(col("event_id"), lit(24)) + 1
+      val dd = pmod(col("event_id"), lit(30)) + 1
+      val upd = concat(lit("Đăng "), h.cast("string"), lit(" giờ trước"))
+      val ddl = when(pmod(col("event_id"), lit(7)) === 0, lit("Đã hết hạn"))
+        .otherwise(concat(lit("Còn "), dd.cast("string"), lit(" ngày để ứng tuyển")))
+      t(s, d, "events")
+        .select(col("event_id"),
+          JobText.postedDate(ntz(EvAnchor), upd).as("posted_date"),
+          JobText.dueDate(ntz(EvAnchor), ddl).as("due_date"))
+        .orderBy("event_id")
+    }),
+
+    // E6+E7 — sentinel→NULL then text→numeric cast + round
+    // (`script.sql:1-10`)
+    "e6_sentinel_cast" -> ((s, d) => {
+      val k = pmod(col("o_orderkey"), lit(4))
+      val raw = when(k === 0, lit("Thỏa thuận"))
+        .otherwise(round(col("o_totalprice")).cast("long").cast("string"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), raw.as("salary_raw"),
+          JobText.castSalary(JobText.sentinelToNull(raw)).as("salary"))
+        .orderBy("o_orderkey")
+    }),
+
+    // W1/E8–E10 — the stored-procedure countdown formatter, vectorized
+    "w1_remaining_time" -> ((s, d) => {
+      val offs = pmod(col("l_orderkey") * 7919 + col("l_linenumber"),
+        lit(200000)) - 100000
+      val due = ntz(LAnchor) +
+        make_dt_interval(lit(0), lit(0), lit(0), offs.cast("double"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          JobText.remainingTime(due, ntz(LAnchor)).as("remaining_time"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A3/A4 — batch max (watermark advance) + count over the full table
+    "a3_batch_max" -> ((s, d) =>
+      t(s, d, "events")
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("max_ts"))),
+
+    // C2 — incremental batch stats: rows newer than the watermark and the
+    // next watermark value (`src/topcv_pipeline.py:120-126,195-199`)
+    "c2_incremental" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") > ntz(EvWatermark))
+        .agg(count(lit(1)).as("n_new"), max(col("ts")).as("new_wm"))),
+
+    // O1 — global sort DESC (`script.sql:61-64`); range-partitioned sort,
+    // the one legitimately-global shuffle in the suite
+    "o1_sort_desc" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))),
+
+    // O2 — filter + top-k (`script.sql:71-76`); plans as
+    // TakeOrderedAndProject — per-partition top-k, no global sort
+    "o2_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(10)),
+
+    // ——— analytics beyond the reference (SURVEY.md §2.4/§2.6 gaps, all
+    // Catalyst built-ins; headline bench queries) ———
+
+    // TPC-H Q1-shaped aggregation: map-side partial agg, one shuffle
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ntz("2000-12-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3-shaped join + agg + top-k; customer side broadcast
+    "q3_top_revenue" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < ntz("1998-01-01 00:00:00"))
+      val l = t(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    }),
+
+    // TPC-H Q5-shaped multi-join rollup; nation broadcast to every executor
+    "q5_nation_revenue" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val n = t(s, d, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // window function: top-2 orders per customer
+    "q_window_top2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // distinct aggregation
+    "q_distinct_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")),
+
+    // anti join — customers with no pending orders (degenerate form of the
+    // reference's watermark dedup, SURVEY.md §2.6)
+    "q_anti_join" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // semi join — customers with ≥1 urgent order
+    "q_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // union all — the daily-append as an explicit set op (SURVEY.md §2.6)
+    "q_union_bands" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val hi = o.filter(col("o_totalprice") > 250000)
+        .select(col("o_orderkey"), lit("high").as("band"))
+      val lo = o.filter(col("o_totalprice") <= 250000)
+        .select(col("o_orderkey"), lit("low").as("band"))
+      hi.unionByName(lo).orderBy("o_orderkey", "band")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s2_scan_filter" ->
+      s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+         |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$EvWatermark'
+         |ORDER BY event_id""".stripMargin,
+    "f2_deadline_window" ->
+      s"""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$LAnchor' + INTERVAL 20 DAY
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f3_salary_threshold" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin,
+    "f4_like_filter" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_name LIKE '%blue%' ORDER BY p_partkey""".stripMargin,
+    "a1_like_count" ->
+      "SELECT count(*) AS n_jobs FROM part WHERE p_name LIKE '%widget%'",
+    "p2_rename" ->
+      """SELECT o_orderkey AS order_id, o_totalprice AS total,
+        |o_orderpriority AS priority FROM orders ORDER BY order_id""".stripMargin,
+    "p3_drop" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "e1_clean_title" ->
+      """SELECT p_partkey,
+        |CASE p_partkey % 3
+        |  WHEN 0 THEN p_name || ' - Lương Upto 30Tr'
+        |  WHEN 1 THEN '🔥 ' || p_name
+        |  ELSE p_name END AS title_raw,
+        |p_name AS title_clean
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "e2_clean_salary" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderkey % 5 AS k,
+        |         o_orderkey % 50 + 5 AS v1, o_orderkey % 50 + 15 AS v2,
+        |         (o_orderkey % 20 + 5) * 100 AS u1
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE k WHEN 0 THEN 'Thỏa thuận'
+        |    WHEN 1 THEN CAST(v1 AS VARCHAR) || ' - ' || CAST(v2 AS VARCHAR) || ' triệu'
+        |    WHEN 2 THEN CAST(v1 AS VARCHAR) || ' triệu'
+        |    WHEN 3 THEN CAST(u1 AS VARCHAR) || ' - ' || CAST(u1 + 500 AS VARCHAR) || ' USD'
+        |    ELSE 'Lên đến ' || CAST(v1 AS VARCHAR) || ' củ' END AS salary_raw,
+        |  CASE k WHEN 1 THEN CAST(v1 AS DOUBLE) WHEN 2 THEN CAST(v1 AS DOUBLE)
+        |    WHEN 3 THEN CAST(u1 AS DOUBLE) * (23000.0 / 1000000.0) END AS lo,
+        |  CASE k WHEN 1 THEN CAST(v2 AS DOUBLE)
+        |    WHEN 3 THEN CAST(u1 + 500 AS DOUBLE) * (23000.0 / 1000000.0) END AS hi,
+        |  (k = 0) AS negotiable,
+        |  CASE k WHEN 1 THEN (CAST(v1 AS DOUBLE) + CAST(v2 AS DOUBLE)) / 2
+        |    WHEN 2 THEN CAST(v1 AS DOUBLE)
+        |    WHEN 3 THEN (CAST(u1 AS DOUBLE) * (23000.0 / 1000000.0)
+        |                 + CAST(u1 + 500 AS DOUBLE) * (23000.0 / 1000000.0)) / 2
+        |    END AS salary_avg
+        |FROM base ORDER BY o_orderkey""".stripMargin,
+    "e4_calculate_dates" ->
+      s"""SELECT event_id,
+         |  TIMESTAMP '$EvAnchor' - to_hours(event_id % 24 + 1) AS posted_date,
+         |  CASE WHEN event_id % 7 = 0 THEN NULL
+         |    ELSE TIMESTAMP '$EvAnchor' + to_days(CAST(event_id % 30 + 1 AS INT))
+         |    END AS due_date
+         |FROM events ORDER BY event_id""".stripMargin,
+    "e6_sentinel_cast" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'Thỏa thuận'
+        |    ELSE CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR) END AS salary_raw,
+        |  round(CAST(NULLIF(CASE WHEN o_orderkey % 4 = 0 THEN 'Thỏa thuận'
+        |    ELSE CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR) END,
+        |    'Thỏa thuận') AS DOUBLE)) AS salary
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w1_remaining_time" ->
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         (l_orderkey * 7919 + l_linenumber) % 200000 - 100000 AS secs
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN secs <= 0 THEN 'Đã hết thời gian ứng tuyển'
+         |    WHEN secs < 60 THEN 'Còn ' || CAST(secs AS VARCHAR) || ' giây để ứng tuyển'
+         |    WHEN secs < 3600 THEN 'Còn ' || CAST(secs // 60 AS VARCHAR) || ' phút để ứng tuyển'
+         |    WHEN secs < 86400 THEN 'Còn ' || CAST(secs // 3600 AS VARCHAR) || ' giờ để ứng tuyển'
+         |    ELSE 'Còn ' || CAST(secs // 86400 AS VARCHAR) || ' ngày để ứng tuyển'
+         |  END AS remaining_time
+         |FROM base ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a3_batch_max" ->
+      "SELECT count(*) AS n_events, max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events",
+    "c2_incremental" ->
+      s"""SELECT count(*) AS n_new, max(CAST(ts AS TIMESTAMP)) AS new_wm
+         |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$EvWatermark'""".stripMargin,
+    "o1_sort_desc" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey""".stripMargin,
+    "o2_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_returnflag = 'A'
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window_top2" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_bands" ->
+      """SELECT o_orderkey, 'high' AS band FROM orders WHERE o_totalprice > 250000
+        |UNION ALL
+        |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice <= 250000
+        |ORDER BY o_orderkey, band""".stripMargin)
+}

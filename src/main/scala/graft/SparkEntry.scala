@@ -1,13 +1,38 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the reference-parity/analytics suite
+  * ([[Queries]], one entry per SURVEY.md §2 operator) and the
+  * LLM-data-pipeline extensions ([[ExtQueries]]). `oracleSql` carries the
+  * DuckDB twin for every SQL-expressible query; hash-based ops
+  * (MinHash/SimHash/hyperplane-LSH) are rows-only and verified by ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the TPC-H-Q3-shaped join+agg+top-k (scan, broadcast join, shuffle agg,
+    * TakeOrderedAndProject — the spine of the engine, SURVEY.md §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q3_top_revenue")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries ++ ExtQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ ExtQueries.oracles
+
+  /** Headline subset timed by [[Bench]] — the queries whose plans exercise
+    * the scale-critical paths (shuffle agg, joins, window, top-k, dedup,
+    * ANN) without the O(n²)-by-design pair generators dominating wall time.
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
+    "q_window_top2", "q_distinct_agg", "o1_sort_desc", "o2_topk",
+    "s2_scan_filter", "w1_remaining_time", "e2_clean_salary",
+    "dedup_exact", "dedup_minhash", "text_stats", "ann_bruteforce",
+    "ann_lsh")
 }

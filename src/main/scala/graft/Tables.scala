@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All timestamps are kept as TIMESTAMP_NTZ end-to-end: the source parquet
+  * stores naive (isAdjustedToUTC=false) timestamps, Spark 4 infers them as
+  * NTZ, and keeping NTZ means our *output* parquet is also naive — which is
+  * what the DuckDB oracle computes from the same files. Session timezone is
+  * UTC everywhere so NTZ/instant semantics coincide.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark's parquet
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
+    * via the legacy conf and surface a TIMESTAMP_NTZ column truncated to
+    * microseconds — the same truncation DuckDB applies when it reads
+    * nanosecond parquet into its microsecond TIMESTAMP.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression library for large-scale training-data pipelines
+  * (language ID, quality scoring, token counting, fingerprinting, shingling).
+  *
+  * All pure Catalyst `Column` composition over higher-order array functions —
+  * narrow (no shuffle), codegen-friendly, and therefore scan-speed at 100 TB:
+  * each document is processed independently inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (whitespace split of the trimmed text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: splits on word/number/punctuation boundaries the
+    * way byte-pair tokenizers tend to (letters runs, digit runs, single
+    * punctuation marks each count), giving a cheap token-budget estimate.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / n)
+  }
+
+  /** Ratio of alphabetic (Unicode letter) characters to total characters. */
+  def alphaRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / n)
+  }
+
+  /** Mean whitespace-token length. */
+  def avgWordLen(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / toks)
+  }
+
+  private val enStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  /** Fraction of whitespace tokens that are (lowercased) English stopwords —
+    * a natural-language-ness signal used by quality classifiers.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = size(toks)
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isInCollection(enStopwords))).cast("double") / n)
+  }
+
+  /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
+    * natural stopword density, alphabetic content; penalizes punctuation
+    * soup. Weights are heuristic — the point is the *shape* of a quality
+    * scorer as one codegen'd expression.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 64.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val alphaScore = alphaRatio(text)
+    val punctPenalty = least(punctRatio(text) * 4.0, lit(1.0))
+    round(greatest(lit(0.0),
+      lenScore * 0.3 + stopScore * 0.3 + alphaScore * 0.4 - punctPenalty * 0.2), 4)
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "con", "para"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "người", "được", "trong"))
+
+  /** Heuristic language ID: CJK-character detection for zh, else the
+    * language whose stopword-marker hit count is highest (ties broken by
+    * marker-list order above; "und" = undetermined when nothing matches).
+    * One pass, no shuffle — scales linearly like any scan expression.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first marker list (in declaration order) reaching the max score wins
+    val pickLeft = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+    when(length(regexp_replace(text, "[^\\p{IsHan}]", "")) > 0, lit("zh"))
+      .otherwise(pickLeft)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the normalized text
+    * (lowercased, whitespace collapsed): acc = (acc·131 + codepoint) mod
+    * (1e9+7). Stable across engines — the same fold is expressible in any
+    * SQL dialect with list-reduce, which is what the DuckDB oracle does.
+    */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    // fold over split-to-chars, NOT over sequence+substr: substr(norm, i, 1)
+    // inside the lambda would re-evaluate the regexp_replace once per
+    // character (O(len²) regex work per row — measured 100× slowdown)
+    val chars = split(norm, "")
+    when(length(norm) === 0, lit(0L)).otherwise(aggregate(
+      chars, lit(0L),
+      (acc, ch) => (acc * 131L + ascii(ch)) % 1000000007L))
+  }
+
+  /** Character k-shingles (distinct), for Jaccard/MinHash dedup. */
+  def shingles(text: Column, k: Int): Column =
+    when(length(text) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => text.substr(i, lit(k)))))
+
+  /** Word n-grams (distinct) of the lowercased text, joined by single
+    * spaces — the unit for n-gram Jaccard dedup.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+  }
+}

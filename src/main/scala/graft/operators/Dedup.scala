@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Scale design notes (100 TB target):
+  *  - Exact dedup is one hash-shuffle on the dedup key — the minimum possible
+  *    data movement; partial (map-side) aggregation means only one record per
+  *    (partition, key) crosses the wire.
+  *  - MinHash signatures are computed as narrow codegen'd expressions (no
+  *    shuffle); only the (band, bandHash) pairs — a few ints per doc — are
+  *    shuffled for bucketing, never the documents themselves. Candidate
+  *    verification re-joins only the bucket-colliding minority.
+  *  - SimHash dedup needs only a 64-bit signature per doc; near-dup lookup is
+  *    an equi-join on rotated bit-blocks (pigeonhole), not an O(n²) scan.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per distinct value of `keyCols`.
+    * One shuffle on the key; survives any scale with AQE skew handling.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // MinHash over 2^31 hash space: h_i(s) = (a_i·x + b_i) mod p, x = base
+  // shingle hash folded into [0, 2^31). Coefficients are kept < 2^31 so
+  // a·x < 2^62 never overflows a signed long (ANSI mode makes overflow an
+  // error, not a wrap). Textbook universal-hash scheme.
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def aCoef(i: Int): Long = (2654435761L * (i * 2 + 1)) % P + 1
+  private def bCoef(i: Int): Long = (40503L * (i + 7) * (i + 13) + 17L) % P
+
+  /** MinHash signature from a pre-computed shingle array.
+    *
+    * Implemented as ONE fold over the shingles with a `numHashes`-wide
+    * running-min accumulator — not `numHashes` separate `array_min`
+    * projections, which would re-evaluate the shingle extraction and base
+    * hash once per permutation (measured ~30× slowdown: subexpression
+    * elimination does not reach inside lambda bodies). Each shingle is
+    * xxhash64'd exactly once; the per-permutation work is two integer ops.
+    * Null/empty shingle set → null signature (never LSH-matches).
+    */
+  def sigFromShingles(sh: Column, numHashes: Int): Column = {
+    val params = array((0 until numHashes).map(i =>
+      struct(lit(aCoef(i)).as("a"), lit(bCoef(i)).as("b"))): _*)
+    val folded = aggregate(
+      sh,
+      array_repeat(lit(P), numHashes),
+      (acc, s) => {
+        val x = pmod(xxhash64(s), lit(2147483648L))
+        zip_with(acc, params, (m, pr) =>
+          least(m, pmod(x * pr.getField("a") + pr.getField("b"), lit(P))))
+      })
+    when(size(sh) > 0, folded)
+  }
+
+  /** MinHash signature (length `numHashes`) over character `k`-shingles. */
+  def minhashSignature(text: Column, numHashes: Int, k: Int = 5): Column =
+    sigFromShingles(TextAnalysis.shingles(text, k), numHashes)
+
+  /** MinHash + LSH banding: returns candidate near-duplicate pairs
+    * (id_a < id_b) whose signatures collide in ≥1 of `bands` bands, with the
+    * exact shingle-Jaccard computed for verification and filtered at
+    * `threshold`.
+    *
+    * Only (docId, band, hash-of-band-rows) tuples are shuffled; documents are
+    * re-fetched just for the candidate minority. Bucket-join uses a regular
+    * hash join so AQE can handle skewed buckets (e.g. empty-ish docs).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // Signature via explode → hash-aggregate, NOT an expression fold:
+    // higher-order-function lambdas are interpreted (no codegen), which
+    // measured ~100× slower. The exploded min-agg is whole-stage-codegen'd
+    // and map-side combined — one 32-long row per doc crosses the shuffle,
+    // never the shingles themselves.
+    // plain explode drops empty shingle sets — undersized docs simply get
+    // no signature (matching sigFromShingles' null semantics)
+    val exploded = df
+      .select(col(idCol),
+        explode(TextAnalysis.shingles(col(textCol), shingleK)).as("s"))
+      .select(col(idCol), pmod(xxhash64(col("s")), lit(2147483648L)).as("x"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(pmod(col("x") * aCoef(i) + bCoef(i), lit(P))).as(s"h$i"))
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
+    val banded = sigs.select(col(idCol),
+      posexplode(bandHashes).as(Seq("band", "band_hash")))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // multi-band collisions verified once
+    // exact-Jaccard verification only for the candidate minority: join the
+    // documents back and shingle each side once per pair
+    val docA = df.select(col(idCol).as("id_a"),
+      TextAnalysis.shingles(col(textCol), shingleK).as("sh_a"))
+    val docB = df.select(col(idCol).as("id_b"),
+      TextAnalysis.shingles(col(textCol), shingleK).as("sh_b"))
+    candidates.join(docA, "id_a").join(docB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the whitespace tokens of `text`: bit b is set iff
+    * more than half the token hashes have bit b set (majority vote of
+    * ±1 contributions). Pure expression — no shuffle, no UDF.
+    */
+  def simhash(text: Column): Column = {
+    // one fold over the token hashes with a 64-wide bit-count accumulator —
+    // 64 separate filter() projections would re-hash every token per bit
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    val bitIdx = array((0 until 64).map(lit): _*)
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (c, b) => c + call_function("shiftright", h, b).bitwiseAND(lit(1L))))
+    val n = size(hashes)
+    val bits = zip_with(counts, bitIdx, (c, b) =>
+      when(c * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    when(n === 0, lit(0L))
+      .otherwise(aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v)))
+  }
+
+  /** Near-duplicate pairs by SimHash: candidates share at least one of
+    * `blocks` 16-bit blocks (pigeonhole: hamming ≤ maxHamming with 4 blocks
+    * of a 64-bit hash guarantees ≥1 identical block when maxHamming ≤ 3);
+    * verified by exact Hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val blocks = 4
+    val withSim = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val blockVals = array((0 until blocks).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val blocked = withSim.select(col(idCol), col("simhash"),
+      posexplode(blockVals).as(Seq("block", "block_val")))
+    val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
+      col("block"), col("block_val"))
+    val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
+      col("block"), col("block_val"))
+    a.join(b, Seq("block", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard near-dup pairs with cheap length blocking:
+    * candidate pairs share `blockCols` (e.g. lang + a length bucket), so the
+    * join is an equi-join, not a cross product — the blocking key bounds the
+    * per-bucket quadratic cost.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[Column], n: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    // n-grams are computed once per DOC before the join — computing them
+    // from the text per PAIR would multiply the extraction cost by the
+    // average block size
+    val blocked = df.select(col(idCol) +:
+      TextAnalysis.wordNgrams(col(textCol), n).as("ngrams") +:
+      blockCols.zipWithIndex.map { case (c, i) => c.as(s"blk_$i") }: _*)
+    val blkNames = blockCols.indices.map(i => s"blk_$i")
+    val a = blocked.select(col(idCol).as("id_a") +: col("ngrams").as("ng_a") +:
+      blkNames.map(col): _*)
+    val b = blocked.select(col(idCol).as("id_b") +: col("ngrams").as("ng_b") +:
+      blkNames.map(col): _*)
+    a.join(b, blkNames.toSeq)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.jaccard(col("ng_a"), col("ng_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

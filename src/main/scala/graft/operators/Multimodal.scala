@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct —
+  * the Spark-side schema, partition-friendly batch iteration, and decode
+  * signature are real; the codec itself is STUBBED with a deterministic fake
+  * (no image/audio libraries in this environment). Swap `FakeCodec` for a
+  * real decoder (JNI/javacpp) without touching the plan shape.
+  *
+  * Scale notes: decode runs as `mapPartitions` over the binary column — one
+  * task per input split, no shuffle, and the iterator keeps memory bounded to
+  * one record batch. Feature vectors come back as `array<float>` columns that
+  * feed straight into [[Similarity]] / [[Dedup]].
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media payload. */
+  case class MediaMeta(format: String, width: Int, height: Int,
+                       nChannels: Int, nBytes: Long)
+
+  case class MediaRecord(media_id: Long, content: Array[Byte])
+  case class DecodedRecord(media_id: Long, meta: MediaMeta,
+                           features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  /** Decoder contract: bytes → (meta, fixed-width feature vector). */
+  trait Codec extends Serializable {
+    def featureDim: Int
+    def decode(bytes: Array[Byte]): (MediaMeta, Array[Float])
+  }
+
+  /** Deterministic stand-in for a real image decoder: metadata derived from
+    * payload length, features from a rolling byte histogram, so tests are
+    * reproducible and the full pipeline (schema → partitioned decode →
+    * downstream similarity) is exercised end-to-end.
+    */
+  class FakeCodec(val featureDim: Int = 16) extends Codec {
+    def decode(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
+      val n = if (bytes == null) 0 else bytes.length
+      // a real codec would parse the container header here — STUB:
+      val meta = MediaMeta(format = "fake", width = n % 640, height = n % 480,
+        nChannels = 3, nBytes = n.toLong)
+      val feat = new Array[Float](featureDim)
+      var i = 0
+      while (i < n) { feat(i % featureDim) += (bytes(i) & 0xFF) / 255.0f; i += 1 }
+      (meta, feat)
+    }
+  }
+
+  /** Decode a binary media column into (meta struct, feature vector),
+    * batch-iterating per partition. Input df must have `media_id`/`content`.
+    */
+  def decode(df: DataFrame, codec: Codec): Dataset[DecodedRecord] = {
+    implicit val enc = Encoders.product[DecodedRecord]
+    df.select(col("media_id"), col("content")).as(Encoders.product[MediaRecord])
+      .mapPartitions { it: Iterator[MediaRecord] =>
+        it.map { r =>
+          val (meta, feat) = codec.decode(r.content)
+          DecodedRecord(r.media_id, meta, feat)
+        }
+      }
+  }
+
+  /** Frame sampling for video-shaped payloads: split the payload into
+    * `frameBytes`-sized pseudo-frames and keep every `stride`-th — the
+    * partition/batch shape of real frame extraction with the codec stubbed.
+    * Pure Column expression (no UDF): returns `array<binary>`.
+    */
+  def sampleFrames(content: org.apache.spark.sql.Column, frameBytes: Int,
+                   stride: Int): org.apache.spark.sql.Column = {
+    val nFrames = floor(length(content) / frameBytes).cast("int")
+    when(nFrames === 0, array().cast("array<binary>")).otherwise(
+      filter(
+        transform(sequence(lit(0), nFrames - 1),
+          i => content.substr(i * frameBytes + 1, lit(frameBytes))),
+        (_, i) => i % stride === 0))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variant of the incremental ingest (SURVEY.md §2.7):
+  * the reference's daily watermark+skip semantics (C1–C3) expressed natively
+  * as `readStream` → event-time window aggregation with a watermark →
+  * `writeStream` with checkpointing. `Trigger.AvailableNow` reproduces the
+  * scheduled-batch cadence (process everything new, then stop).
+  *
+  * The watermark file + filter of [[graft.ingest.IncrementalBatch]] is
+  * replaced by the engine-managed checkpoint: exactly-once sinks, late-data
+  * drop at the watermark — state the reference hand-rolled (and got wrong,
+  * bug B4).
+  */
+object EventsStream {
+
+  /** Schema of the driver's `events` table with the ns-timestamp read as
+    * raw nanos (see [[graft.Tables.events]] for the batch equivalent).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream over a directory of events parquet; ns → timestamp. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window per-type aggregates with a 1-hour watermark: counts,
+    * sums — the streaming analog of the reference's per-batch row counts
+    * (C7) plus real event-time semantics the reference lacks.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("approx_users"))
+
+  /** Run one AvailableNow pass, appending to a parquet sink. Blocks until
+    * the micro-batches drain; returns the finished query.
+    */
+  def runOnce(spark: SparkSession, srcDir: String, sinkDir: String,
+              checkpointDir: String): StreamingQuery = {
+    val q = hourlyRollup(readEvents(spark, srcDir))
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .start(sinkDir)
+    q.awaitTermination()
+    q
+  }
+}

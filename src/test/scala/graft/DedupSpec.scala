@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.functions.TextAnalysis
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old stone bridge " +
+    "while rain falls softly on the quiet village below the tall mountains"
+  private val nearDup = base.replace("quiet", "silent") // one-token change
+  private val other =
+    "completely different content about database engines and distributed " +
+    "query processing with columnar storage formats and shuffle services"
+
+  private val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, other), (5L, "tiny text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val r = Dedup.exact(docs, "doc_id", Seq("text"))
+      .orderBy("doc_id").as[(String, Long, Long)].collect()
+    assert(r.map(x => (x._2, x._3)).toSeq ===
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleK = 5, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature approximates jaccard") {
+    val sig = Dedup.minhashSignature(col("text"), numHashes = 64)
+    val Seq(s1, s3, s4) = docs.filter(col("doc_id").isin(1, 3, 4))
+      .orderBy("doc_id").select(sig.as("s")).as[Seq[Long]].collect().toSeq
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count(p => p._1 == p._2).toDouble / a.size
+    assert(est(s1, s3) > 0.5)   // true jaccard ~0.9
+    assert(est(s1, s4) < 0.3)   // true jaccard ~0
+  }
+
+  test("simhash pairs: near dups within hamming 3, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → hamming 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard pairs with blocking") {
+    val pairs = Dedup.ngramJaccardPairs(
+        docs.withColumn("blk", lit(1)), "doc_id", "text",
+        Seq(col("blk")), n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{IncrementalBatch, Watermark}
+
+/** Integration test of the watermark incremental pipeline (SURVEY.md §5.2.4):
+  * run 1 ingests everything, run 2 is a no-op (C3), run 3 picks up only new
+  * rows (C2), watermark always equals max(ts) of the sink (A3 — fixes B4).
+  */
+class IngestSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("watermark sidecar read/write round-trip + fail-open") {
+    val p = Files.createTempDirectory("wm").resolve("wm.json").toString
+    assert(Watermark.read(p) === None) // missing file → fail-open
+    Watermark.write(p, "2024-01-15 00:00:00")
+    assert(Watermark.read(p) === Some("2024-01-15 00:00:00"))
+  }
+
+  test("incremental batch: full load, no-op, delta") {
+    val dir = Files.createTempDirectory("ingest")
+    val src = dir.resolve("src").toString
+    val sink = dir.resolve("sink").toString
+    val wm = dir.resolve("wm.json").toString
+
+    def mkBatch(ids: Seq[Long]): Unit =
+      ids.map(i => (i, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"), s"e$i"))
+        .toDF("id", "ts", "name").write.mode("append").parquet(src)
+
+    def pipeline = new IncrementalBatch(spark, src, sink, wm, "ts",
+      df => df.withColumn("name_clean", upper(col("name"))))
+
+    mkBatch(Seq(1L, 2L, 3L))
+    val r1 = pipeline.run()
+    assert(r1.rowsWritten === 3)
+    assert(spark.read.parquet(sink).count() === 3)
+    assert(Watermark.read(wm).get.startsWith("2024-01-03"))
+
+    val r2 = pipeline.run() // same input → empty batch short-circuit (C3)
+    assert(r2.rowsWritten === 0)
+    assert(spark.read.parquet(sink).count() === 3)
+
+    mkBatch(Seq(2L, 5L)) // id=2 is older than watermark → skipped
+    val r3 = pipeline.run()
+    assert(r3.rowsWritten === 1)
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 4)
+    assert(out.select("name_clean").as[String].collect().toSet ===
+      Set("E1", "E2", "E3", "E5"))
+    assert(Watermark.read(wm).get.startsWith("2024-01-05"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.functions.Vectors
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // deterministic pseudo-random corpus + one planted near-neighbor of v0
+  private val rnd = new scala.util.Random(42)
+  private val dim = 16
+  private val corpus = (1 to 200).map { i =>
+    (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+  private val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+  private val planted = q.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+  private val corpusDf =
+    (corpus :+ (999L, planted)).toDF("vec_id", "embedding")
+  private val queryDf = Seq((0L, q)).toDF("vec_id", "embedding")
+
+  test("vector ops: dot / norm / cosine") {
+    val r = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("d"),
+        Vectors.l2Norm(col("a")).as("n"),
+        Vectors.cosine(col("a"), col("a")).as("c"))
+      .as[(Double, Double, Double)].head()
+    assert(r._1 === 32.0)
+    assert(math.abs(r._2 - math.sqrt(14)) < 1e-12)
+    assert(math.abs(r._3 - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k finds the planted neighbor first") {
+    val top = Similarity.bruteForceTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+    assert(top.head._2 > 0.99)
+    assert(top.map(_._2).toSeq === top.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("LSH top-k recalls the planted neighbor (same bucket by construction)") {
+    val top = Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5, nBits = 8, tables = 4)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 999L) // near-identical vector shares all buckets
+  }
+
+  test("cosine near-dup pairs finds the planted pair only at high threshold") {
+    val all = corpusDf.unionByName(queryDf)
+    val pairs = Similarity.cosineNearDupPairs(all, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 999L)))
+  }
+
+  test("hyperplane bucket is deterministic and within range") {
+    val b = corpusDf.select(
+        Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
+      .as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 256))
+    val b2 = corpusDf.select(
+        Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
+      .as[Long].collect()
+    assert(b.toSeq === b2.toSeq)
+  }
+}

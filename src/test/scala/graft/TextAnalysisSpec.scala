@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def one[T: org.apache.spark.sql.Encoder](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).as[T].head()
+
+  test("tokenCount") {
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "a b  c") === 3)
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "   ") === 0)
+    assert(one[Int](TextAnalysis.tokenCount(col("t")), "") === 0)
+  }
+
+  test("subwordCount splits letter/digit/punct runs") {
+    assert(one[Int](TextAnalysis.subwordCount(col("t")), "ab12 cd, e!") === 6)
+  }
+
+  test("fingerprint matches manual rolling hash and handles empty") {
+    val s = "hello world"
+    var acc = 0L
+    s.foreach(ch => acc = (acc * 131 + ch.toInt) % 1000000007L)
+    assert(one[Long](TextAnalysis.fingerprint(col("t")), "Hello   WORLD") === acc)
+    assert(one[Long](TextAnalysis.fingerprint(col("t")), "") === 0L)
+  }
+
+  test("shingles and jaccard") {
+    val sh = one[Seq[String]](TextAnalysis.shingles(col("t"), 3), "abcd")
+    assert(sh === Seq("abc", "bcd"))
+    assert(one[Seq[String]](TextAnalysis.shingles(col("t"), 3), "ab") === Seq.empty)
+    val j = Seq(("abcd", "bcde")).toDF("a", "b")
+      .select(TextAnalysis.jaccard(
+        TextAnalysis.shingles(col("a"), 3),
+        TextAnalysis.shingles(col("b"), 3)).as("j"))
+      .as[Double].head()
+    assert(j === 1.0 / 3.0) // {abc,bcd} vs {bcd,cde}: 1 common of 3
+  }
+
+  test("wordNgrams") {
+    val g = one[Seq[String]](TextAnalysis.wordNgrams(col("t"), 2), "A b c")
+    assert(g === Seq("a b", "b c"))
+  }
+
+  test("langId picks marker language, zh via Han chars") {
+    def lid(s: String) = one[String](TextAnalysis.langId(col("t")), s)
+    assert(lid("the cat and the dog of the house") === "en")
+    assert(lid("der hund und die katze ist nicht da") === "de")
+    assert(lid("le chat et la maison est dans les bois") === "fr")
+    assert(lid("el gato es una casa por con para los") === "es")
+    assert(lid("công ty của chúng tôi là không có người") === "vi")
+    assert(lid("这是一个测试") === "zh")
+    assert(lid("xyzzy qwerty") === "und")
+  }
+
+  test("quality score in [0,1], higher for natural text") {
+    def q(s: String) = one[Double](TextAnalysis.qualityScore(col("t")), s)
+    val natural = q("the quick brown fox jumps over the lazy dog and runs to the house of cards")
+    val soup = q("!!! ??? ,,, ;;; ### $$$ %%%")
+    assert(natural > soup)
+    assert(natural <= 1.0 && soup >= 0.0)
+  }
+}
