@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump the formatted physical plan of selected queries so the
+  * scale-critical properties are auditable — parquet PushedFilters /
+  * ReadSchema (pushdown + pruning), BroadcastHashJoin vs SortMergeJoin,
+  * TakeOrderedAndProject for top-k, WholeStageCodegen span coverage.
+  *
+  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq else Seq(
+      "s2_scan_filter", "f2_deadline_window", "o2_topk",
+      "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
+      "dedup_exact", "dedup_minhash", "ann_bruteforce", "text_stats")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

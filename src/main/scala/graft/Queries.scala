@@ -26,14 +26,31 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Watermark as epoch micros (UTC) for raw-nanos pushdown on `events`:
+    * `CAST(ts AS TIMESTAMP) > wm  ⟺  ts_ns ≥ (wm_µs + 1)·1000` — exact for
+    * the whole-second watermark, and a plain long comparison the parquet
+    * scan can prune row groups with.
+    */
+  private val evWatermarkNanosExclusive: Long = {
+    val micros = java.time.LocalDateTime
+      .parse(EvWatermark.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    (micros + 1L) * 1000L
+  }
+
+  private def eventsAfterWatermark(s: SparkSession, d: String): DataFrame =
+    Tables.eventsRaw(s, d)
+      .filter(col("ts") >= evWatermarkNanosExclusive)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S2+F1+P1 — staging scan with watermark predicate + projection
     // (reference `src/topcv_pipeline.py:119-126`); Catalyst pushes both the
     // filter and the column pruning into the parquet scan.
     "s2_scan_filter" -> ((s, d) =>
-      t(s, d, "events")
-        .filter(col("ts") > ntz(EvWatermark))
+      eventsAfterWatermark(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")),
 
@@ -157,8 +174,7 @@ object Queries {
     // C2 — incremental batch stats: rows newer than the watermark and the
     // next watermark value (`src/topcv_pipeline.py:120-126,195-199`)
     "c2_incremental" -> ((s, d) =>
-      t(s, d, "events")
-        .filter(col("ts") > ntz(EvWatermark))
+      eventsAfterWatermark(s, d)
         .agg(count(lit(1)).as("n_new"), max(col("ts")).as("new_wm"))),
 
     // O1 — global sort DESC (`script.sql:61-64`); range-partitioned sort,

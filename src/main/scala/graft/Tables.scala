@@ -21,14 +21,22 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark's parquet
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * via the legacy conf and surface a TIMESTAMP_NTZ column truncated to
-    * microseconds — the same truncation DuckDB applies when it reads
-    * nanosecond parquet into its microsecond TIMESTAMP.
+    * via the legacy conf — `ts` stays a long here so predicates on it remain
+    * plain column comparisons that push down to parquet row-group stats.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** ns → TIMESTAMP_NTZ truncated to microseconds — the same truncation
+    * DuckDB applies reading nanosecond parquet into its microsecond
+    * TIMESTAMP. Filter on the raw nanos (see [[eventsRaw]]) BEFORE this
+    * conversion when the predicate should reach the scan: a filter on the
+    * converted column degrades to a post-scan filter (full scan at 100 TB).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir)
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-  }
 }

@@ -15,10 +15,11 @@ object Vectors {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ (left-to-right fold — deterministic summation order). */
+  /** Σ aᵢ·bᵢ (sequential — deterministic summation order), via the codegen'd
+    * [[VectorDot]] expression (the HOF fold is interpreted and ~100× slower).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    VectorExpressions.vectorDot(toDouble(a), toDouble(b))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
