@@ -288,7 +288,41 @@ object Queries {
       val lo = o.filter(col("o_totalprice") <= 250000)
         .select(col("o_orderkey"), lit("low").as("band"))
       hi.unionByName(lo).orderBy("o_orderkey", "band")
-    }))
+    }),
+
+    // E12 — ISO-8601 serialization (`src/topcv_pipeline.py:23,31`)
+    "e12_iso_format" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"))
+        .orderBy("event_id")),
+
+    // E5 — timezone normalization to Asia/Ho_Chi_Minh (UTC+7, no DST) for
+    // display (`src/topcv_pipeline.py:137,140`; README.md:385)
+    "e5_tz_display" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          date_format(
+            from_utc_timestamp(col("ts").cast("timestamp"), "Asia/Ho_Chi_Minh"),
+            "yyyy-MM-dd HH:mm:ss").as("ts_vn"))
+        .orderBy("event_id")),
+
+    // rollup — multi-level aggregation (beyond-reference; Catalyst expands
+    // to a single shuffle with grouping-id)
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // approx distinct — HLL sketch (engine-specific estimate → rows-only;
+    // the exact q_distinct_agg twin is the oracle-checked variant)
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct("o_custkey").as("approx_cust"))
+        .orderBy("o_orderstatus")))
 
   val oracles: Map[String, String] = Map(
     "s2_scan_filter" ->
@@ -435,5 +469,19 @@ object Queries {
       """SELECT o_orderkey, 'high' AS band FROM orders WHERE o_totalprice > 250000
         |UNION ALL
         |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice <= 250000
-        |ORDER BY o_orderkey, band""".stripMargin)
+        |ORDER BY o_orderkey, band""".stripMargin,
+    "e12_iso_format" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS ts_iso
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e5_tz_display" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP) + INTERVAL 7 HOUR,
+        |           '%Y-%m-%d %H:%M:%S') AS ts_vn
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
 }

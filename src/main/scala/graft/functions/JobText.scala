@@ -105,7 +105,9 @@ object JobText {
       unix_timestamp(anchor.cast("timestamp"))
     def fmt(n: Column, unit: String): Column =
       concat(lit("Còn "), n.cast("string"), lit(" " + unit + " để ứng tuyển"))
-    when(secs <= 0, lit("Đã hết thời gian ứng tuyển"))
+    // null due (unparseable deadline, B8) hits the ELSE branch in the proc:
+    // plpgsql `IF NULL > INTERVAL '0'` is not-true → expired
+    when(secs.isNull || secs <= 0, lit("Đã hết thời gian ứng tuyển"))
       .when(secs < 60, fmt(secs, "giây"))
       .when(secs < 3600, fmt(floor(secs / 60), "phút"))
       .when(secs < 86400, fmt(floor(secs / 3600), "giờ"))

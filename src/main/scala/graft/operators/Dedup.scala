@@ -103,8 +103,10 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct() // multi-band collisions verified once
-    // exact-Jaccard verification only for the candidate minority: join the
-    // documents back and shingle each side once per pair
+    // exact-Jaccard verification: shingle once per DOC in the pre-join
+    // projection and carry the array through the join. (Shingling after the
+    // join — once per PAIR side — measured ~10× slower: dup clusters make
+    // candidate pairs ≫ docs, and jaccard references each side twice.)
     val docA = df.select(col(idCol).as("id_a"),
       TextAnalysis.shingles(col(textCol), shingleK).as("sh_a"))
     val docB = df.select(col(idCol).as("id_b"),
