@@ -103,14 +103,20 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct() // multi-band collisions verified once
-    // exact-Jaccard verification: shingle once per DOC in the pre-join
-    // projection and carry the array through the join. (Shingling after the
-    // join — once per PAIR side — measured ~10× slower: dup clusters make
+    // Jaccard verification: shingle once per DOC in the pre-join projection
+    // and carry the array through the join. (Shingling after the join —
+    // once per PAIR side — measured ~10× slower: dup clusters make
     // candidate pairs ≫ docs, and jaccard references each side twice.)
+    // Verify over HASHED shingles: long-array intersect/union is far
+    // cheaper than string sets and shrinks the shuffle; collision error at
+    // 2^31 hash space is ~|set|²/2³¹ ≈ 1e-4 — immaterial for a 0.x
+    // threshold (and this operator is hash-based/rows-only by nature).
+    def hashedShingles(c: Column) =
+      transform(TextAnalysis.shingles(c, shingleK), s => xxhash64(s))
     val docA = df.select(col(idCol).as("id_a"),
-      TextAnalysis.shingles(col(textCol), shingleK).as("sh_a"))
+      hashedShingles(col(textCol)).as("sh_a"))
     val docB = df.select(col(idCol).as("id_b"),
-      TextAnalysis.shingles(col(textCol), shingleK).as("sh_b"))
+      hashedShingles(col(textCol)).as("sh_b"))
     candidates.join(docA, "id_a").join(docB, "id_b")
       .select(col("id_a"), col("id_b"),
         TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
