@@ -111,7 +111,25 @@ object ExtQueries {
       docs(s, d).select(col("doc_id").as("media_id"),
           size(Multimodal.sampleFrames(col("text").cast("binary"), 64, 2))
             .as("n_frames"))
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+
+    // IVF ANN — Voronoi-cell pruning around deterministic seed centroids
+    // (rows-only: approximate by design; ScalaTest checks planted-neighbor
+    // recall)
+    "ann_ivf" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10, nlist = 16, nprobe = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // corpus cleaning — drop MinHash near-duplicates, keep lowest doc_id
+    // per duplicate cluster (rows-only: hash-based candidate set)
+    "dedup_clean_corpus" -> ((s, d) =>
+      Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

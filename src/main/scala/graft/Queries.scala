@@ -322,6 +322,47 @@ object Queries {
       t(s, d, "orders")
         .groupBy("o_orderstatus")
         .agg(approx_count_distinct("o_custkey").as("approx_cust"))
+        .orderBy("o_orderstatus")),
+
+    // sessionization — 30-min-gap sessions per user over the event stream,
+    // via lag + running sum (the batch form of session windows; two window
+    // passes over one user-partitioned shuffle)
+    "q_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val gapUs = us - lag(us, 1).over(w)
+      val newSess = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1)
+        .otherwise(0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("session_id",
+          sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts")).cast("timestamp")) -
+            unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // event-time bucketing — hourly rollup per type (the batch twin of the
+    // streaming windowed aggregation in graft.streaming.EventsStream)
+    "q_hourly_rollup" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // exact interpolated percentiles (sort-based; the approx twin is
+    // percentile_approx at scale)
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
         .orderBy("o_orderstatus")))
 
   val oracles: Map[String, String] = Map(
@@ -483,5 +524,37 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN us - lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      OR lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_hourly_rollup" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -167,6 +167,21 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Corpus cleaning: drop near-duplicates, keeping the lowest id of every
+    * duplicate pair (greedy — for a chain a~b, b~c it keeps a). Built on
+    * [[minhashLsh]], so the only per-doc cost is the signature; the anti
+    * join removes the `id_b` side of every verified pair.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 32, bands: Int = 8,
+                         shingleK: Int = 5,
+                         threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashLsh(df, idCol, textCol, numHashes, bands, shingleK,
+        threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard near-dup pairs with cheap length blocking:
     * candidate pairs share `blockCols` (e.g. lang + a length bucket), so the
     * join is an equi-join, not a cross product — the blocking key bounds the

@@ -62,6 +62,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: partition the corpus into `nlist` Voronoi cells around
+    * deterministic seed centroids (the lowest-id vectors — a k-means round
+    * would refine them; seeds keep the operator fully deterministic), search
+    * only the query's `nprobe` nearest cells, rerank exactly.
+    *
+    * Scale shape: assignment is one broadcast pass (corpus × nlist dots,
+    * narrow); the assigned table can be written partitioned by `cell` so a
+    * query reads only nprobe partitions — the classic IVF pruning, expressed
+    * as partition pruning.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // assign every vector to its max-dot centroid
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("cid"),
+        Vectors.dot(col(vecCol), col("cvec")).as("cscore"))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("cscore").desc, col("cid"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"))
+    // the query probes its nprobe nearest cells
+    val probes = query.select(col(queryVecCol).as("__qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("__qvec"), col("cid"),
+        Vectors.dot(col("__qvec"), col("cvec")).as("cscore"))
+      .orderBy(col("cscore").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("__qvec"), col("cid").as("cell"))
+    assigned.join(broadcast(probes), "cell")
+      .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact near-duplicate pairs by cosine ≥ threshold. `blockCols` (e.g. a
     * coarse LSH bucket or a label) bound the quadratic blow-up: the join is
     * an equi-join on the block key. Pass an empty Seq for the (small-data

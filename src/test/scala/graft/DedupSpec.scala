@@ -53,6 +53,16 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dropNearDuplicates keeps one doc per duplicate cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))            // cluster representative survives
+    assert(!kept.contains(2L))           // exact dup of 1 dropped
+    assert(!kept.contains(3L))           // near dup of 1 dropped (j ~0.9)
+    assert(kept.contains(4L) && kept.contains(5L)) // unrelated docs survive
+  }
+
   test("ngram jaccard pairs with blocking") {
     val pairs = Dedup.ngramJaccardPairs(
         docs.withColumn("blk", lit(1)), "doc_id", "text",

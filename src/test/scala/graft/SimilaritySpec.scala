@@ -47,6 +47,14 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._1 === 999L) // near-identical vector shares all buckets
   }
 
+  test("IVF top-k recalls the planted neighbor through cell pruning") {
+    val top = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5, nlist = 16, nprobe = 4)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 999L) // near-identical vector → same Voronoi cell
+    assert(top.head._2 > 0.99)
+  }
+
   test("cosine near-dup pairs finds the planted pair only at high threshold") {
     val all = corpusDf.unionByName(queryDf)
     val pairs = Similarity.cosineNearDupPairs(all, "vec_id", "embedding", 0.99)
