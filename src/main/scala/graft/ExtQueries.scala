@@ -129,9 +129,26 @@ object ExtQueries {
     "dedup_clean_corpus" -> ((s, d) =>
       Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.8)
         .select("doc_id")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // custom-state sessionization (flatMapGroupsWithState) — batch mode of
+    // the streaming stateful operator; must equal the SQL sessionization,
+    // so it shares q_sessionize's oracle
+    "q_stateful_sessions" -> ((s, d) => {
+      import graft.streaming.StatefulSessions
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[StatefulSessions.Event]
+      val events = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as(enc)
+      StatefulSessions.sessionize(events, gapSeconds = 1800, emitOpen = true)
+        .toDF()
+        .orderBy("user_id", "session_id")
+    }))
 
   val oracles: Map[String, String] = Map(
+    // identical semantics to the window-function sessionization
+    "q_stateful_sessions" -> Queries.oracles("q_sessionize"),
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
