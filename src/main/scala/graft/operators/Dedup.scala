@@ -82,11 +82,14 @@ object Dedup {
     // and map-side combined — one 32-long row per doc crosses the shuffle,
     // never the shingles themselves.
     // plain explode drops empty shingle sets — undersized docs simply get
-    // no signature (matching sigFromShingles' null semantics)
+    // no signature (matching sigFromShingles' null semantics).
+    // HashedShinglesExpr extracts + hashes shingles in one native rolling-
+    // hash pass (the HOF transform/substr form is interpreted per element).
+    import graft.functions.HashedShingles.hashedShingles
     val exploded = df
       .select(col(idCol),
-        explode(TextAnalysis.shingles(col(textCol), shingleK)).as("s"))
-      .select(col(idCol), pmod(xxhash64(col("s")), lit(2147483648L)).as("x"))
+        explode(hashedShingles(col(textCol), shingleK)).as("s"))
+      .select(col(idCol), pmod(col("s"), lit(2147483648L)).as("x"))
     val minAggs = (0 until numHashes).map(i =>
       min(pmod(col("x") * aCoef(i) + bCoef(i), lit(P))).as(s"h$i"))
     val sigs = exploded.groupBy(col(idCol))
@@ -108,15 +111,13 @@ object Dedup {
     // once per PAIR side — measured ~10× slower: dup clusters make
     // candidate pairs ≫ docs, and jaccard references each side twice.)
     // Verify over HASHED shingles: long-array intersect/union is far
-    // cheaper than string sets and shrinks the shuffle; collision error at
-    // 2^31 hash space is ~|set|²/2³¹ ≈ 1e-4 — immaterial for a 0.x
-    // threshold (and this operator is hash-based/rows-only by nature).
-    def hashedShingles(c: Column) =
-      transform(TextAnalysis.shingles(c, shingleK), s => xxhash64(s))
+    // cheaper than string sets and shrinks the shuffle; 64-bit collision
+    // error is immaterial for a 0.x threshold (and this operator is
+    // hash-based/rows-only by nature).
     val docA = df.select(col(idCol).as("id_a"),
-      hashedShingles(col(textCol)).as("sh_a"))
+      hashedShingles(col(textCol), shingleK).as("sh_a"))
     val docB = df.select(col(idCol).as("id_b"),
-      hashedShingles(col(textCol)).as("sh_b"))
+      hashedShingles(col(textCol), shingleK).as("sh_b"))
     candidates.join(docA, "id_a").join(docB, "id_b")
       .select(col("id_a"), col("id_b"),
         TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -6,6 +6,39 @@ import graft.streaming.EventsStream
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
+  test("stateful sessionization keeps the open session in state across " +
+      "micro-batches (MemoryStream)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulSessions
+    import StatefulSessions.Event
+    import java.time.LocalDateTime
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    def ev(id: Long, minute: Int) =
+      Event(7L, id, LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"), 1.0)
+
+    val q = StatefulSessions.sessionize(stream.toDS(), gapSeconds = 1800,
+        emitOpen = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+    try {
+      // batch 1: two events 5 min apart — same session, stays OPEN in state
+      stream.addData(ev(1, 0), ev(2, 5))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0)
+      // batch 2: an event 31+ min later closes session 1 and opens session 2
+      stream.addData(ev(3, 50))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out")
+        .as[StatefulSessions.SessionOut].collect().toSeq
+      assert(closed.map(s => (s.session_id, s.n_events, s.duration_us)) ===
+        Seq((1L, 2L, 300000000L)))
+    } finally q.stop()
+  }
+
   test("AvailableNow pass over events: windowed rollup lands in sink; " +
       "second pass is a checkpointed no-op") {
     val dir = Files.createTempDirectory("stream")
