@@ -363,7 +363,23 @@ object Queries {
           round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
           round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
           round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
-        .orderBy("o_orderstatus")))
+        .orderBy("o_orderstatus")),
+
+    // as-of join — each event matched to the user's most recent purchase at
+    // or before it (graft.operators.Joins.asofJoin: the union-window form of
+    // the operator Spark lacks; oracle is DuckDB's native ASOF JOIN)
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+      val purchases = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.Joins.asofJoin(ev, purchases, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id").as("last_purchase_id"),
+          col("asof_ts").as("last_purchase_ts"))
+        .orderBy("event_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "s2_scan_filter" ->
@@ -556,5 +572,17 @@ object Queries {
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  p.event_id AS last_purchase_id, p.ts AS last_purchase_ts
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin)
 }

@@ -20,13 +20,21 @@ import org.apache.spark.sql.functions._
   */
 final case class BatchResult(rowsWritten: Long, newWatermark: Option[String])
 
+/** @param idempotentSink when true, each batch writes its own
+  *   `__batch_id=<watermark>` partition with dynamic partition overwrite:
+  *   retrying a batch whose sink succeeded but whose watermark commit
+  *   failed overwrites the same partition instead of appending duplicates
+  *   (the reference's own watermark advance is broken in exactly this
+  *   window — bug B4; SURVEY.md §7.4.4).
+  */
 class IncrementalBatch(
     spark: SparkSession,
     sourcePath: String,
     sinkPath: String,
     watermarkPath: String,
     tsCol: String,
-    transform: DataFrame => DataFrame = identity) {
+    transform: DataFrame => DataFrame = identity,
+    idempotentSink: Boolean = false) {
 
   /** Run one incremental batch; returns rows written and the watermark. */
   def run(): BatchResult = {
@@ -41,8 +49,18 @@ class IncrementalBatch(
     if (out.limit(1).isEmpty) return BatchResult(0L, wm)
 
     val obs = org.apache.spark.sql.Observation()
-    out.observe(obs, count(lit(1)).as("rows"), max(col(tsCol)).as("max_ts"))
-      .write.mode("append").parquet(sinkPath)
+    val observed = out.observe(obs,
+      count(lit(1)).as("rows"), max(col(tsCol)).as("max_ts"))
+    if (idempotentSink) {
+      val batchId = wm.map(_.replaceAll("[^0-9]", "")).getOrElse("initial")
+      observed.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(sinkPath)
+    } else {
+      observed.write.mode("append").parquet(sinkPath)
+    }
 
     // advance watermark only after a successful sink commit (fixes B4)
     val metrics = obs.get

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Join operators Spark lacks natively.
+  *
+  * [[asofJoin]] — for each left row, attach the single most recent right
+  * row with `rightTs ≤ leftTs` within the same key (time-series point
+  * lookup; DuckDB/kdb "ASOF JOIN").
+  *
+  * Implemented with the union trick rather than a range join: tag both
+  * sides, union, and take `last(right_row, ignoreNulls)` over one
+  * key-partitioned, time-ordered window. Cost at scale is ONE shuffle of
+  * left+right on the key and a single ordered pass — no interval explosion,
+  * no per-row subquery, and AQE-friendly. The right row travels as one
+  * struct so all its fields come from the same matched row atomically.
+  */
+object Joins {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPrefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag"),
+      struct(lCols.map(col): _*).as("__lrow"),
+      lit(null).cast(rType).as("__rrow"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      lit(null).cast(lType).as("__lrow"),
+      struct(rCols.map(col): _*).as("__rrow"))
+    // at equal timestamps the right row sorts first (tag 0 < 1), so a
+    // same-instant right row IS visible to the probe — `≥` semantics,
+    // matching DuckDB ASOF
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
+        rCols.map(c => col(s"__m.$c").as(rightPrefix + c)): _*)
+  }
+}

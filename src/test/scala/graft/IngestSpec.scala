@@ -19,6 +19,26 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(Watermark.read(p) === Some("2024-01-15 00:00:00"))
   }
 
+  test("idempotent sink: retry after a failed watermark commit does not " +
+      "duplicate rows") {
+    val dir = Files.createTempDirectory("ingest_idem")
+    val src = dir.resolve("src").toString
+    val sink = dir.resolve("sink").toString
+    val wm = dir.resolve("wm.json").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "b"))
+      .toDF("id", "ts", "name").write.parquet(src)
+
+    def pipeline = new IncrementalBatch(spark, src, sink, wm, "ts",
+      identity, idempotentSink = true)
+    assert(pipeline.run().rowsWritten === 2)
+    // simulate: sink committed but the watermark commit was lost
+    Files.delete(java.nio.file.Paths.get(wm))
+    assert(pipeline.run().rowsWritten === 2) // reprocesses the same batch
+    // dynamic partition overwrite replaced the batch partition — no dupes
+    assert(spark.read.parquet(sink).count() === 2)
+  }
+
   test("incremental batch: full load, no-op, delta") {
     val dir = Files.createTempDirectory("ingest")
     val src = dir.resolve("src").toString

@@ -1,0 +1,35 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+
+class JoinsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: most recent right row at or before each left row, per key") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:30:00"), 105.0),
+      (2L, ts("2024-01-01 10:10:00"), 50.0)
+    ).toDF("k", "qts", "price")
+    val trades = Seq(
+      (1L, 1, ts("2024-01-01 09:59:00")), // before any quote → null
+      (1L, 2, ts("2024-01-01 10:05:00")), // tie → same-instant quote (≥)
+      (1L, 3, ts("2024-01-01 10:07:00")), // between → 10:05 quote
+      (1L, 4, ts("2024-01-01 11:00:00")), // after all → 10:30 quote
+      (2L, 5, ts("2024-01-01 10:20:00")), // other key → its own quote
+      (3L, 6, ts("2024-01-01 10:20:00"))  // key with no quotes → null
+    ).toDF("k", "trade_id", "tts")
+
+    val out = Joins.asofJoin(trades, quotes, "k", "tts", "qts")
+      .select("trade_id", "asof_price")
+      .as[(Int, Option[Double])].collect().toMap
+    assert(out === Map(
+      1 -> None, 2 -> Some(101.0), 3 -> Some(101.0),
+      4 -> Some(105.0), 5 -> Some(50.0), 6 -> None))
+  }
+}
