@@ -379,6 +379,40 @@ object Queries {
           col("asof_event_id").as("last_purchase_id"),
           col("asof_ts").as("last_purchase_ts"))
         .orderBy("event_id")
+    }),
+
+    // banded range join — purchases of the same user within the hour after
+    // each event (Joins.rangeJoin: bucketed equi-join, no nested loop)
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "ts")
+      val purchases = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.Joins.rangeJoin(ev, purchases, "user_id", "ts", "ts",
+          lowerSec = 0, upperSec = 3600)
+        .select(col("event_id"), col("r_event_id").as("purchase_id"))
+        .orderBy("event_id", "purchase_id")
+    }),
+
+    // grouped top-k via a custom typed Aggregator (bounded k-element
+    // buffer → only k rows per group cross the shuffle, unlike the
+    // window-function form q_window_top2, which shares this oracle)
+    "q_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAggregator(2)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("topk"))
+        .flatMap { case (cust, items) =>
+          items.zipWithIndex.map { case ((price, okey), i) =>
+            (cust, i + 1, okey, price)
+          }
+        }
+        .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -584,5 +618,23 @@ object Queries {
         |  p.event_id AS last_purchase_id, p.ts AS last_purchase_ts
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, p.purchase_id
+        |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND p.pts >= e.ts AND p.pts <= e.ts + INTERVAL 1 HOUR
+        |ORDER BY e.event_id, p.purchase_id""".stripMargin,
+    // same semantics as the window-function top-2 (q_window_top2)
+    "q_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin)
 }

@@ -20,6 +20,38 @@ import org.apache.spark.sql.types.StructType
   */
 object Joins {
 
+  /** Banded range join: pairs (l, r) with the same `key` and
+    * `r.ts ∈ [l.ts + lower, l.ts + upper]` (bounds in seconds, inclusive).
+    *
+    * Naive inequality joins degenerate to per-key nested loops; here both
+    * sides are bucketed by `width = upper − lower` and the left side probes
+    * only the 2–3 buckets its window can overlap (an exploded equi-join),
+    * then the exact predicate filters. Shuffle cost is O(|l|·3 + |r|) keyed
+    * rows — independent of how many pairs the time window produces per key.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String,
+                lowerSec: Long, upperSec: Long,
+                rightPrefix: String = "r_"): DataFrame = {
+    require(upperSec > lowerSec)
+    val widthUs = (upperSec - lowerSec) * 1000000L
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val r = right.select(rCols.map(c => col(c).as(rightPrefix + c)): _*)
+      .withColumn("__bucket",
+        floor(us(col(rightPrefix + rightTs)) / widthUs))
+    val loBucket = floor((us(col(leftTs)) + lowerSec * 1000000L) / widthUs)
+    val hiBucket = floor((us(col(leftTs)) + upperSec * 1000000L) / widthUs)
+    val l = left
+      .withColumn("__bucket", explode(sequence(loBucket, hiBucket)))
+    l.join(r, l("__bucket") === r("__bucket") &&
+        l(key) === r(rightPrefix + key) &&
+        us(r(rightPrefix + rightTs)) >= us(l(leftTs)) + lowerSec * 1000000L &&
+        us(r(rightPrefix + rightTs)) <= us(l(leftTs)) + upperSec * 1000000L)
+      .select(lCols.map(col) ++ rCols.map(c => col(rightPrefix + c)): _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightPrefix: String = "asof_"): DataFrame = {

@@ -32,4 +32,20 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
       1 -> None, 2 -> Some(101.0), 3 -> Some(101.0),
       4 -> Some(105.0), 5 -> Some(50.0), 6 -> None))
   }
+
+  test("rangeJoin: inclusive banded window, same key only") {
+    val l = Seq((1L, 10, ts("2024-01-01 10:00:00")))
+      .toDF("k", "lid", "lts")
+    val r = Seq(
+      (1L, 100, ts("2024-01-01 09:59:59")), // before window
+      (1L, 101, ts("2024-01-01 10:00:00")), // lower bound inclusive
+      (1L, 102, ts("2024-01-01 10:30:00")), // inside
+      (1L, 103, ts("2024-01-01 11:00:00")), // upper bound inclusive
+      (1L, 104, ts("2024-01-01 11:00:01")), // past window
+      (2L, 105, ts("2024-01-01 10:30:00"))  // other key
+    ).toDF("k", "rid", "rts")
+    val got = Joins.rangeJoin(l, r, "k", "lts", "rts", 0, 3600)
+      .select("lid", "r_rid").as[(Int, Int)].collect().toSet
+    assert(got === Set((10, 101), (10, 102), (10, 103)))
+  }
 }
