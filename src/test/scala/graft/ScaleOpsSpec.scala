@@ -32,6 +32,22 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(spread > 1)
   }
 
+  test("date-partitioned write prunes partitions at read (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("pruned").toString
+    val df = (1 to 1000).map { i =>
+      (i, f"2024-01-${i % 28 + 1}%02d", i * 1.5)
+    }.toDF("id", "day", "v")
+    df.write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    read.count()
+    val plan = read.queryExecution.executedPlan.toString
+    // the day predicate must prune directories, not scan-and-filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2024-01-05"), s"expected partition pruning:\n$plan")
+    assert(read.count() === (1 to 1000).count(i => i % 28 + 1 == 5))
+  }
+
   test("bucketed equi-join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
