@@ -34,25 +34,15 @@ object Vectors {
       lit(0.0), (acc, v) => acc + v))
 
   /** Sign-bit bucket id for random-hyperplane LSH: bit i of the result is
-    * sign(v · hᵢ) where hᵢ is a deterministic ±1 hyperplane derived from
-    * `xxhash64(tableSeed, i, j)` — no stored hyperplane matrix needed, every
-    * executor recomputes it inside codegen. `nBits` ≤ 30.
+    * sign(v · hᵢ) where hᵢ is a deterministic ±1 hyperplane derived from a
+    * splitmix64 hash of (tableSeed, i, j) — no stored hyperplane matrix
+    * needed; see [[HyperplaneBucketExpr]] (native fused loop — the HOF
+    * formulation was interpreted per element).
     *
     * Used as the bucketing key for approximate nearest neighbors: vectors
     * sharing a bucket (per table) are candidate neighbors, so a 100 TB ANN
     * query touches only matching buckets instead of the full corpus.
     */
-  def hyperplaneBucket(v: Column, nBits: Int, tableSeed: Int): Column = {
-    val dv = toDouble(v)
-    val bits: Seq[Column] = (0 until nBits).map { i =>
-      // h_ij = +1 if xxhash64(seed, i, j) even else -1, j = component index
-      val signed = zip_with(dv,
-        sequence(lit(0), size(dv) - 1),
-        (x, j) => when(pmod(xxhash64(lit(tableSeed), lit(i), j), lit(2)) === 0, x)
-          .otherwise(-x))
-      val proj = aggregate(signed, lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def hyperplaneBucket(v: Column, nBits: Int, tableSeed: Int): Column =
+    HyperplaneBucketExpr.hyperplaneBucket(toDouble(v), nBits, tableSeed)
 }
