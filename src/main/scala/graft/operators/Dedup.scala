@@ -107,13 +107,13 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct() // multi-band collisions verified once
     // Jaccard verification: shingle once per DOC in the pre-join projection
-    // and carry the array through the join. (Shingling after the join —
-    // once per PAIR side — measured ~10× slower: dup clusters make
-    // candidate pairs ≫ docs, and jaccard references each side twice.)
-    // Verify over HASHED shingles: long-array intersect/union is far
-    // cheaper than string sets and shrinks the shuffle; 64-bit collision
-    // error is immaterial for a 0.x threshold (and this operator is
-    // hash-based/rows-only by nature).
+    // and carry the array through the join. Two measured dead ends: (a)
+    // shingling after the pair join — pairs ≫ docs under dup clusters and
+    // jaccard references each side twice (~10× slower); (b) semi-filtering
+    // each side to candidate ids behind a localCheckpoint — the eager
+    // materialization + extra joins cost more than re-shingling the corpus
+    // (~1.5× slower at sf0.1). Verify over HASHED shingles: long-array
+    // intersect/union is far cheaper than string sets.
     val docA = df.select(col(idCol).as("id_a"),
       hashedShingles(col(textCol), shingleK).as("sh_a"))
     val docB = df.select(col(idCol).as("id_b"),
