@@ -81,6 +81,21 @@ object Queries {
         .filter(col("p_name").contains("widget"))
         .agg(count(lit(1)).as("n_jobs"))),
 
+    // F4+A1 with the reference's actual Vietnamese UTF-8 literal
+    // (`script.sql:69`: LIKE '%Hồ Chí Minh%') over a synthesized location
+    // column — exercises multi-byte matching through parquet, the JSON
+    // oracle hop, and DuckDB identically
+    "f4_like_vietnamese" -> ((s, d) => {
+      val loc = when(pmod(col("c_custkey"), lit(3)) === 0,
+          lit("Quận 1, Hồ Chí Minh"))
+        .when(pmod(col("c_custkey"), lit(3)) === 1, lit("Hà Nội"))
+        .otherwise(lit("Đà Nẵng"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), loc.as("job_location"))
+        .filter(col("job_location").like("%Hồ Chí Minh%"))
+        .orderBy("c_custkey")
+    }),
+
     // P1/P2 — projection with renaming (`src/topcv_pipeline.py:131-141`)
     "p2_rename" -> ((s, d) =>
       t(s, d, "orders")
@@ -432,6 +447,14 @@ object Queries {
         |WHERE p_name LIKE '%blue%' ORDER BY p_partkey""".stripMargin,
     "a1_like_count" ->
       "SELECT count(*) AS n_jobs FROM part WHERE p_name LIKE '%widget%'",
+    "f4_like_vietnamese" ->
+      """SELECT c_custkey,
+        |  CASE c_custkey % 3 WHEN 0 THEN 'Quận 1, Hồ Chí Minh'
+        |    WHEN 1 THEN 'Hà Nội' ELSE 'Đà Nẵng' END AS job_location
+        |FROM customer
+        |WHERE (CASE c_custkey % 3 WHEN 0 THEN 'Quận 1, Hồ Chí Minh'
+        |    WHEN 1 THEN 'Hà Nội' ELSE 'Đà Nẵng' END) LIKE '%Hồ Chí Minh%'
+        |ORDER BY c_custkey""".stripMargin,
     "p2_rename" ->
       """SELECT o_orderkey AS order_id, o_totalprice AS total,
         |o_orderpriority AS priority FROM orders ORDER BY order_id""".stripMargin,

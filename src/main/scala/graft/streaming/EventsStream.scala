@@ -52,6 +52,16 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** Streaming exact deduplication: drop re-delivered events by key within
+    * the watermark horizon — state is bounded because expired keys age out
+    * with the watermark (the streaming form of the reference's
+    * exactly-once-ish watermark skip, C2).
+    */
+  def dedupedEvents(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run one AvailableNow pass, appending to a parquet sink. Blocks until
     * the micro-batches drain; returns the finished query.
     */

@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val events = stream.toDS().toDF("event_id", "ts")
+    val q = EventsStream.dedupedEvents(events, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      val t1 = Timestamp.valueOf("2024-01-01 10:00:00")
+      stream.addData((1L, t1), (2L, t1))
+      q.processAllAvailable()
+      stream.addData((1L, t1), (3L, t1)) // event 1 re-delivered
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("AvailableNow pass over events: windowed rollup lands in sink; " +
       "second pass is a checkpointed no-op") {
     val dir = Files.createTempDirectory("stream")
