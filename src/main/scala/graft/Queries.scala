@@ -305,6 +305,28 @@ object Queries {
       hi.unionByName(lo).orderBy("o_orderkey", "band")
     }),
 
+    // JSON extraction — the reference's JSON state/props shape
+    // (SURVEY.md §1.3) as a typed column pull from the events props blob
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .orderBy("event_id")),
+
+    // pivot via conditional aggregation (ANSI-expressible both engines):
+    // order counts and revenue per status spread across priority columns
+    "q_pivot_status" -> ((s, d) => {
+      def cnt(p: String) = count(when(col("o_orderpriority") === p, 1))
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(cnt("1-URGENT").as("n_urgent"),
+          cnt("2-HIGH").as("n_high"),
+          round(sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice"))), 2).as("urgent_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // E12 — ISO-8601 serialization (`src/topcv_pipeline.py:23,31`)
     "e12_iso_format" -> ((s, d) =>
       t(s, d, "events")
@@ -584,6 +606,17 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice <= 250000
         |ORDER BY o_orderkey, band""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice END), 2) AS urgent_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "e12_iso_format" ->
       """SELECT event_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS ts_iso
