@@ -327,6 +327,39 @@ object Queries {
         .orderBy("o_orderstatus")
     }),
 
+    // explode/generator — classic word count over the corpus: row-expanding
+    // generate + high-cardinality agg with map-side combine
+    "q_word_count" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)),
+
+    // cube — all grouping-set combinations in one shuffle
+    "q_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // lead/lag windows — per-customer order timeline with previous/next
+    // order dates and the gap in days
+    "q_lead_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lag("o_orderdate", 1).over(w).as("prev_date"),
+          lead("o_orderdate", 1).over(w).as("next_date"),
+          datediff(col("o_orderdate").cast("date"),
+            lag("o_orderdate", 1).over(w).cast("date")).as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
     // E12 — ISO-8601 serialization (`src/topcv_pipeline.py:23,31`)
     "e12_iso_format" -> ((s, d) =>
       t(s, d, "events")
@@ -610,6 +643,25 @@ object Queries {
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |ORDER BY event_id""".stripMargin,
+    "q_word_count" ->
+      """SELECT tok, count(*) AS n
+        |FROM documents,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS u(tok)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER w AS prev_date,
+        |  lead(o_orderdate) OVER w AS next_date,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderstatus,
         |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
