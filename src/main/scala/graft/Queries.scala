@@ -327,6 +327,18 @@ object Queries {
         .orderBy("o_orderstatus")
     }),
 
+    // statistical aggregates — sample stddev/variance and correlation
+    // (rounded: engines use different summation algorithms, identical
+    // values only to ~1e-9 relative)
+    "q_stats_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(avg("o_totalprice"), 2).as("avg_price"),
+          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(var_samp(col("o_totalprice")), 1).as("var_price"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_ck"))
+        .orderBy("o_orderstatus")),
+
     // explode/generator — classic word count over the corpus: row-expanding
     // generate + high-cardinality agg with map-side combine
     "q_word_count" -> ((s, d) =>
@@ -643,6 +655,13 @@ object Queries {
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |ORDER BY event_id""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT o_orderstatus,
+        |  round(avg(o_totalprice), 2) AS avg_price,
+        |  round(stddev_samp(o_totalprice), 2) AS sd_price,
+        |  round(var_samp(o_totalprice), 1) AS var_price,
+        |  round(corr(o_totalprice, o_custkey), 4) AS corr_ck
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_word_count" ->
       """SELECT tok, count(*) AS n
         |FROM documents,
