@@ -18,6 +18,23 @@ object ExtQueries {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  /** Recall of `approx` against ground-truth `truth` on key columns `keys`,
+    * as a 1-row frame (found, total, recall) — puts the approximate
+    * family's quality into the driver-visible correctness artifact instead
+    * of only ScalaTest. Empty truth ⇒ recall 1.0 by convention.
+    */
+  private def recallOf(truth: DataFrame, approx: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    truth.join(
+        approx.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1)),
+        keys, "left")
+      .agg(coalesce(sum("__hit"), lit(0L)).as("found"),
+        count(lit(1)).as("total"))
+      .select(col("found"), col("total"),
+        round(when(col("total") === 0, lit(1.0))
+          .otherwise(col("found").cast("double") / col("total")), 6)
+          .as("recall"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: one hash-shuffle on the key, map-side partial agg
@@ -59,21 +76,51 @@ object ExtQueries {
     }),
 
     // LSH-bucketed ANN (random hyperplanes, multi-table): the 100 TB scale
-    // path — probes only matching buckets; rows-only (approximate + hashed)
+    // path — probes only matching buckets; rows-only (approximate + hashed).
+    // Bucket width must match the similarity regime: this corpus's true
+    // top-10 sit at cosine ≈ 0.28–0.37 (no planted near-identicals — the
+    // hardest case for sign-LSH, where a hyperplane agrees with only
+    // p ≈ 0.6 per bit), so recall needs shallow buckets and many tables:
+    // 3 bits × 12 tables. At real scale the same recall target is hit with
+    // more bits because bucket population, not bit count, is what prunes;
+    // ann_lsh_recall reports the achieved recall@10 every round.
     "ann_lsh" -> ((s, d) => {
       val corpus = embs(s, d).filter(col("vec_id") =!= 0)
       val query = embs(s, d).filter(col("vec_id") === 0)
       Similarity.lshTopK(corpus, "vec_id", "embedding",
-          query, "embedding", 10, nBits = 8, tables = 4)
+          query, "embedding", 10, nBits = 3, tables = 12)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
-    // exact embedding near-dup pairs (full pair space is fine at the
-    // fixture's 2k vectors; at scale swap in the LSH blocking)
+    // exact embedding near-dup pairs — the SMALL ORACLE TWIN (full pair
+    // space, hash-checked against DuckDB); the scale path is
+    // emb_neardup_blocked below, whose recall this exact form measures
     "emb_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(embs(s, d), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+
+    // LSH-blocked near-dup pairs — the 100 TB form: per-table equi-joins on
+    // hyperplane buckets, never a cross product (plan asserted by
+    // SimilaritySpec); rows-only (hash-based blocking)
+    "emb_neardup_blocked" -> ((s, d) =>
+      Similarity.lshBlockedNearDupPairs(embs(s, d), "vec_id", "embedding",
+          threshold = 0.4, nBits = 2, tables = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // recall of the blocked form vs the exact pair set (1 row:
+    // found/total/recall) — blocked ⊆ exact by construction, so this is
+    // the one number that says what the blocking trade-off costs
+    "emb_neardup_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      recallOf(
+        Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+          .select("id_a", "id_b"),
+        Similarity.lshBlockedNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.4, nBits = 2, tables = 8),
+        Seq("id_a", "id_b"))
+    }),
 
     // per-document text statistics: token counts, ratios, quality score,
     // rolling-hash fingerprint — one narrow codegen'd pass
@@ -120,7 +167,7 @@ object ExtQueries {
       val corpus = embs(s, d).filter(col("vec_id") =!= 0)
       val query = embs(s, d).filter(col("vec_id") === 0)
       Similarity.ivfTopK(corpus, "vec_id", "embedding",
-          query, "embedding", 10, nlist = 16, nprobe = 4)
+          query, "embedding", 10, nlist = 16, nprobe = 6)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -130,6 +177,67 @@ object ExtQueries {
       Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.8)
         .select("doc_id")
         .orderBy("doc_id")),
+
+    // MinHash+LSH recall against the EXACT all-pairs shingle-Jaccard ground
+    // truth (1 row: found/total/recall). The truth side prunes with the
+    // length bound J≥t ⇒ |sh_a|/|sh_b| ∈ [t, 1/t] before computing Jaccard
+    // — an exact-complete filter, not an approximation.
+    "dedup_minhash_recall" -> ((s, d) => {
+      import graft.functions.HashedShingles.hashedShingles
+      val t = 0.5
+      val sh = docs(s, d).select(col("doc_id"),
+        hashedShingles(col("text"), 5).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val truth = a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .where(size(col("sh_b")) * t <= size(col("sh_a")) &&
+          size(col("sh_a")) * t <= size(col("sh_b")))
+        .where(TextAnalysis.jaccard(col("sh_a"), col("sh_b")) >= t)
+        .select("id_a", "id_b")
+      recallOf(truth,
+        Dedup.minhashLsh(docs(s, d), "doc_id", "text", threshold = t),
+        Seq("id_a", "id_b"))
+    }),
+
+    // SimHash pigeonhole-blocking recall vs exact all-pairs Hamming ≤ 3 —
+    // the 16-bit-block pigeonhole GUARANTEES recall 1.0 for hamming ≤ 3,
+    // so this row doubles as a structural self-check
+    "dedup_simhash_recall" -> ((s, d) => {
+      val sims = docs(s, d).select(col("doc_id"),
+        Dedup.simhash(col("text")).as("sim"))
+      val a = sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      val b = sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+      val truth = a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+        .select("id_a", "id_b")
+      recallOf(truth,
+        Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3),
+        Seq("id_a", "id_b"))
+    }),
+
+    // ANN top-k recall vs the exact brute-force top-k (1 row each)
+    "ann_lsh_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      recallOf(
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10).select("vec_id"),
+        Similarity.lshTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10, nBits = 3, tables = 12).select("vec_id"),
+        Seq("vec_id"))
+    }),
+    "ann_ivf_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      recallOf(
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10).select("vec_id"),
+        Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10, nlist = 16, nprobe = 6).select("vec_id"),
+        Seq("vec_id"))
+    }),
 
     // custom-state sessionization (flatMapGroupsWithState) — batch mode of
     // the streaming stateful operator; must equal the SQL sessionization,
@@ -149,6 +257,39 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     // identical semantics to the window-function sessionization
     "q_stateful_sessions" -> Queries.oracles("q_sessionize"),
+    // deterministic marker-count heuristic — same tokenization as the Spark
+    // side (lower+trim, \s+ split), same tie-break (declaration order wins
+    // at equal score), CJK via RE2's \p{Han} (= Java's \p{IsHan})
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','and','of','to','is','with','that','this'], x))) AS s_en,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['der','die','und','das','ist','nicht','mit','ein'], x))) AS s_de,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['le','la','et','les','des','est','une','dans'], x))) AS s_fr,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['el','los','las','es','una','por','con','para'], x))) AS s_es,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['và','của','là','có','không','người','được','trong'], x))) AS s_vi
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN length(regexp_replace(text, '[^\p{Han}]', '', 'g')) > 0
+        |      THEN 'zh'
+        |    WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_vi)
+        |      THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es, s_vi) THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= greatest(s_es, s_vi) THEN 'fr'
+        |    WHEN s_es > 0 AND s_es >= s_vi THEN 'es'
+        |    WHEN s_vi > 0 THEN 'vi'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,

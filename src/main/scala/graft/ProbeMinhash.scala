@@ -2,9 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.HashedShingles.hashedShingles
 
-/** Dev probe: stage-by-stage timing of the MinHash LSH pipeline. */
+/** Dev probe: repeated timing of the MinHash LSH operator. */
 object ProbeMinhash {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -19,14 +18,17 @@ object ProbeMinhash {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
     time("warmup count")(docs.count())
-    time("shingle extraction only")(
-      docs.select(explode(hashedShingles(col("text"), 5))).count())
-    val pairs = time("full minhashLsh")(
-      operators.Dedup.minhashLsh(docs, "doc_id", "text").count())
-    println(s"verified pairs: $pairs")
-    // candidates only (re-run of the front half)
-    time("2nd full run (warm)")(
-      operators.Dedup.minhashLsh(docs, "doc_id", "text").count())
+    (1 to 3).foreach { i =>
+      val pairs = time(s"full minhashLsh #$i")(
+        operators.Dedup.minhashLsh(docs, "doc_id", "text").count())
+      println(s"  pairs: $pairs")
+    }
+    (1 to 2).foreach { i =>
+      val pairs = time(s"no-persist minhashLsh #$i")(
+        operators.Dedup.minhashLsh(docs, "doc_id", "text",
+          persistIntermediates = false).count())
+      println(s"  pairs: $pairs")
+    }
     spark.stop()
   }
 }

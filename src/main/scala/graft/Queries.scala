@@ -495,9 +495,53 @@ object Queries {
         }
         .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
+    }),
+
+    // salted fact⋈dim join — value-preserving skew mitigation (the salt
+    // scatters each hot key across 8 sub-partitions; the oracle is the
+    // PLAIN join, proving result equivalence)
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey").as("p_partkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val pt = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(li, pt, "p_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // fact⋈fact join over tables bucketed on the join key at write time —
+    // the recurring shuffle becomes a one-time layout cost (no Exchange in
+    // the join plan; asserted by ScaleOpsSpec); same oracle-equivalence
+    // story as the salted join
+    "q_bucketed_join" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      graft.sources.Bucketing.writeBucketed(orders, "g_orders_b", "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(li, "g_lineitem_b", "o_orderkey", 8)
+      graft.sources.Bucketing.bucketedJoin(s, "g_orders_b", "g_lineitem_b", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s2_scan_filter" ->
       s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
          |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$EvWatermark'

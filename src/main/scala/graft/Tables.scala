@@ -25,7 +25,11 @@ object Tables {
     * plain column comparisons that push down to parquet row-group stats.
     */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // set-if-needed: avoids re-mutating shared session conf on every load
+    // (benign for this conf but noisy/racy in concurrent sessions)
+    if (!spark.conf.getOption(key).contains("true"))
+      spark.conf.set(key, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct hashed character k-shingles of a string, as one native
@@ -17,15 +18,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * form is interpreted per element with no subexpression elimination; this
   * is a single tight JVM loop per row that participates in whole-stage
   * codegen via a generated call.
+  *
+  * Windows advance one CODE POINT at a time (surrogate pairs are never
+  * split), matching [[TextAnalysis.shingles]]'s `substr`-based windows —
+  * Spark string functions count code points, and mixing the two shingle
+  * paths on non-BMP text (emoji, rare CJK) must agree on window boundaries.
   */
 case class HashedShinglesExpr(child: Expression, k: Int)
     extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires a string argument, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   def compute(input: UTF8String): ArrayData = {
     val s = input.toString
-    val n = s.length
+    // decode UTF-16 to code points once; the rolling hash then slides over
+    // code-point values so the shingle alphabet is Unicode scalar values
+    val cps = new Array[Int](s.length)
+    var n = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      cps(n) = cp; n += 1
+      ci += Character.charCount(cp)
+    }
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val B = 1000003L
     var pow = 1L
@@ -33,7 +54,7 @@ case class HashedShinglesExpr(child: Expression, k: Int)
     while (i < k - 1) { pow *= B; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    while (i < k) { h = h * B + cps(i); i += 1 }
     val seen = new java.util.HashSet[java.lang.Long](math.min(n, 1 << 12))
     val out = new Array[Long](n - k + 1)
     var m = 0
@@ -48,7 +69,7 @@ case class HashedShinglesExpr(child: Expression, k: Int)
       if (j + k >= n) {
         return new GenericArrayData(java.util.Arrays.copyOf(out, m))
       }
-      h = (h - s.charAt(j) * pow) * B + s.charAt(j + k)
+      h = (h - cps(j) * pow) * B + cps(j + k)
       j += 1
     }
     throw new IllegalStateException("unreachable")

@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Random-hyperplane LSH bucket id as one native expression: bit i of the
   * result is sign(v · hᵢ), where hᵢ is a ±1 hyperplane derived from a
@@ -20,6 +21,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class HyperplaneBucketExpr(child: Expression, nBits: Int, tableSeed: Int)
     extends UnaryExpression {
   require(nBits > 0 && nBits <= 62)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket requires array<double>, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = LongType
 

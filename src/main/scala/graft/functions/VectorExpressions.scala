@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the embedding dot product.
   *
@@ -17,22 +18,55 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * as the scan-speed baseline at large scale (builder brief: a custom
   * `Expression` with `doGenCode` beats a UDF).
   *
-  * Inputs must be `array<double>` (cast upstream); summation is sequential
-  * left-to-right, bit-identical to the fold form and the DuckDB oracle's
+  * Inputs must be `array<double>` (cast upstream — enforced at analysis by
+  * [[checkInputDataTypes]]); summation is sequential left-to-right,
+  * bit-identical to the fold form and the DuckDB oracle's
   * `list_dot_product`.
+  *
+  * Null semantics MATCH the HOF form exactly (so the
+  * [[graft.plans.RewriteHofDotProduct]] rewrite is value-preserving on every
+  * input): null when either array is null, when the lengths differ
+  * (`zip_with` pads the shorter side with nulls), or when any element is
+  * null. The per-element null check is only generated when the input types
+  * say elements can be null — `containsNull=false` arrays keep the tight
+  * three-instruction loop.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // even non-null inputs produce null on length mismatch / null elements
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot requires two array<double> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  private def elemsNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, a), ArrayType(_, b)) => a || b
+    case _ => true
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elemsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -41,13 +75,24 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val elemNullCheck =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

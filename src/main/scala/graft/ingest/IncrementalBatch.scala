@@ -25,7 +25,9 @@ final case class BatchResult(rowsWritten: Long, newWatermark: Option[String])
   *   retrying a batch whose sink succeeded but whose watermark commit
   *   failed overwrites the same partition instead of appending duplicates
   *   (the reference's own watermark advance is broken in exactly this
-  *   window — bug B4; SURVEY.md §7.4.4).
+  *   window — bug B4; SURVEY.md §7.4.4). NOTE the sink schema then carries
+  *   the extra `__batch_id` partition column — readers that must see the
+  *   append-mode schema should `.drop("__batch_id")` after load.
   */
 class IncrementalBatch(
     spark: SparkSession,
@@ -44,13 +46,22 @@ class IncrementalBatch(
       case Some(ts) => src.filter(col(tsCol) > lit(ts).cast(src.schema(tsCol).dataType))
       case None => src // first run: no filter (reference F1 semantics)
     }
-    val out = transform(fresh)
-    // C3 empty-batch short-circuit: one cheap action; limit(1) keeps it O(1)
-    if (out.limit(1).isEmpty) return BatchResult(0L, wm)
+    // C3 empty-batch short-circuit: one cheap action; limit(1) keeps it
+    // O(1). Probes an UNOBSERVED twin of the plan — an Observation freezes
+    // on the first completed action, so letting this probe flow through the
+    // CollectMetrics nodes would lock in metrics from a 1-row scan.
+    if (transform(fresh).limit(1).isEmpty) return BatchResult(0L, wm)
 
-    val obs = org.apache.spark.sql.Observation()
-    val observed = out.observe(obs,
-      count(lit(1)).as("rows"), max(col(tsCol)).as("max_ts"))
+    // Watermark advance is observed PRE-transform: a transform that drops,
+    // renames, or rewrites tsCol can neither crash the batch nor corrupt
+    // the watermark, and rows the transform filters out still advance it
+    // (they were processed — reprocessing them forever would be the bug).
+    // Rows-written is observed post-transform, on what actually lands.
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
+    val observed = transform(
+        fresh.observe(obsIn, max(col(tsCol)).as("max_ts")))
+      .observe(obsOut, count(lit(1)).as("rows"))
     if (idempotentSink) {
       val batchId = wm.map(_.replaceAll("[^0-9]", "")).getOrElse("initial")
       observed.withColumn("__batch_id", lit(batchId))
@@ -63,9 +74,8 @@ class IncrementalBatch(
     }
 
     // advance watermark only after a successful sink commit (fixes B4)
-    val metrics = obs.get
-    val rows = metrics("rows").asInstanceOf[Long]
-    val maxTs = Option(metrics("max_ts")).map(_.toString)
+    val rows = obsOut.get("rows").asInstanceOf[Long]
+    val maxTs = Option(obsIn.get("max_ts")).map(_.toString)
     maxTs.foreach(Watermark.write(watermarkPath, _))
     BatchResult(rows, maxTs.orElse(wm))
   }

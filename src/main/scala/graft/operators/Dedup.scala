@@ -73,29 +73,29 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 persistIntermediates: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Signature via explode → hash-aggregate, NOT an expression fold:
-    // higher-order-function lambdas are interpreted (no codegen), which
-    // measured ~100× slower. The exploded min-agg is whole-stage-codegen'd
-    // and map-side combined — one 32-long row per doc crosses the shuffle,
-    // never the shingles themselves.
-    // plain explode drops empty shingle sets — undersized docs simply get
-    // no signature (matching sigFromShingles' null semantics).
-    // HashedShinglesExpr extracts + hashes shingles in one native rolling-
-    // hash pass (the HOF transform/substr form is interpreted per element).
     import graft.functions.HashedShingles.hashedShingles
-    val exploded = df
+    import graft.functions.MinhashSig.minhashSig
+    import org.apache.spark.storage.StorageLevel
+    def pin(d: DataFrame): DataFrame =
+      if (persistIntermediates) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+    // Shingle → signature as ONE fused narrow pass (two native expressions,
+    // no intermediate shingle column, no shuffle — signatures are born
+    // narrow). History, all measured at sf0.1: an HOF expression fold was
+    // interpreted, ~100× slower; explode → 32-way min-agg was codegen'd but
+    // shuffled |shingles| rows per doc through a hash aggregate (~2s);
+    // caching the full shingle arrays for reuse paid more in cache
+    // materialization (~2s for 5k docs) than recomputing. Null signatures
+    // (empty shingle sets — undersized docs) are dropped.
+    // The small signature table IS worth caching: banding and both sides of
+    // the estimate prefilter read it (numHashes longs per doc).
+    val sigs = pin(df
       .select(col(idCol),
-        explode(hashedShingles(col(textCol), shingleK)).as("s"))
-      .select(col(idCol), pmod(col("s"), lit(2147483648L)).as("x"))
-    val minAggs = (0 until numHashes).map(i =>
-      min(pmod(col("x") * aCoef(i) + bCoef(i), lit(P))).as(s"h$i"))
-    val sigs = exploded.groupBy(col(idCol))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        minhashSig(hashedShingles(col(textCol), shingleK), numHashes).as("sig"))
+      .where(col("sig").isNotNull))
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
     val banded = sigs.select(col(idCol),
@@ -106,19 +106,43 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct() // multi-band collisions verified once
-    // Jaccard verification: shingle once per DOC in the pre-join projection
-    // and carry the array through the join. Two measured dead ends: (a)
-    // shingling after the pair join — pairs ≫ docs under dup clusters and
-    // jaccard references each side twice (~10× slower); (b) semi-filtering
-    // each side to candidate ids behind a localCheckpoint — the eager
-    // materialization + extra joins cost more than re-shingling the corpus
-    // (~1.5× slower at sf0.1). Verify over HASHED shingles: long-array
-    // intersect/union is far cheaper than string sets.
-    val docA = df.select(col(idCol).as("id_a"),
-      hashedShingles(col(textCol), shingleK).as("sh_a"))
-    val docB = df.select(col(idCol).as("id_b"),
-      hashedShingles(col(textCol), shingleK).as("sh_b"))
-    candidates.join(docA, "id_a").join(docB, "id_b")
+    // Signature-estimate prefilter BEFORE the exact verify: band collisions
+    // are dominated by low-Jaccard pairs (measured 48k candidates → 256 true
+    // pairs at sf0.1 — boilerplate-sharing docs collide in one band at
+    // j≈0.15), and carrying two full shingle arrays per candidate through
+    // the verify join was the pipeline's top cost. The MinHash estimate
+    // (matching signature fraction) needs only the 32-long sigs; keep a
+    // pair when est ≥ threshold − 1.5/√numHashes (≈3σ of the estimator), so
+    // the miss probability for a true pair is ~1e-3. Exact Jaccard still
+    // decides membership — this only prunes what it must look at.
+    val margin = 1.5 / math.sqrt(numHashes.toDouble)
+    val minMatch = math.max(0, math.ceil((threshold - margin) * numHashes).toInt)
+    val sigA = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sigB = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val prefiltered = pin(candidates
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .where(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v) >= minMatch)
+      .select("id_a", "id_b"))
+    // Exact Jaccard verification over HASHED shingles (long-array
+    // intersect/union is far cheaper than string sets). Only the candidate
+    // MINORITY is re-shingled: a semi-join prunes each side to surviving
+    // ids before the shingle expression runs, so the full corpus is
+    // shingled exactly once (in the signature pass) regardless of how many
+    // consumers the verify plan has.
+    val docA = df
+      .join(prefiltered.select(col("id_a").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_a"),
+        hashedShingles(col(textCol), shingleK).as("sh_a"))
+    val docB = df
+      .join(prefiltered.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_b"),
+        hashedShingles(col(textCol), shingleK).as("sh_b"))
+    prefiltered.join(docA, "id_a").join(docB, "id_b")
       .select(col("id_a"), col("id_b"),
         TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)

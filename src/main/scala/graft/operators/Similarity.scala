@@ -67,40 +67,75 @@ object Similarity {
     * would refine them; seeds keep the operator fully deterministic), search
     * only the query's `nprobe` nearest cells, rerank exactly.
     *
-    * Scale shape: assignment is one broadcast pass (corpus × nlist dots,
-    * narrow); the assigned table can be written partitioned by `cell` so a
-    * query reads only nprobe partitions — the classic IVF pruning, expressed
-    * as partition pruning.
+    * Scale shape: the centroid set is tiny and bounded (like a broadcast
+    * side), so it is collected once and inlined as literal vectors; cell
+    * assignment is then a NARROW argmax — `nlist` codegen'd dots per row and
+    * an `array_max` over (score, cid) structs — with no join, no window and
+    * no shuffle of the corpus. (The previous form cross-joined the corpus
+    * with the centroids and ranked with a `Window.partitionBy(id)`: a full
+    * shuffle of nlist× the corpus keyed by a near-unique id — a
+    * scale-killer.) The assigned table can be written partitioned by `cell`
+    * so a query reads only nprobe partitions — the classic IVF pruning,
+    * expressed as partition pruning.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    // assign every vector to its max-dot centroid
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col("cid"),
-        Vectors.dot(col(vecCol), col("cvec")).as("cscore"))
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("cscore").desc, col("cid"))
-    val assigned = scored
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"))
-    // the query probes its nprobe nearest cells
+    // nlist rows — driver-side collect is bounded by nlist, not the corpus
+    // (the same bound a broadcast would have; k-means does the same).
+    val cents: Seq[(Long, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("long"), Vectors.toDouble(col(vecCol)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus")
+    // max-dot assignment: array_max compares struct fields in order, so
+    // (score, -cid) picks the highest score and breaks ties on lowest cid —
+    // identical semantics to the old row_number ranking.
+    def bestCell(vec: Column): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(Vectors.dot(vec, typedlit(cv)).as("score"),
+          lit(-cid).as("ncid"))
+      }
+      -array_max(array(scored: _*)).getField("ncid")
+    }
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      bestCell(col(vecCol)).as("cell"))
+    // the query probes its nprobe nearest cells (1-row side → broadcast)
+    val qscored = cents.map { case (cid, cv) =>
+      struct(Vectors.dot(col("__qvec"), typedlit(cv)).as("cscore"),
+        lit(cid).as("cid"))
+    }
     val probes = query.select(col(queryVecCol).as("__qvec"))
-      .crossJoin(broadcast(centroids))
-      .select(col("__qvec"), col("cid"),
-        Vectors.dot(col("__qvec"), col("cvec")).as("cscore"))
-      .orderBy(col("cscore").desc, col("cid"))
+      .select(col("__qvec"), explode(array(qscored: _*)).as("c"))
+      .orderBy(col("c.cscore").desc, col("c.cid"))
       .limit(nprobe)
-      .select(col("__qvec"), col("cid").as("cell"))
+      .select(col("__qvec"), col("c.cid").as("cell"))
     assigned.join(broadcast(probes), "cell")
       .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Near-duplicate pairs via LSH blocking: per hash table, pairs are
+    * generated only within a hyperplane bucket (an equi-join, never a cross
+    * product) and verified by exact cosine; tables are unioned and
+    * deduplicated. Precision is exact (every emitted pair really clears the
+    * threshold); recall grows with `tables` and shrinks with `nBits` — at
+    * scale, nBits tunes the block size so each bucket's quadratic stays
+    * bounded. This is the 100 TB form of [[cosineNearDupPairs]]; measure its
+    * recall against the exact operator with a small sample (see the
+    * `emb_neardup_recall` query).
+    */
+  def lshBlockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, nBits: Int = 2,
+                             tables: Int = 8): DataFrame =
+    (0 until tables).map { t =>
+      cosineNearDupPairs(df, idCol, vecCol, threshold,
+        Seq(Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t)))
+    }.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
 
   /** Exact near-duplicate pairs by cosine ≥ threshold. `blockCols` (e.g. a
     * coarse LSH bucket or a label) bound the quadratic blow-up: the join is

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.{HashedShinglesExpr, HyperplaneBucketExpr, VectorDot}
+import graft.functions.{HashedShinglesExpr, HyperplaneBucketExpr, MinhashSigExpr, VectorDot}
 
 /** Optimizer rule: rewrite the declarative higher-order-function dot
   * product
@@ -17,8 +17,10 @@ import graft.functions.{HashedShinglesExpr, HyperplaneBucketExpr, VectorDot}
   * into the codegen'd [[VectorDot]] expression. Users (and the DuckDB-twin
   * SQL) can write the idiomatic HOF form and still get the native fused
   * loop — HOF lambdas are interpreted per element, ~100× slower. The
-  * summation order is identical (sequential left fold), so the rewrite is
-  * value-preserving bit for bit.
+  * summation order is identical (sequential left fold) and [[VectorDot]]
+  * reproduces the HOF form's null semantics exactly (null on null input,
+  * length mismatch — zip_with pads with nulls — or any null element), so
+  * the rewrite is value-preserving bit for bit on every input.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
@@ -80,7 +82,11 @@ object GraftExtensions {
     ("hyperplane_bucket",
       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
       (es: Seq[Expression]) => HyperplaneBucketExpr(es(0),
-        intLit(es(1), "nBits"), intLit(es(2), "tableSeed"))))
+        intLit(es(1), "nBits"), intLit(es(2), "tableSeed"))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+      (es: Seq[Expression]) =>
+        MinhashSigExpr(es(0), intLit(es(1), "numHashes"))))
 
   /** Register the functions + rule on an already-running session. */
   def register(spark: SparkSession): Unit = {

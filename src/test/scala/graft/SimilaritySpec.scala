@@ -55,11 +55,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._2 > 0.99)
   }
 
+  test("IVF plan is narrow: no shuffle exchange, no window in assignment") {
+    val top = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
+      queryDf, "embedding", 5, nlist = 16, nprobe = 4)
+    val plan = top.queryExecution.executedPlan.toString
+    // broadcast exchange for the probe side is expected; a hash-partition
+    // shuffle or a Window would mean the corpus×nlist assignment came back
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("cosine near-dup pairs finds the planted pair only at high threshold") {
     val all = corpusDf.unionByName(queryDf)
     val pairs = Similarity.cosineNearDupPairs(all, "vec_id", "embedding", 0.99)
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 999L)))
+  }
+
+  test("LSH-blocked near-dup: equi-join plan, finds the planted pair") {
+    val all = corpusDf.unionByName(queryDf)
+    val blocked = Similarity.lshBlockedNearDupPairs(all, "vec_id", "embedding",
+      threshold = 0.99, nBits = 2, tables = 8)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val pairs = blocked.select("id_a", "id_b").as[(Long, Long)].collect()
+    // near-identical vectors project to the same side of almost every
+    // hyperplane — with 8 independent 2-bit tables a miss is ~(1-p)^8 ≈ 0
+    assert(pairs.toSet === Set((0L, 999L)))
   }
 
   test("hyperplane bucket is deterministic and within range") {
