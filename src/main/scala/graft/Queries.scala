@@ -26,6 +26,19 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Deterministic PRESENTATION sort for small-output queries: one shuffle
+    * to a single partition, then an in-partition sort. A global `orderBy`
+    * plans a range exchange whose partitioner SAMPLES its child — i.e. the
+    * entire upstream pipeline executes twice (measured +60% on
+    * dedup_minhash at sf0.1). When the sort is output-determinism
+    * decoration rather than the operator under test, and the result is
+    * small (pair sets, per-key reports), the single-partition sort is the
+    * plan a 100 TB engineer would pick. Queries whose MEASURED operator is
+    * the sort itself (o1_sort_desc) keep the real global sort.
+    */
+  def presentSorted(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   /** Watermark as epoch micros (UTC) for raw-nanos pushdown on `events`:
     * `CAST(ts AS TIMESTAMP) > wm  ⟺  ts_ns ≥ (wm_µs + 1)·1000` — exact for
     * the whole-second watermark, and a plain long comparison the parquet
@@ -140,7 +153,7 @@ object Queries {
           sal.getField("lo").as("lo"), sal.getField("hi").as("hi"),
           sal.getField("negotiable").as("negotiable"),
           JobText.salaryAvg(sal).as("salary_avg"))
-        .orderBy("o_orderkey")
+        .transform(presentSorted(_, "o_orderkey"))
     }),
 
     // E4 — Vietnamese relative-duration parsing → posted/due dates
@@ -178,7 +191,7 @@ object Queries {
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           JobText.remainingTime(due, ntz(LAnchor)).as("remaining_time"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(presentSorted(_, "l_orderkey", "l_linenumber"))
     }),
 
     // A3/A4 — batch max (watermark advance) + count over the full table
@@ -265,7 +278,7 @@ object Queries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rn")
+        .transform(presentSorted(_, "o_custkey", "rn"))
     }),
 
     // distinct aggregation
@@ -424,7 +437,7 @@ object Queries {
         .agg(count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts")).cast("timestamp")) -
             unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
-        .orderBy("user_id", "session_id")
+        .transform(presentSorted(_, "user_id", "session_id"))
     }),
 
     // event-time bucketing — hourly rollup per type (the batch twin of the
@@ -460,7 +473,7 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_event_id").as("last_purchase_id"),
           col("asof_ts").as("last_purchase_ts"))
-        .orderBy("event_id")
+        .transform(presentSorted(_, "event_id"))
     }),
 
     // banded range join — purchases of the same user within the hour after
@@ -473,7 +486,7 @@ object Queries {
       graft.operators.Joins.rangeJoin(ev, purchases, "user_id", "ts", "ts",
           lowerSec = 0, upperSec = 3600)
         .select(col("event_id"), col("r_event_id").as("purchase_id"))
-        .orderBy("event_id", "purchase_id")
+        .transform(presentSorted(_, "event_id", "purchase_id"))
     }),
 
     // grouped top-k via a custom typed Aggregator (bounded k-element

@@ -200,9 +200,10 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 32, bands: Int = 8,
                          shingleK: Int = 5,
-                         threshold: Double = 0.8): DataFrame = {
+                         threshold: Double = 0.8,
+                         persistIntermediates: Boolean = true): DataFrame = {
     val dupIds = minhashLsh(df, idCol, textCol, numHashes, bands, shingleK,
-        threshold)
+        threshold, persistIntermediates)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
