@@ -147,12 +147,19 @@ object Queries {
         .when(k === 2, concat(str(v1), lit(" triệu")))
         .when(k === 3, concat(str(u1), lit(" - "), str(u1 + 500), lit(" USD")))
         .otherwise(concat(lit("Lên đến "), str(v1), lit(" củ")))
-      val sal = JobText.cleanSalary(raw)
+      // stage the struct as a REAL column before fanning out into fields:
+      // `sal` is referenced four times below, and inlining it would
+      // re-evaluate the whole regex chain (with an interpreted `transform`
+      // lambda inside) once per reference — CollapseProject keeps the
+      // staging projection because the alias is multiply-referenced
+      val sal = JobText.cleanSalary(col("salary_raw"))
       t(s, d, "orders")
-        .select(col("o_orderkey"), raw.as("salary_raw"),
-          sal.getField("lo").as("lo"), sal.getField("hi").as("hi"),
-          sal.getField("negotiable").as("negotiable"),
-          JobText.salaryAvg(sal).as("salary_avg"))
+        .select(col("o_orderkey"), raw.as("salary_raw"))
+        .withColumn("sal", sal)
+        .select(col("o_orderkey"), col("salary_raw"),
+          col("sal.lo").as("lo"), col("sal.hi").as("hi"),
+          col("sal.negotiable").as("negotiable"),
+          JobText.salaryAvg(col("sal")).as("salary_avg"))
         .transform(presentSorted(_, "o_orderkey"))
     }),
 
