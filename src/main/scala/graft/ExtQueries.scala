@@ -165,14 +165,15 @@ object ExtQueries {
             .as("n_frames"))
         .orderBy("media_id")),
 
-    // IVF ANN — Voronoi-cell pruning around deterministic seed centroids
-    // (rows-only: approximate by design; ScalaTest checks planted-neighbor
-    // recall)
+    // IVF ANN — Voronoi-cell pruning around k-means-refined centroids
+    // (2 Lloyd iterations over the fixture corpus; at scale train on a
+    // sample). Rows-only: approximate by design; ann_ivf_recall reports
+    // recall@10 and ScalaTest checks planted-neighbor recall.
     "ann_ivf" -> ((s, d) => {
       val corpus = embs(s, d).filter(col("vec_id") =!= 0)
       val query = embs(s, d).filter(col("vec_id") === 0)
       Similarity.ivfTopK(corpus, "vec_id", "embedding",
-          query, "embedding", 10, nlist = 16, nprobe = 6)
+          query, "embedding", 10, nlist = 16, nprobe = 6, kmeansIters = 2)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -242,7 +243,8 @@ object ExtQueries {
         Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
           query, "embedding", 10).select("vec_id"),
         Similarity.ivfTopK(corpus, "vec_id", "embedding",
-          query, "embedding", 10, nlist = 16, nprobe = 6).select("vec_id"),
+          query, "embedding", 10, nlist = 16, nprobe = 6, kmeansIters = 2)
+          .select("vec_id"),
         Seq("vec_id"))
     }),
 

@@ -80,26 +80,46 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
     // nlist rows — driver-side collect is bounded by nlist, not the corpus
     // (the same bound a broadcast would have; k-means does the same).
-    val cents: Seq[(Long, Seq[Double])] =
+    val seeds: Seq[(Long, Seq[Double])] =
       corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).cast("long"), Vectors.toDouble(col(vecCol)))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .toSeq
-    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus")
+    require(seeds.nonEmpty, "ivfTopK needs a non-empty corpus")
     // max-dot assignment: array_max compares struct fields in order, so
     // (score, -cid) picks the highest score and breaks ties on lowest cid —
     // identical semantics to the old row_number ranking.
-    def bestCell(vec: Column): Column = {
-      val scored = cents.map { case (cid, cv) =>
+    def bestCellFor(cs: Seq[(Long, Seq[Double])])(vec: Column): Column = {
+      val scored = cs.map { case (cid, cv) =>
         struct(Vectors.dot(vec, typedlit(cv)).as("score"),
           lit(-cid).as("ncid"))
       }
       -array_max(array(scored: _*)).getField("ncid")
     }
+    // Optional Lloyd refinement of the seed centroids: re-assign (narrow
+    // argmax, no join), recompute per-cell componentwise means via a
+    // (cell, dim)-keyed aggregate — the shuffle is N·dim scalar rows per
+    // iteration and the collect is nlist·dim rows. At real scale run this
+    // on a SAMPLE of the corpus (k-means training cost is independent of
+    // the assignment pass). Empty cells keep their previous centroid.
+    val cents = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
+      val assigned = corpus.select(
+        bestCellFor(cs)(col(vecCol)).as("cell"),
+        posexplode(Vectors.toDouble(col(vecCol))).as(Seq("dim", "x")))
+      val means = assigned.groupBy("cell", "dim").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cs.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    val bestCell = bestCellFor(cents) _
     val assigned = corpus.select(col(idCol), col(vecCol),
       bestCell(col(vecCol)).as("cell"))
     // the query probes its nprobe nearest cells (1-row side → broadcast)

@@ -55,6 +55,14 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._2 > 0.99)
   }
 
+  test("IVF with k-means refinement still recalls the planted neighbor") {
+    val top = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5, nlist = 16, nprobe = 4, kmeansIters = 2)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+    assert(top.head._2 > 0.99)
+  }
+
   test("IVF plan is narrow: no shuffle exchange, no window in assignment") {
     val top = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
       queryDf, "embedding", 5, nlist = 16, nprobe = 4)
