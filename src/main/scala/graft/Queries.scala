@@ -517,6 +517,42 @@ object Queries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // the SAME sessionization as q_sessionize through the custom
+    // whole-operator Catalyst path (LogicalPlan + Strategy + one-pass
+    // SparkPlan — one exchange instead of two window passes + agg);
+    // hash-checked against the identical DuckDB oracle
+    "q_sessionize_native" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      graft.plans.Sessionize.native(t(s, d, "events"), "user_id", "ts", 1800)
+        .transform(presentSorted(_, "user_id", "session_id"))
+    }),
+
+    // the same sessionization again via Spark's native session_window
+    // grouping (the third independent implementation sharing one oracle);
+    // ordinal ids recovered by ranking window starts per user
+    "q_session_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts")).cast("timestamp")) -
+            unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select("user_id", "session_id", "n_events", "duration_us")
+        .transform(presentSorted(_, "user_id", "session_id"))
+    }),
+
+    // HLL sketch quality as a driver-visible row: approximate distinct vs
+    // exact, with the relative error the 2% rsd setting promises
+    "q_approx_distinct_error" -> ((s, d) =>
+      t(s, d, "events").agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("approx_users"), col("exact_users"),
+          round(abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users"), 6).as("rel_error"))),
+
     // salted fact⋈dim join — value-preserving skew mitigation (the salt
     // scatters each hot key across 8 sub-partitions; the oracle is the
     // PLAIN join, proving result equivalence)
@@ -551,7 +587,39 @@ object Queries {
         .orderBy(col("o_orderpriority"))
     }))
 
+  /** Shared by q_sessionize / q_sessionize_native / q_session_window /
+    * q_stateful_sessions — four independent implementations (two window
+    * passes; custom one-pass SparkPlan; native session_window grouping;
+    * flatMapGroupsWithState) must all hash-match this one DuckDB twin.
+    */
+  val oracleSessionize: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |gaps AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN us - lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    -- CAST: DuckDB's windowed sum(INTEGER) is HUGEINT; Spark emits
+      |    -- BIGINT — identical values, but the driver hashes the repr
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM gaps)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sessionize_native" -> oracleSessionize,
+    "q_session_window" -> oracleSessionize,
     "q_salted_join" ->
       """SELECT p_brand, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -766,30 +834,7 @@ object Queries {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        |  FROM events),
-        |gaps AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN us - lag(us) OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-        |      OR lag(us) OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |      THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    -- CAST: DuckDB's windowed sum(INTEGER) is HUGEINT; Spark emits
-        |    -- BIGINT — identical values, but the driver hashes the repr
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM gaps)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-        |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+    "q_sessionize" -> oracleSessionize,
     "q_hourly_rollup" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -33,7 +33,8 @@ object SparkEntry {
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q_window_top2", "q_distinct_agg", "o1_sort_desc", "o2_topk",
     "s2_scan_filter", "w1_remaining_time", "e2_clean_salary",
-    "q_asof_join", "q_range_join", "q_sessionize", "q_salted_join",
+    "q_asof_join", "q_range_join", "q_sessionize", "q_sessionize_native",
+    "q_salted_join",
     "dedup_exact", "dedup_minhash", "text_stats", "ann_bruteforce",
     "ann_lsh")
 }

@@ -57,6 +57,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => GapSessionizeStrategy)
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
@@ -88,7 +89,7 @@ object GraftExtensions {
       (es: Seq[Expression]) =>
         MinhashSigExpr(es(0), intLit(es(1), "numHashes"))))
 
-  /** Register the functions + rule on an already-running session. */
+  /** Register the functions + rule + strategy on a running session. */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
@@ -97,5 +98,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    if (!spark.experimental.extraStrategies.contains(GapSessionizeStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GapSessionizeStrategy
   }
 }
