@@ -103,17 +103,13 @@ object TextAnalysis {
     * (lowercased, whitespace collapsed): acc = (acc·131 + codepoint) mod
     * (1e9+7). Stable across engines — the same fold is expressible in any
     * SQL dialect with list-reduce, which is what the DuckDB oracle does.
+    * The fold runs as the native codegen'd [[RollingHashExpr]] (the HOF
+    * `aggregate(split(...))` form materialized a per-character array and
+    * interpreted a lambda per element); normalization stays in shared
+    * Catalyst expressions so both forms see identical input.
     */
-  def fingerprint(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    // fold over split-to-chars, NOT over sequence+substr: substr(norm, i, 1)
-    // inside the lambda would re-evaluate the regexp_replace once per
-    // character (O(len²) regex work per row — measured 100× slowdown)
-    val chars = split(norm, "")
-    when(length(norm) === 0, lit(0L)).otherwise(aggregate(
-      chars, lit(0L),
-      (acc, ch) => (acc * 131L + ascii(ch)) % 1000000007L))
-  }
+  def fingerprint(text: Column): Column =
+    RollingHash.rollingHash(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Character k-shingles (distinct), for Jaccard/MinHash dedup. */
   def shingles(text: Column, k: Int): Column =

@@ -42,20 +42,25 @@ object Similarity {
   /** Approximate top-k: candidates = union over hash tables of vectors in
     * the query's bucket, reranked exactly. Recall grows with `tables`;
     * cost per query is |bucket| × tables instead of |corpus|.
+    *
+    * Planned as ONE equi-join on (table, bucket): the corpus explodes its
+    * per-table buckets once and the query's (table, bucket) probe set is
+    * broadcast — the probe cost is independent of the number of tables
+    * (the previous form planned one join per table: `tables`× the stages,
+    * and a union pipeline that grew with the parameter).
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               nBits: Int = 12, tables: Int = 4): DataFrame = {
-    val bucketed = withLshBuckets(corpus, vecCol, nBits, tables)
-    val q = withLshBuckets(query.select(col(queryVecCol).as("__qvec")),
-        "__qvec", nBits, tables)
-      .select(col("__qvec") +:
-        (0 until tables).map(t => col(s"bucket_$t").as(s"qbucket_$t")): _*)
-    val probes = (0 until tables).map { t =>
-      bucketed.join(broadcast(q), col(s"bucket_$t") === col(s"qbucket_$t"))
-        .select(col(idCol), col(vecCol), col("__qvec"))
-    }
-    probes.reduce(_ unionByName _)
+    def bucketsOf(vec: Column): Column = array((0 until tables).map(t =>
+      Vectors.hyperplaneBucket(vec, nBits, tableSeed = t)): _*)
+    val corpusBuckets = corpus.select(col(idCol), col(vecCol),
+      posexplode(bucketsOf(col(vecCol))).as(Seq("__table", "__bucket")))
+    val qBuckets = query
+      .select(col(queryVecCol).as("__qvec"))
+      .select(col("__qvec"),
+        posexplode(bucketsOf(col("__qvec"))).as(Seq("__table", "__bucket")))
+    corpusBuckets.join(broadcast(qBuckets), Seq("__table", "__bucket"))
       .dropDuplicates(idCol)
       .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))
