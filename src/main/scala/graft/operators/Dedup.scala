@@ -150,22 +150,12 @@ object Dedup {
 
   /** 64-bit SimHash of the whitespace tokens of `text`: bit b is set iff
     * more than half the token hashes have bit b set (majority vote of
-    * ±1 contributions). Pure expression — no shuffle, no UDF.
+    * ±1 contributions). Runs as the native codegen'd
+    * [[graft.functions.SimHashExpr]] — bit-identical to the HOF
+    * formulation it replaced (asserted by `DedupSpec`), which interpreted
+    * a 64-wide lambda per token.
     */
-  def simhash(text: Column): Column = {
-    // one fold over the token hashes with a 64-wide bit-count accumulator —
-    // 64 separate filter() projections would re-hash every token per bit
-    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
-    val bitIdx = array((0 until 64).map(lit): _*)
-    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitIdx,
-        (c, b) => c + call_function("shiftright", h, b).bitwiseAND(lit(1L))))
-    val n = size(hashes)
-    val bits = zip_with(counts, bitIdx, (c, b) =>
-      when(c * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-    when(n === 0, lit(0L))
-      .otherwise(aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v)))
-  }
+  def simhash(text: Column): Column = graft.functions.SimHash.simhash(text)
 
   /** Near-duplicate pairs by SimHash: candidates share at least one of
     * `blocks` 16-bit blocks (pigeonhole: hamming ≤ maxHamming with 4 blocks

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.{HashedShinglesExpr, HyperplaneBucketExpr, MinhashSigExpr, RollingHashExpr, VectorDot}
+import graft.functions.{HashedShinglesExpr, HyperplaneBucketExpr, MinhashSigExpr, RollingHashExpr, SimHashExpr, VectorDot}
 
 /** Optimizer rule: rewrite the declarative higher-order-function dot
   * product
@@ -90,7 +90,10 @@ object GraftExtensions {
         MinhashSigExpr(es(0), intLit(es(1), "numHashes"))),
     ("rolling_hash",
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
-      (es: Seq[Expression]) => RollingHashExpr(es(0))))
+      (es: Seq[Expression]) => RollingHashExpr(es(0))),
+    ("simhash",
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
+      (es: Seq[Expression]) => SimHashExpr(es(0))))
 
   /** Register the functions + rule + strategy on a running session. */
   def register(spark: SparkSession): Unit = {

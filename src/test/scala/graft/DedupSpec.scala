@@ -46,6 +46,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(est(s1, s4) < 0.3)   // true jaccard ~0
   }
 
+  test("native simhash is bit-identical to the declarative HOF form") {
+    // the HOF formulation the native expression replaced — kept here as the
+    // executable specification of the bit layout
+    def hofSimhash(text: org.apache.spark.sql.Column) = {
+      val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+      val bitIdx = array((0 until 64).map(lit): _*)
+      val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, bitIdx,
+          (c, b) => c + call_function("shiftright", h, b).bitwiseAND(lit(1L))))
+      val n = size(hashes)
+      val bits = zip_with(counts, bitIdx, (c, b) =>
+        when(c * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+      aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v))
+    }
+    val tricky = Seq((6L, "  Xin chào\tthế giới  \n mới "), (7L, ""),
+      (8L, "one"), (9L, "MiXeD Case  MiXeD case"))
+      .toDF("doc_id", "text")
+    val r = docs.unionByName(tricky)
+      .select(Dedup.simhash(col("text")).as("native"),
+        hofSimhash(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    r.foreach { case (native, hof) => assert(native === hof) }
+  }
+
   test("simhash pairs: near dups within hamming 3, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
