@@ -62,6 +62,30 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream inner join: each event joined to same-user
+    * purchases within the following hour — the streaming twin of the batch
+    * banded range join (`q_range_join`; must produce the identical pair
+    * set, asserted by `StreamingSpec`). Both sides carry watermarks and the
+    * join condition is time-bounded, so join state is bounded: rows age out
+    * once the watermark passes their reachability window. Inner-join
+    * matches emit as soon as both rows arrive; the watermark only governs
+    * state cleanup.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    ev.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("pts") >= col("ts") &&
+          col("pts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("purchase_id"))
+  }
+
   /** Run one AvailableNow pass, appending to a parquet sink. Blocks until
     * the micro-batches drain; returns the finished query.
     */

@@ -63,6 +63,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream range join equals the batch range join pair set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ssjoin")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      src.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.purchaseAttribution(
+        EventsStream.readEvents(spark, src.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attrib_out")
+      .as[(Long, Long)].collect().toSet
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(org.apache.spark.sql.functions.col("event_type")
+        === "purchase")
+      .select("event_id", "user_id", "ts")
+    val batch = graft.operators.Joins.rangeJoin(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        "user_id", "ts", "ts", lowerSec = 0, upperSec = 3600)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("r_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("AvailableNow pass over events: windowed rollup lands in sink; " +
       "second pass is a checkpointed no-op") {
     val dir = Files.createTempDirectory("stream")
