@@ -553,6 +553,43 @@ object Queries {
           round(abs(col("approx_users") - col("exact_users")).cast("double")
             / col("exact_users"), 6).as("rel_error"))),
 
+    // explicit GROUPING SETS with grouping() markers (finer-grained than
+    // rollup/cube; exercised through spark.sql to match user-facing SQL)
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls
+        FROM g_lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST""")
+    }),
+
+    // distribution windows: quartile bucketing + rank/cume fractions under
+    // a unique total order (deterministic tie handling)
+    "q_ntile_stats" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .transform(presentSorted(_, "o_orderkey"))
+    }),
+
+    // set aggregation rendered order-stably (collect_set is unordered by
+    // contract — sort_array + join makes the result deterministic)
+    "q_priority_sets" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(concat_ws(",",
+            sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("o_orderstatus")),
+
     // salted fact⋈dim join — value-preserving skew mitigation (the salt
     // scatters each hot key across 8 sub-partitions; the oracle is the
     // PLAIN join, proving result equivalence)
@@ -620,6 +657,30 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q_sessionize_native" -> oracleSessionize,
     "q_session_window" -> oracleSessionize,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
+    "q_ntile_stats" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_priority_sets" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |    AS priorities,
+        |  count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_salted_join" ->
       """SELECT p_brand, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
