@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -83,36 +83,38 @@ object Similarity {
     * so a query reads only nprobe partitions — the classic IVF pruning,
     * expressed as partition pruning.
     */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: DataFrame, queryVecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
-    // nlist rows — driver-side collect is bounded by nlist, not the corpus
-    // (the same bound a broadcast would have; k-means does the same).
+  /** Max-dot cell assignment against literal centroids: array_max compares
+    * struct fields in order, so (score, -cid) picks the highest score and
+    * breaks ties on lowest cid — identical semantics to a row_number
+    * ranking, with no join and no shuffle.
+    */
+  private def bestCellFor(cs: Seq[(Long, Seq[Double])])(vec: Column): Column = {
+    val scored = cs.map { case (cid, cv) =>
+      struct(Vectors.dot(vec, typedlit(cv)).as("score"),
+        lit(-cid).as("ncid"))
+    }
+    -array_max(array(scored: _*)).getField("ncid")
+  }
+
+  /** Deterministic seed centroids (lowest-id vectors) plus optional Lloyd
+    * refinement: re-assign (narrow argmax, no join), recompute per-cell
+    * componentwise means via a (cell, dim)-keyed aggregate — the shuffle is
+    * N·dim scalar rows per iteration and the collect is nlist·dim rows. At
+    * real scale run this on a SAMPLE of the corpus (training cost is
+    * independent of the assignment pass). Empty cells keep their previous
+    * centroid. The result is tiny and bounded (like a broadcast side), so
+    * collecting it to the driver is the IVF-standard move.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, kmeansIters: Int = 0): Seq[(Long, Seq[Double])] = {
     val seeds: Seq[(Long, Seq[Double])] =
       corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).cast("long"), Vectors.toDouble(col(vecCol)))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .toSeq
-    require(seeds.nonEmpty, "ivfTopK needs a non-empty corpus")
-    // max-dot assignment: array_max compares struct fields in order, so
-    // (score, -cid) picks the highest score and breaks ties on lowest cid —
-    // identical semantics to the old row_number ranking.
-    def bestCellFor(cs: Seq[(Long, Seq[Double])])(vec: Column): Column = {
-      val scored = cs.map { case (cid, cv) =>
-        struct(Vectors.dot(vec, typedlit(cv)).as("score"),
-          lit(-cid).as("ncid"))
-      }
-      -array_max(array(scored: _*)).getField("ncid")
-    }
-    // Optional Lloyd refinement of the seed centroids: re-assign (narrow
-    // argmax, no join), recompute per-cell componentwise means via a
-    // (cell, dim)-keyed aggregate — the shuffle is N·dim scalar rows per
-    // iteration and the collect is nlist·dim rows. At real scale run this
-    // on a SAMPLE of the corpus (k-means training cost is independent of
-    // the assignment pass). Empty cells keep their previous centroid.
-    val cents = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
+    require(seeds.nonEmpty, "IVF needs a non-empty corpus")
+    (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
       val assigned = corpus.select(
         bestCellFor(cs)(col(vecCol)).as("cell"),
         posexplode(Vectors.toDouble(col(vecCol))).as(Seq("dim", "x")))
@@ -124,20 +126,77 @@ object Similarity {
         }
       cs.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
     }
-    val bestCell = bestCellFor(cents) _
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      bestCell(col(vecCol)).as("cell"))
-    // the query probes its nprobe nearest cells (1-row side → broadcast)
+  }
+
+  /** The query's nprobe nearest cells as a 1-row-per-cell frame carrying
+    * the query vector (tiny — always broadcast).
+    */
+  private def probeCells(query: DataFrame, queryVecCol: String,
+                         cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
     val qscored = cents.map { case (cid, cv) =>
       struct(Vectors.dot(col("__qvec"), typedlit(cv)).as("cscore"),
         lit(cid).as("cid"))
     }
-    val probes = query.select(col(queryVecCol).as("__qvec"))
+    query.select(Vectors.toDouble(col(queryVecCol)).as("__qvec"))
       .select(col("__qvec"), explode(array(qscored: _*)).as("c"))
       .orderBy(col("c.cscore").desc, col("c.cid"))
       .limit(nprobe)
       .select(col("__qvec"), col("c.cid").as("cell"))
-    assigned.join(broadcast(probes), "cell")
+  }
+
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      bestCellFor(cents)(col(vecCol)).as("cell"))
+    assigned.join(broadcast(probeCells(query, queryVecCol, cents, nprobe)), "cell")
+      .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the IVF index: the assigned corpus written PARTITIONED BY
+    * cell (one directory per Voronoi cell) plus the trained centroids as a
+    * tiny sidecar table. This converts IVF pruning into parquet partition
+    * pruning: a query plans a scan whose PartitionFilters keep only its
+    * nprobe cell directories — the other (nlist − nprobe)/nlist of the
+    * corpus is never opened. Pay the assignment once at index-build time,
+    * prune on every query — the 100 TB serving shape.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int = 16,
+                    kmeansIters: Int = 0): Unit = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+    corpus.select(col(idCol), col(vecCol),
+        bestCellFor(cents)(col(vecCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Approximate top-k served FROM a materialized index: reads the sidecar
+    * centroids (nlist rows), ranks cells for the query, and scans only the
+    * nprobe matching partitions of the index (partition pruning — assert
+    * `PartitionFilters` in the scan node).
+    */
+  def ivfTopKFromIndex(spark: SparkSession, path: String, idCol: String,
+                       vecCol: String, query: DataFrame, queryVecCol: String,
+                       k: Int, nprobe: Int = 4): DataFrame = {
+    val cents: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    val cells = probeCells(query, queryVecCol, cents, nprobe)
+      .collect().map(_.getLong(1)) // nprobe values — bounded like cents
+    val qvec = broadcast(query.select(Vectors.toDouble(col(queryVecCol)).as("__qvec")))
+    spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .crossJoin(qvec)
       .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

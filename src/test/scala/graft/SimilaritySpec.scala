@@ -93,6 +93,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(pairs.toSet === Set((0L, 999L)))
   }
 
+  test("materialized IVF index: partition-pruned scan, same planted recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(corpusDf, "vec_id", "embedding", dir,
+      nlist = 16, kmeansIters = 1)
+    val served = Similarity.ivfTopKFromIndex(spark, dir, "vec_id", "embedding",
+      queryDf, "embedding", 5, nprobe = 4)
+    val plan = served.queryExecution.executedPlan.toString
+    // the scan must keep only the probed cells — IVF pruning expressed as
+    // parquet partition pruning
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val top = served.as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+    assert(top.head._2 > 0.99)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
