@@ -28,6 +28,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(one[Long](TextAnalysis.fingerprint(col("t")), "") === 0L)
   }
 
+  test("native rolling hash is identical to the declarative HOF fold") {
+    // the HOF formulation the native expression replaced — kept as the
+    // executable specification of the fold
+    def hofFingerprint(text: org.apache.spark.sql.Column) = {
+      val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+      val chars = split(norm, "")
+      when(length(norm) === 0, lit(0L)).otherwise(aggregate(
+        chars, lit(0L),
+        (acc, ch) => (acc * 131L + ascii(ch)) % 1000000007L))
+    }
+    val fixtures = Seq("Hello   WORLD", "", "xin chào thế giới",
+      "tabs\tand\nnewlines", "số 1 único ß")
+    fixtures.foreach { s =>
+      assert(one[Long](TextAnalysis.fingerprint(col("t")), s) ===
+        one[Long](hofFingerprint(col("t")), s), s)
+    }
+  }
+
   test("shingles and jaccard") {
     val sh = one[Seq[String]](TextAnalysis.shingles(col("t"), 3), "abcd")
     assert(sh === Seq("abc", "bcd"))
