@@ -200,7 +200,8 @@ object ExtQueries {
         .where(col("id_a") < col("id_b"))
         .where(size(col("sh_b")) * t <= size(col("sh_a")) &&
           size(col("sh_a")) * t <= size(col("sh_b")))
-        .where(TextAnalysis.jaccard(col("sh_a"), col("sh_b")) >= t)
+        .where(graft.functions.LongArrayJaccard
+          .jaccardLong(col("sh_a"), col("sh_b")) >= t)
         .select("id_a", "id_b")
       recallOf(truth,
         Dedup.minhashLsh(docs(s, d), "doc_id", "text", threshold = t,

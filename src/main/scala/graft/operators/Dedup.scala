@@ -142,9 +142,10 @@ object Dedup {
         Seq(idCol), "left_semi")
       .select(col(idCol).as("id_b"),
         hashedShingles(col(textCol), shingleK).as("sh_b"))
+    import graft.functions.LongArrayJaccard.jaccardLong
     prefiltered.join(docA, "id_a").join(docB, "id_b")
       .select(col("id_a"), col("id_b"),
-        TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardLong(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

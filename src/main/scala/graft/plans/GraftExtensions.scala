@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.{HashedShinglesExpr, HyperplaneBucketExpr, MinhashSigExpr, RollingHashExpr, SimHashExpr, VectorDot}
+import graft.functions.{HashedShinglesExpr, HyperplaneBucketExpr, LongArrayJaccardExpr, MinhashSigExpr, RollingHashExpr, SimHashExpr, VectorDot}
 
 /** Optimizer rule: rewrite the declarative higher-order-function dot
   * product
@@ -93,7 +93,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => RollingHashExpr(es(0))),
     ("simhash",
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
-      (es: Seq[Expression]) => SimHashExpr(es(0))))
+      (es: Seq[Expression]) => SimHashExpr(es(0))),
+    ("jaccard_long",
+      new ExpressionInfo(classOf[LongArrayJaccardExpr].getName, "jaccard_long"),
+      (es: Seq[Expression]) => LongArrayJaccardExpr(es(0), es(1))))
 
   /** Register the functions + rule + strategy on a running session. */
   def register(spark: SparkSession): Unit = {
