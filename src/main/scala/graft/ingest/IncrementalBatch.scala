@@ -47,10 +47,15 @@ class IncrementalBatch(
       case None => src // first run: no filter (reference F1 semantics)
     }
     // C3 empty-batch short-circuit: one cheap action; limit(1) keeps it
-    // O(1). Probes an UNOBSERVED twin of the plan — an Observation freezes
-    // on the first completed action, so letting this probe flow through the
-    // CollectMetrics nodes would lock in metrics from a 1-row scan.
-    if (transform(fresh).limit(1).isEmpty) return BatchResult(0L, wm)
+    // O(1). Probes the PRE-transform scan: a batch whose fresh rows are all
+    // filtered out by the transform must still run (and advance the
+    // watermark — those rows were processed; short-circuiting on the
+    // transformed output would re-scan them on every subsequent run until
+    // unrelated new data arrived). The probe is an UNOBSERVED twin of the
+    // plan — an Observation freezes on the first completed action, so
+    // letting it flow through the CollectMetrics nodes would lock in
+    // metrics from a 1-row scan.
+    if (fresh.limit(1).isEmpty) return BatchResult(0L, wm)
 
     // Watermark advance is observed PRE-transform: a transform that drops,
     // renames, or rewrites tsCol can neither crash the batch nor corrupt

@@ -70,6 +70,14 @@ object Dedup {
     * Only (docId, band, hash-of-band-rows) tuples are shuffled; documents are
     * re-fetched just for the candidate minority. Bucket-join uses a regular
     * hash join so AQE can handle skewed buckets (e.g. empty-ish docs).
+    *
+    * `persistIntermediates = true` makes the call EAGER: the multi-consumer
+    * intermediates (signatures, prefiltered candidates) are pinned for the
+    * run, the pair result — O(duplicates), tiny next to the corpus — is
+    * materialized via localCheckpoint, and the pins are released before
+    * returning, so repeated calls in a long-lived session don't accumulate
+    * CacheManager entries. With `false` the call is fully lazy (cheaper at
+    * small scale where recompute beats cache materialization).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,
@@ -143,10 +151,21 @@ object Dedup {
       .select(col(idCol).as("id_b"),
         hashedShingles(col(textCol), shingleK).as("sh_b"))
     import graft.functions.LongArrayJaccard.jaccardLong
-    prefiltered.join(docA, "id_a").join(docB, "id_b")
+    val verified = prefiltered.join(docA, "id_a").join(docB, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccardLong(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    if (!persistIntermediates) verified
+    else {
+      // Materialize the (small) pair list, then release the pinned
+      // intermediates — the returned plan no longer references them, and
+      // the checkpoint blocks self-release via the ContextCleaner when the
+      // result is garbage-collected.
+      val out = verified.localCheckpoint(true)
+      sigs.unpersist(false)
+      prefiltered.unpersist(false)
+      out
+    }
   }
 
   /** 64-bit SimHash of the whitespace tokens of `text`: bit b is set iff

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * when the gap STRICTLY exceeds `gapUs`; sessions numbered 1.. per user in
   * time order; duration = max(ts) − min(ts) in µs) and the operator is
   * verified against the same DuckDB oracle.
+  *
+  * Null handling: rows with a null user or null ts are EXCLUDED —
+  * [[Sessionize.native]] filters them before the node (pushed to the scan)
+  * and `doExecute` skips them defensively. InternalRow.getLong on a null
+  * slot returns an undefined value, so letting nulls through would silently
+  * merge them into user 0 / epoch 0 instead of grouping them like the
+  * declarative window form does.
   */
 case class GapSessionize(
     user: Attribute, ts: Attribute, gapUs: Long,
@@ -124,7 +131,11 @@ case class GapSessionizeExec(
         override def hasNext: Boolean = {
           while (pendingEmit == null && it.hasNext) {
             val row = it.next()
-            advanceTo(row.getLong(userIdx), row.getLong(tsIdx))
+            // null key/ts rows are excluded (see class doc) — getLong on a
+            // null slot would fold them into user 0 / epoch 0
+            if (!row.isNullAt(userIdx) && !row.isNullAt(tsIdx)) {
+              advanceTo(row.getLong(userIdx), row.getLong(tsIdx))
+            }
           }
           if (pendingEmit == null && haveUser) { close(); haveUser = false }
           pendingEmit != null
@@ -144,14 +155,18 @@ case class GapSessionizeExec(
 /** Public API for the native sessionize operator. */
 object Sessionize {
   /** Gap-based sessions of `df` keyed by `userCol` over `tsCol`
-    * (timestamp; gap in seconds): one shuffle, one pass. Requires the
+    * (timestamp; gap in seconds): one shuffle, one pass. Rows with a null
+    * user or ts are excluded (see [[GapSessionize]] doc). Requires the
     * [[GapSessionizeStrategy]] to be installed (see [[GraftExtensions]]).
     */
   def native(df: DataFrame, userCol: String, tsCol: String,
              gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
-    // pre-project so column pruning below the custom node is explicit
+    // pre-project so column pruning below the custom node is explicit;
+    // the null filter is pushed down to the scan
     val slim = df.select(userCol, tsCol)
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
     val plan = GraftBridge.analyzed(slim)
     val user = plan.output.find(_.name == userCol).get
     val ts = plan.output.find(_.name == tsCol).get
