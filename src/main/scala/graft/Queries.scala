@@ -39,6 +39,51 @@ object Queries {
   def presentSorted(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** The lag + running-sum sessionization over a (user_id, event_id, ts)
+    * frame — new session when the gap STRICTLY exceeds `gapSeconds`.
+    * Shared by `q_sessionize` and the boundary/null fixture tests in
+    * SessionizeNativeSpec so the spec exercises the exact production plan.
+    * Null semantics (inherited from the window functions): null users form
+    * their own partition; a null ts sorts first and its null gap starts a
+    * new session — unlike [[graft.plans.Sessionize.native]], which
+    * excludes null rows by contract.
+    */
+  def sessionizeDeclarative(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gapUs = us - lag(us, 1).over(w)
+    val newSess = when(gapUs.isNull || gapUs > gapSeconds * 1000000L, 1)
+      .otherwise(0)
+    events
+      .withColumn("session_id",
+        sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts")).cast("timestamp")) -
+          unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
+  }
+
+  /** Sessionization via Spark's native `session_window` grouping. Despite
+    * each event's window being [ts, ts+gap), Spark MERGES a window whose
+    * start equals the current session's end (touching windows coalesce),
+    * so the boundary semantics are the same strict-`>` as
+    * [[sessionizeDeclarative]] — verified by SessionizeNativeSpec's
+    * exact-gap fixture, not assumed from the half-open notation. Ordinal
+    * session ids recovered by ranking window starts per user.
+    */
+  def sessionizeSessionWindow(events: DataFrame, gap: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts")).cast("timestamp")) -
+          unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select("user_id", "session_id", "n_events", "duration_us")
+  }
+
   /** Watermark as epoch micros (UTC) for raw-nanos pushdown on `events`:
     * `CAST(ts AS TIMESTAMP) > wm  ⟺  ts_ns ≥ (wm_µs + 1)·1000` — exact for
     * the whole-second watermark, and a plain long comparison the parquet
@@ -429,23 +474,11 @@ object Queries {
     // sessionization — 30-min-gap sessions per user over the event stream,
     // via lag + running sum (the batch form of session windows; two window
     // passes over one user-partitioned shuffle)
-    "q_sessionize" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val us = unix_micros(col("ts").cast("timestamp"))
-      val gapUs = us - lag(us, 1).over(w)
-      val newSess = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1)
-        .otherwise(0)
-      t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("ts"))
-        .withColumn("session_id",
-          sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          (unix_micros(max(col("ts")).cast("timestamp")) -
-            unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
-        .transform(presentSorted(_, "user_id", "session_id"))
-    }),
+    "q_sessionize" -> ((s, d) =>
+      sessionizeDeclarative(
+          t(s, d, "events").select(col("user_id"), col("event_id"), col("ts")),
+          gapSeconds = 1800)
+        .transform(presentSorted(_, "user_id", "session_id"))),
 
     // event-time bucketing — hourly rollup per type (the batch twin of the
     // streaming windowed aggregation in graft.streaming.EventsStream)
@@ -528,20 +561,17 @@ object Queries {
     }),
 
     // the same sessionization again via Spark's native session_window
-    // grouping (the third independent implementation sharing one oracle);
-    // ordinal ids recovered by ranking window starts per user
-    "q_session_window" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
-      t(s, d, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"),
-          (unix_micros(max(col("ts")).cast("timestamp")) -
-            unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
-        .withColumn("session_id", row_number().over(w).cast("long"))
-        .select("user_id", "session_id", "n_events", "duration_us")
-        .transform(presentSorted(_, "user_id", "session_id"))
-    }),
+    // grouping (the third independent implementation sharing one oracle).
+    // Boundary semantics verified EMPIRICALLY, not assumed: although each
+    // event's window is [ts, ts+gap), Spark merges sessions when the next
+    // window's start <= the current session's END — touching windows
+    // coalesce — so an event exactly `gap` after its predecessor stays in
+    // the SAME session, identical to the lag-based strict-`>` forms and
+    // the shared oracle. Pinned by SessionizeNativeSpec's exact-gap
+    // fixture. Ordinal ids recovered by ranking window starts per user.
+    "q_session_window" -> ((s, d) =>
+      sessionizeSessionWindow(t(s, d, "events"), "30 minutes")
+        .transform(presentSorted(_, "user_id", "session_id"))),
 
     // HLL sketch quality as a driver-visible row: approximate distinct vs
     // exact, with the relative error the 2% rsd setting promises
@@ -628,6 +658,19 @@ object Queries {
     * q_stateful_sessions — four independent implementations (two window
     * passes; custom one-pass SparkPlan; native session_window grouping;
     * flatMapGroupsWithState) must all hash-match this one DuckDB twin.
+    * The one suspected divergence — session_window splitting at an
+    * exact-gap boundary — is disproven empirically: Spark coalesces
+    * touching windows (merge when next start <= session end), so all four
+    * share strict-`>` semantics; SessionizeNativeSpec pins this with an
+    * exact-1800 s-gap fixture.
+    *
+    * Null handling divergence (pinned by SessionizeNativeSpec): the
+    * declarative window forms and this oracle group null-user rows into
+    * their own partition (and a null ts yields a null gap ⇒ new session),
+    * while [[graft.plans.Sessionize.native]] EXCLUDES null user/ts rows by
+    * documented contract. The driver fixture contains no nulls, so all
+    * implementations hash-match; the divergence on null-containing data is
+    * intentional and tested, not latent.
     */
   val oracleSessionize: String =
     """WITH e AS (
