@@ -105,9 +105,10 @@ object ExtQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .transform(Queries.presentSorted(_, "id_a", "id_b"))),
 
-    // LSH-blocked near-dup pairs — the 100 TB form: per-table equi-joins on
-    // hyperplane buckets, never a cross product (plan asserted by
-    // SimilaritySpec); rows-only (hash-based blocking)
+    // LSH-blocked near-dup pairs — the 100 TB form: ONE corpus scan,
+    // posexploded per-table buckets, one self-equi-join on (table, bucket),
+    // never a cross product (plan asserted by SimilaritySpec); rows-only
+    // (hash-based blocking)
     "emb_neardup_blocked" -> ((s, d) =>
       Similarity.lshBlockedNearDupPairs(embs(s, d), "vec_id", "embedding",
           threshold = 0.4, nBits = 2, tables = 8)

@@ -202,24 +202,50 @@ object Similarity {
       .limit(k)
   }
 
-  /** Near-duplicate pairs via LSH blocking: per hash table, pairs are
-    * generated only within a hyperplane bucket (an equi-join, never a cross
-    * product) and verified by exact cosine; tables are unioned and
-    * deduplicated. Precision is exact (every emitted pair really clears the
-    * threshold); recall grows with `tables` and shrinks with `nBits` — at
-    * scale, nBits tunes the block size so each bucket's quadratic stays
-    * bounded. This is the 100 TB form of [[cosineNearDupPairs]]; measure its
-    * recall against the exact operator with a small sample (see the
-    * `emb_neardup_recall` query).
+  /** Near-duplicate pairs via LSH blocking: pairs are generated only
+    * within a hyperplane bucket (an equi-join, never a cross product) and
+    * verified by exact cosine. Precision is exact (every emitted pair
+    * really clears the threshold); recall grows with `tables` and shrinks
+    * with `nBits` — at scale, nBits tunes the block size so each bucket's
+    * quadratic stays bounded. This is the 100 TB form of
+    * [[cosineNearDupPairs]]; measure its recall against the exact operator
+    * with a small sample (see the `emb_neardup_recall` query).
+    *
+    * Planned as ONE corpus scan + ONE self-equi-join on (table, bucket):
+    * each row posexplodes its per-table buckets (the same move as
+    * [[lshTopK]]), so "pairs colliding in ANY table" is a single join —
+    * the previous form ran `tables` separate scans+self-joins and unioned
+    * them: 8× the read at 100 TB. Candidate pairs are deduplicated BEFORE
+    * the cosine verify, so multi-table collisions cost one dot product.
+    * Cosine arithmetic is identical to [[cosineNearDupPairs]] (dot/(‖a‖‖b‖)
+    * on double-cast vectors), so the emitted pair set is bit-identical to
+    * the old per-table union.
     */
   def lshBlockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, nBits: Int = 2,
-                             tables: Int = 8): DataFrame =
-    (0 until tables).map { t =>
-      cosineNearDupPairs(df, idCol, vecCol, threshold,
-        Seq(Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t)))
-    }.reduce(_ unionByName _)
+                             tables: Int = 8): DataFrame = {
+    // buckets computed on the RAW vector column (same seeds as before —
+    // recall characteristics unchanged); cast + norm once per vector
+    val base = df.select(col(idCol).as("id"),
+        Vectors.toDouble(col(vecCol)).as("v"),
+        posexplode(array((0 until tables).map(t =>
+          Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t)): _*))
+          .as(Seq("__table", "__bucket")))
+      .withColumn("nrm", Vectors.l2Norm(col("v")))
+    val a = base.select(col("__table"), col("__bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = base.select(col("__table"), col("__bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val denom = col("nrm_a") * col("nrm_b")
+    a.join(b, Seq("__table", "__bucket"))
+      .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(denom === 0, lit(null))
+          .otherwise(Vectors.dot(col("v_a"), col("v_b")) / denom)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
 
   /** Exact near-duplicate pairs by cosine ≥ threshold. `blockCols` (e.g. a
     * coarse LSH bucket or a label) bound the quadratic blow-up: the join is

@@ -81,12 +81,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("LSH-blocked near-dup: equi-join plan, finds the planted pair") {
-    val all = corpusDf.unionByName(queryDf)
+    // a SINGLE relation (not a union) so the scan-leaf count below is
+    // exactly the join arity, not input-shape noise
+    val all = ((corpus :+ (999L, planted)) :+ (0L, q)).toDF("vec_id", "embedding")
     val blocked = Similarity.lshBlockedNearDupPairs(all, "vec_id", "embedding",
       threshold = 0.99, nBits = 2, tables = 8)
     val plan = blocked.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // ONE self-equi-join over the posexploded (table, bucket) rows: the
+    // corpus appears as exactly the join's two scan leaves — the previous
+    // per-table union planned 2×tables (= 16) scans of the corpus
+    assert("LocalTableScan".r.findAllMatchIn(plan).size === 2, plan)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllMatchIn(plan).size === 1, plan)
     val pairs = blocked.select("id_a", "id_b").as[(Long, Long)].collect()
     // near-identical vectors project to the same side of almost every
     // hyperplane — with 8 independent 2-bit tables a miss is ~(1-p)^8 ≈ 0
