@@ -26,10 +26,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().sorted.toSeq
     assert(salted === plain)
 
-    // and the salt actually spreads the hot key across sub-partitions
-    val spread = big.withColumn("__salt", floor(rand(42L) * 8).cast("int"))
+    // the content-derived salt actually spreads the hot key across
+    // sub-partitions (hashing ALL columns, not just the key)
+    val spread = big.withColumn("__salt", Skew.contentSalt(big, 8))
       .filter(col("k") === 7L).select("__salt").distinct().count()
     assert(spread > 1)
+
+    // and it is DETERMINISTIC: the same row gets the same salt regardless
+    // of physical partitioning (rand()-based salting re-deals on a stage
+    // retry or AQE re-partition — content hashing cannot)
+    val assign = big.withColumn("__salt", Skew.contentSalt(big, 8))
+      .as[(Long, Int, Int)].collect().toSet
+    val reassign = big.repartition(13)
+      .withColumn("__salt", Skew.contentSalt(big, 8))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(assign === reassign)
   }
 
   test("date-partitioned write prunes partitions at read (PartitionFilters)") {
