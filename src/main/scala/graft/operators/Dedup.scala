@@ -78,6 +78,15 @@ object Dedup {
     * returning, so repeated calls in a long-lived session don't accumulate
     * CacheManager entries. With `false` the call is fully lazy (cheaper at
     * small scale where recompute beats cache materialization).
+    *
+    * Reliability caveat of the eager path: `localCheckpoint` truncates
+    * lineage and keeps the result only in executor block storage. Losing
+    * an executor afterwards (dynamic allocation, spot nodes) makes the
+    * returned frame unrecoverable — there is no plan left to recompute it.
+    * On a long-lived cluster with executor churn, either write the pair
+    * list to durable storage immediately (it is O(duplicates)-small) or
+    * call with `persistIntermediates = false` and persist/checkpoint at
+    * the consumer that knows the fault-tolerance budget.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 32, bands: Int = 8, shingleK: Int = 5,

@@ -17,6 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The batch output is exactly the lag+running-sum SQL sessionization
   * (`Queries.q_sessionize`), which is what lets the DuckDB oracle check this
   * operator end-to-end.
+  *
+  * MEMORY BOUND — read before running this on a whale-user dataset: batch
+  * groups arrive UNSORTED, so each call buffers and sorts the user's
+  * entire event list in task memory (`rows.toIndexedSeq.sortBy`). That is
+  * the documented bounded-sessions assumption of this operator (streaming
+  * micro-batches bound it naturally; batch mode assumes no single user
+  * dominates). A user with 10^8 events OOMs the task — for unbounded
+  * per-user volumes use [[graft.plans.Sessionize.native]] instead: its
+  * `requiredChildOrdering` makes Spark's sort (spillable, external) do the
+  * ordering, and its per-partition pass holds O(1) state per open session.
   */
 object StatefulSessions {
 

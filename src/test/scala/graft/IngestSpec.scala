@@ -71,4 +71,31 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
       Set("E1", "E2", "E3", "E5"))
     assert(Watermark.read(wm).get.startsWith("2024-01-05"))
   }
+
+  test("transform that filters out every fresh row still advances the watermark") {
+    // the exact regression the pre-transform probe fixed: processed-but-
+    // filtered rows must advance the watermark, or they are re-scanned on
+    // every subsequent run until unrelated new data arrives
+    val dir = Files.createTempDirectory("ingest_dropall")
+    val src = dir.resolve("src").toString
+    val sink = dir.resolve("sink").toString
+    val wm = dir.resolve("wm.json").toString
+
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "e1"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "e2"))
+      .toDF("id", "ts", "name").write.mode("append").parquet(src)
+
+    def pipeline = new IncrementalBatch(spark, src, sink, wm, "ts",
+      df => df.filter(col("name") === "no_such_row"))
+
+    val r1 = pipeline.run()
+    assert(r1.rowsWritten === 0)
+    assert(Watermark.read(wm).get.startsWith("2024-01-02"))
+
+    // second run: nothing fresh above the advanced watermark → C3
+    // short-circuit, watermark unchanged (NOT a rescan of the dropped rows)
+    val r2 = pipeline.run()
+    assert(r2.rowsWritten === 0)
+    assert(Watermark.read(wm).get.startsWith("2024-01-02"))
+  }
 }

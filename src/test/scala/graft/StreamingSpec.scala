@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stateful sessionization handles one heavy user in batch mode " +
+      "(documented bounded-sessions contract)") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    import StatefulSessions.Event
+    import java.time.LocalDateTime
+    // ONE user owning every event — the worst case for the per-group
+    // buffer this operator documents (50k events ≈ the bound's spirit at
+    // test scale; truly unbounded users belong to Sessionize.native)
+    val t0 = LocalDateTime.parse("2024-01-01T00:00:00")
+    val events = (0 until 50000).map { i =>
+      val session = i / 100
+      // 100 events 1 s apart per session; sessions 5000 s apart (> gap)
+      Event(1L, i.toLong, t0.plusSeconds(session.toLong * 5000 + (i % 100)), 1.0)
+    }
+    val out = StatefulSessions.sessionize(
+        spark.createDataset(events).repartition(4),
+        gapSeconds = 1800, emitOpen = true)
+      .collect().sortBy(_.session_id)
+    assert(out.length === 500)
+    assert(out.map(_.session_id).toSeq === (1L to 500L))
+    assert(out.forall(s => s.n_events === 100L && s.duration_us === 99000000L))
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

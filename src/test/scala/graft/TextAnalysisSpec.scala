@@ -38,12 +38,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
         chars, lit(0L),
         (acc, ch) => (acc * 131L + ascii(ch)) % 1000000007L))
     }
+    // BMP-only fixtures ON PURPOSE: for astral-plane text the HOF form
+    // diverges (split("") yields UTF-16 code units) and the native
+    // code-point behavior is the intended one — pinned by the non-BMP
+    // test below against the oracle recurrence itself.
     val fixtures = Seq("Hello   WORLD", "", "xin chào thế giới",
       "tabs\tand\nnewlines", "số 1 único ß")
     fixtures.foreach { s =>
       assert(one[Long](TextAnalysis.fingerprint(col("t")), s) ===
         one[Long](hofFingerprint(col("t")), s), s)
     }
+  }
+
+  test("non-BMP fingerprint follows the CODE-POINT recurrence (oracle semantics)") {
+    // Emoji are one code point but two UTF-16 code units. The DuckDB
+    // oracle folds per code point (unicode()); the native expression must
+    // match IT — not the split+ascii HOF form, which walks code units on
+    // astral text. The expected value is the oracle recurrence computed
+    // directly here.
+    val s = "Héllo 😀🚀  Wörld"
+    val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    var acc = 0L
+    norm.codePoints().forEach(cp => acc = (acc * 131 + cp) % 1000000007L)
+    assert(one[Long](TextAnalysis.fingerprint(col("t")), s) === acc)
   }
 
   test("shingles and jaccard") {
