@@ -227,6 +227,27 @@ object ExtQueries {
         Seq("id_a", "id_b"))
     }),
 
+    // the SERVE-FROM-INDEX LSH path: build the (table, bucket)-partitioned
+    // index once per run, then answer the query through parquet partition
+    // pruning (PartitionFilters asserted in SimilaritySpec); recall row so
+    // the index path's quality is driver-visible like every other
+    // approximate operator. Same 3-bit × 12-table regime as ann_lsh.
+    "ann_lsh_index_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_lsh_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeLshIndex(corpus, "vec_id", "embedding", idx,
+        nBits = 3, tables = 12)
+      recallOf(
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10).select("vec_id"),
+        Similarity.lshTopKFromIndex(s, idx, "vec_id", "embedding",
+          query, "embedding", 10).select("vec_id"),
+        Seq("vec_id"))
+    }),
+
     // ANN top-k recall vs the exact brute-force top-k (1 row each)
     "ann_lsh_recall" -> ((s, d) => {
       val corpus = embs(s, d).filter(col("vec_id") =!= 0)

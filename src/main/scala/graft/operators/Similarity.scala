@@ -96,17 +96,28 @@ object Similarity {
     -array_max(array(scored: _*)).getField("ncid")
   }
 
-  /** Deterministic seed centroids (lowest-id vectors) plus optional Lloyd
-    * refinement: re-assign (narrow argmax, no join), recompute per-cell
-    * componentwise means via a (cell, dim)-keyed aggregate — the shuffle is
-    * N·dim scalar rows per iteration and the collect is nlist·dim rows. At
-    * real scale run this on a SAMPLE of the corpus (training cost is
-    * independent of the assignment pass). Empty cells keep their previous
-    * centroid. The result is tiny and bounded (like a broadcast side), so
-    * collecting it to the driver is the IVF-standard move.
+  /** Deterministic seed centroids (lowest-id vectors of the full corpus)
+    * plus optional Lloyd refinement: re-assign (narrow argmax, no join),
+    * recompute per-cell componentwise means via a (cell, dim)-keyed
+    * aggregate — the shuffle is N·dim scalar rows per iteration and the
+    * collect is nlist·dim rows. Empty cells keep their previous centroid.
+    * The result is tiny and bounded (like a broadcast side), so collecting
+    * it to the driver is the IVF-standard move.
+    *
+    * `sampleFraction` < 1 trains on a seeded Bernoulli sample: centroid
+    * QUALITY needs a representative sample, not the corpus — recall is
+    * governed by nprobe, and the per-iteration N·dim shuffle shrinks by
+    * the same fraction. At 100 TB this is the only sane setting (training
+    * cost becomes independent of corpus growth); the assignment pass is
+    * untouched. The projected train set is cached across Lloyd iterations
+    * (each iteration re-reads it with new centroids) and released before
+    * returning.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int, kmeansIters: Int = 0): Seq[(Long, Seq[Double])] = {
+                     nlist: Int, kmeansIters: Int = 0,
+                     sampleFraction: Double = 1.0): Seq[(Long, Seq[Double])] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
     val seeds: Seq[(Long, Seq[Double])] =
       corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).cast("long"), Vectors.toDouble(col(vecCol)))
@@ -114,18 +125,26 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .toSeq
     require(seeds.nonEmpty, "IVF needs a non-empty corpus")
-    (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
-      val assigned = corpus.select(
-        bestCellFor(cs)(col(vecCol)).as("cell"),
-        posexplode(Vectors.toDouble(col(vecCol))).as(Seq("dim", "x")))
-      val means = assigned.groupBy("cell", "dim").agg(avg("x").as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      cs.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
-    }
+    if (kmeansIters == 0) return seeds
+    val train = if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed = 42L)
+    else corpus
+    val proj = train.select(Vectors.toDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
+        val assigned = proj.select(
+          bestCellFor(cs)(col("v")).as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        val means = assigned.groupBy("cell", "dim").agg(avg("x").as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        cs.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+      }
+    } finally proj.unpersist(false)
   }
 
   /** The query's nprobe nearest cells as a 1-row-per-cell frame carrying
@@ -147,8 +166,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
-    val cents = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+              kmeansIters: Int = 0, sampleFraction: Double = 1.0): DataFrame = {
+    val cents =
+      trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters, sampleFraction)
     val assigned = corpus.select(col(idCol), col(vecCol),
       bestCellFor(cents)(col(vecCol)).as("cell"))
     assigned.join(broadcast(probeCells(query, queryVecCol, cents, nprobe)), "cell")
@@ -167,8 +187,9 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, nlist: Int = 16,
-                    kmeansIters: Int = 0): Unit = {
-    val cents = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+                    kmeansIters: Int = 0, sampleFraction: Double = 1.0): Unit = {
+    val cents =
+      trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters, sampleFraction)
     corpus.select(col(idCol), col(vecCol),
         bestCellFor(cents)(col(vecCol)).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
@@ -196,6 +217,60 @@ object Similarity {
     val qvec = broadcast(query.select(Vectors.toDouble(col(queryVecCol)).as("__qvec")))
     spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .crossJoin(qvec)
+      .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the LSH index: the corpus posexploded to one row per
+    * (table, bucket) membership, written PARTITIONED BY (table, bucket),
+    * plus a tiny sidecar recording the (nBits, tables) parameters. This is
+    * the [[writeIvfIndex]] move applied to LSH: bucket probing becomes
+    * parquet partition pruning — a query opens only its `tables` probe
+    * directories out of tables·2^nBits, instead of re-bucketing the corpus
+    * per call (which is what back-to-back [[lshTopK]] calls pay). The
+    * corpus is replicated `tables`× in the index — the standard
+    * multi-table LSH space-for-recall trade; pay it once at build time.
+    */
+  def writeLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nBits: Int = 12, tables: Int = 4): Unit = {
+    corpus.select(col(idCol), col(vecCol),
+        posexplode(array((0 until tables).map(t =>
+          Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t)): _*))
+          .as(Seq("table", "bucket")))
+      .write.mode("overwrite").partitionBy("table", "bucket")
+      .parquet(s"$path/data")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((nBits, tables)).toDF("n_bits", "tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Approximate top-k served FROM a materialized LSH index: reads the
+    * sidecar params, computes the query's `tables` probe buckets (bounded
+    * driver state, like the IVF probe cells), and scans only the matching
+    * (table, bucket) partitions — assert `PartitionFilters` in the scan
+    * node. Candidates are deduplicated across tables before the exact
+    * rerank, exactly as [[lshTopK]] does.
+    */
+  def lshTopKFromIndex(spark: SparkSession, path: String, idCol: String,
+                       vecCol: String, query: DataFrame, queryVecCol: String,
+                       k: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (nBits, tables) = (meta.getInt(0), meta.getInt(1))
+    val probes: Seq[(Int, Long)] = query
+      .select(posexplode(array((0 until tables).map(t =>
+        Vectors.hyperplaneBucket(col(queryVecCol), nBits, tableSeed = t)): _*))
+        .as(Seq("__table", "__bucket")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val pruned = probes.map { case (t, bkt) =>
+      col("table") === t && col("bucket") === bkt
+    }.reduce(_ || _) // → parquet PartitionFilters (partition cols only)
+    val qvec = broadcast(query.select(col(queryVecCol).as("__qvec")))
+    spark.read.parquet(s"$path/data")
+      .where(pruned)
+      .dropDuplicates(idCol)
       .crossJoin(qvec)
       .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))

@@ -63,6 +63,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._2 > 0.99)
   }
 
+  test("IVF trained on a sample (the 100 TB setting) still recalls the neighbor") {
+    val top = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5, nlist = 16, nprobe = 4, kmeansIters = 2,
+        sampleFraction = 0.5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+    assert(top.head._2 > 0.99)
+    // sampling only moves the Lloyd refinement — same seeded sample, same
+    // centroids, same answer run-to-run
+    val again = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5, nlist = 16, nprobe = 4, kmeansIters = 2,
+        sampleFraction = 0.5)
+      .as[(Long, Double)].collect()
+    assert(top.toSeq === again.toSeq)
+  }
+
   test("IVF plan is narrow: no shuffle exchange, no window in assignment") {
     val top = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
       queryDf, "embedding", 5, nlist = 16, nprobe = 4)
@@ -114,6 +130,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val top = served.as[(Long, Double)].collect()
     assert(top.head._1 === 999L)
     assert(top.head._2 > 0.99)
+  }
+
+  test("materialized LSH index: partition-pruned scan, planted neighbor served") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Similarity.writeLshIndex(corpusDf, "vec_id", "embedding", dir,
+      nBits = 8, tables = 4)
+    val served = Similarity.lshTopKFromIndex(spark, dir, "vec_id", "embedding",
+      queryDf, "embedding", 5)
+    val plan = served.queryExecution.executedPlan.toString
+    // the scan must keep only the probed (table, bucket) directories —
+    // LSH probing expressed as parquet partition pruning
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    val top = served.as[(Long, Double)].collect()
+    assert(top.head._1 === 999L) // near-identical vector shares all buckets
+    assert(top.head._2 > 0.99)
+    // index-path result == the from-scratch lshTopK result (same params)
+    val scratch = Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+      queryDf, "embedding", 5, nBits = 8, tables = 4).as[(Long, Double)].collect()
+    assert(top.toSeq === scratch.toSeq)
   }
 
   test("hyperplane bucket is deterministic and within range") {
