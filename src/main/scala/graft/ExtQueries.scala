@@ -128,6 +128,30 @@ object ExtQueries {
         Seq("id_a", "id_b"))
     }),
 
+    // REAL BPE tokenization (trained merges, not the regex estimate):
+    // merge table learned from the corpus' word distribution (one word
+    // aggregation + bounded driver loop), encode as a narrow broadcast
+    // mapPartitions pass. Per-doc token counts next to the cheap
+    // subwordCount estimate so the estimate's bias is measurable.
+    // Rows-only: BPE is not SQL-expressible; algorithmic properties
+    // (round-trip, rank order, determinism) are pinned by BpeSpec.
+    "text_bpe" -> ((s, d) => {
+      import graft.operators.Bpe
+      val model = Bpe.train(docs(s, d), "text", numMerges = 50,
+        maxWords = 20000)
+      Bpe.encodeDocs(docs(s, d), "doc_id", "text", model).toDF()
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).as("n_bpe_tokens"),
+          round(aggregate(transform(col("bpe_tokens"), t => length(t)),
+              lit(0), (a, x) => a + x).cast("double") /
+            greatest(size(col("bpe_tokens")), lit(1)), 4)
+            .as("avg_token_chars"))
+        .join(docs(s, d).select(col("doc_id"),
+          graft.functions.TextAnalysis.subwordCount(col("text"))
+            .as("n_est_subwords")), "doc_id")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // per-document text statistics: token counts, ratios, quality score,
     // rolling-hash fingerprint — one narrow codegen'd pass
     "text_stats" -> ((s, d) =>
@@ -245,6 +269,23 @@ object ExtQueries {
           query, "embedding", 10).select("vec_id"),
         Similarity.lshTopKFromIndex(s, idx, "vec_id", "embedding",
           query, "embedding", 10).select("vec_id"),
+        Seq("vec_id"))
+    }),
+
+    // multiprobe recall: HALF the tables (6 vs ann_lsh's 12) plus
+    // hamming-1 bucket probing. The scale story this row quantifies:
+    // probes are per-query cost (1+nBits partitions read per table),
+    // tables are per-corpus cost (another full replica in the index) —
+    // multiprobe buys table-level recall without table-level storage.
+    "ann_lsh_multiprobe_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      recallOf(
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10).select("vec_id"),
+        Similarity.lshTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10, nBits = 3, tables = 6, hammingProbe = 1)
+          .select("vec_id"),
         Seq("vec_id"))
     }),
 

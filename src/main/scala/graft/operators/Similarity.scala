@@ -39,9 +39,28 @@ object Similarity {
         Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t))
     }
 
+  /** All buckets within hamming distance `hammingProbe` (0 or 1) of the
+    * base bucket: the exact bucket, plus — for hamming 1 — every single
+    * bit flip. Multiprobe LSH: a near neighbor that lands one hyperplane
+    * on the wrong side sits in a hamming-1 bucket, so probing those
+    * recovers most of the recall an extra hash table would buy WITHOUT
+    * replicating the corpus again — probe count is per-QUERY cost (tiny),
+    * table count is per-CORPUS cost (another full copy in the index).
+    */
+  private def probeSet(baseBucket: Column, nBits: Int,
+                       hammingProbe: Int): Column = {
+    require(hammingProbe >= 0 && hammingProbe <= 1,
+      "hammingProbe 0 (exact) or 1 (all single-bit flips)")
+    if (hammingProbe == 0) array(baseBucket)
+    else array(baseBucket +: (0 until nBits).map(i =>
+      baseBucket.bitwiseXOR(lit(1L << i))): _*)
+  }
+
   /** Approximate top-k: candidates = union over hash tables of vectors in
-    * the query's bucket, reranked exactly. Recall grows with `tables`;
-    * cost per query is |bucket| × tables instead of |corpus|.
+    * the query's probed bucket(s), reranked exactly. Recall grows with
+    * `tables` (corpus-side cost: the index replicates per table) and with
+    * `hammingProbe` (query-side cost only: 1+nBits probes per table);
+    * cost per query is |bucket| × probes instead of |corpus|.
     *
     * Planned as ONE equi-join on (table, bucket): the corpus explodes its
     * per-table buckets once and the query's (table, bucket) probe set is
@@ -51,7 +70,8 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
-              nBits: Int = 12, tables: Int = 4): DataFrame = {
+              nBits: Int = 12, tables: Int = 4,
+              hammingProbe: Int = 0): DataFrame = {
     def bucketsOf(vec: Column): Column = array((0 until tables).map(t =>
       Vectors.hyperplaneBucket(vec, nBits, tableSeed = t)): _*)
     val corpusBuckets = corpus.select(col(idCol), col(vecCol),
@@ -59,7 +79,9 @@ object Similarity {
     val qBuckets = query
       .select(col(queryVecCol).as("__qvec"))
       .select(col("__qvec"),
-        posexplode(bucketsOf(col("__qvec"))).as(Seq("__table", "__bucket")))
+        posexplode(bucketsOf(col("__qvec"))).as(Seq("__table", "__b0")))
+      .select(col("__qvec"), col("__table"),
+        explode(probeSet(col("__b0"), nBits, hammingProbe)).as("__bucket"))
     corpusBuckets.join(broadcast(qBuckets), Seq("__table", "__bucket"))
       .dropDuplicates(idCol)
       .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
@@ -256,14 +278,22 @@ object Similarity {
     */
   def lshTopKFromIndex(spark: SparkSession, path: String, idCol: String,
                        vecCol: String, query: DataFrame, queryVecCol: String,
-                       k: Int): DataFrame = {
+                       k: Int, hammingProbe: Int = 0): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val (nBits, tables) = (meta.getInt(0), meta.getInt(1))
-    val probes: Seq[(Int, Long)] = query
+    val exact: Seq[(Int, Long)] = query
       .select(posexplode(array((0 until tables).map(t =>
         Vectors.hyperplaneBucket(col(queryVecCol), nBits, tableSeed = t)): _*))
         .as(Seq("__table", "__bucket")))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // multiprobe widens the probe LIST, not the index: hamming-1 flips are
+    // extra pruned partitions per table — (1+nBits)·tables directories,
+    // still bounded driver state
+    val probes: Seq[(Int, Long)] =
+      if (hammingProbe == 0) exact
+      else exact.flatMap { case (t, b) =>
+        (t, b) +: (0 until nBits).map(i => (t, b ^ (1L << i)))
+      }.distinct
     val pruned = probes.map { case (t, bkt) =>
       col("table") === t && col("bucket") === bkt
     }.reduce(_ || _) // → parquet PartitionFilters (partition cols only)

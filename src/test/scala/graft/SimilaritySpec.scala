@@ -47,6 +47,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._1 === 999L) // near-identical vector shares all buckets
   }
 
+  test("multiprobe LSH: candidate superset of exact probing, planted recall " +
+      "with a single table") {
+    // structural guarantee: hamming-1 probing only ADDS buckets, so its
+    // candidate set contains the exact-probe set (k large enough to see
+    // the full candidate pools)
+    val exact = Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 1000, nBits = 8, tables = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val multi = Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 1000, nBits = 8, tables = 2, hammingProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(exact.subsetOf(multi))
+    assert(multi.size >= exact.size)
+    // one table + multiprobe still finds the planted near-identical vector
+    val top = Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5, nBits = 8, tables = 1, hammingProbe = 1)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+
+    // the index-serving path agrees with the from-scratch multiprobe result
+    val dir = java.nio.file.Files.createTempDirectory("lshidx_mp").toString
+    Similarity.writeLshIndex(corpusDf, "vec_id", "embedding", dir,
+      nBits = 8, tables = 2)
+    val served = Similarity.lshTopKFromIndex(spark, dir, "vec_id", "embedding",
+        queryDf, "embedding", 1000, hammingProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(served === multi)
+  }
+
   test("IVF top-k recalls the planted neighbor through cell pruning") {
     val top = Similarity.ivfTopK(corpusDf, "vec_id", "embedding",
         queryDf, "embedding", 5, nlist = 16, nprobe = 4)
