@@ -152,6 +152,32 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // PII scrub — the standard redaction pass before a training-data
+    // release: emails / IPv4s / phone numbers replaced by placeholder
+    // tags, with per-kind audit counts. Patterns are written to parse
+    // identically in Java regex and RE2, so the whole chain is
+    // hash-checked against DuckDB (fixture text carries no PII — the
+    // oracle still proves the chain is value-preserving cross-engine;
+    // TextAnalysisSpec carries the positive fixtures).
+    "text_pii" -> ((s, d) => {
+      val counts = TextAnalysis.piiCounts(col("text"))
+        .map { case (name, c) => c.as(name) }
+      docs(s, d).select(
+          col("doc_id") +: TextAnalysis.redactPii(col("text")).as("redacted")
+            +: counts: _*)
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
+    // Gopher-style repetition signal: fraction of repeated word bigrams /
+    // trigrams per document — the boilerplate/spam filter signal. Narrow
+    // HOF expression; the DuckDB twin builds the same non-distinct n-gram
+    // stream with generate_series.
+    "text_repetition" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          round(TextAnalysis.repetitionRatio(col("text"), 2), 6).as("rep_bigram"),
+          round(TextAnalysis.repetitionRatio(col("text"), 3), 6).as("rep_trigram"))
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // per-document text statistics: token counts, ratios, quality score,
     // rolling-hash fingerprint — one narrow codegen'd pass
     "text_stats" -> ((s, d) =>
@@ -330,6 +356,53 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     // identical semantics to the window-function sessionization
     "q_stateful_sessions" -> Queries.oracles("q_sessionize"),
+    // PII redaction twin: identical pattern strings, identical nesting
+    // order (emails → IPs → dashed phones → digit runs); every construct
+    // parses the same in Java regex and RE2
+    "text_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\+?\d{9,15}', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) +
+        |  len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '', 'g'),
+        |    '\+?\d{9,15}')) AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // repetition twin: the same non-distinct n-gram stream built with
+    // generate_series (scalar form returns a LIST in DuckDB)
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_transform(generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i + 1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+        |      ELSE CAST([] AS VARCHAR[]) END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |    END, 6) AS rep_bigram,
+        |  round(CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |    END, 6) AS rep_trigram
+        |FROM g ORDER BY doc_id""".stripMargin,
     // deterministic marker-count heuristic — same tokenization as the Spark
     // side (lower+trim, \s+ split), same tie-break (declaration order wins
     // at equal score), CJK via RE2's \p{Han} (= Java's \p{IsHan})

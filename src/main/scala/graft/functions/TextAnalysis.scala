@@ -99,6 +99,61 @@ object TextAnalysis {
       .otherwise(pickLeft)
   }
 
+  /** PII regex patterns, shared by the Spark expression and the DuckDB
+    * oracle — every construct here ([...] classes, {m,n} repetition, \b,
+    * \d, alternation-free chains) parses IDENTICALLY in Java regex and
+    * RE2, which is what lets the redaction be hash-checked cross-engine.
+    * No lookbehind (RE2 lacks it), no \p classes (dialect-divergent).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneDashedRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val PhoneRunRe = "\\+?\\d{9,15}"
+
+  /** PII redaction: emails, IPv4 addresses and phone numbers replaced by
+    * placeholder tags — the standard scrub pass before training-data
+    * release. Order matters and is fixed: emails first (their digits must
+    * not be half-eaten by the phone patterns), then IPs (dot-separated
+    * short digit runs the dashed-phone pattern must not see), then phones.
+    * A chain of codegen'd regexp_replace — narrow, scan-speed.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneDashedRe, "<PHONE>"),
+      PhoneRunRe, "<PHONE>")
+
+  /** Count of PII matches per kind (pre-redaction), for audit rows. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_ips" -> regexp_count(text, lit(Ipv4Re)),
+    "n_phones" -> (regexp_count(text, lit(PhoneDashedRe)) +
+      regexp_count(regexp_replace(regexp_replace(text, EmailRe, ""),
+        PhoneDashedRe, ""), lit(PhoneRunRe))))
+
+  /** Fraction of REPEATED word n-grams: 1 − distinct/total over the
+    * non-distinct n-gram stream (0 when fewer than n words) — the
+    * Gopher-style repetition signal used to filter boilerplate/spam from
+    * training corpora. Empty tokens are filtered so the tokenization is
+    * identical to DuckDB's `string_split_regex` + `list_filter` (the
+    * oracle computes the same recurrence with `generate_series`).
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    val total = size(toks) - (n - 1)
+    // guard BEFORE building the sequence: sequence(1, x) with x <= 0 would
+    // generate a DESCENDING range, not an empty one; coalesce makes null
+    // text score 0.0 like the DuckDB twin's CASE does
+    when(coalesce(total, lit(-1)) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(
+        transform(sequence(lit(1), total),
+          i => array_join(slice(toks, i, lit(n)), " ")))).cast("double") / total)
+  }
+
   /** Polynomial rolling-hash fingerprint of the normalized text
     * (lowercased, whitespace collapsed): acc = (acc·131 + codepoint) mod
     * (1e9+7). Stable across engines — the same fold is expressible in any

@@ -63,6 +63,38 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(one[Long](TextAnalysis.fingerprint(col("t")), s) === acc)
   }
 
+  test("redactPii masks emails, IPs and phone numbers") {
+    def red(s: String) = one[String](TextAnalysis.redactPii(col("t")), s)
+    assert(red("mail a.b+c@ex-ample.org or call 555-123-4567 now") ===
+      "mail <EMAIL> or call <PHONE> now")
+    assert(red("from 10.0.0.1 dial +84912345678 end") ===
+      "from <IP> dial <PHONE> end")
+    assert(red("no pii here") === "no pii here")
+    assert(red("") === "")
+    // email digits must not be half-eaten by the phone patterns
+    assert(red("user123456789@host.com") === "<EMAIL>")
+  }
+
+  test("piiCounts tallies each kind pre-redaction") {
+    val s = "a@b.co and c@d.org from 10.0.0.1 call 555-123-4567 or +84912345678"
+    val counts = TextAnalysis.piiCounts(col("t"))
+      .map { case (n, c) => c.as(n) }
+    val r = Seq(s).toDF("t").select(counts: _*)
+      .as[(Int, Int, Int)].head()
+    assert(r === ((2, 1, 2)))
+  }
+
+  test("repetitionRatio flags repeated n-grams") {
+    def rep(s: String, n: Int) =
+      one[Double](TextAnalysis.repetitionRatio(col("t"), n), s)
+    // bigrams of "a b a b a b": [a b, b a, a b, b a, a b] → 2 distinct of 5
+    assert(math.abs(rep("a b a b a b", 2) - 0.6) < 1e-12)
+    assert(rep("x y z", 2) === 0.0) // both bigrams distinct
+    assert(rep("", 2) === 0.0)
+    assert(rep("one", 2) === 0.0) // fewer than n words
+    assert(rep("w w w w", 3) === 0.5) // [w w w, w w w] → 1 distinct of 2
+  }
+
   test("shingles and jaccard") {
     val sh = one[Seq[String]](TextAnalysis.shingles(col("t"), 3), "abcd")
     assert(sh === Seq("abc", "bcd"))
