@@ -178,6 +178,30 @@ object ExtQueries {
           round(TextAnalysis.repetitionRatio(col("text"), 3), 6).as("rep_trigram"))
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // deterministic per-stratum sampling — exactly `quota` docs per
+    // language, reproducibly: rank by a multiplicative-hash scramble of
+    // the id (plain integer arithmetic, so the oracle runs the SAME
+    // expression — rand() could never be cross-engine-checked)
+    "q_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedTake(docs(s, d), Seq("lang"),
+          "doc_id", quota = 20)
+        .select("doc_id", "lang")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // token-budget sequence packing — the last batch-prep step before an
+    // LLM data loader: shard-local window cumsum assigns each doc to the
+    // sequence its first token falls in; reported per (shard, sequence)
+    "q_token_packing" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .packByBudget(t, "shard", "doc_id", "n_tokens", budget = 512)
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("shard", "seq_id")
+    }),
+
     // per-document text statistics: token counts, ratios, quality score,
     // rolling-hash fingerprint — one narrow codegen'd pass
     "text_stats" -> ((s, d) =>
@@ -356,6 +380,31 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     // identical semantics to the window-function sessionization
     "q_stateful_sessions" -> Queries.oracles("q_sessionize"),
+    // deterministic sampling twin: the scramble is plain integer
+    // arithmetic, so the SAME ranking runs in both engines
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    // packing twin: identical shard-local cumsum; CASTs because DuckDB's
+    // windowed/grouped sums of BIGINT are HUGEINT (repr breaks the hash)
+    "q_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     // PII redaction twin: identical pattern strings, identical nesting
     // order (emails → IPs → dashed phones → digit runs); every construct
     // parses the same in Java regex and RE2

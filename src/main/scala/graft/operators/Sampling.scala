@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * `sample(fraction)` answers "give me roughly p% of everything"; corpus
+  * curation usually needs "give me exactly `quota` documents PER language /
+  * source / length bucket, reproducibly" — balanced strata, stable across
+  * reruns, auditable by any engine. The pseudo-random order here is a
+  * multiplicative-hash scramble of the id (Knuth's 2654435761 mod 2^32):
+  * plain integer arithmetic, so the DuckDB oracle runs the SAME expression
+  * — unlike `rand()`, which is engine- and partition-seeded.
+  *
+  * Scale shape: one window over a strata-keyed shuffle; only the per-row
+  * rank is materialized. Skewed strata are bounded by the quota itself (the
+  * window emits at most `quota` survivors per stratum after the filter).
+  */
+object Sampling {
+
+  /** The scrambled sort key: uncorrelated with id order, identical in any
+    * engine that has 64-bit integer arithmetic.
+    */
+  def scramble(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L))
+
+  /** Keep `quota` rows per stratum, chosen by scrambled-id order (ties on
+    * the raw id for total determinism).
+    */
+  def stratifiedTake(df: DataFrame, strataCols: Seq[String], idCol: String,
+                     quota: Int): DataFrame = {
+    require(quota > 0 && strataCols.nonEmpty)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(scramble(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Packing, Sampling}
+
+class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("stratifiedTake keeps exactly quota rows per stratum, deterministically") {
+    val df = (for (lang <- Seq("en", "de", "vi"); i <- 1 to 30)
+      yield (lang.hashCode.toLong * 100 + i, lang)).toDF("doc_id", "lang")
+    val s1 = Sampling.stratifiedTake(df, Seq("lang"), "doc_id", quota = 20)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("en" -> 20L, "de" -> 20L, "vi" -> 20L))
+    // small stratum: quota caps, never pads
+    val small = df.filter(col("lang") =!= "en" || col("doc_id") % 10 === 0)
+    val c2 = Sampling.stratifiedTake(small, Seq("lang"), "doc_id", 20)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(c2("en") === 3L && c2("de") === 20L)
+    // deterministic across runs and physical layouts
+    val a = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratifiedTake(df.repartition(7), Seq("lang"), "doc_id", 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // the scramble actually scrambles: the picked set is NOT the first-20
+    val en = s1.filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first20 = df.filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().sorted.take(20).toSeq
+    assert(en !== first20)
+  }
+
+  test("packByBudget assigns docs to the sequence their first token falls in") {
+    val df = Seq(
+      (1L, 0L, 300), (2L, 0L, 300), (3L, 0L, 300), // cum 300/600/900
+      (4L, 1L, 600), (5L, 1L, 10)                  // cum 600/610
+    ).toDF("doc_id", "shard", "n_tokens")
+    val packed = Packing.packByBudget(df, "shard", "doc_id", "n_tokens", 512)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    // shard 0: starts at 0, 300, 600 → seqs 0, 0, 1 (doc 2 straddles 512)
+    assert(packed(1L) === 0L && packed(2L) === 0L && packed(3L) === 1L)
+    // shard 1 packs independently: starts at 0, 600 → seqs 0, 1
+    assert(packed(4L) === 0L && packed(5L) === 1L)
+  }
+
+  test("packByBudget sequences average the budget over a long stream") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong % 4, 100)).toDF(
+      "doc_id", "shard", "n_tokens")
+    val seqs = Packing.packByBudget(df, "shard", "doc_id", "n_tokens", 512)
+      .groupBy("shard", "seq_id").agg(sum("n_tokens").as("toks"))
+      .as[(Long, Long, Long)].collect()
+    // 100-token docs, 512 budget → alternating 500/600-token sequences
+    // except the trailing partials; all within one doc of the budget
+    val full = seqs.filter(_._3 >= 500)
+    assert(full.forall(s => s._3 <= 600), seqs.mkString(","))
+    assert(full.nonEmpty)
+  }
+}
