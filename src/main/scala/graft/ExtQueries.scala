@@ -65,6 +65,22 @@ object ExtQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .transform(Queries.presentSorted(_, "id_a", "id_b"))),
 
+    // incremental dedup — the continuous-ingest shape: 80% of the docs
+    // play the indexed corpus (shingled ONCE, at index build), the other
+    // 20% play the arriving batch, deduped against the index by MinHash
+    // signature agreement without touching corpus text. Rows-only
+    // (hash-based); DedupSpec pins planted cross-batch duplicates.
+    "dedup_incremental" -> ((s, d) => {
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_minhash_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val corpus = docs(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx)
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx, threshold = 0.5)
+        .transform(Queries.presentSorted(_, "new_id", "corpus_id"))
+    }),
+
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)

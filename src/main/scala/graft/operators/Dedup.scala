@@ -227,6 +227,75 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Materialize the MinHash/LSH index of a corpus: one row per (band,
+    * band_hash) membership carrying the doc id and full signature, plus a
+    * parameter sidecar. An arriving batch then dedups against the corpus
+    * WITHOUT re-reading or re-shingling it ([[dedupAgainstIndex]]) — the
+    * continuous-ingest production shape: the corpus pays shingling once at
+    * index build, each daily batch pays only its own signatures. Appending
+    * the surviving batch's index rows (same schema) keeps the index
+    * current.
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, numHashes: Int = 32, bands: Int = 8,
+                        shingleK: Int = 5): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    import graft.functions.HashedShingles.hashedShingles
+    import graft.functions.MinhashSig.minhashSig
+    val sigs = df.select(col(idCol).cast("long").as("corpus_id"),
+        minhashSig(hashedShingles(col(textCol), shingleK), numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
+    sigs.select(col("corpus_id"), col("sig"),
+        posexplode(bandHashes).as(Seq("band", "band_hash")))
+      .write.mode("overwrite").parquet(s"$path/data")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingleK))
+      .toDF("num_hashes", "bands", "shingle_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Near-duplicate matches of an arriving batch against an indexed
+    * corpus: the batch's signatures are computed narrow (the only
+    * shingling in the query), band-joined against the stored band hashes,
+    * and decided by the MinHash signature-agreement ESTIMATE at
+    * `threshold` — the index stores signatures, not text, so the decision
+    * error is the estimator's ±1/√numHashes (exact verification, when
+    * needed, is a join back to the corpus table by `corpus_id`, which is
+    * the O(matches) minority). Returns (new_id, corpus_id, est_jaccard).
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                        path: String, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    import graft.functions.HashedShingles.hashedShingles
+    import graft.functions.MinhashSig.minhashSig
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (numHashes, bands, shingleK) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rows = numHashes / bands
+    val sigs = newDocs.select(col(idCol).cast("long").as("new_id"),
+        minhashSig(hashedShingles(col(textCol), shingleK), numHashes)
+          .as("sig_n"))
+      .where(col("sig_n").isNotNull)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(slice(col("sig_n"), b * rows + 1, rows), lit(b))): _*)
+    val banded = sigs.select(col("new_id"), col("sig_n"),
+      posexplode(bandHashes).as(Seq("band", "band_hash")))
+    val idx = spark.read.parquet(s"$path/data")
+    banded.join(idx, Seq("band", "band_hash"))
+      .dropDuplicates("new_id", "corpus_id") // multi-band hits decided once
+      .select(col("new_id"), col("corpus_id"),
+        round(aggregate(
+            zip_with(col("sig_n"), col("sig"),
+              (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+            lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
   /** Word n-gram Jaccard near-dup pairs with cheap length blocking:
     * candidate pairs share `blockCols` (e.g. lang + a length bucket), so the
     * join is an equi-join, not a cross product — the blocking key bounds the

@@ -87,6 +87,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(kept.contains(4L) && kept.contains(5L)) // unrelated docs survive
   }
 
+  test("incremental dedup: arriving batch matches the indexed corpus only") {
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val corpus = Seq((1L, base), (4L, other)).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+    // the batch: an exact copy of corpus doc 1, a near-dup of it, and a
+    // genuinely fresh doc — only the first two may match
+    val batch = Seq((101L, base), (102L, nearDup),
+      (103L, "fresh unrelated text about sailing boats on the open sea and "
+        + "long voyages across unknown waters toward distant island chains"))
+      .toDF("doc_id", "text")
+    val matches = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(matches.map(m => (m._1, m._2)).toSeq ===
+      Seq((101L, 1L), (102L, 1L)))
+    assert(matches.head._3 === 1.0) // exact copy ⇒ identical signature
+    // idempotence of the index read: same batch, same answer
+    val again = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir, 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq === matches.toSeq)
+  }
+
   test("ngram jaccard pairs with blocking") {
     val pairs = Dedup.ngramJaccardPairs(
         docs.withColumn("blk", lit(1)), "doc_id", "text",
