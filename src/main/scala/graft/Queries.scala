@@ -573,6 +573,20 @@ object Queries {
       sessionizeSessionWindow(t(s, d, "events"), "30 minutes")
         .transform(presentSorted(_, "user_id", "session_id"))),
 
+    // approximate-percentile sketch quality as a driver-visible row —
+    // same pattern as q_approx_distinct_error: approx vs exact median
+    // with relative error (accuracy 1000 ⇒ ~0.1% rank error); rows-only
+    // (the sketch is engine-specific)
+    "q_approx_percentile_error" -> ((s, d) =>
+      t(s, d, "orders").agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("approx_p50"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
+        .select(round(col("approx_p50"), 2).as("approx_p50"),
+          round(col("exact_p50"), 2).as("exact_p50"),
+          round(abs(col("approx_p50") - col("exact_p50"))
+            / col("exact_p50"), 6).as("rel_error"))),
+
     // HLL sketch quality as a driver-visible row: approximate distinct vs
     // exact, with the relative error the 2% rsd setting promises
     "q_approx_distinct_error" -> ((s, d) =>

@@ -236,9 +236,12 @@ object Dedup {
     * the surviving batch's index rows (same schema) keeps the index
     * current.
     */
-  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
-                        path: String, numHashes: Int = 32, bands: Int = 8,
-                        shingleK: Int = 5): Unit = {
+  /** The index rows for `df` under the given parameters: (corpus_id, sig,
+    * band, band_hash) — one narrow pass, shared by build and append.
+    */
+  private def minhashIndexRows(df: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int, bands: Int,
+                               shingleK: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     import graft.functions.HashedShingles.hashedShingles
@@ -249,13 +252,30 @@ object Dedup {
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)
     sigs.select(col("corpus_id"), col("sig"),
-        posexplode(bandHashes).as(Seq("band", "band_hash")))
+      posexplode(bandHashes).as(Seq("band", "band_hash")))
+  }
+
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, numHashes: Int = 32, bands: Int = 8,
+                        shingleK: Int = 5): Unit = {
+    minhashIndexRows(df, idCol, textCol, numHashes, bands, shingleK)
       .write.mode("overwrite").parquet(s"$path/data")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((numHashes, bands, shingleK))
       .toDF("num_hashes", "bands", "shingle_k")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append `df`'s index rows to an existing index (parameters read from
+    * the sidecar, so appended rows are always comparable to stored ones).
+    */
+  def appendMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                         path: String): Unit = {
+    val meta = df.sparkSession.read.parquet(s"$path/meta").collect().head
+    minhashIndexRows(df, idCol, textCol,
+        meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      .write.mode("append").parquet(s"$path/data")
   }
 
   /** Near-duplicate matches of an arriving batch against an indexed

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{CorpusPipeline, Watermark}
+
+/** The daily corpus-builder loop end to end: bootstrap, cross-batch dedup
+  * via the index, within-batch dedup, watermark advance, no-op rerun.
+  */
+class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old stone bridge " +
+    "while rain falls softly on the quiet village below the tall mountains"
+  private val nearDup = base.replace("quiet", "silent")
+  private val fresh2 =
+    "completely different content about database engines and distributed " +
+    "query processing with columnar storage formats and shuffle services"
+
+  test("two batches: near-dups of indexed docs are dropped, fresh docs land") {
+    val dir = Files.createTempDirectory("corpus")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val wm = dir.resolve("wm.json").toString
+    def pipeline = new CorpusPipeline(spark, src, corpus, idx, wm)
+
+    // batch 1: one doc + an exact within-batch copy → bootstrap keeps 1
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), base),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), base))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val r1 = pipeline.run()
+    assert(r1.rowsWritten === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+    assert(Watermark.read(wm).get.startsWith("2024-01-01 01"))
+
+    // batch 2: a near-dup of the INDEXED doc 1 plus a genuinely new doc —
+    // only the new doc may land, but the watermark covers both
+    Seq((3L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), nearDup),
+        (4L, java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), fresh2))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val r2 = pipeline.run()
+    assert(r2.rowsWritten === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 4L))
+    assert(Watermark.read(wm).get.startsWith("2024-01-02 01"))
+
+    // rerun with nothing new: C3 short-circuit
+    val r3 = pipeline.run()
+    assert(r3.rowsWritten === 0)
+    assert(spark.read.parquet(corpus).count() === 2)
+
+    // the index now answers for BOTH corpus generations
+    val probe = Seq((9L, fresh2)).toDF("doc_id", "text")
+    val hits = graft.operators.Dedup
+      .dedupAgainstIndex(probe, "doc_id", "text", idx, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(_._2).toSeq === Seq(4L))
+  }
+}
