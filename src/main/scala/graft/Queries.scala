@@ -573,6 +573,16 @@ object Queries {
       sessionizeSessionWindow(t(s, d, "events"), "30 minutes")
         .transform(presentSorted(_, "user_id", "session_id"))),
 
+    // Morton (z-order) code over two key dimensions — the clustering key
+    // behind multi-dimensional data skipping (ZOrder.clusteredWrite);
+    // pure bit arithmetic, so the DuckDB twin runs the same shifts and
+    // the value is hash-checked cross-engine
+    "q_zorder_value" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+          graft.sources.ZOrder.zValue(
+            Seq(col("o_custkey"), col("o_orderkey")), 8).as("z"))
+        .transform(presentSorted(_, "o_orderkey"))),
+
     // approximate-percentile sketch quality as a driver-visible row —
     // same pattern as q_approx_distinct_error: approx vs exact median
     // with relative error (accuracy 1000 ⇒ ~0.1% rank error); rows-only
@@ -711,7 +721,20 @@ object Queries {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** The z-order twin is GENERATED from the same bit-placement rule the
+    * Spark expression uses (bit i of column j → position i·ncols + j), so
+    * the two can't drift apart.
+    */
+  private val oracleZorder: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((((o_custkey & 255) >> $i) & 1) << ${2 * i})",
+      s"((((o_orderkey & 255) >> $i) & 1) << ${2 * i + 1})"))
+    s"""SELECT o_orderkey, (${terms.mkString(" | ")}) AS z
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_zorder_value" -> oracleZorder,
     "q_sessionize_native" -> oracleSessionize,
     "q_session_window" -> oracleSessionize,
     "q_grouping_sets" ->

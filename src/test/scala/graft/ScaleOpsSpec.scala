@@ -43,6 +43,75 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(assign === reassign)
   }
 
+  test("z-order: Morton code fixture + clustered files have tight bounding boxes") {
+    import graft.sources.ZOrder
+    // bits=2, a=1 (01b), b=2 (10b): a.0→pos0=1, b.0→pos1=0, a.1→pos2=0,
+    // b.1→pos3=1 ⇒ z = 1 + 8 = 9
+    val fix = Seq((1L, 2L)).toDF("a", "b")
+      .select(ZOrder.zValue(Seq(col("a"), col("b")), 2).as("z"))
+      .as[Long].head()
+    assert(fix === 9L)
+
+    // clustering: uniform 2-D grid written z-clustered into 8 files —
+    // every file's (a, b) bounding box must cover far less than the full
+    // domain (what row-group min-max skipping feeds on); a 1-D sort by
+    // `a` would leave each file's `b` range at the full domain
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    ZOrder.clusteredWrite(grid, dir, Seq("a", "b"), bits = 6, partitions = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 4)
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("a"), max("a"), min("b"), max("b")).collect().head
+      (r.getLong(1) - r.getLong(0) + 1) * (r.getLong(3) - r.getLong(2) + 1)
+    }
+    val domain = 64L * 64L
+    // average bounding-box area ≤ 40% of the domain (z-order quartering
+    // gives ~2 boxes of 1/8 + overlap slack; a 1-D `a`-sort gives ~100%
+    // per file because every file spans all of b)
+    assert(boxes.sum.toDouble / boxes.length <= 0.4 * domain,
+      boxes.mkString(","))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force a shuffle join (broadcast joins reuse the build side as a
+      // DPP-style filter instead) and drop the 10 GB scan-size floor so
+      // the fixture-scale fact side qualifies
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val sf = "/root/testdata/sf0.001"
+      val li = Tables.load(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+      val pt = Tables.load(spark, sf, "part")
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val j = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString.toLowerCase
+      // the selective dim side must inject a bloom filter into the fact scan
+      assert(optimized.contains("bloomfilter") || optimized.contains("bloom_filter"),
+        j.queryExecution.optimizedPlan.toString)
+      val n = j.count()
+      // value-preserving: same count with the filter disabled
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(li.join(pt, li("l_partkey") === pt("p_partkey")).count() === n)
+      assert(n > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("date-partitioned write prunes partitions at read (PartitionFilters)") {
     val dir = java.nio.file.Files.createTempDirectory("pruned").toString
     val df = (1 to 1000).map { i =>
