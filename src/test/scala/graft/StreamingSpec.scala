@@ -39,6 +39,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("event-time timeout closes idle sessions when the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulSessions
+    import StatefulSessions.Event
+    import java.time.LocalDateTime
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StatefulSessions.StreamEvent]
+    def ev(user: Long, id: Long, time: String) =
+      StatefulSessions.StreamEvent(user, id,
+        java.sql.Timestamp.valueOf(time.replace('T', ' ')), 1.0)
+
+    val q = StatefulSessions.sessionizeStreaming(stream.toDS(),
+        gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("timeout_sessions")
+      .start()
+    try {
+      // user 7's session ends at 10:05; nothing else happens for user 7
+      stream.addData(ev(7L, 1L, "2024-01-01T10:00:00"),
+        ev(7L, 2L, "2024-01-01T10:05:00"))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").count() === 0) // still open
+      // a DIFFERENT user's event drives the watermark past 10:05 + gap —
+      // user 7's session must close with NO further user-7 event
+      // (one batch advances the watermark, the next applies the timeout)
+      stream.addData(ev(8L, 3L, "2024-01-01T11:00:00"))
+      q.processAllAvailable()
+      stream.addData(ev(8L, 4L, "2024-01-01T11:01:00"))
+      q.processAllAvailable()
+      val closed = spark.table("timeout_sessions")
+        .as[StatefulSessions.SessionOut].collect()
+        .map(s => (s.user_id, s.session_id, s.n_events, s.duration_us)).toSeq
+      assert(closed === Seq((7L, 1L, 2L, 300000000L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization handles one heavy user in batch mode " +
       "(documented bounded-sessions contract)") {
     import spark.implicits._
