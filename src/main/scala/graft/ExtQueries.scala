@@ -81,6 +81,34 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "new_id", "corpus_id"))
     }),
 
+    // recall of the estimate-decided incremental path vs the exact
+    // batch×corpus Jaccard ground truth (length-bound-pruned, like
+    // dedup_minhash_recall) — quantifies what deciding on the MinHash
+    // ESTIMATE (no text re-fetch) costs at the threshold boundary
+    "dedup_incremental_recall" -> ((s, d) => {
+      import graft.functions.HashedShingles.hashedShingles
+      val t = 0.5
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_minhash_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val corpus = docs(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+      val shC = corpus.select(col("doc_id").as("corpus_id"),
+        hashedShingles(col("text"), 5).as("sh_c"))
+      val shB = batch.select(col("doc_id").as("new_id"),
+        hashedShingles(col("text"), 5).as("sh_b"))
+      val truth = shB.crossJoin(shC)
+        .where(size(col("sh_c")) * t <= size(col("sh_b")) &&
+          size(col("sh_b")) * t <= size(col("sh_c")))
+        .where(graft.functions.LongArrayJaccard
+          .jaccardLong(col("sh_b"), col("sh_c")) >= t)
+        .select("new_id", "corpus_id")
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", idx)
+      recallOf(truth,
+        Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx, t),
+        Seq("new_id", "corpus_id"))
+    }),
+
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
