@@ -141,6 +141,21 @@ object ExtQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // per-group embedding centroids (mean pooling) — class prototypes /
+    // cluster centers, the embedding-pipeline aggregation: (group, dim)-
+    // keyed scalar shuffle exactly like IVF's Lloyd step, summarized per
+    // group by deterministic scalars (norm + sum, rounded) so the double
+    // hash is stable under partial-aggregation order
+    "q_emb_centroid" -> ((s, d) =>
+      embs(s, d).select(pmod(col("vec_id"), lit(4)).as("grp"),
+          posexplode(Vectors.toDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy("grp", "dim").agg(avg("x").as("m"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_dims"),
+          round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+          round(sum(col("m")), 6).as("centroid_sum"))
+        .orderBy("grp")),
+
     // exact embedding near-dup pairs — the SMALL ORACLE TWIN (full pair
     // space, hash-checked against DuckDB); the scale path is
     // emb_neardup_blocked below, whose recall this exact form measures
@@ -424,6 +439,18 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     // identical semantics to the window-function sessionization
     "q_stateful_sessions" -> Queries.oracles("q_sessionize"),
+    // centroid twin: 1-based generate_series vs Spark's 0-based posexplode
+    // — the dim index only groups, never surfaces, so the offset is moot
+    "q_emb_centroid" ->
+      """WITH e AS (
+        |  SELECT vec_id % 4 AS grp, i AS dim, embedding[i] AS x
+        |  FROM embeddings,
+        |    LATERAL unnest(generate_series(1, len(embedding))) AS t(i)),
+        |m AS (SELECT grp, dim, avg(x) AS m FROM e GROUP BY grp, dim)
+        |SELECT grp, count(*) AS n_dims,
+        |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
+        |  round(sum(m), 6) AS centroid_sum
+        |FROM m GROUP BY grp ORDER BY grp""".stripMargin,
     // deterministic sampling twin: the scramble is plain integer
     // arithmetic, so the SAME ranking runs in both engines
     "q_stratified_sample" ->

@@ -286,6 +286,10 @@ object Dedup {
     * error is the estimator's ±1/√numHashes (exact verification, when
     * needed, is a join back to the corpus table by `corpus_id`, which is
     * the O(matches) minority). Returns (new_id, corpus_id, est_jaccard).
+    * A recall-leaning gate (dropping a true dup is worse than keeping a
+    * borderline one) should pass `threshold − 1.5/√numHashes` — the same
+    * ≈3σ margin [[minhashLsh]]'s prefilter uses; `dedup_incremental_recall`
+    * reports what the unmargined decision costs on real data.
     */
   def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
                         path: String, threshold: Double): DataFrame = {

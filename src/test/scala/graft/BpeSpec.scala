@@ -40,6 +40,16 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(m1.merges.take(2) === Seq(("c", "b"), ("a", "b")))
   }
 
+  test("degenerate corpora: empty corpus and single-char vocab train safely") {
+    val empty = Seq.empty[String].toDF("text")
+    assert(Bpe.train(empty, "text", numMerges = 10).merges === Seq.empty)
+    // a vocab with no adjacent pairs (all 1-char words) exhausts at 0 merges
+    val chars = Seq("a b c", "a c").toDF("text")
+    val m = Bpe.train(chars, "text", numMerges = 10)
+    assert(m.merges === Seq.empty)
+    assert(m.encode("abc") === Seq("a", "b", "c"))
+  }
+
   test("encodeDocs: distributed encode matches driver-side encode") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text").limit(50).cache()
