@@ -28,6 +28,12 @@ final case class BatchResult(rowsWritten: Long, newWatermark: Option[String])
   *   window — bug B4; SURVEY.md §7.4.4). NOTE the sink schema then carries
   *   the extra `__batch_id` partition column — readers that must see the
   *   append-mode schema should `.drop("__batch_id")` after load.
+  * @param readOptions options for the source read. An EVOLVING source
+  *   (batches gaining columns) needs `mergeSchema=true` here: a plain
+  *   parquet read infers the schema from an arbitrary file of the mix, so
+  *   whether new columns surface would be nondeterministic. With merge,
+  *   widened batches flow through and pre-widening sink rows read back as
+  *   null in the new columns (pair with `mergeSchema` on the sink read).
   */
 class IncrementalBatch(
     spark: SparkSession,
@@ -36,11 +42,12 @@ class IncrementalBatch(
     watermarkPath: String,
     tsCol: String,
     transform: DataFrame => DataFrame = identity,
-    idempotentSink: Boolean = false) {
+    idempotentSink: Boolean = false,
+    readOptions: Map[String, String] = Map.empty) {
 
   /** Run one incremental batch; returns rows written and the watermark. */
   def run(): BatchResult = {
-    val src = spark.read.parquet(sourcePath)
+    val src = spark.read.options(readOptions).parquet(sourcePath)
     val wm = Watermark.read(watermarkPath)
     val fresh = wm match {
       case Some(ts) => src.filter(col(tsCol) > lit(ts).cast(src.schema(tsCol).dataType))

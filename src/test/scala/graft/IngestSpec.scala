@@ -72,6 +72,31 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(Watermark.read(wm).get.startsWith("2024-01-05"))
   }
 
+  test("schema evolution: a widened source batch flows through with mergeSchema") {
+    val dir = Files.createTempDirectory("ingest_evolve")
+    val src = dir.resolve("src").toString
+    val sink = dir.resolve("sink").toString
+    val wm = dir.resolve("wm.json").toString
+    def pipeline = new IncrementalBatch(spark, src, sink, wm, "ts",
+      readOptions = Map("mergeSchema" -> "true"))
+
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "e1"))
+      .toDF("id", "ts", "name").write.mode("append").parquet(src)
+    assert(pipeline.run().rowsWritten === 1)
+
+    // the next batch gains a column — it must land, and the pre-widening
+    // sink rows must read back as null in it
+    Seq((2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "e2", 9.5))
+      .toDF("id", "ts", "name", "score").write.mode("append").parquet(src)
+    assert(pipeline.run().rowsWritten === 1)
+
+    val out = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert(out.columns.toSet === Set("id", "ts", "name", "score"))
+    val scores = out.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(scores === Map(1L -> None, 2L -> Some(9.5)))
+  }
+
   test("transform that filters out every fresh row still advances the watermark") {
     // the exact regression the pre-transform probe fixed: processed-but-
     // filtered rows must advance the watermark, or they are re-scanned on

@@ -128,6 +128,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(read.count() === (1 to 1000).count(i => i % 28 + 1 == 5))
   }
 
+  test("compaction merges small files without changing the data") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("compact")
+      .resolve("t").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+    df.repartition(64).write.mode("overwrite").parquet(dir)
+    val checksum = spark.read.parquet(dir)
+      .agg(sum("id"), count(lit(1))).collect().head
+    val (before, after) = Compaction.compact(spark, dir, targetBytes = 256 * 1024)
+    assert(before === 64)
+    assert(after < before, s"$before -> $after")
+    val post = spark.read.parquet(dir).agg(sum("id"), count(lit(1))).collect().head
+    assert(post === checksum)
+  }
+
   test("bucketed equi-join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
