@@ -24,6 +24,44 @@ import graft.operators.Dedup
   * against its own indexed rows and drops it as duplicate instead of
   * double-appending.
   */
+object CorpusPipeline {
+
+  private def indexExists(indexPath: String): Boolean =
+    new java.io.File(s"$indexPath/meta").exists()
+
+  /** The dedup-and-append gate shared by the batch loop and the streaming
+    * wrapper ([[graft.streaming.CorpusStream]]): drop docs near-duplicating
+    * the indexed corpus, drop within-batch near-dups, append survivors to
+    * corpus AND index. Returns the number of docs appended.
+    */
+  def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
+                     idCol: String, textCol: String,
+                     threshold: Double): Long = {
+    val vsCorpus =
+      if (!indexExists(indexPath)) batch
+      else {
+        val dupIds = Dedup
+          .dedupAgainstIndex(batch, idCol, textCol, indexPath, threshold)
+          .select(col("new_id").as(idCol)).distinct()
+        batch.join(dupIds, Seq(idCol), "left_anti")
+      }
+    val survivors = Dedup.dropNearDuplicates(vsCorpus, idCol, textCol,
+      threshold = threshold, persistIntermediates = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = survivors.count()
+      if (appended > 0) {
+        survivors.write.mode("append").parquet(corpusPath)
+        if (indexExists(indexPath))
+          Dedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
+        else
+          Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
+      }
+      appended
+    } finally survivors.unpersist(false)
+  }
+}
+
 class CorpusPipeline(
     spark: SparkSession,
     sourcePath: String,
@@ -34,9 +72,6 @@ class CorpusPipeline(
     idCol: String = "doc_id",
     textCol: String = "text",
     threshold: Double = 0.8) {
-
-  private def indexExists: Boolean =
-    new java.io.File(s"$indexPath/meta").exists()
 
   /** Run one batch; returns (docs appended, new watermark). */
   def run(): BatchResult = {
@@ -50,34 +85,12 @@ class CorpusPipeline(
     if (fresh.limit(1).isEmpty) return BatchResult(0L, wm)
     val maxTs = fresh.agg(max(col(tsCol))).collect().head.get(0)
 
-    // gate 1: docs near-duplicating the EXISTING corpus (index join only)
-    val vsCorpus =
-      if (!indexExists) fresh
-      else {
-        val dupIds = Dedup
-          .dedupAgainstIndex(fresh, idCol, textCol, indexPath, threshold)
-          .select(col("new_id").as(idCol)).distinct()
-        fresh.join(dupIds, Seq(idCol), "left_anti")
-      }
-    // gate 2: within-batch near-dups (batch-local LSH; batches are small
-    // next to the corpus, so the lazy non-persisted form is right here)
-    val survivors = Dedup.dropNearDuplicates(vsCorpus, idCol, textCol,
-      threshold = threshold, persistIntermediates = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val appended = survivors.count()
-      if (appended > 0) {
-        survivors.write.mode("append").parquet(corpusPath)
-        if (indexExists)
-          Dedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
-        else
-          Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
-      }
-      // watermark covers the WHOLE fresh batch (dropped dups were
-      // processed — reprocessing them forever would be the bug), and only
-      // moves after the appends committed
-      Watermark.write(watermarkPath, maxTs.toString)
-      BatchResult(appended, Some(maxTs.toString))
-    } finally survivors.unpersist(false)
+    val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
+      indexPath, idCol, textCol, threshold)
+    // watermark covers the WHOLE fresh batch (dropped dups were
+    // processed — reprocessing them forever would be the bug), and only
+    // moves after the appends committed
+    Watermark.write(watermarkPath, maxTs.toString)
+    BatchResult(appended, Some(maxTs.toString))
   }
 }

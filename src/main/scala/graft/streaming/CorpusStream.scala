@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.ingest.CorpusPipeline
+
+/** Streaming form of the corpus-builder loop: Structured Streaming's file
+  * source supplies incremental discovery and checkpointed exactly-once
+  * batch tracking (replacing [[graft.ingest.Watermark]]'s sidecar), and
+  * each micro-batch flows through the SAME dedup-and-append gate as the
+  * batch pipeline ([[CorpusPipeline.dedupAndAppend]]) via `foreachBatch`.
+  *
+  * `foreachBatch` is the right tool here — the gate does multi-sink work
+  * (corpus + index appends) and joins against out-of-stream state (the
+  * index), neither of which a plain streaming sink can express. Restarting
+  * from the checkpoint resumes at the first unprocessed source file; a
+  * batch replayed after a mid-gate crash re-matches its already-indexed
+  * rows and drops them, the same retry story as the batch loop.
+  */
+object CorpusStream {
+
+  def start(spark: SparkSession, sourceDir: String, schema: StructType,
+            corpusPath: String, indexPath: String, checkpoint: String,
+            idCol: String = "doc_id", textCol: String = "text",
+            threshold: Double = 0.8): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
+          idCol, textCol, threshold)
+        ()
+      }
+      .start()
+}

@@ -60,4 +60,37 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double)].collect()
     assert(hits.map(_._2).toSeq === Seq(4L))
   }
+
+  test("streaming corpus: checkpointed file stream drives the same gate") {
+    import graft.streaming.CorpusStream
+    val dir = Files.createTempDirectory("corpus_stream")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def runOnce(): Unit = {
+      val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt)
+      q.awaitTermination() // AvailableNow drains the backlog and stops
+    }
+
+    // wave 1: doc + within-batch exact copy → one lands
+    Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+
+    // wave 2: near-dup of the indexed doc + a fresh doc → fresh only;
+    // the checkpoint must NOT reprocess wave 1's files
+    Seq((3L, nearDup), (4L, fresh2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 4L))
+
+    // rerun with no new files: checkpointed no-op
+    runOnce()
+    assert(spark.read.parquet(corpus).count() === 2)
+  }
 }
