@@ -573,6 +573,22 @@ object Queries {
       sessionizeSessionWindow(t(s, d, "events"), "30 minutes")
         .transform(presentSorted(_, "user_id", "session_id"))),
 
+    // TPC-H Q13 shape — the canonical LEFT OUTER JOIN: customers with
+    // zero orders survive the join as null rows, count(o_orderkey) skips
+    // nulls so they score 0, and the second aggregation histograms the
+    // distribution. Covers the outer-join family the rest of the suite's
+    // inner/semi/anti joins don't.
+    "q13_custdist" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"))
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // Morton (z-order) code over two key dimensions — the clustering key
     // behind multi-dimensional data skipping (ZOrder.clusteredWrite);
     // pure bit arithmetic, so the DuckDB twin runs the same shifts and
@@ -734,6 +750,12 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_zorder_value" -> oracleZorder,
     "q_sessionize_native" -> oracleSessionize,
     "q_session_window" -> oracleSessionize,
