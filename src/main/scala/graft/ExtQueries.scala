@@ -299,6 +299,21 @@ object ExtQueries {
             .as("n_frames"))
         .orderBy("media_id")),
 
+    // media → features → similarity, composed end to end: decode the
+    // binary payloads into feature vectors (stubbed codec, real plumbing)
+    // and run exact ANN over them — the cross-modal retrieval shape.
+    // Rows-only (FakeCodec features are engine-local by construction).
+    "mm_ann" -> ((s, d) => {
+      val media = docs(s, d).select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"))
+      val decoded = Multimodal.decode(media, new Multimodal.FakeCodec(16))
+        .toDF().select(col("media_id"), col("features"))
+      Similarity.bruteForceTopK(
+          decoded.filter(col("media_id") =!= 0), "media_id", "features",
+          decoded.filter(col("media_id") === 0), "features", 10)
+        .select(col("media_id"), round(col("score"), 6).as("score"))
+    }),
+
     // IVF ANN — Voronoi-cell pruning around k-means-refined centroids
     // (2 Lloyd iterations over the fixture corpus; at scale train on a
     // sample). Rows-only: approximate by design; ann_ivf_recall reports

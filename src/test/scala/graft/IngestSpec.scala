@@ -97,6 +97,27 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(scores === Map(1L -> None, 2L -> Some(9.5)))
   }
 
+  test("ignoreCorruptFiles: a garbage file in the source doesn't kill the batch") {
+    val dir = Files.createTempDirectory("ingest_corrupt")
+    val src = dir.resolve("src")
+    val sink = dir.resolve("sink").toString
+    val wm = dir.resolve("wm.json").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "e1"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "e2"))
+      .toDF("id", "ts", "name").write.mode("append").parquet(src.toString)
+    // a truncated/garbage file alongside the real ones — the standard
+    // "upstream writer died mid-file" failure
+    Files.write(src.resolve("part-corrupt.parquet"),
+      "this is not a parquet file".getBytes)
+
+    val pipeline = new IncrementalBatch(spark, src.toString, sink, wm, "ts",
+      readOptions = Map("ignoreCorruptFiles" -> "true"))
+    val r = pipeline.run()
+    assert(r.rowsWritten === 2)
+    assert(spark.read.parquet(sink).count() === 2)
+    assert(Watermark.read(wm).get.startsWith("2024-01-02"))
+  }
+
   test("transform that filters out every fresh row still advances the watermark") {
     // the exact regression the pre-transform probe fixed: processed-but-
     // filtered rows must advance the watermark, or they are re-scanned on
