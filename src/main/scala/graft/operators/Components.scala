@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an edge list — the step that turns
+  * pairwise near-duplicate hits (MinHash/SimHash/embedding pairs) into
+  * duplicate CLUSTERS. Pairwise dedup alone under-deletes: for a chain
+  * a~b, b~c with no direct a~c pair, the right corpus-cleaning decision is
+  * one survivor for {a, b, c}, which is exactly min-per-component.
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its own
+  * id; each round every node takes the min of its own and its neighbors'
+  * labels; converged when no label changed. Each round is one shuffle join
+  * of the (node, label) table against the edge list plus one min-aggregate —
+  * both keyed on node id, so the two tables can share a partitioning. Rounds
+  * needed = graph diameter, which for near-duplicate graphs is small (dup
+  * clusters are dense — most are cliques from a common ancestor document).
+  * For adversarially deep graphs the alternating large-star/small-star
+  * scheme (Kiveris et al., "Connected Components in MapReduce and Beyond")
+  * converges in O(log² n) rounds at the cost of rewriting the edge list each
+  * round; the label-propagation form is the right default for dedup graphs.
+  *
+  * Each round materializes the label table via eager `localCheckpoint` —
+  * without truncation the plan doubles per iteration and Catalyst analysis
+  * itself becomes the bottleneck. The label table is O(nodes-in-pairs) —
+  * the duplicate minority, not the corpus. Same executor-loss caveat as
+  * [[Dedup.minhashLsh]]'s eager path: on clusters with executor churn,
+  * write the final labels to durable storage promptly or swap the
+  * `localCheckpoint` for a reliable `checkpoint`.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by `pairs`
+    * (`srcCol`, `dstCol` node ids, castable to long). Returns one row per
+    * distinct node appearing in any pair: (id, component) where `component`
+    * is the smallest node id reachable from `id`. Nodes with no edges are
+    * not emitted (they are their own singleton components by definition —
+    * callers left-join and coalesce to the id itself).
+    *
+    * `maxIters` bounds the driver loop; propagation needs `diameter` rounds,
+    * so hitting the bound means labels may not have fully converged — the
+    * safety valve throws rather than returning silently-wrong clusters.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // undirected: propagate along both directions of every edge
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // the best label reachable in one hop: min over in-neighbors
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy("src").agg(min("component").as("nbr_min"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"),
+          (coalesce(col("nbr_min"), col("component"))
+            < col("component")).as("changed"))
+        .localCheckpoint(true) // truncate per-round lineage growth
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select("id", "component")
+      iter += 1
+    }
+    sym.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(graph diameter exceeds the bound); raise maxIters")
+    labels
+  }
+
+  /** Transitive corpus cleaning: one survivor (the lowest id) per connected
+    * component of the near-duplicate graph, instead of [[Dedup]]'s greedy
+    * drop-the-right-side-of-every-pair. `pairs` must carry `idA`/`idB`
+    * columns with ids from `df(idCol)`.
+    */
+  def keepComponentMinima(df: DataFrame, idCol: String,
+                          pairs: DataFrame, idA: String, idB: String,
+                          maxIters: Int = 25): DataFrame = {
+    val comp = connectedComponents(pairs, idA, idB, maxIters)
+    val losers = comp.where(col("id") =!= col("component"))
+      .select(col("id").cast("long").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}
