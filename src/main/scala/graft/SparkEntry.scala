@@ -28,6 +28,15 @@ object SparkEntry {
   /** Headline subset timed by [[Bench]] — the queries whose plans exercise
     * the scale-critical paths (shuffle agg, joins, window, top-k, dedup,
     * ANN) without the O(n²)-by-design pair generators dominating wall time.
+    * The first 20 names are FROZEN (round-over-round comparability);
+    * `dedup_clean_transitive` was appended in round 7 to time the engine's
+    * only iterative-join operator (connectedComponents' per-round
+    * localCheckpoint cost — the number that predicts 100× behavior) in its
+    * scale composition: MinHash-LSH pairs → components → anti-join.
+    * `dedup_components` itself is deliberately NOT here: its pair source is
+    * the O(n²)-by-design ngram verify (the oracle anchor), which drowns the
+    * iteration being measured — measured at sf0.1: ~7-13 s of quadratic
+    * pair verify vs ~1-3 s of iteration.
     */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
@@ -36,5 +45,6 @@ object SparkEntry {
     "q_asof_join", "q_range_join", "q_sessionize", "q_sessionize_native",
     "q_salted_join",
     "dedup_exact", "dedup_minhash", "text_stats", "ann_bruteforce",
-    "ann_lsh")
+    "ann_lsh",
+    "dedup_clean_transitive")
 }

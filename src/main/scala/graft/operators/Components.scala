@@ -24,7 +24,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Each round materializes the label table via eager `localCheckpoint` —
   * without truncation the plan doubles per iteration and Catalyst analysis
-  * itself becomes the bottleneck. The label table is O(nodes-in-pairs) —
+  * itself becomes the bottleneck. Only the CURRENT round's checkpoint stays
+  * pinned: each round releases the previous round's blocks, so peak
+  * executor storage is one label table (plus the edge list), not one per
+  * iteration. The label table is O(nodes-in-pairs) —
   * the duplicate minority, not the corpus. Same executor-loss caveat as
   * [[Dedup.minhashLsh]]'s eager path: on clusters with executor churn,
   * write the final labels to durable storage promptly or swap the
@@ -42,6 +45,11 @@ object Components {
     * `maxIters` bounds the driver loop; propagation needs `diameter` rounds,
     * so hitting the bound means labels may not have fully converged — the
     * safety valve throws rather than returning silently-wrong clusters.
+    *
+    * The returned frame is backed by the FINAL round's checkpoint blocks
+    * (all earlier rounds are released inside the loop); callers that fully
+    * consume it may release those too via
+    * [[org.apache.spark.sql.GraftBridge.unpersistCheckpoint]].
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25): DataFrame = {
@@ -54,6 +62,7 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
+    var prevRound: DataFrame = null // last round's checkpoint, to release
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -71,6 +80,13 @@ object Components {
         .localCheckpoint(true) // truncate per-round lineage growth
       converged = next.where(col("changed")).isEmpty
       labels = next.select("id", "component")
+      // `next` is eagerly materialized, so the previous round's blocks can
+      // never be read again — release them now or the loop pins one full
+      // label-table copy per iteration (checkpoint blocks bypass the
+      // CacheManager, so Dataset.unpersist cannot reach them)
+      if (prevRound != null)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prevRound)
+      prevRound = next
       iter += 1
     }
     sym.unpersist(false)

@@ -55,6 +55,42 @@ object Multimodal {
     }
   }
 
+  /** A REAL (if minimal) codec: parses the BMP container format — 'BM'
+    * magic, little-endian BITMAPINFOHEADER fields (pixel-data offset at
+    * byte 10, width at 18, height at 22 [negative = top-down], bits-per-
+    * pixel at 28) — pure JDK, no native libraries. Features are the same
+    * rolling byte histogram as [[FakeCodec]], computed over the PIXEL DATA
+    * only (header excluded), so two images differing only in header
+    * padding embed identically. Proves the `Codec` seam carries an actual
+    * byte format end to end; swap in a JNI/javacpp decoder for JPEG/PNG
+    * the same way.
+    */
+  class BmpCodec(val featureDim: Int = 16) extends Codec {
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    def decode(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
+      require(bytes != null && bytes.length >= 54 &&
+        bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        "not a BMP payload (missing BM magic / header)")
+      val pixelOff = le32(bytes, 10)
+      require(pixelOff >= 54 && pixelOff <= bytes.length,
+        s"BMP pixel-data offset $pixelOff out of range")
+      val meta = MediaMeta(format = "bmp",
+        width = le32(bytes, 18), height = math.abs(le32(bytes, 22)),
+        nChannels = le16(bytes, 28) / 8, nBytes = bytes.length.toLong)
+      val feat = new Array[Float](featureDim)
+      var i = pixelOff
+      while (i < bytes.length) {
+        feat((i - pixelOff) % featureDim) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      (meta, feat)
+    }
+  }
+
   /** Decode a binary media column into (meta struct, feature vector),
     * batch-iterating per partition. Input df must have `media_id`/`content`.
     */

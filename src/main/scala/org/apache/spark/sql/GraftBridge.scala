@@ -22,4 +22,18 @@ object GraftBridge {
   /** The analyzed logical plan of a DataFrame (child for custom nodes). */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Release the executor blocks pinned by a (local)checkpointed DataFrame.
+    * `Dataset.unpersist` only talks to the CacheManager; checkpoint blocks
+    * are persisted directly on the underlying RDD, so iterative operators
+    * that checkpoint per round must drop the previous round's blocks here
+    * or accumulate one full label-table copy per iteration. Only call once
+    * the data is provably never read again — a truncated-lineage RDD cannot
+    * recompute its blocks.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

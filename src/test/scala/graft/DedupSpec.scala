@@ -109,6 +109,44 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(again.toSeq === matches.toSeq)
   }
 
+  test("connected components: chain labels converge, storage stays bounded") {
+    import graft.operators.Components
+    // 4-diameter chain (needs ≥4 propagation rounds) + a separate 2-clique
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    val got = comp.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // leak check: each round localCheckpoints a label table; only the
+    // FINAL round's may stay pinned (the loop releases every earlier one).
+    // Before the round-7 fix a 5-round run left 5 label RDDs persisted.
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"checkpoint leak: $before persisted RDDs before, $after after")
+    // ... and the survivor is still readable after the loop's unpersists
+    assert(comp.count() === 7)
+  }
+
+  test("transitive cleaning: one survivor per component where greedy keeps two") {
+    import graft.operators.Components
+    // star-shaped cluster: 1~3 and 2~3 verified, but the 1~2 edge is
+    // MISSING from the pair list (below threshold). Greedy pair-dropping
+    // (drop the id_b side, what dropNearDuplicates does) removes only {3}
+    // and keeps BOTH 1 and 2; component-wise cleaning keeps the component
+    // minimum alone.
+    val df = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val transitive = Components
+      .keepComponentMinima(df, "doc_id", pairs, "id_a", "id_b")
+      .as[Long].collect().toSet
+    assert(transitive === Set(1L, 4L))
+    val greedyKept = Set(1L, 2L, 3L, 4L) --
+      pairs.select("id_b").as[Long].collect().toSet // = {1, 2, 4}
+    assert(greedyKept.size === transitive.size + 1)
+  }
+
   test("ngram jaccard pairs with blocking") {
     val pairs = Dedup.ngramJaccardPairs(
         docs.withColumn("blk", lit(1)), "doc_id", "text",

@@ -23,6 +23,34 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(out.head.features(0) - 13 * expected) < 1e-4)
   }
 
+  test("BMP codec: parses a real 2x2 24-bit bitmap, rejects non-BMP") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 2×2 24bpp pixel data: rows padded to 4-byte boundaries (6 → 8 bytes)
+    val px = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, // row 0: blue, green, pad
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte, 0, 0) // red, white
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + px.length) ++
+      le16(0) ++ le16(0) ++ le32(54) ++ // file header: size, reserved, offset
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ // DIB: w,h,bpp
+      le32(0) ++ le32(px.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ px
+    val df = Seq((1L, bmp)).toDF("media_id", "content")
+    val out = Multimodal.decode(df, new Multimodal.BmpCodec(4))
+      .collect().head
+    assert(out.meta.format === "bmp")
+    assert(out.meta.width === 2 && out.meta.height === 2)
+    assert(out.meta.nChannels === 3 && out.meta.nBytes === bmp.length.toLong)
+    // features histogram covers the PIXEL bytes only, header excluded
+    assert(out.features.length === 4)
+    assert(math.abs(out.features.sum -
+      px.map(b => (b & 0xFF) / 255.0f).sum) < 1e-4)
+    intercept[IllegalArgumentException] {
+      new Multimodal.BmpCodec(4).decode("not a bitmap at all".getBytes)
+    }
+  }
+
   test("frame sampling: every stride-th frame, empty when undersized") {
     val n = media.select(col("media_id"),
         size(Multimodal.sampleFrames(col("content"), 32, 2)).as("n"))

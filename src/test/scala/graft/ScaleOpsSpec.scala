@@ -169,4 +169,66 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
     }
   }
+
+  test("keepLatest: version wins, update wins ties, nulls never displace") {
+    import graft.operators.Merge
+    val base = Seq((1L, Option(1L), "b1"), (2L, Option(5L), "b2"),
+      (3L, Option.empty[Long], "b3"), (5L, Option(9L), "b5"))
+      .toDF("k", "v", "payload")
+    val updates = Seq((1L, Option(2L), "u1"), (2L, Option(5L), "u2"),
+      (3L, Option.empty[Long], "u3"),
+      (4L, Option(7L), "u4a"), (4L, Option(7L), "u4b"), // intra-batch dup
+      (5L, Option.empty[Long], "u5")) // versionless vs versioned base
+      .toDF("k", "v", "payload")
+    val out = Merge.keepLatest(base, updates, Seq("k"), "v")
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out(0)._3 === "u1") // higher version beats base
+    assert(out(1)._3 === "u2") // equal version: update preferred
+    assert(out(2)._3 === "u3") // both null: update preferred (src desc)
+    assert(Set("u4a", "u4b").contains(out(3)._3)) // content hash picks one
+    assert(out(4)._3 === "b5") // desc_nulls_last: null NEVER beats v=9
+  }
+
+  test("keepLatest is invariant under input row order and partitioning") {
+    import graft.operators.Merge
+    // adversarial fixture: every key carries an intra-batch (key, version)
+    // tie, so the content-hash tie-break decides each survivor — exactly
+    // the path that rand()/partition-order schemes get wrong
+    val base = (1L to 50L).map(k => (k, 1L, s"b$k")).toDF("k", "v", "p")
+    val dups = (1L to 50L).flatMap(k =>
+      Seq((k, 2L, s"x$k"), (k, 2L, s"y$k"), (k, 2L, s"z$k")))
+    val u1 = dups.toDF("k", "v", "p")
+    val u2 = scala.util.Random.shuffle(dups).toDF("k", "v", "p")
+      .repartition(7)
+    val r1 = Merge.keepLatest(base, u1, Seq("k"), "v")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val r2 = Merge.keepLatest(base.repartition(3), u2, Seq("k"), "v")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r1 === r2)
+  }
+
+  test("tfIdfTopK: exact smoothed scores, colliding input names harmless") {
+    import graft.operators.Keywords
+    // input ALREADY carries token/tf/df/n_docs columns — must not
+    // mis-resolve (the round-6 verdict's collision risk)
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("id", "text")
+      .withColumn("token", lit("decoy")).withColumn("tf", lit(99))
+      .withColumn("df", lit(98)).withColumn("n_docs", lit(97))
+    val out = Keywords.tfIdfTopK(docs, "id", "text", k = 2)
+      .as[(Long, String, Double)].collect().toSet
+    // N=2, smoothed: apple df=1 → ln(3/2); banana df=2 → ln(3/3)=0;
+    // cherry df=1 → ln(3/2); doc1 apple tf=2
+    val l = math.log(1.5)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Set((1L, "apple", r6(2 * l)), (1L, "banana", 0.0),
+      (2L, "banana", 0.0), (2L, "cherry", r6(l))))
+    // reserved-output collision fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Keywords.tfIdfTopK(docs.withColumnRenamed("id", "token"),
+        "token", "text")
+    }
+  }
 }
