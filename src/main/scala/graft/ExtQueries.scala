@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis, Vectors}
-import graft.operators.{Components, Dedup, Keywords, Merge, Multimodal,
-  Similarity}
+import graft.operators.{Components, Contamination, Dedup, Keywords, Merge,
+  Multimodal, Similarity}
 
 /** LLM-training-data-pipeline extension operators over the `documents` /
   * `embeddings` tables (builder brief + SURVEY.md §7.1.6): dedup, similarity
@@ -400,6 +400,19 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "o_custkey"))
     }),
 
+    // benchmark-contamination scan: which docs share a verbatim word 8-gram
+    // with the benchmark set (doc_id % 97 == 0 plays the eval suite, and
+    // stays in the corpus — the planted positives are its members at
+    // contamination 1.0 plus their near-dup satellites). Benchmark grams
+    // broadcast, corpus text never shuffles. Full oracle.
+    "text_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.ngramOverlap(all,
+          all.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 8)
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // MinHash+LSH recall against the EXACT all-pairs shingle-Jaccard ground
     // truth (1 row: found/total/recall). The truth side prunes with the
     // length bound J≥t ⇒ |sh_a|/|sh_b| ∈ [t, 1/t] before computing Jaccard
@@ -712,6 +725,30 @@ object ExtQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    // contamination twin: same verbatim (no lower) \s+ tokenization, same
+    // inclusive 8-gram windows, same within-row distinct for the per-doc
+    // gram total — the benchmark side is the doc_id % 97 subset of the
+    // same gram stream
+    "text_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i, i + 7), ' ')) AS grams
+        |  FROM w),
+        |bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |d AS (
+        |  SELECT doc_id, len(list_distinct(grams)) AS n_grams,
+        |         unnest(grams) AS gram FROM g),
+        |hits AS (
+        |  SELECT d.doc_id, d.n_grams, count(DISTINCT d.gram) AS n_hits
+        |  FROM d JOIN bench USING (gram) GROUP BY d.doc_id, d.n_grams)
+        |SELECT doc_id, n_hits, n_grams,
+        |  round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination
+        |FROM hits ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, n_chars // 64 AS nb,

@@ -692,6 +692,31 @@ object Queries {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // S4 executable analog: the reference's real final sink is a Postgres
+    // table loaded with a row-at-a-time INSERT loop
+    // (/root/reference/src/topcv_pipeline.py:104-106); Spark-first that is a
+    // batched parallel `format("jdbc")` write. The sandbox database is
+    // embedded Derby (in /opt/spark/jars) — same code path, different URL.
+    // parquet → Derby → partitioned parallel JDBC read must be value-
+    // lossless, so the oracle is the identity projection over the source
+    // parquet: any type-mapping loss (CLOB strings, TIMESTAMP precision,
+    // DOUBLE bits) breaks the hash.
+    "jdbc_roundtrip" -> ((s, d) => {
+      val url = graft.sources.Jdbc.derbyUrl("roundtrip_" + d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val sub = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+        .select(cols.map(col): _*)
+      graft.sources.Jdbc.write(sub, url, "g_orders_jdbc")
+      // partition bounds from one cheap min/max agg — bounded driver state
+      val b = sub.agg(min("o_orderkey"), max("o_orderkey")).head
+      graft.sources.Jdbc.readPartitioned(s, url, "g_orders_jdbc",
+          "o_orderkey", b.getLong(0), b.getLong(1) + 1, numPartitions = 4)
+        .select(cols.map(col): _*)
+        .transform(presentSorted(_, "o_orderkey"))
     }))
 
   /** Shared by q_sessionize / q_sessionize_native / q_session_window /
@@ -750,6 +775,11 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    "jdbc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 37 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
