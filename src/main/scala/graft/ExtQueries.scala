@@ -188,6 +188,28 @@ object ExtQueries {
         Seq("id_a", "id_b"))
     }),
 
+    // SemDeDup: k-means cells block the pairwise cosine, one survivor
+    // (min vec_id) per connected near-dup component. Rows-only (centroid
+    // assignment is engine-specific); the recall row below prices the
+    // same-cell-only trade against the exact global pair set.
+    "emb_semdedup" -> ((s, d) =>
+      Similarity.semanticDedup(embs(s, d), "vec_id", "embedding",
+          threshold = 0.4, nlist = 4, kmeansIters = 2, probes = 2)
+        .select("vec_id")
+        .transform(Queries.presentSorted(_, "vec_id"))),
+
+    // recall of within-cell semantic pairs vs the exact near-dup pair set
+    // (1 row: found/total/recall) — the SemDeDup quality number
+    "emb_semdedup_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      recallOf(
+        Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+          .select("id_a", "id_b"),
+        Similarity.semanticDupPairs(e, "vec_id", "embedding",
+          threshold = 0.4, nlist = 4, kmeansIters = 2, probes = 2),
+        Seq("id_a", "id_b"))
+    }),
+
     // REAL BPE tokenization (trained merges, not the regex estimate):
     // merge table learned from the corpus' word distribution (one word
     // aggregation + bounded driver loop), encode as a narrow broadcast
@@ -412,6 +434,18 @@ object ExtQueries {
           "doc_id", "text", n = 8)
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
+
+    // corpus normalization pass: NFC (native codegen expression — Spark has
+    // no normalization built-in) → lower → whitespace collapse → trim; the
+    // NFC no-op on this already-composed fixture is exactly the quick-check
+    // fast path real web text takes, and the unit spec pins the decomposed-
+    // input behavior. Full oracle via DuckDB nfc_normalize.
+    "text_normalize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          graft.functions.TextNormalize.normalized(col("text"))
+            .as("norm_text"))
+        .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))
+        .transform(Queries.presentSorted(_, "doc_id"))),
 
     // MinHash+LSH recall against the EXACT all-pairs shingle-Jaccard ground
     // truth (1 row: found/total/recall). The truth side prunes with the
@@ -749,6 +783,16 @@ object ExtQueries {
         |SELECT doc_id, n_hits, n_grams,
         |  round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination
         |FROM hits ORDER BY doc_id""".stripMargin,
+    // normalize twin: identical step order (NFC, then lower, then \s+
+    // collapse, then trim) — reordering lower/NFC would diverge on
+    // case-fold/composition interactions
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |    AS norm_text,
+        |  length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+        |    'g'))) AS n_norm_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, n_chars // 64 AS nb,

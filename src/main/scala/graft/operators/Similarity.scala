@@ -118,6 +118,21 @@ object Similarity {
     -array_max(array(scored: _*)).getField("ncid")
   }
 
+  /** Top-`probes` cells by dot score as an array — soft assignment, still
+    * narrow: array_sort on (-score, cid) structs ranks all nlist cells
+    * in-row, then slice keeps the best `probes`. Same tie semantics as
+    * [[bestCellFor]] (its result is always element 1 of this array).
+    */
+  private def topCellsFor(cs: Seq[(Long, Seq[Double])],
+                          probes: Int)(vec: Column): Column = {
+    val scored = cs.map { case (cid, cv) =>
+      struct((-Vectors.dot(vec, typedlit(cv))).as("nscore"),
+        lit(cid).as("cid"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, probes),
+      c => c.getField("cid"))
+  }
+
   /** Deterministic seed centroids (lowest-id vectors of the full corpus)
     * plus optional Lloyd refinement: re-assign (narrow argmax, no join),
     * recompute per-cell componentwise means via a (cell, dim)-keyed
@@ -351,6 +366,66 @@ object Similarity {
           .as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
+    * cells play the blocking key, so pairwise cosine runs only WITHIN a
+    * cluster — the published recipe for semantic dedup at web scale.
+    * Composition of two existing pieces: [[trainCentroids]] (bounded,
+    * sampled driver state) supplies the cells, [[cosineNearDupPairs]] with
+    * the cell as `blockCols` does the verified within-cell quadratic.
+    * Precision is exact (every pair clears the threshold); recall is
+    * bounded by same-cell co-residence — the `emb_semdedup_recall` query
+    * prices that trade against the exact global pair set. At 100 TB the
+    * per-cell quadratic is the knob: nlist scales with corpus size to hold
+    * cell populations flat.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nlist: Int = 16,
+                       kmeansIters: Int = 2, sampleFraction: Double = 1.0,
+                       probes: Int = 1): DataFrame = {
+    val cents =
+      trainCentroids(df, idCol, vecCol, nlist, kmeansIters, sampleFraction)
+    if (probes <= 1)
+      return cosineNearDupPairs(df, idCol, vecCol, threshold,
+        blockCols = Seq(bestCellFor(cents)(col(vecCol))))
+    // soft assignment: each vector joins its top-`probes` cells (the IVF
+    // nprobe move applied to dedup blocking — pairs near a Voronoi
+    // boundary stop being invisible). Corpus replicated probes×, pairs
+    // deduped BEFORE the cosine verify so a 2-cell collision costs one
+    // dot product — structurally lshBlockedNearDupPairs with learned
+    // cells instead of random hyperplanes.
+    val base = df.select(col(idCol).as("id"),
+        Vectors.toDouble(col(vecCol)).as("v"),
+        explode(topCellsFor(cents, probes)(col(vecCol))).as("__cell"))
+      .withColumn("nrm", Vectors.l2Norm(col("v")))
+    val a = base.select(col("__cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = base.select(col("__cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val denom = col("nrm_a") * col("nrm_b")
+    a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(denom === 0, lit(null))
+          .otherwise(Vectors.dot(col("v_a"), col("v_b")) / denom)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Semantic dedup proper: one survivor (min id) per connected component
+    * of the within-cluster near-dup graph — transitive, like
+    * `Components.keepComponentMinima` everywhere else in the engine, so
+    * A~B~C collapses to {A} even when the A~C edge is below threshold.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16,
+                    kmeansIters: Int = 2, sampleFraction: Double = 1.0,
+                    probes: Int = 1): DataFrame =
+    Components.keepComponentMinima(df, idCol,
+      semanticDupPairs(df, idCol, vecCol, threshold, nlist, kmeansIters,
+        sampleFraction, probes),
+      "id_a", "id_b")
 
   /** Exact near-duplicate pairs by cosine ≥ threshold. `blockCols` (e.g. a
     * coarse LSH bucket or a label) bound the quadratic blow-up: the join is

@@ -180,6 +180,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.toSeq === scratch.toSeq)
   }
 
+  test("semantic dedup drops the planted near-identical vector, keeps min id, " +
+      "transitive within a cell") {
+    // 999 is near-identical to the planted chain base; add an exact copy of
+    // vec 1 under a higher id to plant a same-cell duplicate pair
+    val withDup = corpusDf.union(
+      Seq((1000L, corpus.head._2)).toDF("vec_id", "embedding"))
+    val kept = Similarity.semanticDedup(withDup, "vec_id", "embedding",
+        threshold = 0.95, nlist = 4, kmeansIters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(1L))       // survivor = component min
+    assert(!kept.contains(1000L))   // exact copy dropped
+    // identical vectors share an argmax cell by construction, so the pair
+    // is always visible to the within-cell quadratic
+    val pairs = Similarity.semanticDupPairs(withDup, "vec_id", "embedding",
+        threshold = 0.95, nlist = 4, kmeansIters = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 1000L)))
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))

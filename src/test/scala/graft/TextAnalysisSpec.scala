@@ -130,4 +130,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(natural > soup)
     assert(natural <= 1.0 && soup >= 0.0)
   }
+
+  test("NFC normalization composes decomposed sequences; composed input is untouched") {
+    import graft.functions.TextNormalize
+    val decomposed = "Café nét"   // e + COMBINING ACUTE
+    val composed = "Café nét"                 // precomposed U+00E9
+    assert(one[String](TextNormalize.nfc(col("t")), decomposed) === composed)
+    assert(one[String](TextNormalize.nfc(col("t")), composed) === composed)
+    // equality after normalization is the property dedup/shingling needs
+    assert(one[String](TextNormalize.normalized(col("t")), "  CAFÉ   x ")
+      === one[String](TextNormalize.normalized(col("t")), "café x"))
+    // null-safe
+    assert(Seq[String](null).toDF("t")
+      .select(TextNormalize.nfc(col("t")).as("v")).head().isNullAt(0))
+  }
+
+  test("NFC normalization on Vietnamese decomposed text matches precomposed") {
+    import graft.functions.TextNormalize
+    // ế = e + circumflex + acute, two different decomposition orders
+    val a = "tiếng Việt"
+    val b = "tiếng Việt"
+    assert(one[String](TextNormalize.nfc(col("t")), a)
+      === one[String](TextNormalize.nfc(col("t")), b))
+  }
 }
