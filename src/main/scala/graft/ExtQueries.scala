@@ -337,6 +337,27 @@ object ExtQueries {
         .select(col("media_id"), round(col("score"), 6).as("score"))
     }),
 
+    // REAL image codec, driver-visible: render one deterministic PNG per
+    // doc (ImageIO encode in one mapPartitions pass), decode with the
+    // standards ImageIoCodec in another, emit the parsed metadata. The
+    // decoded dimensions are pure arithmetic over doc_id, so the oracle
+    // checks the full encode → bytes → decode loop cross-engine.
+    "mm_imageio_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).select(col("doc_id"),
+          (lit(2) + pmod(col("doc_id"), lit(7))).cast("int").as("w"),
+          (lit(2) + pmod(col("doc_id"), lit(5))).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          Multimodal.MediaRecord(id, Multimodal.syntheticPng(id, w, h))
+        }).toDF()
+      Multimodal.decode(media, new Multimodal.ImageIoCodec(8))
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.nChannels").as("n_channels"))
+        .orderBy("media_id")
+    }),
+
     // IVF ANN — Voronoi-cell pruning around k-means-refined centroids
     // (2 Lloyd iterations over the fixture corpus; at scale train on a
     // sample). Rows-only: approximate by design; ann_ivf_recall reports
@@ -892,5 +913,13 @@ object ExtQueries {
         |    AS n_frames
         |FROM (SELECT doc_id AS media_id,
         |        octet_length(CAST(text AS BLOB)) AS n FROM documents)
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+    // imageio twin: the decoded metadata is arithmetic over doc_id by
+    // construction (TYPE_INT_RGB always decodes to 3 components)
+    "mm_imageio_roundtrip" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(2 + doc_id % 7 AS INT) AS width,
+        |  CAST(2 + doc_id % 5 AS INT) AS height,
+        |  CAST(3 AS INT) AS n_channels
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

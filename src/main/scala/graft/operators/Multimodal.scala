@@ -6,11 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
-  * Media payloads are opaque `binary` columns with a typed metadata struct —
-  * the Spark-side schema, partition-friendly batch iteration, and decode
-  * signature are real; the codec itself is STUBBED with a deterministic fake
-  * (no image/audio libraries in this environment). Swap `FakeCodec` for a
-  * real decoder (JNI/javacpp) without touching the plan shape.
+  * Media payloads are opaque `binary` columns with a typed metadata struct.
+  * Three codecs implement the `Codec` seam: [[ImageIoCodec]] (real
+  * standards decode — PNG/JPEG/GIF/BMP via the JDK's javax.imageio, no
+  * native libraries), [[BmpCodec]] (dependency-free container parser), and
+  * [[FakeCodec]] (deterministic stand-in for synthetic fixtures and for
+  * formats with no JVM decoder — audio/video codecs would arrive via
+  * JNI/javacpp behind the same trait without touching the plan shape).
   *
   * Scale notes: decode runs as `mapPartitions` over the binary column — one
   * task per input split, no shuffle, and the iterator keeps memory bounded to
@@ -89,6 +91,73 @@ object Multimodal {
       }
       (meta, feat)
     }
+  }
+
+  /** Full standards codec via `javax.imageio` (pure JDK, java.desktop
+    * module — works headless): decodes every container the JDK ships
+    * readers for (PNG, JPEG, GIF, BMP, WBMP). Format name comes from the
+    * matched ImageReader, metadata from the decoded raster, features from
+    * a luminance histogram over the actual PIXELS — so a PNG and a JPEG
+    * of the same image embed near-identically, which the byte-histogram
+    * codecs above cannot do. This is the real-decoder end of the `Codec`
+    * seam; [[FakeCodec]] stays for synthetic fixtures and [[BmpCodec]]
+    * as the dependency-free container parser.
+    */
+  class ImageIoCodec(val featureDim: Int = 16) extends Codec {
+    def decode(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
+      require(bytes != null && bytes.length > 0, "empty media payload")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader for payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val meta = MediaMeta(format = reader.getFormatName.toLowerCase,
+          width = img.getWidth, height = img.getHeight,
+          nChannels = img.getColorModel.getNumComponents,
+          nBytes = bytes.length.toLong)
+        val feat = new Array[Float](featureDim)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+              (rgb & 0xFF)) / (3.0f * 255.0f)
+            feat((y * img.getWidth + x) % featureDim) += lum
+            x += 1
+          }
+          y += 1
+        }
+        (meta, feat)
+      } finally reader.dispose()
+    }
+  }
+
+  /** Deterministic synthetic PNG (seed-keyed gradient, real ImageIO
+    * encode) — fixture generator for exercising the [[ImageIoCodec]] path
+    * distributively: encode in one mapPartitions pass, decode in another,
+    * and the decoded metadata is pure arithmetic over the seed, so a SQL
+    * oracle can check the whole loop.
+    */
+  def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (((seed * 31 + y * width + x) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | (v * 7 % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Decode a binary media column into (meta struct, feature vector),

@@ -58,4 +58,32 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     // 100B→3 frames→keep 0,2 = 2; 64B→2→keep 0 = 1; 10B→0; 0B→0
     assert(n === Seq(2, 1, 0, 0))
   }
+
+  test("ImageIO codec: decodes real PNG and JPEG bytes; cross-format " +
+      "embeddings of the same image agree on pixels") {
+    import java.awt.image.BufferedImage
+    def encode(fmt: String): Array[Byte] = {
+      val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 3)
+        img.setRGB(x, y, (x * 80) << 16 | (y * 100) << 8 | 40)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val codec = new Multimodal.ImageIoCodec(4)
+    val df = Seq((1L, encode("png")), (2L, encode("jpg")))
+      .toDF("media_id", "content")
+    val out = Multimodal.decode(df, codec).collect()
+      .sortBy(_.media_id)
+    assert(out(0).meta.format === "png")
+    assert(out(1).meta.format.startsWith("jp")) // "jpeg"
+    assert(out.forall(r => r.meta.width === 3 && r.meta.height === 2))
+    // same source image: per-bucket luminance within JPEG quantization noise
+    out(0).features.zip(out(1).features).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.15, s"png=$a jpeg=$b")
+    }
+    intercept[IllegalArgumentException] {
+      codec.decode("definitely not an image".getBytes)
+    }
+  }
 }
