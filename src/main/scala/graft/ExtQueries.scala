@@ -36,6 +36,17 @@ object ExtQueries {
           .otherwise(col("found").cast("double") / col("total")), 6)
           .as("recall"))
 
+  /** The corpus_filter_* gate chain, in pipeline order. Thresholds compare
+    * values whose formulas are already hash-proven cross-engine by their
+    * own oracle queries, so gate decisions can't diverge at the boundary.
+    */
+  private def corpusGates: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "tokens" -> TextAnalysis.tokenCount(col("text")).between(16, 512),
+    "lang" -> (TextAnalysis.langId(col("text")) === "en"),
+    "quality" -> (TextAnalysis.qualityScore(col("text")) >= 0.5),
+    "repetition" -> (TextAnalysis.repetitionRatio(col("text"), 2) <= 0.2),
+    "pii" -> (TextAnalysis.piiCounts(col("text")).head._2 === 0))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: one hash-shuffle on the key, map-side partial agg
@@ -337,6 +348,22 @@ object ExtQueries {
         .select(col("media_id"), round(col("score"), 6).as("score"))
     }),
 
+    // C4/Gopher-shaped quality-filter funnel: five narrow gates (length,
+    // language, quality score, repetition cap, PII screen) evaluated in
+    // one scan pass; the funnel row set is the drop accounting per
+    // successive gate. Full oracle — every gate reuses a formula already
+    // hash-proven by its own query (text_stats / text_langid /
+    // text_repetition / text_pii).
+    "corpus_filter_funnel" -> ((s, d) =>
+      graft.operators.CorpusFilter.funnel(docs(s, d), corpusGates)
+        .orderBy("stage")),
+
+    // the kept set those gates produce (same gates, plain fused filter)
+    "corpus_filter_kept" -> ((s, d) =>
+      graft.operators.CorpusFilter.keep(docs(s, d), corpusGates)
+        .select("doc_id")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // REAL image codec, driver-visible: render one deterministic PNG per
     // doc (ImageIO encode in one mapPartitions pass), decode with the
     // standards ImageIoCodec in another, emit the parsed metadata. The
@@ -585,7 +612,99 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "user_id", "session_id"))
     }))
 
+  /** Shared gate CTE for the corpus_filter_* twins — per-doc measures and
+    * gate booleans p0..p4, each formula copied verbatim from the oracle
+    * already hash-proven for its own query (text_stats / text_langid /
+    * text_repetition / text_pii).
+    */
+  private val corpusGatesSqlPrefix: String =
+    """WITH t AS (SELECT doc_id, text, trim(text) AS tt FROM documents),
+      |m AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(tt) = 0 THEN 0
+      |      ELSE len(string_split_regex(tt, '\s+')) END AS n_tokens,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(length(regexp_replace(text,
+      |        '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text)
+      |      END AS punct_ratio,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(length(regexp_replace(text,
+      |        '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text)
+      |      END AS alpha_ratio,
+      |    CASE WHEN length(tt) = 0 THEN 0.0
+      |      ELSE CAST(len(list_filter(string_split_regex(lower(tt), '\s+'),
+      |        x -> list_contains(['the','a','an','and','or','of','to','in',
+      |          'is','it','for','on','with','as','at','by','be','this',
+      |          'that','are'], x))) AS DOUBLE)
+      |        / len(string_split_regex(lower(tt), '\s+')) END AS stop_ratio,
+      |    string_split_regex(lower(tt), '\s+') AS tk,
+      |    list_filter(string_split_regex(lower(tt), '\s+'), x -> x <> '')
+      |      AS w,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+      |  FROM t),
+      |m2 AS (
+      |  SELECT *,
+      |    len(list_filter(tk, x -> list_contains(
+      |      ['the','and','of','to','is','with','that','this'], x))) AS s_en,
+      |    len(list_filter(tk, x -> list_contains(
+      |      ['der','die','und','das','ist','nicht','mit','ein'], x))) AS s_de,
+      |    len(list_filter(tk, x -> list_contains(
+      |      ['le','la','et','les','des','est','une','dans'], x))) AS s_fr,
+      |    len(list_filter(tk, x -> list_contains(
+      |      ['el','los','las','es','una','por','con','para'], x))) AS s_es,
+      |    len(list_filter(tk, x -> list_contains(
+      |      ['và','của','là','có','không','người','được','trong'], x)))
+      |      AS s_vi,
+      |    CASE WHEN len(w) >= 2 THEN
+      |      list_transform(generate_series(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i + 1])
+      |      ELSE CAST([] AS VARCHAR[]) END AS g2
+      |  FROM m),
+      |g AS (
+      |  SELECT doc_id,
+      |    (n_tokens BETWEEN 16 AND 512) AS p0,
+      |    ((CASE
+      |      WHEN length(regexp_replace(text, '[^\p{Han}]', '', 'g')) > 0
+      |        THEN 'zh'
+      |      WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_vi)
+      |        THEN 'en'
+      |      WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es, s_vi) THEN 'de'
+      |      WHEN s_fr > 0 AND s_fr >= greatest(s_es, s_vi) THEN 'fr'
+      |      WHEN s_es > 0 AND s_es >= s_vi THEN 'es'
+      |      WHEN s_vi > 0 THEN 'vi'
+      |      ELSE 'und' END) = 'en') AS p1,
+      |    (round(greatest(0.0,
+      |      least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.3
+      |      + least(stop_ratio * 4.0, 1.0) * 0.3
+      |      + alpha_ratio * 0.4
+      |      - least(punct_ratio * 4.0, 1.0) * 0.2), 4) >= 0.5) AS p2,
+      |    ((CASE WHEN len(g2) = 0 THEN 0.0
+      |      ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+      |      END) <= 0.2) AS p3,
+      |    (n_emails = 0) AS p4
+      |  FROM m2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "corpus_filter_funnel" -> (corpusGatesSqlPrefix +
+      """
+        |SELECT CAST(stage AS INT) AS stage, gate, surviving FROM (
+        |  SELECT 0 AS stage, 'total' AS gate, count(*) AS surviving FROM g
+        |  UNION ALL SELECT 1, 'tokens',
+        |    count(*) FILTER (WHERE p0) FROM g
+        |  UNION ALL SELECT 2, 'lang',
+        |    count(*) FILTER (WHERE p0 AND p1) FROM g
+        |  UNION ALL SELECT 3, 'quality',
+        |    count(*) FILTER (WHERE p0 AND p1 AND p2) FROM g
+        |  UNION ALL SELECT 4, 'repetition',
+        |    count(*) FILTER (WHERE p0 AND p1 AND p2 AND p3) FROM g
+        |  UNION ALL SELECT 5, 'pii',
+        |    count(*) FILTER (WHERE p0 AND p1 AND p2 AND p3 AND p4) FROM g)
+        |ORDER BY stage""".stripMargin),
+    "corpus_filter_kept" -> (corpusGatesSqlPrefix +
+      """
+        |SELECT doc_id FROM g
+        |WHERE p0 AND p1 AND p2 AND p3 AND p4 ORDER BY doc_id""".stripMargin),
     // identical semantics to the window-function sessionization
     "q_stateful_sessions" -> Queries.oracles("q_sessionize"),
     // centroid twin: 1-based generate_series vs Spark's 0-based posexplode

@@ -231,4 +231,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
         "token", "text")
     }
   }
+
+  test("corpus filter funnel: sequential drop accounting, null fails gates, " +
+      "kept set = final stage") {
+    import graft.operators.CorpusFilter
+    val docs = Seq(
+      (1L, "the cat and the dog", 10),   // passes len+en
+      (2L, "xx", 1),                     // fails len
+      (3L, null.asInstanceOf[String], 5), // null → fails the text gate
+      (4L, "der hund und die katze", 8)  // passes len, fails en
+    ).toDF("id", "text", "n")
+    val gates = Seq(
+      "len" -> (col("n") >= 5),
+      "en" -> col("text").contains("the"))
+    val f = CorpusFilter.funnel(docs, gates)
+      .orderBy("stage").as[(Int, String, Long)].collect().toSeq
+    assert(f === Seq((0, "total", 4L), (1, "len", 3L), (2, "en", 1L)))
+    // surviving is monotone non-increasing by construction
+    assert(f.map(_._3) === f.map(_._3).sorted.reverse)
+    val kept = CorpusFilter.keep(docs, gates).select("id").as[Long].collect()
+    assert(kept.toSeq === Seq(1L))
+  }
 }
