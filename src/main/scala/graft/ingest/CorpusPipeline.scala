@@ -1,17 +1,20 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{CorpusFilter, Dedup}
 
 /** End-to-end training-corpus builder: the watermark-incremental ingest of
-  * [[IncrementalBatch]] composed with the index-backed near-dup gate of
+  * [[IncrementalBatch]] composed with the quality gates of
+  * [[CorpusFilter]] and the index-backed near-dup gate of
   * [[Dedup.dedupAgainstIndex]] — the daily loop of a production corpus:
   *
-  *   read fresh (ts > watermark) → drop docs near-duplicating the EXISTING
-  *   corpus (via the MinHash index — corpus text is never re-read) → drop
-  *   within-batch near-dups → append survivors to the corpus AND their
-  *   signatures to the index → advance the watermark.
+  *   read fresh (ts > watermark) → drop docs failing the quality gates
+  *   (narrow, fused into the scan — cheapest filter first) → drop docs
+  *   near-duplicating the EXISTING corpus (via the MinHash index — corpus
+  *   text is never re-read) → drop within-batch near-dups → append
+  *   survivors to the corpus AND their signatures to the index → advance
+  *   the watermark.
   *
   * First run bootstraps: no index yet, so the whole batch (self-deduped)
   * becomes the corpus and seeds the index.
@@ -35,15 +38,16 @@ object CorpusPipeline {
     * corpus AND index. Returns the number of docs appended.
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
-                     idCol: String, textCol: String,
-                     threshold: Double): Long = {
+                     idCol: String, textCol: String, threshold: Double,
+                     gates: Seq[(String, Column)] = Seq.empty): Long = {
+    val gated = if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
     val vsCorpus =
-      if (!indexExists(indexPath)) batch
+      if (!indexExists(indexPath)) gated
       else {
         val dupIds = Dedup
-          .dedupAgainstIndex(batch, idCol, textCol, indexPath, threshold)
+          .dedupAgainstIndex(gated, idCol, textCol, indexPath, threshold)
           .select(col("new_id").as(idCol)).distinct()
-        batch.join(dupIds, Seq(idCol), "left_anti")
+        gated.join(dupIds, Seq(idCol), "left_anti")
       }
     val survivors = Dedup.dropNearDuplicates(vsCorpus, idCol, textCol,
       threshold = threshold, persistIntermediates = false)
@@ -71,7 +75,8 @@ class CorpusPipeline(
     tsCol: String = "ts",
     idCol: String = "doc_id",
     textCol: String = "text",
-    threshold: Double = 0.8) {
+    threshold: Double = 0.8,
+    gates: Seq[(String, Column)] = Seq.empty) {
 
   /** Run one batch; returns (docs appended, new watermark). */
   def run(): BatchResult = {
@@ -86,10 +91,10 @@ class CorpusPipeline(
     val maxTs = fresh.agg(max(col(tsCol))).collect().head.get(0)
 
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
-      indexPath, idCol, textCol, threshold)
-    // watermark covers the WHOLE fresh batch (dropped dups were
-    // processed — reprocessing them forever would be the bug), and only
-    // moves after the appends committed
+      indexPath, idCol, textCol, threshold, gates)
+    // watermark covers the WHOLE fresh batch (dropped dups AND gate
+    // failures were processed — reprocessing them forever would be the
+    // bug), and only moves after the appends committed
     Watermark.write(watermarkPath, maxTs.toString)
     BatchResult(appended, Some(maxTs.toString))
   }

@@ -23,14 +23,16 @@ object CorpusStream {
   def start(spark: SparkSession, sourceDir: String, schema: StructType,
             corpusPath: String, indexPath: String, checkpoint: String,
             idCol: String = "doc_id", textCol: String = "text",
-            threshold: Double = 0.8): StreamingQuery =
+            threshold: Double = 0.8,
+            gates: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty)
+      : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
-          idCol, textCol, threshold)
+          idCol, textCol, threshold, gates)
         ()
       }
       .start()

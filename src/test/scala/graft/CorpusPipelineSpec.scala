@@ -61,6 +61,37 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(hits.map(_._2).toSeq === Seq(4L))
   }
 
+  test("quality gates run before the dedup gate; watermark still covers " +
+      "gate-failed docs") {
+    import graft.functions.TextAnalysis
+    val dir = Files.createTempDirectory("corpus_gated")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val wm = dir.resolve("wm.json").toString
+    val gates = Seq(
+      "tokens" -> (TextAnalysis.tokenCount(col("text")) >= 8),
+      "lang" -> (TextAnalysis.langId(col("text")) === "en"))
+    def pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
+      gates = gates)
+
+    // one good doc, one too-short doc, one German doc (latest ts)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), base),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "too short"),
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"),
+          "der hund und die katze ist nicht mit das ein haus der garten"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val r1 = pipeline.run()
+    assert(r1.rowsWritten === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+    // watermark advanced past the REJECTED doc's ts — gate failures are
+    // processed, not retried forever
+    assert(Watermark.read(wm).get.startsWith("2024-01-01 02"))
+    val r2 = pipeline.run()
+    assert(r2.rowsWritten === 0)
+  }
+
   test("streaming corpus: checkpointed file stream drives the same gate") {
     import graft.streaming.CorpusStream
     val dir = Files.createTempDirectory("corpus_stream")
