@@ -281,6 +281,16 @@ object ExtQueries {
         .select("doc_id", "lang")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // weighted domain mixing — per-source quotas as an expression over the
+    // stratum key (source srcN gets (N % 3 + 1) · 10 docs): the mixture-
+    // spec sampler, same window + scramble as q_stratified_sample
+    "q_domain_mix" -> ((s, d) =>
+      graft.operators.Sampling.takePerStratum(docs(s, d), Seq("source"),
+          "doc_id",
+          (substring(col("source"), 4, 10).cast("int") % 3 + 1) * 10)
+        .select("doc_id", "source")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // token-budget sequence packing — the last batch-prep step before an
     // LLM data loader: shard-local window cumsum assigns each doc to the
     // sequence its first token falls in; reported per (shard, sequence)
@@ -728,6 +738,16 @@ object ExtQueries {
         |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    // domain-mix twin: same scramble ranking, same arithmetic quota over
+    // the source suffix
+    "q_domain_mix" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+        |    (CAST(substr(source, 4) AS INT) % 3 + 1) * 10 AS quota
+        |  FROM documents)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
     // packing twin: identical shard-local cumsum; CASTs because DuckDB's
     // windowed/grouped sums of BIGINT are HUGEINT (repr breaks the hash)
     "q_token_packing" ->

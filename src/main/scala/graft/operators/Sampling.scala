@@ -26,16 +26,39 @@ object Sampling {
   def scramble(id: Column): Column =
     pmod(id * lit(2654435761L), lit(4294967296L))
 
-  /** Keep `quota` rows per stratum, chosen by scrambled-id order (ties on
-    * the raw id for total determinism).
+  /** Keep `quota(row)` rows per stratum, chosen by scrambled-id order
+    * (ties on the raw id for total determinism). `quota` is any Column —
+    * a literal for balanced strata, or an expression over the stratum
+    * columns for weighted mixtures.
     */
-  def stratifiedTake(df: DataFrame, strataCols: Seq[String], idCol: String,
-                     quota: Int): DataFrame = {
-    require(quota > 0 && strataCols.nonEmpty)
+  def takePerStratum(df: DataFrame, strataCols: Seq[String], idCol: String,
+                     quota: Column): DataFrame = {
+    require(strataCols.nonEmpty)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(scramble(col(idCol)), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= quota)
       .drop("__rn")
+  }
+
+  /** Keep `quota` rows per stratum — the balanced special case. */
+  def stratifiedTake(df: DataFrame, strataCols: Seq[String], idCol: String,
+                     quota: Int): DataFrame = {
+    require(quota > 0)
+    takePerStratum(df, strataCols, idCol, lit(quota))
+  }
+
+  /** Domain mixing: per-stratum quotas from an explicit weight table (the
+    * Pile/Llama-style mixture spec — "this many documents from each
+    * source"). The quota map is bounded config, inlined as a literal
+    * `when` chain — no join, the plan stays one window over the strata
+    * shuffle. Strata absent from the map get `default` (0 = drop).
+    */
+  def weightedTake(df: DataFrame, strataCol: String, idCol: String,
+                   quotas: Map[String, Int], default: Int = 0): DataFrame = {
+    val quota = quotas.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    takePerStratum(df, Seq(strataCol), idCol, quota)
   }
 }

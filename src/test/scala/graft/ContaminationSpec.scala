@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Contamination
+
+class ContaminationSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val benchText =
+    "one two three four five six seven eight nine ten"
+
+  test("flags docs sharing a verbatim 8-gram with the benchmark, " +
+      "exact hit counts and rates") {
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      // 10 words → 3 8-grams; the middle one ("one ... eight") is bench's
+      (1L, "zzz one two three four five six seven eight yyy"),
+      (2L, "totally different words sharing no gram with anything here now"),
+      (100L, benchText) // benchmark member in-corpus → rate 1.0
+    ).toDF("doc_id", "text")
+    val frame = Contamination.ngramOverlap(docs, bench, "doc_id", "text", 8)
+    val out = frame.orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 3L, 0.333333),
+      (100L, 3L, 3L, 1.0)))
+    // benchmark gram set plans as the broadcast side
+    assert(frame.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("short docs produce no grams; internal-name collision fails loudly") {
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val docs = Seq((2L, "only five words right here")).toDF("doc_id", "text")
+    val res = Contamination.ngramOverlap(docs, bench, "doc_id", "text", 8)
+    assert(res.count() === 0)
+    // internal-name collision fails loudly
+    intercept[IllegalArgumentException] {
+      Contamination.ngramOverlap(
+        docs.withColumn("__ct_gram", lit(1)), bench, "doc_id", "text", 8)
+    }
+  }
+}

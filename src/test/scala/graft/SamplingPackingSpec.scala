@@ -31,6 +31,21 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
     assert(en !== first20)
   }
 
+  test("weightedTake honors per-stratum quotas; unmapped strata get default") {
+    val df = (for (src <- Seq("web", "wiki", "code"); i <- 1 to 30)
+      yield (src.hashCode.toLong * 100 + i, src)).toDF("doc_id", "source")
+    val m = Sampling.weightedTake(df, "source", "doc_id",
+      Map("web" -> 5, "wiki" -> 15)) // code unmapped → default 0 → dropped
+    val counts = m.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("web" -> 5L, "wiki" -> 15L))
+    // deterministic under repartitioning, like the balanced form
+    val a = m.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.weightedTake(df.repartition(5), "source", "doc_id",
+        Map("web" -> 5, "wiki" -> 15))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("packByBudget assigns docs to the sequence their first token falls in") {
     val df = Seq(
       (1L, 0L, 300), (2L, 0L, 300), (3L, 0L, 300), // cum 300/600/900
