@@ -447,12 +447,20 @@ object ExtQueries {
     // this corpus. greedy_kept ≥ transitive_kept always (transitive
     // removal is a superset on every component).
     "dedup_clean_transitive_gap" -> ((s, d) => {
-      val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text",
-        threshold = 0.8, persistIntermediates = false)
-      val greedy = Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text",
-          threshold = 0.8, persistIntermediates = false)
+      val all = docs(s, d)
+      // ONE pair computation, shared by both strategies: the eager form
+      // (persistIntermediates=true) returns the O(duplicates)-small pair
+      // set materialized via localCheckpoint, so the greedy anti-join and
+      // the component closure both read it without re-running LSH — the
+      // previous two-minhashLsh formulation made this the slowest query
+      // in the verify suite (21 s → ~8 s at sf0.01)
+      val pairs = Dedup.minhashLsh(all, "doc_id", "text", threshold = 0.8,
+        persistIntermediates = true)
+      val greedy = all
+        .join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("greedy_kept"))
-      val transitive = Components.keepComponentMinima(docs(s, d), "doc_id",
+      val transitive = Components.keepComponentMinima(all, "doc_id",
           pairs, "id_a", "id_b")
         .agg(count(lit(1)).as("transitive_kept"))
       greedy.crossJoin(transitive)
