@@ -15,7 +15,9 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "s2_scan_filter", "f2_deadline_window", "o2_topk",
       "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
-      "dedup_exact", "dedup_minhash", "ann_bruteforce", "text_stats")
+      "dedup_exact", "dedup_minhash", "ann_bruteforce", "text_stats",
+      "text_contamination", "corpus_filter_kept", "emb_semdedup",
+      "q_domain_mix")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -325,6 +325,16 @@ object ExtQueries {
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // language-ID confusion matrix vs the fixture's ground-truth lang
+    // column — the per-class quality diagnostic for the heuristic
+    // classifier (which cells leak where), one groupBy over two narrow
+    // expressions. Full oracle.
+    "text_langid_confusion" -> ((s, d) =>
+      docs(s, d).groupBy(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
     // multimodal: binary payload → decoded metadata via the stubbed codec
     // (mapPartitions plumbing — schema and batch shape are the real thing)
     "mm_decode_meta" -> ((s, d) => {
@@ -852,6 +862,42 @@ object ExtQueries {
         |    WHEN s_vi > 0 THEN 'vi'
         |    ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    // confusion twin: the text_langid CASE, aggregated against the
+    // ground-truth lang column
+    "text_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, text,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['the','and','of','to','is','with','that','this'], x))) AS s_en,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['der','die','und','das','ist','nicht','mit','ein'], x))) AS s_de,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['le','la','et','les','des','est','une','dans'], x))) AS s_fr,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['el','los','las','es','una','por','con','para'], x))) AS s_es,
+        |    len(list_filter(tk, x -> list_contains(
+        |      ['và','của','là','có','không','người','được','trong'], x)))
+        |      AS s_vi
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN length(regexp_replace(text, '[^\p{Han}]', '', 'g')) > 0
+        |        THEN 'zh'
+        |      WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_vi)
+        |        THEN 'en'
+        |      WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es, s_vi) THEN 'de'
+        |      WHEN s_fr > 0 AND s_fr >= greatest(s_es, s_vi) THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_vi THEN 'es'
+        |      WHEN s_vi > 0 THEN 'vi'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, count(*) AS n FROM p
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -124,4 +124,22 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     runOnce()
     assert(spark.read.parquet(corpus).count() === 2)
   }
+
+  test("streaming corpus applies quality gates per micro-batch") {
+    import graft.streaming.CorpusStream
+    import graft.functions.TextAnalysis
+    val dir = Files.createTempDirectory("corpus_stream_gated")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((1L, base), (2L, "too short")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+      gates = Seq("tokens" -> (TextAnalysis.tokenCount(col("text")) >= 8)))
+    q.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+  }
 }
