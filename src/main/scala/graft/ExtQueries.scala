@@ -281,6 +281,14 @@ object ExtQueries {
         .select("doc_id", "lang")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // context-window chunking — overlapping fixed-token windows per doc
+    // (64-token chunks, 8-token overlap): per-row arithmetic + one
+    // explode, no shuffle; full oracle over chunk text and counts
+    "q_chunk_windows" -> ((s, d) =>
+      graft.operators.Chunking.chunkByTokens(docs(s, d), "doc_id", "text",
+          chunkTokens = 64, overlap = 8)
+        .transform(Queries.presentSorted(_, "doc_id", "chunk_idx"))),
+
     // weighted domain mixing — per-source quotas as an expression over the
     // stratum key (source srcN gets (N % 3 + 1) · 10 docs): the mixture-
     // spec sampler, same window + scramble as q_stratified_sample
@@ -756,6 +764,25 @@ object ExtQueries {
         |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    // chunking twin: same chunk-count arithmetic (1 + ceil-div), same
+    // inclusive word slices (stride 56 = 64 - 8)
+    "q_chunk_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, words,
+        |    1 + (greatest(len(words) - 64, 0) + 55) // 56 AS n_chunks
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS k,
+        |    words FROM n)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |  array_to_string(words[k * 56 + 1 : k * 56 + 64], ' ')
+        |    AS chunk_text,
+        |  CAST(len(words[k * 56 + 1 : k * 56 + 64]) AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // domain-mix twin: same scramble ranking, same arithmetic quota over
     // the source suffix
     "q_domain_mix" ->

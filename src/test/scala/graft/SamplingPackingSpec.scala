@@ -46,6 +46,32 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
     assert(a === b)
   }
 
+  test("chunkByTokens: overlap windows, single chunk for short docs, " +
+      "no redundant tail") {
+    import graft.operators.Chunking
+    def chunks(text: String, chunk: Int, overlap: Int) =
+      Chunking.chunkByTokens(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+        .as[(Int, String, Long)].collect().toSeq
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // 10 words, chunk 8, overlap 2 (stride 6): [1..8], [7..10]
+    assert(chunks(ten, 8, 2) === Seq(
+      (0, (1 to 8).map(i => s"w$i").mkString(" "), 8L),
+      (1, (7 to 10).map(i => s"w$i").mkString(" "), 4L)))
+    // len == chunk: exactly one chunk, no contained tail
+    assert(chunks((1 to 8).map(i => s"w$i").mkString(" "), 8, 2).size === 1)
+    // short doc: one partial chunk
+    assert(chunks("a b c", 8, 2) === Seq((0, "a b c", 3L)))
+    // consecutive chunks share exactly `overlap` words
+    val c15 = chunks((1 to 15).map(i => s"w$i").mkString(" "), 8, 2)
+    assert(c15.size === 3)
+    val lastOfFirst = c15(0)._2.split(" ").takeRight(2).toSeq
+    val firstOfSecond = c15(1)._2.split(" ").take(2).toSeq
+    assert(lastOfFirst === firstOfSecond)
+  }
+
   test("packByBudget assigns docs to the sequence their first token falls in") {
     val df = Seq(
       (1L, 0L, 300), (2L, 0L, 300), (3L, 0L, 300), // cum 300/600/900
