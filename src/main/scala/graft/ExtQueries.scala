@@ -289,6 +289,23 @@ object ExtQueries {
           chunkTokens = 64, overlap = 8)
         .transform(Queries.presentSorted(_, "doc_id", "chunk_idx"))),
 
+    // boilerplate detection: chunk-level exact dedup — repeated context
+    // windows across documents (copy-pasted headers/footers/templates).
+    // Composition of chunking + the exact-dedup shuffle; the groupBy key
+    // is the chunk fingerprint-sized text itself, carrying only repeated
+    // chunks past the HAVING filter
+    "q_chunk_boilerplate" -> ((s, d) =>
+      graft.operators.Chunking.chunkByTokens(docs(s, d), "doc_id", "text",
+          chunkTokens = 64, overlap = 8)
+        .groupBy(col("chunk_text"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_occurrences") > 1)
+        .select(col("first_doc"), col("n_occurrences"), col("n_docs"),
+          length(col("chunk_text")).cast("long").as("chunk_chars"))
+        .transform(Queries.presentSorted(_, "first_doc", "chunk_chars"))),
+
     // weighted domain mixing — per-source quotas as an expression over the
     // stratum key (source srcN gets (N % 3 + 1) · 10 docs): the mixture-
     // spec sampler, same window + scramble as q_stratified_sample
@@ -783,6 +800,29 @@ object ExtQueries {
         |  CAST(len(words[k * 56 + 1 : k * 56 + 64]) AS BIGINT)
         |    AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // boilerplate twin: the chunking CTE + a HAVING-filtered aggregate
+    "q_chunk_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, words,
+        |    1 + (greatest(len(words) - 64, 0) + 55) // 56 AS n_chunks
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS k,
+        |    words FROM n),
+        |ch AS (
+        |  SELECT doc_id,
+        |    array_to_string(words[k * 56 + 1 : k * 56 + 64], ' ')
+        |      AS chunk_text
+        |  FROM c)
+        |SELECT min(doc_id) AS first_doc,
+        |  count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(length(chunk_text) AS BIGINT) AS chunk_chars
+        |FROM ch GROUP BY chunk_text HAVING count(*) > 1
+        |ORDER BY first_doc, chunk_chars""".stripMargin,
     // domain-mix twin: same scramble ranking, same arithmetic quota over
     // the source suffix
     "q_domain_mix" ->
