@@ -199,6 +199,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(pairs.contains((1L, 1000L)))
   }
 
+  test("soft-assignment semantic pairs plan one equi-join on the cell, " +
+      "never a cross product") {
+    val withDup = corpusDf.union(
+      Seq((1000L, corpus.head._2)).toDF("vec_id", "embedding"))
+    val pairs = Similarity.semanticDupPairs(withDup, "vec_id", "embedding",
+      threshold = 0.95, nlist = 4, kmeansIters = 0, probes = 2)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllMatchIn(plan).size === 1, plan)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
