@@ -199,6 +199,36 @@ object ExtQueries {
         Seq("id_a", "id_b"))
     }),
 
+    // product-quantized ANN — the RAM-compression serving path: 16
+    // subspace codes per vector (vs 64 raw floats), ADC table scoring,
+    // exact rerank of the top-12k ADC candidates. Knobs follow the corpus:
+    // this fixture's true top-10 sit at cosine 0.28–0.37 (no planted
+    // near-dups — quantization noise is comparable to the score gaps), so
+    // recall 0.9 needs fine subspaces (subDim=4) and a deep rerank pool;
+    // clustered real corpora hit the same recall at coarser settings.
+    // Rows-only (trained codebooks are engine-specific), recall row below.
+    "ann_pq" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      val cb = graft.operators.Pq.train(corpus, "embedding", m = 16, k = 16)
+      graft.operators.Pq.topK(corpus, "vec_id", "embedding",
+          query, "embedding", 10, cb, oversample = 12)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // recall@10 of the PQ+rerank path vs exact brute force
+    "ann_pq_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      val cb = graft.operators.Pq.train(corpus, "embedding", m = 16, k = 16)
+      recallOf(
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10).select("vec_id"),
+        graft.operators.Pq.topK(corpus, "vec_id", "embedding",
+          query, "embedding", 10, cb, oversample = 12),
+        Seq("vec_id"))
+    }),
+
     // SemDeDup: k-means cells block the pairwise cosine, one survivor
     // (min vec_id) per connected near-dup component. Rows-only (centroid
     // assignment is engine-specific); the recall row below prices the

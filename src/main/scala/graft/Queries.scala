@@ -489,6 +489,21 @@ object Queries {
           round(sum("value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // SLIDING event-time windows (1 h length, 15 min slide — each event in
+    // 4 overlapping windows): Spark's window() generator; at scale the 4×
+    // row expansion happens AFTER the scan and feeds straight into the
+    // partial aggregate, so the shuffle carries (window, type) partials,
+    // not events. The DuckDB twin derives the same window set
+    // arithmetically (start = (epoch//900 − k)·900, k ∈ 0..3).
+    "q_sliding_windows" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")),
+
     // exact interpolated percentiles (sort-based; the approx twin is
     // percentile_approx at scale)
     "q_percentiles" -> ((s, d) =>
@@ -1032,6 +1047,23 @@ object Queries {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // sliding-window twin: every event expands to its 4 slide-aligned
+    // windows; epoch arithmetic in whole seconds (the fixture's ts has no
+    // sub-second component smaller than us — epoch() yields seconds as
+    // DOUBLE, floor-divided safely at this magnitude)
+    "q_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) AS slot
+        |  FROM events),
+        |x AS (
+        |  SELECT to_timestamp((slot - k) * 900) AS win_start, event_type,
+        |    value
+        |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT CAST(win_start AT TIME ZONE 'UTC' AS TIMESTAMP) AS win_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

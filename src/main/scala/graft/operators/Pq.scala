@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the memory side of ANN at scale: each
+  * vector is stored as `m` small codes (here ints; 8 bits each at k=256)
+  * instead of `dim` floats, a 16–32× compression that is what actually
+  * lets a 100 TB embedding corpus serve from RAM. Search is ADC
+  * (asymmetric distance computation): the query builds an m×k lookup
+  * table once, scoring a candidate costs m array lookups — no float math
+  * against the corpus at all — and the ADC top candidates are reranked
+  * EXACTLY against their raw vectors (the production IVF-PQ shape: the
+  * approximate pass prunes, the exact pass decides).
+  *
+  * Spark shapes: codebooks are bounded driver state (m·k·subDim doubles —
+  * like IVF centroids), trained by per-subspace Lloyd iterations in plain
+  * Scala over a capped, seeded sample collected once. Encoding is a
+  * narrow expression — per subspace, an `array_min` argmin over k literal
+  * (cost, code) structs, each cost one codegen'd [[Vectors.dot]] against
+  * a literal centroid; normalization enters as a scalar division of the
+  * dot (never a per-element map, which would drop out of codegen). ADC
+  * scoring is m literal-array `element_at` lookups summed — also narrow.
+  * Nothing here shuffles except the final top-k.
+  */
+object Pq {
+
+  /** Trained per-subspace codebooks: `cents(m)(j)` is the j-th centroid of
+    * subspace m, over L2-NORMALIZED input vectors (so ADC inner product
+    * approximates cosine).
+    */
+  case class Codebooks(m: Int, k: Int, subDim: Int,
+                       cents: Seq[Seq[Seq[Double]]]) extends Serializable
+
+  /** Train codebooks on a seeded sample (capped at `maxSample` rows
+    * collected to the driver — PQ-standard: codebook quality needs a
+    * representative sample, not the corpus).
+    */
+  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+            iters: Int = 5, sampleFraction: Double = 1.0,
+            maxSample: Int = 4096): Codebooks = {
+    require(m > 0 && k > 1 && iters >= 0)
+    val sampled = (if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed = 42L)
+    else corpus)
+      .select(Vectors.toDouble(col(vecCol)).as("v"))
+      .limit(maxSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sampled.nonEmpty, "PQ needs a non-empty training sample")
+    val dim = sampled.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    // normalize once; all subsequent math is on unit vectors
+    val normed = sampled.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val cents = (0 until m).map { mi =>
+      val subs = normed.map(_.slice(mi * subDim, (mi + 1) * subDim))
+      // deterministic seeds: k distinct subvectors in input order
+      var cs: Seq[Seq[Double]] = subs.map(_.toSeq).distinct.take(k).toSeq
+      if (cs.size < k) cs = cs ++ Seq.fill(k - cs.size)(cs.head)
+      var round = 0
+      while (round < iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            var d = 0.0; var t = 0
+            while (t < subDim) {
+              val diff = s(t) - cs(j)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < subDim) { sums(best)(t) += s(t); t += 1 }
+        }
+        cs = cs.zipWithIndex.map { case (c, j) =>
+          if (counts(j) == 0) c
+          else sums(j).map(_ / counts(j)).toSeq
+        }
+        round += 1
+      }
+      cs
+    }
+    Codebooks(m, k, subDim, cents)
+  }
+
+  /** The PQ code array (one int per subspace) for a raw vector column:
+    * per subspace, argmin_j ‖sub/‖v‖ − c_j‖² = argmin_j (‖c_j‖² −
+    * 2·dot(sub, c_j)/‖v‖) — the norm enters as a scalar division, so the
+    * whole argmin is codegen'd struct comparison over literals.
+    */
+  def encodeExpr(cb: Codebooks, vec: Column): Column = {
+    val v = Vectors.toDouble(vec)
+    val nrm = Vectors.l2Norm(v)
+    val safe = when(nrm === 0, lit(1.0)).otherwise(nrm)
+    val codes = (0 until cb.m).map { mi =>
+      val sub = slice(v, mi * cb.subDim + 1, cb.subDim)
+      val scored = cb.cents(mi).zipWithIndex.map { case (c, j) =>
+        val cNorm2 = c.map(x => x * x).sum
+        struct((lit(cNorm2) - lit(2.0) * Vectors.dot(sub, typedlit(c)) / safe)
+          .as("cost"), lit(j).as("code"))
+      }
+      array_min(array(scored: _*)).getField("code")
+    }
+    array(codes: _*)
+  }
+
+  /** Corpus → (idCol, pq_codes) — the compressed index representation. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             cb: Codebooks): DataFrame =
+    df.select(col(idCol), encodeExpr(cb, col(vecCol)).as("pq_codes"))
+
+  /** ADC top-k with exact rerank: score all codes via m table lookups,
+    * keep the top `k`·`oversample` candidates (TakeOrderedAndProject),
+    * rerank ONLY those against their raw vectors with exact cosine.
+    */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+           query: DataFrame, queryVecCol: String, k: Int,
+           cb: Codebooks, oversample: Int = 4): DataFrame = {
+    // the query vector is one bounded row — collect, normalize, build the
+    // m×k ADC table driver-side (PQ-standard)
+    val q = query.select(Vectors.toDouble(col(queryVecCol)))
+      .head().getSeq[Double](0).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qq = if (qn == 0) q else q.map(_ / qn)
+    val tables: Seq[Seq[Double]] = (0 until cb.m).map { mi =>
+      val sub = qq.slice(mi * cb.subDim, (mi + 1) * cb.subDim)
+      cb.cents(mi).map(c => c.zip(sub).map { case (a, b) => a * b }.sum)
+    }
+    val codes = encode(corpus, idCol, vecCol, cb)
+    val adc = (0 until cb.m).map(mi =>
+        element_at(typedlit(tables(mi)),
+          element_at(col("pq_codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    val candidates = codes.select(col(idCol), adc.as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol))
+      .limit(k * oversample)
+    // exact rerank of the candidate minority only
+    val qvec = broadcast(query.select(
+      Vectors.toDouble(col(queryVecCol)).as("__qvec")))
+    corpus.join(candidates.select(idCol), Seq(idCol), "left_semi")
+      .crossJoin(qvec)
+      .select(col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

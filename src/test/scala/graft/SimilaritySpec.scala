@@ -212,6 +212,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .findAllMatchIn(plan).size === 1, plan)
   }
 
+  test("PQ: codes in range and deterministic, ADC+rerank finds the planted " +
+      "neighbor first") {
+    import graft.operators.Pq
+    val cb = Pq.train(corpusDf, "embedding", m = 4, k = 8, iters = 3)
+    assert(cb.cents.size === 4 && cb.cents.forall(_.size === 8))
+    val codes = Pq.encode(corpusDf, "vec_id", "embedding", cb)
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 8)))
+    assert(codes.forall(_._2.size === 4))
+    // deterministic: retrain + re-encode gives identical codes
+    val cb2 = Pq.train(corpusDf, "embedding", m = 4, k = 8, iters = 3)
+    val codes2 = Pq.encode(corpusDf, "vec_id", "embedding", cb2)
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    assert(codes.toSeq === codes2.toSeq)
+    // the near-identical planted vector survives quantization + rerank
+    val top = Pq.topK(corpusDf, "vec_id", "embedding", queryDf, "embedding",
+        5, cb, oversample = 8)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+    assert(top.head._2 > 0.99)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
