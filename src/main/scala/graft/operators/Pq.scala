@@ -118,13 +118,63 @@ object Pq {
              cb: Codebooks): DataFrame =
     df.select(col(idCol), encodeExpr(cb, col(vecCol)).as("pq_codes"))
 
+  /** Materialize the PQ index: the encoded corpus (id + m ints per
+    * vector — the 8–16× compressed representation ADC actually scans)
+    * plus the codebooks as a tiny sidecar. Raw vectors stay in the
+    * original corpus files and are touched only by the rerank's semi-join
+    * — the scan split that makes a 100 TB corpus servable from the code
+    * table alone.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, cb: Codebooks): Unit = {
+    encode(corpus, idCol, vecCol, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cb.cents.zipWithIndex
+      .map { case (cs, mi) => (mi, cs) }
+      .toDF("subspace", "centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Read the sidecar codebooks back (bounded: m rows). */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace").collect()
+      .map(r => r.getSeq[scala.collection.Seq[Double]](1)
+        .map(_.toSeq).toSeq).toSeq
+    Codebooks(rows.size, rows.head.size, rows.head.head.size, rows)
+  }
+
+  /** Serve top-k from a materialized index: the ADC pass scans ONLY the
+    * code table (no raw vectors in its ReadSchema — asserted in
+    * SimilaritySpec); `rawCorpus` is joined just for the candidate
+    * minority's exact rerank.
+    */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    rawCorpus: DataFrame, idCol: String, vecCol: String,
+                    query: DataFrame, queryVecCol: String, k: Int,
+                    oversample: Int = 4): DataFrame = {
+    val cb = readCodebooks(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    rerank(codes, rawCorpus, idCol, vecCol, query, queryVecCol, k, cb,
+      oversample)
+  }
+
   /** ADC top-k with exact rerank: score all codes via m table lookups,
     * keep the top `k`·`oversample` candidates (TakeOrderedAndProject),
     * rerank ONLY those against their raw vectors with exact cosine.
     */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
            query: DataFrame, queryVecCol: String, k: Int,
-           cb: Codebooks, oversample: Int = 4): DataFrame = {
+           cb: Codebooks, oversample: Int = 4): DataFrame =
+    rerank(encode(corpus, idCol, vecCol, cb), corpus, idCol, vecCol,
+      query, queryVecCol, k, cb, oversample)
+
+  private def rerank(codes: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, query: DataFrame, queryVecCol: String,
+                     k: Int, cb: Codebooks, oversample: Int): DataFrame = {
     // the query vector is one bounded row — collect, normalize, build the
     // m×k ADC table driver-side (PQ-standard)
     val q = query.select(Vectors.toDouble(col(queryVecCol)))
@@ -135,7 +185,6 @@ object Pq {
       val sub = qq.slice(mi * cb.subDim, (mi + 1) * cb.subDim)
       cb.cents(mi).map(c => c.zip(sub).map { case (a, b) => a * b }.sum)
     }
-    val codes = encode(corpus, idCol, vecCol, cb)
     val adc = (0 until cb.m).map(mi =>
         element_at(typedlit(tables(mi)),
           element_at(col("pq_codes"), mi + 1) + 1))

@@ -234,6 +234,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._2 > 0.99)
   }
 
+  test("materialized PQ index: ADC scans codes only, same served result") {
+    import graft.operators.Pq
+    val cb = Pq.train(corpusDf, "embedding", m = 4, k = 8, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Pq.writeIndex(corpusDf, "vec_id", "embedding", path, cb)
+    val cb2 = Pq.readCodebooks(spark, path)
+    assert(cb2 === cb)
+    val served = Pq.topKFromIndex(spark, path, corpusDf, "vec_id",
+      "embedding", queryDf, "embedding", 5, oversample = 8)
+    // the ADC candidate scan reads the compressed codes, never embeddings:
+    // exactly one parquet scan in the plan, with only id + codes
+    val plan = served.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans === 1, plan)
+    assert("ReadSchema:[^\\n]*embedding".r.findFirstIn(plan).isEmpty, plan)
+    val top = served.as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+    // index-served == from-scratch (same codebooks, same pool)
+    val scratch = Pq.topK(corpusDf, "vec_id", "embedding", queryDf,
+      "embedding", 5, cb, oversample = 8).as[(Long, Double)].collect()
+    assert(top.toSeq === scratch.toSeq)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
