@@ -229,6 +229,25 @@ object ExtQueries {
         Seq("vec_id"))
     }),
 
+    // the composed IVF-PQ serving path: cell-partitioned code table,
+    // partition-pruned ADC scan (no raw vectors read), exact rerank —
+    // recall@10 vs brute force prices BOTH prunings (cells + quantization)
+    "ann_ivfpq_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivfpq_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 4, m = 16, k = 16, kmeansIters = 2)
+      recallOf(
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10).select("vec_id"),
+        Similarity.ivfPqTopKFromIndex(s, idx, corpus, "vec_id", "embedding",
+          query, "embedding", 10, nprobe = 3, oversample = 12),
+        Seq("vec_id"))
+    }),
+
     // SemDeDup: k-means cells block the pairwise cosine, one survivor
     // (min vec_id) per connected near-dup component. Rows-only (centroid
     // assignment is engine-specific); the recall row below prices the

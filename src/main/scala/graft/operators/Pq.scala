@@ -129,7 +129,13 @@ object Pq {
                  path: String, cb: Codebooks): Unit = {
     encode(corpus, idCol, vecCol, cb)
       .write.mode("overwrite").parquet(s"$path/codes")
-    val spark = corpus.sparkSession
+    writeCodebooks(corpus.sparkSession, path, cb)
+  }
+
+  /** The codebook sidecar (m rows), shared with the IVF-PQ index writer. */
+  private[operators] def writeCodebooks(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cb: Codebooks): Unit = {
     import spark.implicits._
     cb.cents.zipWithIndex
       .map { case (cs, mi) => (mi, cs) }
@@ -172,7 +178,7 @@ object Pq {
     rerank(encode(corpus, idCol, vecCol, cb), corpus, idCol, vecCol,
       query, queryVecCol, k, cb, oversample)
 
-  private def rerank(codes: DataFrame, corpus: DataFrame, idCol: String,
+  private[operators] def rerank(codes: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, query: DataFrame, queryVecCol: String,
                      k: Int, cb: Codebooks, oversample: Int): DataFrame = {
     // the query vector is one bounded row — collect, normalize, build the

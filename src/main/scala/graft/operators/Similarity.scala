@@ -260,6 +260,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ index — the FAISS-shaped composition and the full 100 TB
+    * serving story: PQ codes (the 8–16× compressed representation)
+    * partitioned by Voronoi cell, so a query (a) prunes to its nprobe
+    * cell DIRECTORIES via parquet partition pruning, (b) ADC-scores only
+    * those cells' code rows — a scan that reads no raw vectors at all —
+    * and (c) exactly reranks the candidate minority against the raw
+    * corpus. Cost per query: nprobe/nlist of the code table + k·oversample
+    * full vectors.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nlist: Int = 16, m: Int = 8,
+                      k: Int = 16, kmeansIters: Int = 0,
+                      sampleFraction: Double = 1.0): Unit = {
+    val cents =
+      trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters, sampleFraction)
+    val cb = Pq.train(corpus, vecCol, m, k)
+    corpus.select(col(idCol),
+        Pq.encodeExpr(cb, col(vecCol)).as("pq_codes"),
+        bestCellFor(cents)(col(vecCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Pq.writeCodebooks(spark, path, cb)
+  }
+
+  /** Serve top-k from the IVF-PQ index: centroid + codebook sidecars are
+    * bounded reads; the ADC pass scans only the probed cells' codes.
+    */
+  def ivfPqTopKFromIndex(spark: SparkSession, path: String,
+                         rawCorpus: DataFrame, idCol: String, vecCol: String,
+                         query: DataFrame, queryVecCol: String, k: Int,
+                         nprobe: Int = 4, oversample: Int = 4): DataFrame = {
+    val cents: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    val cells = probeCells(query, queryVecCol, cents, nprobe)
+      .collect().map(_.getLong(1))
+    val cb = Pq.readCodebooks(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+    Pq.rerank(codes, rawCorpus, idCol, vecCol, query, queryVecCol, k, cb,
+      oversample)
+  }
+
   /** Materialize the LSH index: the corpus posexploded to one row per
     * (table, bucket) membership, written PARTITIONED BY (table, bucket),
     * plus a tiny sidecar recording the (nBits, tables) parameters. This is

@@ -257,6 +257,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.toSeq === scratch.toSeq)
   }
 
+  test("IVF-PQ index: partition-pruned codes-only ADC scan, planted " +
+      "neighbor served") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.writeIvfPqIndex(corpusDf, "vec_id", "embedding", path,
+      nlist = 4, m = 4, k = 8, kmeansIters = 1)
+    val served = Similarity.ivfPqTopKFromIndex(spark, path, corpusDf,
+      "vec_id", "embedding", queryDf, "embedding", 5,
+      nprobe = 2, oversample = 8)
+    val plan = served.queryExecution.executedPlan.toString
+    // ADC scan: partition-pruned (cell filter) and code-only (the one
+    // parquet scan carries no embedding column)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty, plan)
+    assert("Scan parquet".r.findAllMatchIn(plan).size === 1, plan)
+    assert("ReadSchema:[^\\n]*embedding".r.findFirstIn(plan).isEmpty, plan)
+    val top = served.as[(Long, Double)].collect()
+    // near-identical vectors share the best cell, so nprobe=2 always
+    // covers the planted neighbor
+    assert(top.head._1 === 999L)
+    assert(top.head._2 > 0.99)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
