@@ -210,7 +210,8 @@ object ExtQueries {
     "ann_pq" -> ((s, d) => {
       val corpus = embs(s, d).filter(col("vec_id") =!= 0)
       val query = embs(s, d).filter(col("vec_id") === 0)
-      val cb = graft.operators.Pq.train(corpus, "embedding", m = 16, k = 16)
+      val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
+        m = 16, k = 16)
       graft.operators.Pq.topK(corpus, "vec_id", "embedding",
           query, "embedding", 10, cb, oversample = 12)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
@@ -220,7 +221,8 @@ object ExtQueries {
     "ann_pq_recall" -> ((s, d) => {
       val corpus = embs(s, d).filter(col("vec_id") =!= 0)
       val query = embs(s, d).filter(col("vec_id") === 0)
-      val cb = graft.operators.Pq.train(corpus, "embedding", m = 16, k = 16)
+      val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
+        m = 16, k = 16)
       recallOf(
         Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
           query, "embedding", 10).select("vec_id"),
@@ -353,7 +355,8 @@ object ExtQueries {
         .where(col("n_occurrences") > 1)
         .select(col("first_doc"), col("n_occurrences"), col("n_docs"),
           length(col("chunk_text")).cast("long").as("chunk_chars"))
-        .transform(Queries.presentSorted(_, "first_doc", "chunk_chars"))),
+        .transform(Queries.presentSorted(_, "first_doc", "chunk_chars",
+          "n_occurrences", "n_docs"))),
 
     // weighted domain mixing — per-source quotas as an expression over the
     // stratum key (source srcN gets (N % 3 + 1) · 10 docs): the mixture-
@@ -871,7 +874,7 @@ object ExtQueries {
         |  count(DISTINCT doc_id) AS n_docs,
         |  CAST(length(chunk_text) AS BIGINT) AS chunk_chars
         |FROM ch GROUP BY chunk_text HAVING count(*) > 1
-        |ORDER BY first_doc, chunk_chars""".stripMargin,
+        |ORDER BY first_doc, chunk_chars, n_occurrences, n_docs""".stripMargin,
     // domain-mix twin: same scramble ranking, same arithmetic quota over
     // the source suffix
     "q_domain_mix" ->

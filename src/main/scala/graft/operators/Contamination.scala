@@ -53,13 +53,18 @@ object Contamination {
     val benchGrams = withGrams(benchmark)
       .select(explode(col("__ct_grams")).as("__ct_gram")).distinct()
 
+    // explode the DISTINCT grams: a repetition-heavy doc (exactly the
+    // population a contamination scan meets) would otherwise feed one join
+    // row per duplicate occurrence, and the aggregate can then be a plain
+    // count instead of countDistinct
     withGrams(docs)
+      .withColumn("__ct_distinct", array_distinct(col("__ct_grams")))
       .select(col(idCol),
-        size(array_distinct(col("__ct_grams"))).cast("long").as("n_grams"),
-        explode(col("__ct_grams")).as("__ct_gram"))
+        size(col("__ct_distinct")).cast("long").as("n_grams"),
+        explode(col("__ct_distinct")).as("__ct_gram"))
       .join(broadcast(benchGrams), "__ct_gram")
       .groupBy(col(idCol), col("n_grams"))
-      .agg(countDistinct(col("__ct_gram")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
       .select(col(idCol), col("n_hits"), col("n_grams"),
         round(col("n_hits").cast("double") / col("n_grams"), 6)
           .as("contamination"))

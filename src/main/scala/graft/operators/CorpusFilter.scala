@@ -44,11 +44,16 @@ object CorpusFilter {
         coalesce(sum(c.cast("long")), lit(0L)).as(s"__cf_s$i")
       }
     val one = flags.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = (Seq("0", "'total'", "__cf_total") ++
-      gates.zipWithIndex.flatMap { case ((n, _), i) =>
-        Seq(s"${i + 1}", s"'$n'", s"__cf_s$i")
-      }).mkString(", ")
-    one.selectExpr(
-      s"stack(${gates.length + 1}, $stackArgs) AS (stage, gate, surviving)")
+    // typed struct construction (no SQL string) — a gate name is data, not
+    // syntax, so quotes/injection in caller-supplied names are inert
+    val rows = struct(lit(0).as("stage"), lit("total").as("gate"),
+      col("__cf_total").as("surviving")) +:
+      gates.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(i + 1).as("stage"), lit(n).as("gate"),
+          col(s"__cf_s$i").as("surviving"))
+      }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.gate").as("gate"),
+        col("r.surviving").as("surviving"))
   }
 }

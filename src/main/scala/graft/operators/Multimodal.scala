@@ -106,33 +106,39 @@ object Multimodal {
   class ImageIoCodec(val featureDim: Int = 16) extends Codec {
     def decode(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
       require(bytes != null && bytes.length > 0, "empty media payload")
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream directly: ImageIO.createImageInputStream
+      // defaults to a DISK cache — one temp file per record, reclaimed only
+      // at GC, pure churn in a mapPartitions decode loop (and it returns
+      // null on an unusable tmpdir)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "no ImageIO reader for payload")
-      val reader = readers.next()
       try {
-        reader.setInput(iis)
-        val img = reader.read(0)
-        val meta = MediaMeta(format = reader.getFormatName.toLowerCase,
-          width = img.getWidth, height = img.getHeight,
-          nChannels = img.getColorModel.getNumComponents,
-          nBytes = bytes.length.toLong)
-        val feat = new Array[Float](featureDim)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
-              (rgb & 0xFF)) / (3.0f * 255.0f)
-            feat((y * img.getWidth + x) % featureDim) += lum
-            x += 1
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no ImageIO reader for payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          val meta = MediaMeta(format = reader.getFormatName.toLowerCase,
+            width = img.getWidth, height = img.getHeight,
+            nChannels = img.getColorModel.getNumComponents,
+            nBytes = bytes.length.toLong)
+          val feat = new Array[Float](featureDim)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)) / (3.0f * 255.0f)
+              feat((y * img.getWidth + x) % featureDim) += lum
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        (meta, feat)
-      } finally reader.dispose()
+          (meta, feat)
+        } finally reader.dispose()
+      } finally iis.close()
     }
   }
 

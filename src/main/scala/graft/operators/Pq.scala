@@ -36,17 +36,21 @@ object Pq {
 
   /** Train codebooks on a seeded sample (capped at `maxSample` rows
     * collected to the driver — PQ-standard: codebook quality needs a
-    * representative sample, not the corpus).
+    * representative sample, not the corpus). The cap takes rows in
+    * scrambled-id order (TakeOrderedAndProject — no full sort), NOT input
+    * order: a bare limit() would train on the first parquet split's rows,
+    * a biased non-sample on any corpus laid out by time or source.
     */
-  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
-            iters: Int = 5, sampleFraction: Double = 1.0,
+  def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+            k: Int, iters: Int = 5, sampleFraction: Double = 1.0,
             maxSample: Int = 4096): Codebooks = {
     require(m > 0 && k > 1 && iters >= 0)
     val sampled = (if (sampleFraction < 1.0)
       corpus.sample(withReplacement = false, sampleFraction, seed = 42L)
     else corpus)
-      .select(Vectors.toDouble(col(vecCol)).as("v"))
+      .orderBy(Sampling.scramble(col(idCol)), col(idCol))
       .limit(maxSample)
+      .select(Vectors.toDouble(col(vecCol)).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sampled.nonEmpty, "PQ needs a non-empty training sample")
     val dim = sampled.head.length

@@ -275,7 +275,8 @@ object Similarity {
                       sampleFraction: Double = 1.0): Unit = {
     val cents =
       trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters, sampleFraction)
-    val cb = Pq.train(corpus, vecCol, m, k)
+    val cb = Pq.train(corpus, idCol, vecCol, m, k,
+      sampleFraction = sampleFraction)
     corpus.select(col(idCol),
         Pq.encodeExpr(cb, col(vecCol)).as("pq_codes"),
         bestCellFor(cents)(col(vecCol)).as("cell"))
@@ -400,12 +401,24 @@ object Similarity {
           Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t)): _*))
           .as(Seq("__table", "__bucket")))
       .withColumn("nrm", Vectors.l2Norm(col("v")))
-    val a = base.select(col("__table"), col("__bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = base.select(col("__table"), col("__bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    verifiedPairsWithin(base, Seq("__table", "__bucket"), threshold)
+  }
+
+  /** The shared block-join verify: self-equi-join a prepared
+    * (blockKeys..., id, v, nrm) frame on its block keys, dedup candidate
+    * pairs BEFORE the cosine (a multi-block collision costs one dot
+    * product), verify exactly. Used by the LSH-blocked and
+    * soft-assignment-semantic pair generators — one implementation, one
+    * set of zero-norm/tie semantics.
+    */
+  private def verifiedPairsWithin(base: DataFrame, blockKeys: Seq[String],
+                                  threshold: Double): DataFrame = {
+    val a = base.select(blockKeys.map(col) ++ Seq(col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a")): _*)
+    val b = base.select(blockKeys.map(col) ++ Seq(col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b")): _*)
     val denom = col("nrm_a") * col("nrm_b")
-    a.join(b, Seq("__table", "__bucket"))
+    a.join(b, blockKeys)
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
@@ -438,27 +451,14 @@ object Similarity {
         blockCols = Seq(bestCellFor(cents)(col(vecCol))))
     // soft assignment: each vector joins its top-`probes` cells (the IVF
     // nprobe move applied to dedup blocking — pairs near a Voronoi
-    // boundary stop being invisible). Corpus replicated probes×, pairs
-    // deduped BEFORE the cosine verify so a 2-cell collision costs one
-    // dot product — structurally lshBlockedNearDupPairs with learned
-    // cells instead of random hyperplanes.
+    // boundary stop being invisible). Corpus replicated probes×;
+    // structurally lshBlockedNearDupPairs with learned cells instead of
+    // random hyperplanes, sharing its verify join.
     val base = df.select(col(idCol).as("id"),
         Vectors.toDouble(col(vecCol)).as("v"),
         explode(topCellsFor(cents, probes)(col(vecCol))).as("__cell"))
       .withColumn("nrm", Vectors.l2Norm(col("v")))
-    val a = base.select(col("__cell"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = base.select(col("__cell"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("nrm_b"))
-    val denom = col("nrm_a") * col("nrm_b")
-    a.join(b, Seq("__cell"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        when(denom === 0, lit(null))
-          .otherwise(Vectors.dot(col("v_a"), col("v_b")) / denom)
-          .as("cosine"))
-      .where(col("cosine") >= threshold)
+    verifiedPairsWithin(base, Seq("__cell"), threshold)
   }
 
   /** Semantic dedup proper: one survivor (min id) per connected component

@@ -35,10 +35,9 @@ object Jdbc {
   def write(df: DataFrame, url: String, table: String,
             mode: SaveMode = SaveMode.Overwrite,
             batchSize: Int = 1000, maxConnections: Int = 4): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
-      else df
-    bounded.write.format("jdbc")
+    // coalesce never raises a partition count, so the cap needs no guard
+    // (a guard via df.rdd would force physical planning just to look)
+    df.coalesce(maxConnections).write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("batchsize", batchSize)

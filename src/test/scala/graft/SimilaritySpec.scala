@@ -215,14 +215,14 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   test("PQ: codes in range and deterministic, ADC+rerank finds the planted " +
       "neighbor first") {
     import graft.operators.Pq
-    val cb = Pq.train(corpusDf, "embedding", m = 4, k = 8, iters = 3)
+    val cb = Pq.train(corpusDf, "vec_id", "embedding", m = 4, k = 8, iters = 3)
     assert(cb.cents.size === 4 && cb.cents.forall(_.size === 8))
     val codes = Pq.encode(corpusDf, "vec_id", "embedding", cb)
       .orderBy("vec_id").as[(Long, Seq[Int])].collect()
     assert(codes.forall(_._2.forall(c => c >= 0 && c < 8)))
     assert(codes.forall(_._2.size === 4))
     // deterministic: retrain + re-encode gives identical codes
-    val cb2 = Pq.train(corpusDf, "embedding", m = 4, k = 8, iters = 3)
+    val cb2 = Pq.train(corpusDf, "vec_id", "embedding", m = 4, k = 8, iters = 3)
     val codes2 = Pq.encode(corpusDf, "vec_id", "embedding", cb2)
       .orderBy("vec_id").as[(Long, Seq[Int])].collect()
     assert(codes.toSeq === codes2.toSeq)
@@ -236,7 +236,7 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
 
   test("materialized PQ index: ADC scans codes only, same served result") {
     import graft.operators.Pq
-    val cb = Pq.train(corpusDf, "embedding", m = 4, k = 8, iters = 3)
+    val cb = Pq.train(corpusDf, "vec_id", "embedding", m = 4, k = 8, iters = 3)
     val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
     Pq.writeIndex(corpusDf, "vec_id", "embedding", path, cb)
     val cb2 = Pq.readCodebooks(spark, path)
