@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{CorpusFilter, Dedup}
+import graft.operators.{Contamination, CorpusFilter, Dedup}
 
 /** End-to-end training-corpus builder: the watermark-incremental ingest of
   * [[IncrementalBatch]] composed with the quality gates of
@@ -11,10 +11,11 @@ import graft.operators.{CorpusFilter, Dedup}
   *
   *   read fresh (ts > watermark) → drop docs failing the quality gates
   *   (narrow, fused into the scan — cheapest filter first) → drop docs
-  *   near-duplicating the EXISTING corpus (via the MinHash index — corpus
-  *   text is never re-read) → drop within-batch near-dups → append
-  *   survivors to the corpus AND their signatures to the index → advance
-  *   the watermark.
+  *   sharing a verbatim n-gram with the eval benchmark (decontamination,
+  *   broadcast gram set) → drop docs near-duplicating the EXISTING corpus
+  *   (via the MinHash index — corpus text is never re-read) → drop
+  *   within-batch near-dups → append survivors to the corpus AND their
+  *   signatures to the index → advance the watermark.
   *
   * First run bootstraps: no index yet, so the whole batch (self-deduped)
   * becomes the corpus and seeds the index.
@@ -39,8 +40,22 @@ object CorpusPipeline {
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,
-                     gates: Seq[(String, Column)] = Seq.empty): Long = {
-    val gated = if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
+                     gates: Seq[(String, Column)] = Seq.empty,
+                     benchmark: Option[DataFrame] = None,
+                     contaminationN: Int = 8): Long = {
+    val qualityGated =
+      if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
+    // decontamination gate: docs sharing a verbatim n-gram with the
+    // benchmark never enter the corpus (benchmark grams broadcast — the
+    // eval suite is small by nature)
+    val gated = benchmark match {
+      case Some(b) =>
+        val hit = Contamination
+          .ngramOverlap(qualityGated, b, idCol, textCol, contaminationN)
+          .select(col(idCol))
+        qualityGated.join(hit, Seq(idCol), "left_anti")
+      case None => qualityGated
+    }
     val vsCorpus =
       if (!indexExists(indexPath)) gated
       else {
@@ -76,7 +91,9 @@ class CorpusPipeline(
     idCol: String = "doc_id",
     textCol: String = "text",
     threshold: Double = 0.8,
-    gates: Seq[(String, Column)] = Seq.empty) {
+    gates: Seq[(String, Column)] = Seq.empty,
+    benchmarkPath: Option[String] = None,
+    contaminationN: Int = 8) {
 
   /** Run one batch; returns (docs appended, new watermark). */
   def run(): BatchResult = {
@@ -91,7 +108,8 @@ class CorpusPipeline(
     val maxTs = fresh.agg(max(col(tsCol))).collect().head.get(0)
 
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
-      indexPath, idCol, textCol, threshold, gates)
+      indexPath, idCol, textCol, threshold, gates,
+      benchmarkPath.map(spark.read.parquet(_)), contaminationN)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

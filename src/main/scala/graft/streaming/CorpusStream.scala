@@ -24,7 +24,8 @@ object CorpusStream {
             corpusPath: String, indexPath: String, checkpoint: String,
             idCol: String = "doc_id", textCol: String = "text",
             threshold: Double = 0.8,
-            gates: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty)
+            gates: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+            benchmark: Option[DataFrame] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -32,7 +33,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
-          idCol, textCol, threshold, gates)
+          idCol, textCol, threshold, gates, benchmark)
         ()
       }
       .start()

@@ -92,6 +92,30 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r2.rowsWritten === 0)
   }
 
+  test("decontamination gate drops docs sharing a benchmark n-gram " +
+      "before they reach the corpus") {
+    val dir = Files.createTempDirectory("corpus_decon")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val wm = dir.resolve("wm.json").toString
+    val benchDir = dir.resolve("bench").toString
+    // the benchmark contains base's opening 8-gram verbatim
+    Seq((100L, base.split(" ").take(12).mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(benchDir)
+    val pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
+      benchmarkPath = Some(benchDir))
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), base),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), fresh2))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val r = pipeline.run()
+    // doc 1 is contaminated (contains the benchmark 8-gram), doc 2 lands
+    assert(r.rowsWritten === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(2L))
+    assert(Watermark.read(wm).get.startsWith("2024-01-01 01"))
+  }
+
   test("streaming corpus: checkpointed file stream drives the same gate") {
     import graft.streaming.CorpusStream
     val dir = Files.createTempDirectory("corpus_stream")
