@@ -54,10 +54,14 @@ object Components {
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25): DataFrame = {
     val e = pairs.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      // the pair plan is often an expensive generator (LSH banding + verify
+      // join); the symmetrizing union below consumes it TWICE, so
+      // materialize it once here (released with sym at the end)
+      .localCheckpoint(true)
     // undirected: propagate along both directions of every edge
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
     var labels = sym.select(col("src").as("id")).distinct()
@@ -90,6 +94,7 @@ object Components {
       iter += 1
     }
     sym.unpersist(false)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(e)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
