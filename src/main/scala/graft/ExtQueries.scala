@@ -45,7 +45,12 @@ object ExtQueries {
     "lang" -> (TextAnalysis.langId(col("text")) === "en"),
     "quality" -> (TextAnalysis.qualityScore(col("text")) >= 0.5),
     "repetition" -> (TextAnalysis.repetitionRatio(col("text"), 2) <= 0.2),
-    "pii" -> (TextAnalysis.piiCounts(col("text")).head._2 === 0))
+    // ALL pii kinds gate (emails + IPs + phones) — a doc slips through
+    // only if every audited counter is zero, matching the C4/Gopher
+    // "PII screen" framing; each counter formula is hash-proven by the
+    // text_pii oracle
+    "pii" -> (TextAnalysis.piiCounts(col("text"))
+      .map(_._2).reduce(_ + _) === 0))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -746,7 +751,14 @@ object ExtQueries {
       |    list_filter(string_split_regex(lower(tt), '\s+'), x -> x <> '')
       |      AS w,
       |    len(regexp_extract_all(text,
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |    len(regexp_extract_all(text,
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |    len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) +
+      |    len(regexp_extract_all(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+      |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '', 'g'),
+      |      '\+?\d{9,15}')) AS n_phones
       |  FROM t),
       |m2 AS (
       |  SELECT *,
@@ -787,7 +799,7 @@ object ExtQueries {
       |    ((CASE WHEN len(g2) = 0 THEN 0.0
       |      ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
       |      END) <= 0.2) AS p3,
-      |    (n_emails = 0) AS p4
+      |    (n_emails + n_ips + n_phones = 0) AS p4
       |  FROM m2)""".stripMargin
 
   val oracles: Map[String, String] = Map(

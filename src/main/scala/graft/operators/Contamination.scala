@@ -46,6 +46,8 @@ object Contamination {
                    idCol: String, textCol: String, n: Int): DataFrame = {
     require(!docs.columns.exists(_.startsWith("__ct_")),
       "input already carries __ct_-prefixed internals")
+    require(!benchmark.columns.exists(_.startsWith("__ct_")),
+      "benchmark already carries __ct_-prefixed internals")
     def withGrams(df: DataFrame): DataFrame = df
       .withColumn("__ct_words", split(trim(col(textCol)), "\\s+"))
       .withColumn("__ct_grams", ngramsOf(col("__ct_words"), n))

@@ -119,7 +119,10 @@ object Multimodal {
         try {
           reader.setInput(iis)
           val img = reader.read(0)
-          val meta = MediaMeta(format = reader.getFormatName.toLowerCase,
+          // Locale.ROOT: default-locale lowercasing turns "JPEG" into a
+          // dotless-i variant under tr_TR, breaking format equality checks
+          val meta = MediaMeta(
+            format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
             width = img.getWidth, height = img.getHeight,
             nChannels = img.getColorModel.getNumComponents,
             nBytes = bytes.length.toLong)

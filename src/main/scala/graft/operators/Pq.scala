@@ -182,13 +182,21 @@ object Pq {
     rerank(encode(corpus, idCol, vecCol, cb), corpus, idCol, vecCol,
       query, queryVecCol, k, cb, oversample)
 
+  /** Contract: `query` carries exactly ONE vector row — ADC tables are
+    * per-query driver state, so batched queries loop at the caller. The
+    * head row drives BOTH the ADC pass and the exact rerank (a multi-row
+    * frame would otherwise silently rerank candidates against the wrong
+    * vectors).
+    */
   private[operators] def rerank(codes: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, query: DataFrame, queryVecCol: String,
                      k: Int, cb: Codebooks, oversample: Int): DataFrame = {
     // the query vector is one bounded row — collect, normalize, build the
     // m×k ADC table driver-side (PQ-standard)
-    val q = query.select(Vectors.toDouble(col(queryVecCol)))
-      .head().getSeq[Double](0).toArray
+    val qRows = query.select(Vectors.toDouble(col(queryVecCol))).take(2)
+    require(qRows.length == 1,
+      s"PQ serving expects exactly one query row, got ${qRows.length}+")
+    val q = qRows.head.getSeq[Double](0).toArray
     val qn = math.sqrt(q.map(x => x * x).sum)
     val qq = if (qn == 0) q else q.map(_ / qn)
     val tables: Seq[Seq[Double]] = (0 until cb.m).map { mi =>
@@ -202,13 +210,12 @@ object Pq {
     val candidates = codes.select(col(idCol), adc.as("adc_score"))
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k * oversample)
-    // exact rerank of the candidate minority only
-    val qvec = broadcast(query.select(
-      Vectors.toDouble(col(queryVecCol)).as("__qvec")))
+    // exact rerank of the candidate minority only, against the SAME head
+    // vector the ADC pass used (a literal — no crossJoin with the query
+    // frame, so a stray extra query row can't mix into the rerank)
     corpus.join(candidates.select(idCol), Seq(idCol), "left_semi")
-      .crossJoin(qvec)
       .select(col(idCol),
-        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+        Vectors.cosine(col(vecCol), typedlit(q.toSeq)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

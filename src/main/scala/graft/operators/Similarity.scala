@@ -185,10 +185,14 @@ object Similarity {
   }
 
   /** The query's nprobe nearest cells as a 1-row-per-cell frame carrying
-    * the query vector (tiny — always broadcast).
+    * the query vector (tiny — always broadcast). Contract: `query` carries
+    * exactly ONE vector row — the global cscore ranking below would mix
+    * cells across queries otherwise; batched queries loop at the caller.
     */
   private def probeCells(query: DataFrame, queryVecCol: String,
                          cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    require(query.take(2).length == 1,
+      "IVF serving expects exactly one query row")
     val qscored = cents.map { case (cid, cv) =>
       struct(Vectors.dot(col("__qvec"), typedlit(cv)).as("cscore"),
         lit(cid).as("cid"))

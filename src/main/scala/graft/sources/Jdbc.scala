@@ -31,13 +31,24 @@ object Jdbc {
     * connection count (= write tasks); `batchSize` is rows per
     * `executeBatch` round-trip (the knob that killed the reference's
     * one-INSERT-per-row loop).
+    *
+    * Trade-off: `coalesce` (the default) fuses the cap into the FINAL
+    * stage, so everything after the last shuffle — not just the inserts —
+    * runs at ≤ maxConnections tasks. That is the right shape for the
+    * documented aggregate-then-land funnel (the final stage is a few
+    * result rows). When the frame feeding the sink is scan-heavy with no
+    * shuffle in between, set `repartitionBeforeWrite = true`: the extra
+    * exchange decouples upstream parallelism from the connection cap.
     */
   def write(df: DataFrame, url: String, table: String,
             mode: SaveMode = SaveMode.Overwrite,
-            batchSize: Int = 1000, maxConnections: Int = 4): Unit = {
+            batchSize: Int = 1000, maxConnections: Int = 4,
+            repartitionBeforeWrite: Boolean = false): Unit = {
     // coalesce never raises a partition count, so the cap needs no guard
     // (a guard via df.rdd would force physical planning just to look)
-    df.coalesce(maxConnections).write.format("jdbc")
+    val capped = if (repartitionBeforeWrite) df.repartition(maxConnections)
+                 else df.coalesce(maxConnections)
+    capped.write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("batchsize", batchSize)
