@@ -626,7 +626,11 @@ object Queries {
         .select(round(col("approx_p50"), 2).as("approx_p50"),
           round(col("exact_p50"), 2).as("exact_p50"),
           round(abs(col("approx_p50") - col("exact_p50"))
-            / col("exact_p50"), 6).as("rel_error"))),
+            / col("exact_p50"), 6).as("rel_error"))
+        // ceiling 0.01: accuracy=1000 promises ~0.1% rank error; 1% value
+        // error is generous slack over it — machine-enforced so a sketch
+        // parameter regression flips a driver-visible boolean
+        .withColumn("meets_floor", col("rel_error") <= 0.01)),
 
     // HLL sketch quality as a driver-visible row: approximate distinct vs
     // exact, with the relative error the 2% rsd setting promises
@@ -636,7 +640,10 @@ object Queries {
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("approx_users"), col("exact_users"),
           round(abs(col("approx_users") - col("exact_users")).cast("double")
-            / col("exact_users"), 6).as("rel_error"))),
+            / col("exact_users"), 6).as("rel_error"))
+        // ceiling 0.05 = 2.5σ of the promised 2% rsd — same enforcement
+        // pattern as the recall floors
+        .withColumn("meets_floor", col("rel_error") <= 0.05)),
 
     // explicit GROUPING SETS with grouping() markers (finer-grained than
     // rollup/cube; exercised through spark.sql to match user-facing SQL)

@@ -46,5 +46,9 @@ object SparkEntry {
     "q_salted_join",
     "dedup_exact", "dedup_minhash", "text_stats", "ann_bruteforce",
     "ann_lsh",
-    "dedup_clean_transitive")
+    "dedup_clean_transitive",
+    // round 8: the corpus-gate path the builder loop runs every batch —
+    // narrow quality gates fused in one scan (no broadcast side here; the
+    // decontamination broadcast is timed inside the corpus pipeline specs)
+    "corpus_filter_kept")
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -10,12 +10,12 @@ import org.apache.spark.sql.expressions.Window
   * the minimum for a keyed merge; the window needs no extra exchange
   * because it partitions by the same key.
   *
-  * At 100 TB the refinement is partition-scoped merging: restrict `base` to
-  * the partitions that actually contain updated keys (a semi-join on the
-  * batch's partition values, pruned at the parquet scan) and rewrite only
-  * those via dynamic partition overwrite — the merge cost then scales with
-  * the touched-partition volume, not the corpus. The keep-latest semantics
-  * below are unchanged by that optimization.
+  * At 100 TB the refinement is partition-scoped merging
+  * ([[keepLatestPartitioned]]): restrict `base` to the partitions that
+  * actually contain updated keys (pruned at the parquet scan) and rewrite
+  * only those via dynamic partition overwrite — the merge cost then scales
+  * with the touched-partition volume, not the corpus. The keep-latest
+  * semantics are unchanged by that optimization.
   */
 object Merge {
 
@@ -46,5 +46,46 @@ object Merge {
     all.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__src", "__rn")
+  }
+
+  /** Partition-scoped CDC merge into a `partitionCol`-partitioned parquet
+    * table at `basePath`: [[keepLatest]] semantics, but the base scan is
+    * PRUNED to the partitions the batch actually touches and ONLY those
+    * partition directories are rewritten (dynamic partition overwrite) —
+    * every other file on disk stays byte-identical. Merge cost scales with
+    * touched-partition volume, not table size: a daily batch against a
+    * date-partitioned 100 TB corpus reads and rewrites days, not years.
+    *
+    * Contract: `partitionCol` must be stable per key (an update may not
+    * move a key across partitions — the standard constraint of any
+    * partition-local merge; a moved key's old version would survive in its
+    * old partition unseen). The touched-partition value set is collected to
+    * the driver — bounded by the batch, like every other sidecar here.
+    *
+    * The merged result is materialized via `localCheckpoint` before the
+    * write: Spark (correctly) refuses to overwrite a path it is
+    * concurrently reading, and the checkpoint severs that lineage. The
+    * materialized volume IS the rewrite volume, so this costs nothing
+    * beyond what the write itself must process.
+    */
+  def keepLatestPartitioned(spark: SparkSession, basePath: String,
+                            updates: DataFrame, keyCols: Seq[String],
+                            versionCol: String, partitionCol: String): Unit = {
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    if (touched.isEmpty) return // empty batch: nothing to rewrite
+    val base = spark.read.parquet(basePath)
+      .where(col(partitionCol).isin(touched: _*)) // → PartitionFilters
+    val merged = keepLatest(base, updates, keyCols, versionCol)
+      .localCheckpoint(true)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(basePath)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }

@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns with a typed metadata struct.
-  * Three codecs implement the `Codec` seam: [[ImageIoCodec]] (real
+  * Four codecs implement the `Codec` seam: [[ImageIoCodec]] (real
   * standards decode — PNG/JPEG/GIF/BMP via the JDK's javax.imageio, no
-  * native libraries), [[BmpCodec]] (dependency-free container parser), and
-  * [[FakeCodec]] (deterministic stand-in for synthetic fixtures and for
-  * formats with no JVM decoder — audio/video codecs would arrive via
-  * JNI/javacpp behind the same trait without touching the plan shape).
+  * native libraries), [[WavCodec]] (real audio decode — RIFF/WAVE via
+  * javax.sound.sampled, 16-bit PCM amplitude histogram), [[BmpCodec]]
+  * (dependency-free container parser), and [[FakeCodec]] (deterministic
+  * stand-in for synthetic fixtures and for formats with no JVM decoder —
+  * video codecs would arrive via JNI/javacpp behind the same trait
+  * without touching the plan shape).
   *
   * Scale notes: decode runs as `mapPartitions` over the binary column — one
   * task per input split, no shuffle, and the iterator keeps memory bounded to
@@ -143,6 +145,86 @@ object Multimodal {
         } finally reader.dispose()
       } finally iis.close()
     }
+  }
+
+  /** Real AUDIO codec via `javax.sound.sampled` (pure JDK, java.desktop
+    * module, headless-safe): parses the RIFF/WAVE container through the
+    * JDK's audio file readers — format, frame count, sample rate, channel
+    * layout all come from the actual header, not the payload length.
+    * Features are an amplitude histogram over the decoded 16-bit PCM
+    * samples: `featureDim` buckets across the signed sample range, so two
+    * files with the same waveform embed identically regardless of header
+    * padding. This does for audio what [[ImageIoCodec]] does for images —
+    * the third REAL decoder behind the `Codec` seam; video stays on
+    * [[FakeCodec]] (no JVM decoder without native libraries).
+    *
+    * MediaMeta mapping (the struct is shared across modalities):
+    * `width` = PCM frames, `height` = sample rate (Hz),
+    * `nChannels` = channels.
+    */
+  class WavCodec(val featureDim: Int = 16) extends Codec {
+    def decode(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
+      require(bytes != null && bytes.length > 0, "empty media payload")
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              "no javax.sound reader for payload", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        val meta = MediaMeta(format = "wav",
+          width = ais.getFrameLength.toInt,
+          height = fmt.getSampleRate.toInt,
+          nChannels = fmt.getChannels,
+          nBytes = bytes.length.toLong)
+        require(fmt.getSampleSizeInBits == 16,
+          s"WavCodec handles 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+        val data = ais.readAllBytes()
+        val feat = new Array[Float](featureDim)
+        val little = !fmt.isBigEndian
+        var i = 0
+        while (i + 1 < data.length) {
+          // signed 16-bit sample → bucket over [-32768, 32767]
+          val s = if (little) (data(i) & 0xFF) | (data(i + 1) << 8)
+                  else (data(i + 1) & 0xFF) | (data(i) << 8)
+          feat(((s + 32768) * featureDim) >>> 16) += 1.0f
+          i += 2
+        }
+        (meta, feat)
+      } finally ais.close()
+    }
+  }
+
+  /** Deterministic synthetic WAV (seed-keyed 16-bit PCM, real
+    * `javax.sound` encode) — the audio twin of [[syntheticPng]]: generate
+    * samples arithmetically from the seed, let `AudioSystem.write` build
+    * the real RIFF/WAVE container, so a decode through [[WavCodec]]
+    * exercises the JDK's actual reader and the decoded metadata stays
+    * pure arithmetic a SQL oracle can check.
+    */
+  def syntheticWav(seed: Long, nFrames: Int, sampleRate: Int,
+                   channels: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    var k = 0
+    while (i < nFrames * channels) {
+      val s = ((((seed * 31 + i.toLong * i) % 65536) + 65536) % 65536
+        - 32768).toInt
+      pcm(k) = (s & 0xFF).toByte
+      pcm(k + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1; k += 2
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic synthetic PNG (seed-keyed gradient, real ImageIO

@@ -161,6 +161,11 @@ object Pq {
     * code table (no raw vectors in its ReadSchema — asserted in
     * SimilaritySpec); `rawCorpus` is joined just for the candidate
     * minority's exact rerank.
+    *
+    * Serving boundary: this FLAT-PQ path ADC-scans the entire code table
+    * per query — right while the code table is memory-scale. Beyond that,
+    * use [[Similarity.ivfPqTopKFromIndex]]: same codes, partition-pruned
+    * to nprobe/nlist of them per query.
     */
   def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     rawCorpus: DataFrame, idCol: String, vecCol: String,

@@ -50,15 +50,36 @@ object Sampling {
 
   /** Domain mixing: per-stratum quotas from an explicit weight table (the
     * Pile/Llama-style mixture spec — "this many documents from each
-    * source"). The quota map is bounded config, inlined as a literal
-    * `when` chain — no join, the plan stays one window over the strata
-    * shuffle. Strata absent from the map get `default` (0 = drop).
+    * source"). Strata absent from the map get `default` (0 = drop).
+    *
+    * Plan shape follows the map size. A config-sized map (≤
+    * `broadcastThreshold` entries) inlines as a literal `when` chain — no
+    * join, the plan stays one window over the strata shuffle. A large
+    * mixture spec (thousands of domains) would make that an O(|map|)-deep
+    * expression tree — Catalyst analysis cost and codegen method-size
+    * limits — so above the threshold the quotas become a BROADCAST quota
+    * table left-joined on the stratum key instead: one extra broadcast of
+    * config-sized data, same single window, identical row semantics.
     */
   def weightedTake(df: DataFrame, strataCol: String, idCol: String,
-                   quotas: Map[String, Int], default: Int = 0): DataFrame = {
-    val quota = quotas.foldLeft(lit(default)) { case (acc, (k, v)) =>
-      when(col(strataCol) === k, lit(v)).otherwise(acc)
+                   quotas: Map[String, Int], default: Int = 0,
+                   broadcastThreshold: Int = 100): DataFrame = {
+    if (quotas.size <= broadcastThreshold) {
+      val quota = quotas.foldLeft(lit(default)) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v)).otherwise(acc)
+      }
+      takePerStratum(df, Seq(strataCol), idCol, quota)
+    } else {
+      require(!df.columns.exists(_.startsWith("__wt_")),
+        "input already carries __wt_-prefixed internals")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val qdf = quotas.toSeq.toDF("__wt_key", "__wt_quota")
+      takePerStratum(
+          df.join(broadcast(qdf), col(strataCol) === col("__wt_key"), "left"),
+          Seq(strataCol), idCol,
+          coalesce(col("__wt_quota"), lit(default)))
+        .drop("__wt_key", "__wt_quota")
     }
-    takePerStratum(df, Seq(strataCol), idCol, quota)
   }
 }

@@ -240,6 +240,27 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a new batch to a materialized IVF index: assign cells with
+    * the EXISTING sidecar centroids (read back, bounded) and append to the
+    * cell partition directories — the index a corpus-builder loop
+    * maintains batch-over-batch without retraining. Centroids are frozen
+    * at build time (the FAISS convention: retrain/rebuild when drift
+    * matters, never mid-serve — readers meanwhile keep a consistent
+    * geometry); the assignment pass is the same narrow argmax as the
+    * build, touching only the batch.
+    */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val cents: Seq[(Long, Seq[Double])] =
+      batch.sparkSession.read.parquet(s"$path/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    batch.select(col(idCol), col(vecCol),
+        bestCellFor(cents)(col(vecCol)).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
   /** Approximate top-k served FROM a materialized index: reads the sidecar
     * centroids (nlist rows), ranks cells for the query, and scans only the
     * nprobe matching partitions of the index (partition pruning — assert
@@ -292,6 +313,28 @@ object Similarity {
     Pq.writeCodebooks(spark, path, cb)
   }
 
+  /** Append a new batch to a materialized IVF-PQ index: encode with the
+    * EXISTING codebooks and assign with the EXISTING centroids (both read
+    * back from the sidecars), append codes to the cell partitions. Same
+    * frozen-sidecar stance as [[appendToIvfIndex]] — quantizer drift is a
+    * rebuild decision, not an append-time one; the batch is the only data
+    * touched.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    val cb = Pq.readCodebooks(spark, path)
+    batch.select(col(idCol),
+        Pq.encodeExpr(cb, col(vecCol)).as("pq_codes"),
+        bestCellFor(cents)(col(vecCol)).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Serve top-k from the IVF-PQ index: centroid + codebook sidecars are
     * bounded reads; the ADC pass scans only the probed cells' codes.
     */
@@ -335,6 +378,24 @@ object Similarity {
     import spark.implicits._
     Seq((nBits, tables)).toDF("n_bits", "tables")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a new batch to a materialized LSH index: bucket with the
+    * EXISTING sidecar parameters (nBits/tables — hyperplanes are derived
+    * from the table seed, so stored and appended rows always hash
+    * identically) and append to the (table, bucket) partitions. The
+    * tables× replication applies to the batch only.
+    */
+  def appendToLshIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val meta = batch.sparkSession.read.parquet(s"$path/meta").collect().head
+    val (nBits, tables) = (meta.getInt(0), meta.getInt(1))
+    batch.select(col(idCol), col(vecCol),
+        posexplode(array((0 until tables).map(t =>
+          Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t)): _*))
+          .as(Seq("table", "bucket")))
+      .write.mode("append").partitionBy("table", "bucket")
+      .parquet(s"$path/data")
   }
 
   /** Approximate top-k served FROM a materialized LSH index: reads the

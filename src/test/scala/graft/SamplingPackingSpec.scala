@@ -46,6 +46,39 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
     assert(a === b)
   }
 
+  test("weightedTake with a 10k-domain quota map routes through the " +
+      "broadcast-join path and matches the literal-chain semantics") {
+    // a Pile-style mixture spec: 10k domains in the map, 300 present in
+    // the data — the literal when-chain would be a 10k-deep expression
+    // tree (Catalyst analysis cost + codegen size limits); above the
+    // threshold the quota map becomes a broadcast join instead
+    val quotas = (0 until 10000).map(i => s"src$i" -> (i % 3 + 1)).toMap
+    val df = (for (s <- 0 until 300; i <- 0 until 20)
+      yield (s * 1000L + i, s"src$s")).toDF("doc_id", "source")
+    val out = Sampling.weightedTake(df, "source", "doc_id", quotas)
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    (0 until 300).foreach { s =>
+      assert(counts(s"src$s") === (s % 3 + 1).toLong)
+    }
+    // strata absent from the map get default (0 = dropped)
+    val withUnmapped = df
+      .union(Seq((999999L, "unmapped")).toDF("doc_id", "source"))
+    assert(Sampling.weightedTake(withUnmapped, "source", "doc_id", quotas)
+      .filter(col("source") === "unmapped").count() === 0L)
+
+    // both paths agree row-for-row on the same data: force the literal
+    // chain with a high threshold, the join path with a low one
+    val small = (0 until 40).map(i => s"src$i" -> (i % 3 + 1)).toMap
+    val viaLiteral = Sampling.weightedTake(df, "source", "doc_id", small,
+        broadcastThreshold = 1000)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaJoin = Sampling.weightedTake(df, "source", "doc_id", small,
+        broadcastThreshold = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaLiteral === viaJoin)
+  }
+
   test("chunkByTokens: overlap windows, single chunk for short docs, " +
       "no redundant tail") {
     import graft.operators.Chunking

@@ -252,4 +252,59 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     val kept = CorpusFilter.keep(docs, gates).select("id").as[Long].collect()
     assert(kept.toSeq === Seq(1L))
   }
+
+  test("keepLatestPartitioned rewrites only touched partitions; " +
+      "untouched partition files stay byte-identical") {
+    import graft.operators.Merge
+    val dir = java.nio.file.Files.createTempDirectory("pmerge")
+      .resolve("table").toString
+    val base = Seq(
+      (1L, "p0", 1L, "a"), (2L, "p0", 1L, "b"),
+      (3L, "p1", 1L, "c"), (4L, "p2", 1L, "d")
+    ).toDF("k", "p", "v", "payload")
+    base.write.partitionBy("p").parquet(dir)
+
+    // byte-level snapshot of a partition directory: name → (size, md5)
+    def snapshot(part: String): Map[String, (Long, String)] = {
+      val d = new java.io.File(dir, part)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        f.getName -> (f.length(), md5)
+      }.toMap
+    }
+    val before0 = snapshot("p=p0")
+    val before1 = snapshot("p=p1")
+    assert(before0.nonEmpty && before1.nonEmpty)
+
+    // the batch touches ONLY p2: one key update (higher version) + one new
+    val updates = Seq((4L, "p2", 2L, "D2"), (5L, "p2", 1L, "e"))
+      .toDF("k", "p", "v", "payload")
+    Merge.keepLatestPartitioned(spark, dir, updates, Seq("k"), "v", "p")
+
+    // untouched partitions: same files, same bytes (never rewritten)
+    assert(snapshot("p=p0") === before0)
+    assert(snapshot("p=p1") === before1)
+
+    // merged content equals the full-table keepLatest semantics
+    val out = spark.read.parquet(dir)
+      .select("k", "p", "v", "payload").as[(Long, String, Long, String)]
+      .collect().toSet
+    val expected = Merge.keepLatest(base, updates, Seq("k"), "v")
+      .select("k", "p", "v", "payload").as[(Long, String, Long, String)]
+      .collect().toSet
+    assert(out === expected)
+    assert(out === Set((1L, "p0", 1L, "a"), (2L, "p0", 1L, "b"),
+      (3L, "p1", 1L, "c"), (4L, "p2", 2L, "D2"), (5L, "p2", 1L, "e")))
+
+    // replaying the same batch is a no-op on content (idempotent
+    // re-delivery — the keepLatest update-wins-ties contract carries over)
+    Merge.keepLatestPartitioned(spark, dir, updates, Seq("k"), "v", "p")
+    val replay = spark.read.parquet(dir)
+      .select("k", "p", "v", "payload").as[(Long, String, Long, String)]
+      .collect().toSet
+    assert(replay === expected)
+    assert(snapshot("p=p0") === before0) // still untouched after replay
+  }
 }

@@ -278,6 +278,55 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._2 > 0.99)
   }
 
+  test("incremental index append: new batch encoded with EXISTING " +
+      "sidecars, served across batches (IVF / IVF-PQ / LSH)") {
+    // batch 1 = corpus without the planted neighbor; batch 2 = just it.
+    // After append, every index family must serve the planted vector —
+    // proving the batch was encoded comparably to the stored rows.
+    val initial = corpusDf.filter(col("vec_id") =!= 999L)
+    val batch = corpusDf.filter(col("vec_id") === 999L)
+
+    // IVF
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    Similarity.writeIvfIndex(initial, "vec_id", "embedding", ivfDir,
+      nlist = 4, kmeansIters = 1)
+    val centsBefore = spark.read.parquet(s"$ivfDir/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(!Similarity.ivfTopKFromIndex(spark, ivfDir, "vec_id", "embedding",
+        queryDf, "embedding", 5, nprobe = 2)
+      .as[(Long, Double)].collect().map(_._1).contains(999L))
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", ivfDir)
+    val ivfTop = Similarity.ivfTopKFromIndex(spark, ivfDir, "vec_id",
+        "embedding", queryDf, "embedding", 5, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(ivfTop.head._1 === 999L && ivfTop.head._2 > 0.99)
+    // sidecar centroids frozen by the append (the comparability guarantee)
+    val centsAfter = spark.read.parquet(s"$ivfDir/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(centsAfter === centsBefore)
+
+    // IVF-PQ (codes encoded with the stored codebooks)
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    Similarity.writeIvfPqIndex(initial, "vec_id", "embedding", pqDir,
+      nlist = 4, m = 4, k = 8, kmeansIters = 1)
+    Similarity.appendToIvfPqIndex(batch, "vec_id", "embedding", pqDir)
+    val pqTop = Similarity.ivfPqTopKFromIndex(spark, pqDir, corpusDf,
+        "vec_id", "embedding", queryDf, "embedding", 5,
+        nprobe = 2, oversample = 8)
+      .as[(Long, Double)].collect()
+    assert(pqTop.head._1 === 999L && pqTop.head._2 > 0.99)
+
+    // LSH (buckets derived from the stored nBits/tables params)
+    val lshDir = java.nio.file.Files.createTempDirectory("lsh_app").toString
+    Similarity.writeLshIndex(initial, "vec_id", "embedding", lshDir,
+      nBits = 8, tables = 2)
+    Similarity.appendToLshIndex(batch, "vec_id", "embedding", lshDir)
+    val lshTop = Similarity.lshTopKFromIndex(spark, lshDir, "vec_id",
+        "embedding", queryDf, "embedding", 5)
+      .as[(Long, Double)].collect()
+    assert(lshTop.head._1 === 999L && lshTop.head._2 > 0.99)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
