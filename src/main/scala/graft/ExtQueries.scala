@@ -495,6 +495,27 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // REAL video-shaped frame extraction, driver-visible: one
+    // deterministic animated GIF per doc (frame count arithmetic over
+    // doc_id, real ImageIO sequence encode), decoded frame-by-frame with
+    // the multi-image reader, every 2nd frame sampled and embedded. The
+    // oracle checks the frame accounting of the full encode → GIF89a →
+    // multi-image decode loop cross-engine.
+    "mm_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).select(col("doc_id"),
+          (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("nf"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, nf) =>
+          Multimodal.MediaRecord(id, Multimodal.syntheticGif(id, nf, 4, 3))
+        }).toDF()
+      Multimodal.decodeFrames(media, stride = 2, featureDim = 8).toDF()
+        .groupBy(col("media_id"))
+        .agg(first(col("n_frames")).as("n_frames"),
+          count(lit(1)).cast("int").as("n_sampled"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio codec, driver-visible — the WAV twin of
     // mm_imageio_roundtrip: synthesize one deterministic 16-bit PCM WAV
     // per doc (javax.sound encode in one mapPartitions pass), decode with
@@ -1331,6 +1352,13 @@ object ExtQueries {
         |  CAST(2 + doc_id % 7 AS INT) AS width,
         |  CAST(2 + doc_id % 5 AS INT) AS height,
         |  CAST(3 AS INT) AS n_channels
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // gif twin: frame counts are arithmetic over doc_id by construction
+    // (stride 2 keeps ceil(n/2) frames)
+    "mm_gif_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 5 AS INT) AS n_frames,
+        |  CAST((1 + doc_id % 5 + 1) // 2 AS INT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
     // wav twin: header fields are arithmetic over doc_id by construction
     // (fixed 8 kHz rate; javax.sound preserves frames/channels exactly)

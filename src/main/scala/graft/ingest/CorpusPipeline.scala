@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, CorpusFilter, Dedup}
+import graft.operators.{Contamination, CorpusFilter, Dedup, Similarity}
 
 /** End-to-end training-corpus builder: the watermark-incremental ingest of
   * [[IncrementalBatch]] composed with the quality gates of
@@ -33,6 +33,20 @@ object CorpusPipeline {
   private def indexExists(indexPath: String): Boolean =
     new java.io.File(s"$indexPath/meta").exists()
 
+  private def annIndexExists(annPath: String): Boolean =
+    new java.io.File(s"$annPath/centroids").exists()
+
+  /** Per-batch ANN configuration: the survivors' `embeddingCol` maintains
+    * an IVF-PQ index at `indexPath` the same way the text side maintains
+    * its MinHash index — bootstrap (train centroids + codebooks) on the
+    * first batch, append with the FROZEN sidecars after, so every
+    * generation of the corpus is encoded comparably and servable through
+    * [[Similarity.ivfPqTopKFromIndex]].
+    */
+  case class AnnIndex(indexPath: String, embeddingCol: String,
+                      nlist: Int = 16, m: Int = 8, k: Int = 16,
+                      kmeansIters: Int = 2)
+
   /** The dedup-and-append gate shared by the batch loop and the streaming
     * wrapper ([[graft.streaming.CorpusStream]]): drop docs near-duplicating
     * the indexed corpus, drop within-batch near-dups, append survivors to
@@ -42,7 +56,8 @@ object CorpusPipeline {
                      idCol: String, textCol: String, threshold: Double,
                      gates: Seq[(String, Column)] = Seq.empty,
                      benchmark: Option[DataFrame] = None,
-                     contaminationN: Int = 8): Long = {
+                     contaminationN: Int = 8,
+                     ann: Option[AnnIndex] = None): Long = {
     val qualityGated =
       if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
     // decontamination gate: docs sharing a verbatim n-gram with the
@@ -64,9 +79,17 @@ object CorpusPipeline {
           .select(col("new_id").as(idCol)).distinct()
         gated.join(dupIds, Seq(idCol), "left_anti")
       }
+    // localCheckpoint, NOT persist: the survivor plan READS the minhash
+    // index parquet (the dedupAgainstIndex join), and the appends below
+    // WRITE that same path — a cache-managed plan would be re-executed by
+    // CacheManager.recacheByPath against the just-updated index, where the
+    // batch matches its OWN freshly-appended signatures and silently
+    // shrinks to empty mid-function (observed: the ANN append landed zero
+    // rows). Checkpointing severs the lineage so every consumer sees the
+    // same materialized batch; blocks are released in the finally.
     val survivors = Dedup.dropNearDuplicates(vsCorpus, idCol, textCol,
       threshold = threshold, persistIntermediates = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       val appended = survivors.count()
       if (appended > 0) {
@@ -75,9 +98,20 @@ object CorpusPipeline {
           Dedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
         else
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
+        // the ANN index rides the same append: survivors' embeddings are
+        // encoded with the frozen sidecars (or train them, first batch)
+        ann.foreach { a =>
+          if (annIndexExists(a.indexPath))
+            Similarity.appendToIvfPqIndex(survivors, idCol, a.embeddingCol,
+              a.indexPath)
+          else
+            Similarity.writeIvfPqIndex(survivors, idCol, a.embeddingCol,
+              a.indexPath, nlist = a.nlist, m = a.m, k = a.k,
+              kmeansIters = a.kmeansIters)
+        }
       }
       appended
-    } finally survivors.unpersist(false)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(survivors)
   }
 }
 
@@ -93,7 +127,21 @@ class CorpusPipeline(
     threshold: Double = 0.8,
     gates: Seq[(String, Column)] = Seq.empty,
     benchmarkPath: Option[String] = None,
-    contaminationN: Int = 8) {
+    contaminationN: Int = 8,
+    embeddingCol: Option[String] = None,
+    annIndexPath: Option[String] = None,
+    annNlist: Int = 16,
+    annM: Int = 8,
+    annK: Int = 16) {
+
+  private val ann: Option[CorpusPipeline.AnnIndex] =
+    (annIndexPath, embeddingCol) match {
+      case (Some(p), Some(e)) =>
+        Some(CorpusPipeline.AnnIndex(p, e, annNlist, annM, annK))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "annIndexPath and embeddingCol must be set together")
+    }
 
   /** Run one batch; returns (docs appended, new watermark). */
   def run(): BatchResult = {
@@ -109,7 +157,7 @@ class CorpusPipeline(
 
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
       indexPath, idCol, textCol, threshold, gates,
-      benchmarkPath.map(spark.read.parquet(_)), contaminationN)
+      benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * native libraries), [[WavCodec]] (real audio decode — RIFF/WAVE via
   * javax.sound.sampled, 16-bit PCM amplitude histogram), [[BmpCodec]]
   * (dependency-free container parser), and [[FakeCodec]] (deterministic
-  * stand-in for synthetic fixtures and for formats with no JVM decoder —
-  * video codecs would arrive via JNI/javacpp behind the same trait
-  * without touching the plan shape).
+  * stand-in for synthetic fixtures and for formats with no JVM decoder).
+  * Motion gets a real path too: [[decodeFrames]] walks animated GIF —
+  * the one multi-frame format the JDK decodes natively — frame by frame;
+  * MP4/H.264-class codecs would arrive via JNI/javacpp behind the same
+  * seam without touching the plan shape.
   *
   * Scale notes: decode runs as `mapPartitions` over the binary column — one
   * task per input split, no shuffle, and the iterator keeps memory bounded to
@@ -265,10 +267,111 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling for video-shaped payloads: split the payload into
-    * `frameBytes`-sized pseudo-frames and keep every `stride`-th — the
-    * partition/batch shape of real frame extraction with the codec stubbed.
-    * Pure Column expression (no UDF): returns `array<binary>`.
+  /** One sampled frame of a multi-frame (video-shaped) payload. */
+  case class FrameRecord(media_id: Long, n_frames: Int, frame_idx: Int,
+                         features: Array[Float])
+
+  /** REAL multi-frame decode — the video-shaped path with an actual
+    * decoder: animated GIF is the one motion format the JDK decodes
+    * without native libraries (ImageIO's GIF reader is multi-image:
+    * `getNumImages` / `read(i)` walk the animation). Every `stride`-th
+    * frame is decoded and embedded with the same luminance histogram as
+    * [[ImageIoCodec]], so frame features land in the space the image path
+    * uses — cross-modal retrieval over frames comes free.
+    *
+    * Same scale shape as [[decode]]: mapPartitions over the binary column,
+    * one task per split, no shuffle; the per-record frame list is bounded
+    * by the payload itself. Frame COUNT is read once, frames are decoded
+    * individually — skipping unsampled frames never buffers them.
+    */
+  def decodeFrames(df: DataFrame, stride: Int,
+                   featureDim: Int): Dataset[FrameRecord] = {
+    require(stride >= 1)
+    implicit val enc = Encoders.product[FrameRecord]
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { it: Iterator[MediaRecord] =>
+        it.flatMap { r =>
+          require(r.content != null && r.content.length > 0,
+            "empty media payload")
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext, "no ImageIO reader for payload")
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).map { f =>
+                val img = reader.read(f)
+                val feat = new Array[Float](featureDim)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                      (rgb & 0xFF)) / (3.0f * 255.0f)
+                    feat((y * img.getWidth + x) % featureDim) += lum
+                    x += 1
+                  }
+                  y += 1
+                }
+                FrameRecord(r.media_id, n, f, feat)
+              }
+            } finally reader.dispose()
+          } finally iis.close()
+        }
+      }
+  }
+
+  /** Deterministic synthetic animated GIF (seed-keyed per-frame gradients,
+    * real ImageIO sequence encode) — the motion twin of [[syntheticPng]]:
+    * frame COUNT is pure arithmetic over the seed, so a SQL oracle can
+    * check the whole encode → GIF89a bytes → multi-image decode loop.
+    */
+  def syntheticGif(seed: Long, nFrames: Int, width: Int,
+                   height: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = (((seed * 31 + f * 97 + y * width + x) % 256 + 256)
+              % 256).toInt
+            img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | (v * 7 % 256))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Frame sampling for video-shaped payloads WITHOUT a decoder: split the
+    * payload into `frameBytes`-sized pseudo-frames and keep every
+    * `stride`-th — the partition/batch shape of frame extraction when the
+    * container has no JVM reader ([[decodeFrames]] is the real-decoder
+    * variant). Pure Column expression (no UDF): returns `array<binary>`.
     */
   def sampleFrames(content: org.apache.spark.sql.Column, frameBytes: Int,
                    stride: Int): org.apache.spark.sql.Column = {

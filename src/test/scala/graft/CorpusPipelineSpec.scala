@@ -116,6 +116,53 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Watermark.read(wm).get.startsWith("2024-01-01 01"))
   }
 
+  test("corpus loop maintains an ANN index alongside the dedup index: " +
+      "bootstrap on batch 1, append batch 2 with frozen sidecars, serve both") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("corpus_ann")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ann = dir.resolve("ann").toString
+    val wm = dir.resolve("wm.json").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v1 = vec(); val v2 = vec(); val v3 = vec()
+    def pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
+      embeddingCol = Some("embedding"), annIndexPath = Some(ann),
+      annNlist = 2, annM = 8, annK = 8)
+
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), base, v1),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), fresh2, v2))
+      .toDF("doc_id", "ts", "text", "embedding")
+      .write.mode("append").parquet(src)
+    assert(pipeline.run().rowsWritten === 2)
+    assert(new java.io.File(s"$ann/centroids").exists()) // bootstrapped
+    val centsBefore = spark.read.parquet(s"$ann/centroids")
+      .collect().map(_.toString).sorted.toSeq
+
+    val extra = "a third document about entirely unrelated astronomy and " +
+      "telescopes observing distant galaxies through clear winter skies"
+    Seq((3L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), extra, v3))
+      .toDF("doc_id", "ts", "text", "embedding")
+      .write.mode("append").parquet(src)
+    assert(pipeline.run().rowsWritten === 1)
+    // append froze the sidecars (encoded comparably to batch 1)
+    assert(spark.read.parquet(s"$ann/centroids")
+      .collect().map(_.toString).sorted.toSeq === centsBefore)
+
+    // the ONE maintained index serves vectors from BOTH batches
+    val rawCorpus = spark.read.parquet(corpus)
+    def top1(q: Array[Float]): Long =
+      Similarity.ivfPqTopKFromIndex(spark, ann, rawCorpus,
+          "doc_id", "embedding",
+          Seq((0L, q)).toDF("vec_id", "embedding"), "embedding", 1,
+          nprobe = 2, oversample = 4)
+        .as[(Long, Double)].collect().head._1
+    assert(top1(v1) === 1L)
+    assert(top1(v3) === 3L)
+  }
+
   test("streaming corpus: checkpointed file stream drives the same gate") {
     import graft.streaming.CorpusStream
     val dir = Files.createTempDirectory("corpus_stream")
