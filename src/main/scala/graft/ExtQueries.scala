@@ -698,6 +698,34 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // statistical LM quality scoring — per-doc perplexity under an add-one
+    // smoothed bigram model trained on the corpus itself (CCNet-style
+    // self-perplexity; a curated train corpus slots into the same plan).
+    // Tokenization, counts and smoothing are pure arithmetic, so the
+    // whole model — training included — is hash-checked against DuckDB.
+    "text_perplexity" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Lm.bigramPerplexity(all, all, "doc_id", "text")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
+    // fuzzy (edit-distance) lookup join — entity resolution over part
+    // names: a small probe set matched against the catalog at Levenshtein
+    // ≤ 1 via exact-complete length blocking (exploded probe lengths,
+    // broadcast equi-join — never a nested loop over the corpus)
+    "q_fuzzy_join" -> ((s, d) => {
+      val t = Tables.load(s, d, "part")
+        .select(col("p_partkey").cast("long").as("id"),
+          col("p_name").as("name"))
+      graft.operators.Joins.fuzzyJoin(
+          t.filter(pmod(col("id"), lit(97)) === 0), t,
+          probeText = "name", corpusText = "name", maxDistance = 1)
+        .where(col("probe_id") =!= col("id"))
+        .select(col("probe_id"), col("id").as("match_id"),
+          col("name").as("match_name"), col("distance"))
+        .transform(Queries.presentSorted(_, "probe_id", "match_id"))
+    }),
+
     // corpus normalization pass: NFC (native codegen expression — Spark has
     // no normalization built-in) → lower → whitespace collapse → trim; the
     // NFC no-op on this already-composed fixture is exactly the quick-check
@@ -1353,6 +1381,42 @@ object ExtQueries {
         |  CAST(2 + doc_id % 5 AS INT) AS height,
         |  CAST(3 AS INT) AS n_channels
         |FROM documents ORDER BY media_id""".stripMargin,
+    // perplexity twin: identical tokenization to text_repetition's, the
+    // same add-one smoothed bigram estimates built from grouped counts —
+    // the MODEL TRAINING is part of what the hash checks
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS p, w[i+1] AS n
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |cb AS (SELECT p, n, count(*) AS cbn FROM bg GROUP BY p, n),
+        |cp AS (SELECT p, sum(cbn) AS cpn FROM cb GROUP BY p),
+        |v AS (SELECT count(*) AS vocab FROM
+        |  (SELECT DISTINCT p AS w FROM cb UNION SELECT DISTINCT n FROM cb)),
+        |sc AS (
+        |  SELECT bg.doc_id, ln((cb.cbn + 1.0) / (cp.cpn + v.vocab)) AS lp
+        |  FROM bg JOIN cb USING (p, n) JOIN cp USING (p) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(-avg(lp)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fuzzy-join twin: the naive quadratic with the same verify predicate
+    // (the length blocking is exact-complete, so the pair sets agree)
+    "q_fuzzy_join" ->
+      """WITH t AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name FROM part),
+        |probes AS (
+        |  SELECT id AS probe_id, name AS probe_name FROM t
+        |  WHERE id % 97 = 0)
+        |SELECT probe_id, b.id AS match_id, b.name AS match_name,
+        |  CAST(levenshtein(probe_name, b.name) AS INT) AS distance
+        |FROM probes, t b
+        |WHERE b.id <> probe_id AND levenshtein(probe_name, b.name) <= 1
+        |ORDER BY probe_id, match_id""".stripMargin,
     // gif twin: frame counts are arithmetic over doc_id by construction
     // (stride 2 keeps ceil(n/2) frames)
     "mm_gif_frames" ->

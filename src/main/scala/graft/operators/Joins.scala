@@ -79,4 +79,37 @@ object Joins {
       .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
         rCols.map(c => col(s"__m.$c").as(rightPrefix + c)): _*)
   }
+
+  /** Fuzzy (edit-distance) lookup join — the entity-resolution shape:
+    * match every `probes` row against `corpus` rows whose `corpusText` is
+    * within Levenshtein distance `maxDistance` of `probeText`.
+    *
+    * Blocking is the length bound: ed(a,b) ≤ d ⇒ |len(a) − len(b)| ≤ d —
+    * exact-complete, like the Jaccard length prune in the dedup family.
+    * Rather than a BETWEEN theta-join (which Spark plans as a nested-loop
+    * over the whole corpus), each probe EXPLODES its 2d+1 candidate
+    * lengths and the join is a plain equi-join on exact length, with the
+    * small exploded probe side broadcast: the corpus is scanned once,
+    * narrow, and only length-compatible pairs pay the O(len²) verify.
+    * Returns (probe columns, corpus columns, distance).
+    */
+  def fuzzyJoin(probes: DataFrame, corpus: DataFrame, probeText: String,
+                corpusText: String, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0)
+    val pCols = probes.columns.toSeq
+    require(!pCols.contains("__len") && !corpus.columns.contains("__len"),
+      "input schema may not contain the reserved column __len")
+    val p = probes.select(
+      struct(pCols.map(col): _*).as("__prow"),
+      explode(sequence(length(col(probeText)) - maxDistance,
+        length(col(probeText)) + maxDistance)).as("__len"))
+    corpus.withColumn("__len", length(col(corpusText)))
+      .join(broadcast(p), "__len")
+      .where(levenshtein(col(s"__prow.$probeText"), col(corpusText))
+        <= maxDistance)
+      .select(pCols.map(c => col(s"__prow.$c").as(s"probe_$c")) ++
+        corpus.columns.toSeq.map(col) :+
+        levenshtein(col(s"__prow.$probeText"), col(corpusText))
+          .as("distance"): _*)
+  }
 }

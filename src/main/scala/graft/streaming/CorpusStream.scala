@@ -25,7 +25,9 @@ object CorpusStream {
             idCol: String = "doc_id", textCol: String = "text",
             threshold: Double = 0.8,
             gates: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
-            benchmark: Option[DataFrame] = None)
+            benchmark: Option[DataFrame] = None,
+            contaminationN: Int = 8,
+            ann: Option[CorpusPipeline.AnnIndex] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -33,7 +35,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
-          idCol, textCol, threshold, gates, benchmark)
+          idCol, textCol, threshold, gates, benchmark, contaminationN, ann)
         ()
       }
       .start()

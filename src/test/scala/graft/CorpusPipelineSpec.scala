@@ -196,6 +196,43 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(corpus).count() === 2)
   }
 
+  test("streaming corpus maintains the ANN index across micro-batches") {
+    import graft.streaming.CorpusStream
+    import graft.ingest.CorpusPipeline
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("corpus_stream_ann")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ann = dir.resolve("ann").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v1 = vec(); val v2 = vec()
+    val schema = Seq((0L, "", Array.empty[Float]))
+      .toDF("doc_id", "text", "embedding").schema
+    val annCfg = CorpusPipeline.AnnIndex(ann, "embedding",
+      nlist = 2, m = 8, k = 8)
+    def runOnce(): Unit = {
+      val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+        ann = Some(annCfg))
+      q.awaitTermination()
+    }
+    Seq((1L, base, v1)).toDF("doc_id", "text", "embedding")
+      .write.mode("append").parquet(src)
+    runOnce()
+    Seq((2L, fresh2, v2)).toDF("doc_id", "text", "embedding")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val raw = spark.read.parquet(corpus)
+    val top = Similarity.ivfPqTopKFromIndex(spark, ann, raw,
+        "doc_id", "embedding",
+        Seq((0L, v2)).toDF("vec_id", "embedding"), "embedding", 1,
+        nprobe = 2, oversample = 4)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 2L) // batch-2 vector served from the index
+  }
+
   test("streaming corpus applies quality gates per micro-batch") {
     import graft.streaming.CorpusStream
     import graft.functions.TextAnalysis

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Joins
 
@@ -47,5 +48,29 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
     val got = Joins.rangeJoin(l, r, "k", "lts", "rts", 0, 3600)
       .select("lid", "r_rid").as[(Int, Int)].collect().toSet
     assert(got === Set((10, 101), (10, 102), (10, 103)))
+  }
+
+  test("fuzzyJoin: length-banded equi-join finds exactly the pairs within " +
+      "edit distance, broadcast plan, no nested loop over the corpus") {
+    val corpus = Seq((1L, "cat"), (2L, "cut"), (3L, "cart"), (4L, "dog"),
+      (5L, "ca")).toDF("id", "name")
+    val probes = Seq((100L, "cat")).toDF("id", "name")
+    val out = Joins.fuzzyJoin(probes, corpus, "name", "name", 1)
+      .select("probe_id", "id", "distance").as[(Long, Long, Int)]
+      .collect().toSet
+    // cat=0, cut=1 (sub), cart=1 (ins), ca=1 (del); dog excluded
+    assert(out === Set((100L, 1L, 0), (100L, 2L, 1), (100L, 3L, 1),
+      (100L, 5L, 1)))
+    // exact-complete blocking: agrees with the naive cross verify
+    val naive = corpus.crossJoin(
+        probes.select(col("id").as("pid"), col("name").as("pname")))
+      .where(levenshtein(col("pname"), col("name")) <= 1)
+      .select("pid", "id").as[(Long, Long)].collect().toSet
+    assert(out.map(t => (t._1, t._2)) === naive)
+    // the corpus side joins broadcast-hash, never nested-loop
+    val plan = Joins.fuzzyJoin(probes, corpus, "name", "name", 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Lm
+
+class LmSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("bigram perplexity: hand-computed add-one smoothed fixture") {
+    // train = doc: "a b a b" → c(a,b)=2, c(b,a)=1, c(a)=2, c(b)=1, |V|=2
+    // p(b|a) = 3/4, p(a|b) = 2/3 → ppl = (0.75·0.75·2/3)^(-1/3)
+    val d = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = Lm.bigramPerplexity(d, d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(r.length === 1)
+    assert(r.head._2 === 3L) // bigrams
+    val expected = math.pow(0.75 * 0.75 * (2.0 / 3.0), -1.0 / 3.0)
+    assert(math.abs(r.head._3 - (math.rint(expected * 1e4) / 1e4)) < 1e-9)
+  }
+
+  test("scoring a fresh batch against a frozen train corpus: unseen " +
+      "bigrams hit the smoothing floor; sub-bigram docs are omitted") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "b b"), // unseen bigram: p = (0+1)/(c(b)=1 + |V|=2) = 1/3
+      (11L, "a")    // one token → no bigram evidence → omitted
+    ).toDF("doc_id", "text")
+    val r = Lm.bigramPerplexity(batch, train, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(10L))
+    assert(r.head._3 === 3.0)
+  }
+
+  test("outlier detection: a shuffled-vocab doc scores higher self-" +
+      "perplexity than the repetitive majority") {
+    val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat again")) :+
+      (9L, "zeb qux vor mip laz tun")).toDF("doc_id", "text")
+    val r = Lm.bigramPerplexity(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val common = r.filter(_._1 <= 8).map(_._3)
+    val outlier = r.find(_._1 == 9L).get._3
+    assert(common.forall(_ < outlier))
+  }
+}
