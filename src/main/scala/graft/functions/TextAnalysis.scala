@@ -73,7 +73,7 @@ object TextAnalysis {
       lenScore * 0.3 + stopScore * 0.3 + alphaScore * 0.4 - punctPenalty * 0.2), 4)
   }
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[functions] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "this"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
@@ -85,19 +85,14 @@ object TextAnalysis {
     * marker-list order above; "und" = undetermined when nothing matches).
     * One pass, no shuffle — scales linearly like any scan expression.
     */
-  def langId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isInCollection(markers)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first marker list (in declaration order) reaching the max score wins
-    val pickLeft = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && s > 0, lit(lang)).otherwise(acc)
-    }
+  def langId(text: Column): Column =
+    // marker vote as a native single-pass expression (the HOF form ran one
+    // interpreted filter per language); the CJK branch stays in the
+    // codegen'd regex. coalesce: NULL text scores "und" — the pre-native
+    // fold returned its accumulator literal on null and the DuckDB twin's
+    // ELSE does the same, so null propagation here would be a divergence
     when(length(regexp_replace(text, "[^\\p{IsHan}]", "")) > 0, lit("zh"))
-      .otherwise(pickLeft)
-  }
+      .otherwise(coalesce(MarkerLang.markerLang(text), lit("und")))
 
   /** PII regex patterns, shared by the Spark expression and the DuckDB
     * oracle — every construct here ([...] classes, {m,n} repetition, \b,
@@ -143,15 +138,11 @@ object TextAnalysis {
     */
   def repetitionRatio(text: Column, n: Int): Column = {
     require(n >= 1)
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
-    val total = size(toks) - (n - 1)
-    // guard BEFORE building the sequence: sequence(1, x) with x <= 0 would
-    // generate a DESCENDING range, not an empty one; coalesce makes null
-    // text score 0.0 like the DuckDB twin's CASE does
-    when(coalesce(total, lit(-1)) <= 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(
-        transform(sequence(lit(1), total),
-          i => array_join(slice(toks, i, lit(n)), " ")))).cast("double") / total)
+    // native one-pass expression ([[NgramRepetitionExpr]]); the equivalent
+    // HOF formula — 1 − distinct/total over transform(sequence(1, total),
+    // i => array_join(slice(toks, i, n), ' ')) — re-evaluates the slice
+    // per gram (interpreted, O(len²)) and profiled 17× slower at sf0.1
+    NgramRepetition.ngramRepetition(text, n)
   }
 
   /** Polynomial rolling-hash fingerprint of the normalized text

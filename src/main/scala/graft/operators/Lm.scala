@@ -48,6 +48,14 @@ object Lm {
     */
   def bigramPerplexity(docs: DataFrame, train: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
+    // house rule (cf. Keywords/Contamination): internal names fail loudly
+    // instead of silently colliding with user columns
+    require(!docs.columns.exists(_.startsWith("__lm_")) &&
+      !train.columns.exists(_.startsWith("__lm_")),
+      "input already carries __lm_-prefixed internals")
+    require(!Seq("p", "n", "bg", "cbn", "cpn", "vocab", "lp")
+      .contains(idCol),
+      s"idCol '$idCol' collides with an Lm internal column name")
     def stream(df: DataFrame, cols: Column*): DataFrame = df
       .withColumn("__lm_w", toks(col(textCol)))
       .where(size(col("__lm_w")) >= 2)

@@ -93,6 +93,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(rep("", 2) === 0.0)
     assert(rep("one", 2) === 0.0) // fewer than n words
     assert(rep("w w w w", 3) === 0.5) // [w w w, w w w] → 1 distinct of 2
+    assert(rep(null, 2) === 0.0) // null text scores 0.0 (twin's CASE)
+  }
+
+  test("langId and repetitionRatio null/CJK parity pins") {
+    def lang(s: String) = one[String](TextAnalysis.langId(col("t")), s)
+    // null text → 'und': the DuckDB twin's ELSE branch — native expression
+    // must not silently switch this to NULL
+    assert(lang(null) === "und")
+    assert(lang("the cat and the dog is this") === "en")
+    assert(lang("der hund und die katze ist") === "de")
+    assert(lang("xyzzy qwerty") === "und")
+    assert(lang("汉字 here") === "zh")
   }
 
   test("shingles and jaccard") {
