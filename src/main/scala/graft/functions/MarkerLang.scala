@@ -81,8 +81,62 @@ case class MarkerLangExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of whitespace tokens (lower/trim/`\s+`, = the house
+  * tokenization) that belong to `markers` — the native form of
+  * `size(filter(toks, isInCollection(markers)))`, one tokenize pass and
+  * one O(1) set probe per token instead of an interpreted lambda.
+  * Backs [[TextAnalysis.stopwordRatio]] (and through it the quality
+  * score) the way [[MarkerLangExpr]] backs the language vote.
+  */
+case class MarkerCountExpr(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"marker_count requires a string argument, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](markers.size * 2)
+    markers.foreach(s.add)
+    s
+  }
+
+  def compute(input: UTF8String): Int = {
+    val toks = input.toLowerCase.trim.toString.split("\\s+")
+    var c = 0
+    var i = 0
+    while (i < toks.length) {
+      if (set.contains(toks(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("markerCount", this,
+      classOf[MarkerCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCountExpr =
+    copy(child = newChild)
+}
+
 object MarkerLang {
   /** Best marker-vote language ("und" when nothing matches). */
   def markerLang(text: Column): Column =
     GraftBridge.column(MarkerLangExpr(GraftBridge.expression(text)))
+
+  /** Marker-set hit count over the house tokenization. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    GraftBridge.column(
+      MarkerCountExpr(GraftBridge.expression(text), markers))
 }

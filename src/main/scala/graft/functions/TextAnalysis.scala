@@ -52,12 +52,13 @@ object TextAnalysis {
   /** Fraction of whitespace tokens that are (lowercased) English stopwords —
     * a natural-language-ness signal used by quality classifiers.
     */
-  def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val n = size(toks)
+  def stopwordRatio(text: Column, markers: Seq[String] = enStopwords): Column =
+    // hit count as a native single-pass expression (the interpreted
+    // filter-lambda form was the last HOF in the quality-gate scan path);
+    // the denominator keeps the UNFILTERED token count, as before
     when(length(trim(text)) === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => t.isInCollection(enStopwords))).cast("double") / n)
-  }
+      MarkerLang.markerCount(text, markers).cast("double") /
+        size(split(lower(trim(text)), "\\s+")))
 
   /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
     * natural stopword density, alphabetic content; penalizes punctuation
