@@ -306,6 +306,50 @@ object Queries {
         .select("o_orderkey", "o_orderdate", "revenue")
     }),
 
+    // TPC-H Q10 shape — the returned-item report: selective fact filter
+    // (return flag + one order quarter), three dimension joins (orders
+    // carries the date filter BEFORE its join so the probe side shrinks
+    // first; customer/nation broadcast), revenue agg, top-20. The widest
+    // join tree in the suite — four tables in one plan.
+    "q10_returned_items" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ntz("1996-04-01 00:00:00"))
+      val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        // DECIMAL sum: the per-customer revenues here land close enough to
+        // .005 rounding boundaries that a double sum's addition ORDER
+        // changes the 2-decimal round (observed 307843.6 vs .59 at
+        // sf0.01); decimal addition is exact and order-independent, so
+        // both engines agree bit-for-bit and the top-20 cut is stable
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // RANGE-frame window — the one window frame mode the suite lacked:
+    // per-customer 30-day trailing revenue, frame bounded by the ORDER KEY
+    // VALUE (epoch seconds), not row position — peers at the same
+    // timestamp all see the same frame, so the result is deterministic
+    // without a unique tie-break
+    "q_trailing_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30L * 86400 * 1000000L, 0)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"))
+        .transform(presentSorted(_, "o_orderkey"))
+    }),
+
     // TPC-H Q5-shaped multi-join rollup; nation broadcast to every executor
     "q5_nation_revenue" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -972,6 +1016,27 @@ object Queries {
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // trailing twin: RANGE frame keyed by the timestamp value — DuckDB's
+    // INTERVAL bound and Spark's epoch-second bound define the same
+    // closed [cur − 30 days, cur] window
+    "q_trailing_sum" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+        |    AS trailing_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_window_top2" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
