@@ -273,6 +273,57 @@ object ExtQueries {
         .select("vec_id")
         .transform(Queries.presentSorted(_, "vec_id"))),
 
+    // INCREMENTAL semantic dedup — the SemDeDup move for a continuously
+    // built corpus: 80% of the vectors play the IVF-indexed corpus, the
+    // other 20% the arriving batch, matched by soft cell assignment with
+    // the frozen sidecar centroids + exact cosine verify over ONLY the
+    // probed cell directories. Rows-only (centroid assignment is
+    // engine-specific); the recall row below prices the cell blocking.
+    "emb_semdedup_incremental" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = all.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_semdedup_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 4, kmeansIters = 2)
+      Similarity.semanticDupAgainstIndex(batch, "vec_id", "embedding",
+          idx, threshold = 0.4, probes = 2)
+        .select(col("new_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .transform(Queries.presentSorted(_, "new_id", "corpus_id"))
+    }),
+
+    // recall of the index-gated incremental pairs vs the exact
+    // batch×corpus ground truth (cell co-residence is the only loss —
+    // precision is exact by construction)
+    "emb_semdedup_incremental_recall" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = all.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_semdedup_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 4, kmeansIters = 2)
+      val truth = batch
+        .select(col("vec_id").as("new_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("bv"))
+        .crossJoin(corpus.select(col("vec_id").as("corpus_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("cv")))
+        .where(graft.functions.Vectors.cosine(col("bv"), col("cv")) >= 0.4)
+        .select("new_id", "corpus_id")
+      // floor 0.7 vs 0.84 observed: Lloyd's avg is summation-order
+      // sensitive in its low bits, so boundary vectors can flip cells
+      // run-to-run — the floor leaves ~3 pair-flips of slack (of 25)
+      // while still catching any real blocking regression
+      recallOf(truth,
+        Similarity.semanticDupAgainstIndex(batch, "vec_id", "embedding",
+          idx, threshold = 0.4, probes = 2),
+        Seq("new_id", "corpus_id"), floor = 0.7)
+    }),
+
     // recall of within-cell semantic pairs vs the exact near-dup pair set
     // (1 row: found/total/recall) — the SemDeDup quality number
     "emb_semdedup_recall" -> ((s, d) => {

@@ -285,6 +285,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic near-dup matches of an arriving batch against an INDEXED
+    * corpus — [[Dedup.dedupAgainstIndex]]'s move applied to embeddings:
+    * the batch soft-assigns to its `probes` nearest cells with the FROZEN
+    * sidecar centroids, the IVF index (which stores raw vectors,
+    * partitioned by cell) is scanned ONLY in those cell directories
+    * (bounded cell list collected → parquet PartitionFilters), and
+    * candidates are verified by exact cosine — so precision is exact and
+    * the corpus is never read outside the batch's cells. Recall is
+    * bounded by cell co-residence exactly like [[semanticDupPairs]];
+    * `emb_semdedup_incremental_recall` prices it. Returns
+    * (new_id, corpus_id, cosine).
+    *
+    * This is the corpus-builder's semantic gate: a batch's near-dups of
+    * ALREADY-INGESTED documents surface without recomputing corpus-side
+    * anything — the index was paid for at build/append time.
+    */
+  def semanticDupAgainstIndex(batch: DataFrame, idCol: String,
+                              vecCol: String, path: String,
+                              threshold: Double,
+                              probes: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val cents: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    val assigned = batch.select(
+        col(idCol).as("new_id"),
+        Vectors.toDouble(col(vecCol)).as("__v"),
+        explode(topCellsFor(cents, probes)(col(vecCol))).as("cell"))
+    // the batch's probed cell set is bounded by min(nlist, batch·probes) —
+    // collected so the corpus scan prunes at the DIRECTORY level instead
+    // of joining against every cell
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .select(col("cell"), col(idCol).as("corpus_id"),
+        Vectors.toDouble(col(vecCol)).as("__cv"))
+    assigned.join(corpus, "cell")
+      .where(col("new_id") =!= col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id") // multi-probe collisions
+      .select(col("new_id"), col("corpus_id"),
+        Vectors.cosine(col("__v"), col("__cv")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** IVF-PQ index — the FAISS-shaped composition and the full 100 TB
     * serving story: PQ codes (the 8–16× compressed representation)
     * partitioned by Voronoi cell, so a query (a) prunes to its nprobe

@@ -327,6 +327,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(lshTop.head._1 === 999L && lshTop.head._2 > 0.99)
   }
 
+  test("semanticDupAgainstIndex: arriving near-dup of an INDEXED vector " +
+      "surfaces through cell-pruned exact verify") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sem").toString
+    // corpus = everything except the planted near-dup; batch = just it
+    val corpus = corpusDf.filter(col("vec_id") =!= 999L)
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 1)
+    // the planted vector is a near-identical copy of q; q itself is NOT
+    // in the corpus — but vector 999 ≈ q has no corpus twin, so index it
+    // differently: batch carries a near-copy of corpus vector 1
+    val v1 = corpus.filter(col("vec_id") === 1L)
+      .select("embedding").as[Array[Float]].head()
+    val batch = Seq(
+      (1001L, v1.map(x => x + 1e-3f)), // near-dup of indexed vector 1
+      (1002L, Array.fill(dim)(rnd.nextGaussian().toFloat)) // unrelated
+    ).toDF("vec_id", "embedding")
+    val hits = Similarity.semanticDupAgainstIndex(batch, "vec_id",
+        "embedding", dir, threshold = 0.98, probes = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((1001L, 1L)))
+    assert(hits.head._3 > 0.99)
+    // the corpus scan is partition-pruned to the batch's probed cells
+    val plan = Similarity.semanticDupAgainstIndex(batch, "vec_id",
+        "embedding", dir, threshold = 0.98, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      plan)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
