@@ -422,6 +422,26 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "first_doc", "chunk_chars",
           "n_occurrences", "n_docs"))),
 
+    // exact duplicated-SPAN detection (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // family): every SLIDING 16-token window that appears more than once
+    // corpus-wide, with occurrence/document accounting. Pure composition:
+    // chunkByTokens with overlap = chunk−1 IS the sliding window stream,
+    // and the boilerplate aggregate does the rest — no new operator
+    // needed. Full oracle.
+    "dedup_spans" -> ((s, d) =>
+      graft.operators.Chunking.chunkByTokens(docs(s, d), "doc_id", "text",
+          chunkTokens = 16, overlap = 15)
+        .groupBy(col("chunk_text"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_occurrences") > 1)
+        .select(col("first_doc"), col("n_occurrences"), col("n_docs"),
+          length(col("chunk_text")).cast("long").as("span_chars"))
+        .transform(Queries.presentSorted(_, "first_doc", "span_chars",
+          "n_occurrences", "n_docs"))),
+
     // weighted domain mixing — per-source quotas as an expression over the
     // stratum key (source srcN gets (N % 3 + 1) · 10 docs): the mixture-
     // spec sampler, same window + scramble as q_stratified_sample
@@ -1073,6 +1093,29 @@ object ExtQueries {
         |  CAST(length(chunk_text) AS BIGINT) AS chunk_chars
         |FROM ch GROUP BY chunk_text HAVING count(*) > 1
         |ORDER BY first_doc, chunk_chars, n_occurrences, n_docs""".stripMargin,
+    // spans twin: the chunking CTE at stride 1 (overlap 15) + the
+    // boilerplate HAVING aggregate — the sliding-window form
+    "dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, words,
+        |    1 + greatest(len(words) - 16, 0) AS n_chunks
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS k,
+        |    words FROM n),
+        |ch AS (
+        |  SELECT doc_id,
+        |    array_to_string(words[k + 1 : k + 16], ' ') AS chunk_text
+        |  FROM c)
+        |SELECT min(doc_id) AS first_doc,
+        |  count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(length(chunk_text) AS BIGINT) AS span_chars
+        |FROM ch GROUP BY chunk_text HAVING count(*) > 1
+        |ORDER BY first_doc, span_chars, n_occurrences, n_docs""".stripMargin,
     // domain-mix twin: same scramble ranking, same arithmetic quota over
     // the source suffix
     "q_domain_mix" ->
