@@ -91,7 +91,12 @@ object Joins {
     * lengths and the join is a plain equi-join on exact length, with the
     * small exploded probe side broadcast: the corpus is scanned once,
     * narrow, and only length-compatible pairs pay the O(len²) verify.
-    * Returns (probe columns, corpus columns, distance).
+    * Returns (probe columns prefixed `probe_`, corpus columns, distance).
+    *
+    * Contract: `probes` is the lookup side — query-scale, broadcastable
+    * (the entity-resolution shape). For a corpus-scale×corpus-scale fuzzy
+    * self-join, block both sides on (length band, token prefix) with a
+    * plain equi-join instead — the broadcast here would not fit.
     */
   def fuzzyJoin(probes: DataFrame, corpus: DataFrame, probeText: String,
                 corpusText: String, maxDistance: Int): DataFrame = {
@@ -99,17 +104,22 @@ object Joins {
     val pCols = probes.columns.toSeq
     require(!pCols.contains("__len") && !corpus.columns.contains("__len"),
       "input schema may not contain the reserved column __len")
+    require(!corpus.columns.contains("distance"),
+      "corpus schema may not contain the reserved output column distance")
     val p = probes.select(
       struct(pCols.map(col): _*).as("__prow"),
       explode(sequence(length(col(probeText)) - maxDistance,
         length(col(probeText)) + maxDistance)).as("__len"))
+    // distance materialized BEFORE the filter: filter and project are
+    // separate operators with no common-subexpression elimination between
+    // them, so a where(levenshtein)+select(levenshtein) pair would run
+    // the O(len²) verify twice per surviving row
     corpus.withColumn("__len", length(col(corpusText)))
       .join(broadcast(p), "__len")
-      .where(levenshtein(col(s"__prow.$probeText"), col(corpusText))
-        <= maxDistance)
+      .withColumn("distance",
+        levenshtein(col(s"__prow.$probeText"), col(corpusText)))
+      .where(col("distance") <= maxDistance)
       .select(pCols.map(c => col(s"__prow.$c").as(s"probe_$c")) ++
-        corpus.columns.toSeq.map(col) :+
-        levenshtein(col(s"__prow.$probeText"), col(corpusText))
-          .as("distance"): _*)
+        corpus.columns.toSeq.map(col) :+ col("distance"): _*)
   }
 }
