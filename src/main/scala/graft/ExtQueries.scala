@@ -286,8 +286,13 @@ object ExtQueries {
       val idx = new java.io.File(
         sys.props("java.io.tmpdir"),
         "graft_ivf_semdedup_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // kmeansIters = 0 (seed centroids): this query's CONCRETE pair rows
+      // land in the correctness artifact, and Lloyd's avg() merges shuffle
+      // partials in nondeterministic order — low-bit centroid drift could
+      // flip boundary vectors' cells and change the row set run-to-run.
+      // Seeds are pure lowest-id vectors: bit-stable everywhere.
       Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
-        nlist = 4, kmeansIters = 2)
+        nlist = 4, kmeansIters = 0)
       Similarity.semanticDupAgainstIndex(batch, "vec_id", "embedding",
           idx, threshold = 0.4, probes = 2)
         .select(col("new_id"), col("corpus_id"),
@@ -305,8 +310,9 @@ object ExtQueries {
       val idx = new java.io.File(
         sys.props("java.io.tmpdir"),
         "graft_ivf_semdedup_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // kmeansIters = 0: same deterministic index as the rows query above
       Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
-        nlist = 4, kmeansIters = 2)
+        nlist = 4, kmeansIters = 0)
       val truth = batch
         .select(col("vec_id").as("new_id"),
           graft.functions.Vectors.toDouble(col("embedding")).as("bv"))
@@ -314,10 +320,10 @@ object ExtQueries {
           graft.functions.Vectors.toDouble(col("embedding")).as("cv")))
         .where(graft.functions.Vectors.cosine(col("bv"), col("cv")) >= 0.4)
         .select("new_id", "corpus_id")
-      // floor 0.7 vs 0.84 observed: Lloyd's avg is summation-order
-      // sensitive in its low bits, so boundary vectors can flip cells
-      // run-to-run — the floor leaves ~3 pair-flips of slack (of 25)
-      // while still catching any real blocking regression
+      // the seed-centroid index is bit-deterministic, so the measured
+      // recall (0.76 at sf0.01 — Lloyd refinement would buy ~0.08 at the
+      // cost of run-to-run drift in the rows artifact) is exactly
+      // reproducible; the floor still leaves slack for fixture changes
       recallOf(truth,
         Similarity.semanticDupAgainstIndex(batch, "vec_id", "embedding",
           idx, threshold = 0.4, probes = 2),

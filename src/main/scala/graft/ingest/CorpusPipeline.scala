@@ -33,19 +33,27 @@ object CorpusPipeline {
   private def indexExists(indexPath: String): Boolean =
     new java.io.File(s"$indexPath/meta").exists()
 
-  private def annIndexExists(annPath: String): Boolean =
-    new java.io.File(s"$annPath/centroids").exists()
-
-  /** Per-batch ANN configuration: the survivors' `embeddingCol` maintains
-    * an IVF-PQ index at `indexPath` the same way the text side maintains
-    * its MinHash index — bootstrap (train centroids + codebooks) on the
-    * first batch, append with the FROZEN sidecars after, so every
-    * generation of the corpus is encoded comparably and servable through
+  /** Per-batch ANN configuration: the corpus embeddings maintain an
+    * IVF-PQ index at `indexPath` the same way the text side maintains its
+    * MinHash index. While the corpus holds fewer than `minTrainRows`
+    * documents the index is REBUILT from the full corpus each batch —
+    * sidecars frozen on a tiny first batch would be degenerate (a 1-doc
+    * bootstrap yields one seed centroid and duplicate-padded codebooks,
+    * silently flattening every ADC ranking as the corpus grows). Once the
+    * training mass is reached the sidecars freeze and batches append with
+    * them ([[Similarity.appendToIvfPqIndex]]), so every later generation
+    * is encoded comparably and servable through
     * [[Similarity.ivfPqTopKFromIndex]].
     */
   case class AnnIndex(indexPath: String, embeddingCol: String,
                       nlist: Int = 16, m: Int = 8, k: Int = 16,
-                      kmeansIters: Int = 2)
+                      kmeansIters: Int = 2, minTrainRows: Long = 256)
+
+  /** Rows the frozen sidecars were trained on (−1 = no index yet). */
+  private def annTrainedRows(spark: SparkSession, annPath: String): Long =
+    if (!new java.io.File(s"$annPath/trained_meta").exists()) -1L
+    else spark.read.parquet(s"$annPath/trained_meta")
+      .collect().head.getLong(0)
 
   /** The dedup-and-append gate shared by the batch loop and the streaming
     * wrapper ([[graft.streaming.CorpusStream]]): drop docs near-duplicating
@@ -93,22 +101,38 @@ object CorpusPipeline {
     try {
       val appended = survivors.count()
       if (appended > 0) {
+        val spark = survivors.sparkSession
         survivors.write.mode("append").parquet(corpusPath)
+        // ANN maintenance runs BEFORE the MinHash append: the MinHash
+        // index is the retry GATE (a replayed batch matches its own
+        // indexed signatures and drops), so it must commit LAST — a crash
+        // between the other appends and the gate makes the retry REPEAT
+        // them (benign, visible duplication), whereas gating first would
+        // make the retry SKIP them (the batch silently unfindable in the
+        // ANN index forever)
+        ann.foreach { a =>
+          val trained = annTrainedRows(spark, a.indexPath)
+          if (trained >= a.minTrainRows)
+            Similarity.appendToIvfPqIndex(survivors, idCol, a.embeddingCol,
+              a.indexPath)
+          else {
+            // (re)build over the FULL corpus as written so far (this
+            // batch included) until the training mass is reached
+            val corpusNow = spark.read.parquet(corpusPath)
+            val n = corpusNow.count()
+            Similarity.writeIvfPqIndex(corpusNow, idCol, a.embeddingCol,
+              a.indexPath, nlist = a.nlist, m = a.m, k = a.k,
+              kmeansIters = a.kmeansIters)
+            import spark.implicits._
+            Seq(n).toDF("trained_rows").coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"${a.indexPath}/trained_meta")
+          }
+        }
         if (indexExists(indexPath))
           Dedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
         else
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
-        // the ANN index rides the same append: survivors' embeddings are
-        // encoded with the frozen sidecars (or train them, first batch)
-        ann.foreach { a =>
-          if (annIndexExists(a.indexPath))
-            Similarity.appendToIvfPqIndex(survivors, idCol, a.embeddingCol,
-              a.indexPath)
-          else
-            Similarity.writeIvfPqIndex(survivors, idCol, a.embeddingCol,
-              a.indexPath, nlist = a.nlist, m = a.m, k = a.k,
-              kmeansIters = a.kmeansIters)
-        }
       }
       appended
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(survivors)
@@ -132,12 +156,14 @@ class CorpusPipeline(
     annIndexPath: Option[String] = None,
     annNlist: Int = 16,
     annM: Int = 8,
-    annK: Int = 16) {
+    annK: Int = 16,
+    annMinTrainRows: Long = 256) {
 
   private val ann: Option[CorpusPipeline.AnnIndex] =
     (annIndexPath, embeddingCol) match {
       case (Some(p), Some(e)) =>
-        Some(CorpusPipeline.AnnIndex(p, e, annNlist, annM, annK))
+        Some(CorpusPipeline.AnnIndex(p, e, annNlist, annM, annK,
+          minTrainRows = annMinTrainRows))
       case (None, None) => None
       case _ => throw new IllegalArgumentException(
         "annIndexPath and embeddingCol must be set together")

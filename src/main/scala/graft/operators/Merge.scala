@@ -74,18 +74,24 @@ object Merge {
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
     if (touched.isEmpty) return // empty batch: nothing to rewrite
-    val base = spark.read.parquet(basePath)
-      .where(col(partitionCol).isin(touched: _*)) // → PartitionFilters
+    // null-SAFE partition match: a batch row with a null partition value
+    // must pull the base's null-partition rows into the merge — a bare
+    // isin(null) never matches, so the dynamic overwrite would replace
+    // __HIVE_DEFAULT_PARTITION__ with update-only rows and silently drop
+    // every base key living there
+    val pruned = touched.map {
+      case null => col(partitionCol).isNull
+      case v    => col(partitionCol) === lit(v)
+    }.reduce(_ || _)
+    val base = spark.read.parquet(basePath).where(pruned) // → PartitionFilters
     val merged = keepLatest(base, updates, keyCols, versionCol)
       .localCheckpoint(true)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try merged.write.mode("overwrite").partitionBy(partitionCol)
+    // per-WRITE dynamic overwrite (not the session conf): toggling the
+    // session value would leak dynamic semantics to concurrent writers on
+    // the same SparkSession for the duration of this write
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
       .parquet(basePath)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
   }
 }

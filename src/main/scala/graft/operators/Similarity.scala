@@ -184,10 +184,24 @@ object Similarity {
     } finally proj.unpersist(false)
   }
 
+  /** The centroid sidecar read back (nlist rows — bounded driver state,
+    * shared by every serve/append path of the IVF family).
+    */
+  private def readCentroids(spark: SparkSession,
+                            path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+
   /** The query's nprobe nearest cells as a 1-row-per-cell frame carrying
     * the query vector (tiny — always broadcast). Contract: `query` carries
     * exactly ONE vector row — the global cscore ranking below would mix
     * cells across queries otherwise; batched queries loop at the caller.
+    * The guard costs one tiny extra job per serve; callers whose query
+    * frame derives from an expensive pipeline should localCheckpoint it
+    * first (every serve path here evaluates the frame more than once
+    * anyway: guard, probe ranking, rerank).
     */
   private def probeCells(query: DataFrame, queryVecCol: String,
                          cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
@@ -251,11 +265,7 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
-    val cents: Seq[(Long, Seq[Double])] =
-      batch.sparkSession.read.parquet(s"$path/centroids")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq
+    val cents = readCentroids(batch.sparkSession, path)
     batch.select(col(idCol), col(vecCol),
         bestCellFor(cents)(col(vecCol)).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
@@ -269,11 +279,7 @@ object Similarity {
   def ivfTopKFromIndex(spark: SparkSession, path: String, idCol: String,
                        vecCol: String, query: DataFrame, queryVecCol: String,
                        k: Int, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[(Long, Seq[Double])] =
-      spark.read.parquet(s"$path/centroids")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq
+    val cents = readCentroids(spark, path)
     val cells = probeCells(query, queryVecCol, cents, nprobe)
       .collect().map(_.getLong(1)) // nprobe values — bounded like cents
     val qvec = broadcast(query.select(Vectors.toDouble(col(queryVecCol)).as("__qvec")))
@@ -306,11 +312,7 @@ object Similarity {
                               threshold: Double,
                               probes: Int = 2): DataFrame = {
     val spark = batch.sparkSession
-    val cents: Seq[(Long, Seq[Double])] =
-      spark.read.parquet(s"$path/centroids")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq
+    val cents = readCentroids(spark, path)
     val assigned = batch.select(
         col(idCol).as("new_id"),
         Vectors.toDouble(col(vecCol)).as("__v"),
@@ -370,11 +372,7 @@ object Similarity {
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
     val spark = batch.sparkSession
-    val cents: Seq[(Long, Seq[Double])] =
-      spark.read.parquet(s"$path/centroids")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq
+    val cents = readCentroids(spark, path)
     val cb = Pq.readCodebooks(spark, path)
     batch.select(col(idCol),
         Pq.encodeExpr(cb, col(vecCol)).as("pq_codes"),
@@ -389,11 +387,7 @@ object Similarity {
                          rawCorpus: DataFrame, idCol: String, vecCol: String,
                          query: DataFrame, queryVecCol: String, k: Int,
                          nprobe: Int = 4, oversample: Int = 4): DataFrame = {
-    val cents: Seq[(Long, Seq[Double])] =
-      spark.read.parquet(s"$path/centroids")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq
+    val cents = readCentroids(spark, path)
     val cells = probeCells(query, queryVecCol, cents, nprobe)
       .collect().map(_.getLong(1))
     val cb = Pq.readCodebooks(spark, path)

@@ -128,9 +128,11 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
     val v1 = vec(); val v2 = vec(); val v3 = vec()
+    // minTrainRows = 1: batch 1's two docs reach the training mass, so the
+    // sidecars freeze immediately and batch 2 must APPEND with them
     def pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
       embeddingCol = Some("embedding"), annIndexPath = Some(ann),
-      annNlist = 2, annM = 8, annK = 8)
+      annNlist = 2, annM = 8, annK = 8, annMinTrainRows = 1)
 
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), base, v1),
         (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), fresh2, v2))
@@ -211,8 +213,11 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     val v1 = vec(); val v2 = vec()
     val schema = Seq((0L, "", Array.empty[Float]))
       .toDF("doc_id", "text", "embedding").schema
+    // minTrainRows = 2: wave 1 (one doc) stays in the REBUILD phase — a
+    // 1-doc bootstrap would freeze degenerate sidecars — and wave 2
+    // rebuilds over the 2-doc corpus, reaching the mass and freezing
     val annCfg = CorpusPipeline.AnnIndex(ann, "embedding",
-      nlist = 2, m = 8, k = 8)
+      nlist = 2, m = 8, k = 8, minTrainRows = 2)
     def runOnce(): Unit = {
       val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
         ann = Some(annCfg))

@@ -307,4 +307,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(replay === expected)
     assert(snapshot("p=p0") === before0) // still untouched after replay
   }
+
+  test("keepLatestPartitioned merges the NULL partition null-safely: " +
+      "base keys in __HIVE_DEFAULT_PARTITION__ survive an update there") {
+    import graft.operators.Merge
+    val dir = java.nio.file.Files.createTempDirectory("pmerge_null")
+      .resolve("table").toString
+    val base = Seq((1L, Option.empty[String], 1L, "a"),
+        (2L, Option("p0"), 1L, "b"))
+      .toDF("k", "p", "v", "payload")
+    base.write.partitionBy("p").parquet(dir)
+    // the batch touches ONLY the null partition: a new key arrives there
+    val updates = Seq((3L, Option.empty[String], 1L, "c"))
+      .toDF("k", "p", "v", "payload")
+    Merge.keepLatestPartitioned(spark, dir, updates, Seq("k"), "v", "p")
+    val out = spark.read.parquet(dir)
+      .select("k", "p", "v", "payload")
+      .as[(Long, Option[String], Long, String)].collect().toSet
+    // base key 1 (null partition) must NOT be dropped by the rewrite
+    assert(out === Set((1L, None, 1L, "a"), (2L, Some("p0"), 1L, "b"),
+      (3L, None, 1L, "c")))
+  }
 }
