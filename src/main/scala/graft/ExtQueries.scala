@@ -458,6 +458,18 @@ object ExtQueries {
         .select("doc_id", "source")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // temperature-scaled mixing — quotas COMPUTED from the data
+    // (∝ count^0.5 of a 200-doc budget): the Pile/LLaMA mixture math with
+    // no explicit weight map. Rows-only: the quota arithmetic crosses a
+    // floor() boundary over a float total whose summation order is
+    // engine-specific — the within-engine result is deterministic
+    // (SamplingPackingSpec pins the exact quota math on a hand fixture)
+    "q_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureTake(docs(s, d), "source",
+          "doc_id", alpha = 0.5, budget = 200)
+        .select("doc_id", "source")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // token-budget sequence packing — the last batch-prep step before an
     // LLM data loader: shard-local window cumsum assigns each doc to the
     // sequence its first token falls in; reported per (shard, sequence)

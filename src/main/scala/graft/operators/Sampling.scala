@@ -61,6 +61,37 @@ object Sampling {
     * table left-joined on the stratum key instead: one extra broadcast of
     * config-sized data, same single window, identical row semantics.
     */
+  /** Temperature-scaled domain mixing — the Pile/LLaMA mixture math:
+    * stratum i receives quota ∝ nᵢ^alpha of the `budget`, alpha = 1/T
+    * (alpha 1 = proportional to natural frequency, alpha → 0 = uniform;
+    * 0.5–0.7 is the usual up-weighting of small high-quality sources).
+    * Unlike [[weightedTake]]'s explicit map, the quotas here are COMPUTED
+    * FROM THE DATA: one grouped count (sublinear output), one scalar
+    * total, a broadcast quota join — no driver-side collect, so a
+    * million-stratum corpus plans the same shape. Quotas floor, so
+    * strata too small for one slot drop (standard mixture behavior);
+    * rank order within a stratum is the same deterministic scramble as
+    * every other sampler here.
+    */
+  def temperatureTake(df: DataFrame, strataCol: String, idCol: String,
+                      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha = 1/T must be in (0, 1]")
+    require(budget > 0)
+    require(!df.columns.exists(_.startsWith("__tt_")),
+      "input already carries __tt_-prefixed internals")
+    val weights = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("__tt_n"))
+      .withColumn("__tt_w", pow(col("__tt_n"), alpha))
+    val total = weights.agg(sum("__tt_w").as("__tt_total"))
+    val quotas = weights.crossJoin(total)
+      .select(col(strataCol),
+        floor(lit(budget.toDouble) * col("__tt_w") / col("__tt_total"))
+          .cast("int").as("__tt_quota"))
+    takePerStratum(df.join(broadcast(quotas), strataCol),
+        Seq(strataCol), idCol, col("__tt_quota"))
+      .drop("__tt_quota")
+  }
+
   def weightedTake(df: DataFrame, strataCol: String, idCol: String,
                    quotas: Map[String, Int], default: Int = 0,
                    broadcastThreshold: Int = 100): DataFrame = {

@@ -79,6 +79,30 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
     assert(viaLiteral === viaJoin)
   }
 
+  test("temperatureTake: quotas follow n^alpha exactly on a hand fixture; " +
+      "alpha=1 is proportional, small alpha flattens") {
+    // strata of 100 and 400 docs: sqrt weights 10/20 → of budget 30 the
+    // quotas are exactly 10 and 20; at alpha=1 they are 6 and 24
+    val df = ((1 to 100).map(i => (i.toLong, "small")) ++
+      (1 to 400).map(i => (1000L + i, "large"))).toDF("doc_id", "source")
+    def counts(alpha: Double, budget: Long): Map[String, Long] =
+      Sampling.temperatureTake(df, "source", "doc_id", alpha, budget)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts(0.5, 30) === Map("small" -> 10L, "large" -> 20L))
+    assert(counts(1.0, 30) === Map("small" -> 6L, "large" -> 24L))
+    // deterministic under repartitioning (the scramble rank, as always)
+    val a = Sampling.temperatureTake(df, "source", "doc_id", 0.5, 30)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureTake(df.repartition(7), "source",
+        "doc_id", 0.5, 30)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // a stratum too small for one slot drops (quota floors to 0)
+    val tiny = df.union(Seq((9999L, "rare")).toDF("doc_id", "source"))
+    assert(!Sampling.temperatureTake(tiny, "source", "doc_id", 1.0, 30)
+      .select("source").as[String].collect().contains("rare"))
+  }
+
   test("chunkByTokens: overlap windows, single chunk for short docs, " +
       "no redundant tail") {
     import graft.operators.Chunking
