@@ -334,6 +334,24 @@ object Queries {
         .limit(20)
     }),
 
+    // TPC-H Q12 shape — conditional aggregation over a join: per return
+    // flag, how many 1996-shipped lines belong to high- vs low-priority
+    // orders. The CASE-sum pair rides the same shuffle as a plain count
+    // (two partial aggregates, no extra pass); integer output, so the
+    // cross-engine hash carries no float-rounding exposure at all.
+    "q12_priority_lines" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1997-01-01 00:00:00"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("is_high"), 1).otherwise(0)).as("high_count"),
+          sum(when(col("is_high"), 0).otherwise(1)).as("low_count"))
+        .orderBy("l_returnflag")
+    }),
+
     // RANGE-frame window — the one window frame mode the suite lacked:
     // per-customer 30-day trailing revenue, frame bounded by the ORDER KEY
     // VALUE (epoch seconds), not row position — peers at the same
@@ -1027,6 +1045,19 @@ object Queries {
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // CASTs: DuckDB grouped sums of integers are HUGEINT (cf. the
+    // q_token_packing twin) — pin both counts to BIGINT like Spark's
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM orders, lineitem
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // trailing twin: RANGE frame keyed by the timestamp value — DuckDB's
     // INTERVAL bound and Spark's epoch-second bound define the same
     // closed [cur − 30 days, cur] window
