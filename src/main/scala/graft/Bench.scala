@@ -52,8 +52,17 @@ object Bench {
       n -> math.min(t, pass3.getOrElse(n, t)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every raw sample per query ([pass1, pass2(, pass3)]) rides along in
+    // the artifact: host-noise then self-evidences as a one-pass outlier
+    // (r8's phantom q3/q5/e2 "regression" needed a judge rerun to refute —
+    // with the arrays it would have been visible in the stored JSON)
+    val p1 = pass1.toMap
+    val raw = names.map { n =>
+      val samples = Seq(p1(n), pass2(n)) ++ pass3.get(n)
+      "\"" + n + "\":[" + samples.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

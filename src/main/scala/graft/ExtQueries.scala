@@ -26,13 +26,15 @@ object ExtQueries {
     * convention.
     *
     * `floor` is the documented per-operator quality floor, MACHINE-ENFORCED
-    * in the artifact: `meets_floor` flips to false when a parameter tweak
-    * silently degrades corpus-level recall, so a quality regression changes
-    * a value the correctness diff surfaces instead of hiding behind a
-    * still-green 1-row report.
+    * in the artifact ROW COUNT: the result keeps only the row whose recall
+    * clears the floor, so a violated floor reads as `spark_rows: 0` in the
+    * driver's correctness artifact — a value the correctness diff surfaces
+    * directly — instead of a boolean buried inside a parquet file nobody
+    * diffs. A passing twin is always exactly 1 row (found/total/recall/
+    * meets_floor, the last constant-true by construction).
     */
-  private def recallOf(truth: DataFrame, approx: DataFrame,
-                       keys: Seq[String], floor: Double): DataFrame =
+  private[graft] def recallOf(truth: DataFrame, approx: DataFrame,
+                              keys: Seq[String], floor: Double): DataFrame =
     truth.join(
         approx.select(keys.map(col): _*).distinct().withColumn("__hit", lit(1)),
         keys, "left")
@@ -43,6 +45,7 @@ object ExtQueries {
           .otherwise(col("found").cast("double") / col("total")), 6)
           .as("recall"))
       .withColumn("meets_floor", col("recall") >= floor)
+      .where(col("meets_floor"))
 
   /** The corpus_filter_* gate chain, in pipeline order. Thresholds compare
     * values whose formulas are already hash-proven cross-engine by their
@@ -690,6 +693,93 @@ object ExtQueries {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // BATCHED ANN serving — the retrieval-workload shape: a query TABLE
+    // (every 40th vector) answered through the materialized IVF index in
+    // ONE plan (batch soft-assign → union-pruned cell scan → per-query
+    // window top-k) instead of one Spark job per query. Rows-only
+    // (approximate + engine-trained centroids); the recall twin below pins
+    // batched ≡ looped at floor 1.0.
+    "ann_ivf_batched" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_batched_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // seed centroids (kmeansIters=0): concrete rows land in the
+      // artifact, and Lloyd's shuffle-order float drift could flip
+      // boundary cells run-to-run (same stance as emb_semdedup_incremental)
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0)
+      Similarity.ivfBatchTopKFromIndex(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nprobe = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .transform(Queries.presentSorted(_, "query_id", "vec_id"))
+    }),
+
+    // batched ≡ per-query-loop consistency, MACHINE-ENFORCED at floor 1.0:
+    // the truth side literally loops ivfTopKFromIndex over the same query
+    // table (the contract the batched plan replaces), so ANY divergence —
+    // cell ranking, tie-breaks, score arithmetic — reads as spark_rows: 0
+    "ann_ivf_batched_recall" -> ((s, d) => {
+      import s.implicits._
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_batched_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0)
+      val qRows = queries.select(col("vec_id"),
+          col("embedding").cast("array<float>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val truth = qRows.flatMap { case (qid, v) =>
+        Similarity.ivfTopKFromIndex(s, idx, "vec_id", "embedding",
+            Seq((qid, v)).toDF("vec_id", "embedding"), "embedding",
+            k = 5, nprobe = 3)
+          .select("vec_id").as[Long].collect()
+          .map(id => (qid, id))
+      }.toSeq.toDF("query_id", "vec_id")
+      recallOf(truth,
+        Similarity.ivfBatchTopKFromIndex(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nprobe = 3),
+        Seq("query_id", "vec_id"), floor = 1.0)
+    }),
+
+    // the IVF-PQ batched twin: per-query in-plan ADC tables (broadcast
+    // join column, not driver state) + pruned-cell ADC + exact rerank,
+    // pinned to the per-query loop at floor 1.0 like ann_ivf_batched
+    "ann_ivfpq_batched_recall" -> ((s, d) => {
+      import s.implicits._
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivfpq_batched_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, m = 16, k = 16, kmeansIters = 0)
+      val qRows = queries.select(col("vec_id"),
+          col("embedding").cast("array<float>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val truth = qRows.flatMap { case (qid, v) =>
+        Similarity.ivfPqTopKFromIndex(s, idx, corpus, "vec_id", "embedding",
+            Seq((qid, v)).toDF("vec_id", "embedding"), "embedding",
+            k = 5, nprobe = 3, oversample = 8)
+          .select("vec_id").as[Long].collect()
+          .map(id => (qid, id))
+      }.toSeq.toDF("query_id", "vec_id")
+      recallOf(truth,
+        Similarity.ivfPqBatchTopKFromIndex(s, idx, corpus, "vec_id",
+          "embedding", queries, "vec_id", "embedding",
+          k = 5, nprobe = 3, oversample = 8),
+        Seq("query_id", "vec_id"), floor = 1.0)
+    }),
+
     // corpus cleaning — drop MinHash near-duplicates, keep lowest doc_id
     // per duplicate cluster (rows-only: hash-based candidate set)
     "dedup_clean_corpus" -> ((s, d) =>
@@ -750,8 +840,11 @@ object ExtQueries {
         .select(col("greedy_kept"), col("transitive_kept"),
           (col("greedy_kept") - col("transitive_kept")).as("extra_removed"))
         // floor: transitive removal is a SUPERSET of greedy on every
-        // component, so extra_removed < 0 means the closure broke
+        // component, so extra_removed < 0 means the closure broke — and
+        // (like recallOf) a violation empties the row so it reads as
+        // spark_rows: 0 in the correctness artifact
         .withColumn("meets_floor", col("extra_removed") >= 0)
+        .where(col("meets_floor"))
     }),
 
     // TF-IDF top-k keywords per document — corpus statistics (tf, df, N)

@@ -691,8 +691,10 @@ object Queries {
             / col("exact_p50"), 6).as("rel_error"))
         // ceiling 0.01: accuracy=1000 promises ~0.1% rank error; 1% value
         // error is generous slack over it — machine-enforced so a sketch
-        // parameter regression flips a driver-visible boolean
-        .withColumn("meets_floor", col("rel_error") <= 0.01)),
+        // parameter regression empties the row (spark_rows: 0 in the
+        // correctness artifact), not just a boolean inside parquet
+        .withColumn("meets_floor", col("rel_error") <= 0.01)
+        .where(col("meets_floor"))),
 
     // HLL sketch quality as a driver-visible row: approximate distinct vs
     // exact, with the relative error the 2% rsd setting promises
@@ -704,8 +706,9 @@ object Queries {
           round(abs(col("approx_users") - col("exact_users")).cast("double")
             / col("exact_users"), 6).as("rel_error"))
         // ceiling 0.05 = 2.5σ of the promised 2% rsd — same enforcement
-        // pattern as the recall floors
-        .withColumn("meets_floor", col("rel_error") <= 0.05)),
+        // pattern as the recall floors (violation ⇒ 0 rows in the artifact)
+        .withColumn("meets_floor", col("rel_error") <= 0.05)
+        .where(col("meets_floor"))),
 
     // explicit GROUPING SETS with grouping() markers (finer-grained than
     // rollup/cube; exercised through spark.sql to match user-facing SQL)

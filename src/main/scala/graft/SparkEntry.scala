@@ -50,5 +50,9 @@ object SparkEntry {
     // round 8: the corpus-gate path the builder loop runs every batch —
     // narrow quality gates fused in one scan (no broadcast side here; the
     // decontamination broadcast is timed inside the corpus pipeline specs)
-    "corpus_filter_kept")
+    "corpus_filter_kept",
+    // round 9: the widest join tree in the suite (lineitem⋈orders⋈customer
+    // ⋈nation, date-filtered before the join, dims broadcast) — the plan
+    // most predictive of multi-dimension reporting at scale
+    "q10_returned_items")
 }

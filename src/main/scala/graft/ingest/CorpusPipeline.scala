@@ -30,8 +30,18 @@ import graft.operators.{Contamination, CorpusFilter, Dedup, Similarity}
   */
 object CorpusPipeline {
 
-  private def indexExists(indexPath: String): Boolean =
-    new java.io.File(s"$indexPath/meta").exists()
+  /** Sidecar existence through the Hadoop FileSystem of the path's SCHEME
+    * (not java.io.File, which silently answers false for every hdfs:// or
+    * s3a:// path — the loop would then rebuild the index from the full
+    * corpus on every batch and never freeze sidecars).
+    */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def indexExists(spark: SparkSession, indexPath: String): Boolean =
+    pathExists(spark, s"$indexPath/meta")
 
   /** Per-batch ANN configuration: the corpus embeddings maintain an
     * IVF-PQ index at `indexPath` the same way the text side maintains its
@@ -51,7 +61,7 @@ object CorpusPipeline {
 
   /** Rows the frozen sidecars were trained on (−1 = no index yet). */
   private def annTrainedRows(spark: SparkSession, annPath: String): Long =
-    if (!new java.io.File(s"$annPath/trained_meta").exists()) -1L
+    if (!pathExists(spark, s"$annPath/trained_meta")) -1L
     else spark.read.parquet(s"$annPath/trained_meta")
       .collect().head.getLong(0)
 
@@ -80,7 +90,7 @@ object CorpusPipeline {
       case None => qualityGated
     }
     val vsCorpus =
-      if (!indexExists(indexPath)) gated
+      if (!indexExists(batch.sparkSession, indexPath)) gated
       else {
         val dupIds = Dedup
           .dedupAgainstIndex(gated, idCol, textCol, indexPath, threshold)
@@ -129,7 +139,7 @@ object CorpusPipeline {
               .parquet(s"${a.indexPath}/trained_meta")
           }
         }
-        if (indexExists(indexPath))
+        if (indexExists(spark, indexPath))
           Dedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
         else
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)

@@ -53,9 +53,10 @@ object Lm {
     require(!docs.columns.exists(_.startsWith("__lm_")) &&
       !train.columns.exists(_.startsWith("__lm_")),
       "input already carries __lm_-prefixed internals")
-    require(!Seq("p", "n", "bg", "cbn", "cpn", "vocab", "lp")
-      .contains(idCol),
-      s"idCol '$idCol' collides with an Lm internal column name")
+    require(!Seq("p", "n", "bg", "cbn", "cpn", "vocab", "lp",
+        "n_bigrams", "ppl") // the last two are OUTPUT columns — an idCol
+      .contains(idCol),     // named like them would duplicate silently
+      s"idCol '$idCol' collides with an Lm internal or output column name")
     def stream(df: DataFrame, cols: Column*): DataFrame = df
       .withColumn("__lm_w", toks(col(textCol)))
       .where(size(col("__lm_w")) >= 2)

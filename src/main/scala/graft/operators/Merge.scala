@@ -62,6 +62,16 @@ object Merge {
     * old partition unseen). The touched-partition value set is collected to
     * the driver — bounded by the batch, like every other sidecar here.
     *
+    * `validateKeyStability = true` makes contract violations LOUD instead
+    * of silently wrong downstream: the batch's key set is anti-checked
+    * against the base partitions OUTSIDE the touched set (a narrow
+    * key-column scan + semi-join) and any hit throws with sample keys.
+    * Opt-in because it reads key columns of the whole un-touched base —
+    * exactly the cost the partition-scoped merge exists to avoid; enable
+    * it when the partition key's stability is assumed rather than enforced
+    * upstream (e.g. bucket-of-natural-key layouts are safe by
+    * construction, mutable-attribute partitions are not).
+    *
     * The merged result is materialized via `localCheckpoint` before the
     * write: Spark (correctly) refuses to overwrite a path it is
     * concurrently reading, and the checkpoint severs that lineage. The
@@ -70,7 +80,8 @@ object Merge {
     */
   def keepLatestPartitioned(spark: SparkSession, basePath: String,
                             updates: DataFrame, keyCols: Seq[String],
-                            versionCol: String, partitionCol: String): Unit = {
+                            versionCol: String, partitionCol: String,
+                            validateKeyStability: Boolean = false): Unit = {
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
     if (touched.isEmpty) return // empty batch: nothing to rewrite
@@ -83,6 +94,27 @@ object Merge {
       case null => col(partitionCol).isNull
       case v    => col(partitionCol) === lit(v)
     }.reduce(_ || _)
+    if (validateKeyStability) {
+      // a moved key = one of the batch's keys already living in a base
+      // partition the batch does NOT touch. coalesce(pruned, false): for a
+      // null-partition base row `pruned` evaluates to NULL (unless the
+      // batch touches the null partition explicitly), and a bare !NULL
+      // would silently exclude that row from the check
+      val outside = spark.read.parquet(basePath)
+        .where(!coalesce(pruned, lit(false)))
+        .select((keyCols :+ partitionCol).map(col): _*)
+        .join(updates.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_semi")
+      val moved = outside.take(4)
+      if (moved.nonEmpty)
+        throw new IllegalStateException(
+          "keepLatestPartitioned: update batch contains key(s) that " +
+            "already exist in base partitions outside the touched set — " +
+            "the partition key is not stable for these keys and their old " +
+            "versions would survive unseen. Sample (key..., partition): " +
+            moved.take(3).map(_.toSeq.mkString("(", ", ", ")"))
+              .mkString("; "))
+    }
     val base = spark.read.parquet(basePath).where(pruned) // → PartitionFilters
     val merged = keepLatest(base, updates, keyCols, versionCol)
       .localCheckpoint(true)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * Four codecs implement the `Codec` seam: [[ImageIoCodec]] (real
   * standards decode — PNG/JPEG/GIF/BMP via the JDK's javax.imageio, no
   * native libraries), [[WavCodec]] (real audio decode — RIFF/WAVE via
-  * javax.sound.sampled, 16-bit PCM amplitude histogram), [[BmpCodec]]
+  * javax.sound.sampled, 8/16/24-bit PCM amplitude histogram), [[BmpCodec]]
   * (dependency-free container parser), and [[FakeCodec]] (deterministic
   * stand-in for synthetic fixtures and for formats with no JVM decoder).
   * Motion gets a real path too: [[decodeFrames]] walks animated GIF —
@@ -153,10 +153,12 @@ object Multimodal {
     * module, headless-safe): parses the RIFF/WAVE container through the
     * JDK's audio file readers — format, frame count, sample rate, channel
     * layout all come from the actual header, not the payload length.
-    * Features are an amplitude histogram over the decoded 16-bit PCM
-    * samples: `featureDim` buckets across the signed sample range, so two
-    * files with the same waveform embed identically regardless of header
-    * padding. This does for audio what [[ImageIoCodec]] does for images —
+    * Features are an amplitude histogram over the decoded PCM samples
+    * (8/16/24-bit, signed or unsigned, either endianness — every sample is
+    * scaled to the signed 16-bit domain first, so bit depth changes
+    * amplitude RESOLUTION, not bucket placement): `featureDim` buckets
+    * across the signed sample range, so two files with the same waveform
+    * embed identically regardless of header padding or sample width. This does for audio what [[ImageIoCodec]] does for images —
     * the third REAL decoder behind the `Codec` seam; video stays on
     * [[FakeCodec]] (no JVM decoder without native libraries).
     *
@@ -177,23 +179,49 @@ object Multimodal {
         }
       try {
         val fmt = ais.getFormat
+        // validate BEFORE building metadata: the JDK opens some
+        // compressed/streamed payloads with NOT_SPECIFIED (-1) frame
+        // counts, which would otherwise escape as width=-1 metadata
+        val enc = fmt.getEncoding
+        require(enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          s"WavCodec handles PCM payloads, got encoding $enc")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16 || bits == 24,
+          s"WavCodec handles 8/16/24-bit PCM, got $bits-bit")
+        require(ais.getFrameLength !=
+            javax.sound.sampled.AudioSystem.NOT_SPECIFIED,
+          "WavCodec needs a declared frame length (streamed payload?)")
         val meta = MediaMeta(format = "wav",
           width = ais.getFrameLength.toInt,
           height = fmt.getSampleRate.toInt,
           nChannels = fmt.getChannels,
           nBytes = bytes.length.toLong)
-        require(fmt.getSampleSizeInBits == 16,
-          s"WavCodec handles 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
         val data = ais.readAllBytes()
         val feat = new Array[Float](featureDim)
         val little = !fmt.isBigEndian
+        val unsigned =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bytesPer = bits / 8
         var i = 0
-        while (i + 1 < data.length) {
-          // signed 16-bit sample → bucket over [-32768, 32767]
-          val s = if (little) (data(i) & 0xFF) | (data(i + 1) << 8)
-                  else (data(i + 1) & 0xFF) | (data(i) << 8)
-          feat(((s + 32768) * featureDim) >>> 16) += 1.0f
-          i += 2
+        while (i + bytesPer <= data.length) {
+          // raw unsigned word, endianness-resolved
+          var raw = 0
+          var b = 0
+          while (b < bytesPer) {
+            val shift = if (little) 8 * b else 8 * (bytesPer - 1 - b)
+            raw |= (data(i + b) & 0xFF) << shift
+            b += 1
+          }
+          // → signed, then scaled to the 16-bit histogram domain, so the
+          // bucket math (and the 16-bit hash baseline) is depth-invariant
+          val signed =
+            if (unsigned) raw - (1 << (bits - 1))
+            else (raw << (32 - bits)) >> (32 - bits)
+          val s16 = if (bits >= 16) signed >> (bits - 16)
+                    else signed << (16 - bits)
+          feat(((s16 + 32768) * featureDim) >>> 16) += 1.0f
+          i += bytesPer
         }
         (meta, feat)
       } finally ais.close()
@@ -208,18 +236,32 @@ object Multimodal {
     * pure arithmetic a SQL oracle can check.
     */
   def syntheticWav(seed: Long, nFrames: Int, sampleRate: Int,
-                   channels: Int): Array[Byte] = {
+                   channels: Int, bits: Int = 16): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24,
+      s"syntheticWav emits 8/16/24-bit PCM, got $bits")
+    // WAV conventions: 8-bit PCM is UNSIGNED, wider widths signed
+    // little-endian — matching what real encoders put in fmt chunks, so
+    // the decoder's unsigned/sign-extension paths get exercised for real
+    val signed = bits != 8
     val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
-    val pcm = new Array[Byte](nFrames * channels * 2)
+      sampleRate.toFloat, bits, channels, signed, false)
+    val bytesPer = bits / 8
+    val pcm = new Array[Byte](nFrames * channels * bytesPer)
     var i = 0
     var k = 0
     while (i < nFrames * channels) {
-      val s = ((((seed * 31 + i.toLong * i) % 65536) + 65536) % 65536
+      // the same seed-keyed 16-bit waveform at every depth, shifted to
+      // the target width (so cross-depth features agree up to resolution)
+      val s16 = ((((seed * 31 + i.toLong * i) % 65536) + 65536) % 65536
         - 32768).toInt
-      pcm(k) = (s & 0xFF).toByte
-      pcm(k + 1) = ((s >> 8) & 0xFF).toByte
-      i += 1; k += 2
+      val s = if (bits >= 16) s16 << (bits - 16)
+              else (s16 >> (16 - bits)) + (1 << (bits - 1)) // → unsigned 8
+      var b = 0
+      while (b < bytesPer) {
+        pcm(k + b) = ((s >> (8 * b)) & 0xFF).toByte
+        b += 1
+      }
+      i += 1; k += bytesPer
     }
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)

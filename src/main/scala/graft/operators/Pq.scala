@@ -187,40 +187,91 @@ object Pq {
     rerank(encode(corpus, idCol, vecCol, cb), corpus, idCol, vecCol,
       query, queryVecCol, k, cb, oversample)
 
-  /** Contract: `query` carries exactly ONE vector row — ADC tables are
-    * per-query driver state, so batched queries loop at the caller. The
-    * head row drives BOTH the ADC pass and the exact rerank (a multi-row
-    * frame would otherwise silently rerank candidates against the wrong
-    * vectors).
+  /** The single query vector collected ONCE (bounded: one row) — shared
+    * by the guard, probe ranking and rerank literals of every single-query
+    * serve path, so an un-materialized expensive query frame is evaluated
+    * exactly once instead of per consumer.
+    */
+  private[operators] def collectSingleQuery(query: DataFrame,
+                                            queryVecCol: String): Seq[Double] = {
+    val qRows = query.select(Vectors.toDouble(col(queryVecCol))).take(2)
+    require(qRows.length == 1,
+      s"single-query ANN serving expects exactly one query row, got " +
+        s"${qRows.length}+ — use the *Batch* variants for query tables")
+    qRows.head.getSeq[Double](0).toSeq
+  }
+
+  /** The m×k ADC table for a collected query vector: table(mi)(j) =
+    * dot(cents(mi)(j), q_sub) / ‖q‖. The normalization enters as a final
+    * scalar division of each dot — EXACTLY the arithmetic
+    * [[adcTablesExpr]] plans, so the driver-side and in-plan tables are
+    * bit-identical (both dots sum sequentially left-to-right).
+    */
+  private def adcTables(cb: Codebooks, q: Seq[Double]): Seq[Seq[Double]] = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val safe = if (qn == 0) 1.0 else qn
+    (0 until cb.m).map { mi =>
+      val sub = q.slice(mi * cb.subDim, (mi + 1) * cb.subDim)
+      cb.cents(mi).map(c =>
+        c.zip(sub).map { case (a, b) => a * b }.sum / safe)
+    }
+  }
+
+  /** The per-ROW ADC tables as a nested array column (m arrays of k
+    * doubles) — the batched-serving move: each query row carries its own
+    * table through the broadcast join instead of the driver holding one.
+    * m·k literal-centroid dots per query row (not per candidate);
+    * candidates then score with m `element_at` lookups, the ADC contract.
+    */
+  private[operators] def adcTablesExpr(cb: Codebooks, vec: Column): Column = {
+    val v = Vectors.toDouble(vec)
+    val nrm = Vectors.l2Norm(v)
+    val safe = when(nrm === 0, lit(1.0)).otherwise(nrm)
+    array((0 until cb.m).map { mi =>
+      val sub = slice(v, mi * cb.subDim + 1, cb.subDim)
+      array(cb.cents(mi).map(c =>
+        Vectors.dot(sub, typedlit(c)) / safe): _*)
+    }: _*)
+  }
+
+  /** ADC score of a `pq_codes` column against per-row ADC tables (either
+    * a literal via [[adcTablesExpr]]'s shape or the column it returns).
+    */
+  private[operators] def adcScoreExpr(m: Int, adcTables: Column): Column =
+    (0 until m).map(mi =>
+        element_at(element_at(adcTables, mi + 1),
+          element_at(col("pq_codes"), mi + 1) + 1))
+      .reduce(_ + _)
+
+  /** Contract: `query` carries exactly ONE vector row — batched queries
+    * use the *Batch* index paths. The one collected vector drives BOTH the
+    * ADC pass and the exact rerank (a multi-row frame would otherwise
+    * silently rerank candidates against the wrong vectors).
     */
   private[operators] def rerank(codes: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, query: DataFrame, queryVecCol: String,
+                     k: Int, cb: Codebooks, oversample: Int): DataFrame =
+    rerankWith(codes, corpus, idCol, vecCol,
+      collectSingleQuery(query, queryVecCol), k, cb, oversample)
+
+  /** [[rerank]] over an ALREADY-COLLECTED query vector — lets callers that
+    * needed the vector anyway (e.g. for probe-cell ranking) evaluate the
+    * query frame exactly once.
+    */
+  private[operators] def rerankWith(codes: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, q: Seq[Double],
                      k: Int, cb: Codebooks, oversample: Int): DataFrame = {
-    // the query vector is one bounded row — collect, normalize, build the
-    // m×k ADC table driver-side (PQ-standard)
-    val qRows = query.select(Vectors.toDouble(col(queryVecCol))).take(2)
-    require(qRows.length == 1,
-      s"PQ serving expects exactly one query row, got ${qRows.length}+")
-    val q = qRows.head.getSeq[Double](0).toArray
-    val qn = math.sqrt(q.map(x => x * x).sum)
-    val qq = if (qn == 0) q else q.map(_ / qn)
-    val tables: Seq[Seq[Double]] = (0 until cb.m).map { mi =>
-      val sub = qq.slice(mi * cb.subDim, (mi + 1) * cb.subDim)
-      cb.cents(mi).map(c => c.zip(sub).map { case (a, b) => a * b }.sum)
-    }
-    val adc = (0 until cb.m).map(mi =>
-        element_at(typedlit(tables(mi)),
-          element_at(col("pq_codes"), mi + 1) + 1))
-      .reduce(_ + _)
+    val tables = adcTables(cb, q)
+    val adc = adcScoreExpr(cb.m, typedlit(tables))
     val candidates = codes.select(col(idCol), adc.as("adc_score"))
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k * oversample)
-    // exact rerank of the candidate minority only, against the SAME head
+    // exact rerank of the candidate minority only, against the SAME
     // vector the ADC pass used (a literal — no crossJoin with the query
     // frame, so a stray extra query row can't mix into the rerank)
     corpus.join(candidates.select(idCol), Seq(idCol), "left_semi")
       .select(col(idCol),
-        Vectors.cosine(col(vecCol), typedlit(q.toSeq)).as("score"))
+        Vectors.cosine(col(vecCol), typedlit(q)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

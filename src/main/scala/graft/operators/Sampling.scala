@@ -84,12 +84,16 @@ object Sampling {
       .withColumn("__tt_w", pow(col("__tt_n"), alpha))
     val total = weights.agg(sum("__tt_w").as("__tt_total"))
     val quotas = weights.crossJoin(total)
-      .select(col(strataCol),
+      .select(col(strataCol).as("__tt_key"),
         floor(lit(budget.toDouble) * col("__tt_w") / col("__tt_total"))
           .cast("int").as("__tt_quota"))
-    takePerStratum(df.join(broadcast(quotas), strataCol),
+    // null-SAFE quota join: groupBy above counts a NULL stratum like any
+    // other, so it owns a quota row — a bare equi-join would never match
+    // it back and silently drop every null-stratum row from the mixture
+    takePerStratum(
+        df.join(broadcast(quotas), col(strataCol) <=> col("__tt_key")),
         Seq(strataCol), idCol, col("__tt_quota"))
-      .drop("__tt_quota")
+      .drop("__tt_key", "__tt_quota")
   }
 
   def weightedTake(df: DataFrame, strataCol: String, idCol: String,

@@ -194,29 +194,21 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq
 
-  /** The query's nprobe nearest cells as a 1-row-per-cell frame carrying
-    * the query vector (tiny — always broadcast). Contract: `query` carries
-    * exactly ONE vector row — the global cscore ranking below would mix
-    * cells across queries otherwise; batched queries loop at the caller.
-    * The guard costs one tiny extra job per serve; callers whose query
-    * frame derives from an expensive pipeline should localCheckpoint it
-    * first (every serve path here evaluates the frame more than once
-    * anyway: guard, probe ranking, rerank).
+  /** The query's nprobe nearest cell ids, ranked DRIVER-SIDE over the
+    * bounded centroid set from the ONE collected query vector (see
+    * [[Pq.collectSingleQuery]] — the query frame is evaluated exactly
+    * once per serve, shared by guard, probe ranking and rerank). Same
+    * (score desc, cid asc) tie semantics as [[topCellsFor]]; the dot sums
+    * sequentially left-to-right exactly like the planned
+    * [[Vectors.dot]], so driver and in-plan rankings agree bit-for-bit.
     */
-  private def probeCells(query: DataFrame, queryVecCol: String,
-                         cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
-    require(query.take(2).length == 1,
-      "IVF serving expects exactly one query row")
-    val qscored = cents.map { case (cid, cv) =>
-      struct(Vectors.dot(col("__qvec"), typedlit(cv)).as("cscore"),
-        lit(cid).as("cid"))
-    }
-    query.select(Vectors.toDouble(col(queryVecCol)).as("__qvec"))
-      .select(col("__qvec"), explode(array(qscored: _*)).as("c"))
-      .orderBy(col("c.cscore").desc, col("c.cid"))
-      .limit(nprobe)
-      .select(col("__qvec"), col("c.cid").as("cell"))
-  }
+  private def probeCellIds(q: Seq[Double], cents: Seq[(Long, Seq[Double])],
+                           nprobe: Int): Seq[Long] =
+    cents.map { case (cid, cv) =>
+        (cv.zip(q).map { case (a, b) => a * b }.sum, cid)
+      }
+      .sortBy { case (score, cid) => (-score, cid) }
+      .take(nprobe).map(_._2)
 
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, k: Int,
@@ -224,10 +216,12 @@ object Similarity {
               kmeansIters: Int = 0, sampleFraction: Double = 1.0): DataFrame = {
     val cents =
       trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters, sampleFraction)
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      bestCellFor(cents)(col(vecCol)).as("cell"))
-    assigned.join(broadcast(probeCells(query, queryVecCol, cents, nprobe)), "cell")
-      .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+    val q = Pq.collectSingleQuery(query, queryVecCol)
+    val cells = probeCellIds(q, cents, nprobe)
+    corpus.select(col(idCol), col(vecCol),
+        bestCellFor(cents)(col(vecCol)).as("cell"))
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol), Vectors.cosine(col(vecCol), typedlit(q)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -280,15 +274,54 @@ object Similarity {
                        vecCol: String, query: DataFrame, queryVecCol: String,
                        k: Int, nprobe: Int = 4): DataFrame = {
     val cents = readCentroids(spark, path)
-    val cells = probeCells(query, queryVecCol, cents, nprobe)
-      .collect().map(_.getLong(1)) // nprobe values — bounded like cents
-    val qvec = broadcast(query.select(Vectors.toDouble(col(queryVecCol)).as("__qvec")))
+    val q = Pq.collectSingleQuery(query, queryVecCol)
+    val cells = probeCellIds(q, cents, nprobe) // bounded like cents
     spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
-      .crossJoin(qvec)
-      .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .select(col(idCol), Vectors.cosine(col(vecCol), typedlit(q)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** BATCHED IVF serving: a whole query TABLE answered in ONE plan — the
+    * [[semanticDupAgainstIndex]] shape given top-k semantics. Each query
+    * row soft-assigns to its `nprobe` nearest cells in-plan (narrow
+    * [[topCellsFor]] + explode), the index scan is pruned to the UNION of
+    * probed cell directories (bounded list collected → parquet
+    * PartitionFilters), the equi-join on `cell` restricts every query to
+    * ITS OWN cells, and a per-query window takes the top k. Per-query
+    * results are IDENTICAL to looping [[ivfTopKFromIndex]] (same cell
+    * ranking and tie semantics — pinned by `ann_ivf_batched_recall` at
+    * floor 1.0) but the job count is independent of the batch size: a
+    * 10k-query retrieval batch is one Spark job, not 10k.
+    *
+    * The candidate shuffle (the window's) is keyed by `query_id` and
+    * carries only (query_id, id, score) — candidates per query are
+    * bounded by the probed cells' population. `queries` is evaluated
+    * twice (cell-list collect + join); localCheckpoint expensive query
+    * pipelines first. Returns (query_id, idCol, score).
+    */
+  def ivfBatchTopKFromIndex(spark: SparkSession, path: String, idCol: String,
+                            vecCol: String, queries: DataFrame,
+                            queryIdCol: String, queryVecCol: String,
+                            k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val assigned = queries.select(col(queryIdCol).as("query_id"),
+      Vectors.toDouble(col(queryVecCol)).as("__qvec"),
+      explode(topCellsFor(cents, nprobe)(col(queryVecCol))).as("cell"))
+    // the batch's probed cell set — bounded by min(nlist, batch·nprobe)
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .select(col("cell"), col(idCol), col(vecCol))
+      .join(broadcast(assigned), "cell")
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
   }
 
   /** Semantic near-dup matches of an arriving batch against an INDEXED
@@ -388,13 +421,60 @@ object Similarity {
                          query: DataFrame, queryVecCol: String, k: Int,
                          nprobe: Int = 4, oversample: Int = 4): DataFrame = {
     val cents = readCentroids(spark, path)
-    val cells = probeCells(query, queryVecCol, cents, nprobe)
-      .collect().map(_.getLong(1))
+    val q = Pq.collectSingleQuery(query, queryVecCol) // evaluated ONCE
+    val cells = probeCellIds(q, cents, nprobe)
     val cb = Pq.readCodebooks(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
-    Pq.rerank(codes, rawCorpus, idCol, vecCol, query, queryVecCol, k, cb,
-      oversample)
+    Pq.rerankWith(codes, rawCorpus, idCol, vecCol, q, k, cb, oversample)
+  }
+
+  /** BATCHED IVF-PQ serving — [[ivfBatchTopKFromIndex]]'s shape with ADC
+    * scoring: every query row computes its OWN m×k ADC table in-plan
+    * ([[Pq.adcTablesExpr]] — m·k literal-centroid dots once per QUERY,
+    * carried through the broadcast join as a nested-array column, the
+    * batched replacement for per-query driver state), candidates in the
+    * probed cells score with m `element_at` lookups, a per-query window
+    * keeps the top k·oversample, and ONLY that minority joins the raw
+    * corpus for the exact cosine rerank. Per-query results are IDENTICAL
+    * to looping [[ivfPqTopKFromIndex]] (driver and in-plan ADC tables are
+    * bit-identical — see [[Pq.adcTablesExpr]]; pinned by
+    * `ann_ivfpq_batched_recall` at floor 1.0); the job count is
+    * independent of the batch size. Returns (query_id, idCol, score).
+    */
+  def ivfPqBatchTopKFromIndex(spark: SparkSession, path: String,
+                              rawCorpus: DataFrame, idCol: String,
+                              vecCol: String, queries: DataFrame,
+                              queryIdCol: String, queryVecCol: String,
+                              k: Int, nprobe: Int = 4,
+                              oversample: Int = 4): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val cb = Pq.readCodebooks(spark, path)
+    val assigned = queries.select(col(queryIdCol).as("query_id"),
+      Vectors.toDouble(col(queryVecCol)).as("__qvec"),
+      Pq.adcTablesExpr(cb, col(queryVecCol)).as("__adc"),
+      explode(topCellsFor(cents, nprobe)(col(queryVecCol))).as("cell"))
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_score").desc, col(idCol))
+    val candidates = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .join(broadcast(assigned), "cell")
+      .select(col("query_id"), col(idCol), col("__qvec"),
+        Pq.adcScoreExpr(cb.m, col("__adc")).as("adc_score"))
+      .withColumn("__rank", row_number().over(wAdc))
+      .where(col("__rank") <= k * oversample)
+    // exact rerank of each query's candidate minority against the raw
+    // vectors, reusing the __qvec already carried on the candidate row
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    candidates.select(col("query_id"), col(idCol), col("__qvec"))
+      .join(rawCorpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(wK))
+      .where(col("__rank") <= k).drop("__rank")
   }
 
   /** Materialize the LSH index: the corpus posexploded to one row per

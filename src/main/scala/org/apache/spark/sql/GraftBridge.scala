@@ -36,4 +36,11 @@ object GraftBridge {
       case l: execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Drain the async listener bus (`listenerBus` is `private[spark]`) —
+    * lets a spec read listener-collected metrics (e.g. job counts)
+    * deterministically right after an action returns.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -40,4 +40,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(hof.as[(Long, Double)].collect().toSeq ===
       native.as[(Long, Double)].collect().toSeq)
   }
+
+  test("recallOf floor enforcement empties the row on violation " +
+    "(deliberate degradation reads as 0 rows in the artifact)") {
+    val truth = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val approx = Seq(1L, 2L, 3L).toDF("id") // recall 0.75
+    val passing = ExtQueries.recallOf(truth, approx, Seq("id"), floor = 0.7)
+      .collect()
+    assert(passing.length === 1)
+    assert(passing.head.getAs[Double]("recall") === 0.75)
+    assert(passing.head.getAs[Boolean]("meets_floor"))
+    // degraded: the same result against a floor it cannot clear must
+    // surface as an EMPTY frame — spark_rows: 0 in CORRECTNESS_r{N}.json —
+    // not as a hidden boolean
+    val violated = ExtQueries.recallOf(truth, approx, Seq("id"), floor = 0.8)
+    assert(violated.count() === 0L)
+  }
 }

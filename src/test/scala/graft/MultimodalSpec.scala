@@ -122,6 +122,29 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       out(1).meta.nChannels === 2)
   }
 
+  test("WAV codec: 8-bit unsigned and 24-bit signed PCM decode with " +
+      "depth-invariant histogram features") {
+    val codec = new Multimodal.WavCodec(8)
+    val (m16, f16) = codec.decode(
+      Multimodal.syntheticWav(7L, 100, 8000, 1, bits = 16))
+    val (m8, f8) = codec.decode(
+      Multimodal.syntheticWav(7L, 100, 8000, 1, bits = 8))
+    val (m24, f24) = codec.decode(
+      Multimodal.syntheticWav(7L, 100, 8000, 1, bits = 24))
+    // same header metadata at every depth
+    for (m <- Seq(m8, m16, m24)) {
+      assert(m.format === "wav")
+      assert(m.width === 100 && m.height === 8000 && m.nChannels === 1)
+    }
+    // the fixture encodes the SAME 16-bit waveform at each depth and the
+    // decoder scales every sample back to the 16-bit domain, so the
+    // histograms agree EXACTLY: 24-bit is lossless (<< 8 then >> 8), and
+    // 8-bit floor-truncates to a multiple of 256 — bucket boundaries are
+    // multiples of 8192, so truncation can never cross one
+    assert(f24.toSeq === f16.toSeq)
+    assert(f8.toSeq === f16.toSeq)
+  }
+
   test("GIF frames: REAL multi-image decode — every stride-th frame " +
       "extracted with per-frame features") {
     val gif = Multimodal.syntheticGif(seed = 3L, nFrames = 5,

@@ -328,4 +328,46 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out === Set((1L, None, 1L, "a"), (2L, Some("p0"), 1L, "b"),
       (3L, None, 1L, "c")))
   }
+
+  test("keepLatestPartitioned validateKeyStability catches a moved key " +
+      "loudly; a stable batch still merges") {
+    import graft.operators.Merge
+    val dir = java.nio.file.Files.createTempDirectory("pmerge_moved")
+      .resolve("table").toString
+    val base = Seq(
+      (1L, "p0", 1L, "a"), (2L, "p1", 1L, "b"),
+      (3L, Option.empty[String].orNull, 1L, "n"))
+      .toDF("k", "p", "v", "payload")
+    base.write.partitionBy("p").parquet(dir)
+
+    // key 1 lives in p0 but the batch delivers it under p1 — a contract
+    // violation that would silently leave (1, p0, v1) alive
+    val moved = Seq((1L, "p1", 2L, "A2")).toDF("k", "p", "v", "payload")
+    val ex = intercept[IllegalStateException] {
+      Merge.keepLatestPartitioned(spark, dir, moved, Seq("k"), "v", "p",
+        validateKeyStability = true)
+    }
+    assert(ex.getMessage.contains("outside the touched set"))
+    // the throw happened BEFORE any write: base content is untouched
+    assert(spark.read.parquet(dir).count() === 3)
+
+    // a key moved out of the NULL partition must be caught too (the check's
+    // complement predicate has to be null-safe to see that base row)
+    val movedFromNull = Seq((3L, "p0", 2L, "N2")).toDF("k", "p", "v", "payload")
+    intercept[IllegalStateException] {
+      Merge.keepLatestPartitioned(spark, dir, movedFromNull, Seq("k"), "v", "p",
+        validateKeyStability = true)
+    }
+
+    // a partition-stable batch passes validation and merges normally
+    val stable = Seq((1L, "p0", 2L, "A2"), (4L, "p2", 1L, "d"))
+      .toDF("k", "p", "v", "payload")
+    Merge.keepLatestPartitioned(spark, dir, stable, Seq("k"), "v", "p",
+      validateKeyStability = true)
+    val out = spark.read.parquet(dir)
+      .select("k", "p", "v", "payload")
+      .as[(Long, Option[String], Long, String)].collect().toSet
+    assert(out === Set((1L, Some("p0"), 2L, "A2"), (2L, Some("p1"), 1L, "b"),
+      (3L, None, 1L, "n"), (4L, Some("p2"), 1L, "d")))
+  }
 }

@@ -356,6 +356,79 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       plan)
   }
 
+  test("batched IVF / IVF-PQ serving: per-query results identical to the " +
+      "per-query loop; job count independent of batch size") {
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_batch").toString
+    Similarity.writeIvfIndex(corpusDf, "vec_id", "embedding", ivfDir,
+      nlist = 4, kmeansIters = 1)
+    Similarity.writeIvfPqIndex(corpusDf, "vec_id", "embedding", pqDir,
+      nlist = 4, m = 4, k = 8, kmeansIters = 1)
+
+    // query TABLE: the planted query + 5 corpus vectors under fresh ids
+    val queryRows = (0L, q) +: corpus.take(5)
+      .map { case (i, v) => (1000L + i, v) }
+    val queriesDf = queryRows.toDF("vec_id", "embedding")
+
+    def loopIvf(k: Int, nprobe: Int) = queryRows.flatMap { case (qid, v) =>
+      Similarity.ivfTopKFromIndex(spark, ivfDir, "vec_id", "embedding",
+          Seq((qid, v)).toDF("vec_id", "embedding"), "embedding", k, nprobe)
+        .as[(Long, Double)].collect().map { case (id, s) => (qid, id, s) }
+    }
+    def loopPq(k: Int, nprobe: Int, os: Int) = queryRows.flatMap { case (qid, v) =>
+      Similarity.ivfPqTopKFromIndex(spark, pqDir, corpusDf, "vec_id",
+          "embedding", Seq((qid, v)).toDF("vec_id", "embedding"),
+          "embedding", k, nprobe, os)
+        .as[(Long, Double)].collect().map { case (id, s) => (qid, id, s) }
+    }
+
+    val ivfBatch = Similarity.ivfBatchTopKFromIndex(spark, ivfDir, "vec_id",
+        "embedding", queriesDf, "vec_id", "embedding", k = 5, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ivfBatch.sortBy(r => (r._1, -r._3, r._2)) ===
+      loopIvf(5, 2).toSeq.sortBy(r => (r._1, -r._3, r._2)))
+    // the planted query still finds its planted neighbor through the batch
+    assert(ivfBatch.filter(_._1 == 0L).maxBy(_._3)._2 === 999L)
+
+    val pqBatch = Similarity.ivfPqBatchTopKFromIndex(spark, pqDir, corpusDf,
+        "vec_id", "embedding", queriesDf, "vec_id", "embedding",
+        k = 5, nprobe = 2, oversample = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pqBatch.sortBy(r => (r._1, -r._3, r._2)) ===
+      loopPq(5, 2, 8).toSeq.sortBy(r => (r._1, -r._3, r._2)))
+
+    // the batched plan prunes the index scan to the probed cells
+    val served = Similarity.ivfBatchTopKFromIndex(spark, ivfDir, "vec_id",
+      "embedding", queriesDf, "vec_id", "embedding", k = 5, nprobe = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      plan)
+
+    // job-count independence: serving 2 queries and 6 queries launches the
+    // SAME number of Spark jobs (the loop launches ~Q×) — the whole point
+    // of the batched contract
+    var counted = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counted += 1
+    }
+    def jobsOf(qs: org.apache.spark.sql.DataFrame): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counted = 0
+        Similarity.ivfBatchTopKFromIndex(spark, ivfDir, "vec_id",
+          "embedding", qs, "vec_id", "embedding", k = 5, nprobe = 2).count()
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        counted
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val jobsSmall = jobsOf(queriesDf.limit(2))
+    val jobsFull = jobsOf(queriesDf)
+    assert(jobsFull === jobsSmall,
+      s"batched serve scaled with batch size: $jobsSmall vs $jobsFull jobs")
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
