@@ -891,6 +891,24 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // the FROZEN-LM path the corpus loop gates with: model trained on the
+    // even-doc_id half, materialized as an index sidecar (count tables on
+    // parquet), odd docs scored against the frozen sidecar — so the whole
+    // write→read→score roundtrip is hash-proven cross-engine, unseen
+    // bigrams hitting the smoothing floor included
+    "text_perplexity_frozen" -> ((s, d) => {
+      val all = docs(s, d)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_lm_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      graft.operators.Lm.writeLmIndex(
+        all.filter(pmod(col("doc_id"), lit(2)) === 0), "text", idx)
+      graft.operators.Lm.perplexityAgainstIndex(
+          all.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", idx)
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // fuzzy (edit-distance) lookup join — entity resolution over part
     // names: a small probe set matched against the catalog at Levenshtein
     // ≤ 1 via exact-complete length blocking (exploded probe lengths,
@@ -907,6 +925,20 @@ object ExtQueries {
           col("name").as("match_name"), col("distance"))
         .transform(Queries.presentSorted(_, "probe_id", "match_id"))
     }),
+
+    // corpus-scale fuzzy SELF-join — all customer-name pairs within edit
+    // distance 1, via PassJoin-style segment blocking (one plain shuffle
+    // equi-join, no broadcast side — the shape that survives both sides
+    // being 100 TB). The blocking is exact-complete (pigeonhole argument
+    // in the scaladoc), so the full oracle twin is the naive quadratic
+    // with the same verify predicate.
+    "q_fuzzy_selfjoin" -> ((s, d) =>
+      graft.operators.Joins.fuzzySelfJoin(
+          Tables.load(s, d, "customer")
+            .select(col("c_custkey").cast("long").as("id"),
+              col("c_name").as("name")),
+          "id", "name", maxDistance = 1)
+        .transform(Queries.presentSorted(_, "id_a", "id_b"))),
 
     // corpus normalization pass: NFC (native codegen expression — Spark has
     // no normalization built-in) → lower → whitespace collapse → trim; the
@@ -1609,6 +1641,34 @@ object ExtQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(exp(-avg(lp)), 4) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // frozen-LM twin: the text_perplexity model restricted to the even-id
+    // training half, scoring the odd half — left joins degrade unseen
+    // bigrams to the smoothing floor exactly like the engine's sidecar path
+    "text_perplexity_frozen" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS p, w[i+1] AS n
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |tbg AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |cb AS (SELECT p, n, count(*) AS cbn FROM tbg GROUP BY p, n),
+        |cp AS (SELECT p, sum(cbn) AS cpn FROM cb GROUP BY p),
+        |v AS (SELECT count(*) AS vocab FROM
+        |  (SELECT DISTINCT p AS w FROM cb UNION SELECT DISTINCT n FROM cb)),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    ln((coalesce(cb.cbn, 0) + 1.0) /
+        |       (coalesce(cp.cpn, 0) + v.vocab)) AS lp
+        |  FROM bg LEFT JOIN cb USING (p, n) LEFT JOIN cp USING (p)
+        |  CROSS JOIN v
+        |  WHERE bg.doc_id % 2 = 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(-avg(lp)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // fuzzy-join twin: the naive quadratic with the same verify predicate
     // (the length blocking is exact-complete, so the pair sets agree)
     "q_fuzzy_join" ->
@@ -1622,6 +1682,19 @@ object ExtQueries {
         |FROM probes, t b
         |WHERE b.id <> probe_id AND levenshtein(probe_name, b.name) <= 1
         |ORDER BY probe_id, match_id""".stripMargin,
+    // fuzzy-selfjoin twin: the naive quadratic with a (complete) length
+    // prefilter — the segment blocking is exact-complete, so the pair
+    // sets agree
+    "q_fuzzy_selfjoin" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS distance
+        |FROM t a JOIN t b ON a.id < b.id
+        |WHERE abs(length(a.name) - length(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // gif twin: frame counts are arithmetic over doc_id by construction
     // (stride 2 keeps ceil(n/2) frames)
     "mm_gif_frames" ->

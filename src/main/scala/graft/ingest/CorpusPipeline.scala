@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, CorpusFilter, Dedup, Similarity}
+import graft.operators.{Contamination, CorpusFilter, Dedup, Lm, Similarity}
 
 /** End-to-end training-corpus builder: the watermark-incremental ingest of
   * [[IncrementalBatch]] composed with the quality gates of
@@ -65,6 +65,17 @@ object CorpusPipeline {
     else spark.read.parquet(s"$annPath/trained_meta")
       .collect().head.getLong(0)
 
+  /** Perplexity gate against a FROZEN reference LM (a [[Lm.writeLmIndex]]
+    * sidecar — built once from a curated reference corpus, NOT retrained
+    * per batch, so gate decisions are stable across the corpus lifetime
+    * the way the CCNet pipeline froze its Wikipedia LM). Docs scoring
+    * `ppl > maxPpl` are dropped. Docs the model cannot score (fewer than
+    * two tokens — no bigram evidence) PASS this gate: absence of evidence
+    * is not word-soup, and a token-count quality gate is the right tool
+    * for enforcing minimum length.
+    */
+  case class LmGate(indexPath: String, maxPpl: Double)
+
   /** The dedup-and-append gate shared by the batch loop and the streaming
     * wrapper ([[graft.streaming.CorpusStream]]): drop docs near-duplicating
     * the indexed corpus, drop within-batch near-dups, append survivors to
@@ -75,9 +86,21 @@ object CorpusPipeline {
                      gates: Seq[(String, Column)] = Seq.empty,
                      benchmark: Option[DataFrame] = None,
                      contaminationN: Int = 8,
-                     ann: Option[AnnIndex] = None): Long = {
-    val qualityGated =
+                     ann: Option[AnnIndex] = None,
+                     lm: Option[LmGate] = None): Long = {
+    val heuristicGated =
       if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
+    // statistical-LM gate after the cheap heuristics: only docs that
+    // cleared the narrow gates pay the bigram-stream joins
+    val qualityGated = lm match {
+      case Some(g) =>
+        val tooPerplexed = Lm
+          .perplexityAgainstIndex(heuristicGated, idCol, textCol, g.indexPath)
+          .where(col("ppl") > g.maxPpl)
+          .select(col(idCol))
+        heuristicGated.join(tooPerplexed, Seq(idCol), "left_anti")
+      case None => heuristicGated
+    }
     // decontamination gate: docs sharing a verbatim n-gram with the
     // benchmark never enter the corpus (benchmark grams broadcast — the
     // eval suite is small by nature)
@@ -167,7 +190,12 @@ class CorpusPipeline(
     annNlist: Int = 16,
     annM: Int = 8,
     annK: Int = 16,
-    annMinTrainRows: Long = 256) {
+    annMinTrainRows: Long = 256,
+    lmIndexPath: Option[String] = None,
+    lmMaxPpl: Double = Double.MaxValue) {
+
+  private val lm: Option[CorpusPipeline.LmGate] =
+    lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
 
   private val ann: Option[CorpusPipeline.AnnIndex] =
     (annIndexPath, embeddingCol) match {
@@ -193,7 +221,7 @@ class CorpusPipeline(
 
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
       indexPath, idCol, textCol, threshold, gates,
-      benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann)
+      benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

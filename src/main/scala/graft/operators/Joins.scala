@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -121,5 +121,108 @@ object Joins {
       .where(col("distance") <= maxDistance)
       .select(pCols.map(c => col(s"__prow.$c").as(s"probe_$c")) ++
         corpus.columns.toSeq.map(col) :+ col("distance"): _*)
+  }
+
+  /** Corpus-scale fuzzy SELF-join: every pair within Levenshtein distance
+    * `maxDistance`, as (id_a, id_b, distance) with id_a < id_b — the
+    * variant [[fuzzyJoin]]'s contract excludes (both sides corpus-scale,
+    * nothing broadcastable). Segment blocking in the PassJoin family
+    * (Li, Deng & Feng, "PASS-JOIN: a partition-based method for similarity
+    * joins", VLDB 2012 — public literature), expressed as ONE plain
+    * equi-join: no broadcast, no nested loop, no theta-join.
+    *
+    * RECALL-COMPLETENESS ARGUMENT (why no qualifying pair can be missed):
+    * every string is split into k = d+1 contiguous segments (even split —
+    * the first `len mod k` segments one char longer). If ed(a, b) ≤ d with
+    * len(b) ≤ len(a), fix an optimal alignment: its ≤ d edit operations
+    * each touch at most one of b's k segments, so BY PIGEONHOLE some
+    * segment i of b is edit-free — it appears VERBATIM in a. Its start
+    * position in a equals its start p_i in b shifted by the net
+    * insert/delete count to its left, which is bounded by ±d. The probe
+    * side therefore enumerates, for every partner length L ∈
+    * [len(a) − d, len(a)] and every segment index i, ALL substrings of a
+    * with segment i's length starting within [p_i − d, p_i + d] — a
+    * superset of what the argument requires — and the index side emits
+    * every (L, i, segment) of b verbatim. The equi-join on (L, i, segment)
+    * thus catches every qualifying pair at least once; the exact
+    * `levenshtein ≤ d` verify (after pair-level dedup, so multi-segment
+    * collisions cost ONE verify) makes precision exact. Probing only
+    * DOWNWARD lengths (L ≤ len(a)) loses nothing: the longer member of
+    * each pair is the prober, and equal-length pairs probe both ways
+    * (deduped by id normalization).
+    *
+    * Scale shape: index side emits k rows per string (short segment keys),
+    * probe side ≤ k·(d+1)·(2d+1) rows — both linear in the corpus with
+    * small constants for the small d this operator targets; the join is a
+    * hash shuffle on (L, i, segment). Block population is data-dependent:
+    * a segment shared corpus-wide (a common prefix) degrades that block to
+    * its within-block quadratic — raise d's segment count or pre-strip
+    * known boilerplate prefixes if a profile shows one hot block.
+    */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, textCol: String,
+                    maxDistance: Int): DataFrame = {
+    require(maxDistance >= 1, "maxDistance 0 is exact dedup — use Dedup.exact")
+    val d = maxDistance
+    val k = d + 1
+    require(!df.columns.exists(_.startsWith("__fz")),
+      "input schema may not contain __fz-prefixed columns")
+    // even segment split of a length-L string: segment i (0-based) has
+    // length base + 1 for i < rem, else base; start = i*base + min(i, rem)
+    def segLen(L: Column, i: Int): Column =
+      floor(L / k).cast("int") +
+        when(lit(i) < pmod(L, lit(k)), lit(1)).otherwise(lit(0))
+    def segStart(L: Column, i: Int): Column =
+      (lit(i) * floor(L / k).cast("int") +
+        least(lit(i), pmod(L, lit(k)))).cast("int")
+    val L = length(col(textCol))
+    val segType = "array<struct<pl:int,si:int,seg:string>>"
+    // index side: the k verbatim segments of every string
+    val idx = df.select(col(idCol).as("__fzid_s"),
+        col(textCol).as("__fztxt_s"),
+        explode(array((0 until k).map { i =>
+          struct(L.as("pl"), lit(i).as("si"),
+            col(textCol).substr(segStart(L, i) + 1, segLen(L, i)).as("seg"))
+        }: _*)).as("__fzc"))
+      .select(col("__fzid_s"), col("__fztxt_s"),
+        col("__fzc.pl").as("__fzpl"), col("__fzc.si").as("__fzsi"),
+        col("__fzc.seg").as("__fzseg"))
+    // probe side: for each partner length L' ∈ [len−d, len] and segment i,
+    // all substrings of segment-i length starting within ±d of its
+    // partner-side position (window clamped to the string)
+    val cands = (0 to d).flatMap { delta =>
+      (0 until k).map { i =>
+        val lp = L - delta
+        val li = segLen(lp, i)
+        val pi = segStart(lp, i)
+        val lo = greatest(lit(0), pi - d)
+        val hi = least(L - li, pi + d)
+        coalesce(
+          when(lp >= lit(0) && lo <= hi, // lp 0 = empty partner: its
+            // segments are all "", verbatim anywhere — keep it probed
+            transform(sequence(lo, hi), st =>
+              struct(lp.as("pl"), lit(i).as("si"),
+                col(textCol).substr(st + 1, li).as("seg")))),
+          array().cast(segType))
+      }
+    }
+    val probe = df.select(col(idCol).as("__fzid_r"),
+        col(textCol).as("__fztxt_r"),
+        explode(flatten(array(cands: _*))).as("__fzc"))
+      .select(col("__fzid_r"), col("__fztxt_r"),
+        col("__fzc.pl").as("__fzpl"), col("__fzc.si").as("__fzsi"),
+        col("__fzc.seg").as("__fzseg"))
+    probe.join(idx, Seq("__fzpl", "__fzsi", "__fzseg"))
+      .where(col("__fzid_r") =!= col("__fzid_s"))
+      .select(
+        least(col("__fzid_r"), col("__fzid_s")).as("id_a"),
+        greatest(col("__fzid_r"), col("__fzid_s")).as("id_b"),
+        when(col("__fzid_r") < col("__fzid_s"), col("__fztxt_r"))
+          .otherwise(col("__fztxt_s")).as("__fzta"),
+        when(col("__fzid_r") < col("__fzid_s"), col("__fztxt_s"))
+          .otherwise(col("__fztxt_r")).as("__fztb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("distance", levenshtein(col("__fzta"), col("__fztb")))
+      .where(col("distance") <= d)
+      .select("id_a", "id_b", "distance")
   }
 }

@@ -46,30 +46,42 @@ object Lm {
     * bigram evidence and are omitted — a gate treats absent ids by policy,
     * not by a fabricated score. Returns (idCol, n_bigrams, ppl).
     */
-  def bigramPerplexity(docs: DataFrame, train: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
+  private def guard(docs: DataFrame, idCol: String): Unit = {
     // house rule (cf. Keywords/Contamination): internal names fail loudly
     // instead of silently colliding with user columns
-    require(!docs.columns.exists(_.startsWith("__lm_")) &&
-      !train.columns.exists(_.startsWith("__lm_")),
+    require(!docs.columns.exists(_.startsWith("__lm_")),
       "input already carries __lm_-prefixed internals")
     require(!Seq("p", "n", "bg", "cbn", "cpn", "vocab", "lp",
         "n_bigrams", "ppl") // the last two are OUTPUT columns — an idCol
       .contains(idCol),     // named like them would duplicate silently
       s"idCol '$idCol' collides with an Lm internal or output column name")
-    def stream(df: DataFrame, cols: Column*): DataFrame = df
-      .withColumn("__lm_w", toks(col(textCol)))
-      .where(size(col("__lm_w")) >= 2)
-      .select((explode(bigrams(col("__lm_w"))).as("bg") +: cols): _*)
-      .select((col("bg.p").as("p") +: col("bg.n").as("n") +: cols): _*)
-    val trainBg = stream(train)
-    val cb = trainBg.groupBy("p", "n").agg(count(lit(1)).as("cbn"))
+  }
+
+  private def stream(df: DataFrame, textCol: String,
+                     cols: Column*): DataFrame = df
+    .withColumn("__lm_w", toks(col(textCol)))
+    .where(size(col("__lm_w")) >= 2)
+    .select((explode(bigrams(col("__lm_w"))).as("bg") +: cols): _*)
+    .select((col("bg.p").as("p") +: col("bg.n").as("n") +: cols): _*)
+
+  /** The trained model as three frames: bigram counts (p, n, cbn),
+    * context totals (p, cpn), vocabulary size (1 row).
+    */
+  private def fit(train: DataFrame,
+                  textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val cb = stream(train, textCol).groupBy("p", "n")
+      .agg(count(lit(1)).as("cbn"))
     val cp = cb.groupBy("p").agg(sum("cbn").as("cpn"))
     // vocabulary = distinct tokens of the TRAINING stream (both positions
     // — the first token of each doc appears only as a context)
     val v = cb.select(col("p").as("w")).union(cb.select(col("n").as("w")))
       .distinct().agg(count(lit(1)).as("vocab"))
-    stream(docs, col(idCol))
+    (cb, cp, v)
+  }
+
+  private def score(docs: DataFrame, idCol: String, textCol: String,
+                    cb: DataFrame, cp: DataFrame, v: DataFrame): DataFrame =
+    stream(docs, textCol, col(idCol))
       .join(cb, Seq("p", "n"), "left")
       .join(cp, Seq("p"), "left")
       .crossJoin(v)
@@ -79,5 +91,43 @@ object Lm {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         round(exp(-avg(col("lp"))), 4).as("ppl"))
+
+  def bigramPerplexity(docs: DataFrame, train: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    guard(docs, idCol)
+    require(!train.columns.exists(_.startsWith("__lm_")),
+      "train already carries __lm_-prefixed internals")
+    val (cb, cp, v) = fit(train, textCol)
+    score(docs, idCol, textCol, cb, cp, v)
+  }
+
+  /** Materialize the trained bigram LM as an index sidecar — the
+    * [[Dedup.writeMinhashIndex]] / [[Similarity.writeIvfPqIndex]] pattern
+    * applied to the LM: count tables (sublinear in the corpus by Heaps'
+    * law) written once, so a corpus-builder loop gates every batch
+    * against a FROZEN reference model without retraining. Layout:
+    * `bigrams` (p, n, cbn), `contexts` (p, cpn), `vocab` (1 row).
+    */
+  def writeLmIndex(train: DataFrame, textCol: String, path: String): Unit = {
+    val (cb, cp, v) = fit(train, textCol)
+    cb.write.mode("overwrite").parquet(s"$path/bigrams")
+    cp.write.mode("overwrite").parquet(s"$path/contexts")
+    v.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Score documents against a FROZEN materialized LM — the exact
+    * [[bigramPerplexity]] plan with the training aggregations replaced by
+    * sidecar reads; unseen bigrams hit the add-one smoothing floor via
+    * the same left joins. Cost per batch: the batch's own bigram stream
+    * plus two equi-joins against the count tables.
+    */
+  def perplexityAgainstIndex(docs: DataFrame, idCol: String,
+                             textCol: String, path: String): DataFrame = {
+    guard(docs, idCol)
+    val spark = docs.sparkSession
+    score(docs, idCol, textCol,
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/vocab"))
   }
 }

@@ -165,6 +165,112 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(top1(v3) === 3L)
   }
 
+  test("perplexity gate: word-soup dropped against a FROZEN reference LM, " +
+      "fluent doc lands, watermark covers both") {
+    import graft.operators.Lm
+    val dir = Files.createTempDirectory("corpus_lm")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val lmIdx = dir.resolve("lm").toString
+    val wm = dir.resolve("wm.json").toString
+    // frozen reference LM: repetitive fluent English (the curated-corpus
+    // stand-in), built ONCE before any batch
+    val reference = ((1L to 10L).map(i =>
+      (i, base)) :+ (11L, fresh2)).toDF("doc_id", "text")
+    Lm.writeLmIndex(reference, "text", lmIdx)
+
+    val fluent = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet village"
+    val soup = "bridge fox the dog village quick softly mountains rain " +
+      "lazy below stone jumps quiet the brown"
+    // derive the gate threshold from the actual frozen-LM scores so the
+    // test pins the ORDERING (fluent < soup), not absolute ppl values
+    val ppls = Lm.perplexityAgainstIndex(
+        Seq((1L, fluent), (2L, soup)).toDF("doc_id", "text"),
+        "doc_id", "text", lmIdx)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(ppls(1L) < ppls(2L),
+      s"fixture broken: fluent ${ppls(1L)} !< soup ${ppls(2L)}")
+    val cut = (ppls(1L) + ppls(2L)) / 2
+
+    val pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
+      lmIndexPath = Some(lmIdx), lmMaxPpl = cut)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), fluent),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), soup))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val r = pipeline.run()
+    assert(r.rowsWritten === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+    // the rejected doc is processed, not retried forever
+    assert(Watermark.read(wm).get.startsWith("2024-01-01 01"))
+    assert(pipeline.run().rowsWritten === 0)
+  }
+
+  test("ANN sidecar freeze boundary: recall immediately after the freeze " +
+      "matches a full rebuild on the same corpus") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("corpus_freeze")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ann = dir.resolve("ann").toString
+    val wm = dir.resolve("wm.json").toString
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val vs = (1 to 7).map(_ => vec())
+    val texts = Seq(
+      "alpha document about mountain weather patterns and seasonal storms",
+      "beta text concerning maritime navigation and coastal lighthouses",
+      "gamma entry on medieval architecture and stone cathedral builders",
+      "delta notes about orchestral composition and string instruments",
+      "epsilon records of desert botany and succulent plant adaptations",
+      "zeta survey of deep sea creatures and bioluminescent organisms",
+      "eta review of ancient trade routes and silk road caravans")
+    // minTrainRows = 4: batch 1 (3 docs) stays in the rebuild regime,
+    // batch 2 (2 docs, corpus 5) rebuilds AND crosses the training mass,
+    // batch 3 (2 docs) is the first FROZEN append — the boundary case
+    def pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
+      embeddingCol = Some("embedding"), annIndexPath = Some(ann),
+      annNlist = 4, annM = 8, annK = 8, annMinTrainRows = 4)
+    def feed(ids: Range, day: Int): Unit =
+      ids.map(i => (i.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-0$day 00:0$i:00"),
+          texts(i - 1), vs(i - 1)))
+        .toDF("doc_id", "ts", "text", "embedding")
+        .write.mode("append").parquet(src)
+    feed(1 to 3, 1); assert(pipeline.run().rowsWritten === 3)
+    feed(4 to 5, 2); assert(pipeline.run().rowsWritten === 2)
+    assert(spark.read.parquet(s"$ann/trained_meta")
+      .as[Long].head() === 5L) // trained at the boundary crossing
+    feed(6 to 7, 3); assert(pipeline.run().rowsWritten === 2)
+    // still 5: batch 3 appended with FROZEN sidecars, no retrain
+    assert(spark.read.parquet(s"$ann/trained_meta").as[Long].head() === 5L)
+
+    // reference: a full rebuild over the SAME final corpus
+    val rawCorpus = spark.read.parquet(corpus)
+    val rebuilt = dir.resolve("rebuilt").toString
+    Similarity.writeIvfPqIndex(rawCorpus, "doc_id", "embedding", rebuilt,
+      nlist = 4, m = 8, k = 8, kmeansIters = 2)
+    def top1(path: String, q: Array[Float]): Long =
+      Similarity.ivfPqTopKFromIndex(spark, path, rawCorpus,
+          "doc_id", "embedding",
+          Seq((0L, q)).toDF("vec_id", "embedding"), "embedding", 1,
+          nprobe = 2, oversample = 4)
+        .as[(Long, Double)].collect().head._1
+    // every corpus vector — batch-3's post-freeze appends included — must
+    // resolve to itself through the frozen-sidecar index exactly as it
+    // does through the rebuild: freezing must not cliff recall
+    for (i <- 1 to 7) {
+      assert(top1(ann, vs(i - 1)) === i.toLong, s"frozen index, doc $i")
+      assert(top1(rebuilt, vs(i - 1)) === i.toLong, s"rebuilt index, doc $i")
+    }
+    // and a noisy near-neighbor probe of a post-freeze vector agrees
+    val noisy = vs(6).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    assert(top1(ann, noisy) === top1(rebuilt, noisy))
+  }
+
   test("streaming corpus: checkpointed file stream drives the same gate") {
     import graft.streaming.CorpusStream
     val dir = Files.createTempDirectory("corpus_stream")

@@ -73,4 +73,59 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("fuzzySelfJoin: exact pair set vs brute-force Levenshtein at d=1 " +
+      "and d=2, including cross-length and tiny strings") {
+    // driver-side reference implementation (classic DP)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rnd = new scala.util.Random(11)
+    // clustered strings (mutations of a few stems) + genuinely random
+    // ones + degenerate tiny strings — the mix that exercises every
+    // branch: equal/unequal lengths, empty segments, shared prefixes
+    val stems = Seq("abcabcab", "xyzxyzxy", "aaaaabbb")
+    val strings = (stems.flatMap { s =>
+      Seq(s, s.drop(1), s + "c", s.updated(3, 'q'),
+        s.take(4) + "z" + s.drop(5))
+    } ++ (1 to 30).map(_ =>
+      (1 to 2 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString) ++ Seq("a", "b", "ab", "")).distinct
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "txt")
+    for (d <- Seq(1, 2)) {
+      val truth = (for {
+        (a, i) <- strings.zipWithIndex
+        (b, j) <- strings.zipWithIndex
+        if i < j && lev(a, b) <= d
+      } yield (i.toLong, j.toLong, lev(a, b))).toSet
+      val got = Joins.fuzzySelfJoin(df, "id", "txt", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === truth, s"d=$d mismatch: " +
+        s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    }
+    // plan shape: a plain shuffle equi-join — never a nested loop, and
+    // with auto-broadcast off (the corpus-scale setting; the tiny fixture
+    // would otherwise broadcast) both sides meet in a shuffle join
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Joins.fuzzySelfJoin(df, "id", "txt", 1)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }

@@ -31,6 +31,25 @@ class LmSpec extends AnyFunSuite with SparkFixture {
     assert(r.head._3 === 3.0)
   }
 
+  test("LM index sidecar roundtrip: perplexityAgainstIndex equals " +
+      "bigramPerplexity with the same frozen train corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_idx").toString
+    val train = ((1L to 6L).map(i => (i, "the cat sat on the mat again")) :+
+      (7L, "a b a b c a")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the cat sat on a mat"),   // mix of seen and unseen bigrams
+      (11L, "zeb qux vor mip"),        // fully unseen → smoothing floor
+      (12L, "a")                       // sub-bigram → omitted
+    ).toDF("doc_id", "text")
+    Lm.writeLmIndex(train, "text", dir)
+    val direct = Lm.bigramPerplexity(batch, train, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val frozen = Lm.perplexityAgainstIndex(batch, "doc_id", "text", dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(frozen === direct)
+    assert(frozen.map(_._1) === Seq(10L, 11L))
+  }
+
   test("outlier detection: a shuffled-vocab doc scores higher self-" +
       "perplexity than the repetitive majority") {
     val docs = ((1L to 8L).map(i => (i, "the cat sat on the mat again")) :+
