@@ -749,6 +749,57 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 1.0)
     }),
 
+    // TRUE batched-retrieval recall: the batched IVF serve priced against
+    // the batched brute-force anchor (exact per-query top-k over the same
+    // query table) — the number a retrieval user actually cares about,
+    // complementing the ≡-loop consistency twins. Pooled over all
+    // (query, hit) pairs; floor set from measured fixture recall w/ slack.
+    "ann_batched_recall" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_batched_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0)
+      recallOf(
+        Similarity.bruteForceBatchTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+          .select("query_id", "vec_id"),
+        Similarity.ivfBatchTopKFromIndex(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nprobe = 4),
+        Seq("query_id", "vec_id"), floor = 0.5)
+    }),
+
+    // batched LSH ≡ per-query loop, floor 1.0 — the [[ann_ivf_batched_recall]]
+    // consistency pin for the (table, bucket)-partitioned index family
+    "ann_lsh_batched_recall" -> ((s, d) => {
+      import s.implicits._
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_lsh_batched_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeLshIndex(corpus, "vec_id", "embedding", idx,
+        nBits = 3, tables = 12)
+      val qRows = queries.select(col("vec_id"),
+          col("embedding").cast("array<float>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val truth = qRows.flatMap { case (qid, v) =>
+        Similarity.lshTopKFromIndex(s, idx, "vec_id", "embedding",
+            Seq((qid, v)).toDF("vec_id", "embedding"), "embedding", 5)
+          .select("vec_id").as[Long].collect()
+          .map(id => (qid, id))
+      }.toSeq.toDF("query_id", "vec_id")
+      recallOf(truth,
+        Similarity.lshBatchTopKFromIndex(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5),
+        Seq("query_id", "vec_id"), floor = 1.0)
+    }),
+
     // the IVF-PQ batched twin: per-query in-plan ADC tables (broadcast
     // join column, not driver state) + pruned-cell ADC + exact rerank,
     // pinned to the per-query loop at floor 1.0 like ann_ivf_batched

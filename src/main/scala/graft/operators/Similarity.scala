@@ -31,6 +31,27 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** BATCHED exact top-k — the ground-truth anchor for batched-retrieval
+    * recall: corpus × broadcast query table in one scan, per-query window
+    * top-k. Exact and batch-size-job-independent, but the window shuffles
+    * |corpus|·|queries| scored rows keyed by query_id — the deliberate
+    * O(n·q) baseline the ANN batch paths are priced against, not a scale
+    * path itself. Returns (query_id, idCol, score).
+    */
+  def bruteForceBatchTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, queryIdCol: String,
+                          queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    corpus.crossJoin(q)
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
+  }
+
   /** Adds the LSH bucket column(s): one per hash table. */
   def withLshBuckets(df: DataFrame, vecCol: String,
                      nBits: Int = 12, tables: Int = 4): DataFrame =
@@ -555,6 +576,51 @@ object Similarity {
       .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** BATCHED LSH serving — [[ivfBatchTopKFromIndex]]'s contract for the
+    * (table, bucket)-partitioned LSH index: every query row computes its
+    * probe buckets in-plan (the same hyperplane expressions the index was
+    * built with), the scan is pruned to the UNION of probed partitions
+    * (bounded list collected → parquet PartitionFilters), the equi-join on
+    * (table, bucket) restricts each query to ITS OWN probes, candidates
+    * dedup per (query, id) across tables exactly like [[lshTopKFromIndex]],
+    * and a per-query window takes the top k. Job count independent of
+    * batch size; per-query results identical to the loop (pinned by
+    * `ann_lsh_batched_recall` at floor 1.0). Returns (query_id, idCol,
+    * score).
+    */
+  def lshBatchTopKFromIndex(spark: SparkSession, path: String, idCol: String,
+                            vecCol: String, queries: DataFrame,
+                            queryIdCol: String, queryVecCol: String,
+                            k: Int, hammingProbe: Int = 0): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (nBits, tables) = (meta.getInt(0), meta.getInt(1))
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+        posexplode(array((0 until tables).map(t =>
+          Vectors.hyperplaneBucket(col(queryVecCol), nBits, tableSeed = t)): _*))
+          .as(Seq("table", "__b0")))
+      .select(col("query_id"), col("__qvec"), col("table"),
+        explode(probeSet(col("__b0"), nBits, hammingProbe)).as("bucket"))
+    // the batch's probed (table, bucket) set — bounded by
+    // batch·tables·(1+nBits), like the IVF cell list
+    val pairs = probes.select("table", "bucket").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(pairs.nonEmpty, "LSH batch serving got an empty query table")
+    val pruned = pairs.map { case (t, b) =>
+      col("table") === t && col("bucket") === b
+    }.reduce(_ || _) // → parquet PartitionFilters (partition cols only)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    spark.read.parquet(s"$path/data")
+      .where(pruned)
+      .join(broadcast(probes), Seq("table", "bucket"))
+      .dropDuplicates("query_id", idCol) // multi-table collisions
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
   }
 
   /** Near-duplicate pairs via LSH blocking: pairs are generated only

@@ -27,7 +27,8 @@ object CorpusStream {
             gates: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
             benchmark: Option[DataFrame] = None,
             contaminationN: Int = 8,
-            ann: Option[CorpusPipeline.AnnIndex] = None)
+            ann: Option[CorpusPipeline.AnnIndex] = None,
+            lm: Option[CorpusPipeline.LmGate] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -35,7 +36,8 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
-          idCol, textCol, threshold, gates, benchmark, contaminationN, ann)
+          idCol, textCol, threshold, gates, benchmark, contaminationN, ann,
+          lm)
         ()
       }
       .start()

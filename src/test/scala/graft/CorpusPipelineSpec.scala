@@ -361,4 +361,35 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().toSeq === Seq(1L))
   }
+
+  test("streaming corpus applies the frozen-LM perplexity gate per " +
+      "micro-batch") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Lm
+    import graft.ingest.CorpusPipeline.LmGate
+    val dir = Files.createTempDirectory("corpus_stream_lm")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val lmIdx = dir.resolve("lm").toString
+    val ckpt = dir.resolve("ckpt").toString
+    Lm.writeLmIndex(((1L to 10L).map(i => (i, base)) :+ (11L, fresh2))
+      .toDF("doc_id", "text"), "text", lmIdx)
+    val fluent = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet village"
+    val soup = "bridge fox the dog village quick softly mountains rain " +
+      "lazy below stone jumps quiet the brown"
+    val ppls = Lm.perplexityAgainstIndex(
+        Seq((1L, fluent), (2L, soup)).toDF("doc_id", "text"),
+        "doc_id", "text", lmIdx)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((1L, fluent), (2L, soup)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+      lm = Some(LmGate(lmIdx, (ppls(1L) + ppls(2L)) / 2)))
+    q.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+  }
 }

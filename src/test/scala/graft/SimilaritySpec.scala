@@ -397,6 +397,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(pqBatch.sortBy(r => (r._1, -r._3, r._2)) ===
       loopPq(5, 2, 8).toSeq.sortBy(r => (r._1, -r._3, r._2)))
 
+    // batched LSH from the materialized index ≡ the per-query loop
+    val lshDir = java.nio.file.Files.createTempDirectory("lsh_batch").toString
+    Similarity.writeLshIndex(corpusDf, "vec_id", "embedding", lshDir,
+      nBits = 4, tables = 4)
+    val lshBatch = Similarity.lshBatchTopKFromIndex(spark, lshDir, "vec_id",
+        "embedding", queriesDf, "vec_id", "embedding", k = 5,
+        hammingProbe = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    val lshLoop = queryRows.flatMap { case (qid, v) =>
+      Similarity.lshTopKFromIndex(spark, lshDir, "vec_id", "embedding",
+          Seq((qid, v)).toDF("vec_id", "embedding"), "embedding", 5,
+          hammingProbe = 1)
+        .as[(Long, Double)].collect().map { case (id, s) => (qid, id, s) }
+    }
+    assert(lshBatch.sortBy(r => (r._1, -r._3, r._2)) ===
+      lshLoop.toSeq.sortBy(r => (r._1, -r._3, r._2)))
+
+    // batched brute force (the exact anchor) ≡ the single-query operator
+    val bfBatch = Similarity.bruteForceBatchTopK(corpusDf, "vec_id",
+        "embedding", queriesDf, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val bfLoop = queryRows.flatMap { case (qid, v) =>
+      Similarity.bruteForceTopK(corpusDf, "vec_id", "embedding",
+          Seq((qid, v)).toDF("vec_id", "embedding"), "embedding", 5)
+        .as[(Long, Double)].collect().map { case (id, s) => (qid, id, s) }
+    }
+    assert(bfBatch.sortBy(r => (r._1, -r._3, r._2)) ===
+      bfLoop.toSeq.sortBy(r => (r._1, -r._3, r._2)))
+
     // the batched plan prunes the index scan to the probed cells
     val served = Similarity.ivfBatchTopKFromIndex(spark, ivfDir, "vec_id",
       "embedding", queriesDf, "vec_id", "embedding", k = 5, nprobe = 2)
