@@ -905,6 +905,15 @@ object ExtQueries {
       Keywords.tfIdfTopK(docs(s, d), "doc_id", "text", k = 3)
         .transform(Queries.presentSorted(_, "doc_id", "token"))),
 
+    // BM25 keyword retrieval over the corpus — the lexical half of a RAG /
+    // hard-negative-mining stack (the dense half is the ANN family). Top-20
+    // docs for a 3-term query; deterministic cut via the decimal term-sum +
+    // doc_id tie-break inside bm25TopK
+    "q_bm25_topk" -> ((s, d) =>
+      Keywords.bm25TopK(docs(s, d), "doc_id", "text",
+          query = Seq("hash", "join", "vector"), k = 20)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // CDC keep-latest upsert — base/updates split of `orders` on
     // o_orderkey mod 3, keyed by customer, versioned by o_orderkey
     // (globally unique, so the window order is total before the content-
@@ -1513,6 +1522,41 @@ object ExtQueries {
         |  FROM scored)
         |SELECT doc_id, token, tfidf FROM r WHERE rn <= 3
         |ORDER BY doc_id, token""".stripMargin,
+    // BM25 twin: same tokenization, Lucene positive idf, identical
+    // operator association per term, 6-decimal per-term round summed as
+    // DECIMAL (order-independent), doc_id tie-break on the top-20 cut
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM documents LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_id, bm25 FROM agg
+        |  ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
     // keep-latest twin: same union + row_number window; o_orderkey is
     // globally unique, so (version DESC, src DESC) is already a total
     // order and the Spark side's content-hash tie-break never fires

@@ -32,6 +32,66 @@ object Keywords {
     * reserved (asserted against `idCol`, the one input name that survives
     * into the result).
     */
+  /** BM25 retrieval: top-`k` documents for a bag-of-words query
+    * (Robertson/Okapi BM25, the ranking function behind Lucene and every
+    * keyword-retrieval stage of a RAG / training-data pipeline).
+    *
+    * Per matched (doc, term):
+    * `idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avgdl))` with
+    * Lucene's positive idf `ln(1 + (N - df + 0.5) / (df + 0.5))`, summed
+    * per document; `avgdl` averages token counts over ALL `N` documents
+    * (zero-token docs included).
+    *
+    * Plan shape: one tokenize+explode pass; the term filter lands directly
+    * on the exploded stream, so tf/df/score frames hold only rows for the
+    * |Q| query terms — corpus-scale cost is the narrow scan plus
+    * aggregates bounded by (docs containing a query term) · |Q|. The
+    * doc-length aggregate is the one full-width pass (it must see every
+    * doc for avgdl); df and the 1-row (N, avgdl) stats broadcast. Ranking
+    * rounds to 6 decimals with `idCol` as tie-break, reproducible
+    * cross-engine. Returns (idCol, bm25) — docs matching no term emit
+    * nothing.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(idCol != "bm25",
+      s"idCol '$idCol' collides with the reserved output column bm25")
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val terms = query.map(_.toLowerCase).distinct
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("__bm_token"))
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__bm_len"))
+    // N and avgdl over ALL docs — zero-token docs enter as length 0
+    val stats = df.select(col(idCol)).join(lens, Seq(idCol), "left")
+      .agg(count(lit(1)).as("__bm_n"),
+        avg(coalesce(col("__bm_len"), lit(0L))).as("__bm_avgdl"))
+    val tf = toks.where(col("__bm_token").isin(terms: _*))
+      .groupBy(col(idCol), col("__bm_token"))
+      .agg(count(lit(1)).as("__bm_tf"))
+    val dfreq = tf.groupBy("__bm_token").agg(count(lit(1)).as("__bm_df"))
+    tf.join(broadcast(dfreq), "__bm_token")
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__bm_n") - col("__bm_df") + lit(0.5)) /
+            (col("__bm_df") + lit(0.5))) *
+          (col("__bm_tf") * lit(k1 + 1.0)) /
+          (col("__bm_tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__bm_len") / col("__bm_avgdl"))))
+          .as("__bm_score"))
+      // per-term score is a deterministic double (identical association on
+      // both engines); rounding it to 6 decimals and summing as DECIMAL
+      // makes the per-doc total exact and addition-order-independent, so
+      // the top-k cut is stable cross-engine (the q10 decimal-sum pattern)
+      .groupBy(col(idCol))
+      .agg(sum(round(col("__bm_score"), 6).cast("decimal(18,6)"))
+        .cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
     require(idCol != "token" && idCol != "tfidf",

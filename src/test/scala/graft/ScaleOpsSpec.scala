@@ -232,6 +232,31 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bm25TopK: exact hand-computed scores, zero-token docs count in " +
+      "avgdl, non-matching docs absent") {
+    import graft.operators.Keywords
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "kiwi"), (4L, "")).toDF("id", "text")
+    val out = Keywords.bm25TopK(docs, "id", "text",
+        query = Seq("apple", "cherry"), k = 3)
+      .as[(Long, Double)].collect().toSeq
+    // N=4, avgdl=(3+2+1+0)/4=1.5 (the empty doc counts); apple/cherry both
+    // df=1 → idf=ln(1+3.5/1.5); mirror the operator's double association
+    val idf = math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))
+    val k1p1 = 1.2 + 1.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = idf * (2 * k1p1) / (2 + 1.2 * (0.25 + 0.75 * 3 / 1.5))
+    val d2 = idf * (1 * k1p1) / (1 + 1.2 * (0.25 + 0.75 * 2 / 1.5))
+    // doc1 outranks doc2 (higher tf, same idf); docs 3/4 match nothing
+    assert(out === Seq((1L, r6(d1)), (2L, r6(d2))))
+    assert(r6(d1) > r6(d2))
+    intercept[IllegalArgumentException] {
+      Keywords.bm25TopK(docs.withColumnRenamed("id", "bm25"), "bm25",
+        "text", Seq("apple"), 1)
+    }
+  }
+
   test("corpus filter funnel: sequential drop accounting, null fails gates, " +
       "kept set = final stage") {
     import graft.operators.CorpusFilter
