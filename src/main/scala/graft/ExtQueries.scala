@@ -772,6 +772,53 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 0.5)
     }),
 
+    // Hard-negative mining (exact): per query, the top-5 most-similar
+    // corpus vectors of a DIFFERENT label — the contrastive-training
+    // mining step, oracle-checked end to end (cosine + label predicate +
+    // per-query window cut, all SQL-expressible)
+    "q_hard_negatives" -> ((s, d) => {
+      val all = embs(s, d)
+      Similarity.hardNegatives(
+          all.filter(pmod(col("vec_id"), lit(40)) =!= 0),
+          "vec_id", "embedding", "label",
+          all.filter(pmod(col("vec_id"), lit(40)) === 0),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .transform(Queries.presentSorted(_, "query_id", "vec_id"))
+    }),
+
+    // the approximate mining path priced against the exact one: batched
+    // IVF serve with over-fetch, labels joined back onto the (small)
+    // result set, same-label rows dropped, re-cut to k — the composition
+    // hardNegatives' scaladoc prescribes for corpus scale
+    "ann_hardneg_recall" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_hardneg_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+      val approx = Similarity.ivfBatchTopKFromIndex(s, idx, "vec_id",
+          "embedding", queries, "vec_id", "embedding", k = 30, nprobe = 4)
+        .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("label").as("__qlabel"))), "query_id")
+        .where(col("label") =!= col("__qlabel"))
+        .withColumn("__rank", row_number().over(w))
+        .where(col("__rank") <= 5)
+      recallOf(
+        Similarity.hardNegatives(corpus, "vec_id", "embedding", "label",
+            queries, "vec_id", "embedding", "label", k = 5)
+          .select("query_id", "vec_id"),
+        approx.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), floor = 0.5)
+    }),
+
     // batched LSH ≡ per-query loop, floor 1.0 — the [[ann_ivf_batched_recall]]
     // consistency pin for the (table, bucket)-partitioned index family
     "ann_lsh_batched_recall" -> ((s, d) => {
@@ -1637,6 +1684,29 @@ object ExtQueries {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, round(score, 6) AS score FROM s
         |ORDER BY s.score DESC, vec_id LIMIT 10""".stripMargin,
+    // hard-negative twin: same cosine arithmetic as ann_bruteforce, label
+    // mismatch below the per-query window, vec_id tie-break on the cut
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+        |  FROM e WHERE vec_id % 40 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 40 <> 0),
+        |s AS (
+        |  SELECT query_id, c.vec_id,
+        |    list_dot_product(c.v, qv)
+        |      / (sqrt(list_dot_product(c.v, c.v))
+        |         * sqrt(list_dot_product(qv, qv))) AS score
+        |  FROM c, q WHERE c.label <> qlabel),
+        |r AS (
+        |  SELECT query_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id, vec_id, round(score, 6) AS score
+        |FROM r WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin,
     "emb_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

@@ -52,6 +52,35 @@ object Similarity {
       .where(col("__rank") <= k).drop("__rank")
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * query, the top-`k` most-similar corpus vectors whose `labelCol`
+    * DIFFERS from the query's — maximally confusable wrong-class examples.
+    *
+    * This is the EXACT variant (the [[bruteForceBatchTopK]] shape plus a
+    * label-mismatch predicate pushed below the window), oracle-checkable
+    * and the ground truth for approximate mining. The scale path composes
+    * the index family: [[ivfBatchTopKFromIndex]] with an over-fetch
+    * (k' > k), join labels back onto the (small) result set, drop
+    * same-label rows, re-cut to k — `ann_hardneg_recall` prices exactly
+    * that composition against this method. Returns
+    * (query_id, idCol, score).
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, queryIdCol: String,
+                    queryVecCol: String, queryLabelCol: String,
+                    k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec"), col(queryLabelCol).as("__qlabel")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    corpus.crossJoin(q)
+      .where(col(labelCol) =!= col("__qlabel"))
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
+  }
+
   /** Adds the LSH bucket column(s): one per hash table. */
   def withLshBuckets(df: DataFrame, vecCol: String,
                      nBits: Int = 12, tables: Int = 4): DataFrame =

@@ -458,6 +458,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"batched serve scaled with batch size: $jobsSmall vs $jobsFull jobs")
   }
 
+  test("hardNegatives: never emits a same-label vector and equals the " +
+      "label-filtered exact batch top-k") {
+    val lab = corpusDf.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    val qrs = corpus.take(3).map { case (i, v) => (2000L + i, v, (i % 3).toInt) }
+    val qdf = qrs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(lab, "vec_id", "embedding", "label",
+        qdf, "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.size === 15)
+    // label(query 2000+i) = i % 3; label(corpus id) = id % 3
+    assert(out.forall { case (qid, id, _) => id % 3 != (qid - 2000) % 3 })
+    // ≡ exact batch top-k with the label filter applied after the fact
+    val manual = Similarity.bruteForceBatchTopK(lab, "vec_id", "embedding",
+        qdf, "vec_id", "embedding", k = corpus.size + 1)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (qid, id, _) => id % 3 != (qid - 2000) % 3 }
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(r => (-r._3, r._2)).take(5)).toSeq
+    assert(out.sortBy(r => (r._1, r._2)) === manual.sortBy(r => (r._1, r._2)))
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
