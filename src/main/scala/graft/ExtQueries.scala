@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis, Vectors}
 import graft.operators.{Components, Contamination, Dedup, Keywords, Merge,
-  Multimodal, Similarity}
+  Multimodal, Similarity, Sq}
 
 /** LLM-training-data-pipeline extension operators over the `documents` /
   * `embeddings` tables (builder brief + SURVEY.md §7.1.6): dedup, similarity
@@ -770,6 +770,43 @@ object ExtQueries {
         Similarity.ivfBatchTopKFromIndex(s, idx, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 5, nprobe = 4),
         Seq("query_id", "vec_id"), floor = 0.5)
+    }),
+
+    // int8 scalar-quantized serving (4× compression, asymmetric scoring +
+    // exact rerank): top-10 for the vec_id=0 query from the materialized
+    // SQ8 index — rows-only (quantized candidate generation), priced by
+    // ann_sq8_recall
+    "ann_sq8" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_sq8_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Sq.writeSqIndex(corpus, "vec_id", "embedding", idx)
+      Sq.sqBatchTopKFromIndex(s, idx, "vec_id", "embedding",
+          embs(s, d).filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 10, oversample = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .transform(Queries.presentSorted(_, "vec_id"))
+    }),
+
+    // SQ8 batched recall vs the exact batch anchor: candidate misses are
+    // the only loss (rerank is exact), so 8-bit quantization should sit
+    // near-lossless — the floor encodes that expectation
+    "ann_sq8_recall" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_sq8_batch_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Sq.writeSqIndex(corpus, "vec_id", "embedding", idx)
+      recallOf(
+        Similarity.bruteForceBatchTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+          .select("query_id", "vec_id"),
+        Sq.sqBatchTopKFromIndex(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, oversample = 4),
+        Seq("query_id", "vec_id"), floor = 0.9)
     }),
 
     // Hard-negative mining (exact): per query, the top-5 most-similar

@@ -479,6 +479,41 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(out.sortBy(r => (r._1, r._2)) === manual.sortBy(r => (r._1, r._2)))
   }
 
+  test("SQ8: codes stay in the int8 domain, reconstruction error is " +
+      "bounded by span/255, serving finds the planted neighbor") {
+    import graft.operators.Sq
+    val dir = java.nio.file.Files.createTempDirectory("sq8").toString
+    Sq.writeSqIndex(corpusDf, "vec_id", "embedding", dir)
+    val data = spark.read.parquet(s"$dir/data")
+    val codes = data.select(explode(col("code"))).as[Int].collect()
+    assert(codes.forall(c => c >= -128 && c <= 127))
+    // max |x − dequant(quant(x))| ≤ span/(2·255) + fp slack, per dimension
+    val (mins, maxs) = Sq.readSqParams(spark, dir)
+    val worstSpan = mins.indices.map(i => maxs(i) - mins(i)).max
+    val errs = data.select(
+        aggregate(zip_with(
+          graft.functions.Vectors.toDouble(col("embedding")),
+          Sq.dequantizeExpr(col("code"), mins, maxs),
+          (a, b) => abs(a - b)), lit(0.0),
+          (acc, x) => greatest(acc, x)).as("e"))
+      .as[Double].collect()
+    assert(errs.max <= worstSpan / 255.0 / 2.0 + 1e-9)
+    // serving: the planted near-copy of q must surface as the top hit
+    val top = Sq.sqBatchTopKFromIndex(spark, dir, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, oversample = 4)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(top.head._2 === 999L)
+    assert(top.head._3 > 0.99) // rerank score is exact, not quantized
+    // frozen-params append: appended rows serve identically to built rows
+    val extra = Seq((5000L, planted.map(x => x + 1e-4f)))
+      .toDF("vec_id", "embedding")
+    Sq.appendToSqIndex(extra, "vec_id", "embedding", dir)
+    val top2 = Sq.sqBatchTopKFromIndex(spark, dir, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 2, oversample = 8)
+      .as[(Long, Long, Double)].collect().map(_._2).toSet
+    assert(top2 === Set(999L, 5000L))
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
