@@ -809,6 +809,42 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 0.9)
     }),
 
+    // JL random projection priced as a candidate generator: top-5·16 in
+    // the 16-dim projected space (4× narrower scan/shuffle — the knob a
+    // 100 TB embedding pipeline turns first), exact full-dim rerank of
+    // the survivors, cut to 5 — the SQ8 serving contract with projection
+    // as the compression. This fixture is ADVERSARIAL for it (true
+    // neighbors sit at cosine ≈ 0.3, exactly where JL distortion at 4×
+    // bites hardest — raw projected top-5 recall is 0.12); the
+    // oversample+rerank shape is what makes RP usable, and this row
+    // prices precisely that composition
+    "ann_rp_recall" -> ((s, d) => {
+      val all = embs(s, d)
+      val dim = all.select(size(col("embedding"))).first().getInt(0)
+      val proj = Similarity.randomProject(all, "embedding", dim,
+        outDim = dim / 4, seed = 7L, outCol = "emb_rp")
+      val corpus = proj.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = proj.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+      val reranked = Similarity.bruteForceBatchTopK(corpus, "vec_id",
+          "emb_rp", queries, "vec_id", "emb_rp", k = 5 * 16)
+        .select("query_id", "vec_id")
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          Vectors.cosine(col("embedding"), col("__qv")).as("score"))
+        .withColumn("__rank", row_number().over(w))
+        .where(col("__rank") <= 5)
+      recallOf(
+        Similarity.bruteForceBatchTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+          .select("query_id", "vec_id"),
+        reranked.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), floor = 0.5)
+    }),
+
     // Hard-negative mining (exact): per query, the top-5 most-similar
     // corpus vectors of a DIFFERENT label — the contrastive-training
     // mining step, oracle-checked end to end (cosine + label predicate +

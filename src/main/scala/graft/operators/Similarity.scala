@@ -81,6 +81,34 @@ object Similarity {
       .where(col("__rank") <= k).drop("__rank")
   }
 
+  /** Johnson–Lindenstrauss random projection: `outDim` Gaussian
+    * directions drawn from `seed` on the driver (bounded metadata:
+    * outDim·inDim doubles, the centroid/codebook convention), applied
+    * in-plan as `y_j = ⟨x, R_j⟩ / √outDim`. Shrinks every downstream
+    * vector op — pair verification flops, ANN scoring, shuffle width —
+    * by inDim/outDim at a distance-distortion cost the JL lemma bounds
+    * and `ann_rp_recall` prices empirically each round. Deterministic:
+    * the same seed reproduces the same matrix on every executor and run.
+    * Interpreted HOF — a one-time transform pass at pipeline ingest, not
+    * a serving hot path. Appends `outCol` (array<double>).
+    */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+                    seed: Long, outCol: String): DataFrame = {
+    require(outDim > 0 && outDim <= inDim,
+      s"outDim $outDim must be in (0, $inDim]")
+    val rnd = new scala.util.Random(seed)
+    val mat: Array[Array[Double]] =
+      Array.fill(outDim)(Array.fill(inDim)(rnd.nextGaussian()))
+    val matL = typedlit(mat)
+    val scale = math.sqrt(outDim.toDouble)
+    df.withColumn(outCol,
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(
+          zip_with(Vectors.toDouble(col(vecCol)), element_at(matL, j + 1),
+            (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / scale))
+  }
+
   /** Adds the LSH bucket column(s): one per hash table. */
   def withLshBuckets(df: DataFrame, vecCol: String,
                      nBits: Int = 12, tables: Int = 4): DataFrame =

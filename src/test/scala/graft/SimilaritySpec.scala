@@ -514,6 +514,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top2 === Set(999L, 5000L))
   }
 
+  test("randomProject: deterministic across invocations, near-identical " +
+      "vectors stay near-identical, planted neighbor survives 4x reduction") {
+    val p1 = Similarity.randomProject(corpusDf, "embedding", dim, 4, 7L, "rp")
+      .select("vec_id", "rp").as[(Long, Array[Double])].collect().toMap
+    val p2 = Similarity.randomProject(corpusDf, "embedding", dim, 4, 7L, "rp")
+      .select("vec_id", "rp").as[(Long, Array[Double])].collect().toMap
+    assert(p1.keySet === p2.keySet)
+    assert(p1.forall { case (k, v) => v.toSeq === p2(k).toSeq })
+    assert(p1.values.forall(_.length === 4))
+    // projection is linear: the planted near-copy of q stays the top hit
+    // in the projected space at outDim = dim/4
+    val proj = Similarity.randomProject(
+      corpusDf.unionByName(queryDf), "embedding", dim, dim / 4, 7L, "rp")
+    val top = Similarity.bruteForceBatchTopK(
+        proj.filter(col("vec_id") =!= 0L), "vec_id", "rp",
+        proj.filter(col("vec_id") === 0L), "vec_id", "rp", k = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(top.head._2 === 999L)
+    assert(top.head._3 > 0.98)
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(corpusDf, "embedding", dim, dim + 1, 7L, "rp")
+    }
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
