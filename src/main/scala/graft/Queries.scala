@@ -368,6 +368,97 @@ object Queries {
         .transform(presentSorted(_, "o_orderkey"))
     }),
 
+    // TPC-H Q4 shape — EXISTS as a correlated semi-join with a non-equi
+    // residual: orders in one quarter having ≥1 lineitem shipped after
+    // the order date (the tables lack commit/receipt dates; shipped-late
+    // carries the same plan: equi key l_orderkey, range residual on the
+    // dates, grouped count by priority). The semi-join never duplicates
+    // orders however many lineitems match — the EXISTS semantics
+    "q4_priority_check" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ntz("1996-04-01 00:00:00"))
+      val l = t(s, d, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape — the pure pushdown query: one narrow scan, three
+    // pushed predicates, one global aggregate. The plan to assert here is
+    // PushedFilters carrying all three ranges and ReadSchema at two
+    // columns; decimal sum for the order-independent global total
+    "q6_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q14 shape — promo revenue share: one month of lineitem joined
+    // to part (broadcast — part is the dimension), conditional decimal
+    // sums, ratio taken in double from exact decimal totals
+    "q14_promo_revenue" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-03-01 00:00:00") &&
+          col("l_shipdate") < ntz("1996-04-01 00:00:00"))
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(rev).cast("double"), 6)
+          .as("promo_revenue"))
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: the grouped HAVING subquery
+    // (per-order quantity total > 200) drives a join back to orders +
+    // customer. Aggregate-then-join: the heavy lineitem aggregate runs
+    // first and only qualifying orderkeys reach the join; quantity sums
+    // are integral doubles, so no float exposure in the predicate
+    "q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 200)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q22 shape — idle high-balance customers: scalar subquery
+    // (global positive-balance average, computed as exact decimal sum /
+    // count so the threshold is bit-stable cross-engine) + anti-join
+    // against recent orders + per-segment rollup. The anti-join probe
+    // side is pre-filtered to the date window before the join
+    "q22_idle_balance" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val thr = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("__thr"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= ntz("2000-01-01 00:00:00"))
+        .select("o_custkey")
+      c.crossJoin(broadcast(thr))
+        .where(col("c_acctbal") > col("__thr"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double").as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // TPC-H Q5-shaped multi-join rollup; nation broadcast to every executor
     "q5_nation_revenue" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -1061,6 +1152,61 @@ object Queries {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // ratio of two EXACT decimal sums, division done in double on both
+    // engines; the CASE's 0 arm is decimal-typed so the promo sum stays
+    // exact too
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 200),
+        |  orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // threshold = exact decimal sum / count, cast to double BEFORE the
+    // divide — both engines then compare c_acctbal against the identical
+    // double, so no boundary customer can flip
+    "q22_idle_balance" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c.c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // trailing twin: RANGE frame keyed by the timestamp value — DuckDB's
     // INTERVAL bound and Spark's epoch-second bound define the same
     // closed [cur − 30 days, cur] window

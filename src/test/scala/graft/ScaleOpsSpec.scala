@@ -128,6 +128,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(read.count() === (1 to 1000).count(i => i % 28 + 1 == 5))
   }
 
+  test("q6 shape: all three predicates reach the parquet scan and the " +
+      "read schema prunes to the referenced columns") {
+    val dir = java.nio.file.Files.createTempDirectory("q6push").toString
+    (1 to 500).map { i =>
+      (java.sql.Timestamp.valueOf(f"1996-${i % 12 + 1}%02d-01 00:00:00"),
+        (i % 10) / 100.0, (i % 50).toDouble, i * 10.0, s"comment_$i")
+    }.toDF("l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+      "l_comment")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).as("revenue"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"expected pushed filters:\n$plan")
+    // the range predicates follow the IsNotNulls (display truncates the
+    // full list, so match the operator name rather than a specific column)
+    assert(plan.contains("GreaterThanOrEqual("), plan)
+    // column pruning: the untouched string column never leaves the file
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).get
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
   test("compaction merges small files without changing the data") {
     import graft.sources.Compaction
     val dir = java.nio.file.Files.createTempDirectory("compact")
