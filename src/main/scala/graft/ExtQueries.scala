@@ -461,6 +461,18 @@ object ExtQueries {
         .select("doc_id", "source")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // nucleus (top-p) curation by MASS: per source, the best-scoring docs
+    // covering 80% of the source's character mass — "keep the quality
+    // head, drop the tail" with the cut decided by pure integer
+    // arithmetic (cum·10 ≤ tot·8), so it is hash-exact cross-engine
+    // unlike every float-threshold formulation
+    "q_nucleus_head" -> ((s, d) =>
+      graft.operators.Sampling.topMassPerStratum(docs(s, d), "source",
+          "doc_id", scoreCol = "n_chars", massCol = "n_chars",
+          pNum = 8, pDen = 10)
+        .select("doc_id", "source", "n_chars")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // temperature-scaled mixing — quotas COMPUTED from the data
     // (∝ count^0.5 of a 200-doc budget): the Pile/LLaMA mixture math with
     // no explicit weight map. Rows-only: the quota arithmetic crosses a
@@ -1449,6 +1461,17 @@ object ExtQueries {
         |    (CAST(substr(source, 4) AS INT) % 3 + 1) * 10 AS quota
         |  FROM documents)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+    // nucleus twin: unique (n_chars DESC, doc_id) order makes RANGE and
+    // ROWS frames identical; the p-cut is integer-exact on both engines
+    "q_nucleus_head" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents)
+        |WHERE cum * 10 <= tot * 8 ORDER BY doc_id""".stripMargin,
     // packing twin: identical shard-local cumsum; CASTs because DuckDB's
     // windowed/grouped sums of BIGINT are HUGEINT (repr breaks the hash)
     "q_token_packing" ->

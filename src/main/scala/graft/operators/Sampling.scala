@@ -117,4 +117,38 @@ object Sampling {
         .drop("__wt_key", "__wt_quota")
     }
   }
+
+  /** Nucleus (top-p) curation by MASS, not count: per stratum, keep the
+    * best-scoring rows until they cover `pNum/pDen` of the stratum's total
+    * `massCol` — "the top documents carrying 80% of the character mass per
+    * source". The count-quota samplers above answer "N rows per stratum";
+    * this answers "the head of the quality distribution, however many rows
+    * that is" — the top-p idea applied to data curation, where mass is
+    * tokens/chars and score is a quality signal.
+    *
+    * A row survives while its INCLUSIVE running mass (score-descending,
+    * `idCol` tie-break) satisfies `cum · pDen ≤ total · pNum` — pure
+    * 64-bit integer arithmetic when `massCol` is integral, so the cut is
+    * bit-stable in any engine (the fraction is never materialized as a
+    * float). Note the boundary convention: the first row whose inclusive
+    * mass crosses p is DROPPED, so strata whose single best row exceeds p
+    * emit nothing — callers wanting ≥1 row per stratum union a rank-1
+    * floor on top.
+    *
+    * Plan: two windows over the SAME stratum-keyed shuffle (running sum +
+    * total) — one exchange, no join, no driver state; million-stratum
+    * safe.
+    */
+  def topMassPerStratum(df: DataFrame, strataCol: String, idCol: String,
+                        scoreCol: String, massCol: String,
+                        pNum: Long, pDen: Long): DataFrame = {
+    require(pNum >= 0 && pDen > 0, s"need 0 <= pNum, 0 < pDen; got $pNum/$pDen")
+    val run = Window.partitionBy(strataCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val all = Window.partitionBy(strataCol)
+    df.withColumn("__nm_cum", sum(col(massCol)).over(run))
+      .withColumn("__nm_tot", sum(col(massCol)).over(all))
+      .where(col("__nm_cum") * pDen <= col("__nm_tot") * pNum)
+      .drop("__nm_cum", "__nm_tot")
+  }
 }

@@ -103,6 +103,31 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       .select("source").as[String].collect().contains("rare"))
   }
 
+  test("topMassPerStratum: integer-exact 80% mass cut, crossing row " +
+      "dropped, dominant-single-row stratum emits nothing") {
+    import graft.operators.Sampling
+    val df = Seq(
+      // stratum a: masses 50,30,20 (tot 100) sorted desc → cum 50,80,100;
+      // 80*10 <= 100*8 keeps the first TWO, the 20-mass row crosses
+      (1L, "a", 50L), (2L, "a", 30L), (3L, "a", 20L),
+      // stratum b: single row carries 100% > 80% → nothing survives
+      (4L, "b", 100L),
+      // stratum c: equal masses 10×4 (tot 40): cum 10,20,30,40 → keep 3
+      (5L, "c", 10L), (6L, "c", 10L), (7L, "c", 10L), (8L, "c", 10L)
+    ).toDF("id", "s", "m")
+    val kept = Sampling.topMassPerStratum(df, "s", "id", "m", "m", 8, 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 5L, 6L, 7L))
+    // p = 1 keeps everything; p = 0 keeps nothing
+    assert(Sampling.topMassPerStratum(df, "s", "id", "m", "m", 1, 1)
+      .count() === 8)
+    assert(Sampling.topMassPerStratum(df, "s", "id", "m", "m", 0, 1)
+      .count() === 0)
+    intercept[IllegalArgumentException] {
+      Sampling.topMassPerStratum(df, "s", "id", "m", "m", 1, 0)
+    }
+  }
+
   test("chunkByTokens: overlap windows, single chunk for short docs, " +
       "no redundant tail") {
     import graft.operators.Chunking
