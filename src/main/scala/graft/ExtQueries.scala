@@ -935,6 +935,38 @@ object ExtQueries {
     // the IVF-PQ batched twin: per-query in-plan ADC tables (broadcast
     // join column, not driver state) + pruned-cell ADC + exact rerank,
     // pinned to the per-query loop at floor 1.0 like ann_ivf_batched
+    // batched flat-PQ ≡ the per-query loop at floor 1.0 — the last member
+    // of the batched serving family (in-plan per-query ADC tables through
+    // the broadcast join, no driver-held table)
+    "ann_pq_batched_recall" -> ((s, d) => {
+      import s.implicits._
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_pq_batched_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
+        m = 16, k = 16)
+      graft.operators.Pq.writeIndex(corpus, "vec_id", "embedding", idx, cb)
+      val qRows = queries.select(col("vec_id"),
+          col("embedding").cast("array<float>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val truth = qRows.flatMap { case (qid, v) =>
+        graft.operators.Pq.topKFromIndex(s, idx, corpus, "vec_id",
+            "embedding", Seq((qid, v)).toDF("vec_id", "embedding"),
+            "embedding", k = 5, oversample = 8)
+          .select("vec_id").as[Long].collect()
+          .map(id => (qid, id))
+      }.toSeq.toDF("query_id", "vec_id")
+      recallOf(truth,
+        graft.operators.Pq.batchTopKFromIndex(s, idx, corpus, "vec_id",
+          "embedding", queries, "vec_id", "embedding",
+          k = 5, oversample = 8),
+        Seq("query_id", "vec_id"), floor = 1.0)
+    }),
+
     "ann_ivfpq_batched_recall" -> ((s, d) => {
       import s.implicits._
       val all = embs(s, d)

@@ -177,6 +177,43 @@ object Pq {
       oversample)
   }
 
+  /** BATCHED flat-PQ serving — one plan for a whole query table,
+    * completing the batched family (brute-force / IVF / IVF-PQ / LSH /
+    * SQ8 all have one). Each query row computes its OWN ADC table in-plan
+    * ([[adcTablesExpr]]) and carries it through the broadcast join — no
+    * driver-held table, no per-query job. ADC pass scans only the code
+    * table; the k·oversample survivors per query rerank exactly against
+    * `rawCorpus`. Same serving boundary as [[topKFromIndex]]: flat PQ
+    * ADC-scans every code per query — beyond memory-scale code tables use
+    * [[Similarity.ivfPqBatchTopKFromIndex]], which is this plan behind
+    * cell pruning. Returns (query_id, idCol, score).
+    */
+  def batchTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, rawCorpus: DataFrame, idCol: String,
+                         vecCol: String, queries: DataFrame,
+                         queryIdCol: String, queryVecCol: String, k: Int,
+                         oversample: Int = 4): DataFrame = {
+    val cb = readCodebooks(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      Vectors.toDouble(col(queryVecCol)).as("__qvec"),
+      adcTablesExpr(cb, col(queryVecCol)).as("__adc")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    val candidates = codes.crossJoin(q.select("query_id", "__adc"))
+      .select(col("query_id"), col(idCol),
+        adcScoreExpr(cb.m, col("__adc")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k * oversample)
+      .select("query_id", idCol)
+    candidates.join(rawCorpus.select(col(idCol), col(vecCol)), idCol)
+      .join(q.select("query_id", "__qvec"), "query_id")
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
+  }
+
   /** ADC top-k with exact rerank: score all codes via m table lookups,
     * keep the top `k`·`oversample` candidates (TakeOrderedAndProject),
     * rerank ONLY those against their raw vectors with exact cosine.

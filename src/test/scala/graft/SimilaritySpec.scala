@@ -397,6 +397,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(pqBatch.sortBy(r => (r._1, -r._3, r._2)) ===
       loopPq(5, 2, 8).toSeq.sortBy(r => (r._1, -r._3, r._2)))
 
+    // batched FLAT-PQ from the materialized index ≡ the per-query loop
+    val flatDir = java.nio.file.Files.createTempDirectory("pq_flat").toString
+    val flatCb = graft.operators.Pq.train(corpusDf, "vec_id", "embedding",
+      m = 4, k = 8)
+    graft.operators.Pq.writeIndex(corpusDf, "vec_id", "embedding", flatDir,
+      flatCb)
+    val flatBatch = graft.operators.Pq.batchTopKFromIndex(spark, flatDir,
+        corpusDf, "vec_id", "embedding", queriesDf, "vec_id", "embedding",
+        k = 5, oversample = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    val flatLoop = queryRows.flatMap { case (qid, v) =>
+      graft.operators.Pq.topKFromIndex(spark, flatDir, corpusDf, "vec_id",
+          "embedding", Seq((qid, v)).toDF("vec_id", "embedding"),
+          "embedding", k = 5, oversample = 8)
+        .as[(Long, Double)].collect().map { case (id, s) => (qid, id, s) }
+    }
+    assert(flatBatch.sortBy(r => (r._1, -r._3, r._2)) ===
+      flatLoop.toSeq.sortBy(r => (r._1, -r._3, r._2)))
+
     // batched LSH from the materialized index ≡ the per-query loop
     val lshDir = java.nio.file.Files.createTempDirectory("lsh_batch").toString
     Similarity.writeLshIndex(corpusDf, "vec_id", "embedding", lshDir,
