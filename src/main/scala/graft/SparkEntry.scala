@@ -54,5 +54,9 @@ object SparkEntry {
     // round 9: the widest join tree in the suite (lineitem⋈orders⋈customer
     // ⋈nation, date-filtered before the join, dims broadcast) — the plan
     // most predictive of multi-dimension reporting at scale
-    "q10_returned_items")
+    "q10_returned_items",
+    // round 9: the two ends of the new spectrum — BM25 retrieval (the
+    // tokenize+explode+aggregate text path over documents) and Q6 (the
+    // pure-pushdown scan: three pushed predicates, two-column read)
+    "q_bm25_topk", "q6_forecast_revenue")
 }
