@@ -857,6 +857,29 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 0.5)
     }),
 
+    // IVF×SQ8 — pruning composed with compression (the FAISS IVFx,SQ8
+    // layout): nprobe/nlist of the directories read, code column only,
+    // exact rerank from the same pruned partitions; priced against the
+    // exact batch anchor like ann_batched_recall (same cells geometry,
+    // so the same floor)
+    "ann_ivfsq_recall" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivfsq_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Sq.writeIvfSqIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0)
+      recallOf(
+        Similarity.bruteForceBatchTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+          .select("query_id", "vec_id"),
+        Sq.ivfSqBatchTopKFromIndex(s, idx, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nprobe = 4),
+        Seq("query_id", "vec_id"), floor = 0.5)
+    }),
+
     // Hard-negative mining (exact): per query, the top-5 most-similar
     // corpus vectors of a DIFFERENT label — the contrastive-training
     // mining step, oracle-checked end to end (cosine + label predicate +

@@ -188,7 +188,7 @@ object Similarity {
     * breaks ties on lowest cid — identical semantics to a row_number
     * ranking, with no join and no shuffle.
     */
-  private def bestCellFor(cs: Seq[(Long, Seq[Double])])(vec: Column): Column = {
+  private[operators] def bestCellFor(cs: Seq[(Long, Seq[Double])])(vec: Column): Column = {
     val scored = cs.map { case (cid, cv) =>
       struct(Vectors.dot(vec, typedlit(cv)).as("score"),
         lit(-cid).as("ncid"))
@@ -201,7 +201,7 @@ object Similarity {
     * in-row, then slice keeps the best `probes`. Same tie semantics as
     * [[bestCellFor]] (its result is always element 1 of this array).
     */
-  private def topCellsFor(cs: Seq[(Long, Seq[Double])],
+  private[operators] def topCellsFor(cs: Seq[(Long, Seq[Double])],
                           probes: Int)(vec: Column): Column = {
     val scored = cs.map { case (cid, cv) =>
       struct((-Vectors.dot(vec, typedlit(cv))).as("nscore"),
@@ -265,7 +265,7 @@ object Similarity {
   /** The centroid sidecar read back (nlist rows — bounded driver state,
     * shared by every serve/append path of the IVF family).
     */
-  private def readCentroids(spark: SparkSession,
+  private[operators] def readCentroids(spark: SparkSession,
                             path: String): Seq[(Long, Seq[Double])] =
     spark.read.parquet(s"$path/centroids")
       .collect()

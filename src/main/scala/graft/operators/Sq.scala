@@ -119,6 +119,79 @@ object Sq {
     * (query_id, idCol, score) with EXACT scores (rerank output), so any
     * recall loss is purely candidate-set misses.
     */
+  /** IVF × SQ8 — pruning composed with compression, the canonical
+    * billion-vector serving layout (FAISS `IVFx,SQ8`): the corpus is laid
+    * down partitioned by Voronoi cell (scan pruning) AND carries int8
+    * codes (bandwidth compression), so a query reads nprobe/nlist of the
+    * directories and only the code column within them. Centroids and SQ
+    * params are both frozen sidecars; SQ params are GLOBAL (not per-cell)
+    * so a vector's code is independent of its cell assignment.
+    */
+  def writeIvfSqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nlist: Int = 16,
+                      kmeansIters: Int = 0): Unit = {
+    val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nlist,
+      kmeansIters)
+    val (mins, maxs) = trainSqParams(corpus, vecCol)
+    corpus.select(col(idCol), col(vecCol),
+        quantizeExpr(col(vecCol), mins, maxs).as("code"),
+        Similarity.bestCellFor(cents)(col(vecCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    mins.indices.map(i => (i, mins(i), maxs(i))).toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** BATCHED serving from the IVF×SQ8 index: each query row soft-assigns
+    * to its `nprobe` cells in-plan, the scan is pruned to the UNION of
+    * probed cell directories (parquet PartitionFilters) and column-pruned
+    * to (id, code); the equi-join on `cell` restricts every query to ITS
+    * OWN cells; dequantized-cosine candidates cut at `k·oversample` per
+    * query; exact rerank reads the float vectors from the SAME pruned
+    * partitions (candidates only come from probed cells). With
+    * nprobe = nlist this degrades exactly to [[sqBatchTopKFromIndex]]'s
+    * results (spec-pinned). Returns (query_id, idCol, score).
+    */
+  def ivfSqBatchTopKFromIndex(spark: SparkSession, path: String,
+                              idCol: String, vecCol: String,
+                              queries: DataFrame, queryIdCol: String,
+                              queryVecCol: String, k: Int, nprobe: Int = 4,
+                              oversample: Int = 4): DataFrame = {
+    val cents = Similarity.readCentroids(spark, path)
+    val (mins, maxs) = readSqParams(spark, path)
+    val assigned = queries.select(col(queryIdCol).as("query_id"),
+      Vectors.toDouble(col(queryVecCol)).as("__qvec"),
+      explode(Similarity.topCellsFor(cents, nprobe)(col(queryVecCol)))
+        .as("cell"))
+    // the batch's probed cell set — bounded by min(nlist, batch·nprobe)
+    val cells = assigned.select("cell").distinct().collect()
+      .map(_.getLong(0))
+    require(cells.nonEmpty, "IVF-SQ batch serving got an empty query table")
+    val pruned = spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
+    val candidates = pruned
+      .select(col(idCol), col("cell"),
+        dequantizeExpr(col("code"), mins, maxs).as("__xhat"))
+      .join(broadcast(assigned), "cell")
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col("__xhat"), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k * oversample)
+      .select("query_id", idCol)
+    candidates.join(pruned.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(assigned.select("query_id", "__qvec")
+        .dropDuplicates("query_id")), "query_id")
+      .select(col("query_id"), col(idCol),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
+  }
+
   def sqBatchTopKFromIndex(spark: SparkSession, path: String, idCol: String,
                            vecCol: String, queries: DataFrame,
                            queryIdCol: String, queryVecCol: String,

@@ -523,6 +523,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double)].collect().sortBy(-_._3)
     assert(top.head._2 === 999L)
     assert(top.head._3 > 0.99) // rerank score is exact, not quantized
+    // the ADC pass column-prunes to (id, code): one index scan reads the
+    // code column WITHOUT the float vectors (the 4× bandwidth claim), the
+    // rerank scan reads the vectors — both visible in the executed plan
+    val serve = Sq.sqBatchTopKFromIndex(spark, dir, "vec_id", "embedding",
+      queryDf, "vec_id", "embedding", k = 5, oversample = 4)
+    serve.collect()
+    val schemas = "ReadSchema: [^\\n]*".r
+      .findAllIn(serve.queryExecution.executedPlan.toString).toSeq
+    assert(schemas.exists(s => s.contains("code") && !s.contains("embedding")),
+      schemas.mkString("\n"))
+    assert(schemas.exists(_.contains("embedding")), schemas.mkString("\n"))
+
     // frozen-params append: appended rows serve identically to built rows
     val extra = Seq((5000L, planted.map(x => x + 1e-4f)))
       .toDF("vec_id", "embedding")
@@ -555,6 +567,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       Similarity.randomProject(corpusDf, "embedding", dim, dim + 1, 7L, "rp")
     }
+  }
+
+  test("IVF x SQ8: cell-pruned compressed serving finds the planted " +
+      "neighbor; full probe ≡ flat SQ8") {
+    import graft.operators.Sq
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString
+    val flat = java.nio.file.Files.createTempDirectory("ivfsq_flat").toString
+    Sq.writeIvfSqIndex(corpusDf, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 1)
+    Sq.writeSqIndex(corpusDf, "vec_id", "embedding", flat)
+    val served = Sq.ivfSqBatchTopKFromIndex(spark, dir, "vec_id",
+      "embedding", queryDf, "vec_id", "embedding", k = 5, nprobe = 2)
+    val rows = served.as[(Long, Long, Double)].collect()
+    // the planted near-copy shares the query's best cell by construction
+    assert(rows.maxBy(_._3)._2 === 999L)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      plan)
+    // probing every cell degrades exactly to the flat SQ8 serve (same
+    // global params, same candidate window, same rerank)
+    val full = Sq.ivfSqBatchTopKFromIndex(spark, dir, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5, nprobe = 4)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val flatR = Sq.sqBatchTopKFromIndex(spark, flat, "vec_id", "embedding",
+        queryDf, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(full === flatR)
   }
 
   test("hyperplane bucket is deterministic and within range") {
