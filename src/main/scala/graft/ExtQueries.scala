@@ -857,6 +857,28 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 0.5)
     }),
 
+    // Hybrid retrieval: BM25 (lexical) and brute-force cosine (dense)
+    // rankings fused by reciprocal rank — the standard RAG first stage.
+    // Both input rankings and the decimal RRF sum are deterministic, so
+    // the whole hybrid is hash-checked cross-engine end to end
+    "q_hybrid_rrf" -> ((s, d) => {
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val lex = Keywords.bm25TopK(docs(s, d), "doc_id", "text",
+          query = Seq("hash", "join", "vector"), k = 20)
+        .withColumn("rank", row_number().over(wLex))
+      val wDen = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("vec_id"))
+      val den = Similarity.bruteForceTopK(
+          embs(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding",
+          embs(s, d).filter(col("vec_id") === 0), "embedding", 20)
+        .withColumn("rank", row_number().over(wDen))
+        .withColumnRenamed("vec_id", "doc_id")
+      graft.operators.Rank.rrfFuse(Seq(lex, den), "doc_id", k = 15)
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // IVF×SQ8 — pruning composed with compression (the FAISS IVFx,SQ8
     // layout): nprobe/nlist of the directories read, code column only,
     // exact rerank from the same pruned partitions; priced against the
@@ -1754,6 +1776,73 @@ object ExtQueries {
         |SELECT * FROM (
         |  SELECT doc_id, bm25 FROM agg
         |  ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+    // hybrid-RRF twin: the bm25 CTE is q_bm25_topk's verbatim, the dense
+    // CTE is ann_bruteforce's cosine; ranks are integer row_numbers and
+    // the fusion sums 9-decimal DECIMALs, so the whole hybrid hashes
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM documents LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats),
+        |bm AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |    AS rank
+        |  FROM (SELECT doc_id, bm25 FROM bm
+        |        ORDER BY bm25 DESC, doc_id LIMIT 20)),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id = 0),
+        |dscore AS (
+        |  SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(qv, qv))) AS score
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |den AS (
+        |  SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+        |  FROM (SELECT vec_id, score FROM dscore
+        |        ORDER BY score DESC, vec_id LIMIT 20)),
+        |u AS (
+        |  SELECT doc_id,
+        |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(12,9)) AS rrf
+        |  FROM lex
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(12,9)) AS rrf
+        |  FROM den),
+        |f AS (
+        |  SELECT doc_id, CAST(sum(rrf) AS DOUBLE) AS rrf_score,
+        |    count(*) AS n_systems
+        |  FROM u GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_id, rrf_score, n_systems FROM f
+        |  ORDER BY rrf_score DESC, doc_id LIMIT 15)
         |ORDER BY doc_id""".stripMargin,
     // keep-latest twin: same union + row_number window; o_orderkey is
     // globally unique, so (version DESC, src DESC) is already a total

@@ -284,6 +284,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rrfFuse: agreement beats any single rank; absent docs contribute " +
+      "nothing; decimal sum is exact") {
+    import graft.operators.Rank
+    val sysA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val sysB = Seq((20L, 1), (30L, 2), (40L, 3)).toDF("id", "rank")
+    val out = Rank.rrfFuse(Seq(sysA, sysB), "id", k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    def c(r: Int) = BigDecimal(1.0 / (60 + r))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // doc 20 (ranks 2+1) outranks doc 10 (rank 1 alone): agreement wins
+    assert(out.map(_._1) === Seq(20L, 30L, 10L, 40L))
+    assert(out.head._2 === (c(2) + c(1)).toDouble)
+    assert(out.map(_._3) === Seq(2L, 2L, 1L, 1L))
+    // single system: RRF preserves the input order
+    val solo = Rank.rrfFuse(Seq(sysA), "id", k = 2)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq
+    assert(solo === Seq(10L, 20L))
+    intercept[IllegalArgumentException] { Rank.rrfFuse(Seq.empty, "id", 5) }
+  }
+
   test("corpus filter funnel: sequential drop accounting, null fails gates, " +
       "kept set = final stage") {
     import graft.operators.CorpusFilter
