@@ -18,20 +18,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Keywords {
 
-  /** Top-`k` tokens per document by smoothed TF-IDF:
-    * `tf(doc, t) * ln((N + 1) / (df(t) + 1))`, whitespace tokenization of
-    * the lowercased text (identical to [[graft.functions.TextAnalysis]]'s
-    * token stream). Ranking uses the score ROUNDED to 6 decimals with the
-    * token as tie-break, so ordering is reproducible across engines and
-    * runs (an unrounded double rank could flip on last-ulp differences).
-    * Returns (idCol, token, tfidf). Documents with no tokens emit nothing.
-    *
-    * All intermediate columns are `__kw_`-prefixed, so an input that
-    * already carries `token` / `tf` / `df` / `n_docs` columns cannot
-    * mis-resolve or trip an ambiguity error; only the two OUTPUT names are
-    * reserved (asserted against `idCol`, the one input name that survives
-    * into the result).
-    */
   /** BM25 retrieval: top-`k` documents for a bag-of-words query
     * (Robertson/Okapi BM25, the ranking function behind Lucene and every
     * keyword-retrieval stage of a RAG / training-data pipeline).
@@ -92,6 +78,74 @@ object Keywords {
       .limit(k)
   }
 
+  /** BATCHED BM25 — a whole query TABLE answered in one plan (the lexical
+    * member of the batched-serving family). `queries` carries
+    * (`queryIdCol`, `queryTermsCol`: array<string>). The corpus-side
+    * aggregates (token stream, doc lengths, avgdl) are computed ONCE and
+    * shared by every query — the win over looping [[bm25TopK]], which
+    * re-scans the corpus per query. The tf/df frames are restricted to
+    * the UNION of all queries' terms (a broadcast semi-join on the
+    * exploded token stream), each query then joins back only ITS OWN
+    * terms' rows. Per-token df is independent of which other tokens are
+    * asked about, so per-query results are IDENTICAL to the loop
+    * (spec-pinned). Returns (query_id, idCol, bm25) — per-query top-k by
+    * the same decimal sum + id tie-break as [[bm25TopK]].
+    */
+  def bm25BatchTopK(df: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTermsCol: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(idCol != "bm25" && idCol != "query_id",
+      s"idCol '$idCol' collides with a reserved output column")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(transform(col(queryTermsCol), lower(_))))
+        .as("__bm_token"))
+    val allTerms = broadcast(qterms.select("__bm_token").distinct())
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("__bm_token"))
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__bm_len"))
+    val stats = df.select(col(idCol)).join(lens, Seq(idCol), "left")
+      .agg(count(lit(1)).as("__bm_n"),
+        avg(coalesce(col("__bm_len"), lit(0L))).as("__bm_avgdl"))
+    val tf = toks.join(allTerms, Seq("__bm_token"), "left_semi")
+      .groupBy(col(idCol), col("__bm_token"))
+      .agg(count(lit(1)).as("__bm_tf"))
+    val dfreq = tf.groupBy("__bm_token").agg(count(lit(1)).as("__bm_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))
+    tf.join(broadcast(dfreq), "__bm_token")
+      .join(broadcast(qterms), "__bm_token")
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        (log(lit(1.0) + (col("__bm_n") - col("__bm_df") + lit(0.5)) /
+            (col("__bm_df") + lit(0.5))) *
+          (col("__bm_tf") * lit(k1 + 1.0)) /
+          (col("__bm_tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__bm_len") / col("__bm_avgdl"))))
+          .as("__bm_score"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(round(col("__bm_score"), 6).cast("decimal(18,6)"))
+        .cast("double").as("bm25"))
+      .withColumn("__bm_rank", row_number().over(w))
+      .where(col("__bm_rank") <= k).drop("__bm_rank")
+  }
+
+  /** Top-`k` tokens per document by smoothed TF-IDF:
+    * `tf(doc, t) * ln((N + 1) / (df(t) + 1))`, whitespace tokenization of
+    * the lowercased text (identical to [[graft.functions.TextAnalysis]]'s
+    * token stream). Ranking uses the score ROUNDED to 6 decimals with the
+    * token as tie-break, so ordering is reproducible across engines and
+    * runs (an unrounded double rank could flip on last-ulp differences).
+    * Returns (idCol, token, tfidf). Documents with no tokens emit nothing.
+    *
+    * All intermediate columns are `__kw_`-prefixed, so an input that
+    * already carries `token` / `tf` / `df` / `n_docs` columns cannot
+    * mis-resolve or trip an ambiguity error; only the two OUTPUT names are
+    * reserved (asserted against `idCol`, the one input name that survives
+    * into the result).
+    */
   def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
     require(idCol != "token" && idCol != "tfidf",

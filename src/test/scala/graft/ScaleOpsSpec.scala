@@ -284,6 +284,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bm25BatchTopK: per-query results identical to the bm25TopK loop; " +
+      "no-match queries emit nothing") {
+    import graft.operators.Keywords
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "kiwi apple"), (4L, "cherry cherry banana"), (5L, ""))
+      .toDF("id", "text")
+    val termSets = Seq(10L -> Seq("apple", "cherry"), 20L -> Seq("banana"),
+      30L -> Seq("zzz"))
+    val qdf = termSets.toDF("qid", "terms")
+    val batch = Keywords.bm25BatchTopK(docs, "id", "text", qdf, "qid",
+        "terms", k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val loop = termSets.flatMap { case (qid, terms) =>
+      Keywords.bm25TopK(docs, "id", "text", terms, k = 3)
+        .as[(Long, Double)].collect().map { case (id, s) => (qid, id, s) }
+    }
+    assert(batch.sortBy(r => (r._1, r._2)) === loop.sortBy(r => (r._1, r._2)))
+    assert(!batch.exists(_._1 == 30L)) // no term matched anywhere
+  }
+
   test("rrfFuse: agreement beats any single rank; absent docs contribute " +
       "nothing; decimal sum is exact") {
     import graft.operators.Rank
