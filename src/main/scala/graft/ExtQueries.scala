@@ -1172,6 +1172,15 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // interpolated trigram self-perplexity (Jelinek–Mercer λ 0.6/0.3/0.1)
+    // — the next rung up the CCNet ladder; all five count joins + the
+    // fixed-association interpolation hash cross-engine
+    "text_perplexity_trigram" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Lm.trigramPerplexity(all, all, "doc_id", "text")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // the FROZEN-LM path the corpus loop gates with: model trained on the
     // even-doc_id half, materialized as an index sidecar (count tables on
     // parquet), odd docs scored against the frozen sidecar — so the whole
@@ -2097,6 +2106,45 @@ object ExtQueries {
         |  SELECT bg.doc_id, ln((cb.cbn + 1.0) / (cp.cpn + v.vocab)) AS lp
         |  FROM bg JOIN cb USING (p, n) JOIN cp USING (p) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(-avg(lp)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // trigram twin: every count table from the same full token stream,
+    // identical join keys, identical interpolation association
+    "text_perplexity_trigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS lst
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(lst) AS w FROM toks) GROUP BY w),
+        |tot AS (SELECT sum(c1) AS n_tokens, count(*) AS vocab FROM uni),
+        |bg AS (
+        |  SELECT lst[i] AS v, lst[i+1] AS w
+        |  FROM toks, LATERAL unnest(generate_series(1, len(lst)-1)) AS t(i)
+        |  WHERE len(lst) >= 2),
+        |bi AS (SELECT v, w, count(*) AS c2 FROM bg GROUP BY v, w),
+        |bictx AS (SELECT v, sum(c2) AS c2ctx FROM bi GROUP BY v),
+        |tg AS (
+        |  SELECT doc_id, lst[i] AS u, lst[i+1] AS v, lst[i+2] AS w
+        |  FROM toks, LATERAL unnest(generate_series(1, len(lst)-2)) AS t(i)
+        |  WHERE len(lst) >= 3),
+        |tri AS (SELECT u, v, w, count(*) AS c3 FROM tg GROUP BY u, v, w),
+        |trictx AS (SELECT u, v, sum(c3) AS c3ctx FROM tri GROUP BY u, v),
+        |sc AS (
+        |  SELECT tg.doc_id,
+        |    ln(0.6 * ((coalesce(c3, 0) + 1.0) /
+        |          (coalesce(c3ctx, 0) + vocab)) +
+        |       0.3 * ((coalesce(c2, 0) + 1.0) /
+        |          (coalesce(c2ctx, 0) + vocab)) +
+        |       0.1 * ((coalesce(c1, 0) + 1.0) /
+        |          (n_tokens + vocab))) AS lp
+        |  FROM tg LEFT JOIN tri USING (u, v, w)
+        |  LEFT JOIN trictx USING (u, v)
+        |  LEFT JOIN bi USING (v, w) LEFT JOIN bictx USING (v)
+        |  LEFT JOIN uni USING (w) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_trigrams,
         |  round(exp(-avg(lp)), 4) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // frozen-LM twin: the text_perplexity model restricted to the even-id

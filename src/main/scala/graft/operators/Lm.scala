@@ -101,6 +101,75 @@ object Lm {
     score(docs, idCol, textCol, cb, cp, v)
   }
 
+  /** The (u, v, w) trigram stream of a staged token-array column. */
+  private def trigrams(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 2),
+      i => struct(element_at(w, i).as("u"), element_at(w, i + 1).as("v"),
+        element_at(w, i + 2).as("w")))
+
+  /** Per-document perplexity under an INTERPOLATED trigram LM (Jelinek–
+    * Mercer): p(w|u,v) = λ3·p3(w|u,v) + λ2·p2(w|v) + λ1·p1(w), each term
+    * add-one smoothed — the next rung up from [[bigramPerplexity]] on the
+    * CCNet ladder (a pure trigram model would zero out on every unseen
+    * history; interpolation backs off gracefully, which is what makes
+    * trigram LMs usable as corpus-quality gates).
+    *
+    * All count tables derive from the full token stream of `train` in
+    * three grouped aggregations (unigram/bigram/trigram — each map-side
+    * combined, sublinear by Heaps' law); scoring is one explode plus five
+    * left equi-joins against them. No driver-side model state. Documents
+    * with fewer than three tokens carry no trigram evidence and are
+    * omitted (same policy as the bigram scorer). The interpolation is a
+    * fixed-association expression, deterministic cross-engine. Returns
+    * (idCol, n_trigrams, ppl).
+    */
+  def trigramPerplexity(docs: DataFrame, train: DataFrame, idCol: String,
+                        textCol: String, l3: Double = 0.6, l2: Double = 0.3,
+                        l1: Double = 0.1): DataFrame = {
+    guard(docs, idCol)
+    require(!train.columns.exists(_.startsWith("__lm_")),
+      "train already carries __lm_-prefixed internals")
+    require(!Seq("u", "v", "w", "tg", "n_trigrams").contains(idCol),
+      s"idCol '$idCol' collides with an Lm trigram internal column name")
+    // token stream of the training corpus — every count table hangs off it
+    val tw = train.withColumn("__lm_w", toks(col(textCol)))
+    val uni = tw.select(explode(col("__lm_w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum("c1").as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    val bi = tw.where(size(col("__lm_w")) >= 2)
+      .select(explode(bigrams(col("__lm_w"))).as("bg"))
+      .select(col("bg.p").as("v"), col("bg.n").as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c2"))
+    val biCtx = bi.groupBy("v").agg(sum("c2").as("c2ctx"))
+    val tri = tw.where(size(col("__lm_w")) >= 3)
+      .select(explode(trigrams(col("__lm_w"))).as("tg"))
+      .select(col("tg.u").as("u"), col("tg.v").as("v"), col("tg.w").as("w"))
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+    val triCtx = tri.groupBy("u", "v").agg(sum("c3").as("c3ctx"))
+    docs.withColumn("__lm_w", toks(col(textCol)))
+      .where(size(col("__lm_w")) >= 3)
+      .select(explode(trigrams(col("__lm_w"))).as("tg"), col(idCol))
+      .select(col("tg.u").as("u"), col("tg.v").as("v"), col("tg.w").as("w"),
+        col(idCol))
+      .join(tri, Seq("u", "v", "w"), "left")
+      .join(triCtx, Seq("u", "v"), "left")
+      .join(bi, Seq("v", "w"), "left")
+      .join(biCtx, Seq("v"), "left")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        log(lit(l3) * ((coalesce(col("c3"), lit(0L)) + 1.0) /
+              (coalesce(col("c3ctx"), lit(0L)) + col("vocab"))) +
+            lit(l2) * ((coalesce(col("c2"), lit(0L)) + 1.0) /
+              (coalesce(col("c2ctx"), lit(0L)) + col("vocab"))) +
+            lit(l1) * ((coalesce(col("c1"), lit(0L)) + 1.0) /
+              (col("n_tokens") + col("vocab")))).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(exp(-avg(col("lp"))), 4).as("ppl"))
+  }
+
   /** Materialize the trained bigram LM as an index sidecar — the
     * [[Dedup.writeMinhashIndex]] / [[Similarity.writeIvfPqIndex]] pattern
     * applied to the LM: count tables (sublinear in the corpus by Heaps'

@@ -60,4 +60,29 @@ class LmSpec extends AnyFunSuite with SparkFixture {
     val outlier = r.find(_._1 == 9L).get._3
     assert(common.forall(_ < outlier))
   }
+
+  test("trigram perplexity: hand-computed interpolated fixture; short " +
+      "docs omitted; soup scores above fluent text") {
+    // train = {"a b c", "a b"} (tokens a,b,c,a,b → N=5, V=3; c2ctx(b)=1
+    // because only (b,c) continues b). Scoring doc 1's single trigram
+    // (a,b,c): p3 = (1+1)/(1+3), p2 = (1+1)/(1+3), p1 = (1+1)/(5+3);
+    // ppl = 1 / (0.6·p3 + 0.3·p2 + 0.1·p1)
+    val one = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val r = Lm.trigramPerplexity(one, one, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L)) // doc 2 has no trigram
+    assert(r.head._2 === 1L)
+    val p = 0.6 * (2.0 / 4.0) + 0.3 * (2.0 / 4.0) + 0.1 * (2.0 / 8.0)
+    val expected = BigDecimal(math.exp(-math.log(p)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.head._3 === expected)
+    // repeated fluent phrase vs shuffled soup under the interpolated model
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 8L).map(i => (i, base)) :+
+      (9L, "dog the over quick lazy fox brown jumps the"))
+      .toDF("doc_id", "text")
+    val s = Lm.trigramPerplexity(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(s.filter(_._1 <= 8).map(_._3).forall(_ < s.last._3))
+  }
 }
