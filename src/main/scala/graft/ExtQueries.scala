@@ -71,6 +71,13 @@ object ExtQueries {
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),
 
+    // exact dedup with a QUALITY survivor policy: per duplicate group keep
+    // the copy from the preferred (lexicographically last) source, id as
+    // tie-break — curation keeps the best copy, not the first-seen one
+    "dedup_exact_best" -> ((s, d) =>
+      Dedup.exactBest(docs(s, d), "doc_id", Seq("text"), "source")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // n-gram Jaccard near-dup pairs, blocked by (lang, length bucket) so the
     // self-join is an equi-join — per-block quadratic, never global
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -1705,6 +1712,16 @@ object ExtQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    // survivor-policy twin: same window, same (source DESC, doc_id)
+    // ordering — both engines compare the ASCII source names bytewise
+    "dedup_exact_best" ->
+      """SELECT doc_id, text, lang, source, n_chars, n_copies FROM (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY text
+        |      ORDER BY source DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY text) AS n_copies
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // components twin: the same near-dup pair set as dedup_ngram_jaccard,
     // closed transitively by a recursive CTE (symmetric edge set, then the
     // min reachable id per node — a node in a ≥2-cluster always reaches

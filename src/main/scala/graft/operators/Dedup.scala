@@ -26,6 +26,27 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with a QUALITY survivor policy: per duplicate group,
+    * keep the row maximizing `qualityCol` (id ascending as tie-break)
+    * instead of the arbitrary lowest id — near-universal in corpus
+    * curation, where copies differ in upstream metadata (a longer scrape,
+    * a higher quality score) and "first seen" throws the best one away.
+    * Same single shuffle as [[exact]] — a max_by struct aggregation, no
+    * window, no second pass. Returns the full surviving rows plus
+    * `n_copies`.
+    */
+  def exactBest(df: DataFrame, idCol: String, keyCols: Seq[String],
+                qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("__dd_rn", row_number().over(w))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .where(col("__dd_rn") === 1)
+      .drop("__dd_rn")
+  }
+
   // MinHash over 2^31 hash space: h_i(s) = (a_i·x + b_i) mod p, x = base
   // shingle hash folded into [0, 2^31). Coefficients are kept < 2^31 so
   // a·x < 2^62 never overflows a signed long (ANSI mode makes overflow an

@@ -147,6 +147,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(greedyKept.size === transitive.size + 1)
   }
 
+  test("exactBest keeps the preferred-quality copy where exact keeps the " +
+      "lowest id") {
+    val df = Seq((1L, "x", "srcA"), (2L, "x", "srcC"), (3L, "x", "srcB"),
+      (4L, "y", "srcZ")).toDF("id", "text", "src")
+    val best = Dedup.exactBest(df, "id", Seq("text"), "src")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    // group "x": survivor is id 2 (srcC sorts last), NOT the lowest id 1
+    assert(best === Seq((2L, "x", "srcC", 3L), (4L, "y", "srcZ", 1L)))
+    val lowest = Dedup.exact(df, "id", Seq("text"))
+      .select("id").as[Long].collect().toSet
+    assert(lowest === Set(1L, 4L))
+  }
+
   test("ngram jaccard pairs with blocking") {
     val pairs = Dedup.ngramJaccardPairs(
         docs.withColumn("blk", lit(1)), "doc_id", "text",
