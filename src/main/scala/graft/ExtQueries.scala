@@ -1094,6 +1094,19 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // transitive clean with the QUALITY survivor: same components as
+    // dedup_clean_transitive (row count must match it exactly — same
+    // cluster structure, different representative), keeping the longest
+    // member per cluster. Rows-only (MinHash pairs are engine-hashed)
+    "dedup_clean_best" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text",
+        threshold = 0.8, persistIntermediates = false)
+      Components.keepComponentBest(docs(s, d), "doc_id",
+          pairs, "id_a", "id_b", qualityCol = "n_chars")
+        .select("doc_id")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // the greedy-vs-transitive gap, driver-visible (1 row): how many extra
     // rows component-wise cleaning removes over pair-greedy cleaning on
     // this corpus. greedy_kept ≥ transitive_kept always (transitive

@@ -115,4 +115,30 @@ object Components {
       .select(col("id").cast("long").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Transitive cleaning with a QUALITY survivor policy: per connected
+    * component keep the member maximizing `qualityCol` (id tie-break)
+    * instead of the lowest id — the component analog of
+    * [[Dedup.exactBest]]. Rows outside every component (no near-dup hit)
+    * survive untouched; the survivor window runs only over component
+    * MEMBERS (pair-hit minority), so its shuffle is candidate-sized, not
+    * corpus-sized.
+    */
+  def keepComponentBest(df: DataFrame, idCol: String,
+                        pairs: DataFrame, idA: String, idB: String,
+                        qualityCol: String,
+                        maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, idA, idB, maxIters)
+    val members = comp.select(col("id").cast("long").as(idCol),
+        col("component"))
+      .join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
+    val w = Window.partitionBy("component")
+      .orderBy(col(qualityCol).desc, col(idCol))
+    val losers = members
+      .withColumn("__cc_rn", row_number().over(w))
+      .where(col("__cc_rn") =!= 1)
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

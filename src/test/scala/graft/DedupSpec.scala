@@ -160,6 +160,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lowest === Set(1L, 4L))
   }
 
+  test("keepComponentBest: the chain's best-quality member survives, " +
+      "minima would keep the lowest id; isolated rows untouched") {
+    import graft.operators.Components
+    // chain 1~2, 2~3 (one component), 4 isolated; quality favors id 2
+    val df = Seq((1L, 10), (2L, 99), (3L, 50), (4L, 1)).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val best = Components.keepComponentBest(df, "id", pairs, "id_a", "id_b",
+      "q").select("id").as[Long].collect().toSet
+    assert(best === Set(2L, 4L))
+    val minima = Components.keepComponentMinima(df, "id", pairs, "id_a",
+      "id_b").select("id").as[Long].collect().toSet
+    assert(minima === Set(1L, 4L))
+  }
+
   test("ngram jaccard pairs with blocking") {
     val pairs = Dedup.ngramJaccardPairs(
         docs.withColumn("blk", lit(1)), "doc_id", "text",
