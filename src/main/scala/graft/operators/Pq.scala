@@ -136,6 +136,18 @@ object Pq {
     writeCodebooks(corpus.sparkSession, path, cb)
   }
 
+  /** Append a batch to a materialized flat-PQ index with the FROZEN
+    * codebook sidecar (the convention every index in the engine follows:
+    * readers keep a consistent geometry; rebuild when drift matters).
+    * Cost: encoding the batch — m·k literal-centroid dots per row.
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val cb = readCodebooks(batch.sparkSession, path)
+    encode(batch, idCol, vecCol, cb)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** The codebook sidecar (m rows), shared with the IVF-PQ index writer. */
   private[operators] def writeCodebooks(
       spark: org.apache.spark.sql.SparkSession, path: String,

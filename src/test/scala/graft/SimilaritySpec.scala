@@ -416,6 +416,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(flatBatch.sortBy(r => (r._1, -r._3, r._2)) ===
       flatLoop.toSeq.sortBy(r => (r._1, -r._3, r._2)))
 
+    // frozen-codebook flat-PQ append: the appended near-dup serves through
+    // the same index and outranks everything but the planted neighbor
+    val extraPq = Seq((7000L, planted.map(x => x + 1e-4f)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Pq.appendToIndex(extraPq, "vec_id", "embedding", flatDir)
+    val afterAppend = graft.operators.Pq.batchTopKFromIndex(spark, flatDir,
+        corpusDf.unionByName(extraPq), "vec_id", "embedding",
+        queriesDf.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 2, oversample = 8)
+      .as[(Long, Long, Double)].collect().map(_._2).toSet
+    assert(afterAppend === Set(999L, 7000L))
+
     // batched LSH from the materialized index ≡ the per-query loop
     val lshDir = java.nio.file.Files.createTempDirectory("lsh_batch").toString
     Similarity.writeLshIndex(corpusDf, "vec_id", "embedding", lshDir,
