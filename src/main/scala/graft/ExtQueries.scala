@@ -71,6 +71,24 @@ object ExtQueries {
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),
 
+    // the WHOLE curation pipeline as one declarative plan, hash-checked
+    // end to end: quality gates (CorpusFilter) → best-copy exact dedup
+    // (Dedup.exactBest) → nucleus 80%-mass cut per source
+    // (Sampling.topMassPerStratum). Every stage is an engine operator;
+    // Catalyst fuses the chain — this is the composition a corpus builder
+    // actually ships, proven equivalent to the reference SQL in one hash
+    "q_curation_pipeline" -> ((s, d) => {
+      val gated = graft.operators.CorpusFilter.keep(docs(s, d), Seq(
+        "lang_en" -> (col("lang") === "en"),
+        "min_len" -> (col("n_chars") >= 100)))
+      val deduped = Dedup.exactBest(gated, "doc_id", Seq("text"), "source")
+      graft.operators.Sampling.topMassPerStratum(deduped, "source",
+          "doc_id", scoreCol = "n_chars", massCol = "n_chars",
+          pNum = 8, pDen = 10)
+        .select("doc_id", "source", "n_chars")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // exact dedup with a QUALITY survivor policy: per duplicate group keep
     // the copy from the preferred (lexicographically last) source, id as
     // tie-break — curation keeps the best copy, not the first-seen one
@@ -1725,6 +1743,25 @@ object ExtQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    // pipeline twin: the three stages as chained CTEs — gate predicates,
+    // the survivor window, the integer-exact mass cut
+    "q_curation_pipeline" ->
+      """WITH gated AS (
+        |  SELECT * FROM documents WHERE lang = 'en' AND n_chars >= 100),
+        |dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text
+        |      ORDER BY source DESC, doc_id) AS rn
+        |    FROM gated) WHERE rn = 1),
+        |cut AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM dd)
+        |SELECT doc_id, source, n_chars FROM cut
+        |WHERE cum * 10 <= tot * 8 ORDER BY doc_id""".stripMargin,
     // survivor-policy twin: same window, same (source DESC, doc_id)
     // ordering — both engines compare the ASCII source names bytewise
     "dedup_exact_best" ->
