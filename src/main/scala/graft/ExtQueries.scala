@@ -438,6 +438,22 @@ object ExtQueries {
           chunkTokens = 64, overlap = 8)
         .transform(Queries.presentSorted(_, "doc_id", "chunk_idx"))),
 
+    // chunk-granularity BM25 — retrieval the way RAG actually consumes it
+    // (top CHUNKS with document provenance, not whole docs): the chunking
+    // operator feeds the ranking operator in one plan, avgdl/df computed
+    // over the chunk corpus
+    "q_chunk_bm25" -> ((s, d) => {
+      val chunks = graft.operators.Chunking.chunkByTokens(docs(s, d),
+          "doc_id", "text", chunkTokens = 32, overlap = 0)
+        .withColumn("chunk_uid", col("doc_id") * 1000 + col("chunk_idx"))
+      Keywords.bm25TopK(chunks, "chunk_uid", "chunk_text",
+          query = Seq("hash", "join", "vector"), k = 20)
+        .join(chunks.select("chunk_uid", "doc_id", "chunk_idx"),
+          "chunk_uid")
+        .select("chunk_uid", "doc_id", "chunk_idx", "bm25")
+        .transform(Queries.presentSorted(_, "chunk_uid"))
+    }),
+
     // boilerplate detection: chunk-level exact dedup — repeated context
     // windows across documents (copy-pasted headers/footers/templates).
     // Composition of chunking + the exact-dedup shuffle; the groupBy key
@@ -1541,6 +1557,58 @@ object ExtQueries {
         |  CAST(len(words[k * 56 + 1 : k * 56 + 64]) AS BIGINT)
         |    AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // chunk-BM25 twin: the 32/0 chunking CTE feeding the BM25 CTE keyed
+    // by chunk_uid; same idf/decimal-sum arithmetic as q_bm25_topk
+    "q_chunk_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, words,
+        |    1 + (greatest(len(words) - 32, 0) + 31) // 32 AS n_chunks
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS k,
+        |    words FROM n),
+        |ch AS (
+        |  SELECT doc_id * 1000 + k AS chunk_uid, doc_id,
+        |    CAST(k AS INT) AS chunk_idx,
+        |    array_to_string(words[k * 32 + 1 : k * 32 + 32], ' ')
+        |      AS chunk_text
+        |  FROM c),
+        |toks AS (
+        |  SELECT chunk_uid, unnest(list_filter(
+        |    string_split_regex(lower(trim(chunk_text)), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM ch),
+        |lens AS (
+        |  SELECT chunk_uid, count(*) AS blen FROM toks GROUP BY chunk_uid),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM ch LEFT JOIN lens USING (chunk_uid)),
+        |tf AS (
+        |  SELECT chunk_uid, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'join', 'vector')
+        |  GROUP BY chunk_uid, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT chunk_uid,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (chunk_uid)
+        |  CROSS JOIN stats),
+        |agg AS (
+        |  SELECT chunk_uid,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY chunk_uid),
+        |topk AS (
+        |  SELECT chunk_uid, bm25 FROM agg
+        |  ORDER BY bm25 DESC, chunk_uid LIMIT 20)
+        |SELECT chunk_uid, doc_id, chunk_idx, bm25
+        |FROM topk JOIN ch USING (chunk_uid) ORDER BY chunk_uid""".stripMargin,
     // boilerplate twin: the chunking CTE + a HAVING-filtered aggregate
     "q_chunk_boilerplate" ->
       """WITH w AS (
