@@ -473,20 +473,40 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         counted += 1
     }
-    def jobsOf(qs: org.apache.spark.sql.DataFrame): Int = {
+    def jobsRunning(body: => Unit): Int = {
       spark.sparkContext.addSparkListener(listener)
       try {
         counted = 0
-        Similarity.ivfBatchTopKFromIndex(spark, ivfDir, "vec_id",
-          "embedding", qs, "vec_id", "embedding", k = 5, nprobe = 2).count()
+        body
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
         counted
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+    def jobsOf(qs: org.apache.spark.sql.DataFrame): Int =
+      jobsRunning {
+        Similarity.ivfBatchTopKFromIndex(spark, ivfDir, "vec_id",
+          "embedding", qs, "vec_id", "embedding", k = 5, nprobe = 2).count()
+      }
     val jobsSmall = jobsOf(queriesDf.limit(2))
     val jobsFull = jobsOf(queriesDf)
     assert(jobsFull === jobsSmall,
       s"batched serve scaled with batch size: $jobsSmall vs $jobsFull jobs")
+
+    // same invariance for the LSH and SQ8 batch paths
+    def lshJobs(qs: org.apache.spark.sql.DataFrame): Int =
+      jobsRunning {
+        Similarity.lshBatchTopKFromIndex(spark, lshDir, "vec_id",
+          "embedding", qs, "vec_id", "embedding", k = 5).count()
+      }
+    assert(lshJobs(queriesDf) === lshJobs(queriesDf.limit(2)))
+    val sqDir = java.nio.file.Files.createTempDirectory("sq_jobs").toString
+    graft.operators.Sq.writeSqIndex(corpusDf, "vec_id", "embedding", sqDir)
+    def sqJobs(qs: org.apache.spark.sql.DataFrame): Int =
+      jobsRunning {
+        graft.operators.Sq.sqBatchTopKFromIndex(spark, sqDir, "vec_id",
+          "embedding", qs, "vec_id", "embedding", k = 5).count()
+      }
+    assert(sqJobs(queriesDf) === sqJobs(queriesDf.limit(2)))
   }
 
   test("hardNegatives: never emits a same-label vector and equals the " +
