@@ -910,6 +910,35 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "query_id", "doc_id"))
     }),
 
+    // MaxSim late interaction: multi-vector documents (label groups of
+    // the embeddings table stand in for passage token sets), three query
+    // token vectors — each finds its best member per doc independently,
+    // per-doc decimal sum of rounded maxes. Fully hash-checked (max has
+    // no ordering exposure; the sum rides the decimal pattern)
+    "q_maxsim" -> ((s, d) => {
+      val all = embs(s, d)
+      Similarity.maxSimTopK(
+          all.filter(!col("vec_id").isin(0L, 40L, 80L)),
+          "label", "embedding",
+          all.filter(col("vec_id").isin(0L, 40L, 80L)),
+          "vec_id", "embedding", k = 3)
+        .transform(Queries.presentSorted(_, "label"))
+    }),
+
+    // IVF index health: cell-population stats + imbalance factor — the
+    // number an operator watches at 100 TB (imbalance >> 1 = skewed probe
+    // latency, retrain wanted). Rows-only: the index geometry is
+    // engine-hashed
+    "ann_index_stats" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_stats_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 1)
+      Similarity.ivfIndexStats(s, idx)
+    }),
+
     // Hybrid retrieval: BM25 (lexical) and brute-force cosine (dense)
     // rankings fused by reciprocal rank — the standard RAG first stage.
     // Both input rankings and the decimal RRF sum are deterministic, so
@@ -2121,6 +2150,30 @@ object ExtQueries {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, round(score, 6) AS score FROM s
         |ORDER BY s.score DESC, vec_id LIMIT 10""".stripMargin,
+    // maxsim twin: same cosine, (doc, token)-keyed max (no ordering
+    // exposure), decimal sum of 6-decimal maxes
+    "q_maxsim" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qt, v AS qv FROM e
+        |      WHERE vec_id IN (0, 40, 80)),
+        |c AS (SELECT * FROM e WHERE vec_id NOT IN (0, 40, 80)),
+        |s AS (
+        |  SELECT label, qt,
+        |    max(list_dot_product(c.v, qv)
+        |      / (sqrt(list_dot_product(c.v, c.v))
+        |         * sqrt(list_dot_product(qv, qv)))) AS ms
+        |  FROM c, q GROUP BY label, qt),
+        |agg AS (
+        |  SELECT label,
+        |    CAST(sum(CAST(round(ms, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS maxsim
+        |  FROM s GROUP BY label)
+        |SELECT * FROM (
+        |  SELECT label, maxsim FROM agg
+        |  ORDER BY maxsim DESC, label LIMIT 3)
+        |ORDER BY label""".stripMargin,
     // hard-negative twin: same cosine arithmetic as ann_bruteforce, label
     // mismatch below the per-query window, vec_id tie-break on the cut
     "q_hard_negatives" ->

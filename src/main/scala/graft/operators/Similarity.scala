@@ -109,6 +109,57 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x) / scale))
   }
 
+  /** ColBERT-style MaxSim late interaction (Khattab & Zaharia, SIGIR
+    * 2020): documents are SETS of vectors (passage token/chunk
+    * embeddings), queries are sets of token vectors, and
+    * `score(q, d) = Σ_{t ∈ q} max_{v ∈ d} cos(t, v)` — each query token
+    * finds its best-matching document vector independently, which is what
+    * makes late interaction outrank single-vector retrieval.
+    *
+    * Plan: one scored pass (doc vectors × broadcast query tokens), a
+    * (doc, token)-keyed max, then the per-doc decimal sum (6-decimal
+    * rounded maxes — addition-order-independent, so the top-k cut is
+    * bit-stable however many query tokens there are). Max of doubles has
+    * no ordering exposure at all, so the whole score hashes
+    * cross-engine. Returns (docIdCol, maxsim) top-k.
+    */
+  def maxSimTopK(corpus: DataFrame, docIdCol: String, vecCol: String,
+                 queryToks: DataFrame, queryTokIdCol: String,
+                 queryVecCol: String, k: Int): DataFrame =
+    corpus
+      .crossJoin(broadcast(queryToks.select(
+        col(queryTokIdCol).as("__qt"), col(queryVecCol).as("__qvec"))))
+      .select(col(docIdCol), col("__qt"),
+        Vectors.cosine(col(vecCol), col("__qvec")).as("__s"))
+      .groupBy(col(docIdCol), col("__qt"))
+      .agg(max("__s").as("__ms"))
+      .groupBy(col(docIdCol))
+      .agg(sum(round(col("__ms"), 6).cast("decimal(18,6)"))
+        .cast("double").as("maxsim"))
+      .orderBy(col("maxsim").desc, col(docIdCol))
+      .limit(k)
+
+  /** Index health diagnostics for a materialized IVF-family index: cell
+    * population statistics as one row — populated cells, min/max/mean
+    * population, and the imbalance factor max/mean. At 100 TB this is the
+    * number an operator watches: imbalance ≫ 1 means some cells carry a
+    * disproportionate share of every probe (skewed serving latency) and
+    * the index wants retraining with more iterations or a resharded
+    * nlist. One column-pruned scan (id only) + one grouped count.
+    */
+  def ivfIndexStats(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.read.parquet(s"$path/data")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val nlist = readCentroids(spark, path).size
+    counts.agg(count(lit(1)).as("cells_populated"),
+        min("n").as("min_pop"), max("n").as("max_pop"),
+        avg("n").as("mean_pop"))
+      .select(lit(nlist).as("nlist"), col("cells_populated"),
+        col("min_pop"), col("max_pop"),
+        round(col("mean_pop"), 2).as("mean_pop"),
+        round(col("max_pop") / col("mean_pop"), 4).as("imbalance"))
+  }
+
   /** Adds the LSH bucket column(s): one per hash table. */
   def withLshBuckets(df: DataFrame, vecCol: String,
                      nBits: Int = 12, tables: Int = 4): DataFrame =

@@ -628,6 +628,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(full === flatR)
   }
 
+  test("maxSimTopK: each query token matches its best doc vector " +
+      "independently; totals are decimal-exact") {
+    val mv = Seq((1L, "A", Array(1f, 0f)), (2L, "A", Array(0f, 1f)),
+      (3L, "B", Array(0.7f, 0.7f))).toDF("vec_id", "doc", "embedding")
+    val qt = Seq((10L, Array(1f, 0f)), (11L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.maxSimTopK(mv, "doc", "embedding", qt, "vec_id",
+        "embedding", k = 2)
+      .as[(String, Double)].collect().toSeq
+    // A: each token finds its exact twin (cos 1.0) → 2.0; B: both tokens
+    // hit the diagonal vector at cos ≈ 0.707107 → ≈ 1.414214
+    assert(out.head === ("A", 2.0))
+    assert(out(1)._1 === "B")
+    assert(math.abs(out(1)._2 - 2 * 0.707107) < 1e-6)
+  }
+
+  test("ivfIndexStats: population accounting and imbalance >= 1") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stats").toString
+    Similarity.writeIvfIndex(corpusDf, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 1)
+    val r = Similarity.ivfIndexStats(spark, dir).collect().head
+    assert(r.getInt(0) === 4)                   // nlist
+    val populated = r.getLong(1)
+    assert(populated >= 1 && populated <= 4)
+    assert(r.getLong(2) <= r.getLong(3))        // min <= max
+    // mean · populated = corpus size (201 vectors)
+    assert(math.round(r.getDouble(4) * populated) === corpusDf.count())
+    assert(r.getDouble(5) >= 1.0)               // imbalance = max/mean
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
