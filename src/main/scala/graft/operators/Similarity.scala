@@ -168,21 +168,28 @@ object Similarity {
         Vectors.hyperplaneBucket(col(vecCol), nBits, tableSeed = t))
     }
 
-  /** All buckets within hamming distance `hammingProbe` (0 or 1) of the
-    * base bucket: the exact bucket, plus — for hamming 1 — every single
-    * bit flip. Multiprobe LSH: a near neighbor that lands one hyperplane
-    * on the wrong side sits in a hamming-1 bucket, so probing those
-    * recovers most of the recall an extra hash table would buy WITHOUT
-    * replicating the corpus again — probe count is per-QUERY cost (tiny),
-    * table count is per-CORPUS cost (another full copy in the index).
+  /** All buckets within hamming distance `hammingProbe` (0, 1 or 2) of
+    * the base bucket: the exact bucket, every single bit flip, and — for
+    * hamming 2 — every pair of flips. Multiprobe LSH: a near neighbor
+    * that lands one or two hyperplanes on the wrong side sits in a
+    * hamming-1/2 bucket, so probing those recovers most of the recall an
+    * extra hash table would buy WITHOUT replicating the corpus again —
+    * probe count is per-QUERY cost (1 + n + n(n−1)/2 at hamming 2, still
+    * tiny), table count is per-CORPUS cost (another full copy in the
+    * index).
     */
   private def probeSet(baseBucket: Column, nBits: Int,
                        hammingProbe: Int): Column = {
-    require(hammingProbe >= 0 && hammingProbe <= 1,
-      "hammingProbe 0 (exact) or 1 (all single-bit flips)")
-    if (hammingProbe == 0) array(baseBucket)
-    else array(baseBucket +: (0 until nBits).map(i =>
-      baseBucket.bitwiseXOR(lit(1L << i))): _*)
+    require(hammingProbe >= 0 && hammingProbe <= 2,
+      "hammingProbe 0 (exact), 1 (single-bit flips) or 2 (+pair flips)")
+    val masks = hammingProbe match {
+      case 0 => Seq.empty[Long]
+      case 1 => (0 until nBits).map(i => 1L << i)
+      case _ => (0 until nBits).map(i => 1L << i) ++
+        (for (i <- 0 until nBits; j <- i + 1 until nBits)
+          yield (1L << i) | (1L << j))
+    }
+    array(baseBucket +: masks.map(m => baseBucket.bitwiseXOR(lit(m))): _*)
   }
 
   /** Approximate top-k: candidates = union over hash tables of vectors in

@@ -74,6 +74,17 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
         queryDf, "embedding", 1000, hammingProbe = 1)
       .as[(Long, Double)].collect().map(_._1).toSet
     assert(served === multi)
+
+    // hamming-2 probing: candidate superset of hamming-1 (1 + n + n(n-1)/2
+    // probes per table — still per-query cost, not another corpus copy)
+    val multi2 = Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 1000, nBits = 8, tables = 2, hammingProbe = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(multi.subsetOf(multi2))
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpusDf, "vec_id", "embedding",
+        queryDf, "embedding", 5, nBits = 8, tables = 1, hammingProbe = 3)
+    }
   }
 
   test("IVF top-k recalls the planted neighbor through cell pruning") {
