@@ -65,6 +65,16 @@ object CorpusPipeline {
     else spark.read.parquet(s"$annPath/trained_meta")
       .collect().head.getLong(0)
 
+  /** Per-batch SQ8 maintenance: the corpus embeddings also keep an int8
+    * scalar-quantized index ([[graft.operators.Sq]]) — rebuild-from-corpus
+    * until `minTrainRows` (per-dim min/max trained on a tiny bootstrap
+    * would freeze clamping ranges the growing corpus immediately
+    * outruns), frozen-params append after, exactly the [[AnnIndex]]
+    * freeze contract.
+    */
+  case class SqIndexCfg(indexPath: String, embeddingCol: String,
+                        minTrainRows: Long = 256)
+
   /** Perplexity gate against a FROZEN reference LM (a [[Lm.writeLmIndex]]
     * sidecar — built once from a curated reference corpus, NOT retrained
     * per batch, so gate decisions are stable across the corpus lifetime
@@ -87,7 +97,8 @@ object CorpusPipeline {
                      benchmark: Option[DataFrame] = None,
                      contaminationN: Int = 8,
                      ann: Option[AnnIndex] = None,
-                     lm: Option[LmGate] = None): Long = {
+                     lm: Option[LmGate] = None,
+                     sq: Option[SqIndexCfg] = None): Long = {
     val heuristicGated =
       if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
     // statistical-LM gate after the cheap heuristics: only docs that
@@ -160,6 +171,25 @@ object CorpusPipeline {
             Seq(n).toDF("trained_rows").coalesce(1)
               .write.mode("overwrite")
               .parquet(s"${a.indexPath}/trained_meta")
+          }
+        }
+        // SQ8 maintenance: same rebuild-until-trained / frozen-append
+        // contract as the ANN block above, and for the same reason it
+        // runs BEFORE the MinHash gate append
+        sq.foreach { q =>
+          val trained = annTrainedRows(spark, q.indexPath)
+          if (trained >= q.minTrainRows)
+            graft.operators.Sq.appendToSqIndex(survivors, idCol,
+              q.embeddingCol, q.indexPath)
+          else {
+            val corpusNow = spark.read.parquet(corpusPath)
+            val n = corpusNow.count()
+            graft.operators.Sq.writeSqIndex(corpusNow, idCol,
+              q.embeddingCol, q.indexPath)
+            import spark.implicits._
+            Seq(n).toDF("trained_rows").coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"${q.indexPath}/trained_meta")
           }
         }
         if (indexExists(spark, indexPath))

@@ -28,7 +28,8 @@ object CorpusStream {
             benchmark: Option[DataFrame] = None,
             contaminationN: Int = 8,
             ann: Option[CorpusPipeline.AnnIndex] = None,
-            lm: Option[CorpusPipeline.LmGate] = None)
+            lm: Option[CorpusPipeline.LmGate] = None,
+            sq: Option[CorpusPipeline.SqIndexCfg] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -37,7 +38,7 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
           idCol, textCol, threshold, gates, benchmark, contaminationN, ann,
-          lm)
+          lm, sq)
         ()
       }
       .start()

@@ -271,6 +271,46 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(top1(ann, noisy) === top1(rebuilt, noisy))
   }
 
+  test("SQ8 sidecar freeze boundary: frozen-params appends serve like " +
+      "the built rows") {
+    import graft.ingest.CorpusPipeline
+    import graft.operators.Sq
+    val dir = Files.createTempDirectory("corpus_sq")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val sqp = dir.resolve("sq").toString
+    val rnd = new scala.util.Random(17)
+    val vs = (1 to 6).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val texts = Seq(
+      "alpha document about mountain weather patterns and seasonal storms",
+      "beta text concerning maritime navigation and coastal lighthouses",
+      "gamma entry on medieval architecture and stone cathedral builders",
+      "delta notes about orchestral composition and string instruments",
+      "epsilon records of desert botany and succulent plant adaptations",
+      "zeta survey of deep sea creatures and bioluminescent organisms")
+    def batchDf(ids: Range) =
+      ids.map(i => (i.toLong, texts(i - 1), vs(i - 1)))
+        .toDF("doc_id", "text", "embedding")
+    val cfg = CorpusPipeline.SqIndexCfg(sqp, "embedding", minTrainRows = 4)
+    def run(ids: Range): Long = CorpusPipeline.dedupAndAppend(
+      batchDf(ids), corpus, idx, "doc_id", "text", 0.8, sq = Some(cfg))
+    assert(run(1 to 3) === 3) // rebuild regime
+    assert(spark.read.parquet(s"$sqp/trained_meta").as[Long].head() === 3L)
+    assert(run(4 to 5) === 2) // rebuild AND crosses minTrainRows
+    assert(spark.read.parquet(s"$sqp/trained_meta").as[Long].head() === 5L)
+    assert(run(6 to 6) === 1) // first FROZEN append
+    assert(spark.read.parquet(s"$sqp/trained_meta").as[Long].head() === 5L)
+    // every corpus vector — the post-freeze append included — resolves to
+    // itself through the maintained index
+    val queries = (1 to 6).map(i => (100L + i, vs(i - 1)))
+      .toDF("vec_id", "embedding")
+    val top1 = Sq.sqBatchTopKFromIndex(spark, sqp, "doc_id", "embedding",
+        queries, "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1 - 100L, r._2)).toMap
+    for (i <- 1 to 6) assert(top1(i.toLong) === i.toLong, s"doc $i")
+  }
+
   test("streaming corpus: checkpointed file stream drives the same gate") {
     import graft.streaming.CorpusStream
     val dir = Files.createTempDirectory("corpus_stream")
