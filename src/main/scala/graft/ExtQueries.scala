@@ -1255,6 +1255,18 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // n-gram novelty vs a reference corpus (even docs as reference, odd
+    // docs scored): the data-selection dual of decontamination — unseen
+    // 8-gram fraction per doc; reference grams equi-joined, not broadcast
+    "text_novelty" -> ((s, d) => {
+      val all = docs(s, d)
+      Contamination.ngramNovelty(
+          all.filter(pmod(col("doc_id"), lit(2)) === 1),
+          all.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", n = 8)
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // interpolated trigram self-perplexity (Jelinek–Mercer λ 0.6/0.3/0.1)
     // — the next rung up the CCNet ladder; all five count joins + the
     // fixed-association interpolation hash cross-engine
@@ -2108,6 +2120,31 @@ object ExtQueries {
         |SELECT doc_id, n_hits, n_grams,
         |  round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination
         |FROM hits ORDER BY doc_id""".stripMargin,
+    // novelty twin: same verbatim gram stream; distinct doc grams LEFT
+    // join the even-doc reference gram set, unmatched = novel
+    "text_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i, i + 7), ' ')) AS grams
+        |  FROM w),
+        |ref AS (
+        |  SELECT DISTINCT unnest(grams) AS gram, 1 AS seen
+        |  FROM g WHERE doc_id % 2 = 0),
+        |d AS (
+        |  SELECT doc_id, len(list_distinct(grams)) AS n_grams,
+        |         unnest(list_distinct(grams)) AS gram
+        |  FROM g WHERE doc_id % 2 = 1 AND len(list_distinct(grams)) > 0),
+        |agg AS (
+        |  SELECT d.doc_id, d.n_grams,
+        |    CAST(coalesce(sum(seen), 0) AS BIGINT) AS n_seen
+        |  FROM d LEFT JOIN ref USING (gram) GROUP BY d.doc_id, d.n_grams)
+        |SELECT doc_id, n_grams, n_seen,
+        |  round(1.0 - CAST(n_seen AS DOUBLE) / n_grams, 6) AS novelty
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // normalize twin: identical step order (NFC, then lower, then \s+
     // collapse, then trim) — reordering lower/NFC would diverge on
     // case-fold/composition interactions

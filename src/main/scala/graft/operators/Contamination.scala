@@ -71,4 +71,46 @@ object Contamination {
         round(col("n_hits").cast("double") / col("n_grams"), 6)
           .as("contamination"))
   }
+
+  /** Per-document n-gram NOVELTY against a reference corpus: the fraction
+    * of a doc's distinct word n-grams unseen in `reference` — the
+    * data-selection signal dual to [[ngramOverlap]] (high novelty = new
+    * information worth keeping; near-zero novelty = paraphrase/rehash of
+    * what the corpus already holds, the soft dedup the span/MinHash passes
+    * miss). Every scored doc gets a row — zero matches reads novelty 1.0
+    * via the left join; docs shorter than `n` words carry no gram
+    * evidence and are omitted (the absent-evidence policy of the LM
+    * scorers).
+    *
+    * Unlike the benchmark overlap, the reference side is CORPUS-SIZED, so
+    * its distinct gram set is NOT broadcast: both sides shuffle once on
+    * the gram key (map-side distinct first). At 100 TB, join on
+    * `xxhash64(gram)` instead of the string to cut the shuffle width —
+    * engine-hashed, so this oracle-checked variant keeps the string key.
+    */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    require(!docs.columns.exists(_.startsWith("__ct_")),
+      "input already carries __ct_-prefixed internals")
+    require(!reference.columns.exists(_.startsWith("__ct_")),
+      "reference already carries __ct_-prefixed internals")
+    def withGrams(df: DataFrame): DataFrame = df
+      .withColumn("__ct_words", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__ct_grams", ngramsOf(col("__ct_words"), n))
+    val refGrams = withGrams(reference)
+      .select(explode(col("__ct_grams")).as("__ct_gram")).distinct()
+      .withColumn("__ct_seen", lit(1L))
+    withGrams(docs)
+      .withColumn("__ct_distinct", array_distinct(col("__ct_grams")))
+      .where(size(col("__ct_distinct")) > 0)
+      .select(col(idCol),
+        size(col("__ct_distinct")).cast("long").as("n_grams"),
+        explode(col("__ct_distinct")).as("__ct_gram"))
+      .join(refGrams, Seq("__ct_gram"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(coalesce(sum("__ct_seen"), lit(0L)).as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
 }
