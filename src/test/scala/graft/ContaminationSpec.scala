@@ -41,4 +41,24 @@ class ContaminationSpec extends AnyFunSuite with SparkFixture {
         docs.withColumn("__ct_gram", lit(1)), bench, "doc_id", "text", 8)
     }
   }
+
+  test("ngramNovelty: all-seen → 0, unseen → 1, mixed → exact ratio, " +
+      "short docs omitted") {
+    import graft.operators.Contamination
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // 3-grams of ref: "a b c", "b c d", "c d e"
+    val docs = Seq(
+      (1L, "a b c d e"),       // all 3 grams seen → novelty 0
+      (2L, "x y z w"),         // 2 grams, none seen → novelty 1
+      (3L, "a b c d x"),       // grams: abc(seen), bcd(seen), cdx(new) → 1/3
+      (4L, "t u")              // shorter than n → omitted
+    ).toDF("doc_id", "text")
+    val r = Contamination.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r.map(_._1) === Seq(1L, 2L, 3L))
+    assert(r(0) === ((1L, 3L, 3L, 0.0)))
+    assert(r(1) === ((2L, 2L, 0L, 1.0)))
+    assert(r(2)._4 === BigDecimal(1.0 - 2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
