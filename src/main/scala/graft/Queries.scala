@@ -459,6 +459,134 @@ object Queries {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q7 shape — volume shipping between a nation PAIR, by year:
+    // lineitem joins supplier (its nation) and orders→customer (theirs),
+    // keeps only the two (supp, cust) directions of the pair, rolls up by
+    // direction and ship year. All three dimensions broadcast; the
+    // disjunctive pair predicate applies right after the nation joins so
+    // the grouped agg sees only the pair's rows. Decimal revenue sum for
+    // an order-independent 2-decimal round.
+    "q7_nation_volume" -> ((s, d) => {
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape — market share: of all ECONOMY-part revenue sold to
+    // ASIA-region customers, the fraction supplied by NATION_5, per order
+    // year. The widest join tree in the suite (6 tables + nation twice);
+    // every dimension broadcasts, so the only shuffle is the final
+    // per-year agg. Share = ratio of two exact decimal sums, divided in
+    // double — the q14 move, so no partial-agg order exposure.
+    "q8_market_share" -> ((s, d) => {
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      val suppN = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val custGeo = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("c_nk"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custGeo), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(suppN), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape — product-line profit by supplier nation and year
+    // (the tables lack partsupp, so profit is the revenue side only —
+    // same join tree and rollup, which is what the shape exercises).
+    // part is filtered BEFORE its broadcast: the LIKE gate shrinks the
+    // build side, and the lineitem probe then carries only matching rows
+    // into the orders join.
+    "q9_product_profit" -> ((s, d) => {
+      val suppN = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").where(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppN), col("s_nationkey") === col("s_nk"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2)
+          .cast("double").as("profit"))
+        .orderBy("n_name", "o_year")
+    }),
+
+    // TPC-H Q17 shape — small-quantity revenue for one brand: the
+    // correlated per-part AVG subquery decorrelated into a grouped agg +
+    // equi-join (the only scalable plan: the naive correlated form
+    // re-scans lineitem per part). The per-part threshold joins back
+    // BROADCAST — 1 row per distinct part, bounded by |part| — so
+    // lineitem is scanned exactly twice and never shuffled.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val perPart = l.groupBy(col("l_partkey").as("__pk"))
+        .agg(avg("l_quantity").as("__avg_qty"))
+      l.join(broadcast(t(s, d, "part").where(col("p_brand") === "Brand#13")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(perPart), col("l_partkey") === col("__pk"))
+        .where(col("l_quantity") < lit(0.5) * col("__avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape — disjunctive multi-attribute predicates spanning
+    // both join sides: three (brand, size-range, quantity-range) arms
+    // OR-ed together. The join stays a plain broadcast equi-join on
+    // partkey; the disjunction is a post-join residual — Catalyst also
+    // derives the arms' part-only conjuncts (brand IN, size ranges) as a
+    // pushable build-side prefilter via constraint propagation.
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      def arm(brand: String, szHi: Int, qLo: Int, qHi: Int): Column =
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .where(arm("Brand#1", 15, 1, 21) || arm("Brand#2", 25, 10, 30) ||
+          arm("Brand#3", 35, 20, 40))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+    }),
+
     // TPC-H Q5-shaped multi-join rollup; nation broadcast to every executor
     "q5_nation_revenue" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -1207,6 +1335,66 @@ object Queries {
         |    WHERE o_custkey = c.c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem, supplier, orders, customer, nation n1, nation n2
+        |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // share = ratio of two exact decimal sums, divided in double (the
+    // q14 move); the CASE's 0 arm is decimal-typed so both sums stay exact
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem, part, supplier, orders, customer,
+        |  nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND p_type = 'ECONOMY'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+        |FROM lineitem, part, supplier, orders, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the correlated form — DuckDB decorrelates it itself; Spark's plan
+    // is the hand-decorrelated grouped-avg join, same semantics. The
+    // 0.5 * avg threshold is compared in double by both engines
+    "q17_small_qty_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |    FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 21)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
     // trailing twin: RANGE frame keyed by the timestamp value — DuckDB's
     // INTERVAL bound and Spark's epoch-second bound define the same
     // closed [cur − 30 days, cur] window

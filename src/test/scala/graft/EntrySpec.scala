@@ -18,4 +18,16 @@ class EntrySpec extends AnyFunSuite with SparkFixture {
     val orphanBench = SparkEntry.benchQueries.toSet.diff(qs)
     assert(orphanBench.isEmpty, s"bench names without queries: $orphanBench")
   }
+
+  // q8 is the widest join tree in the suite (6 tables, nation twice): at
+  // 100 TB the fact table must be joined entirely by broadcast — a single
+  // shuffled join there would move the whole lineitem scan. Assert every
+  // join planned broadcast; the only exchange is the final per-year agg's.
+  test("q8_market_share joins are all broadcast — no shuffled join") {
+    val plan = SparkEntry.queries("q8_market_share")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+  }
 }
