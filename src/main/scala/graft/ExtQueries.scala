@@ -825,6 +825,62 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 0.5)
     }),
 
+    // FILTERED exact ANN — "nearest neighbors WHERE label = 2" (the query
+    // vector's own label: same-domain retrieval), the exact anchor for the
+    // filtered-search family. ORACLE-checked: brute-force cosine over the
+    // predicate's survivors hashes against the same WHERE in DuckDB.
+    "ann_filtered_exact" -> ((s, d) => {
+      val corpus = embs(s, d)
+        .filter(col("vec_id") =!= 0 && col("label") === 2)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          query, "embedding", 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // FILTERED ANN from the materialized IVF index — the vector-database
+    // contract "top-k WHERE <metadata predicate>". `label` rides in the
+    // index's cell partitions (attrCols at build time), so the predicate
+    // evaluates INSIDE the partition-pruned scan as a parquet pushed
+    // filter: no join back to the corpus, no cosine for rejected rows.
+    // Rows-only (approximate post-filter within probed cells); the recall
+    // twin below prices it against ann_filtered_exact's truth and
+    // SimilaritySpec pins the pushdown + wrong-label exclusion.
+    "ann_ivf_filtered" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_filtered_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0, attrCols = Seq("label"))
+      Similarity.ivfTopKFromIndex(s, idx, "vec_id", "embedding",
+          query, "embedding", k = 10, nprobe = 4,
+          filter = Some(col("label") === 2))
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // filtered recall@10 vs the exact filtered truth — post-filtering
+    // within probed cells means selectivity eats recall (a 10%-selective
+    // predicate leaves ~5 matching rows per probed cell), so the floor is
+    // the measured fixture point with slack, not the unfiltered family's
+    "ann_ivf_filtered_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_filtered_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0, attrCols = Seq("label"))
+      recallOf(
+        Similarity.bruteForceTopK(corpus.filter(col("label") === 2),
+          "vec_id", "embedding", query, "embedding", 10).select("vec_id"),
+        Similarity.ivfTopKFromIndex(s, idx, "vec_id", "embedding",
+          query, "embedding", k = 10, nprobe = 4,
+          filter = Some(col("label") === 2)),
+        Seq("vec_id"), floor = 0.5)
+    }),
+
     // int8 scalar-quantized serving (4× compression, asymmetric scoring +
     // exact rerank): top-10 for the vec_id=0 query from the materialized
     // SQ8 index — rows-only (quantized candidate generation), priced by
@@ -2185,6 +2241,21 @@ object ExtQueries {
         |                               CAST(embedding AS DOUBLE[])))
         |         * sqrt(list_dot_product(qv, qv))) AS score
         |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, round(score, 6) AS score FROM s
+        |ORDER BY s.score DESC, vec_id LIMIT 10""".stripMargin,
+    // filtered-search exact anchor: ann_bruteforce's cosine with the
+    // metadata predicate applied before scoring
+    "ann_filtered_exact" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(qv, qv))) AS score
+        |  FROM embeddings, q WHERE vec_id <> 0 AND label = 2)
         |SELECT vec_id, round(score, 6) AS score FROM s
         |ORDER BY s.score DESC, vec_id LIMIT 10""".stripMargin,
     // maxsim twin: same cosine, (doc, token)-keyed max (no ordering

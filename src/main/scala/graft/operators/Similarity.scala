@@ -370,13 +370,18 @@ object Similarity {
     * corpus is never opened. Pay the assignment once at index-build time,
     * prune on every query — the 100 TB serving shape.
     */
+  /** `attrCols` ride along in the cell partitions (metadata for FILTERED
+    * search: a predicate over them evaluates inside the pruned scan —
+    * parquet-pushable — instead of a post-hoc join back to the corpus).
+    */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, nlist: Int = 16,
-                    kmeansIters: Int = 0, sampleFraction: Double = 1.0): Unit = {
+                    kmeansIters: Int = 0, sampleFraction: Double = 1.0,
+                    attrCols: Seq[String] = Nil): Unit = {
     val cents =
       trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters, sampleFraction)
-    corpus.select(col(idCol), col(vecCol),
-        bestCellFor(cents)(col(vecCol)).as("cell"))
+    corpus.select(Seq(col(idCol), col(vecCol)) ++ attrCols.map(col) :+
+        bestCellFor(cents)(col(vecCol)).as("cell"): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -394,10 +399,12 @@ object Similarity {
     * build, touching only the batch.
     */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
-                       path: String): Unit = {
+                       path: String, attrCols: Seq[String] = Nil): Unit = {
     val cents = readCentroids(batch.sparkSession, path)
-    batch.select(col(idCol), col(vecCol),
-        bestCellFor(cents)(col(vecCol)).as("cell"))
+    // attrCols must match the build's (parquet would otherwise leave the
+    // missing columns null on read — silently unfilterable rows)
+    batch.select(Seq(col(idCol), col(vecCol)) ++ attrCols.map(col) :+
+        bestCellFor(cents)(col(vecCol)).as("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
   }
 
@@ -405,15 +412,28 @@ object Similarity {
     * centroids (nlist rows), ranks cells for the query, and scans only the
     * nprobe matching partitions of the index (partition pruning — assert
     * `PartitionFilters` in the scan node).
+    *
+    * `filter` is an optional metadata predicate over `attrCols` the index
+    * was built with — FILTERED search (the vector-database contract:
+    * "nearest neighbors WHERE label = x"). It lands between the partition
+    * pruning and the cosine, so it reaches the parquet scan as a pushed
+    * data filter (`PushedFilters`) over the probed cells only: no post-hoc
+    * join back to the corpus, no scoring of rows the predicate rejects.
+    * Semantics are post-filtering WITHIN the probed cells, so recall
+    * against the filtered brute-force truth degrades as the predicate gets
+    * more selective (fewer matching rows per probed cell) — raise nprobe
+    * with selectivity; `ann_ivf_filtered_recall` prices the fixture point.
     */
   def ivfTopKFromIndex(spark: SparkSession, path: String, idCol: String,
                        vecCol: String, query: DataFrame, queryVecCol: String,
-                       k: Int, nprobe: Int = 4): DataFrame = {
+                       k: Int, nprobe: Int = 4,
+                       filter: Option[Column] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     val q = Pq.collectSingleQuery(query, queryVecCol)
     val cells = probeCellIds(q, cents, nprobe) // bounded like cents
     spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
       .select(col(idCol), Vectors.cosine(col(vecCol), typedlit(q)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -440,7 +460,8 @@ object Similarity {
   def ivfBatchTopKFromIndex(spark: SparkSession, path: String, idCol: String,
                             vecCol: String, queries: DataFrame,
                             queryIdCol: String, queryVecCol: String,
-                            k: Int, nprobe: Int = 4): DataFrame = {
+                            k: Int, nprobe: Int = 4,
+                            filter: Option[Column] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     val assigned = queries.select(col(queryIdCol).as("query_id"),
       Vectors.toDouble(col(queryVecCol)).as("__qvec"),
@@ -452,6 +473,7 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
     spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
       .select(col("cell"), col(idCol), col(vecCol))
       .join(broadcast(assigned), "cell")
       .select(col("query_id"), col(idCol),

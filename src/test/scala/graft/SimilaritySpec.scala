@@ -172,6 +172,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(top.head._2 > 0.99)
   }
 
+  test("filtered IVF serve: predicate pushed into the pruned scan, " +
+      "wrong-label planted twin excluded") {
+    // two near-identical planted neighbors that differ ONLY in label: the
+    // filter must keep 999 (label 1) and exclude 998 (label 0) even though
+    // 998 outranks almost everything by cosine
+    val planted2 = q.map(x => x + 0.01f * 0.5f)
+    val labeled = (corpus.map { case (id, v) => (id, v, (id % 2).toInt) }
+        :+ (999L, planted, 1) :+ (998L, planted2, 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidxf").toString
+    Similarity.writeIvfIndex(labeled, "vec_id", "embedding", dir,
+      nlist = 16, kmeansIters = 1, attrCols = Seq("label"))
+    val served = Similarity.ivfTopKFromIndex(spark, dir, "vec_id", "embedding",
+      queryDf, "embedding", 5, nprobe = 4, filter = Some(col("label") === 1))
+    val plan = served.queryExecution.executedPlan.toString
+    // both prunings visible in the ONE scan: cell directories dropped via
+    // PartitionFilters, the label predicate pushed to parquet row groups
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty, plan)
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).nonEmpty, plan)
+    val top = served.as[(Long, Double)].collect()
+    assert(top.head._1 === 999L)
+    assert(top.head._2 > 0.99)
+    assert(!top.map(_._1).contains(998L))
+    assert(top.map(_._1).forall(id => id == 999L || id % 2 == 1))
+    // batched path honors the same filter (same exclusion, 999 on top)
+    val batched = Similarity.ivfBatchTopKFromIndex(spark, dir, "vec_id",
+        "embedding", queryDf, "vec_id", "embedding", 5, nprobe = 4,
+        filter = Some(col("label") === 1))
+      .orderBy(col("score").desc).as[(Long, Long, Double)].collect()
+    assert(batched.head._2 === 999L)
+    assert(!batched.map(_._2).contains(998L))
+  }
+
   test("materialized LSH index: partition-pruned scan, planted neighbor served") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     Similarity.writeLshIndex(corpusDf, "vec_id", "embedding", dir,
