@@ -492,6 +492,15 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "first_doc", "span_chars",
           "n_occurrences", "n_docs"))),
 
+    // ExactSubstr REMOVAL — dedup_spans' detection carried through to the
+    // corpus REWRITE (Lee et al. 2022): duplicated ≥16-token spans excised
+    // from every non-canonical occurrence, canonical docs byte-identical,
+    // every input row present in the output. Full oracle over the cleaned
+    // text itself.
+    "dedup_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 16)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // weighted domain mixing — per-source quotas as an expression over the
     // stratum key (source srcN gets (N % 3 + 1) · 10 docs): the mixture-
     // spec sampler, same window + scramble as q_stratified_sample
@@ -1311,6 +1320,34 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): every document's
+    // log-likelihood-ratio mass between the target distribution (src1's
+    // 25 docs) and the raw distribution (the whole corpus), over exact
+    // bigram features — training of BOTH feature models and the scoring
+    // sum all hash-checked against DuckDB
+    "dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Dsir.importanceWeights(all,
+          all.filter(col("source") === "src1"), "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
+    // the paper's hashed-feature variant priced against exact selection:
+    // overlap of the hashed-bucket top-50 with the exact top-50 (4096
+    // buckets pool ~9k distinct bigrams ⇒ some collision noise; the floor
+    // is the measured fixture point with slack). Machine-enforced.
+    "dsir_hashed_gap" -> ((s, d) => {
+      val all = docs(s, d)
+      val target = all.filter(col("source") === "src1")
+      recallOf(
+        graft.operators.Dsir.selectTop(all, target, "doc_id", "text", 50)
+          .select("doc_id"),
+        graft.operators.Dsir.selectTop(all, target, "doc_id", "text", 50,
+          buckets = 4096),
+        Seq("doc_id"), floor = 0.8)
+    }),
+
     // n-gram novelty vs a reference corpus (even docs as reference, odd
     // docs scored): the data-selection dual of decontamination — unseen
     // 8-gram fraction per doc; reference grams equi-joined, not broadcast
@@ -1752,6 +1789,49 @@ object ExtQueries {
         |  CAST(length(chunk_text) AS BIGINT) AS span_chars
         |FROM ch GROUP BY chunk_text HAVING count(*) > 1
         |ORDER BY first_doc, span_chars, n_occurrences, n_docs""".stripMargin,
+    // span-removal twin: dedup_spans' window CTE with start positions,
+    // canonical = first (doc_id, start) per window text via row_number,
+    // covered positions unioned by DISTINCT, anti-joined off the token
+    // stream, re-aggregated in position order
+    "dedup_span_removal" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(words) - 16)) AS s,
+        |    words
+        |  FROM w WHERE len(words) >= 16),
+        |ch AS (
+        |  SELECT doc_id, s,
+        |    array_to_string(words[s + 1 : s + 16], ' ') AS wtext
+        |  FROM wins),
+        |occ AS (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY wtext ORDER BY doc_id, s) AS rn,
+        |    count(*) OVER (PARTITION BY wtext) AS c
+        |  FROM ch),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s + g AS pos
+        |  FROM occ, generate_series(0, 15) t(g) WHERE c > 1 AND rn > 1),
+        |toks AS (
+        |  SELECT doc_id, unnest(words) AS tok,
+        |    generate_subscripts(words, 1) - 1 AS pos
+        |  FROM w),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t ANTI JOIN cov
+        |    ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(c.text_clean, '') AS text_clean,
+        |  coalesce(c.n_kept, 0) AS n_kept,
+        |  len(string_split_regex(trim(d.text), '\s+'))
+        |    - coalesce(c.n_kept, 0) AS n_removed
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // domain-mix twin: same scramble ranking, same arithmetic quota over
     // the source suffix
     "q_domain_mix" ->
@@ -2384,6 +2464,33 @@ object ExtQueries {
     // perplexity twin: identical tokenization to text_repetition's, the
     // same add-one smoothed bigram estimates built from grouped counts —
     // the MODEL TRAINING is part of what the hash checks
+    // DSIR twin: both feature models from the same bigram stream; target
+    // ⊆ raw, so raw's support IS the union support (cr LEFT JOIN ct ≡ the
+    // engine's full join); same add-one smoothing as the perplexity twin
+    "dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+        |  FROM toks, LATERAL unnest(generate_series(1, len(w)-1)) AS t(i)
+        |  WHERE len(w) >= 2),
+        |ct AS (SELECT g, count(*) AS c_t FROM bg
+        |       WHERE source = 'src1' GROUP BY g),
+        |cr AS (SELECT g, count(*) AS c_r FROM bg GROUP BY g),
+        |tot AS (
+        |  SELECT count(*) AS v, coalesce(sum(c_t), 0) AS nt,
+        |    coalesce(sum(c_r), 0) AS nr
+        |  FROM cr LEFT JOIN ct USING (g)),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    ln((coalesce(ct.c_t, 0) + 1.0) / (tot.nt + tot.v)) -
+        |    ln((cr.c_r + 1.0) / (tot.nr + tot.v)) AS lw
+        |  FROM bg JOIN cr USING (g) LEFT JOIN ct USING (g) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_feats, round(sum(lw), 6) AS logw
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -362,6 +362,68 @@ object Dedup {
     * shingle ground truth in `dedup_minhash_recall` already makes, and the
     * string-form DuckDB oracle stays hash-green on it.
     */
+  /** ExactSubstr REMOVAL (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): rewrite the corpus with duplicated
+    * spans EXCISED, not just detected. Every sliding k-token window that
+    * occurs more than once corpus-wide keeps exactly its canonical
+    * occurrence (minimum (id, start) — first document, earliest position);
+    * a token is removed iff some non-canonical duplicated window covers
+    * it. Consecutive duplicated windows merge into maximal removed spans
+    * for free (their covered-position sets union), so a 400-token
+    * copy-paste costs one contiguous hole, and the canonical document is
+    * left byte-identical. Documents shorter than k contain no k-window and
+    * pass through untouched; a fully-duplicated document collapses to ''.
+    *
+    * Returns (idCol, text_clean, n_kept, n_removed) for every input row.
+    *
+    * Scale shape (the reference paper uses a suffix array — a data
+    * structure with no distributed analog; the sliding-window grouping
+    * finds the identical span set for spans ≥ k): one groupBy keyed by
+    * window text (the [[ngramJaccardPairs]] trade applies: key by
+    * xxhash64(window) instead to shuffle 8 bytes/window at 100 TB —
+    * kept textual here for cross-engine oracle exactness), one
+    * covered-position explode bounded by k · duplicated windows, and a
+    * co-partitioned anti-join + re-aggregation both keyed by id. No
+    * driver state, no window function over the corpus.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 16): DataFrame = {
+    val wins = Chunking.chunkByTokens(df, idCol, textCol, k, k - 1)
+      .where(col("n_chunk_tokens") === k) // short-doc partial window
+    // canonical occurrence per window text: min (id, start) — one struct
+    // min, so the groupBy carries two longs beyond the key
+    val canon = wins.groupBy("chunk_text")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("chunk_idx"))).as("__c"))
+      .where(col("__n") > 1)
+      .select(col("chunk_text"), col("__c").getField(idCol).as("__cid"),
+        col("__c").getField("chunk_idx").as("__cstart"))
+    val dupOcc = wins.join(canon, "chunk_text")
+      .where(!(col(idCol) === col("__cid") &&
+        col("chunk_idx") === col("__cstart")))
+      .select(col(idCol), col("chunk_idx"))
+    val covered = dupOcc
+      .select(col(idCol),
+        explode(sequence(col("chunk_idx"), col("chunk_idx") + (k - 1)))
+          .as("__pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int = 3,
                         threshold: Double = 0.5): DataFrame = {

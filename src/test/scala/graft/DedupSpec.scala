@@ -185,4 +185,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("span removal: canonical byte-identical, overlapping dup windows " +
+      "merge to one hole, short docs untouched, full dup collapses to ''") {
+    val corpus = Seq(
+      (1L, "x1 x2 x3 x4 x5"),        // canonical home of every dup window
+      (2L, "q1 x2 x3 x4 q2"),        // one interior dup span
+      (3L, "x2 x3"),                 // shorter than k: no window, untouched
+      (4L, "x1 x2 x3 x4 x5"),        // exact copy: fully covered
+      (5L, "z1 x1 x2 x3 x4 x5 z2")   // 3 overlapping dup windows, one hole
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq(
+      (1L, "x1 x2 x3 x4 x5"), (2L, "q1 q2"), (3L, "x2 x3"),
+      (4L, ""), (5L, "z1 z2")))
+    assert(r.map(x => (x._3, x._4)).toSeq === Seq(
+      (5L, 0L), (2L, 3L), (2L, 0L), (0L, 5L), (2L, 5L)))
+  }
 }

@@ -85,4 +85,30 @@ class LmSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(s.filter(_._1 <= 8).map(_._3).forall(_ < s.last._3))
   }
+
+  test("DSIR: target-like raw docs outweigh off-target ones; hashed " +
+      "buckets preserve the ranking on a collision-free fixture") {
+    import graft.operators.Dsir
+    // target talks about spark; raw mixes spark-like and cooking docs
+    val target = Seq(
+      (100L, "spark shuffle join spark shuffle join"),
+      (101L, "spark join shuffle spark join")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark shuffle join spark"),   // on-target
+      (2L, "bake flour sugar bake flour"), // off-target
+      (3L, "spark join bake")             // mixed
+    ).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+    assert(w(1L) > 0 && w(2L) < 0) // sign = which model claims the doc
+    // top-1 selection is the on-target doc, hashed or exact
+    assert(Dsir.selectTop(raw, target, "doc_id", "text", 1)
+      .as[(Long, Long, Double)].head()._1 === 1L)
+    assert(Dsir.selectTop(raw, target, "doc_id", "text", 1, buckets = 1 << 20)
+      .as[(Long, Long, Double)].head()._1 === 1L)
+    // a doc with fewer than two tokens carries no evidence and is omitted
+    val short = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(Dsir.importanceWeights(short, target, "doc_id", "text").count() === 0)
+  }
 }
