@@ -459,6 +459,66 @@ object Queries {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q15 shape — top supplier by quarterly revenue: the revenue
+    // "view" is one grouped decimal agg over a date-pruned lineitem scan;
+    // the max is a 1-row broadcast and the equality lands on the ROUNDED
+    // decimal sum, so the cut is bit-stable cross-engine (the same reason
+    // TPC-H itself phrases Q15 as = max rather than top-1-with-ties)
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1996-04-01 00:00:00"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2)
+          .cast("double").as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("__mx"))
+      t(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape — the sole-blamed-supplier report (the hardest
+    // correlated shape in the suite: EXISTS + NOT EXISTS against the same
+    // fact table): NATION_1 suppliers' returned lines on completed
+    // multi-supplier orders where NO OTHER supplier's line was returned.
+    // The predicate pair becomes one left-semi and one left-anti join,
+    // both keyed on l_orderkey with the `<> suppkey` residual, riding the
+    // same shuffle partitioning; the nation filter shrinks l1 via a
+    // broadcast join BEFORE either correlated join. (The reference Q21
+    // correlates on receipt-vs-commit lateness; this corpus carries no
+    // receipt dates, so the per-line predicate is l_returnflag = 'R' —
+    // identical plan shape, different literal.)
+    "q21_sole_blame" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val suppX = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val fOrders = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l2 = l.select(col("l_orderkey").as("lo2"),
+        col("l_suppkey").as("ls2"))
+      val l3 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+      l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(suppX), col("l_suppkey") === col("s_suppkey"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("lo2") &&
+          col("l_suppkey") =!= col("ls2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("lo3") &&
+          col("l_suppkey") =!= col("ls3"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // TPC-H Q7 shape — volume shipping between a nation PAIR, by year:
     // lineitem joins supplier (its nation) and orders→customer (theirs),
     // keeps only the two (supp, cust) directions of the pair, rolls up by
@@ -1335,6 +1395,40 @@ object Queries {
         |    WHERE o_custkey = c.c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the revenue view as a CTE; the = max cut compares the ROUNDED sums
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // the correlated EXISTS/NOT EXISTS pair verbatim — DuckDB decorrelates
+    // to the same semi/anti pair Spark plans explicitly
+    "q21_sole_blame" ->
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R')
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1, supplier, nation
+        |WHERE l1.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

@@ -58,5 +58,9 @@ object SparkEntry {
     // round 9: the two ends of the new spectrum — BM25 retrieval (the
     // tokenize+explode+aggregate text path over documents) and Q6 (the
     // pure-pushdown scan: three pushed predicates, two-column read)
-    "q_bm25_topk", "q6_forecast_revenue")
+    "q_bm25_topk", "q6_forecast_revenue",
+    // round 9: the correlated semi+anti pair on one shuffle (Q21 — the
+    // plan that predicts EXISTS-heavy reporting) and the sliding-window
+    // corpus rewrite (ExactSubstr removal — the heaviest text-dedup pass)
+    "q21_sole_blame", "dedup_span_removal")
 }

@@ -30,4 +30,17 @@ class EntrySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       plan)
   }
+
+  // Q21's correlated EXISTS/NOT EXISTS pair must plan as real semi/anti
+  // hash or merge joins with the `<> suppkey` residual — a nested-loop or
+  // cartesian fallback there is the difference between one lineitem
+  // shuffle and lineitem² at 100 TB.
+  test("q21 correlated pair plans as semi+anti joins, no nested loop") {
+    val plan = SparkEntry.queries("q21_sole_blame")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
