@@ -86,6 +86,16 @@ object CorpusPipeline {
     */
   case class LmGate(indexPath: String, maxPpl: Double)
 
+  /** DSIR selection gate against a FROZEN importance-weight index (a
+    * [[graft.operators.Dsir.writeDsirIndex]] sidecar — target and raw
+    * feature models fitted once, up front, the paper's own convention).
+    * Docs with `logw < minLogw` — the raw model claims them more strongly
+    * than the target model — are dropped. Docs carrying no bigram
+    * evidence PASS (the [[LmGate]] policy: absence of evidence is not
+    * off-target, and a token-count gate owns minimum length).
+    */
+  case class DsirGate(indexPath: String, minLogw: Double)
+
   /** The dedup-and-append gate shared by the batch loop and the streaming
     * wrapper ([[graft.streaming.CorpusStream]]): drop docs near-duplicating
     * the indexed corpus, drop within-batch near-dups, append survivors to
@@ -98,12 +108,13 @@ object CorpusPipeline {
                      contaminationN: Int = 8,
                      ann: Option[AnnIndex] = None,
                      lm: Option[LmGate] = None,
-                     sq: Option[SqIndexCfg] = None): Long = {
+                     sq: Option[SqIndexCfg] = None,
+                     dsir: Option[DsirGate] = None): Long = {
     val heuristicGated =
       if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
     // statistical-LM gate after the cheap heuristics: only docs that
     // cleared the narrow gates pay the bigram-stream joins
-    val qualityGated = lm match {
+    val lmGated = lm match {
       case Some(g) =>
         val tooPerplexed = Lm
           .perplexityAgainstIndex(heuristicGated, idCol, textCol, g.indexPath)
@@ -111,6 +122,17 @@ object CorpusPipeline {
           .select(col(idCol))
         heuristicGated.join(tooPerplexed, Seq(idCol), "left_anti")
       case None => heuristicGated
+    }
+    // DSIR selection gate: same anti-join shape over the same batch bigram
+    // stream, scored against the frozen importance-weight index
+    val qualityGated = dsir match {
+      case Some(g) =>
+        val offTarget = graft.operators.Dsir
+          .weightsAgainstIndex(lmGated, idCol, textCol, g.indexPath)
+          .where(col("logw") < g.minLogw)
+          .select(col(idCol))
+        lmGated.join(offTarget, Seq(idCol), "left_anti")
+      case None => lmGated
     }
     // decontamination gate: docs sharing a verbatim n-gram with the
     // benchmark never enter the corpus (benchmark grams broadcast — the
@@ -222,10 +244,15 @@ class CorpusPipeline(
     annK: Int = 16,
     annMinTrainRows: Long = 256,
     lmIndexPath: Option[String] = None,
-    lmMaxPpl: Double = Double.MaxValue) {
+    lmMaxPpl: Double = Double.MaxValue,
+    dsirIndexPath: Option[String] = None,
+    dsirMinLogw: Double = Double.NegativeInfinity) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
+
+  private val dsir: Option[CorpusPipeline.DsirGate] =
+    dsirIndexPath.map(CorpusPipeline.DsirGate(_, dsirMinLogw))
 
   private val ann: Option[CorpusPipeline.AnnIndex] =
     (annIndexPath, embeddingCol) match {
@@ -251,7 +278,8 @@ class CorpusPipeline(
 
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
       indexPath, idCol, textCol, threshold, gates,
-      benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm)
+      benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
+      dsir = dsir)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

@@ -57,17 +57,19 @@ object Dsir {
                 else g).as("g") +: cols): _*)
   }
 
-  /** Per-document log importance weight of every `raw` document with ≥ 1
-    * bigram feature (documents under two tokens carry no evidence and are
-    * omitted — the [[Lm]] policy). Returns (idCol, n_feats, logw).
-    */
-  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                        textCol: String, buckets: Int = 0): DataFrame = {
-    require(!raw.columns.exists(_.startsWith("__ds_")) &&
-      !target.columns.exists(_.startsWith("__ds_")),
+  private def guard(df: DataFrame, idCol: String): Unit = {
+    require(!df.columns.exists(_.startsWith("__ds_")),
       "input already carries __ds_-prefixed internals")
     require(!Seq("g", "n_feats", "logw").contains(idCol),
       s"idCol '$idCol' collides with a Dsir internal or output column")
+  }
+
+  /** The two fitted feature models as three frames: target counts
+    * (g, __ds_ct), raw counts (g, __ds_cr), totals (1 row: __ds_v union
+    * vocabulary, __ds_nt, __ds_nr mass).
+    */
+  private def fit(raw: DataFrame, target: DataFrame, textCol: String,
+                  buckets: Int): (DataFrame, DataFrame, DataFrame) = {
     val ct = feats(target, textCol, buckets).groupBy("g")
       .agg(count(lit(1)).as("__ds_ct"))
     val cr = feats(raw, textCol, buckets).groupBy("g")
@@ -79,9 +81,15 @@ object Dsir {
       .agg(count(lit(1)).as("__ds_v"),
         coalesce(sum("__ds_ct"), lit(0L)).as("__ds_nt"),
         coalesce(sum("__ds_cr"), lit(0L)).as("__ds_nr"))
-    feats(raw, textCol, buckets, col(idCol))
+    (ct, cr, totals)
+  }
+
+  private def score(docs: DataFrame, idCol: String, textCol: String,
+                    buckets: Int, ct: DataFrame, cr: DataFrame,
+                    totals: DataFrame): DataFrame =
+    feats(docs, textCol, buckets, col(idCol))
       .join(ct, Seq("g"), "left")
-      .join(cr, Seq("g"), "left") // always hits: raw's own stream
+      .join(cr, Seq("g"), "left") // misses only when scoring a FRESH batch
       .crossJoin(broadcast(totals))
       .select(col(idCol),
         (log((coalesce(col("__ds_ct"), lit(0L)) + 1.0) /
@@ -91,6 +99,55 @@ object Dsir {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),
         sum(col("__ds_lw")).as("logw"))
+
+  /** Per-document log importance weight of every `raw` document with ≥ 1
+    * bigram feature (documents under two tokens carry no evidence and are
+    * omitted — the [[Lm]] policy). Returns (idCol, n_feats, logw).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 0): DataFrame = {
+    guard(raw, idCol); guard(target, idCol)
+    val (ct, cr, totals) = fit(raw, target, textCol, buckets)
+    score(raw, idCol, textCol, buckets, ct, cr, totals)
+  }
+
+  /** Materialize the fitted pair of feature models as an index sidecar
+    * (the [[Lm.writeLmIndex]] pattern): target/raw count tables plus the
+    * one-row totals, with the bucket arity recorded so scoring can't
+    * silently hash into a different feature space than the build.
+    * Built ONCE from a curated target sample and a raw-source sample,
+    * then FROZEN — the corpus loop scores every batch against it without
+    * refitting, so selection decisions are stable across the corpus
+    * lifetime (the paper fits both models once, up front, for the same
+    * reason).
+    */
+  def writeDsirIndex(raw: DataFrame, target: DataFrame, textCol: String,
+                     path: String, buckets: Int = 0): Unit = {
+    val (ct, cr, totals) = fit(raw, target, textCol, buckets)
+    ct.write.mode("overwrite").parquet(s"$path/target_counts")
+    cr.write.mode("overwrite").parquet(s"$path/raw_counts")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    totals.crossJoin(Seq(buckets).toDF("__ds_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /** Score a fresh batch against a FROZEN materialized index — the exact
+    * [[importanceWeights]] plan with the fitting aggregations replaced by
+    * sidecar reads. Features unseen at fit time degrade to both models'
+    * smoothing floors via the left joins (a constant
+    * ln((nr+v)/(nt+v)) contribution — no refit, no vocabulary drift).
+    */
+  def weightsAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
+                          path: String): DataFrame = {
+    guard(docs, idCol)
+    val spark = docs.sparkSession
+    val totalsAll = spark.read.parquet(s"$path/totals")
+    val buckets = totalsAll.select("__ds_buckets").collect().head.getInt(0)
+    score(docs, idCol, textCol, buckets,
+      spark.read.parquet(s"$path/target_counts"),
+      spark.read.parquet(s"$path/raw_counts"),
+      totalsAll.drop("__ds_buckets"))
   }
 
   /** The resampling step: the `n` highest-weight raw documents

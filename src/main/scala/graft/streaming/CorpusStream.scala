@@ -29,7 +29,8 @@ object CorpusStream {
             contaminationN: Int = 8,
             ann: Option[CorpusPipeline.AnnIndex] = None,
             lm: Option[CorpusPipeline.LmGate] = None,
-            sq: Option[CorpusPipeline.SqIndexCfg] = None)
+            sq: Option[CorpusPipeline.SqIndexCfg] = None,
+            dsir: Option[CorpusPipeline.DsirGate] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -38,7 +39,7 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
           idCol, textCol, threshold, gates, benchmark, contaminationN, ann,
-          lm, sq)
+          lm, sq, dsir)
         ()
       }
       .start()

@@ -208,6 +208,46 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(pipeline.run().rowsWritten === 0)
   }
 
+  test("DSIR gate: off-target doc dropped against a FROZEN importance " +
+      "index, on-target doc lands, no-evidence doc passes") {
+    import graft.operators.Dsir
+    val dir = Files.createTempDirectory("corpus_dsir")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val dsIdx = dir.resolve("dsir").toString
+    val wm = dir.resolve("wm.json").toString
+    // frozen index: target = spark prose, raw = target + cooking prose —
+    // both models fitted ONCE before any batch (the paper's convention)
+    val target = Seq((100L, "spark shuffle join spark shuffle join"),
+      (101L, "spark join shuffle spark join")).toDF("doc_id", "text")
+    val rawSample = target.union(Seq(
+      (200L, "bake flour sugar bake flour sugar"),
+      (201L, "flour sugar bake flour")).toDF("doc_id", "text"))
+    Dsir.writeDsirIndex(rawSample, target, "text", dsIdx)
+    val onT = "spark shuffle join spark"
+    val offT = "bake flour sugar bake"
+    val ws = Dsir.weightsAgainstIndex(
+        Seq((1L, onT), (2L, offT)).toDF("doc_id", "text"),
+        "doc_id", "text", dsIdx)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(ws(1L) > ws(2L),
+      s"fixture broken: on-target ${ws(1L)} !> off-target ${ws(2L)}")
+    val cut = (ws(1L) + ws(2L)) / 2
+    val pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
+      dsirIndexPath = Some(dsIdx), dsirMinLogw = cut)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), onT),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), offT),
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "solo"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val r = pipeline.run()
+    assert(r.rowsWritten === 2) // on-target + the no-evidence doc
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 3L))
+    assert(Watermark.read(wm).get.startsWith("2024-01-01 02"))
+    assert(pipeline.run().rowsWritten === 0)
+  }
+
   test("ANN sidecar freeze boundary: recall immediately after the freeze " +
       "matches a full rebuild on the same corpus") {
     import graft.operators.Similarity
@@ -428,6 +468,38 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       .write.mode("append").parquet(src)
     val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
       lm = Some(LmGate(lmIdx, (ppls(1L) + ppls(2L)) / 2)))
+    q.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+  }
+
+  test("streaming corpus applies the frozen DSIR gate per micro-batch") {
+    import graft.ingest.CorpusPipeline.DsirGate
+    import graft.operators.Dsir
+    import graft.streaming.CorpusStream
+    val dir = Files.createTempDirectory("corpus_stream_dsir")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val dsIdx = dir.resolve("dsir").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val target = Seq((100L, "spark shuffle join spark shuffle join"),
+      (101L, "spark join shuffle spark join")).toDF("doc_id", "text")
+    Dsir.writeDsirIndex(
+      target.union(Seq((200L, "bake flour sugar bake flour sugar"))
+        .toDF("doc_id", "text")),
+      target, "text", dsIdx)
+    val onT = "spark shuffle join spark"
+    val offT = "bake flour sugar bake"
+    val ws = Dsir.weightsAgainstIndex(
+        Seq((1L, onT), (2L, offT)).toDF("doc_id", "text"),
+        "doc_id", "text", dsIdx)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((1L, onT), (2L, offT)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+      dsir = Some(DsirGate(dsIdx, (ws(1L) + ws(2L)) / 2)))
     q.awaitTermination()
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().toSeq === Seq(1L))

@@ -110,5 +110,12 @@ class LmSpec extends AnyFunSuite with SparkFixture {
     // a doc with fewer than two tokens carries no evidence and is omitted
     val short = Seq((9L, "solo")).toDF("doc_id", "text")
     assert(Dsir.importanceWeights(short, target, "doc_id", "text").count() === 0)
+    // frozen-index roundtrip: scoring raw against its own materialized
+    // models reproduces importanceWeights exactly (bucket arity included)
+    val dir = java.nio.file.Files.createTempDirectory("dsiridx").toString
+    Dsir.writeDsirIndex(raw, target, "text", dir)
+    val frozen = Dsir.weightsAgainstIndex(raw, "doc_id", "text", dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(frozen === w)
   }
 }
