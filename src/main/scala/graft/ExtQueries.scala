@@ -834,6 +834,34 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 0.5)
     }),
 
+    // retrieval-eval metrics — nDCG@10 / MRR@10 / precision / recall of
+    // the exact dense batch retrieval against label-match relevance
+    // judgments, per query: the eval harness the BM25/dense/hybrid family
+    // is graded with, itself hash-checked cross-engine (ranking, DCG
+    // discounts, ideal ranking and macro components all in the oracle)
+    "q_rank_eval" -> ((s, d) => {
+      val all = embs(s, d)
+      val corpus = all.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = all.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+      val ranked = Similarity.bruteForceBatchTopK(corpus, "vec_id",
+          "embedding", queries, "vec_id", "embedding", k = 10)
+        .withColumn("rank", row_number().over(w))
+      val rel = queries
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(corpus.select(col("vec_id"), col("label")),
+          col("__ql") === col("label"))
+        .select(col("query_id"), col("vec_id"), lit(1).as("gain"))
+      graft.operators.RankEval.metricsAtK(ranked, "query_id", "vec_id",
+          "rank", rel, "gain", k = 10)
+        .select(col("query_id"), round(col("ndcg"), 6).as("ndcg"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"))
+        .transform(Queries.presentSorted(_, "query_id"))
+    }),
+
     // FILTERED exact ANN — "nearest neighbors WHERE label = 2" (the query
     // vector's own label: same-domain retrieval), the exact anchor for the
     // filtered-search family. ORACLE-checked: brute-force cosine over the
@@ -2362,6 +2390,48 @@ object ExtQueries {
         |  SELECT label, maxsim FROM agg
         |  ORDER BY maxsim DESC, label LIMIT 3)
         |ORDER BY label""".stripMargin,
+    // rank-eval twin: the q_hard_negatives ranking CTE, label-match gains,
+    // closed-form binary IDCG over min(n_relevant, k) ideal positions
+    "q_rank_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+        |      FROM e WHERE vec_id % 40 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 40 <> 0),
+        |r AS (
+        |  SELECT query_id, c.vec_id,
+        |    CASE WHEN c.label = qlabel THEN 1 ELSE 0 END AS g,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      list_dot_product(c.v, qv)
+        |        / (sqrt(list_dot_product(c.v, c.v))
+        |           * sqrt(list_dot_product(qv, qv))) DESC, c.vec_id) AS rnk
+        |  FROM c, q),
+        |topk AS (SELECT query_id, g, rnk FROM r WHERE rnk <= 10),
+        |nrel AS (
+        |  SELECT q.query_id, count(*) AS nrel
+        |  FROM q JOIN c ON c.label = q.qlabel GROUP BY 1),
+        |idcg AS (
+        |  SELECT query_id, sum(1.0 / log2(i + 1)) AS idcg
+        |  FROM (SELECT query_id,
+        |          unnest(generate_series(1,
+        |            CAST(least(nrel, 10) AS INT))) AS i
+        |        FROM nrel)
+        |  GROUP BY query_id),
+        |m AS (
+        |  SELECT query_id, sum(g / log2(rnk + 1)) AS dcg,
+        |    max(CASE WHEN g > 0 THEN 1.0 / rnk ELSE 0 END) AS mrr,
+        |    sum(g) AS hits, count(*) AS returned
+        |  FROM topk GROUP BY query_id)
+        |SELECT m.query_id,
+        |  round(CASE WHEN coalesce(idcg, 0) > 0 THEN dcg / idcg
+        |    ELSE 0 END, 6) AS ndcg,
+        |  round(mrr, 6) AS mrr,
+        |  round(hits * 1.0 / returned, 6) AS precision,
+        |  round(CASE WHEN coalesce(nrel, 0) > 0 THEN hits * 1.0 / nrel
+        |    ELSE 0 END, 6) AS recall
+        |FROM m LEFT JOIN idcg USING (query_id) LEFT JOIN nrel USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     // hard-negative twin: same cosine arithmetic as ann_bruteforce, label
     // mismatch below the per-query window, vec_id tie-break on the cut
     "q_hard_negatives" ->
