@@ -918,6 +918,34 @@ object ExtQueries {
         Seq("vec_id"), floor = 0.5)
     }),
 
+    // filtered search through the COMPRESSED index: label rides in the
+    // IVF-PQ code table, the predicate prunes the ADC candidate scan
+    // itself (not just the final cut), and the exact rerank sees only
+    // matching candidates. Priced against the exact filtered truth.
+    // Selectivity eats CELL coverage here (a 10%-selective predicate's
+    // true top-10 reaches ~20% down the label's ranking, spread across
+    // more cells): nprobe rises to 6/8 — the raise-nprobe-with-
+    // selectivity guidance on ivfTopKFromIndex, measured (4/8 → 0.4,
+    // 6/8 → 0.6 fixture recall); oversample 8 already admits every
+    // matching row the probed cells hold, so ADC isn't the limiter.
+    "ann_ivfpq_filtered_recall" -> ((s, d) => {
+      val corpus = embs(s, d).filter(col("vec_id") =!= 0)
+      val query = embs(s, d).filter(col("vec_id") === 0)
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivfpq_filt_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", idx,
+        nlist = 8, m = 16, k = 16, kmeansIters = 2,
+        attrCols = Seq("label"))
+      recallOf(
+        Similarity.bruteForceTopK(corpus.filter(col("label") === 2),
+          "vec_id", "embedding", query, "embedding", 10).select("vec_id"),
+        Similarity.ivfPqTopKFromIndex(s, idx, corpus, "vec_id", "embedding",
+          query, "embedding", k = 10, nprobe = 6, oversample = 8,
+          filter = Some(col("label") === 2)),
+        Seq("vec_id"), floor = 0.5)
+    }),
+
     // int8 scalar-quantized serving (4× compression, asymmetric scoring +
     // exact rerank): top-10 for the vec_id=0 query from the materialized
     // SQ8 index — rows-only (quantized candidate generation), priced by

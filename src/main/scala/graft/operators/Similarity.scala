@@ -537,14 +537,19 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, nlist: Int = 16, m: Int = 8,
                       k: Int = 16, kmeansIters: Int = 0,
-                      sampleFraction: Double = 1.0): Unit = {
+                      sampleFraction: Double = 1.0,
+                      attrCols: Seq[String] = Nil): Unit = {
     val cents =
       trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters, sampleFraction)
     val cb = Pq.train(corpus, idCol, vecCol, m, k,
       sampleFraction = sampleFraction)
-    corpus.select(col(idCol),
-        Pq.encodeExpr(cb, col(vecCol)).as("pq_codes"),
-        bestCellFor(cents)(col(vecCol)).as("cell"))
+    // attrCols ride in the CODE table (the [[writeIvfIndex]] convention):
+    // a filtered serve evaluates its predicate inside the pruned ADC scan,
+    // so candidate generation — not just the final cut — respects it
+    corpus.select(Seq(col(idCol),
+        Pq.encodeExpr(cb, col(vecCol)).as("pq_codes")) ++
+        attrCols.map(col) :+
+        bestCellFor(cents)(col(vecCol)).as("cell"): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -561,13 +566,15 @@ object Similarity {
     * touched.
     */
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
-                         path: String): Unit = {
+                         path: String, attrCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val cents = readCentroids(spark, path)
     val cb = Pq.readCodebooks(spark, path)
-    batch.select(col(idCol),
-        Pq.encodeExpr(cb, col(vecCol)).as("pq_codes"),
-        bestCellFor(cents)(col(vecCol)).as("cell"))
+    // attrCols must match the build's ([[appendToIvfIndex]]'s contract)
+    batch.select(Seq(col(idCol),
+        Pq.encodeExpr(cb, col(vecCol)).as("pq_codes")) ++
+        attrCols.map(col) :+
+        bestCellFor(cents)(col(vecCol)).as("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -577,13 +584,15 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: SparkSession, path: String,
                          rawCorpus: DataFrame, idCol: String, vecCol: String,
                          query: DataFrame, queryVecCol: String, k: Int,
-                         nprobe: Int = 4, oversample: Int = 4): DataFrame = {
+                         nprobe: Int = 4, oversample: Int = 4,
+                         filter: Option[Column] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     val q = Pq.collectSingleQuery(query, queryVecCol) // evaluated ONCE
     val cells = probeCellIds(q, cents, nprobe)
     val cb = Pq.readCodebooks(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
     Pq.rerankWith(codes, rawCorpus, idCol, vecCol, q, k, cb, oversample)
   }
 
@@ -605,7 +614,8 @@ object Similarity {
                               vecCol: String, queries: DataFrame,
                               queryIdCol: String, queryVecCol: String,
                               k: Int, nprobe: Int = 4,
-                              oversample: Int = 4): DataFrame = {
+                              oversample: Int = 4,
+                              filter: Option[Column] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     val cb = Pq.readCodebooks(spark, path)
     val assigned = queries.select(col(queryIdCol).as("query_id"),
@@ -618,6 +628,7 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("adc_score").desc, col(idCol))
     val candidates = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
       .join(broadcast(assigned), "cell")
       .select(col("query_id"), col(idCol), col("__qvec"),
         Pq.adcScoreExpr(cb.m, col("__adc")).as("adc_score"))

@@ -203,6 +203,23 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .orderBy(col("score").desc).as[(Long, Long, Double)].collect()
     assert(batched.head._2 === 999L)
     assert(!batched.map(_._2).contains(998L))
+    // the COMPRESSED index honors it too: the predicate prunes the ADC
+    // candidate scan (codes carry the label), single and batched serves
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpqidxf").toString
+    Similarity.writeIvfPqIndex(labeled, "vec_id", "embedding", pqDir,
+      nlist = 16, m = 8, k = 16, kmeansIters = 1, attrCols = Seq("label"))
+    val pqTop = Similarity.ivfPqTopKFromIndex(spark, pqDir, labeled,
+        "vec_id", "embedding", queryDf, "embedding", 5, nprobe = 4,
+        filter = Some(col("label") === 1))
+      .as[(Long, Double)].collect()
+    assert(pqTop.head._1 === 999L)
+    assert(!pqTop.map(_._1).contains(998L))
+    val pqBatched = Similarity.ivfPqBatchTopKFromIndex(spark, pqDir, labeled,
+        "vec_id", "embedding", queryDf, "vec_id", "embedding", 5, nprobe = 4,
+        filter = Some(col("label") === 1))
+      .orderBy(col("score").desc).as[(Long, Long, Double)].collect()
+    assert(pqBatched.head._2 === 999L)
+    assert(!pqBatched.map(_._2).contains(998L))
   }
 
   test("materialized LSH index: partition-pruned scan, planted neighbor served") {
