@@ -501,6 +501,18 @@ object ExtQueries {
       Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 16)
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // the 100 TB key variant priced at exact-equality: windows grouped by
+    // xxhash64 (8 bytes/window shuffle) must rewrite every document
+    // byte-identically to the textual-key oracle path — floor 1.0, so a
+    // single collision-driven divergence reads as spark_rows: 0
+    "dedup_span_removal_hashed_gap" -> ((s, d) =>
+      recallOf(
+        Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 16)
+          .select("doc_id", "text_clean"),
+        Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 16,
+          keyByHash = true),
+        Seq("doc_id", "text_clean"), floor = 1.0)),
+
     // weighted domain mixing — per-source quotas as an expression over the
     // stratum key (source srcN gets (N % 3 + 1) · 10 docs): the mixture-
     // spec sampler, same window + scramble as q_stratified_sample

@@ -379,26 +379,32 @@ object Dedup {
     * Scale shape (the reference paper uses a suffix array — a data
     * structure with no distributed analog; the sliding-window grouping
     * finds the identical span set for spans ≥ k): one groupBy keyed by
-    * window text (the [[ngramJaccardPairs]] trade applies: key by
-    * xxhash64(window) instead to shuffle 8 bytes/window at 100 TB —
-    * kept textual here for cross-engine oracle exactness), one
+    * window text — or, with `keyByHash`, by xxhash64(window), the
+    * [[ngramJaccardPairs]] trade: 8 bytes shuffle per window instead of
+    * the k-token string, at a 2⁻⁶⁴-per-pair collision risk (a collision
+    * over-removes one span). `keyByHash = false` stays textual for
+    * cross-engine oracle exactness; `dedup_span_removal_hashed_gap` pins
+    * both variants identical on the fixture at floor 1.0. Then one
     * covered-position explode bounded by k · duplicated windows, and a
     * co-partitioned anti-join + re-aggregation both keyed by id. No
     * driver state, no window function over the corpus.
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 16): DataFrame = {
+                            k: Int = 16,
+                            keyByHash: Boolean = false): DataFrame = {
     val wins = Chunking.chunkByTokens(df, idCol, textCol, k, k - 1)
       .where(col("n_chunk_tokens") === k) // short-doc partial window
+      .withColumn("__key",
+        if (keyByHash) xxhash64(col("chunk_text")) else col("chunk_text"))
     // canonical occurrence per window text: min (id, start) — one struct
     // min, so the groupBy carries two longs beyond the key
-    val canon = wins.groupBy("chunk_text")
+    val canon = wins.groupBy("__key")
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol), col("chunk_idx"))).as("__c"))
       .where(col("__n") > 1)
-      .select(col("chunk_text"), col("__c").getField(idCol).as("__cid"),
+      .select(col("__key"), col("__c").getField(idCol).as("__cid"),
         col("__c").getField("chunk_idx").as("__cstart"))
-    val dupOcc = wins.join(canon, "chunk_text")
+    val dupOcc = wins.join(canon, "__key")
       .where(!(col(idCol) === col("__cid") &&
         col("chunk_idx") === col("__cstart")))
       .select(col(idCol), col("chunk_idx"))

@@ -202,5 +202,10 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (4L, ""), (5L, "z1 z2")))
     assert(r.map(x => (x._3, x._4)).toSeq === Seq(
       (5L, 0L), (2L, 3L), (2L, 0L), (0L, 5L), (2L, 5L)))
+    // the hash-keyed scale variant rewrites identically
+    val hashed = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+        k = 3, keyByHash = true)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(hashed.toSeq === r.toSeq)
   }
 }
