@@ -17,7 +17,11 @@ object Explain {
       "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
       "dedup_exact", "dedup_minhash", "ann_bruteforce", "text_stats",
       "text_contamination", "corpus_filter_kept", "emb_semdedup",
-      "q_domain_mix")
+      "q_domain_mix",
+      // round 9 headliners: correlated semi+anti pair, grouping sets,
+      // filtered ANN, the span rewrite, DSIR scoring, retrieval eval
+      "q21_sole_blame", "q15_top_supplier", "ann_ivf_filtered",
+      "dedup_span_removal", "dsir_weights", "q_rank_eval")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -290,21 +290,6 @@ object Queries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // ROLLUP reporting — Q1's aggregate with subtotal and grand-total
-    // rows in ONE pass (Spark expands grouping sets inside a single
-    // shuffle — no per-level rescans); grouping_id disambiguates the
-    // NULL-keyed subtotal rows deterministically cross-engine
-    "q_rollup_pricing" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast("decimal(18,4)")), 2)
-            .cast("double").as("revenue"))
-        .select("l_returnflag", "l_linestatus", "gid", "n", "revenue")
-        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)),
-
     // TPC-H Q3-shaped join + agg + top-k; customer side broadcast
     "q3_top_revenue" -> ((s, d) => {
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1410,18 +1395,6 @@ object Queries {
         |    WHERE o_custkey = c.c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    // rollup twin: same single-statement grouping-set expansion,
-    // grouping_id bit order matches Spark's
-    "q_rollup_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  grouping_id(l_returnflag, l_linestatus) AS gid,
-        |  count(*) AS n,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag NULLS FIRST,
-        |  l_linestatus NULLS FIRST""".stripMargin,
     // the revenue view as a CTE; the = max cut compares the ROUNDED sums
     "q15_top_supplier" ->
       """WITH revenue AS (
