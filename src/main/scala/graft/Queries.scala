@@ -812,6 +812,27 @@ object Queries {
         .agg(approx_count_distinct("o_custkey").as("approx_cust"))
         .orderBy("o_orderstatus")),
 
+    // ordered-step funnel — view → click → purchase, strictly increasing
+    // timestamps: per-user earliest chain (greedy-earliest is complete —
+    // see Funnel scaladoc), one filtered grouped min per step on a shared
+    // user-keyed shuffle. Full oracle incl. the stage times.
+    "q_funnel" -> ((s, d) =>
+      graft.operators.Funnel.funnel(Tables.events(s, d), "user_id", "ts",
+          Seq("view" -> (col("event_type") === "view"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")))
+        .transform(presentSorted(_, "user_id"))),
+
+    // the funnel report: users reaching each step + step-over-step
+    // conversion — the aggregate a dashboard reads
+    "q_funnel_counts" -> ((s, d) =>
+      graft.operators.Funnel.funnelCounts(Tables.events(s, d), "user_id",
+          "ts",
+          Seq("view" -> (col("event_type") === "view"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")))
+        .orderBy("step")),
+
     // sessionization — 30-min-gap sessions per user over the event stream,
     // via lag + running sum (the batch form of session windows; two window
     // passes over one user-partitioned shuffle)
@@ -1576,6 +1597,49 @@ object Queries {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // funnel twins: per-stage min-chains as CTEs; strict > chaining and
+    // the same left-join assembly; conversions rounded in double
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND e.ts > t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND e.ts > t_click GROUP BY 1)
+        |SELECT s1.user_id, t_view, t_click, t_purchase,
+        |  1 + (CASE WHEN t_click IS NULL THEN 0 ELSE 1 END)
+        |    + (CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END)
+        |    AS steps_completed
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q_funnel_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND e.ts > t_view GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND e.ts > t_click GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS name, n1 AS n_users,
+        |    1.0 AS conversion FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click', n2, round(n2 * 1.0 / n1, 6) FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3, round(n3 * 1.0 / n2, 6) FROM n)
+        |ORDER BY step""".stripMargin,
     "q_sessionize" -> oracleSessionize,
     "q_hourly_rollup" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
