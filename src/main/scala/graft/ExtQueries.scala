@@ -1882,9 +1882,10 @@ object ExtQueries {
         |  SELECT DISTINCT doc_id, s + g AS pos
         |  FROM occ, generate_series(0, 15) t(g) WHERE c > 1 AND rn > 1),
         |toks AS (
-        |  SELECT doc_id, unnest(words) AS tok,
-        |    generate_subscripts(words, 1) - 1 AS pos
-        |  FROM w),
+        |  SELECT doc_id, unnest(fw) AS tok,
+        |    generate_subscripts(fw, 1) - 1 AS pos
+        |  FROM (SELECT doc_id, list_filter(words, x -> x <> '') AS fw
+        |        FROM w)),
         |kept AS (
         |  SELECT t.doc_id, t.pos, t.tok
         |  FROM toks t ANTI JOIN cov
@@ -1896,8 +1897,8 @@ object ExtQueries {
         |SELECT d.doc_id,
         |  coalesce(c.text_clean, '') AS text_clean,
         |  coalesce(c.n_kept, 0) AS n_kept,
-        |  len(string_split_regex(trim(d.text), '\s+'))
-        |    - coalesce(c.n_kept, 0) AS n_removed
+        |  len(list_filter(string_split_regex(trim(d.text), '\s+'),
+        |    x -> x <> '')) - coalesce(c.n_kept, 0) AS n_removed
         |FROM documents d LEFT JOIN clean c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // domain-mix twin: same scramble ranking, same arithmetic quota over

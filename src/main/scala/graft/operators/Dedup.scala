@@ -413,8 +413,11 @@ object Dedup {
         explode(sequence(col("chunk_idx"), col("chunk_idx") + (k - 1)))
           .as("__pos"))
       .distinct()
+    // the empty-token filter keeps an EMPTY document at 0 tokens (a bare
+    // split yields [""] — one phantom token both here and in DuckDB)
     val toks = df.select(col(idCol),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+        posexplode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+          .as(Seq("__pos", "__tok")))
     val rebuilt = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(transform(
@@ -422,7 +425,8 @@ object Dedup {
           s => s.getField("__tok")), " ").as("text_clean"),
         count(lit(1)).as("n_kept"))
     df.select(col(idCol),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__total"))
+        size(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+          .cast("long").as("__total"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),

@@ -49,4 +49,108 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .select(JobText.cleanTitle(col("t")).as("v")).as[String].collect().toSeq
     assert(twice === once)
   }
+
+  // random corpora from a 6-word vocab make duplicated k-windows common —
+  // the regime where span-removal bookkeeping has to stay consistent
+  private def randomCorpus(seedBase: Long, nDocs: Int): Seq[(Long, String)] = {
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    (0 until nDocs).map(i => (i.toLong,
+      docGen.apply(Gen.Parameters.default, Seed(seedBase + i)).getOrElse("")))
+  }
+
+  test("span removal invariants on random corpora: every doc returned " +
+      "once, kept+removed = input tokens, output is an ordered " +
+      "subsequence of the input") {
+    import graft.operators.Dedup
+    val corpus = randomCorpus(7L, 40)
+    val df = corpus.toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq === corpus.map(_._1).sorted)
+    val byId = corpus.toMap
+    out.foreach { case (id, clean, kept, removed) =>
+      val inToks = byId(id).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val outToks =
+        if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+      assert(kept === outToks.size, s"doc $id n_kept")
+      assert(kept + removed === inToks.size, s"doc $id totals")
+      // ordered-subsequence check: each kept token consumes the earliest
+      // matching input position
+      var pos = 0
+      outToks.foreach { t =>
+        val at = inToks.indexOf(t, pos)
+        assert(at >= 0, s"doc $id: '$t' not a subsequence token")
+        pos = at + 1
+      }
+    }
+    // determinism across runs
+    val again = Dedup.removeDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
+  test("DSIR: n_feats = tokens − 1 for every scored doc; weights stable " +
+      "under repartitioning") {
+    import graft.operators.Dsir
+    val corpus = randomCorpus(99L, 30).filter(_._2.trim.nonEmpty)
+    val df = corpus.toDF("doc_id", "text")
+    val target = df.filter(col("doc_id") % 3 === 0)
+    val w = Dsir.importanceWeights(df, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val byId = corpus.toMap
+    w.foreach { case (id, nf, _) =>
+      val n = byId(id).toLowerCase.trim.split("\\s+").count(_.nonEmpty)
+      assert(nf === n - 1, s"doc $id n_feats")
+    }
+    assert(w.map(_._1).toSet ===
+      corpus.filter(_._2.trim.split("\\s+").count(_.nonEmpty) >= 2)
+        .map(_._1).toSet)
+    val w2 = Dsir.importanceWeights(df.repartition(7), target, "doc_id",
+        "text").as[(Long, Long, Double)].collect().sortBy(_._1)
+    w.zip(w2).foreach { case ((i1, n1, x1), (i2, n2, x2)) =>
+      assert(i1 === i2 && n1 === n2)
+      assert(math.abs(x1 - x2) < 1e-9, s"doc $i1 weight drift")
+    }
+  }
+
+  test("funnel: prefix monotonicity and strictly increasing stage times " +
+      "on random event streams") {
+    import graft.operators.Funnel
+    val types = Vector("A", "B", "C")
+    val evGen = Gen.zip(Gen.chooseNum(1, 8), Gen.oneOf(types),
+      Gen.chooseNum(0, 5000))
+    val events = (0 until 300).flatMap(i =>
+        evGen.apply(Gen.Parameters.default, Seed(1000L + i)))
+      .map { case (u, t, s) =>
+        (u.toLong, t, new java.sql.Timestamp(1700000000000L + s * 1000L)) }
+      .toDF("user_id", "et", "ts")
+    val steps = Seq("a" -> (col("et") === "A"), "b" -> (col("et") === "B"),
+      "c" -> (col("et") === "C"))
+    val full = Funnel.funnel(events, "user_id", "ts", steps)
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Int)].collect()
+    // stage times strictly increase where present
+    full.foreach { case (u, ta, tb, tc, n) =>
+      assert(ta.nonEmpty, s"user $u entered without t_a")
+      tb.foreach(t => assert(t.after(ta.get), s"user $u t_b"))
+      (tb, tc) match {
+        case (Some(b), Some(c)) => assert(c.after(b), s"user $u t_c")
+        case (None, Some(_)) => fail(s"user $u skipped a stage")
+        case _ =>
+      }
+      assert(n === Seq(ta, tb, tc).count(_.nonEmpty))
+    }
+    // a shorter prefix can only keep MORE users at its last stage
+    val two = Funnel.funnel(events, "user_id", "ts", steps.take(2))
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+      .collect()
+    assert(two.count(_._3.nonEmpty) >= full.count(_._4.nonEmpty))
+    // and the two-step times agree with the three-step run's prefix
+    val fullMap = full.map(r => r._1 -> ((r._2, r._3))).toMap
+    two.foreach { case (u, ta, tb, _) =>
+      assert(fullMap(u) === ((Some(ta), tb)), s"user $u prefix mismatch")
+    }
+  }
 }
