@@ -1104,7 +1104,52 @@ object Queries {
           "o_orderkey", b.getLong(0), b.getLong(1) + 1, numPartitions = 4)
         .select(cols.map(col): _*)
         .transform(presentSorted(_, "o_orderkey"))
+    }),
+
+    // ── Link-graph centrality: the curation-prior family web-corpus
+    // pipelines derive from hyperlink structure. The graph under test is
+    // the nation TRADE graph (supplier nation → customer nation, one edge
+    // per lineitem): built with one fact-fact shuffle (orders) and
+    // broadcast dims, then 5 PageRank rounds — each one equi-join + one
+    // grouped sum over a 25-node rank table. Cross-engine hash parity of
+    // an ITERATIVE float computation: the oracle unrolls the same 5
+    // rounds, and the final round(…, 6) absorbs summation-order noise.
+    "q_pagerank" -> ((s, d) => {
+      graft.operators.Graph.pageRank(tradeEdges(s, d), "src", "dst",
+          iterations = 5)
+        .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("id"), col("n_name").as("nation"))),
+          Seq("id"))
+        .select(col("nation"), round(col("rank"), 6).as("pagerank"))
+        .transform(presentSorted(_, "nation"))
+    }),
+
+    "q_graph_degrees" -> ((s, d) => {
+      graft.operators.Graph.degrees(tradeEdges(s, d), "src", "dst")
+        .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("id"), col("n_name").as("nation"))),
+          Seq("id"))
+        .select(col("nation"), col("out_deg"), col("in_deg"),
+          col("out_w").cast("long").as("out_w"),
+          col("in_w").cast("long").as("in_w"))
+        .transform(presentSorted(_, "nation"))
     }))
+
+  /** The supplier-nation → customer-nation trade multigraph, one edge row
+    * per lineitem (weights coalesce inside [[graft.operators.Graph]]).
+    * Orders is the single fact-fact shuffle; both dims broadcast.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
 
   /** Shared by q_sessionize / q_sessionize_native / q_session_window /
     * q_stateful_sessions — four independent implementations (two window
@@ -1161,7 +1206,73 @@ object Queries {
        |FROM orders ORDER BY o_orderkey""".stripMargin
   }
 
+  /** The PageRank twin is GENERATED by unrolling the same 5 rounds the
+    * Spark operator runs, from the same constants — the damping literals
+    * are embedded via Java double round-trip formatting, so e.g.
+    * `1.0 - 0.85` is the SAME IEEE value (0.15000000000000002) on both
+    * engines rather than DuckDB's exact-decimal 0.15. Each round:
+    * rank'(v) = (1-d)/N + d·(Σ in-contribs + danglingMass/N), dangling
+    * mass via NOT IN the src set (none in the trade graph at any SF, but
+    * the math is kept total so the twin can't drift from the operator).
+    */
+  private val oraclePagerank: String = {
+    val d = 0.85
+    val steps = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.id,
+         |    ${1.0 - d} / nn.n + $d * (COALESCE(c.c, 0) + dg.dang / nn.n)
+         |      AS pr
+         |  FROM nodes
+         |  LEFT JOIN (SELECT t.dst AS id, sum(r.pr * t.p) AS c
+         |             FROM trans t JOIN r${k - 1} r ON r.id = t.src
+         |             GROUP BY t.dst) c ON nodes.id = c.id
+         |  CROSS JOIN (SELECT COALESCE(sum(pr), 0) AS dang FROM r${k - 1}
+         |              WHERE id NOT IN (SELECT src FROM edges)) dg
+         |  CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT s_n.n_nationkey AS src, c_n.n_nationkey AS dst,
+       |    CAST(count(*) AS DOUBLE) AS w
+       |  FROM lineitem, orders, customer, supplier, nation s_n, nation c_n
+       |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND l_suppkey = s_suppkey AND s_nationkey = s_n.n_nationkey
+       |    AND c_nationkey = c_n.n_nationkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |trans AS (SELECT src, dst, w / (sum(w) OVER (PARTITION BY src)) AS p
+       |          FROM edges),
+       |r0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT n_name AS nation, round(pr, 6) AS pagerank
+       |FROM r5 JOIN nation ON id = n_nationkey
+       |ORDER BY nation""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> oraclePagerank,
+    "q_graph_degrees" ->
+      """WITH edges AS (
+        |  SELECT s_n.n_nationkey AS src, c_n.n_nationkey AS dst
+        |  FROM lineitem, orders, customer, supplier, nation s_n, nation c_n
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_suppkey = s_suppkey AND s_nationkey = s_n.n_nationkey
+        |    AND c_nationkey = c_n.n_nationkey),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |o AS (SELECT src AS id, count(DISTINCT dst) AS out_deg,
+        |        CAST(count(*) AS BIGINT) AS out_w
+        |      FROM edges GROUP BY 1),
+        |i AS (SELECT dst AS id, count(DISTINCT src) AS in_deg,
+        |        CAST(count(*) AS BIGINT) AS in_w
+        |      FROM edges GROUP BY 1)
+        |SELECT n_name AS nation,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg,
+        |  COALESCE(out_w, 0) AS out_w, COALESCE(in_w, 0) AS in_w
+        |FROM nodes
+        |LEFT JOIN o ON nodes.id = o.id
+        |LEFT JOIN i ON nodes.id = i.id
+        |JOIN nation ON nodes.id = n_nationkey
+        |ORDER BY nation""".stripMargin,
     "jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderdate, o_orderpriority
