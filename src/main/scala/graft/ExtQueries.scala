@@ -16,6 +16,22 @@ object ExtQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
+
+  /** The mm_dhash_* media fixture: even docs get a seed-keyed noise PNG,
+    * odd docs the ×2 upscale of their even neighbor's — planted resize
+    * pairs (2k, 2k+1) at dHash Hamming 0.
+    */
+  private def dhashMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id % 2 == 0) Multimodal.syntheticNoisePng(id, 18, 16)
+          else Multimodal.upscaleNearest(
+            Multimodal.syntheticNoisePng(id - 1, 18, 16), 2)
+        Multimodal.MediaRecord(id, bytes)
+      }).toDF()
+  }
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
@@ -680,6 +696,31 @@ object ExtQueries {
         .agg(first(col("n_frames")).as("n_frames"),
           count(lit(1)).cast("int").as("n_sampled"))
         .orderBy("media_id")
+    }),
+
+    // IMAGE near-dup via perceptual hash — the modality the text dedup
+    // family never covered: one noise PNG per doc, every odd doc carrying
+    // the ×2 nearest-neighbor UPSCALE of its even neighbor's image, so
+    // the planted resize pairs sit at Hamming 0 while distinct seeds
+    // separate like independent 64-bit fingerprints. Real ImageIO decode
+    // → integer-exact dHash → the same blocked 16-bit-block Hamming join
+    // SimHash uses (pixels read once, only (id, hash, block) ints
+    // shuffle). rows-only (perceptual hashing is engine-defined); priced
+    // by the recall twin below at floor 1.0 — resize invariance here is
+    // a THEOREM (9 | width, 8 | height), not a tuning outcome.
+    "mm_dhash_dedup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(dhashMedia(s, d))
+        .transform(Queries.presentSorted(_, "id_a", "id_b"))),
+
+    "mm_dhash_recall" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val truth = ids.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"),
+          "left_semi")
+      recallOf(truth, Multimodal.imageNearDupPairs(dhashMedia(s, d)),
+        Seq("id_a", "id_b"), floor = 1.0)
     }),
 
     // REAL audio codec, driver-visible — the WAV twin of

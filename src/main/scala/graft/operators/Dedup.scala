@@ -208,26 +208,45 @@ object Dedup {
   def simhash(text: Column): Column = graft.functions.SimHash.simhash(text)
 
   /** Near-duplicate pairs by SimHash: candidates share at least one of
-    * `blocks` 16-bit blocks (pigeonhole: hamming ≤ maxHamming with 4 blocks
+    * four 16-bit blocks (pigeonhole: hamming ≤ maxHamming with 4 blocks
     * of a 64-bit hash guarantees ≥1 identical block when maxHamming ≤ 3);
     * verified by exact Hamming distance.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol), simhash(col(textCol)).as("simhash")),
+      idCol, "simhash", maxHamming)
+
+  /** Near-duplicate pairs over an ARBITRARY 64-bit signature column by
+    * blocked Hamming join — the [[simhashPairs]] core factored out so
+    * other 64-bit perceptual signatures (image dHash,
+    * [[Multimodal.imageNearDupPairs]]) reuse the same plan: explode each
+    * id into its four 16-bit blocks, one self-equi-join on
+    * (block, block_val) — only (id, hash, block) ints shuffle, never
+    * payloads — then exact `bit_count(xor)` verification. Pigeonhole
+    * makes candidate generation EXACT for maxHamming ≤ 3: any pair within
+    * distance 3 has ≥1 of its 4 blocks identical.
+    */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"blocked candidate generation is exact only for maxHamming <= 3, " +
+        s"got $maxHamming (add blocks to go wider)")
     val blocks = 4
-    val withSim = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val withSig = df.select(col(idCol), col(hashCol).cast("long").as("__h"))
     val blockVals = array((0 until blocks).map(b =>
-      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val blocked = withSim.select(col(idCol), col("simhash"),
+      shiftright(col("__h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val blocked = withSig.select(col(idCol), col("__h"),
       posexplode(blockVals).as(Seq("block", "block_val")))
-    val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sim_a"),
+    val a = blocked.select(col(idCol).as("id_a"), col("__h").as("h_a"),
       col("block"), col("block_val"))
-    val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sim_b"),
+    val b = blocked.select(col(idCol).as("id_b"), col("__h").as("h_b"),
       col("block"), col("block_val"))
     a.join(b, Seq("block", "block_val"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -295,6 +295,148 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic NOISE image (splitmix64-scrambled pixels, real PNG
+    * encode): unlike [[syntheticPng]]'s linear ramp — whose structured
+    * cells put some distinct seeds within a few Hamming bits of each
+    * other under [[dHash]] — distinct seeds here behave like independent
+    * 64-bit fingerprints (collision odds within radius 3:
+    * ~C(64,≤3)/2^64 per pair), which is what a planted-pair dedup
+    * fixture needs.
+    */
+  def syntheticNoisePng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (mix(seed * 0x100000001L + y * width + x)
+          & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload to a BufferedImage — the
+    * [[ImageIoCodec]] reader discipline (memory-cached stream, explicit
+    * reader dispose) without the feature extraction, shared by [[dHash]].
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    require(bytes != null && bytes.length > 0, "empty media payload")
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader for payload")
+      val reader = readers.next()
+      try { reader.setInput(iis); reader.read(0) } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** 64-bit difference hash (dHash — Krawetz 2013, the standard image
+    * perceptual fingerprint) of an image payload: real ImageIO decode,
+    * area-averaged downsample to a 9×8 luminance grid, bit (row·8 + x)
+    * set iff cell (row, x+1) outshines cell (row, x). The brightness
+    * comparison is exact integer cross-multiplication (sumR·cntL >
+    * sumL·cntR), so the hash is bit-deterministic across JVMs — no float
+    * anywhere in the pipeline. Invariant to container re-encoding, to
+    * exact ×k upscales when 9 | width and 8 | height (cell boundaries
+    * land on the same pixels), and to strictly monotone brightness maps
+    * (only ORDER of cell averages matters); small perturbations flip few
+    * bits, which is what [[imageNearDupPairs]]' Hamming join prices.
+    * 8 bytes per image: corpus-scale image dedup shuffles a long column,
+    * never pixels.
+    */
+  def dHash(bytes: Array[Byte]): Long = {
+    val img = readImage(bytes)
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](gh * gw)
+    val counts = new Array[Long](gh * gw)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * gh / h, gh - 1)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * gw / w, gw - 1)
+        val rgb = img.getRGB(x, y)
+        sums(gy * gw + gx) += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+          (rgb & 0xFF)
+        counts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        // exact: avg(right) > avg(left) ⇔ sumR·cntL > sumL·cntR; sums are
+        // < 3·255·W·H < 2^40 and counts < 2^20, so the products fit a long
+        if (sums(gy * gw + gx + 1) * counts(gy * gw + gx) >
+            sums(gy * gw + gx) * counts(gy * gw + gx + 1))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** dHash per row of a `media_id`/`content` frame: one mapPartitions
+    * decode pass (no shuffle), returning (media_id, dhash). */
+  def dHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions(_.map(r => (r.media_id, dHash(r.content))))
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs: [[dHash]] fingerprints through the
+    * blocked 64-bit Hamming join ([[Dedup.hammingPairs64]] — four 16-bit
+    * blocks, pigeonhole-exact for maxHamming ≤ 3). Pixels are read once
+    * in the decode pass; the join shuffles only (id, hash, block) ints.
+    * Returns (id_a, id_b, hamming).
+    */
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(dHashes(df), "media_id", "dhash", maxHamming)
+
+  /** Nearest-neighbor integer upscale of an image payload, re-encoded as
+    * PNG — fixture generator for the resize-invariance contract of
+    * [[dHash]] (exact when 9 | width and 8 | height; see there).
+    */
+  def upscaleNearest(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val src = readImage(bytes)
+    val out = new java.awt.image.BufferedImage(src.getWidth * factor,
+      src.getHeight * factor, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < out.getHeight) {
+      var x = 0
+      while (x < out.getWidth) {
+        out.setRGB(x, y, src.getRGB(x / factor, y / factor))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   /** Decode a binary media column into (meta struct, feature vector),
     * batch-iterating per partition. Input df must have `media_id`/`content`.
     */

@@ -167,4 +167,36 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(again.map(_.features.toSeq).toSeq ===
       frames.map(_.features.toSeq).toSeq)
   }
+
+  test("dHash: invariant to exact 2x upscale (9|w, 8|h) and PNG round-" +
+      "trip; distinct images separate beyond the Hamming radius") {
+    val base = Multimodal.syntheticNoisePng(7L, 18, 16)
+    assert(Multimodal.dHash(Multimodal.upscaleNearest(base, 2)) ===
+      Multimodal.dHash(base))
+    assert(Multimodal.dHash(Multimodal.upscaleNearest(base, 1)) ===
+      Multimodal.dHash(base)) // factor-1 = pure re-encode round-trip
+    // pairwise separation of distinct seeds — the blocking join must not
+    // merge genuinely different images (noise PNGs; the structured
+    // syntheticPng ramp is measurably TOO self-similar for this, which is
+    // exactly why syntheticNoisePng exists)
+    val hashes = (0L until 20L).map(s =>
+      Multimodal.dHash(Multimodal.syntheticNoisePng(s, 18, 16)))
+    val minHam = (for {
+      i <- hashes.indices; j <- hashes.indices if i < j
+    } yield java.lang.Long.bitCount(hashes(i) ^ hashes(j))).min
+    assert(minHam > 3, s"distinct seeds within Hamming radius: $minHam")
+  }
+
+  test("imageNearDupPairs: finds exactly the planted resize pair") {
+    val media = Seq(
+      10L -> Multimodal.syntheticNoisePng(10L, 18, 16),
+      11L -> Multimodal.upscaleNearest(
+        Multimodal.syntheticNoisePng(10L, 18, 16), 2),
+      20L -> Multimodal.syntheticNoisePng(20L, 18, 16),
+      30L -> Multimodal.syntheticNoisePng(30L, 18, 16)
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((10L, 11L, 0L)))
+  }
 }
