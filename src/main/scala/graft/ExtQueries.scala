@@ -1469,6 +1469,40 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // DEFLATE compression ratio per doc — the low-entropy quality signal
+    // (RefinedWeb/MassiveText recipe): boilerplate and keyword-stuffed
+    // spam compress far better than prose. Native codegen'd expression,
+    // thread-local Deflater; rows-only (no DEFLATE in the oracle engine),
+    // priced by the separation twin below.
+    "text_compression" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          round(graft.functions.Compression.compressionRatio(col("text")), 4)
+            .as("deflate_ratio"))
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // separation twin: every doc scored twice — as-is vs DEGRADED to pure
+    // repetition (its first 8 words tiled to ~original length). The gate
+    // is useful only if the degraded copies compress detectably better;
+    // floor: mean natural-vs-repetitive ratio gap >= 0.15, machine-
+    // enforced in the artifact row count like every other quality twin.
+    "text_compression_gap" -> ((s, d) => {
+      val ratio = graft.functions.Compression.compressionRatio _
+      val head8 = array_join(
+        slice(split(trim(col("text")), "\\s+"), 1, 8), " ")
+      val reps = greatest(lit(1),
+        (length(col("text")) / greatest(length(head8), lit(1))).cast("int"))
+      docs(s, d).where(length(trim(col("text"))) > 0)
+        .select(ratio(col("text")).as("nat"),
+          ratio(concat_ws(" ",
+            array_repeat(head8, reps))).as("rep"))
+        .agg(round(avg("nat"), 4).as("mean_natural"),
+          round(avg("rep"), 4).as("mean_repetitive"))
+        .select(col("mean_natural"), col("mean_repetitive"),
+          round(col("mean_natural") - col("mean_repetitive"), 4).as("gap"))
+        .withColumn("meets_floor", col("gap") >= 0.15)
+        .where(col("meets_floor"))
+    }),
+
     // interpolated trigram self-perplexity (Jelinek–Mercer λ 0.6/0.3/0.1)
     // — the next rung up the CCNet ladder; all five count joins + the
     // fixed-association interpolation hash cross-engine

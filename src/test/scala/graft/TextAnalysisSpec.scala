@@ -165,4 +165,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(one[String](TextNormalize.nfc(col("t")), a)
       === one[String](TextNormalize.nfc(col("t")), b))
   }
+
+  test("compression ratio: repetition compresses far below prose, empty " +
+      "is 1.0, null-safe, deterministic") {
+    import graft.functions.Compression.compressionRatio
+    val spam = ("buy cheap now " * 60).trim
+    val prose = "The quick brown fox jumps over the lazy dog while a " +
+      "distant storm gathers strength above the jagged mountain ridge, " +
+      "scattering birds through amber light toward warmer southern vales."
+    val rSpam = one[Double](compressionRatio(col("t")), spam)
+    val rProse = one[Double](compressionRatio(col("t")), prose)
+    assert(rSpam < 0.15, s"repetitive ratio $rSpam")
+    assert(rProse > 0.5, s"prose ratio $rProse")
+    assert(one[Double](compressionRatio(col("t")), "") === 1.0)
+    assert(Seq[String](null).toDF("t")
+      .select(compressionRatio(col("t")).as("v")).head().isNullAt(0))
+    assert(one[Double](compressionRatio(col("t")), prose) === rProse)
+  }
 }
