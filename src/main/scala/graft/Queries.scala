@@ -1133,7 +1133,15 @@ object Queries {
           col("out_w").cast("long").as("out_w"),
           col("in_w").cast("long").as("in_w"))
         .transform(presentSorted(_, "nation"))
-    }))
+    }),
+
+    // One-pass column profiler over orders — exact mode for oracle parity
+    // (the 100 TB default is the HLL path; ProfileSpec asserts that one
+    // plans WITHOUT Expand). Typed min/max lanes: numerics as double,
+    // strings/timestamps through their string form.
+    "q_profile_orders" -> ((s, d) =>
+      graft.operators.Profile.summary(t(s, d, "orders"), exact = true)
+        .transform(presentSorted(_, "col_name"))))
 
   /** The supplier-nation → customer-nation trade multigraph, one edge row
     * per lineitem (weights coalesce inside [[graft.operators.Graph]]).
@@ -1249,7 +1257,32 @@ object Queries {
        |ORDER BY nation""".stripMargin
   }
 
+  /** Profile twin: one UNION ALL branch per orders column, numeric and
+    * string min/max lanes mirroring [[graft.operators.Profile.summary]].
+    */
+  private val oracleProfile: String = {
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val other = Seq("o_orderstatus", "o_orderdate", "o_orderpriority")
+    val parts = num.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num,
+         |  CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str,
+         |  CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin) ++
+      other.map(c =>
+        s"""SELECT '$c', count(*), count(*) - count($c),
+           |  count(DISTINCT $c), CAST(NULL AS DOUBLE),
+           |  CAST(NULL AS DOUBLE), CAST(min($c) AS VARCHAR),
+           |  CAST(max($c) AS VARCHAR)
+           |FROM orders""".stripMargin)
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_profile_orders" -> oracleProfile,
     "q_pagerank" -> oraclePagerank,
     "q_graph_degrees" ->
       """WITH edges AS (

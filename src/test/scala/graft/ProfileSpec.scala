@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Profile
+
+class ProfileSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some(2.5), Some("b")),
+    (2L, None, Some("a")),
+    (3L, Some(2.5), None),
+    (4L, Some(9.0), Some("a"))
+  ).toDF("id", "score", "tag")
+
+  test("exact profile: null counts, distincts, typed min/max lanes") {
+    val got = Profile.summary(fixture, exact = true)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("id", 4L, 0L, 4L, Some(1.0), Some(4.0), None, None),
+      ("score", 4L, 1L, 2L, Some(2.5), Some(9.0), None, None),
+      ("tag", 4L, 1L, 2L, None, None, Some("a"), Some("b"))))
+  }
+
+  test("column subset + unknown column fails loudly") {
+    assert(Profile.summary(fixture, Seq("id")).count() === 1)
+    intercept[IllegalArgumentException] {
+      Profile.summary(fixture, Seq("nope"))
+    }
+  }
+
+  test("approx profile plans WITHOUT Expand (single non-replicated pass) " +
+      "and its distincts are exact on small cardinalities") {
+    val prof = Profile.summary(fixture)
+    assert(!prof.queryExecution.executedPlan.toString.contains("Expand"),
+      "HLL profile must not expand the scan")
+    // the exact path DOES expand — that's the documented trade
+    assert(Profile.summary(fixture, exact = true)
+      .queryExecution.executedPlan.toString.contains("Expand"))
+    val byCol = prof.select("col_name", "n_distinct")
+      .as[(String, Long)].collect().toMap
+    assert(byCol === Map("id" -> 4L, "score" -> 2L, "tag" -> 2L))
+  }
+}
