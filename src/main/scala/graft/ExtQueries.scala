@@ -446,6 +446,16 @@ object ExtQueries {
         .select("doc_id", "lang")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // deterministic 80/10/10 train/val/test assignment by the same
+    // scramble — membership is a pure function of doc_id (no rand()), so
+    // the oracle recomputes every row's split and a doc can never migrate
+    // between splits across engines, reruns, or cluster layouts
+    "q_hash_split" -> ((s, d) =>
+      graft.operators.Sampling.hashSplit(docs(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // context-window chunking — overlapping fixed-token windows per doc
     // (64-token chunks, 8-token overlap): per-row arithmetic + one
     // explode, no shuffle; full oracle over chunk text and counts
@@ -1772,7 +1782,23 @@ object ExtQueries {
       |    (n_emails + n_ips + n_phones = 0) AS p4
       |  FROM m2)""".stripMargin
 
+  /** Split twin GENERATED from the same thresholds the operator computes
+    * ([[graft.operators.Sampling.splitThresholds]]), so the integer cut
+    * points can't drift between the engine and the oracle.
+    */
+  private val oracleHashSplit: String = {
+    val thr = graft.operators.Sampling.splitThresholds(Seq(0.8, 0.1, 0.1))
+    s"""SELECT doc_id,
+       |  CASE WHEN (doc_id * 2654435761) % 4294967296 < ${thr(0)}
+       |    THEN 'train'
+       |  WHEN (doc_id * 2654435761) % 4294967296 < ${thr(1)}
+       |    THEN 'val'
+       |  ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hash_split" -> oracleHashSplit,
     "corpus_filter_funnel" -> (corpusGatesSqlPrefix +
       """
         |SELECT CAST(stage AS INT) AS stage, gate, surviving FROM (

@@ -1141,7 +1141,18 @@ object Queries {
     // strings/timestamps through their string form.
     "q_profile_orders" -> ((s, d) =>
       graft.operators.Profile.summary(t(s, d, "orders"), exact = true)
-        .transform(presentSorted(_, "col_name"))))
+        .transform(presentSorted(_, "col_name"))),
+
+    // grouped z-score anomaly scan: per event_type, rows more than 3
+    // sample standard deviations from their group mean — one grouped agg
+    // joined back, narrow filter; z rounded so partial-agg summation
+    // order can't flip the hash
+    "q_zscore_outliers" -> ((s, d) =>
+      graft.operators.Profile.outliers(Tables.events(s, d),
+          Seq("event_type"), "value", zThreshold = 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("z"), 6).as("z"))
+        .transform(presentSorted(_, "event_id"))))
 
   /** The supplier-nation → customer-nation trade multigraph, one edge row
     * per lineitem (weights coalesce inside [[graft.operators.Graph]]).
@@ -1282,6 +1293,14 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, round((value - m) / sd, 6) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE sd > 0 AND abs((value - m) / sd) > 3
+        |ORDER BY event_id""".stripMargin,
     "q_profile_orders" -> oracleProfile,
     "q_pagerank" -> oraclePagerank,
     "q_graph_degrees" ->

@@ -61,4 +61,29 @@ object Profile {
     }: _*)
     one.select(inline(rows))
   }
+
+  /** Grouped z-score outliers — the per-segment anomaly scan run over a
+    * metrics drop before it enters training or reporting: rows whose
+    * `valueCol` sits more than `zThreshold` sample standard deviations
+    * from their group's mean. One grouped aggregation (map-side combined,
+    * output sublinear in rows) joined back on the group key, then a
+    * narrow filter — groups with fewer than two rows or zero variance
+    * emit nothing (z is undefined there, not infinite). Returns the
+    * input columns plus `z`.
+    */
+  def outliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
+               zThreshold: Double = 3.0): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one group column")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    require(!df.columns.exists(_.startsWith("__ol_")),
+      "input already carries __ol_-prefixed internals")
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(avg(valueCol).as("__ol_mean"),
+        stddev_samp(valueCol).as("__ol_sd"))
+    val z = (col(valueCol) - col("__ol_mean")) / col("__ol_sd")
+    df.join(stats, keyCols)
+      .where(col("__ol_sd") > 0 && abs(z) > zThreshold)
+      .withColumn("z", z)
+      .drop("__ol_mean", "__ol_sd")
+  }
 }

@@ -26,6 +26,42 @@ object Sampling {
   def scramble(id: Column): Column =
     pmod(id * lit(2654435761L), lit(4294967296L))
 
+  /** Deterministic train/validation/test assignment by scrambled id — the
+    * reproducible split every training pipeline needs: no `rand()` (engine-
+    * and partition-seeded, unauditable), just the same multiplicative
+    * scramble as every sampler here, so ANY engine recomputes identical
+    * membership and a document can never migrate between splits across
+    * reruns or cluster layouts. `splits` maps label → weight (normalized
+    * over their sum); thresholds are integer cuts of the 2^32 scramble
+    * domain, so expected proportions hold to ±2^-32. Pure per-row
+    * arithmetic — no shuffle, no state, appends a `split` column.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)],
+                splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "duplicate split labels")
+    require(!df.columns.contains(splitCol), s"column $splitCol exists")
+    val thresholds = splitThresholds(splits.map(_._2))
+    val h = scramble(col(idCol))
+    val assigned = splits.map(_._1).zip(thresholds).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((label, thr), acc) => when(h < thr, lit(label)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Cumulative integer thresholds over the 2^32 scramble domain — shared
+    * with the generated SQL twin so both engines cut at identical points.
+    */
+  def splitThresholds(weights: Seq[Double]): Seq[Long] = {
+    val total = weights.sum
+    weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * 4294967296.0))
+  }
+
   /** Keep `quota(row)` rows per stratum, chosen by scrambled-id order
     * (ties on the raw id for total determinism). `quota` is any Column —
     * a literal for balanced strata, or an expression over the stratum

@@ -43,4 +43,20 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
       .as[(String, Long)].collect().toMap
     assert(byCol === Map("id" -> 4L, "score" -> 2L, "tag" -> 2L))
   }
+
+  test("outliers: hand-computed z, degenerate groups emit nothing") {
+    // group a: values 1,1,1,1,101 — mean 21, sd 44.72…, z(101) = 1.789 →
+    // only the 2.5σ threshold misses it; at 1.5 it's the lone outlier.
+    // group b: constant (sd 0) and group c: singleton (sd null) → nothing.
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 1.0),
+      ("a", 5L, 101.0), ("b", 6L, 7.0), ("b", 7L, 7.0), ("c", 8L, 9.0)
+    ).toDF("g", "id", "v")
+    val hit = Profile.outliers(df, Seq("g"), "v", zThreshold = 1.5)
+      .select("id", "z").as[(Long, Double)].collect().toSeq
+    assert(hit.map(_._1) === Seq(5L))
+    val expected = (101.0 - 21.0) / 44.72135954999579
+    assert(math.abs(hit.head._2 - expected) < 1e-9)
+    assert(Profile.outliers(df, Seq("g"), "v", 1.8).count() === 0)
+  }
 }

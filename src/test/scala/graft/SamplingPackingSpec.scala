@@ -179,4 +179,32 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
     assert(full.forall(s => s._3 <= 600), seqs.mkString(","))
     assert(full.nonEmpty)
   }
+
+  test("hashSplit: deterministic assignment, near-nominal proportions, " +
+      "guards on labels and collisions") {
+    val df = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = Sampling.hashSplit(df, "id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000L) < 200, counts.toString)
+    assert(math.abs(counts("val") - 1000L) < 120, counts.toString)
+    // pure function of id: rerun on a different layout, identical rows
+    val a = Sampling.hashSplit(df, "id", splits)
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(df.repartition(13), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(a === b)
+    // thresholds partition the full 2^32 domain
+    assert(Sampling.splitThresholds(Seq(0.8, 0.1, 0.1)).last === 4294967296L)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 1.0, "a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df.withColumn("split", lit("x")), "id", splits)
+    }
+  }
 }
