@@ -17,6 +17,22 @@ object ExtQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** The mm_ahash_* media fixture: even docs get a seed-keyed noise WAV,
+    * odd docs the ×2 time stretch of their even neighbor's — planted
+    * stretch pairs (2k, 2k+1) at audioHash Hamming 0.
+    */
+  private def ahashMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id % 2 == 0) Multimodal.syntheticNoiseWav(id, 130, 8000, 1)
+          else Multimodal.stretchWav(
+            Multimodal.syntheticNoiseWav(id - 1, 130, 8000, 1), 2)
+        Multimodal.MediaRecord(id, bytes)
+      }).toDF()
+  }
+
   /** The mm_dhash_* media fixture: even docs get a seed-keyed noise PNG,
     * odd docs the ×2 upscale of their even neighbor's — planted resize
     * pairs (2k, 2k+1) at dHash Hamming 0.
@@ -730,6 +746,26 @@ object ExtQueries {
         .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"),
           "left_semi")
       recallOf(truth, Multimodal.imageNearDupPairs(dhashMedia(s, d)),
+        Seq("id_a", "id_b"), floor = 1.0)
+    }),
+
+    // AUDIO near-dup via waveform fingerprint — the audio modality of the
+    // same dedup family: noise WAV per even doc, odd docs carrying the ×2
+    // time STRETCH of their even neighbor (exact invariance: 65 | 130
+    // frames), hashed by loudness-gradient comparisons and joined through
+    // the shared blocked Hamming plan. rows-only + recall twin, floor 1.0.
+    "mm_ahash_dedup" -> ((s, d) =>
+      Multimodal.audioNearDupPairs(ahashMedia(s, d))
+        .transform(Queries.presentSorted(_, "id_a", "id_b"))),
+
+    "mm_ahash_recall" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val truth = ids.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"),
+          "left_semi")
+      recallOf(truth, Multimodal.audioNearDupPairs(ahashMedia(s, d)),
         Seq("id_a", "id_b"), floor = 1.0)
     }),
 

@@ -437,6 +437,188 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decoded PCM frame amplitudes: per frame, the sum over channels of
+    * |sample| scaled to the 16-bit domain (the [[WavCodec]] depth
+    * normalization) — shared by [[audioHash]] and [[stretchWav]].
+    */
+  private def frameAmplitudes(bytes: Array[Byte]): Array[Long] = {
+    require(bytes != null && bytes.length > 0, "empty media payload")
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            "no javax.sound reader for payload", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      require(enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"audioHash handles PCM payloads, got $enc")
+      require(bits == 8 || bits == 16 || bits == 24,
+        s"audioHash handles 8/16/24-bit PCM, got $bits")
+      val channels = fmt.getChannels
+      val data = ais.readAllBytes()
+      val little = !fmt.isBigEndian
+      val unsigned =
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bytesPer = bits / 8
+      val frameBytes = bytesPer * channels
+      val nFrames = data.length / frameBytes
+      val amps = new Array[Long](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0L
+        var c = 0
+        while (c < channels) {
+          val i = f * frameBytes + c * bytesPer
+          var raw = 0
+          var b = 0
+          while (b < bytesPer) {
+            val shift = if (little) 8 * b else 8 * (bytesPer - 1 - b)
+            raw |= (data(i + b) & 0xFF) << shift
+            b += 1
+          }
+          val signed =
+            if (unsigned) raw - (1 << (bits - 1))
+            else (raw << (32 - bits)) >> (32 - bits)
+          val s16 = if (bits >= 16) signed >> (bits - 16)
+                    else signed << (16 - bits)
+          acc += math.abs(s16.toLong)
+          c += 1
+        }
+        amps(f) = acc
+        f += 1
+      }
+      amps
+    } finally ais.close()
+  }
+
+  /** 64-bit audio fingerprint — the waveform analog of [[dHash]]: real
+    * javax.sound PCM decode, per-frame summed |amplitude| (16-bit-domain
+    * normalized, so bit depth changes resolution, not shape), bucketed
+    * into 65 time windows; bit w set iff window w+1 is louder than window
+    * w, decided by exact integer cross-multiplication. Invariant to the
+    * container (WAV header padding), to bit-depth widening, and to exact
+    * ×k time stretches when 65 | frames (window boundaries land on the
+    * same frames — the [[dHash]] upscale theorem in one dimension).
+    * 8 bytes per clip: audio dedup at corpus scale shuffles a long
+    * column through the same [[Dedup.hammingPairs64]] join as images
+    * and text.
+    */
+  def audioHash(bytes: Array[Byte]): Long = {
+    val amps = frameAmplitudes(bytes)
+    val win = 65
+    val n = amps.length
+    require(n >= win, s"audioHash needs >= $win frames, got $n")
+    val sums = new Array[Long](win)
+    val counts = new Array[Long](win)
+    var f = 0
+    while (f < n) {
+      val w = math.min(f * win / n, win - 1)
+      sums(w) += amps(f)
+      counts(w) += 1
+      f += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < win - 1) {
+      // amplitudes ≤ 32768·channels ≤ 2^21-ish per frame, windows ≤ 2^20
+      // frames → sums < 2^41, counts < 2^20: the products fit a long
+      if (sums(w + 1) * counts(w) > sums(w) * counts(w + 1))
+        hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** [[audioHash]] per row of a `media_id`/`content` frame: one
+    * mapPartitions decode pass, returning (media_id, ahash). */
+  def audioHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions(_.map(r => (r.media_id, audioHash(r.content))))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Audio near-duplicate pairs: [[audioHash]] fingerprints through the
+    * blocked 64-bit Hamming join. Returns (id_a, id_b, hamming). */
+  def audioNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(audioHashes(df), "media_id", "ahash", maxHamming)
+
+  /** Exact ×k time stretch of a 16-bit PCM WAV (each frame repeated k
+    * times, real javax.sound re-encode) — fixture generator for the
+    * stretch-invariance contract of [[audioHash]].
+    */
+  def stretchWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"stretchWav expects 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+      val data = ais.readAllBytes()
+      val frameBytes = fmt.getFrameSize
+      val nFrames = data.length / frameBytes
+      val out = new Array[Byte](data.length * factor)
+      var f = 0
+      while (f < nFrames) {
+        var k = 0
+        while (k < factor) {
+          System.arraycopy(data, f * frameBytes, out,
+            (f * factor + k) * frameBytes, frameBytes)
+          k += 1
+        }
+        f += 1
+      }
+      val stretched = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), fmt,
+        (nFrames * factor).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stretched,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally ais.close()
+  }
+
+  /** Deterministic NOISE WAV (splitmix64-scrambled 16-bit mono-or-multi
+    * PCM, real javax.sound encode) — the audio twin of
+    * [[syntheticNoisePng]]: distinct seeds fingerprint like independent
+    * 64-bit hashes under [[audioHash]], where [[syntheticWav]]'s
+    * structured waveform would not guarantee separation.
+    */
+  def syntheticNoiseWav(seed: Long, nFrames: Int, sampleRate: Int,
+                        channels: Int): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      val s16 = (mix(seed * 0x100000001L + i) & 0xFFFF).toInt - 32768
+      pcm(2 * i) = (s16 & 0xFF).toByte
+      pcm(2 * i + 1) = ((s16 >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Decode a binary media column into (meta struct, feature vector),
     * batch-iterating per partition. Input df must have `media_id`/`content`.
     */

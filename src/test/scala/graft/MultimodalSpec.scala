@@ -199,4 +199,38 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs === Seq((10L, 11L, 0L)))
   }
+
+  test("audioHash: invariant to exact 2x time stretch (65|frames) and " +
+      "re-encode; distinct noise seeds separate; stereo decodes") {
+    val base = Multimodal.syntheticNoiseWav(5L, 130, 8000, 1)
+    assert(Multimodal.audioHash(Multimodal.stretchWav(base, 2)) ===
+      Multimodal.audioHash(base))
+    assert(Multimodal.audioHash(Multimodal.stretchWav(base, 1)) ===
+      Multimodal.audioHash(base)) // factor-1 = container round-trip
+    val stereo = Multimodal.syntheticNoiseWav(6L, 130, 8000, 2)
+    assert(Multimodal.audioHash(Multimodal.stretchWav(stereo, 2)) ===
+      Multimodal.audioHash(stereo))
+    val hashes = (0L until 20L).map(s =>
+      Multimodal.audioHash(Multimodal.syntheticNoiseWav(s, 130, 8000, 1)))
+    val minHam = (for {
+      i <- hashes.indices; j <- hashes.indices if i < j
+    } yield java.lang.Long.bitCount(hashes(i) ^ hashes(j))).min
+    assert(minHam > 3, s"distinct seeds within Hamming radius: $minHam")
+    intercept[IllegalArgumentException] { // < 65 frames: no window stream
+      Multimodal.audioHash(Multimodal.syntheticNoiseWav(1L, 64, 8000, 1))
+    }
+  }
+
+  test("audioNearDupPairs: finds exactly the planted stretch pair") {
+    val base = Multimodal.syntheticNoiseWav(40L, 130, 8000, 1)
+    val media = Seq(
+      40L -> base,
+      41L -> Multimodal.stretchWav(base, 3),
+      50L -> Multimodal.syntheticNoiseWav(50L, 130, 8000, 1),
+      60L -> Multimodal.syntheticNoiseWav(60L, 130, 8000, 1)
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.audioNearDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((40L, 41L, 0L)))
+  }
 }
