@@ -62,5 +62,10 @@ object SparkEntry {
     // round 9: the correlated semi+anti pair on one shuffle (Q21 — the
     // plan that predicts EXISTS-heavy reporting) and the sliding-window
     // corpus rewrite (ExactSubstr removal — the heaviest text-dedup pass)
-    "q21_sole_blame", "dedup_span_removal")
+    "q21_sole_blame", "dedup_span_removal",
+    // round 9: the engine's second iterative-join family (5 PageRank
+    // rounds over the trade graph built from a 600k-row fact-fact join)
+    // and the decode-heavy modality path (5k real PNG decodes → dHash →
+    // blocked Hamming join)
+    "q_pagerank", "mm_dhash_dedup")
 }

@@ -96,7 +96,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHashExpr(es(0))),
     ("jaccard_long",
       new ExpressionInfo(classOf[LongArrayJaccardExpr].getName, "jaccard_long"),
-      (es: Seq[Expression]) => LongArrayJaccardExpr(es(0), es(1))))
+      (es: Seq[Expression]) => LongArrayJaccardExpr(es(0), es(1))),
+    ("deflate_ratio",
+      new ExpressionInfo(
+        classOf[graft.functions.DeflateRatioExpr].getName, "deflate_ratio"),
+      (es: Seq[Expression]) => graft.functions.DeflateRatioExpr(es(0))))
 
   /** Register the functions + rule + strategy on a running session. */
   def register(spark: SparkSession): Unit = {

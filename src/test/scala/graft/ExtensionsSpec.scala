@@ -19,6 +19,9 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     val bucket = spark.sql(
       "SELECT hyperplane_bucket(array(1.0d, -2.0d), 8, 0) AS b").as[Long].head()
     assert(bucket >= 0 && bucket < 256)
+    val ratio = spark.sql(
+      "SELECT deflate_ratio(repeat('spam ', 100)) AS r").as[Double].head()
+    assert(ratio > 0.0 && ratio < 0.2)
   }
 
   test("optimizer rule rewrites the HOF dot product to VectorDot") {
