@@ -1736,7 +1736,69 @@ object ExtQueries {
       StatefulSessions.sessionize(events, gapSeconds = 1800, emitOpen = true)
         .toDF()
         .transform(Queries.presentSorted(_, "user_id", "session_id"))
-    }))
+    }),
+
+    // corpus-distribution divergence between the en slice and the rest —
+    // KL both ways + Jensen-Shannon over add-one-smoothed unigram
+    // distributions, decimal-summed so the value hash-matches DuckDB
+    "q_token_divergence" -> ((s, d) =>
+      graft.operators.Divergence.tokenDivergence(
+        docs(s, d).where(col("lang") === "en"),
+        docs(s, d).where(col("lang") =!= "en"), "text")),
+
+    // the tokens driving that gap: top-20 by |smoothed log-ratio|
+    "q_token_shift" -> ((s, d) =>
+      graft.operators.Divergence.topShiftedTokens(
+        docs(s, d).where(col("lang") === "en"),
+        docs(s, d).where(col("lang") =!= "en"), "text", k = 20)
+        .transform(Queries.presentSorted(_, "token"))),
+
+    // exact ROC AUC / PR curve as oracle-checkable EVAL operators: the
+    // score is a deterministic column (n_chars, integer — exercises the
+    // midrank tie path), the label the lang tag; all arithmetic is exact
+    // longs until the final division
+    "q_auc" -> ((s, d) =>
+      graft.operators.Classifier.auc(
+        docs(s, d).select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1).otherwise(0).as("y")),
+        "score", "y")),
+
+    "q_pr_curve" -> ((s, d) =>
+      graft.operators.Classifier.prCurve(
+        docs(s, d).select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1).otherwise(0).as("y")),
+        "score", "y")
+        .transform(Queries.presentSorted(_, "threshold"))),
+
+    // distill the corpus gate funnel into a trained LR quality classifier
+    // (the CCNet/FineWeb-Edu pattern: heuristic labels → one cheap linear
+    // scorer). Model-based → rows-only; the *_auc twin prices the trained
+    // model under a floor, machine-enforced in its row count.
+    "q_lr_distill" -> ((s, d) =>
+      lrDistillScores(s, d)
+        .select(col("doc_id"), round(col("p"), 4).as("p"), col("y"))
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    "q_lr_distill_auc" -> ((s, d) =>
+      graft.operators.Classifier.auc(lrDistillScores(s, d), "p", "y")
+        .withColumn("meets_floor", col("auc") >= 0.85)
+        .where(col("meets_floor"))))
+
+  /** Gate-funnel labels → trained LR → full-corpus scores: the shared
+    * frame behind q_lr_distill and its AUC twin. Training runs on the
+    * whole slice here (500–60k docs); at 100 TB the label+train side is a
+    * [[graft.operators.Sampling.hashSplit]] sample and only scoring sees
+    * the corpus.
+    */
+  private def lrDistillScores(s: SparkSession, d: String): DataFrame = {
+    val labeled = docs(s, d).withColumn("y",
+      corpusGates.map { case (_, c) => coalesce(c, lit(false)) }
+        .reduce(_ && _).cast("int"))
+    val w = graft.operators.Classifier.trainLogReg(labeled, "doc_id",
+      "text", "y", buckets = 2048, iterations = 20, lr = 0.5)
+    graft.operators.Classifier.scoreLogReg(labeled, "doc_id", "text", w,
+      buckets = 2048)
+  }
 
   /** Shared gate CTE for the corpus_filter_* twins — per-doc measures and
     * gate booleans p0..p4, each formula copied verbatim from the oracle
@@ -2881,5 +2943,83 @@ object ExtQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority,
         |  CAST(o_custkey % 4 AS INT) AS pbucket
-        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    // divergence twin: identical smoothing + the BM25-oracle decimal-sum
+    // convention (per-token contribution rounded at 9, exact decimal sum,
+    // final round at 6) so float summation order can't split the engines
+    "q_token_divergence" -> (tokenCountsSqlPrefix +
+      """
+        |SELECT v AS vocab, na AS n_a, nb AS n_b,
+        |  round(CAST(sum(CAST(round(p * ln(p / q), 9)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_ab,
+        |  round(CAST(sum(CAST(round(q * ln(q / p), 9)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_ba,
+        |  round(CAST(sum(CAST(round(p / 2 * ln(2 * p / (p + q))
+        |    + q / 2 * ln(2 * q / (p + q)), 9)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS js
+        |FROM c GROUP BY v, na, nb""".stripMargin),
+    "q_token_shift" -> (tokenCountsSqlPrefix +
+      """
+        |SELECT * FROM (
+        |  SELECT token, ca AS c_a, cb AS c_b,
+        |    round(ln(p / q), 6) AS log_ratio
+        |  FROM c ORDER BY abs(round(ln(p / q), 6)) DESC, token LIMIT 20)
+        |ORDER BY token""".stripMargin),
+    // AUC twin: distinct-score histogram + midrank Mann-Whitney, exact
+    // longs until the one division
+    "q_auc" ->
+      """WITH s AS (SELECT n_chars AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |h AS (SELECT sc, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(sum(1 - y) AS BIGINT) AS n FROM s GROUP BY sc),
+        |w AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+        |  FROM h)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(n) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(p * (2 * cumn + n)) AS DOUBLE) /
+        |    (2.0 * sum(p) * sum(n)), 6) AS auc
+        |FROM w""".stripMargin,
+    "q_pr_curve" ->
+      """WITH s AS (SELECT n_chars AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |h AS (SELECT sc, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(sum(1 - y) AS BIGINT) AS n FROM s GROUP BY sc),
+        |w AS (SELECT sc AS threshold,
+        |    CAST(sum(p) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tp,
+        |    CAST(sum(n) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS fp
+        |  FROM h),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS np FROM h)
+        |SELECT threshold, tp, fp,
+        |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) / np, 6) AS recall,
+        |  round(2.0 * tp / (2.0 * tp + fp + (np - tp)), 6) AS f1
+        |FROM w CROSS JOIN t ORDER BY threshold""".stripMargin)
+
+  /** Shared CTE prefix for the divergence twins: per-token counts of the
+    * two slices, full-outer joined, with the add-one smoothed p/q.
+    * (A def, not a val: it is referenced from the `oracles` initializer
+    * above, and object vals initialize in declaration order.)
+    */
+  private def tokenCountsSqlPrefix: String =
+    """WITH ta AS (SELECT unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+      |    AS token FROM documents WHERE lang = 'en'),
+      |tb AS (SELECT unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+      |    AS token FROM documents WHERE lang <> 'en'),
+      |ka AS (SELECT token, count(*) AS ca FROM ta GROUP BY token),
+      |kb AS (SELECT token, count(*) AS cb FROM tb GROUP BY token),
+      |j AS (SELECT coalesce(ka.token, kb.token) AS token,
+      |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |  FROM ka FULL JOIN kb ON ka.token = kb.token),
+      |t AS (SELECT count(*) AS v, CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb FROM j),
+      |c AS (SELECT token, ca, cb, v, na, nb,
+      |    (ca + 1.0) / (na + v) AS p, (cb + 1.0) / (nb + v) AS q
+      |  FROM j CROSS JOIN t)""".stripMargin
 }

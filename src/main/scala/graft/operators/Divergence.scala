@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-distribution divergence — the domain-shift measurement every
+  * data-mixing decision leans on: how far apart are two corpus slices as
+  * unigram token distributions (KL both directions + the symmetric,
+  * bounded Jensen-Shannon), and WHICH tokens drive the gap. This is the
+  * diagnostic companion to [[Dsir]] (which acts on the ratio per
+  * document) and [[Sampling]]'s mixing operators (which need to know how
+  * different the strata actually are before choosing temperatures).
+  *
+  * Both distributions are add-one smoothed over the UNION vocabulary
+  * (p̂(t) = (c(t)+1)/(N+V) — the [[Lm]]/[[Dsir]] convention), so the
+  * divergences are finite even on disjoint vocabularies.
+  *
+  * Spark shape: one tokenize+explode+count aggregation per slice
+  * (map-side combined, Heaps-sublinear result), a full-outer join on the
+  * token, totals as a single broadcast 1-row cross join, one final sum.
+  * Nothing is collected; vocabulary scale is bounded by distinct tokens,
+  * not corpus size.
+  *
+  * Determinism: per-token contributions are rounded to 9 decimals and
+  * summed as exact decimals (the BM25-oracle convention), so the result
+  * hash-matches any engine computing the same formula — float summation
+  * order can't leak into the value.
+  */
+object Divergence {
+
+  private def toks(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+
+  private def counts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  private def decSum(c: Column): Column =
+    sum(round(c, 9).cast("decimal(38,12)")).cast("double")
+
+  /** One row: (vocab, n_a, n_b, kl_ab, kl_ba, js) for the two slices'
+    * token distributions. `js` is in [0, ln 2]; 0 ⇔ identical smoothed
+    * distributions.
+    */
+  def tokenDivergence(a: DataFrame, b: DataFrame,
+                      textCol: String): DataFrame = {
+    val joined = counts(a, textCol).withColumnRenamed("c", "ca")
+      .join(counts(b, textCol).withColumnRenamed("c", "cb"),
+        Seq("token"), "full")
+      .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(count(lit(1)).as("v"),
+      sum("ca").as("na"), sum("cb").as("nb"))
+    val p = (col("ca") + 1).cast("double") / (col("na") + col("v"))
+    val q = (col("cb") + 1).cast("double") / (col("nb") + col("v"))
+    joined.crossJoin(totals)
+      .select(col("v"), col("na"), col("nb"),
+        (p * log(p / q)).as("kab"), (q * log(q / p)).as("kba"),
+        // JS written as ln(2p/(p+q)) — textually the oracle's form, so
+        // both engines evaluate the same float expression tree before
+        // the 9-decimal contribution rounding
+        (p / 2.0 * log(lit(2.0) * p / (p + q)) +
+          q / 2.0 * log(lit(2.0) * q / (p + q))).as("jsc"))
+      .groupBy("v", "na", "nb")
+      .agg(round(decSum(col("kab")), 6).as("kl_ab"),
+        round(decSum(col("kba")), 6).as("kl_ba"),
+        round(decSum(col("jsc")), 6).as("js"))
+      .select(col("v").as("vocab"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("kl_ab"), col("kl_ba"), col("js"))
+  }
+
+  /** The k tokens most over-represented in either slice: (token, c_a,
+    * c_b, log_ratio) with log_ratio = ln(p̂_a/p̂_b) under the same
+    * smoothing, ordered by |log_ratio| desc then token — the "what
+    * changed between these corpora" report. Top-k cut is a
+    * TakeOrderedAndProject, never a global sort materialization.
+    */
+  def topShiftedTokens(a: DataFrame, b: DataFrame, textCol: String,
+                       k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val joined = counts(a, textCol).withColumnRenamed("c", "ca")
+      .join(counts(b, textCol).withColumnRenamed("c", "cb"),
+        Seq("token"), "full")
+      .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(count(lit(1)).as("v"),
+      sum("ca").as("na"), sum("cb").as("nb"))
+    val p = (col("ca") + 1).cast("double") / (col("na") + col("v"))
+    val q = (col("cb") + 1).cast("double") / (col("nb") + col("v"))
+    joined.crossJoin(totals)
+      .select(col("token"), col("ca").as("c_a"), col("cb").as("c_b"),
+        round(log(p / q), 6).as("log_ratio"))
+      .orderBy(abs(col("log_ratio")).desc, col("token"))
+      .limit(k)
+  }
+}

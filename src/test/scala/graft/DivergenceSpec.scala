@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Divergence
+
+class DivergenceSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def df(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokenDivergence: hand-computed two-token fixture") {
+    // A = "a a b", B = "a b b": V=2, N=3 each
+    // p = (0.6, 0.4), q = (0.4, 0.6) ⇒ KL(p‖q) = KL(q‖p) = 0.2·ln 1.5
+    val r = Divergence.tokenDivergence(df("a a b"), df("a b b"), "text")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert((r._1, r._2, r._3) === ((2L, 3L, 3L)))
+    val expected = 0.2 * math.log(1.5)
+    assert(math.abs(r._4 - expected) < 1e-5, s"kl_ab ${r._4}")
+    assert(r._4 === r._5) // symmetric fixture
+    assert(r._6 > 0.0 && r._6 < r._4) // JS below both KLs, positive
+  }
+
+  test("tokenDivergence: identical slices diverge by exactly zero") {
+    val r = Divergence.tokenDivergence(df("x y z y"), df("x y z y"), "text")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert((r._4, r._5, r._6) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("topShiftedTokens: disjoint-slice tokens rank above shared ones, " +
+      "ties break on the token") {
+    val rows = Divergence.topShiftedTokens(
+        df("only_a only_a shared"), df("only_b only_b shared"), "text", k = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq("only_a", "only_b", "shared"))
+    assert(rows(0)._4 === -rows(1)._4) // symmetric counts, mirrored ratio
+    assert(math.abs(rows(2)._4) < math.abs(rows(0)._4))
+  }
+}
