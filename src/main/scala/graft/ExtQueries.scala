@@ -1782,7 +1782,55 @@ object ExtQueries {
     "q_lr_distill_auc" -> ((s, d) =>
       graft.operators.Classifier.auc(lrDistillScores(s, d), "p", "y")
         .withColumn("meets_floor", col("auc") >= 0.85)
-        .where(col("meets_floor"))))
+        .where(col("meets_floor"))),
+
+    // PCA priced under the ann_rp_recall candidate-generator contract
+    // (project 64→16, top-k in the projected space, exact full-dim
+    // rerank, cut to 5) at the same 0.9 floor. One honest difference:
+    // this fixture's planted neighbors sit at cosine ≈ 0.3 in the LOW-
+    // variance directions — the one regime variance-ranked projection is
+    // systematically blind to (it keeps the axes the neighbors DON'T use)
+    // — so PCA needs oversample 24 where oblivious JL gets away with 16
+    // (measured: 0.89 at 16, 0.95 at 24). On corpora whose similarity
+    // lives in the high-variance subspace (the common real-embedding
+    // case; this synthetic one is the adversary) the roles flip.
+    "ann_pca_recall" -> ((s, d) => {
+      val all = embs(s, d)
+      val m = graft.operators.Pca.fit(all, "embedding", k = 16)
+      val proj = graft.operators.Pca.project(all, "embedding", m, "emb_pca")
+      val corpus = proj.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+      val queries = proj.filter(pmod(col("vec_id"), lit(40)) === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+      val reranked = Similarity.bruteForceBatchTopK(corpus, "vec_id",
+          "emb_pca", queries, "vec_id", "emb_pca", k = 5 * 24)
+        .select("query_id", "vec_id")
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.Vectors.cosine(col("embedding"), col("__qv"))
+            .as("score"))
+        .withColumn("__rank", row_number().over(w))
+        .where(col("__rank") <= 5)
+      recallOf(
+        Similarity.bruteForceBatchTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+          .select("query_id", "vec_id"),
+        reranked.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), floor = 0.9)
+    }),
+
+    // the variance side of that trade: how much of the corpus's total
+    // variance the 16 kept components retain (an isotropic corpus floors
+    // at 16/64 = 0.25; structure can only raise it)
+    "pca_variance" -> ((s, d) => {
+      val m = graft.operators.Pca.fit(embs(s, d), "embedding", k = 16)
+      import s.implicits._
+      Seq((16, math.rint(m.explained * 1e6) / 1e6)).toDF("k", "explained")
+        .withColumn("meets_floor", col("explained") >= 0.25)
+        .where(col("meets_floor"))
+    }))
 
   /** Gate-funnel labels → trained LR → full-corpus scores: the shared
     * frame behind q_lr_distill and its AUC twin. Training runs on the
