@@ -96,6 +96,13 @@ object CorpusPipeline {
     */
   case class DsirGate(indexPath: String, minLogw: Double)
 
+  /** Frozen trained-classifier gate ([[graft.operators.Classifier]]
+    * sidecar): docs scoring below `minP` under the distilled quality
+    * model are dropped — the discriminative third leg next to the LM
+    * perplexity and DSIR gates.
+    */
+  case class LrGate(modelPath: String, minP: Double)
+
   /** The dedup-and-append gate shared by the batch loop and the streaming
     * wrapper ([[graft.streaming.CorpusStream]]): drop docs near-duplicating
     * the indexed corpus, drop within-batch near-dups, append survivors to
@@ -109,7 +116,8 @@ object CorpusPipeline {
                      ann: Option[AnnIndex] = None,
                      lm: Option[LmGate] = None,
                      sq: Option[SqIndexCfg] = None,
-                     dsir: Option[DsirGate] = None): Long = {
+                     dsir: Option[DsirGate] = None,
+                     lrq: Option[LrGate] = None): Long = {
     val heuristicGated =
       if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
     // statistical-LM gate after the cheap heuristics: only docs that
@@ -134,16 +142,28 @@ object CorpusPipeline {
         lmGated.join(offTarget, Seq(idCol), "left_anti")
       case None => lmGated
     }
+    // trained-classifier gate: one broadcast join + grouped sum against
+    // the frozen distilled model — the cheapest of the model gates, but
+    // kept after LM/DSIR so all three score the same already-thinned set
+    val lrGated = lrq match {
+      case Some(g) =>
+        val lowQuality = graft.operators.Classifier
+          .scoreAgainstModel(qualityGated, idCol, textCol, g.modelPath)
+          .where(col("p") < g.minP)
+          .select(col(idCol))
+        qualityGated.join(lowQuality, Seq(idCol), "left_anti")
+      case None => qualityGated
+    }
     // decontamination gate: docs sharing a verbatim n-gram with the
     // benchmark never enter the corpus (benchmark grams broadcast — the
     // eval suite is small by nature)
     val gated = benchmark match {
       case Some(b) =>
         val hit = Contamination
-          .ngramOverlap(qualityGated, b, idCol, textCol, contaminationN)
+          .ngramOverlap(lrGated, b, idCol, textCol, contaminationN)
           .select(col(idCol))
-        qualityGated.join(hit, Seq(idCol), "left_anti")
-      case None => qualityGated
+        lrGated.join(hit, Seq(idCol), "left_anti")
+      case None => lrGated
     }
     val vsCorpus =
       if (!indexExists(batch.sparkSession, indexPath)) gated
@@ -246,13 +266,18 @@ class CorpusPipeline(
     lmIndexPath: Option[String] = None,
     lmMaxPpl: Double = Double.MaxValue,
     dsirIndexPath: Option[String] = None,
-    dsirMinLogw: Double = Double.NegativeInfinity) {
+    dsirMinLogw: Double = Double.NegativeInfinity,
+    lrModelPath: Option[String] = None,
+    lrMinP: Double = 0.0) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
 
   private val dsir: Option[CorpusPipeline.DsirGate] =
     dsirIndexPath.map(CorpusPipeline.DsirGate(_, dsirMinLogw))
+
+  private val lrq: Option[CorpusPipeline.LrGate] =
+    lrModelPath.map(CorpusPipeline.LrGate(_, lrMinP))
 
   private val ann: Option[CorpusPipeline.AnnIndex] =
     (annIndexPath, embeddingCol) match {
@@ -279,7 +304,7 @@ class CorpusPipeline(
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
       indexPath, idCol, textCol, threshold, gates,
       benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
-      dsir = dsir)
+      dsir = dsir, lrq = lrq)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

@@ -148,6 +148,34 @@ object Classifier {
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
   }
 
+  /** Freeze a trained model as a parquet sidecar (the
+    * `writeDsirIndex`/`writeLmIndex` convention): bounded weight table
+    * plus a 1-row meta frame carrying the hash width, so scoring can
+    * never silently run under a different `buckets` than training.
+    */
+  def writeLrModel(weights: DataFrame, buckets: Int, path: String): Unit = {
+    require(Seq("f", "w").forall(weights.columns.contains),
+      s"weights must be a (f, w) frame, got ${weights.columns.toSeq}")
+    weights.coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    val spark = weights.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a fresh batch against a FROZEN model sidecar — exactly
+    * [[scoreLogReg]] with the weight table read back and the hash width
+    * taken from the sidecar's meta, the corpus-loop serving path.
+    */
+  def scoreAgainstModel(df: DataFrame, idCol: String, textCol: String,
+                        path: String): DataFrame = {
+    val spark = df.sparkSession
+    val buckets =
+      spark.read.parquet(s"$path/meta").collect().head.getInt(0)
+    scoreLogReg(df, idCol, textCol,
+      spark.read.parquet(s"$path/weights"), buckets)
+  }
+
   /** Exact ROC AUC of `scoreCol` against binary `labelCol`, one row
     * (n_pos, n_neg, auc) — the Mann-Whitney rank statistic computed the
     * scale-safe way: scores collapse to a DISTINCT-score histogram first

@@ -30,7 +30,8 @@ object CorpusStream {
             ann: Option[CorpusPipeline.AnnIndex] = None,
             lm: Option[CorpusPipeline.LmGate] = None,
             sq: Option[CorpusPipeline.SqIndexCfg] = None,
-            dsir: Option[CorpusPipeline.DsirGate] = None)
+            dsir: Option[CorpusPipeline.DsirGate] = None,
+            lrq: Option[CorpusPipeline.LrGate] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -39,7 +40,7 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
           idCol, textCol, threshold, gates, benchmark, contaminationN, ann,
-          lm, sq, dsir)
+          lm, sq, dsir, lrq)
         ()
       }
       .start()

@@ -70,6 +70,20 @@ class ClassifierSpec extends AnyFunSuite with SparkFixture {
     assert(aucHold >= 0.95, s"holdout auc $aucHold")
   }
 
+  test("model sidecar roundtrip: scoreAgainstModel equals scoreLogReg " +
+      "with the in-memory weights, hash width from meta") {
+    val d = planted
+    val w = Classifier.trainLogReg(d, "id", "text", "y",
+      buckets = 512, iterations = 10)
+    val dir = java.nio.file.Files.createTempDirectory("lr_model").toString
+    Classifier.writeLrModel(w, 512, dir)
+    val direct = Classifier.scoreLogReg(d, "id", "text", w, 512)
+      .select("id", "p").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val frozen = Classifier.scoreAgainstModel(d, "id", "text", dir)
+      .select("id", "p").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(frozen === direct)
+  }
+
   test("scoreLogReg: featureless rows survive with the z=0 score; " +
       "guards reject colliding columns") {
     val w = Classifier.trainLogReg(

@@ -248,6 +248,46 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(pipeline.run().rowsWritten === 0)
   }
 
+  test("trained-classifier gate: low-quality doc dropped against a " +
+      "FROZEN LR model sidecar, high-quality doc lands") {
+    import graft.operators.Classifier
+    val dir = Files.createTempDirectory("corpus_lr")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val model = dir.resolve("lr").toString
+    val wm = dir.resolve("wm.json").toString
+    // model trained ONCE on labeled prose before any batch, then frozen
+    val labeled = ((0L until 30L).map(i =>
+        (i, "clean curated prose data table row", 1)) ++
+      (30L until 60L).map(i => (i, "spam junk click scam spam junk", 0)))
+      .toDF("doc_id", "text", "y")
+    Classifier.writeLrModel(
+      Classifier.trainLogReg(labeled, "doc_id", "text", "y",
+        buckets = 256, iterations = 25),
+      buckets = 256, model)
+    val good = "clean curated prose table"
+    val bad = "spam junk click scam"
+    val ps = Classifier.scoreAgainstModel(
+        Seq((1L, good), (2L, bad)).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .select("doc_id", "p").as[(Long, Double)].collect().toMap
+    assert(ps(1L) > ps(2L),
+      s"fixture broken: good ${ps(1L)} !> bad ${ps(2L)}")
+    val pipeline = new CorpusPipeline(spark, src, corpus, idx, wm,
+      lrModelPath = Some(model), lrMinP = (ps(1L) + ps(2L)) / 2)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), good),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), bad))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(src)
+    val r = pipeline.run()
+    assert(r.rowsWritten === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+    // the rejected doc is processed, not retried forever
+    assert(Watermark.read(wm).get.startsWith("2024-01-01 01"))
+    assert(pipeline.run().rowsWritten === 0)
+  }
+
   test("ANN sidecar freeze boundary: recall immediately after the freeze " +
       "matches a full rebuild on the same corpus") {
     import graft.operators.Similarity
