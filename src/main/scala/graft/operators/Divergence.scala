@@ -43,12 +43,16 @@ object Divergence {
     * distributions.
     */
   def tokenDivergence(a: DataFrame, b: DataFrame,
-                      textCol: String): DataFrame = {
-    val joined = counts(a, textCol).withColumnRenamed("c", "ca")
-      .join(counts(b, textCol).withColumnRenamed("c", "cb"),
-        Seq("token"), "full")
-      .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+                      textCol: String): DataFrame =
+    divergenceOf(
+      counts(a, textCol).withColumnRenamed("c", "ca")
+        .join(counts(b, textCol).withColumnRenamed("c", "cb"),
+          Seq("token"), "full")
+        .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
+
+  /** The divergence math over a joined (token, ca, cb) count frame. */
+  private def divergenceOf(joined: DataFrame): DataFrame = {
     val totals = joined.agg(count(lit(1)).as("v"),
       sum("ca").as("na"), sum("cb").as("nb"))
     val p = (col("ca") + 1).cast("double") / (col("na") + col("v"))
@@ -67,6 +71,31 @@ object Divergence {
         round(decSum(col("jsc")), 6).as("js"))
       .select(col("v").as("vocab"), col("na").as("n_a"), col("nb").as("n_b"),
         col("kl_ab"), col("kl_ba"), col("js"))
+  }
+
+  /** Freeze a slice's token distribution as a parquet sidecar (the
+    * `writeLmIndex`/`writeDsirIndex` convention) — the reference side of
+    * a drift monitor: fit once on the curated/accepted corpus, then
+    * score every incoming batch against it without re-aggregating the
+    * reference.
+    */
+  def writeReferenceCounts(df: DataFrame, textCol: String,
+                           path: String): Unit =
+    counts(df, textCol).write.mode("overwrite").parquet(s"$path/counts")
+
+  /** [[tokenDivergence]] of `batch` (side a) against a FROZEN reference
+    * sidecar (side b) — identical math, the reference aggregation
+    * replaced by a sidecar read. Batch-only tokens smooth against the
+    * reference floor exactly as unseen features do in Dsir/Lm scoring.
+    */
+  def divergenceAgainstReference(batch: DataFrame, textCol: String,
+                                 path: String): DataFrame = {
+    val ref = batch.sparkSession.read.parquet(s"$path/counts")
+    val joined = counts(batch, textCol).withColumnRenamed("c", "ca")
+      .join(ref.withColumnRenamed("c", "cb"), Seq("token"), "full")
+      .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    divergenceOf(joined)
   }
 
   /** The k tokens most over-represented in either slice: (token, c_a,

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Divergence
+
+/** Streaming distribution-drift monitor — the observability loop a
+  * production ingest pipeline runs NEXT TO the corpus builder: every
+  * micro-batch's token distribution is scored against a FROZEN reference
+  * ([[Divergence.writeReferenceCounts]], fitted once on the accepted
+  * corpus), and one metrics row per batch lands in an append-only
+  * parquet log. A JS step-change in that log is the "the crawl changed
+  * under us" alarm that catches upstream breakage (encoding shifts,
+  * spam floods, a source going dark) before the quality gates silently
+  * change their accept rate.
+  *
+  * Same execution contract as [[CorpusStream]]: `Trigger.AvailableNow`
+  * micro-batches off a parquet directory, checkpointed source progress
+  * (exactly-once per batch id), `foreachBatch` driving a batch-side
+  * operator. Per batch the work is one tokenize+count aggregation of
+  * the batch plus a join against the bounded reference table — the
+  * reference is never re-aggregated.
+  */
+object DriftMonitor {
+
+  /** Start the monitor: per micro-batch append one row
+    * (batch_id, vocab, n_a, n_b, kl_ab, kl_ba, js) to `metricsPath`.
+    * Empty batches write nothing.
+    */
+  def start(spark: SparkSession, sourceDir: String, schema: StructType,
+            referencePath: String, metricsPath: String, checkpoint: String,
+            textCol: String = "text"): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          Divergence.divergenceAgainstReference(batch, textCol, referencePath)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(metricsPath)
+        ()
+      }
+      .start()
+}

@@ -26,6 +26,50 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert((r._4, r._5, r._6) === ((0.0, 0.0, 0.0)))
   }
 
+  test("frozen reference roundtrip: divergenceAgainstReference equals " +
+      "tokenDivergence with the reference as the b side") {
+    val a = df("x y z x")
+    val b = df("x y y w")
+    val dir = java.nio.file.Files.createTempDirectory("div_ref").toString
+    graft.operators.Divergence.writeReferenceCounts(b, "text", dir)
+    val direct = Divergence.tokenDivergence(a, b, "text").collect().toSeq
+    val frozen = Divergence.divergenceAgainstReference(a, "text", dir)
+      .collect().toSeq
+    assert(frozen === direct)
+  }
+
+  test("DriftMonitor: an in-distribution batch scores near zero, a " +
+      "shifted batch spikes the JS metric, one row per micro-batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("drift")
+    val src = dir.resolve("src").toString
+    val ref = dir.resolve("ref").toString
+    val metrics = dir.resolve("metrics").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val normal = "the data table holds rows and the table holds columns"
+    graft.operators.Divergence.writeReferenceCounts(
+      Seq.fill(20)(normal).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", ref)
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((100L, normal), (101L, normal)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    graft.streaming.DriftMonitor
+      .start(spark, src, schema, ref, metrics, ckpt).awaitTermination()
+    Seq((200L, "spam casino jackpot spam casino jackpot winner spam"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    graft.streaming.DriftMonitor
+      .start(spark, src, schema, ref, metrics, ckpt).awaitTermination()
+    val rows = spark.read.parquet(metrics)
+      .orderBy("batch_id").select("batch_id", "js")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.length === 2)
+    assert(rows(0)._2 < 0.05, s"in-distribution js ${rows(0)._2}")
+    assert(rows(1)._2 > 10 * rows(0)._2,
+      s"shifted js ${rows(1)._2} vs ${rows(0)._2}")
+    assert(spark.read.parquet(metrics).where(col("js").isNull).count() === 0)
+  }
+
   test("topShiftedTokens: disjoint-slice tokens rank above shared ones, " +
       "ties break on the token") {
     val rows = Divergence.topShiftedTokens(
