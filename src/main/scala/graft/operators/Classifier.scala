@@ -64,23 +64,34 @@ object Classifier {
     * (document, distinct feature). Bounded feature space: `buckets`
     * hashed-unigram ids plus the two reserved ids −1 (bias) and −2
     * (length).
+    *
+    * Plan shape: the TEXT column is scanned exactly once (the expensive
+    * read at corpus scale); the bias/length rows derive from the
+    * already-aggregated token counts (doc length = Σ counts) plus an
+    * id-only scan so empty/whitespace docs still carry bias and a zero
+    * length — parquet prunes that second scan to the id column.
     */
   def features(df: DataFrame, idCol: String, textCol: String,
                buckets: Int): DataFrame = {
     guard(df, idCol)
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val base = df.select(col(idCol), toks(col(textCol)).as("__cl_w"))
-    val tok = base
-      .select(col(idCol), explode(col("__cl_w")).as("__cl_t"))
+    val cnts = df
+      .select(col(idCol), explode(toks(col(textCol))).as("__cl_t"))
       .groupBy(col(idCol),
         pmod(xxhash64(col("__cl_t")), lit(buckets.toLong)).as("f"))
-      .agg((lit(1.0) + log(count(lit(1)).cast("double"))).as("x"))
-    val biasLen = base.select(col(idCol),
+      .agg(count(lit(1)).as("__cl_c"))
+    val tok = cnts.select(col(idCol), col("f"),
+      (lit(1.0) + log(col("__cl_c").cast("double"))).as("x"))
+    val lens = df.select(col(idCol))
+      .join(cnts.groupBy(idCol).agg(sum("__cl_c").as("__cl_n")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cl_n"), lit(0L)).cast("double").as("__cl_n"))
+    val biasLen = lens.select(col(idCol),
         explode(array(
           struct(lit(-1L).as("f"), lit(1.0).as("x")),
           struct(lit(-2L).as("f"),
-            least(size(col("__cl_w")).cast("double") / 64.0, lit(4.0))
-              .as("x")))).as("__cl_bl"))
+            least(col("__cl_n") / 64.0, lit(4.0)).as("x")))).as("__cl_bl"))
       .select(col(idCol), col("__cl_bl.f").as("f"), col("__cl_bl.x").as("x"))
     tok.unionByName(biasLen)
   }
