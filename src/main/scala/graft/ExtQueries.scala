@@ -1830,7 +1830,37 @@ object ExtQueries {
       Seq((16, math.rint(m.explained * 1e6) / 1e6)).toDF("k", "explained")
         .withColumn("meets_floor", col("explained") >= 0.25)
         .where(col("meets_floor"))
-    }))
+    }),
+
+    // dataset versioning: the content-addressed manifest (md5 — the one
+    // hash every engine computes identically, so the whole family stays
+    // value-oracled) and the diff between two deterministic snapshots of
+    // the documents table (drop %7 ids → old, drop %5 ids + mutate %11
+    // texts → new: all four statuses exercised)
+    "q_manifest" -> ((s, d) =>
+      graft.operators.Versioning.manifest(docs(s, d), "doc_id", "text")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    "q_manifest_diff" -> ((s, d) =>
+      graft.operators.Versioning.diff(
+          manifestOld(s, d), manifestNew(s, d), "doc_id")
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    "q_manifest_diff_summary" -> ((s, d) =>
+      graft.operators.Versioning.diffSummary(
+          manifestOld(s, d), manifestNew(s, d), "doc_id")
+        .transform(Queries.presentSorted(_, "status"))))
+
+  /** The two deterministic snapshot manifests behind q_manifest_diff*. */
+  private def manifestOld(s: SparkSession, d: String): DataFrame =
+    graft.operators.Versioning.manifest(
+      docs(s, d).where(col("doc_id") % 7 =!= 0), "doc_id", "text")
+  private def manifestNew(s: SparkSession, d: String): DataFrame =
+    graft.operators.Versioning.manifest(
+      docs(s, d).where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+      "doc_id", "text")
 
   /** Gate-funnel labels → trained LR → full-corpus scores: the shared
     * frame behind q_lr_distill and its AUC twin. Training runs on the
@@ -3046,7 +3076,46 @@ object ExtQueries {
         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
         |  round(CAST(tp AS DOUBLE) / np, 6) AS recall,
         |  round(2.0 * tp / (2.0 * tp + fp + (np - tp)), 6) AS f1
-        |FROM w CROSS JOIN t ORDER BY threshold""".stripMargin)
+        |FROM w CROSS JOIN t ORDER BY threshold""".stripMargin,
+    "q_manifest" ->
+      """SELECT doc_id, md5(text) AS fingerprint,
+        |  CAST(octet_length(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_manifest_diff" -> (manifestDiffSqlPrefix +
+      """
+        |SELECT doc_id, status, old_fingerprint, new_fingerprint
+        |FROM d WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin),
+    "q_manifest_diff_summary" -> (manifestDiffSqlPrefix +
+      """
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN status = 'removed' THEN old_bytes
+        |    ELSE new_bytes END), 0) AS BIGINT) AS n_bytes
+        |FROM d WHERE status <> 'unchanged'
+        |GROUP BY status ORDER BY status""".stripMargin))
+
+  /** Shared CTE for the manifest-diff twins: the two snapshot manifests
+    * and the statused full-outer join.
+    */
+  private def manifestDiffSqlPrefix: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS old_fingerprint,
+      |    CAST(octet_length(text) AS BIGINT) AS old_bytes
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END)
+      |      AS new_fingerprint,
+      |    CAST(octet_length(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+      |      ELSE text END) AS BIGINT) AS new_bytes
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |d AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN old_fingerprint IS NULL THEN 'added'
+      |      WHEN new_fingerprint IS NULL THEN 'removed'
+      |      WHEN old_fingerprint <> new_fingerprint THEN 'changed'
+      |      ELSE 'unchanged' END AS status,
+      |    old_fingerprint, new_fingerprint, old_bytes, new_bytes
+      |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)""".stripMargin
 
   /** Shared CTE prefix for the divergence twins: per-token counts of the
     * two slices, full-outer joined, with the add-one smoothed p/q.
