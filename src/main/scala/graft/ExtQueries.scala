@@ -3079,7 +3079,7 @@ object ExtQueries {
         |FROM w CROSS JOIN t ORDER BY threshold""".stripMargin,
     "q_manifest" ->
       """SELECT doc_id, md5(text) AS fingerprint,
-        |  CAST(octet_length(text) AS BIGINT) AS n_bytes
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_manifest_diff" -> (manifestDiffSqlPrefix +
       """
@@ -3099,14 +3099,15 @@ object ExtQueries {
   private def manifestDiffSqlPrefix: String =
     """WITH a AS (
       |  SELECT doc_id, md5(text) AS old_fingerprint,
-      |    CAST(octet_length(text) AS BIGINT) AS old_bytes
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS old_bytes
       |  FROM documents WHERE doc_id % 7 <> 0),
       |b AS (
       |  SELECT doc_id,
       |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END)
       |      AS new_fingerprint,
-      |    CAST(octet_length(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
-      |      ELSE text END) AS BIGINT) AS new_bytes
+      |    CAST(octet_length(CAST(CASE WHEN doc_id % 11 = 0
+      |      THEN text || ' v2' ELSE text END AS BLOB)) AS BIGINT)
+      |      AS new_bytes
       |  FROM documents WHERE doc_id % 5 <> 0),
       |d AS (
       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
