@@ -102,6 +102,43 @@ object Queries {
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
 
+  /** Deterministic `partsupp` synthesis — the testdata ships no partsupp
+    * table, so the four TPC-H shapes that need it (Q2/Q11/Q16/Q20) derive
+    * it as a pure function of `part` × {0..3} and |supplier|, with the
+    * IDENTICAL integer generator expressed as a CTE in each DuckDB twin
+    * (the q_zorder_value generated-twin pattern). Every column is integer
+    * arithmetic — suppkey/availqty/cost-in-cents — so both engines produce
+    * bit-identical values; money stays in cents until a single final
+    * division. The 4 suppkeys per part are distinct because 13·i mod |S|
+    * is injective on i∈0..3 for every shipped |S| (10/100/1000 — and any
+    * |S| ∤ 13,26,39). At scale this is a generated dimension: 4·|part|
+    * rows, no shuffle (the 1-row supplier count broadcasts).
+    */
+  def partsuppGen(s: SparkSession, d: String): DataFrame = {
+    val ns = t(s, d, "supplier").agg(count(lit(1)).as("ns"))
+    t(s, d, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(ns))
+      .withColumn("i", explode(array((0 to 3).map(x => lit(x.toLong)): _*)))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("ns"))
+          .as("ps_suppkey"),
+        (((col("p_partkey") * 31 + col("i") * 17) % 9999) + 1)
+          .as("ps_availqty"),
+        (((col("p_partkey") * 131 + col("i") * 71) % 100000) + 100)
+          .as("ps_costc"))
+  }
+
+  /** DuckDB twin of [[partsuppGen]] — same integer generator, same names. */
+  private val psCte: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey * 7 + i * 13) % ns AS ps_suppkey,
+      |    ((p_partkey * 31 + i * 17) % 9999) + 1 AS ps_availqty,
+      |    ((p_partkey * 131 + i * 71) % 100000) + 100 AS ps_costc
+      |  FROM part
+      |  CROSS JOIN (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS i) reps
+      |  CROSS JOIN (SELECT count(*) AS ns FROM supplier) sc)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S2+F1+P1 — staging scan with watermark predicate + projection
