@@ -50,19 +50,24 @@ object Bench {
     val pass3 = names.filter(fastest).map(n => n -> timed(n)).toMap
     val results = minOf2.map { case (n, t) =>
       n -> math.min(t, pass3.getOrElse(n, t)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // every raw sample per query ([pass1, pass2(, pass3)]) rides along in
-    // the artifact: host-noise then self-evidences as a one-pass outlier
+    // every raw sample per query ([pass1, pass2(, pass3)]) rides along on
+    // its OWN line: host-noise then self-evidences as a one-pass outlier
     // (r8's phantom q3/q5/e2 "regression" needed a judge rerun to refute —
-    // with the arrays it would have been visible in the stored JSON)
+    // with the arrays it is visible in the stored output). It must NOT ride
+    // inside the contract line: the driver keeps only a bounded tail of
+    // stdout, and rounds 9-11 show the combined line outgrew it (parsed:
+    // null in BENCH_r09..r11) — so the compact contract line prints LAST.
     val p1 = pass1.toMap
     val raw = names.map { n =>
       val samples = Seq(p1(n), pass2(n)) ++ pass3.get(n)
-      "\"" + n + "\":[" + samples.mkString(",") + "]"
+      "\"" + n + "\":[" + samples.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$raw,"sf":"$sfDir"}""")
+    println(s"""{"metric":"passes","passes":$raw}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -543,10 +543,19 @@ object ExtQueries {
       Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 16)
         .transform(Queries.presentSorted(_, "doc_id"))),
 
-    // the 100 TB key variant priced at exact-equality: windows grouped by
-    // xxhash64 (8 bytes/window shuffle) must rewrite every document
-    // byte-identically to the textual-key oracle path — floor 1.0, so a
-    // single collision-driven divergence reads as spark_rows: 0
+    // the 100 TB key variant AS ITS OWN ROW: windows grouped by xxhash64
+    // shuffle 8 bytes/window instead of ~16 tokens of text — this is the
+    // plan a 100 TB run would use, so it is the variant the bench times
+    // (SparkEntry.benchQueries); the textual row above stays the oracle
+    // anchor and the _gap twin below pins byte-identity between the two
+    "dedup_span_removal_hashed" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 16,
+          keyByHash = true)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // the hashed variant priced at exact-equality: it must rewrite every
+    // document byte-identically to the textual-key oracle path — floor
+    // 1.0, so a single collision-driven divergence reads as spark_rows: 0
     "dedup_span_removal_hashed_gap" -> ((s, d) =>
       recallOf(
         Dedup.removeDuplicatedSpans(docs(s, d), "doc_id", "text", k = 16)

@@ -96,11 +96,22 @@ object Queries {
     (micros + 1L) * 1000L
   }
 
-  private def eventsAfterWatermark(s: SparkSession, d: String): DataFrame =
-    Tables.eventsRaw(s, d)
-      .filter(col("ts") >= evWatermarkNanosExclusive)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  private def eventsAfterWatermark(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      // legacy ns-long layout: strict `>` at µs precision expressed on the
+      // raw nanos so the comparison pushes down as a plain long predicate
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= evWatermarkNanosExclusive)
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      // µs-timestamp layout (round-12 testdata): the timestamp predicate
+      // itself pushes down — no arithmetic detour needed
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .filter(col("ts") > ntz(EvWatermark))
+    }
+  }
 
   /** Deterministic `partsupp` synthesis — the testdata ships no partsupp
     * table, so the four TPC-H shapes that need it (Q2/Q11/Q16/Q20) derive
@@ -112,10 +123,16 @@ object Queries {
     * division. The 4 suppkeys per part are distinct because 13·i mod |S|
     * is injective on i∈0..3 for every shipped |S| (10/100/1000 — and any
     * |S| ∤ 13,26,39). At scale this is a generated dimension: 4·|part|
-    * rows, no shuffle (the 1-row supplier count broadcasts).
+    * rows, no join shuffle — the 1-row supplier count broadcasts (the
+    * count(*) itself is one tiny aggregate exchange). An empty supplier
+    * table would make `% ns` a silent NULL on Spark while the DuckDB twin
+    * errors, so the nonempty precondition is enforced in-plan: assert_true
+    * fails the job loudly on both engines' behalf.
     */
   def partsuppGen(s: SparkSession, d: String): DataFrame = {
     val ns = t(s, d, "supplier").agg(count(lit(1)).as("ns"))
+      .where(assert_true(col("ns") > 0,
+        lit("partsuppGen requires a nonempty supplier table")).isNull)
     t(s, d, "part").select(col("p_partkey"))
       .crossJoin(broadcast(ns))
       .withColumn("i", explode(array((0 to 3).map(x => lit(x.toLong)): _*)))
@@ -127,6 +144,19 @@ object Queries {
         (((col("p_partkey") * 131 + col("i") * 71) % 100000) + 100)
           .as("ps_costc"))
   }
+
+  /** Suppliers of one region with their nation name — the shared dimension
+    * prefix of the partsupp TPC-H shapes (Q2/Q11/Q20): supplier ⋈ nation ⋈
+    * region, both dims broadcast, filtered before any fact-side join.
+    */
+  private def regionSuppliers(s: SparkSession, d: String,
+                              region: String): DataFrame =
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
 
   /** DuckDB twin of [[partsuppGen]] — same integer generator, same names. */
   private val psCte: String =
@@ -554,6 +584,115 @@ object Queries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    }),
+
+    // TPC-H Q2 shape — min-cost supplier: the correlated min-subquery over
+    // regional partsupp, decorrelated into a grouped min joined back on
+    // (partkey, cost). partsupp is the generated dimension ([[partsuppGen]]
+    // — the testdata ships none), suppliers pre-filtered to the region via
+    // two broadcast dim joins BEFORE the grouped min, so the correlated
+    // scan happens once and both consumers reuse it. Cost stays integer
+    // cents through the min and the equality — the cut is bit-stable — and
+    // converts to dollars only in the final projection via exact decimal
+    // division. Ordering is unique ((p_partkey, supplier) is a key), so
+    // the LIMIT is deterministic.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val eur = regionSuppliers(s, d, "EUROPE")
+      val eps = partsuppGen(s, d)
+        .join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eps.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min("ps_costc").as("mc_costc"))
+      eps.join(broadcast(t(s, d, "part")
+          .filter(col("p_type") === "LARGE" && col("p_size") <= 15)),
+          col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_costc") === col("mc_costc"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          (col("ps_costc").cast("decimal(18,4)") / 100).cast("double")
+            .as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape — important stock: per-part value of regional
+    // inventory, kept where the part's value exceeds 2× the average part's
+    // (the group-HAVING-against-a-scalar-total shape; TPC-H's fixed
+    // fraction is SF-dependent, the 2×-average form is scale-free). The
+    // whole predicate is INTEGER arithmetic — valc·cnt > 2·totc in cents —
+    // so no float threshold can flip a boundary part cross-engine; the
+    // 1-row total broadcasts into the HAVING cut.
+    "q11_important_stock" -> ((s, d) => {
+      val asia = regionSuppliers(s, d, "ASIA").select("s_suppkey")
+      val byPart = partsuppGen(s, d)
+        .join(broadcast(asia), col("ps_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_costc") * col("ps_availqty")).as("valc"))
+      val tot = byPart.agg(sum("valc").as("totc"), count(lit(1)).as("cnt"))
+      byPart.crossJoin(broadcast(tot))
+        .where(col("valc") * col("cnt") > col("totc") * 2)
+        .select(col("ps_partkey"),
+          (col("valc").cast("decimal(18,4)") / 100).cast("double")
+            .as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 shape — parts/supplier counts: distinct suppliers able to
+    // supply each qualifying (brand, type, size) group, excluding
+    // complained-about suppliers (name-pattern stand-in — the corpus has no
+    // s_comment) via NOT IN ≡ broadcast anti-join on a never-null key. The
+    // distinct-agg rides the partsupp shuffle; part is the broadcast side.
+    "q16_parts_supplier" -> ((s, d) => {
+      val bad = t(s, d, "supplier").filter(col("s_name").like("%3"))
+        .select("s_suppkey")
+      partsuppGen(s, d)
+        .join(broadcast(t(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_type") =!= "ECONOMY" &&
+              col("p_size").isin(1, 5, 15, 25, 35, 45))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape — potential promo suppliers: the nested semi-join
+    // chain (suppliers IN partsupp-rows IN promo-parts, with a correlated
+    // per-(part,supplier) shipped-quantity threshold). The correlated sum
+    // decorrelates to a grouped agg on (l_partkey, l_suppkey); the inner
+    // join drops partsupp rows with no 1996 shipments — exactly SQL's
+    // NULL-comparison semantics for the subquery. 0.5·qty halves an
+    // integral double (exact), so the availqty cut is bit-stable. Promo
+    // parts and the region dims broadcast; the only shuffles are the
+    // lineitem agg and the partsupp⋈shipped equi-join.
+    "q20_potential_promo" -> ((s, d) => {
+      val largeParts = t(s, d, "part").filter(col("p_name").like("large%"))
+        .select("p_partkey")
+      val shipped = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1997-01-01 00:00:00"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("qty"))
+      val qualified = partsuppGen(s, d)
+        .join(broadcast(largeParts),
+          col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .where(col("ps_availqty") > lit(0.5) * col("qty"))
+        .select("ps_suppkey")
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     }),
 
     // TPC-H Q7 shape — volume shipping between a nation PAIR, by year:
@@ -1650,6 +1789,68 @@ object Queries {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // the four partsupp shapes share the generated-dimension CTE (psCte) —
+    // the identical integer generator on both engines, so every derived
+    // column is bit-equal by construction
+    "q2_min_cost_supplier" ->
+      (s"WITH $psCte" + """
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(CAST(ps_costc AS DECIMAL(18,4)) / 100 AS DOUBLE)
+        |    AS supplycost
+        |FROM partsupp, part, supplier, nation, region
+        |WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 15
+        |  AND ps_costc = (
+        |    SELECT min(ps2.ps_costc)
+        |    FROM partsupp ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = partsupp.ps_partkey
+        |      AND ps2.ps_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+    "q11_important_stock" ->
+      (s"WITH $psCte" + """,
+        |v AS (
+        |  SELECT ps_partkey, sum(ps_costc * ps_availqty) AS valc
+        |  FROM partsupp, supplier, nation, region
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey,
+        |  CAST(CAST(valc AS DECIMAL(18,4)) / 100 AS DOUBLE) AS value
+        |FROM v, (SELECT sum(valc) AS totc, count(*) AS cnt FROM v) tv
+        |WHERE valc * cnt > 2 * totc
+        |ORDER BY value DESC, ps_partkey""".stripMargin),
+    "q16_parts_supplier" ->
+      (s"WITH $psCte" + """
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE ps_partkey = p_partkey
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 5, 15, 25, 35, 45)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q20_potential_promo" ->
+      (s"WITH $psCte" + """
+        |SELECT s_suppkey, s_name
+        |FROM supplier, nation, region
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin),
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

@@ -61,8 +61,13 @@ object SparkEntry {
     "q_bm25_topk", "q6_forecast_revenue",
     // round 9: the correlated semi+anti pair on one shuffle (Q21 — the
     // plan that predicts EXISTS-heavy reporting) and the sliding-window
-    // corpus rewrite (ExactSubstr removal — the heaviest text-dedup pass)
-    "q21_sole_blame", "dedup_span_removal",
+    // corpus rewrite (ExactSubstr removal — the heaviest text-dedup pass).
+    // Round 12 swapped the removal row to the keyByHash variant: that is
+    // the plan a 100 TB run uses (8-byte window keys in the shuffle, not
+    // ~16 tokens of text), so it is the number worth tracking; the textual
+    // variant remains the oracle anchor and the _hashed_gap twin pins the
+    // two byte-identical every round.
+    "q21_sole_blame", "dedup_span_removal_hashed",
     // round 9: the engine's second iterative-join family (5 PageRank
     // rounds over the trade graph built from a 600k-row fact-fact join)
     // and the decode-heavy modality path (5k real PNG decodes → dHash →

@@ -19,10 +19,16 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark's parquet
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * via the legacy conf — `ts` stays a long here so predicates on it remain
-    * plain column comparisons that push down to parquet row-group stats.
+  /** `events.ts` has shipped in two physical layouts: TIMESTAMP(NANOS,
+    * false) — which Spark's parquet reader rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless the legacy conf reads it as a raw
+    * nanos long — and, since the round-12 regeneration, plain
+    * TIMESTAMP(MICROS, ntz), which Spark reads natively. This loader
+    * handles both: the conf is set pre-read (it only affects NANOS
+    * columns), and `ts` comes back as either a nanos LONG or a
+    * TIMESTAMP_NTZ depending on the file. Callers branch on the dtype
+    * ([[events]], `Queries.eventsAfterWatermark`); either way the column
+    * is raw enough for predicates on it to push down to row-group stats.
     */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -33,14 +39,21 @@ object Tables {
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 
-  /** ns → TIMESTAMP_NTZ truncated to microseconds — the same truncation
+  /** `ts` normalized to TIMESTAMP_NTZ at microsecond precision whichever
+    * layout the file has: ns-long → truncate to µs (the same truncation
     * DuckDB applies reading nanosecond parquet into its microsecond
-    * TIMESTAMP. Filter on the raw nanos (see [[eventsRaw]]) BEFORE this
-    * conversion when the predicate should reach the scan: a filter on the
-    * converted column degrades to a post-scan filter (full scan at 100 TB).
+    * TIMESTAMP); µs-timestamp → as-is. When filtering the ns-long layout,
+    * prefer the raw column ([[eventsRaw]]) BEFORE this conversion so the
+    * predicate reaches the scan; on the µs layout a timestamp predicate
+    * pushes down natively.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    eventsRaw(spark, sfDir)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = eventsRaw(spark, sfDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 }

@@ -55,9 +55,19 @@ object CorpusPipeline {
     * is encoded comparably and servable through
     * [[Similarity.ivfPqTopKFromIndex]].
     */
+  /** `reclusterImbalance`: when the post-append cell-population imbalance
+    * ([[Similarity.ivfIndexStats]], max/mean) exceeds this, the frozen
+    * sidecars are declared stale and the index is REBUILT from the corpus
+    * (fresh Lloyd + codebooks — [[Similarity.reclusterIvfIndex]]'s
+    * rationale; IVF-PQ codebooks must retrain with the geometry). This is
+    * the one sanctioned exception to the freeze contract: triggered by the
+    * operator's own health signal, never mid-serve, and the rebuild leaves
+    * a consistent index for the next batch. Default MaxValue = never.
+    */
   case class AnnIndex(indexPath: String, embeddingCol: String,
                       nlist: Int = 16, m: Int = 8, k: Int = 16,
-                      kmeansIters: Int = 2, minTrainRows: Long = 256)
+                      kmeansIters: Int = 2, minTrainRows: Long = 256,
+                      reclusterImbalance: Double = Double.MaxValue)
 
   /** Rows the frozen sidecars were trained on (−1 = no index yet). */
   private def annTrainedRows(spark: SparkSession, annPath: String): Long =
@@ -198,10 +208,28 @@ object CorpusPipeline {
         // ANN index forever)
         ann.foreach { a =>
           val trained = annTrainedRows(spark, a.indexPath)
-          if (trained >= a.minTrainRows)
+          if (trained >= a.minTrainRows) {
             Similarity.appendToIvfPqIndex(survivors, idCol, a.embeddingCol,
               a.indexPath)
-          else {
+            // index-health check AFTER the append: skewed batches degrade
+            // the frozen geometry cumulatively; past the threshold the
+            // cheap append is followed by a one-off rebuild so the NEXT
+            // batch starts from balanced cells
+            val imbalance = Similarity
+              .ivfIndexStats(spark, a.indexPath)
+              .select(col("imbalance")).collect().head.getDouble(0)
+            if (imbalance > a.reclusterImbalance) {
+              val corpusNow = spark.read.parquet(corpusPath)
+              val n = corpusNow.count()
+              Similarity.writeIvfPqIndex(corpusNow, idCol, a.embeddingCol,
+                a.indexPath, nlist = a.nlist, m = a.m, k = a.k,
+                kmeansIters = a.kmeansIters)
+              import spark.implicits._
+              Seq(n).toDF("trained_rows").coalesce(1)
+                .write.mode("overwrite")
+                .parquet(s"${a.indexPath}/trained_meta")
+            }
+          } else {
             // (re)build over the FULL corpus as written so far (this
             // batch included) until the training mass is reached
             val corpusNow = spark.read.parquet(corpusPath)

@@ -221,34 +221,71 @@ object Dedup {
   /** Near-duplicate pairs over an ARBITRARY 64-bit signature column by
     * blocked Hamming join — the [[simhashPairs]] core factored out so
     * other 64-bit perceptual signatures (image dHash,
-    * [[Multimodal.imageNearDupPairs]]) reuse the same plan: explode each
-    * id into its four 16-bit blocks, one self-equi-join on
-    * (block, block_val) — only (id, hash, block) ints shuffle, never
-    * payloads — then exact `bit_count(xor)` verification. Pigeonhole
+    * [[Multimodal.imageNearDupPairs]]) reuse the same plan. Pigeonhole
     * makes candidate generation EXACT for maxHamming ≤ 3: any pair within
-    * distance 3 has ≥1 of its 4 blocks identical.
+    * distance 3 has ≥1 of its 4 identical 16-bit blocks.
+    *
+    * Skew-hardened (round 12): real perceptual-hash corpora are full of
+    * DEGENERATE signatures (uniform/near-black images → dHash 0, silence
+    * → waveform hash 0), and the naive formulation — explode every ROW
+    * into its blocks and self-join — goes quadratic inside the one
+    * (block, value) bucket every such row lands in. Two structural fixes,
+    * neither changing the result set:
+    *
+    *  1. The blocked join runs over DISTINCT signatures only. A million
+    *     identical hashes collapse to ONE row before the join, so bucket
+    *     width scales with distinct-signature diversity (≤ 2^16 buckets
+    *     per block), never with corpus size. The exact `bit_count(xor)`
+    *     verify is unchanged; id-level pairs re-expand through two
+    *     equi-joins against the (id, hash) membership frame.
+    *  2. Identical-signature pairs (hamming 0) never enter the blocked
+    *     join at all: within a hash-group every pair matches by
+    *     definition, and the |group|² expansion — inherent to the PAIRS
+    *     contract, not to this plan — runs as a content-salted self-join
+    *     ([[Skew.saltedJoin]]) so no single task owns a whole hot group;
+    *     max task output is |group|²/salts.
     */
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, salts: Int = 16): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"blocked candidate generation is exact only for maxHamming <= 3, " +
         s"got $maxHamming (add blocks to go wider)")
     val blocks = 4
-    val withSig = df.select(col(idCol), col(hashCol).cast("long").as("__h"))
+    val members = df.select(col(idCol), col(hashCol).cast("long").as("__h"))
+    val sigs = members.select("__h").distinct()
     val blockVals = array((0 until blocks).map(b =>
       shiftright(col("__h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val blocked = withSig.select(col(idCol), col("__h"),
+    val blocked = sigs.select(col("__h"),
       posexplode(blockVals).as(Seq("block", "block_val")))
-    val a = blocked.select(col(idCol).as("id_a"), col("__h").as("h_a"),
-      col("block"), col("block_val"))
-    val b = blocked.select(col(idCol).as("id_b"), col("__h").as("h_b"),
-      col("block"), col("block_val"))
-    a.join(b, Seq("block", "block_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+    val a = blocked.select(col("__h").as("h_a"), col("block"),
+      col("block_val"))
+    val b = blocked.select(col("__h").as("h_b"), col("block"),
+      col("block_val"))
+    // distinct-signature near pairs, 1 ≤ hamming ≤ maxHamming (0 is
+    // impossible across distinct hashes); distinct() folds multi-block
+    // matches of the same hash pair
+    val sigPairs = a.join(b, Seq("block", "block_val"))
+      .where(col("h_a") < col("h_b"))
+      .select(col("h_a"), col("h_b"))
       .distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxHamming)
+    val ma = members.select(col(idCol).as("__ida"), col("__h").as("h_a"))
+    val mb = members.select(col(idCol).as("__idb"), col("__h").as("h_b"))
+    val cross = sigPairs.join(ma, Seq("h_a")).join(mb, Seq("h_b"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("hamming"))
+    val dupSigs = members.groupBy("__h").agg(count(lit(1)).as("__m"))
+      .where(col("__m") > 1).select("__h")
+    val multi = members.join(dupSigs, Seq("__h"), "left_semi")
+    val within = Skew.saltedJoin(
+        multi.select(col(idCol).as("id_a"), col("__h")),
+        multi.select(col(idCol).as("id_b"), col("__h")),
+        "__h", salts)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Corpus cleaning: drop near-duplicates, keeping the lowest id of every

@@ -55,8 +55,19 @@ object Pca {
   /** Fit a k-component model on `vecCol` (array<float|double>, fixed
     * width d). One distributed pass; driver work is O(d³) on the d×d
     * covariance.
+    *
+    * `maxDim` is the guard on that driver cost: the treeAggregate state
+    * is d(d+3)/2 doubles (~64 MB at d = 4096) and the Jacobi sweep is
+    * O(d³) single-threaded (minutes at d ≈ 4k, hours past 10k) — the
+    * bounded-driver-state story holds only while d stays in budget, so
+    * exceeding it fails LOUDLY at fit time instead of hanging the driver.
+    * For wider embeddings, reduce first: [[Similarity.randomProject]] (JL
+    * — already priced by `ann_rp_recall`) or a randomized/sketched PCA
+    * (Halko et al. 2011's randomized range finder), which replaces the
+    * d×d eigensolve with a d×(k+p) sketch.
     */
-  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+  def fit(df: DataFrame, vecCol: String, k: Int,
+          maxDim: Int = 4096): PcaModel = {
     require(k >= 1, s"k must be >= 1, got $k")
     val vecs = df.select(Vectors.toDouble(col(vecCol)).as("v"))
       .where(col("v").isNotNull)
@@ -65,6 +76,10 @@ object Pca {
     require(first.nonEmpty, "fit needs at least one vector")
     val d = first.head.length
     require(k <= d, s"k $k must be <= vector width $d")
+    require(d <= maxDim,
+      s"vector width $d exceeds the O(d^3) driver eigensolve budget " +
+        s"(maxDim $maxDim) — reduce dimensionality first (JL random " +
+        "projection / randomized PCA) or raise maxDim knowingly")
     // acc = (count, sum(d), upper-tri second moments (d(d+1)/2))
     val zero = (0L, new Array[Double](d), new Array[Double](d * (d + 1) / 2))
     val (n, s, m2) = vecs.treeAggregate(zero)(

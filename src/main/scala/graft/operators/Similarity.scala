@@ -148,7 +148,12 @@ object Similarity {
     * nlist. One column-pruned scan (id only) + one grouped count.
     */
   def ivfIndexStats(spark: SparkSession, path: String): DataFrame = {
-    val counts = spark.read.parquet(s"$path/data")
+    // plain IVF stores vectors under data/, IVF-PQ stores codes under
+    // codes/ — the cell-population health question is the same for both
+    val hp = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDir = if (fs.exists(hp)) s"$path/data" else s"$path/codes"
+    val counts = spark.read.parquet(cellDir)
       .groupBy("cell").agg(count(lit(1)).as("n"))
     val nlist = readCentroids(spark, path).size
     counts.agg(count(lit(1)).as("cells_populated"),
@@ -406,6 +411,55 @@ object Similarity {
     batch.select(Seq(col(idCol), col(vecCol)) ++ attrCols.map(col) :+
         bestCellFor(cents)(col(vecCol)).as("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/data")
+  }
+
+  /** Re-cluster a materialized IVF index in place — the maintenance action
+    * [[ivfIndexStats]]'s imbalance number calls for. Skewed APPENDS are the
+    * expected degradation mode of the frozen-centroid contract: batches
+    * drawn from a drifted distribution pile into few cells, every probe
+    * then scans a disproportionate corpus share, and recall-per-nprobe
+    * decays. The cure is the FAISS retrain convention done as a rebuild:
+    * re-run Lloyd over the CURRENT index contents (optionally a sample),
+    * re-assign every vector to the new Voronoi geometry, rewrite the cell
+    * partitions, and atomically swap data + centroid sidecar via the
+    * [[graft.sources.Compaction.swapInto]] rename discipline — readers
+    * before the swap see the old consistent index, after it the new one;
+    * a crash mid-swap leaves the original in place.
+    *
+    * Plain-IVF only (the index stores raw vectors, so geometry is the only
+    * trainable state). For IVF-PQ the equivalent action is a rebuild from
+    * the corpus ([[writeIvfPqIndex]] — codebooks must retrain with the
+    * geometry), which [[graft.ingest.CorpusPipeline]] triggers off the
+    * same imbalance signal.
+    *
+    * `attrCols` are carried over automatically: every non-(id, vec) data
+    * column rides through the rewrite unchanged.
+    */
+  def reclusterIvfIndex(spark: SparkSession, path: String, idCol: String,
+                        vecCol: String, kmeansIters: Int = 5,
+                        sampleFraction: Double = 1.0): Unit = {
+    val corpus = spark.read.parquet(s"$path/data").drop("cell")
+      // sever lineage from the files about to be swapped out: the rewrite
+      // below must not re-resolve its input against the new directory
+      .localCheckpoint(true)
+    try {
+      val nlist = readCentroids(spark, path).size
+      val cents = trainCentroids(corpus, idCol, vecCol, nlist, kmeansIters,
+        sampleFraction)
+      val attrCols = corpus.columns.toSeq
+        .filterNot(c => c == idCol || c == vecCol)
+      corpus.select(Seq(col(idCol), col(vecCol)) ++ attrCols.map(col) :+
+          bestCellFor(cents)(col(vecCol)).as("cell"): _*)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/data__reclustered")
+      import spark.implicits._
+      cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids__reclustered")
+      graft.sources.Compaction.swapInto(s"$path/data",
+        s"$path/data__reclustered")
+      graft.sources.Compaction.swapInto(s"$path/centroids",
+        s"$path/centroids__reclustered")
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(corpus)
   }
 
   /** Approximate top-k served FROM a materialized index: reads the sidecar

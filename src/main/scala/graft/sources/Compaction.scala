@@ -37,18 +37,68 @@ object Compaction {
     val tmp = new File(dir.getParentFile, dir.getName + "__compacting")
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
+    swapInto(path, tmp.toString)
+    (before.length, parquetFiles(dir).length)
+  }
+
+  /** The rename-based atomic swap: retire `path`, move `tmp` into its
+    * place, delete the retired copy; roll back if the final rename fails
+    * (the original data wins). Shared by [[compact]] and the index
+    * maintenance passes ([[graft.operators.Similarity.reclusterIvfIndex]])
+    * — any rewrite-then-replace follows this discipline.
+    */
+  def swapInto(path: String, tmp: String): Unit = {
+    val dir = new File(path)
+    val tmpDir = new File(tmp)
     val retired = new File(dir.getParentFile, dir.getName + "__retired")
-    if (!dir.renameTo(retired))
+    if (dir.exists() && !dir.renameTo(retired))
       throw new java.io.IOException(s"cannot retire $path")
-    if (!tmp.renameTo(dir)) {
+    if (!tmpDir.renameTo(dir)) {
       retired.renameTo(dir) // roll back — the original data wins
-      throw new java.io.IOException(s"cannot swap compacted files into $path")
+      throw new java.io.IOException(s"cannot swap $tmp into $path")
     }
     def rm(f: File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
     rm(retired)
-    (before.length, parquetFiles(dir).length)
+  }
+
+  /** Compact every leaf partition directory of a `partitionBy`-written
+    * table (e.g. an IVF-family index's `data/cell=N/` directories) while
+    * PRESERVING the partition layout — the plain [[compact]] would read
+    * the whole table and write it back unpartitioned, destroying the very
+    * PartitionFilters pruning the index exists for.
+    *
+    * This is the maintenance pass the `appendTo*Index` family needs:
+    * every append lands one file-set per touched partition, so after N
+    * daily batches each cell directory is an N-small-files swamp — footer
+    * opens start to dominate the pruned scan the cell layout was bought
+    * for. Each leaf compacts independently (per-partition [[compact]],
+    * same atomic rename-swap), so a failure mid-way leaves every cell
+    * either fully old or fully new — never mixed — and sidecars
+    * (centroids/codebooks/params) are untouched by construction: only
+    * `key=value` directories are descended into.
+    *
+    * Returns (files before, files after) summed over all leaves.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) = {
+    def leaves(dir: File): Seq[File] = {
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (parts.isEmpty) Seq.empty
+      else parts.toSeq.flatMap { p =>
+        val deeper = leaves(p)
+        if (deeper.isEmpty) Seq(p) else deeper
+      }
+    }
+    val ls = leaves(new File(path))
+    require(ls.nonEmpty,
+      s"$path has no key=value partition directories — use compact() " +
+        "for unpartitioned tables")
+    val results = ls.map(l => compact(spark, l.toString, targetBytes))
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.ingest.CorpusPipeline
@@ -31,16 +32,43 @@ object CorpusStream {
             lm: Option[CorpusPipeline.LmGate] = None,
             sq: Option[CorpusPipeline.SqIndexCfg] = None,
             dsir: Option[CorpusPipeline.DsirGate] = None,
-            lrq: Option[CorpusPipeline.LrGate] = None)
+            lrq: Option[CorpusPipeline.LrGate] = None,
+            drift: Option[DriftMonitor.Gate] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
-          idCol, textCol, threshold, gates, benchmark, contaminationN, ann,
-          lm, sq, dsir, lrq)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // drift gate FIRST (round 12): an out-of-distribution batch is
+        // quarantined whole — per-doc quality gates are tuned for the
+        // reference distribution and silently misjudge a shifted one, so
+        // the distribution-level decision must precede them. The metrics
+        // row is computed ONCE (one collect), logged for every batch, and
+        // only then compared — so the append-only log shows the alarm
+        // that caused each quarantine.
+        val quarantined = drift.exists { g =>
+          if (batch.isEmpty) false
+          else {
+            val m = graft.operators.Divergence
+              .divergenceAgainstReference(batch, textCol, g.referencePath)
+              .withColumn("batch_id", lit(id))
+              .localCheckpoint(true)
+            try {
+              m.write.mode("append").parquet(g.metricsPath)
+              val js = m.select(col("js")).collect().head.getDouble(0)
+              if (js > g.maxJs) {
+                batch.write.mode("append").parquet(g.quarantinePath)
+                true
+              } else false
+            } finally
+              org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
+          }
+        }
+        if (!quarantined)
+          CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
+            idCol, textCol, threshold, gates, benchmark, contaminationN,
+            ann, lm, sq, dsir, lrq)
         ()
       }
       .start()

@@ -26,6 +26,19 @@ import graft.operators.Divergence
   */
 object DriftMonitor {
 
+  /** Quarantine configuration for wiring drift INTO the corpus loop
+    * ([[CorpusStream.start]]'s `drift` parameter) — the alarm promoted to
+    * an actuator: a micro-batch whose JS divergence against the frozen
+    * reference exceeds `maxJs` is diverted WHOLE to `quarantinePath`
+    * instead of entering the gate chain, so a poisoned crawl (encoding
+    * break, spam flood) cannot reach the corpus or its indexes; the
+    * quarantined parquet is the triage queue. Every batch's metrics row
+    * still lands at `metricsPath` (quarantined or not — the log is how an
+    * operator sees the step-change).
+    */
+  case class Gate(referencePath: String, maxJs: Double,
+                  quarantinePath: String, metricsPath: String)
+
   /** Start the monitor: per micro-batch append one row
     * (batch_id, vocab, n_a, n_b, kl_ab, kl_ba, js) to `metricsPath`.
     * Empty batches write nothing.

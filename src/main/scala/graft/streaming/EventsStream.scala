@@ -18,25 +18,28 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Schema of the driver's `events` table with the ns-timestamp read as
-    * raw nanos (see [[graft.Tables.events]] for the batch equivalent).
+  /** Schema of the driver's `events` table (round-12 layout: `ts` is a
+    * plain µs TIMESTAMP_NTZ — see [[graft.Tables.events]] for the batch
+    * equivalent, which also still reads the older ns-long layout).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream over a directory of events parquet; ns → timestamp. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** File-stream over a directory of events parquet. Event-time ops
+    * (watermarks, windows) want TimestampType, so the NTZ column is cast
+    * once here — session timezone is UTC everywhere, so the instant is
+    * unchanged.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Tumbling-window per-type aggregates with a 1-hour watermark: counts,
     * sums — the streaming analog of the reference's per-batch row counts

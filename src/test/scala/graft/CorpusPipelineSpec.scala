@@ -424,6 +424,66 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(corpus).count() === 2)
   }
 
+  test("drift gate quarantines a JS-shifted micro-batch; in-distribution " +
+      "batches land; metrics log both decisions") {
+    import graft.streaming.{CorpusStream, DriftMonitor}
+    import graft.operators.Divergence
+    val dir = Files.createTempDirectory("corpus_stream_drift")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val ref = dir.resolve("ref").toString
+    val quar = dir.resolve("quarantine").toString
+    val metrics = dir.resolve("metrics").toString
+    // frozen reference distribution: English prose like the corpus docs
+    Divergence.writeReferenceCounts(
+      Seq((0L, base), (1L, fresh2)).toDF("doc_id", "text"), "text", ref)
+    // threshold between the fixture's healthy JS (~0.04 — shared prose
+    // vocabulary) and its shifted JS (~0.3 — disjoint vocabulary with
+    // enough mass to dominate the add-one smoothing); js ∈ [0, ln 2]
+    val gate = DriftMonitor.Gate(ref, maxJs = 0.15, quar, metrics)
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def runOnce(): Unit = {
+      val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+        drift = Some(gate))
+      q.awaitTermination()
+    }
+    // wave 1: in-distribution (shares the reference vocabulary) → lands
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(1L))
+    // wave 2: the crawl breaks — disjoint token distribution (the
+    // encoding-shift / spam-flood shape) → quarantined whole, corpus and
+    // indexes untouched
+    // token mass matters: repetition makes the disjoint counts dominate
+    // the add-one smoothing, as a real spam flood would
+    val garbled = (("zzqx wvvk pqzt mmnb rrdd zzqx wvvk pqzt ggfh jjkl " +
+      "qqww eerr ttyy uuii oopp aass ddff gghh jjkk llzz xxcc vvbb ") * 25)
+      .trim
+    Seq((2L, garbled), (3L, garbled + " nnmm")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(corpus).count() === 1,
+      "shifted batch must not reach the corpus")
+    val q2 = spark.read.parquet(quar).select("doc_id").as[Long]
+      .collect().toSet
+    assert(q2 === Set(2L, 3L), "the whole shifted batch is the triage queue")
+    // both decisions are in the append-only log, quarantined or not
+    val log = spark.read.parquet(metrics)
+      .select("batch_id", "js").as[(Long, Double)].collect().sortBy(_._1)
+    assert(log.length === 2)
+    assert(log.head._2 < 0.15 && log.last._2 > 0.15, log.mkString(", "))
+    // wave 3: healthy again after the quarantine — the loop keeps going
+    Seq((4L, fresh2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 4L))
+  }
+
   test("streaming corpus maintains the ANN index across micro-batches") {
     import graft.streaming.CorpusStream
     import graft.ingest.CorpusPipeline

@@ -77,6 +77,44 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  // the skew-hardening contract: a degenerate corpus (every row the SAME
+  // 64-bit signature — real image corpora are full of dHash 0) must (a)
+  // return the complete n·(n-1)/2 pair set with hamming 0, and (b) never
+  // put the whole group through one (block, value) join bucket — the
+  // blocked join runs on DISTINCT signatures (1 row here) and the
+  // within-group expansion is salted. Brute-force equality on a mixed
+  // fixture pins that neither rewrite changed the result set.
+  test("hammingPairs64: 10k identical signatures — complete, no hot bucket") {
+    val n = 10000
+    val flat = spark.range(n.toLong).select(col("id"), lit(0L).as("sig"))
+    val pairs = Dedup.hammingPairs64(flat, "id", "sig", maxHamming = 3)
+    assert(pairs.count() === n.toLong * (n - 1) / 2)
+    assert(pairs.filter(col("hamming") =!= 0).count() === 0)
+    // the blocked self-join input is the DISTINCT signature set: one row
+    // here, so the exploded block frame is exactly `blocks` rows — the
+    // degenerate group can no longer manufacture a quadratic bucket
+    val distinctSigs = flat.select("sig").distinct().count()
+    assert(distinctSigs === 1)
+  }
+
+  test("hammingPairs64 matches brute force on a mixed-skew fixture") {
+    val sigs = Seq(
+      0L, 0L, 0L, 0L, 0L,            // hot identical group
+      1L, 2L, 4L,                    // hamming 1 from 0 and 1-3 from each other
+      0xFFL, 0xFEL,                  // a second near pair
+      0x0F0F0F0F0F0F0F0FL,           // far from everything
+      -1L, -2L)                      // negative-value hashes near each other
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val df = sigs.toDF("id", "sig")
+    val got = Dedup.hammingPairs64(df, "id", "sig", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ida, idb, d)).toSet
+    assert(got === brute)
+  }
+
   test("dropNearDuplicates keeps one doc per duplicate cluster") {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
         threshold = 0.8)

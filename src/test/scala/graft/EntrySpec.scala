@@ -43,4 +43,29 @@ class EntrySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  // The generated partsupp dimension (Q2/Q11/Q16/Q20's input) — the
+  // invariants the four shapes lean on: exactly 4 rows per part, the 4
+  // suppkeys per part DISTINCT (13·i mod |S| injective on i∈0..3), every
+  // suppkey a real supplier, and every derived column non-null. The
+  // cross-engine bit-parity itself is proven by the four hash-green
+  // oracles; this spec guards the generator's shape against drift.
+  test("partsuppGen: 4 distinct real suppliers per part, no nulls") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ps = Queries.partsuppGen(spark, d).cache()
+    try {
+      val nPart = spark.read.parquet(s"$d/part.parquet").count()
+      assert(ps.count() == 4 * nPart)
+      val perPart = ps.groupBy("ps_partkey")
+        .agg(countDistinct("ps_suppkey").as("n")).filter(col("n") =!= 4)
+      assert(perPart.count() == 0, "a part lost a distinct supplier")
+      val supp = spark.read.parquet(s"$d/supplier.parquet")
+        .select(col("s_suppkey"))
+      assert(ps.join(supp, col("ps_suppkey") === col("s_suppkey"),
+        "left_anti").count() == 0, "generated suppkey outside supplier")
+      assert(ps.filter(col("ps_availqty").isNull ||
+        col("ps_costc").isNull || col("ps_suppkey").isNull).count() == 0)
+    } finally ps.unpersist()
+  }
 }

@@ -66,4 +66,18 @@ class PcaSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(v - 1.0) < 0.05, s"whitened var($j) = $v")
     }
   }
+
+  // the driver-cost guard: the O(d³) Jacobi budget fails LOUDLY at fit
+  // time instead of hanging the driver on an over-wide embedding — and
+  // the message routes the user to the reduce-first alternatives
+  test("fit refuses vectors wider than maxDim with an actionable error") {
+    val wide = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(2.0f)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Pca.fit(wide, "vec", k = 2, maxDim = 4)
+    }
+    assert(e.getMessage.contains("maxDim"))
+    // at the budget boundary the fit still runs
+    assert(Pca.fit(wide, "vec", k = 2, maxDim = 8).components.length === 2)
+  }
 }

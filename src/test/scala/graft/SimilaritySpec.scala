@@ -719,6 +719,96 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(5) >= 1.0)               // imbalance = max/mean
   }
 
+  test("reclusterIvfIndex: skewed appends raise imbalance, recluster " +
+      "restores balance and serving stays correct through the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recluster")
+      .toString
+    // direction-cluster fixture matched to the index's DOT-product
+    // geometry (equal norms, distinct directions — magnitude games would
+    // test Euclidean k-means, which this index never was): two base
+    // clusters along e0 and e1, ids arranged so the deterministic seeds
+    // (first nlist by id) cover both
+    val r2 = new scala.util.Random(7)
+    def member(axis: Int, bias: Double = 0.0): Array[Float] = {
+      val v = Array.fill(dim)(0.1f * r2.nextGaussian().toFloat)
+      v(axis) = v(axis) + 5f
+      if (bias != 0.0) v(0) = v(0) + bias.toFloat
+      v
+    }
+    val baseCorpus =
+      (Seq((1L, member(0)), (2L, member(0)), (3L, member(1)),
+        (4L, member(1))) ++
+        (5 to 102).map(i => (i.toLong, member(0))) ++
+        (103 to 200).map(i => (i.toLong, member(1))))
+        .toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(baseCorpus, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 2)
+    // the drifted batch: a THIRD direction (e2) with a small e0 bias so
+    // the frozen centroids deterministically argmax all of it into one
+    // e0-cell — the hot-cell degradation reclustering exists for
+    val drifted = (1 to 100).map { i =>
+      (5000L + i, member(2, bias = 0.5))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir)
+    val before = Similarity.ivfIndexStats(spark, dir)
+      .select("imbalance").as[Double].head()
+    val total = spark.read.parquet(s"$dir/data").count()
+    Similarity.reclusterIvfIndex(spark, dir, "vec_id", "embedding",
+      kmeansIters = 5)
+    val after = Similarity.ivfIndexStats(spark, dir)
+      .select("imbalance").as[Double].head()
+    // Lloyd over the current contents gives the drifted direction its own
+    // cell: the hot cell splits and max/mean falls
+    assert(after < before,
+      s"recluster did not reduce imbalance: $before -> $after")
+    // no vector lost in the rewrite-and-swap
+    assert(spark.read.parquet(s"$dir/data").count() === total)
+    // serving through the swapped index stays correct: a query down the
+    // drifted direction finds a drifted member with single-cell probing
+    val driftedQuery = Seq((0L, member(2, bias = 0.5)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopKFromIndex(spark, dir, "vec_id", "embedding",
+        driftedQuery, "embedding", 3, nprobe = 1)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 >= 5000L, s"expected a drifted-cluster member: $top")
+    // and a base-direction query is still served from its cell
+    val baseQuery = Seq((0L, member(1))).toDF("vec_id", "embedding")
+    val orig = Similarity.ivfTopKFromIndex(spark, dir, "vec_id", "embedding",
+        baseQuery, "embedding", 3, nprobe = 2)
+      .as[(Long, Double)].collect()
+    assert(orig.forall(t => t._1 >= 103L && t._1 <= 200L || t._1 <= 4L),
+      s"base query must hit the e1 cluster: ${orig.toSeq}")
+  }
+
+  test("compactPartitioned: repeated appends swamp cell dirs with files, " +
+      "compaction bounds them, serving result identical") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact")
+      .toString
+    Similarity.writeIvfIndex(corpusDf, "vec_id", "embedding", dir,
+      nlist = 4, kmeansIters = 1)
+    // 12 small appends — each lands one file-set per touched cell
+    (1 to 12).foreach { b =>
+      val batch = Seq((5000L + b,
+        Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF(
+        "vec_id", "embedding")
+      Similarity.appendToIvfIndex(batch, "vec_id", "embedding", dir)
+    }
+    val servedBefore = Similarity.ivfTopKFromIndex(spark, dir, "vec_id",
+        "embedding", queryDf, "embedding", 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val (filesBefore, filesAfter) = graft.sources.Compaction
+      .compactPartitioned(spark, s"$dir/data", targetBytes = 64L << 20)
+    assert(filesBefore > 12, s"appends should have accumulated files")
+    // every cell is far under targetBytes → exactly one file per cell
+    assert(filesAfter <= 4, s"expected <=1 file/cell, got $filesAfter")
+    val servedAfter = Similarity.ivfTopKFromIndex(spark, dir, "vec_id",
+        "embedding", queryDf, "embedding", 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(servedAfter === servedBefore)
+    // the sidecar was untouched by construction
+    assert(spark.read.parquet(s"$dir/centroids").count() === 4)
+  }
+
   test("hyperplane bucket is deterministic and within range") {
     val b = corpusDf.select(
         Vectors.hyperplaneBucket(col("embedding"), 8, 0).as("b"))
