@@ -62,12 +62,33 @@ object CorpusPipeline {
     * rationale; IVF-PQ codebooks must retrain with the geometry). This is
     * the one sanctioned exception to the freeze contract: triggered by the
     * operator's own health signal, never mid-serve, and the rebuild leaves
-    * a consistent index for the next batch. Default MaxValue = never.
+    * a consistent index for the next batch. Default MaxValue = never —
+    * and with the default the health stats are never computed at all (the
+    * codes-table groupBy would otherwise tax every streaming append for a
+    * threshold that cannot trip).
+    *
+    * `trainSampleFraction`: the seeded sample the imbalance-triggered
+    * rebuild trains Lloyd + PQ codebooks on. At corpus scale a rebuild
+    * that trains on the FULL corpus is a full-data k-means per trigger;
+    * quantizer training needs a representative sample, not the
+    * population (the FAISS convention), so default 1.0 is only right for
+    * small corpora — set ≪1 in production. Encoding/assignment below the
+    * trained sidecars always covers every row regardless.
+    *
+    * `compactEvery`: every append lands one file-set per touched cell
+    * partition, so after N batches the codes directories are an
+    * N-small-files swamp. When > 0, every `compactEvery`-th append is
+    * followed by [[graft.sources.Compaction.compactPartitioned]] over the
+    * codes table (per-leaf atomic rewrite preserving the `cell=` layout),
+    * bounding file count at a constant factor of the cell count. 0 =
+    * never (caller owns maintenance).
     */
   case class AnnIndex(indexPath: String, embeddingCol: String,
                       nlist: Int = 16, m: Int = 8, k: Int = 16,
                       kmeansIters: Int = 2, minTrainRows: Long = 256,
-                      reclusterImbalance: Double = Double.MaxValue)
+                      reclusterImbalance: Double = Double.MaxValue,
+                      trainSampleFraction: Double = 1.0,
+                      compactEvery: Int = 0)
 
   /** Rows the frozen sidecars were trained on (−1 = no index yet). */
   private def annTrainedRows(spark: SparkSession, annPath: String): Long =
@@ -83,7 +104,44 @@ object CorpusPipeline {
     * freeze contract.
     */
   case class SqIndexCfg(indexPath: String, embeddingCol: String,
-                        minTrainRows: Long = 256)
+                        minTrainRows: Long = 256,
+                        compactEvery: Int = 0)
+
+  /** Appends-since-last-compaction counter, a [[Watermark]]-style plain
+    * text sidecar at `<indexPath>/_maint_appends` — underscore-prefixed so
+    * Spark's file listing never sees it. Fail-open read ⇒ 0 (worst case a
+    * lost counter delays one compaction cycle; the table stays correct).
+    */
+  private def readAppendCount(indexPath: String): Int =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$indexPath/_maint_appends")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    catch { case _: Throwable => 0 }
+
+  private def writeAppendCount(indexPath: String, n: Int): Unit = {
+    val p = java.nio.file.Paths.get(s"$indexPath/_maint_appends")
+    val tmp = java.nio.file.Paths.get(s"$indexPath/_maint_appends.tmp")
+    java.nio.file.Files.write(tmp, n.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Bump the counter after an append; when it reaches `every`, run
+    * `compactAction` and reset. The bumped counter is persisted BEFORE
+    * the compaction and reset only after it returns, so a crash
+    * mid-compaction (which leaves every leaf fully old or fully new)
+    * retries the cycle on the next append instead of silently skipping
+    * it.
+    */
+  private def maybeCompact(indexPath: String, every: Int)
+                          (compactAction: => Unit): Unit =
+    if (every > 0) {
+      val n = readAppendCount(indexPath) + 1
+      writeAppendCount(indexPath, n)
+      if (n >= every) { compactAction; writeAppendCount(indexPath, 0) }
+    }
 
   /** Perplexity gate against a FROZEN reference LM (a [[Lm.writeLmIndex]]
     * sidecar — built once from a curated reference corpus, NOT retrained
@@ -211,23 +269,41 @@ object CorpusPipeline {
           if (trained >= a.minTrainRows) {
             Similarity.appendToIvfPqIndex(survivors, idCol, a.embeddingCol,
               a.indexPath)
+            // small-files maintenance on a cadence: the counter sidecar
+            // bumps per append; every compactEvery-th batch the codes
+            // table's cell leaves are rewritten in place (atomic per
+            // leaf, layout preserved)
+            maybeCompact(a.indexPath, a.compactEvery) {
+              graft.sources.Compaction.compactPartitioned(spark,
+                s"${a.indexPath}/codes")
+            }
             // index-health check AFTER the append: skewed batches degrade
             // the frozen geometry cumulatively; past the threshold the
             // cheap append is followed by a one-off rebuild so the NEXT
-            // batch starts from balanced cells
-            val imbalance = Similarity
-              .ivfIndexStats(spark, a.indexPath)
-              .select(col("imbalance")).collect().head.getDouble(0)
-            if (imbalance > a.reclusterImbalance) {
-              val corpusNow = spark.read.parquet(corpusPath)
-              val n = corpusNow.count()
-              Similarity.writeIvfPqIndex(corpusNow, idCol, a.embeddingCol,
-                a.indexPath, nlist = a.nlist, m = a.m, k = a.k,
-                kmeansIters = a.kmeansIters)
-              import spark.implicits._
-              Seq(n).toDF("trained_rows").coalesce(1)
-                .write.mode("overwrite")
-                .parquet(s"${a.indexPath}/trained_meta")
+            // batch starts from balanced cells. Computed ONLY when the
+            // feature is armed — with the MaxValue default the threshold
+            // cannot trip, and the codes-table groupBy would be pure
+            // per-batch overhead on the streaming hot path.
+            if (a.reclusterImbalance < Double.MaxValue) {
+              val imbalance = Similarity
+                .ivfIndexStats(spark, a.indexPath)
+                .select(col("imbalance")).collect().head.getDouble(0)
+              if (imbalance > a.reclusterImbalance) {
+                // rebuild trains on a seeded SAMPLE (trainSampleFraction)
+                // — a full-corpus Lloyd per trigger is the 100 TB
+                // anti-pattern; encoding below the new sidecars still
+                // covers every row
+                val corpusNow = spark.read.parquet(corpusPath)
+                val n = corpusNow.count()
+                Similarity.writeIvfPqIndex(corpusNow, idCol, a.embeddingCol,
+                  a.indexPath, nlist = a.nlist, m = a.m, k = a.k,
+                  kmeansIters = a.kmeansIters,
+                  sampleFraction = a.trainSampleFraction)
+                import spark.implicits._
+                Seq(n).toDF("trained_rows").coalesce(1)
+                  .write.mode("overwrite")
+                  .parquet(s"${a.indexPath}/trained_meta")
+              }
             }
           } else {
             // (re)build over the FULL corpus as written so far (this
@@ -248,10 +324,14 @@ object CorpusPipeline {
         // runs BEFORE the MinHash gate append
         sq.foreach { q =>
           val trained = annTrainedRows(spark, q.indexPath)
-          if (trained >= q.minTrainRows)
+          if (trained >= q.minTrainRows) {
             graft.operators.Sq.appendToSqIndex(survivors, idCol,
               q.embeddingCol, q.indexPath)
-          else {
+            // SQ data is unpartitioned — plain whole-table compaction
+            maybeCompact(q.indexPath, q.compactEvery) {
+              graft.sources.Compaction.compact(spark, s"${q.indexPath}/data")
+            }
+          } else {
             val corpusNow = spark.read.parquet(corpusPath)
             val n = corpusNow.count()
             graft.operators.Sq.writeSqIndex(corpusNow, idCol,

@@ -222,8 +222,16 @@ object Dedup {
     * blocked Hamming join — the [[simhashPairs]] core factored out so
     * other 64-bit perceptual signatures (image dHash,
     * [[Multimodal.imageNearDupPairs]]) reuse the same plan. Pigeonhole
-    * makes candidate generation EXACT for maxHamming ≤ 3: any pair within
-    * distance 3 has ≥1 of its 4 identical 16-bit blocks.
+    * makes candidate generation EXACT: with B equal blocks, any pair
+    * within distance B−1 shares ≥1 identical block. maxHamming ≤ 3 uses
+    * the 4×16-bit split; 4–7 widens to 8×8-bit blocks — real pHash dedup
+    * commonly wants radius 6–10 at 64 bits, and the 8-block split covers
+    * it to 7 behind the SAME distinct-signature + salted plan (the
+    * trade: 2× the exploded candidate rows and 2⁸ vs 2¹⁶ bucket keys, so
+    * per-block buckets are coarser — candidate verify prunes the rest
+    * with the exact `bit_count`). Beyond 7 the 64-bit word runs out of
+    * pigeonholes; that needs multi-index (split + recurse) schemes, out
+    * of scope here.
     *
     * Skew-hardened (round 12): real perceptual-hash corpora are full of
     * DEGENERATE signatures (uniform/near-black images → dHash 0, silence
@@ -247,14 +255,16 @@ object Dedup {
     */
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3, salts: Int = 16): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"blocked candidate generation is exact only for maxHamming <= 3, " +
-        s"got $maxHamming (add blocks to go wider)")
-    val blocks = 4
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"blocked candidate generation over a 64-bit signature is exact " +
+        s"only for maxHamming <= 7 (8 single-byte blocks), got $maxHamming")
+    val blocks = if (maxHamming <= 3) 4 else 8
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
     val members = df.select(col(idCol), col(hashCol).cast("long").as("__h"))
     val sigs = members.select("__h").distinct()
     val blockVals = array((0 until blocks).map(b =>
-      shiftright(col("__h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      shiftright(col("__h"), b * width).bitwiseAND(lit(mask))): _*)
     val blocked = sigs.select(col("__h"),
       posexplode(blockVals).as(Seq("block", "block_val")))
     val a = blocked.select(col("__h").as("h_a"), col("block"),

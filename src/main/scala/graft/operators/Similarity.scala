@@ -421,10 +421,17 @@ object Similarity {
     * decays. The cure is the FAISS retrain convention done as a rebuild:
     * re-run Lloyd over the CURRENT index contents (optionally a sample),
     * re-assign every vector to the new Voronoi geometry, rewrite the cell
-    * partitions, and atomically swap data + centroid sidecar via the
-    * [[graft.sources.Compaction.swapInto]] rename discipline — readers
-    * before the swap see the old consistent index, after it the new one;
-    * a crash mid-swap leaves the original in place.
+    * partitions, and swap the WHOLE index root via one
+    * [[graft.sources.Compaction.swapInto]] rename pair. Data and centroid
+    * sidecar are staged together under a single dot-prefixed
+    * sibling and replace the root in one rename — swapping them with two
+    * separate calls would open a window (crash between them, or a
+    * rolled-back second swap) where vectors are partitioned by the NEW
+    * geometry while probes rank cells with the OLD sidecar: silently
+    * wrong serving and misassigned appends. With the parent swap no such
+    * state exists: a crash leaves either the original root intact, or
+    * (between retire and rename-in) no root at all — loud, and fully
+    * recoverable from the `.<name>__retired` copy.
     *
     * Plain-IVF only (the index stores raw vectors, so geometry is the only
     * trainable state). For IVF-PQ the equivalent action is a rebuild from
@@ -448,18 +455,41 @@ object Similarity {
         sampleFraction)
       val attrCols = corpus.columns.toSeq
         .filterNot(c => c == idCol || c == vecCol)
+      val root = new java.io.File(path)
+      val staging = graft.sources.Compaction.stagingDir(root, "reclustering")
       corpus.select(Seq(col(idCol), col(vecCol)) ++ attrCols.map(col) :+
           bestCellFor(cents)(col(vecCol)).as("cell"): _*)
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/data__reclustered")
+        .parquet(new java.io.File(staging, "data").toString)
       import spark.implicits._
       cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/centroids__reclustered")
-      graft.sources.Compaction.swapInto(s"$path/data",
-        s"$path/data__reclustered")
-      graft.sources.Compaction.swapInto(s"$path/centroids",
-        s"$path/centroids__reclustered")
+        .parquet(new java.io.File(staging, "centroids").toString)
+      // any other sidecar at the root (e.g. a trained_meta written by a
+      // maintenance loop) rides through the swap by COPY — the original
+      // stays complete until the single parent rename below
+      copyExtraSidecars(root, staging, keep = Set("data", "centroids"))
+      graft.sources.Compaction.swapInto(path, staging.toString)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(corpus)
+  }
+
+  /** Copy every top-level entry of `root` not in `keep` (and not itself a
+    * `_`/`.`-prefixed staging dir) into `staging`, so a whole-root swap
+    * preserves sidecars the rewrite did not regenerate.
+    */
+  private def copyExtraSidecars(root: java.io.File, staging: java.io.File,
+                                keep: Set[String]): Unit = {
+    def copy(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copy(f, new java.io.File(dst, f.getName)))
+      } else
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => keep.contains(f.getName))
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .foreach(f => copy(f, new java.io.File(staging, f.getName)))
   }
 
   /** Approximate top-k served FROM a materialized index: reads the sidecar

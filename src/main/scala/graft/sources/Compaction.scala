@@ -23,6 +23,21 @@ object Compaction {
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
 
+  /** Staging sibling for a rewrite of `dir`, named `.<name>__<suffix>`.
+    * The dot prefix is load-bearing: staging/retired directories for a
+    * PARTITION LEAF (`data/cell=3`) live inside the partitioned table
+    * root, where Spark's partition discovery would otherwise pick up
+    * `cell=3__compacting` as an extra conflicting partition — duplicated
+    * rows (or a CONFLICTING_PARTITION_COLUMN_NAMES failure) for any
+    * concurrent reader, or any reader after a crash left the dir behind.
+    * It must be `.`, not `_`: Spark's listing filter exempts
+    * `_`-prefixed names that CONTAIN `=` (they parse as partition dirs —
+    * `_cell=3__compacting` is read as a `_cell` column), while
+    * dot-prefixed names are unconditionally invisible.
+    */
+  private[graft] def stagingDir(dir: File, suffix: String): File =
+    new File(dir.getParentFile, "." + dir.getName + "__" + suffix)
+
   /** Compact `path` to roughly `targetBytes`-sized files.
     * Returns (files before, files after).
     */
@@ -34,32 +49,36 @@ object Compaction {
     if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(_.length()).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new File(dir.getParentFile, dir.getName + "__compacting")
+    val tmp = stagingDir(dir, "compacting")
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
     swapInto(path, tmp.toString)
     (before.length, parquetFiles(dir).length)
   }
 
+  private def rm(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete()
+  }
+
   /** The rename-based atomic swap: retire `path`, move `tmp` into its
     * place, delete the retired copy; roll back if the final rename fails
     * (the original data wins). Shared by [[compact]] and the index
     * maintenance passes ([[graft.operators.Similarity.reclusterIvfIndex]])
-    * — any rewrite-then-replace follows this discipline.
+    * — any rewrite-then-replace follows this discipline. The retired copy
+    * is dot-prefixed ([[stagingDir]]) so a crash between the
+    * retire-rename and the cleanup leaves a dir Spark scans ignore.
     */
   def swapInto(path: String, tmp: String): Unit = {
     val dir = new File(path)
     val tmpDir = new File(tmp)
-    val retired = new File(dir.getParentFile, dir.getName + "__retired")
+    val retired = stagingDir(dir, "retired")
+    if (retired.exists()) rm(retired) // garbage from a crashed cleanup
     if (dir.exists() && !dir.renameTo(retired))
       throw new java.io.IOException(s"cannot retire $path")
     if (!tmpDir.renameTo(dir)) {
       retired.renameTo(dir) // roll back — the original data wins
       throw new java.io.IOException(s"cannot swap $tmp into $path")
-    }
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
     }
     rm(retired)
   }

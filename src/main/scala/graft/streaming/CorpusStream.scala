@@ -72,4 +72,84 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** Outcome of a [[reprocessQuarantine]] attempt: the measured JS of the
+    * queue against the (possibly updated) reference, whether the queue was
+    * released through the gate chain, and how many docs actually landed
+    * (released minus gate failures minus already-present dups).
+    */
+  case class ReprocessResult(js: Double, released: Boolean, admitted: Long)
+
+  /** Triage path for the quarantine queue — without it quarantine is a
+    * grave, not a queue: [[DriftMonitor.Gate]] diverts shifted batches to
+    * `quarantinePath` and nothing ever re-admits them, even after the
+    * operator decides the "drift" was actually the world changing and
+    * refits the reference distribution.
+    *
+    * Re-gates the WHOLE queue against the reference at `referencePath`
+    * (typically an UPDATED [[graft.operators.Divergence.writeReferenceCounts]]
+    * sidecar, not the one that quarantined it) at threshold `maxJs`. If it
+    * now clears, the queue flows through the SAME
+    * [[CorpusPipeline.dedupAndAppend]] gate chain as a live batch — and
+    * that shared path is what makes re-admission exactly-once: any doc a
+    * previous (crashed or duplicate) reprocess already appended matches
+    * its own signatures in the MinHash index and drops, so re-running
+    * this method is always safe. After a successful release the queue
+    * directory is retired to a dot-prefixed `__drained` sibling
+    * (invisible to Spark listings, one level of audit trail); a crash
+    * between the append and the retire leaves the queue in place and the
+    * retry admits zero.
+    *
+    * A still-divergent queue is left untouched (`released = false`) —
+    * quarantine decisions stay distribution-level, per the gate's design.
+    * The divergence row is appended to `metricsPath` either way with
+    * `batch_id = -1` marking it as a triage (not live-stream) measurement.
+    */
+  def reprocessQuarantine(spark: SparkSession, quarantinePath: String,
+                          referencePath: String, maxJs: Double,
+                          corpusPath: String, indexPath: String,
+                          metricsPath: Option[String] = None,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          threshold: Double = 0.8,
+                          gates: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+                          benchmark: Option[DataFrame] = None,
+                          contaminationN: Int = 8,
+                          ann: Option[CorpusPipeline.AnnIndex] = None,
+                          lm: Option[CorpusPipeline.LmGate] = None,
+                          sq: Option[CorpusPipeline.SqIndexCfg] = None,
+                          dsir: Option[CorpusPipeline.DsirGate] = None,
+                          lrq: Option[CorpusPipeline.LrGate] = None)
+      : ReprocessResult = {
+    val qDir = new java.io.File(quarantinePath)
+    if (!qDir.exists()) return ReprocessResult(0.0, released = false, 0L)
+    val queue = spark.read.parquet(quarantinePath)
+    if (queue.isEmpty) return ReprocessResult(0.0, released = false, 0L)
+    val m = graft.operators.Divergence
+      .divergenceAgainstReference(queue, textCol, referencePath)
+      .withColumn("batch_id", lit(-1L))
+      .localCheckpoint(true)
+    try {
+      metricsPath.foreach(p => m.write.mode("append").parquet(p))
+      val js = m.select(col("js")).collect().head.getDouble(0)
+      if (js > maxJs) ReprocessResult(js, released = false, 0L)
+      else {
+        val admitted = CorpusPipeline.dedupAndAppend(queue, corpusPath,
+          indexPath, idCol, textCol, threshold, gates, benchmark,
+          contaminationN, ann, lm, sq, dsir, lrq)
+        val drained =
+          graft.sources.Compaction.stagingDir(qDir, "drained")
+        if (drained.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
+          }
+          rm(drained)
+        }
+        if (!qDir.renameTo(drained))
+          throw new java.io.IOException(
+            s"cannot retire drained quarantine $quarantinePath")
+        ReprocessResult(js, released = true, admitted)
+      }
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
+  }
 }

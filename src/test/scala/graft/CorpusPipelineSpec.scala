@@ -604,4 +604,193 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().toSeq === Seq(1L))
   }
+
+  // distinct-prose generator: docs far apart under MinHash so the dedup
+  // gates pass everything through — these tests exercise maintenance, not
+  // dedup decisions
+  private def prose(i: Long): String =
+    s"document $i covers subject${i} theme${i * 7} aspect${i * 13} " +
+      s"detail${i * 17} note${i * 19} item${i * 23} point${i * 29} " +
+      s"case${i * 31} part${i * 37} unit${i * 41} topic${i * 43}"
+
+  test("compactEvery: 20 appended batches keep the index file count " +
+      "bounded; serving unchanged by the maintenance pass") {
+    import graft.ingest.CorpusPipeline.{AnnIndex, SqIndexCfg}
+    import graft.operators.{Similarity, Sq}
+    val dir = Files.createTempDirectory("corpus_compact_every")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ann = dir.resolve("ann").toString
+    val sqp = dir.resolve("sq").toString
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val planted = vec()
+    def batch(b: Int) = {
+      val docs = (0 until 4).map { j =>
+        val id = b * 100L + j
+        (id, prose(id), if (id == 100L) planted else vec())
+      }
+      docs.toDF("doc_id", "text", "embedding")
+    }
+    val annCfg = AnnIndex(ann, "embedding", nlist = 2, m = 8, k = 8,
+      minTrainRows = 4, compactEvery = 5)
+    val sqCfg = SqIndexCfg(sqp, "embedding", minTrainRows = 4,
+      compactEvery = 5)
+    (1 to 20).foreach { b =>
+      CorpusPipeline.dedupAndAppend(batch(b), corpus, idx, "doc_id",
+        "text", 0.8, ann = Some(annCfg), sq = Some(sqCfg))
+    }
+    def parquetFiles(root: java.io.File): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .filterNot(_.getName.startsWith(".")).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(root)
+    }
+    // 19 frozen appends × (1 file per touched cell) would accumulate ~20+
+    // files per cell without maintenance; the every-5 cadence bounds it
+    val codeFiles = parquetFiles(new java.io.File(s"$ann/codes"))
+    assert(codeFiles <= 12,
+      s"codes table not compacted: $codeFiles files")
+    val sqFiles = parquetFiles(new java.io.File(s"$sqp/data"))
+    assert(sqFiles <= 8, s"sq data not compacted: $sqFiles files")
+    // the counter sidecar is invisible to Spark scans and survives
+    assert(new java.io.File(s"$ann/_maint_appends").exists())
+    // maintenance preserved the index contents: every appended doc's code
+    // row is present exactly once, and the planted vector still serves
+    val total = spark.read.parquet(corpus).count()
+    assert(spark.read.parquet(s"$ann/codes").count() === total)
+    assert(spark.read.parquet(s"$sqp/data").count() === total)
+    val top = Similarity.ivfPqTopKFromIndex(spark, ann,
+        spark.read.parquet(corpus), "doc_id", "embedding",
+        Seq((0L, planted)).toDF("vec_id", "embedding"), "embedding", 1,
+        nprobe = 2, oversample = 8)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 100L, s"planted vector lost: ${top.toSeq}")
+  }
+
+  test("imbalance-triggered rebuild trains on a SAMPLE " +
+      "(trainSampleFraction) and still restores serving") {
+    import graft.ingest.CorpusPipeline.AnnIndex
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("corpus_recluster_sample")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ann = dir.resolve("ann").toString
+    val dim = 16
+    val rnd = new scala.util.Random(9)
+    // direction clusters matched to the index's dot-product geometry
+    def member(axis: Int, bias: Double = 0.0): Array[Float] = {
+      val v = Array.fill(dim)(0.05f * rnd.nextGaussian().toFloat)
+      v(axis) = v(axis) + 5f
+      if (bias != 0.0) v(0) = v(0) + bias.toFloat
+      v
+    }
+    val annCfg = AnnIndex(ann, "embedding", nlist = 4, m = 8, k = 8,
+      kmeansIters = 2, minTrainRows = 8,
+      reclusterImbalance = 1.4, trainSampleFraction = 0.5)
+    // batch 1 (two balanced direction clusters, ids interleaved so the
+    // deterministic seeds cover both directions) trains and freezes; an
+    // 80-vector pile-up into one of ≤4 cells then pushes max/mean past
+    // 1.4 whether the balanced build populated 2, 3, or 4 cells
+    val b1 = (1 to 80).map(i =>
+      (i.toLong, prose(i), member(i % 2)))
+      .toDF("doc_id", "text", "embedding")
+    CorpusPipeline.dedupAndAppend(b1, corpus, idx, "doc_id", "text", 0.8,
+      ann = Some(annCfg))
+    val trained1 = spark.read.parquet(s"$ann/trained_meta")
+      .as[Long].head()
+    assert(trained1 === 80L)
+    // batch 2: a drifted THIRD direction with an e0 bias — the frozen
+    // centroids pile it into one hot cell, tripping the imbalance
+    // threshold, and the rebuild retrains on a 50% seeded sample
+    val b2 = (101 to 180).map(i =>
+      (i.toLong, prose(i), member(2, bias = 0.5)))
+      .toDF("doc_id", "text", "embedding")
+    CorpusPipeline.dedupAndAppend(b2, corpus, idx, "doc_id", "text", 0.8,
+      ann = Some(annCfg))
+    // the rebuild happened: trained_meta advanced to the full corpus size
+    val trained2 = spark.read.parquet(s"$ann/trained_meta")
+      .as[Long].head()
+    assert(trained2 === 160L,
+      s"imbalance rebuild did not run (trained_meta=$trained2)")
+    // and the sample-trained geometry serves the drifted direction: a
+    // query down e2 finds a drifted member with limited probing
+    val top = Similarity.ivfPqTopKFromIndex(spark, ann,
+        spark.read.parquet(corpus), "doc_id", "embedding",
+        Seq((0L, member(2, bias = 0.5))).toDF("vec_id", "embedding"),
+        "embedding", 3, nprobe = 2, oversample = 8)
+      .as[(Long, Double)].collect()
+    assert(top.forall(_._1 >= 101L),
+      s"drifted cluster not recalled after sample rebuild: ${top.toSeq}")
+  }
+
+  test("quarantine triage: released under an updated reference, admitted " +
+      "exactly once, still-divergent queue left in place") {
+    import graft.streaming.{CorpusStream, DriftMonitor}
+    import graft.operators.Divergence
+    val dir = Files.createTempDirectory("corpus_triage")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val refA = dir.resolve("refA").toString
+    val refB = dir.resolve("refB").toString
+    val quar = dir.resolve("quarantine").toString
+    val metrics = dir.resolve("metrics").toString
+    // reference A: English prose — the vocabulary the gate was tuned for
+    Divergence.writeReferenceCounts(
+      Seq((0L, base), (1L, fresh2)).toDF("doc_id", "text"), "text", refA)
+    val gate = DriftMonitor.Gate(refA, maxJs = 0.15, quar, metrics)
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    // wave 1 lands; wave 2 (disjoint vocabulary, spam-flood mass) is
+    // quarantined under reference A
+    val garbled = (("zzqx wvvk pqzt mmnb rrdd zzqx wvvk pqzt ggfh jjkl " +
+      "qqww eerr ttyy uuii oopp aass ddff gghh jjkk llzz xxcc vvbb ") * 25)
+      .trim
+    Seq((1L, base)).toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q1 = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+      drift = Some(gate)); q1.awaitTermination()
+    Seq((2L, garbled), (3L, garbled + " nnmm")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q2 = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+      drift = Some(gate)); q2.awaitTermination()
+    assert(spark.read.parquet(quar).count() === 2)
+    assert(spark.read.parquet(corpus).count() === 1)
+    // triage under the SAME (stale) reference: still divergent → queue
+    // untouched, nothing admitted
+    val still = CorpusStream.reprocessQuarantine(spark, quar, refA, 0.15,
+      corpus, idx, metricsPath = Some(metrics))
+    assert(!still.released && still.admitted === 0L)
+    assert(spark.read.parquet(quar).count() === 2, "queue must stay put")
+    // the operator refits the reference: the world now LOOKS like the
+    // quarantined distribution (the drift was real change, not breakage)
+    Divergence.writeReferenceCounts(
+      Seq((0L, garbled)).toDF("doc_id", "text"), "text", refB)
+    val released = CorpusStream.reprocessQuarantine(spark, quar, refB, 0.15,
+      corpus, idx, metricsPath = Some(metrics))
+    assert(released.released, s"expected release, js=${released.js}")
+    // both quarantined docs flowed the normal gate chain: doc 2 lands,
+    // doc 3 (near-dup of 2 within the queue) is deduped — and the queue
+    // directory is drained
+    assert(released.admitted === 1L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L))
+    assert(!new java.io.File(quar).exists(), "queue not drained")
+    // exactly-once under retry: recreate the queue as a crash between the
+    // append and the retire would leave it — reprocessing again admits 0
+    // (every doc matches its own indexed signatures) and drains cleanly
+    Seq((2L, garbled), (3L, garbled + " nnmm")).toDF("doc_id", "text")
+      .write.mode("append").parquet(quar)
+    val retry = CorpusStream.reprocessQuarantine(spark, quar, refB, 0.15,
+      corpus, idx)
+    assert(retry.released && retry.admitted === 0L,
+      s"retry must dedup everything: $retry")
+    assert(spark.read.parquet(corpus).count() === 2)
+    // triage measurements are in the metrics log, marked batch_id = -1
+    val triageRows = spark.read.parquet(metrics)
+      .where(col("batch_id") === -1L).count()
+    assert(triageRows === 2L)
+  }
 }

@@ -115,6 +115,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got === brute)
   }
 
+  // radius > 3 widens the split to 8 single-byte blocks (pigeonhole: ≤ 7
+  // differing bits across 8 blocks leaves one block untouched). Parity
+  // against brute force over a seeded random corpus with planted
+  // perturbations at every distance 0–9 proves exactness at the widened
+  // radius — including pairs at distance 8–9 correctly ABSENT.
+  test("hammingPairs64 radius 7: 8-block pigeonhole matches brute force") {
+    val rnd = new scala.util.Random(7L)
+    val bases = Seq.fill(40)(rnd.nextLong())
+    // for each base, a twin at each hamming distance 0..9 (flip d distinct
+    // random bit positions)
+    val sigs = bases.zipWithIndex.flatMap { case (h, i) =>
+      val twins = (0 to 9).map { d =>
+        val bits = rnd.shuffle((0 until 64).toList).take(d)
+        bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      }
+      (h +: twins).zipWithIndex.map { case (s, j) =>
+        (i.toLong * 100 + j, s)
+      }
+    }
+    val df = sigs.toDF("id", "sig")
+    val got = Dedup.hammingPairs64(df, "id", "sig", maxHamming = 7)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ida, idb, d)).toSet
+    assert(got === brute)
+    assert(brute.exists(_._3 == 7)) // the fixture actually exercises r=7
+  }
+
   test("dropNearDuplicates keeps one doc per duplicate cluster") {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
         threshold = 0.8)

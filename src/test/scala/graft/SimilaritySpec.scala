@@ -753,8 +753,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val before = Similarity.ivfIndexStats(spark, dir)
       .select("imbalance").as[Double].head()
     val total = spark.read.parquet(s"$dir/data").count()
+    // a maintenance sidecar at the index root must ride through the
+    // whole-root swap (the recluster regenerates only data + centroids)
+    Seq(300L).toDF("trained_rows").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/trained_meta")
     Similarity.reclusterIvfIndex(spark, dir, "vec_id", "embedding",
       kmeansIters = 5)
+    assert(spark.read.parquet(s"$dir/trained_meta")
+      .as[Long].head() === 300L, "sidecar lost in the root swap")
+    // the single-parent-rename discipline leaves no staging siblings
+    val parent = new java.io.File(dir).getParentFile
+    val leftovers = Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains("__recluster"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
     val after = Similarity.ivfIndexStats(spark, dir)
       .select("imbalance").as[Double].head()
     // Lloyd over the current contents gives the drifted direction its own
@@ -807,6 +818,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(servedAfter === servedBefore)
     // the sidecar was untouched by construction
     assert(spark.read.parquet(s"$dir/centroids").count() === 4)
+    // crash-safety of the staging naming: a leftover per-leaf staging dir
+    // (a compaction that died mid-rewrite) sits INSIDE the table root —
+    // its dot prefix must keep partition discovery from reading it as an
+    // extra `cell=...` partition (duplicated rows / conflicting partition
+    // columns for every concurrent reader). `_` would NOT be enough:
+    // Spark's listing filter exempts `_`-names containing `=`.
+    val rowsBefore = spark.read.parquet(s"$dir/data").count()
+    val leftover = s"$dir/data/${"."}cell=99__compacting"
+    spark.range(1).select(col("id").as("vec_id"),
+        typedLit(Array.fill(dim)(0f)).as("embedding"))
+      .write.parquet(leftover)
+    val reread = spark.read.parquet(s"$dir/data")
+    assert(reread.count() === rowsBefore,
+      "crash-leftover staging dir leaked into the scan")
+    assert(!reread.schema("cell").dataType.typeName.contains("string"),
+      "partition column type flipped — staging dir was discovered")
   }
 
   test("hyperplane bucket is deterministic and within range") {
