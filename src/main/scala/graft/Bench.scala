@@ -15,6 +15,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the localCheckpoint release discipline (unpersist after the last
+    // consumer) logs a WARN per released RDD ("was locally checkpointed …
+    // cannot be recomputed") — by design the lineage is dead at that
+    // point, and the warning would otherwise be the first line of the
+    // bench artifact tail the driver stores
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // noop sink: materializes every row/column of the result without the
     // count()-only plan that lets Catalyst prune the very work being
     // benchmarked (EliminateSorts drops orderBy, column pruning deletes
@@ -41,13 +48,19 @@ object Bench {
     val pass1 = names.map(n => n -> timed(n))
     val pass2 = names.map(n => n -> timed(n)).toMap
     val minOf2 = pass1.map { case (n, t1) => n -> math.min(t1, pass2(n)) }
-    // third sample for the FASTEST queries only: under a second of measured
-    // work, a single CPU-steal event dominates the reading (r5→r6 showed
-    // ±70% swings on sub-second queries with byte-identical code), and the
-    // extra samples cost almost nothing precisely because the queries are
-    // fast. Slower queries average the noise out within one run.
+    // third sample for two classes of query: (a) the FASTEST — under a
+    // second of measured work a single CPU-steal event dominates the
+    // reading (r5→r6 showed ±70% swings on sub-second queries with
+    // byte-identical code), and the extra samples cost almost nothing
+    // precisely because the queries are fast; (b) any row whose two
+    // samples disagree by >1.5× — the iterative/decode-heavy rows
+    // (q_pagerank, mm_dhash_dedup) show 2–4× pass-to-pass GC/checkpoint
+    // spread, and min-of-2 over a noisy pair is not yet a stable min.
     val fastest = minOf2.sortBy(_._2).take(3).map(_._1).toSet
-    val pass3 = names.filter(fastest).map(n => n -> timed(n)).toMap
+    val unstable = pass1.collect { case (n, t1)
+        if math.max(t1, pass2(n)) > 1.5 * math.min(t1, pass2(n)) => n }.toSet
+    val pass3 = names.filter(n => fastest(n) || unstable(n))
+      .map(n => n -> timed(n)).toMap
     val results = minOf2.map { case (n, t) =>
       n -> math.min(t, pass3.getOrElse(n, t)) }
     def fmt(v: Double): String = f"$v%.4f"

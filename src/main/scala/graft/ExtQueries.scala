@@ -598,6 +598,37 @@ object ExtQueries {
         .select("doc_id", "source")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // the floor-enforced twin for q_temperature_mix (the one rows-only
+    // row that had no quality pin): realized per-source mass must equal
+    // the temperature-weighted expectation EXACTLY — for every stratum,
+    // |realized − min(floor(budget·nᵢ^α / Σn^α), nᵢ)| = 0, with the
+    // expectation recomputed through an independent plan (grouped count →
+    // pow → scalar total → floor). Any quota the take stage over- or
+    // under-delivers (a scramble-rank off-by-one, a dropped null-quota
+    // stratum) makes max_dev > 0 and empties the row → spark_rows: 0 in
+    // the correctness artifact, the twin family's loud-failure convention
+    "q_temperature_mix_gap" -> ((s, d) => {
+      val all = docs(s, d)
+      val realized = graft.operators.Sampling
+        .temperatureTake(all, "source", "doc_id", alpha = 0.5, budget = 200)
+        .groupBy("source").agg(count(lit(1)).as("realized"))
+      val strata = all.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", pow(col("n"), 0.5))
+      val tot = strata.agg(sum("w").as("wtot"))
+      strata.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(floor(lit(200.0) * col("w") / col("wtot")).cast("long"),
+            col("n")).as("expected"))
+        .join(realized, Seq("source"), "left")
+        .select(col("expected"),
+          coalesce(col("realized"), lit(0L)).as("realized"))
+        .agg(count(lit(1)).as("strata"),
+          sum("realized").as("realized_total"),
+          max(abs(col("realized") - col("expected"))).as("max_dev"))
+        .withColumn("meets_floor", col("max_dev") === 0)
+        .where(col("meets_floor"))
+    }),
+
     // token-budget sequence packing — the last batch-prep step before an
     // LLM data loader: shard-local window cumsum assigns each doc to the
     // sequence its first token falls in; reported per (shard, sequence)

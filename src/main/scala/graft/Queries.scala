@@ -622,7 +622,11 @@ object Queries {
     // fraction is SF-dependent, the 2×-average form is scale-free). The
     // whole predicate is INTEGER arithmetic — valc·cnt > 2·totc in cents —
     // so no float threshold can flip a boundary part cross-engine; the
-    // 1-row total broadcasts into the HAVING cut.
+    // 1-row total broadcasts into the HAVING cut. The products are
+    // compared as decimal(38,0): at the 100 TB design point valc·cnt
+    // outgrows Long, where non-ANSI Spark would wrap silently while
+    // DuckDB promotes to HUGEINT — the decimal compare stays exact (and
+    // boundary-stable) at any SF on both engines.
     "q11_important_stock" -> ((s, d) => {
       val asia = regionSuppliers(s, d, "ASIA").select("s_suppkey")
       val byPart = partsuppGen(s, d)
@@ -632,7 +636,8 @@ object Queries {
         .agg(sum(col("ps_costc") * col("ps_availqty")).as("valc"))
       val tot = byPart.agg(sum("valc").as("totc"), count(lit(1)).as("cnt"))
       byPart.crossJoin(broadcast(tot))
-        .where(col("valc") * col("cnt") > col("totc") * 2)
+        .where(col("valc").cast("decimal(38,0)") * col("cnt") >
+          col("totc").cast("decimal(38,0)") * 2)
         .select(col("ps_partkey"),
           (col("valc").cast("decimal(18,4)") / 100).cast("double")
             .as("value"))
@@ -1821,7 +1826,8 @@ object Queries {
         |SELECT ps_partkey,
         |  CAST(CAST(valc AS DECIMAL(18,4)) / 100 AS DOUBLE) AS value
         |FROM v, (SELECT sum(valc) AS totc, count(*) AS cnt FROM v) tv
-        |WHERE valc * cnt > 2 * totc
+        |WHERE CAST(valc AS DECIMAL(38,0)) * cnt
+        |    > 2 * CAST(totc AS DECIMAL(38,0))
         |ORDER BY value DESC, ps_partkey""".stripMargin),
     "q16_parts_supplier" ->
       (s"WITH $psCte" + """

@@ -19,6 +19,42 @@ class EntrySpec extends AnyFunSuite with SparkFixture {
     assert(orphanBench.isEmpty, s"bench names without queries: $orphanBench")
   }
 
+  // The round-12 postmortem tripwire: rounds 10–11 silently lost the
+  // 19-row events query family — a testdata timestamp-layout change made
+  // the watermark compare return ZERO rows, the queries "ran", the rows
+  // vanished from the correctness artifact, and the bench timed empty
+  // scans, all with no red signal for two rounds. The failure class is "a
+  // query evaporates without failing", so the guard is exactly that
+  // assertion: EVERY SparkEntry query must return rows on sf0.001.
+  // Against the r10 layout, s2_scan_filter/q_asof_join/q_sessionize/…
+  // would have returned 0 here and this test would have gone red.
+  // A query that is legitimately empty at this SF must be allowlisted
+  // explicitly — silence is never a pass.
+  test("tripwire: every SparkEntry query returns rows at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    // Explicitly-empty-at-THIS-SF allowlist — each entry verified to
+    // return rows and pass at the driver's sf0.01 gate:
+    //  - q7_nation_volume / q21_sole_blame: genuinely selective TPC-H
+    //    shapes (two-nation trade window; sole-blame supplier on a
+    //    multi-supplier order) with zero qualifying rows in a ~6k-row
+    //    lineitem sample
+    //  - ann_pca_recall: a floor-enforced twin (empties itself below
+    //    recall 0.9); the floor is calibrated against sf0.01 corpus
+    //    geometry, and the 10×-smaller embedding sample sits under it
+    val allowEmpty = Set("q7_nation_volume", "q21_sole_blame",
+      "ann_pca_recall")
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => allowEmpty(q._1))
+      .flatMap { case (name, q) =>
+        try { if (q(spark, d).isEmpty) Some(s"$name: 0 rows") else None }
+        catch { case e: Throwable =>
+          Some(s"$name: threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    assert(broken.isEmpty,
+      s"${broken.size} queries evaporated:\n  ${broken.mkString("\n  ")}")
+  }
+
   // q8 is the widest join tree in the suite (6 tables, nation twice): at
   // 100 TB the fact table must be joined entirely by broadcast — a single
   // shuffled join there would move the whole lineitem scan. Assert every
