@@ -199,6 +199,14 @@ object ExtQueries {
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
         .transform(Queries.presentSorted(_, "id_a", "id_b"))),
 
+    // the wide-radius tier (hamming ≤ 10 — the radius real pHash dedup
+    // wants) through the multi-index candidate path: per-block Hamming-
+    // ball expansion instead of exact-block pigeonhole. Its floor twin
+    // below pins full recall against the brute-force truth every round
+    "dedup_simhash_wide" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
+        .transform(Queries.presentSorted(_, "id_a", "id_b"))),
+
     // brute-force cosine top-k against the vec_id=0 query vector — the
     // exact baseline every ANN variant is measured against
     "ann_bruteforce" -> ((s, d) => {
@@ -1699,6 +1707,24 @@ object ExtQueries {
       // hamming ≤ 3 — anything below is a structural bug, not a trade-off
       recallOf(truth,
         Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3),
+        Seq("id_a", "id_b"), floor = 1.0)
+    }),
+
+    // floor 1.0 at radius 10: the multi-index pigeonhole (some block
+    // within ⌊10/4⌋ = 2 of its counterpart, covered by the 137-mask
+    // ball) is exactly as much a guarantee as the exact-block split —
+    // the wide tier must lose NOTHING against brute force
+    "dedup_simhash_wide_recall" -> ((s, d) => {
+      val sims = docs(s, d).select(col("doc_id"),
+        Dedup.simhash(col("text")).as("sim"))
+      val a = sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      val b = sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+      val truth = a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 10)
+        .select("id_a", "id_b")
+      recallOf(truth,
+        Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10),
         Seq("id_a", "id_b"), floor = 1.0)
     }),
 

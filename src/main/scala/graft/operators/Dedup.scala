@@ -224,14 +224,26 @@ object Dedup {
     * [[Multimodal.imageNearDupPairs]]) reuse the same plan. Pigeonhole
     * makes candidate generation EXACT: with B equal blocks, any pair
     * within distance B−1 shares ≥1 identical block. maxHamming ≤ 3 uses
-    * the 4×16-bit split; 4–7 widens to 8×8-bit blocks — real pHash dedup
-    * commonly wants radius 6–10 at 64 bits, and the 8-block split covers
-    * it to 7 behind the SAME distinct-signature + salted plan (the
-    * trade: 2× the exploded candidate rows and 2⁸ vs 2¹⁶ bucket keys, so
-    * per-block buckets are coarser — candidate verify prunes the rest
-    * with the exact `bit_count`). Beyond 7 the 64-bit word runs out of
-    * pigeonholes; that needs multi-index (split + recurse) schemes, out
-    * of scope here.
+    * the 4×16-bit split; 4–7 widens to 8×8-bit blocks (the trade: 2× the
+    * exploded candidate rows and 2⁸ vs 2¹⁶ bucket keys, so per-block
+    * buckets are coarser — candidate verify prunes the rest with the
+    * exact `bit_count`).
+    *
+    * Radius 8–15 — real pHash dedup commonly wants 6–10+ at 64 bits, and
+    * exact-block pigeonhole runs out (16 single-block splits would need
+    * 4-bit buckets: 16 keys per position, candidates ≈ all pairs) —
+    * switches to MULTI-INDEX candidate generation (Norouzi, Punjani &
+    * Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+    * CVPR 2012, recast as a join): with 4 blocks, any pair within
+    * distance r has some block within ⌊r/4⌋, so one side of the blocked
+    * self-join EXPANDS each 16-bit block value to its full radius-⌊r/4⌋
+    * Hamming ball (XOR-mask literals built once on the driver: 137 masks
+    * at ⌊r/4⌋ = 2, 697 at 3) and joins the other side's exact values.
+    * Buckets stay 16-bit-sharp — precision survives the wider radius —
+    * and the cost is a bounded constant (blocks × masks exploded rows)
+    * per DISTINCT signature, never per corpus row. Beyond 15 the
+    * ball-enumeration constant is the binding cost; recurse the scheme
+    * (wider per-block balls or 128-bit signatures) out of scope here.
     *
     * Skew-hardened (round 12): real perceptual-hash corpora are full of
     * DEGENERATE signatures (uniform/near-black images → dHash 0, silence
@@ -255,26 +267,47 @@ object Dedup {
     */
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3, salts: Int = 16): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"blocked candidate generation over a 64-bit signature is exact " +
-        s"only for maxHamming <= 7 (8 single-byte blocks), got $maxHamming")
-    val blocks = if (maxHamming <= 3) 4 else 8
-    val width = 64 / blocks
-    val mask = (1L << width) - 1
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"candidate generation over a 64-bit signature is exact only for " +
+        s"maxHamming <= 15 (4 blocks x radius-3 Hamming balls), " +
+        s"got $maxHamming")
     val members = df.select(col(idCol), col(hashCol).cast("long").as("__h"))
     val sigs = members.select("__h").distinct()
-    val blockVals = array((0 until blocks).map(b =>
-      shiftright(col("__h"), b * width).bitwiseAND(lit(mask))): _*)
-    val blocked = sigs.select(col("__h"),
-      posexplode(blockVals).as(Seq("block", "block_val")))
-    val a = blocked.select(col("__h").as("h_a"), col("block"),
-      col("block_val"))
-    val b = blocked.select(col("__h").as("h_b"), col("block"),
-      col("block_val"))
+    def blockFrame(blocks: Int): DataFrame = {
+      val width = 64 / blocks
+      val mask = (1L << width) - 1
+      val blockVals = array((0 until blocks).map(b =>
+        shiftright(col("__h"), b * width).bitwiseAND(lit(mask))): _*)
+      sigs.select(col("__h"),
+        posexplode(blockVals).as(Seq("block", "block_val")))
+    }
+    val candidates =
+      if (maxHamming <= 7) {
+        // exact-block pigeonhole: a shared identical block is guaranteed
+        val blocked = blockFrame(if (maxHamming <= 3) 4 else 8)
+        val a = blocked.select(col("__h").as("h_a"), col("block"),
+          col("block_val"))
+        val b = blocked.select(col("__h").as("h_b"), col("block"),
+          col("block_val"))
+        a.join(b, Seq("block", "block_val"))
+      } else {
+        // multi-index: some block is within ⌊r/4⌋, so side a expands each
+        // block value to its Hamming ball (XOR-mask literals) and joins
+        // side b's exact values — 16-bit-sharp buckets at radius 8-15
+        val blocked = blockFrame(4)
+        val masks = hammingBallMasks(16, maxHamming / 4)
+        val a = blocked
+          .withColumn("__mask", explode(typedlit(masks)))
+          .select(col("__h").as("h_a"), col("block"),
+            col("block_val").bitwiseXOR(col("__mask")).as("block_val"))
+        val b = blocked.select(col("__h").as("h_b"), col("block"),
+          col("block_val"))
+        a.join(b, Seq("block", "block_val"))
+      }
     // distinct-signature near pairs, 1 ≤ hamming ≤ maxHamming (0 is
     // impossible across distinct hashes); distinct() folds multi-block
     // matches of the same hash pair
-    val sigPairs = a.join(b, Seq("block", "block_val"))
+    val sigPairs = candidates
       .where(col("h_a") < col("h_b"))
       .select(col("h_a"), col("h_b"))
       .distinct()
@@ -297,6 +330,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     cross.unionByName(within)
   }
+
+  /** All XOR masks flipping ≤ `r` of the lowest `width` bits — the
+    * radius-`r` Hamming ball around 0, enumerated once on the driver and
+    * shipped as an array literal (137 masks at (16, 2), 697 at (16, 3):
+    * bounded metadata, the centroid/codebook convention). Symmetric by
+    * construction: `x ⊕ m = y ⟺ y ⊕ m = x`, which is why expanding ONE
+    * side of the candidate join suffices.
+    */
+  private[graft] def hammingBallMasks(width: Int, r: Int): Seq[Long] =
+    (0 to r).flatMap(k =>
+      (0 until width).combinations(k)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
 
   /** Corpus cleaning: drop near-duplicates, keeping the lowest id of every
     * duplicate pair (greedy — for a chain a~b, b~c it keeps a). Built on

@@ -145,6 +145,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(brute.exists(_._3 == 7)) // the fixture actually exercises r=7
   }
 
+  // radius > 7 switches to multi-index candidates: one join side expands
+  // each 16-bit block to its radius-⌊r/4⌋ Hamming ball. Brute-force
+  // parity on planted perturbations at every distance 0–13 proves
+  // exactness at radius 10 (⌊10/4⌋ = 2 → 137-mask ball) — including
+  // pairs at distance 11–13 correctly ABSENT — and the mask generator's
+  // ball sizes match the binomial sums.
+  test("hammingPairs64 radius 10: multi-index candidates match brute force") {
+    assert(Dedup.hammingBallMasks(16, 2).size === 1 + 16 + 120)
+    assert(Dedup.hammingBallMasks(16, 3).size === 1 + 16 + 120 + 560)
+    val rnd = new scala.util.Random(10L)
+    val bases = Seq.fill(25)(rnd.nextLong())
+    val sigs = bases.zipWithIndex.flatMap { case (h, i) =>
+      val twins = (0 to 13).map { d =>
+        val bits = rnd.shuffle((0 until 64).toList).take(d)
+        bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      }
+      (h +: twins).zipWithIndex.map { case (s, j) =>
+        (i.toLong * 100 + j, s)
+      }
+    }
+    val df = sigs.toDF("id", "sig")
+    val got = Dedup.hammingPairs64(df, "id", "sig", maxHamming = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+    } yield (ida, idb, d)).toSet
+    assert(got === brute)
+    assert(brute.exists(_._3 == 10)) // the fixture actually exercises r=10
+  }
+
   test("dropNearDuplicates keeps one doc per duplicate cluster") {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
         threshold = 0.8)
