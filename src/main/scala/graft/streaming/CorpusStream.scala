@@ -58,7 +58,12 @@ object CorpusStream {
               m.write.mode("append").parquet(g.metricsPath)
               val js = m.select(col("js")).collect().head.getDouble(0)
               if (js > g.maxJs) {
-                batch.write.mode("append").parquet(g.quarantinePath)
+                // the micro-batch id rides along so triage
+                // ([[reprocessQuarantine]]) can re-gate each quarantined
+                // batch SEPARATELY — pooled re-gating would let batches
+                // with different shifts mask each other
+                batch.withColumn("__q_batch", lit(id))
+                  .write.mode("append").parquet(g.quarantinePath)
                 true
               } else false
             } finally
@@ -73,12 +78,12 @@ object CorpusStream {
       }
       .start()
 
-  /** Outcome of a [[reprocessQuarantine]] attempt: the measured JS of the
-    * queue against the (possibly updated) reference, whether the queue was
-    * released through the gate chain, and how many docs actually landed
-    * (released minus gate failures minus already-present dups).
+  /** Outcome of a [[reprocessQuarantine]] attempt: quarantined batches
+    * seen, batches that cleared the updated reference and flowed the gate
+    * chain, and how many docs actually landed (released minus gate
+    * failures minus already-present dups).
     */
-  case class ReprocessResult(js: Double, released: Boolean, admitted: Long)
+  case class ReprocessResult(batches: Long, released: Long, admitted: Long)
 
   /** Triage path for the quarantine queue — without it quarantine is a
     * grave, not a queue: [[DriftMonitor.Gate]] diverts shifted batches to
@@ -86,24 +91,29 @@ object CorpusStream {
     * operator decides the "drift" was actually the world changing and
     * refits the reference distribution.
     *
-    * Re-gates the WHOLE queue against the reference at `referencePath`
-    * (typically an UPDATED [[graft.operators.Divergence.writeReferenceCounts]]
-    * sidecar, not the one that quarantined it) at threshold `maxJs`. If it
-    * now clears, the queue flows through the SAME
+    * Each quarantined batch (the `__q_batch` tag stamped at quarantine
+    * time; pre-tag queues triage as one batch) is re-gated SEPARATELY
+    * against the reference at `referencePath` (typically an UPDATED
+    * [[graft.operators.Divergence.writeReferenceCounts]] sidecar, not the
+    * one that quarantined it) at threshold `maxJs` — per-batch because
+    * pooling the queue would gate a MIXTURE: a clearable batch could be
+    * held hostage by a still-toxic one, or a toxic batch could ride in
+    * under the average. A batch that clears flows through the SAME
     * [[CorpusPipeline.dedupAndAppend]] gate chain as a live batch — and
     * that shared path is what makes re-admission exactly-once: any doc a
     * previous (crashed or duplicate) reprocess already appended matches
     * its own signatures in the MinHash index and drops, so re-running
-    * this method is always safe. After a successful release the queue
-    * directory is retired to a dot-prefixed `__drained` sibling
-    * (invisible to Spark listings, one level of audit trail); a crash
-    * between the append and the retire leaves the queue in place and the
-    * retry admits zero.
+    * this method is always safe.
     *
-    * A still-divergent queue is left untouched (`released = false`) —
-    * quarantine decisions stay distribution-level, per the gate's design.
-    * The divergence row is appended to `metricsPath` either way with
-    * `batch_id = -1` marking it as a triage (not live-stream) measurement.
+    * Queue maintenance: if every batch released, the directory is retired
+    * to a dot-prefixed `__drained` sibling (invisible to Spark listings,
+    * one level of audit trail); on a partial release the still-held
+    * batches are rewritten in place via the staging + rename-swap
+    * discipline. A crash between the appends and the queue rewrite leaves
+    * the full queue on disk and the retry admits zero for the already-
+    * landed batches. Per-batch divergence rows append to `metricsPath`
+    * with `batch_id = -1` marking them as triage (not live-stream)
+    * measurements.
     */
   def reprocessQuarantine(spark: SparkSession, quarantinePath: String,
                           referencePath: String, maxJs: Double,
@@ -121,35 +131,57 @@ object CorpusStream {
                           lrq: Option[CorpusPipeline.LrGate] = None)
       : ReprocessResult = {
     val qDir = new java.io.File(quarantinePath)
-    if (!qDir.exists()) return ReprocessResult(0.0, released = false, 0L)
-    val queue = spark.read.parquet(quarantinePath)
-    if (queue.isEmpty) return ReprocessResult(0.0, released = false, 0L)
-    val m = graft.operators.Divergence
-      .divergenceAgainstReference(queue, textCol, referencePath)
-      .withColumn("batch_id", lit(-1L))
+    if (!qDir.exists()) return ReprocessResult(0L, 0L, 0L)
+    val raw = spark.read.parquet(quarantinePath)
+    if (raw.isEmpty) return ReprocessResult(0L, 0L, 0L)
+    // sever lineage from the files the partial-release rewrite swaps out
+    val queue = (if (raw.columns.contains("__q_batch")) raw
+      else raw.withColumn("__q_batch", lit(-1L)))
       .localCheckpoint(true)
     try {
-      metricsPath.foreach(p => m.write.mode("append").parquet(p))
-      val js = m.select(col("js")).collect().head.getDouble(0)
-      if (js > maxJs) ReprocessResult(js, released = false, 0L)
-      else {
-        val admitted = CorpusPipeline.dedupAndAppend(queue, corpusPath,
-          indexPath, idCol, textCol, threshold, gates, benchmark,
-          contaminationN, ann, lm, sq, dsir, lrq)
-        val drained =
-          graft.sources.Compaction.stagingDir(qDir, "drained")
-        if (drained.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete()
+      // bounded metadata: one id per quarantined micro-batch
+      val batchIds = queue.select("__q_batch").distinct()
+        .collect().map(_.getLong(0)).sorted
+      var admitted = 0L
+      val releasedIds = batchIds.filter { bid =>
+        val b = queue.where(col("__q_batch") === bid).drop("__q_batch")
+        val m = graft.operators.Divergence
+          .divergenceAgainstReference(b, textCol, referencePath)
+          .withColumn("batch_id", lit(-1L))
+          .localCheckpoint(true)
+        try {
+          metricsPath.foreach(p => m.write.mode("append").parquet(p))
+          val js = m.select(col("js")).collect().head.getDouble(0)
+          if (js > maxJs) false
+          else {
+            admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
+              indexPath, idCol, textCol, threshold, gates, benchmark,
+              contaminationN, ann, lm, sq, dsir, lrq)
+            true
           }
-          rm(drained)
-        }
+        } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
+      }.toSet
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      if (releasedIds.size == batchIds.length) {
+        val drained = graft.sources.Compaction.stagingDir(qDir, "drained")
+        if (drained.exists()) rm(drained)
         if (!qDir.renameTo(drained))
           throw new java.io.IOException(
             s"cannot retire drained quarantine $quarantinePath")
-        ReprocessResult(js, released = true, admitted)
+      } else if (releasedIds.nonEmpty) {
+        // partial release: rewrite the queue to the still-held batches
+        // (checkpointed above, so the write does not read the files it is
+        // about to replace)
+        val staging = graft.sources.Compaction.stagingDir(qDir, "triage")
+        queue.where(!col("__q_batch").isin(releasedIds.toSeq: _*))
+          .write.mode("overwrite").parquet(staging.toString)
+        graft.sources.Compaction.swapInto(quarantinePath, staging.toString)
       }
-    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
+      ReprocessResult(batchIds.length.toLong, releasedIds.size.toLong,
+        admitted)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(queue)
   }
 }

@@ -758,39 +758,68 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       drift = Some(gate)); q2.awaitTermination()
     assert(spark.read.parquet(quar).count() === 2)
     assert(spark.read.parquet(corpus).count() === 1)
-    // triage under the SAME (stale) reference: still divergent → queue
-    // untouched, nothing admitted
+    // a SECOND shifted batch with a disjoint vocabulary of its own — the
+    // mixed-queue case per-batch triage exists for
+    val garbled2 = (("foo1 bar2 baz3 qux4 quux5 foo1 bar2 baz3 corge6 " +
+      "grault7 garply8 waldo9 fred0 plugh1 xyzzy2 thud3 foo1 bar2 ") * 25)
+      .trim
+    Seq((5L, garbled2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q3 = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+      drift = Some(gate)); q3.awaitTermination()
+    assert(spark.read.parquet(quar).count() === 3,
+      "both shifted batches must be queued")
+    // triage under the SAME (stale) reference: both batches still
+    // divergent → queue untouched, nothing admitted
     val still = CorpusStream.reprocessQuarantine(spark, quar, refA, 0.15,
       corpus, idx, metricsPath = Some(metrics))
-    assert(!still.released && still.admitted === 0L)
-    assert(spark.read.parquet(quar).count() === 2, "queue must stay put")
-    // the operator refits the reference: the world now LOOKS like the
-    // quarantined distribution (the drift was real change, not breakage)
+    assert(still.batches === 2L && still.released === 0L &&
+      still.admitted === 0L)
+    assert(spark.read.parquet(quar).count() === 3, "queue must stay put")
+    // the operator refits the reference to the FIRST shifted vocabulary
+    // (that drift was real change, not breakage): per-batch re-gating
+    // releases batch 1 only — pooled gating would have measured the
+    // mixture and could decide either way for both
     Divergence.writeReferenceCounts(
       Seq((0L, garbled)).toDF("doc_id", "text"), "text", refB)
-    val released = CorpusStream.reprocessQuarantine(spark, quar, refB, 0.15,
+    val partial = CorpusStream.reprocessQuarantine(spark, quar, refB, 0.15,
       corpus, idx, metricsPath = Some(metrics))
-    assert(released.released, s"expected release, js=${released.js}")
-    // both quarantined docs flowed the normal gate chain: doc 2 lands,
-    // doc 3 (near-dup of 2 within the queue) is deduped — and the queue
-    // directory is drained
-    assert(released.admitted === 1L)
+    assert(partial.batches === 2L && partial.released === 1L,
+      s"exactly the matching batch must clear: $partial")
+    // of the released batch, doc 2 lands and doc 3 (its within-batch
+    // near-dup) is deduped by the normal gate chain
+    assert(partial.admitted === 1L)
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().toSet === Set(1L, 2L))
+    // the still-toxic batch survives the partial-release queue rewrite
+    val held = spark.read.parquet(quar)
+    assert(held.select("doc_id").as[Long].collect().toSeq === Seq(5L))
+    // refit to the second vocabulary: the held batch clears, queue drains
+    val refC = dir.resolve("refC").toString
+    Divergence.writeReferenceCounts(
+      Seq((0L, garbled2)).toDF("doc_id", "text"), "text", refC)
+    val drained = CorpusStream.reprocessQuarantine(spark, quar, refC, 0.15,
+      corpus, idx)
+    assert(drained.batches === 1L && drained.released === 1L &&
+      drained.admitted === 1L, s"$drained")
     assert(!new java.io.File(quar).exists(), "queue not drained")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 5L))
     // exactly-once under retry: recreate the queue as a crash between the
-    // append and the retire would leave it — reprocessing again admits 0
-    // (every doc matches its own indexed signatures) and drains cleanly
+    // appends and the queue rewrite would leave it (legacy untagged
+    // layout — triages as one batch) — reprocessing admits 0 (every doc
+    // matches its own indexed signatures) and drains cleanly
     Seq((2L, garbled), (3L, garbled + " nnmm")).toDF("doc_id", "text")
       .write.mode("append").parquet(quar)
     val retry = CorpusStream.reprocessQuarantine(spark, quar, refB, 0.15,
       corpus, idx)
-    assert(retry.released && retry.admitted === 0L,
-      s"retry must dedup everything: $retry")
-    assert(spark.read.parquet(corpus).count() === 2)
-    // triage measurements are in the metrics log, marked batch_id = -1
+    assert(retry.batches === 1L && retry.released === 1L &&
+      retry.admitted === 0L, s"retry must dedup everything: $retry")
+    assert(spark.read.parquet(corpus).count() === 3)
+    // per-batch triage measurements are in the metrics log (2 from the
+    // stale-reference attempt + 2 from the partial release), batch_id -1
     val triageRows = spark.read.parquet(metrics)
       .where(col("batch_id") === -1L).count()
-    assert(triageRows === 2L)
+    assert(triageRows === 4L)
   }
 }
