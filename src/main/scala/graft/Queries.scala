@@ -1280,7 +1280,7 @@ object Queries {
         .select(cols.map(col): _*)
       graft.sources.Jdbc.write(sub, url, "g_orders_jdbc")
       // partition bounds from one cheap min/max agg — bounded driver state
-      val b = sub.agg(min("o_orderkey"), max("o_orderkey")).head
+      val b = sub.agg(min("o_orderkey"), max("o_orderkey")).head()
       graft.sources.Jdbc.readPartitioned(s, url, "g_orders_jdbc",
           "o_orderkey", b.getLong(0), b.getLong(1) + 1, numPartitions = 4)
         .select(cols.map(col): _*)

@@ -108,9 +108,13 @@ object CorpusPipeline {
                         compactEvery: Int = 0)
 
   /** Appends-since-last-compaction counter, a [[Watermark]]-style plain
-    * text sidecar at `<indexPath>/_maint_appends` — underscore-prefixed so
-    * Spark's file listing never sees it. Fail-open read ⇒ 0 (worst case a
-    * lost counter delays one compaction cycle; the table stays correct).
+    * text sidecar at `<indexPath>/_maint_appends` — underscore-prefixed
+    * (no `=`, so Spark's file listing never sees it). Fail-open read ⇒ 0
+    * (worst case a lost counter delays one compaction cycle; the table
+    * stays correct). Local-filesystem discipline, deliberately matching
+    * the rename-swap family it triggers
+    * ([[graft.sources.Compaction]] — object stores want a
+    * manifest-commit layer for BOTH the counter and the swap).
     */
   private def readAppendCount(indexPath: String): Int =
     try new String(java.nio.file.Files.readAllBytes(
@@ -371,6 +375,9 @@ class CorpusPipeline(
     annM: Int = 8,
     annK: Int = 16,
     annMinTrainRows: Long = 256,
+    annReclusterImbalance: Double = Double.MaxValue,
+    annTrainSampleFraction: Double = 1.0,
+    annCompactEvery: Int = 0,
     lmIndexPath: Option[String] = None,
     lmMaxPpl: Double = Double.MaxValue,
     dsirIndexPath: Option[String] = None,
@@ -391,7 +398,10 @@ class CorpusPipeline(
     (annIndexPath, embeddingCol) match {
       case (Some(p), Some(e)) =>
         Some(CorpusPipeline.AnnIndex(p, e, annNlist, annM, annK,
-          minTrainRows = annMinTrainRows))
+          minTrainRows = annMinTrainRows,
+          reclusterImbalance = annReclusterImbalance,
+          trainSampleFraction = annTrainSampleFraction,
+          compactEvery = annCompactEvery))
       case (None, None) => None
       case _ => throw new IllegalArgumentException(
         "annIndexPath and embeddingCol must be set together")

@@ -361,7 +361,7 @@ object Similarity {
     val cells = probeCellIds(q, cents, nprobe)
     corpus.select(col(idCol), col(vecCol),
         bestCellFor(cents)(col(vecCol)).as("cell"))
-      .where(col("cell").isin(cells: _*))
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col(idCol), Vectors.cosine(col(vecCol), typedlit(q)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -516,7 +516,7 @@ object Similarity {
     val q = Pq.collectSingleQuery(query, queryVecCol)
     val cells = probeCellIds(q, cents, nprobe) // bounded like cents
     spark.read.parquet(s"$path/data")
-      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
       .select(col(idCol), Vectors.cosine(col(vecCol), typedlit(q)).as("score"))
       .orderBy(col("score").desc, col(idCol))
@@ -556,7 +556,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
     spark.read.parquet(s"$path/data")
-      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
       .select(col("cell"), col(idCol), col(vecCol))
       .join(broadcast(assigned), "cell")
@@ -598,7 +598,7 @@ object Similarity {
     val cells = assigned.select("cell").distinct()
       .collect().map(_.getLong(0))
     val corpus = spark.read.parquet(s"$path/data")
-      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .select(col("cell"), col(idCol).as("corpus_id"),
         Vectors.toDouble(col(vecCol)).as("__cv"))
     assigned.join(corpus, "cell")
@@ -675,7 +675,7 @@ object Similarity {
     val cells = probeCellIds(q, cents, nprobe)
     val cb = Pq.readCodebooks(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
-      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
     Pq.rerankWith(codes, rawCorpus, idCol, vecCol, q, k, cb, oversample)
   }
@@ -711,7 +711,7 @@ object Similarity {
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_score").desc, col(idCol))
     val candidates = spark.read.parquet(s"$path/codes")
-      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
       .join(broadcast(assigned), "cell")
       .select(col("query_id"), col(idCol), col("__qvec"),

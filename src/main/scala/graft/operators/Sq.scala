@@ -171,7 +171,7 @@ object Sq {
       .map(_.getLong(0))
     require(cells.nonEmpty, "IVF-SQ batch serving got an empty query table")
     val pruned = spark.read.parquet(s"$path/data")
-      .where(col("cell").isin(cells: _*)) // → parquet PartitionFilters
+      .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
     val candidates = pruned

@@ -174,6 +174,42 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     } yield (ida, idb, d)).toSet
     assert(got === brute)
     assert(brute.exists(_._3 == 10)) // the fixture actually exercises r=10
+    // the candidate join must plan as a real equi-join on (block, value)
+    // — a cartesian/nested-loop fallback there is |sigs|² at corpus scale
+    val plan = Dedup.hammingPairs64(df, "id", "sig", maxHamming = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // every dispatch tier and both sides of each boundary: 3|4 (4-block →
+  // 8-block exact), 7|8 (exact → multi-index ball r=2), 11|12 (ball r=2
+  // → r=3), and the 15 ceiling. One shared fixture, brute force as truth
+  // at each radius — an off-by-one in a tier cut would surface as a
+  // missing pair exactly at its boundary.
+  test("hammingPairs64 tier boundaries 3|4, 7|8, 11|12, 15 all match " +
+      "brute force") {
+    val rnd = new scala.util.Random(15L)
+    val bases = Seq.fill(12)(rnd.nextLong())
+    val sigs = bases.zipWithIndex.flatMap { case (h, i) =>
+      val twins = (0 to 17).map { d =>
+        val bits = rnd.shuffle((0 until 64).toList).take(d)
+        bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      }
+      (h +: twins).zipWithIndex.map { case (s, j) =>
+        (i.toLong * 100 + j, s)
+      }
+    }
+    val df = sigs.toDF("id", "sig").cache()
+    try Seq(3, 4, 7, 8, 11, 12, 15).foreach { r =>
+      val got = Dedup.hammingPairs64(df, "id", "sig", maxHamming = r)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (ida, ha) <- sigs; (idb, hb) <- sigs if ida < idb
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= r
+      } yield (ida, idb, d)).toSet
+      assert(got === brute, s"radius $r diverged from brute force")
+    } finally df.unpersist()
   }
 
   test("dropNearDuplicates keeps one doc per duplicate cluster") {
