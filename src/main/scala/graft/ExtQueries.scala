@@ -207,6 +207,91 @@ object ExtQueries {
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
         .transform(Queries.presentSorted(_, "id_a", "id_b"))),
 
+    // sketch aggregates — the scale path for distinct counts and
+    // quantiles: COUNT(DISTINCT) at 100 TB shuffles every distinct key to
+    // its group, while the HLL++ sketch answers in one narrow pass with
+    // a few KB of mergeable state per group (and Spark's implementation
+    // stays EXACT in sparse mode for small cardinalities). Rows-only:
+    // sketch contents are engine-defined; the _gap twin below prices the
+    // estimate against the exact shuffle every round
+    "q_approx_distinct" -> ((s, d) =>
+      graft.Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .transform(Queries.presentSorted(_, "event_type"))),
+
+    // floor: HLL++ at default rsd 0.05 must land every group within 5%
+    // relative error of the exact distinct count — a violation empties
+    // the row (spark_rows: 0), the twin family's loud-failure convention
+    "q_approx_distinct_gap" -> ((s, d) => {
+      val e = graft.Tables.events(s, d)
+      val approx = e.groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("a"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("x"))
+      approx.join(exact, "event_type")
+        .agg(count(lit(1)).as("groups"),
+          max(abs(col("a") - col("x")) /
+            col("x").cast("double")).as("max_rel_err"))
+        .withColumn("meets_floor", col("max_rel_err") <= 0.05)
+        .where(col("meets_floor"))
+    }),
+
+    // KLL/GK-style quantile sketch (percentile_approx): exact percentiles
+    // need a full sort per group; the sketch bounds RANK error by
+    // 1/accuracy with bounded mergeable state. Rows-only (sketch answers
+    // are engine-defined data values)
+    "q_approx_quantiles" -> ((s, d) =>
+      graft.Tables.events(s, d).groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("event_type"),
+          round(col("qs")(0), 6).as("p50"),
+          round(col("qs")(1), 6).as("p90"),
+          round(col("qs")(2), 6).as("p99"))
+        .transform(Queries.presentSorted(_, "event_type"))),
+
+    // the exact interpolated percentiles the sketch is priced against —
+    // oracle-checked (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+    // linear-interpolation rank semantics). The full per-group sort this
+    // needs is exactly the cost q_approx_quantiles exists to avoid
+    "q_exact_quantiles" -> ((s, d) =>
+      graft.Tables.events(s, d).groupBy("event_type")
+        .agg(percentile(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
+        .select(col("event_type"),
+          round(col("qs")(0), 6).as("p50"),
+          round(col("qs")(1), 6).as("p90"),
+          round(col("qs")(2), 6).as("p99"))
+        .transform(Queries.presentSorted(_, "event_type"))),
+
+    // floor on the sketch's own contract — REALIZED rank error: for each
+    // (group, p) the fraction of rows ≤ the sketch's answer must sit
+    // within 1/accuracy of p, once the 1/n rank granularity of a finite
+    // group (the best ANY answer can do) is credited back. Tolerance
+    // 1e-3 + 1/accuracy, so a sketch regression surfaces while exact-mode
+    // small groups pass at machine precision
+    "q_approx_quantiles_gap" -> ((s, d) => {
+      val acc = 10000
+      val e = graft.Tables.events(s, d).select(col("event_type"),
+        col("value"))
+      val approx = e.groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("qs"))
+        .select(col("event_type"), posexplode(col("qs")).as(Seq("i", "v")))
+        .withColumn("p",
+          element_at(typedlit(Seq(0.5, 0.9, 0.99)), col("i") + 1))
+      e.join(approx, "event_type")
+        .groupBy("event_type", "p", "v")
+        .agg(sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .select((abs(col("le") / col("n").cast("double") - col("p")) -
+          lit(1.0) / col("n")).as("err_adj"))
+        .agg(count(lit(1)).as("cells"), max(col("err_adj")).as("max_rank_err"))
+        .withColumn("meets_floor",
+          col("max_rank_err") <= lit(1.0 / acc + 1e-3))
+        .where(col("meets_floor"))
+    }),
+
     // brute-force cosine top-k against the vec_id=0 query vector — the
     // exact baseline every ANN variant is measured against
     "ann_bruteforce" -> ((s, d) => {
@@ -2041,6 +2126,12 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
+    "q_exact_quantiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "corpus_filter_funnel" -> (corpusGatesSqlPrefix +
       """
         |SELECT CAST(stage AS INT) AS stage, gate, surviving FROM (
