@@ -207,19 +207,24 @@ object ExtQueries {
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
         .transform(Queries.presentSorted(_, "id_a", "id_b"))),
 
-    // sketch aggregates — the scale path for distinct counts and
-    // quantiles: COUNT(DISTINCT) at 100 TB shuffles every distinct key to
-    // its group, while the HLL++ sketch answers in one narrow pass with
-    // a few KB of mergeable state per group (and Spark's implementation
-    // stays EXACT in sparse mode for small cardinalities). Rows-only:
-    // sketch contents are engine-defined; the _gap twin below prices the
-    // estimate against the exact shuffle every round
+    // sketch aggregates, GROUPED form — the scale path for distinct
+    // counts and quantiles: COUNT(DISTINCT) at 100 TB shuffles every
+    // distinct key to its group, while the HLL++ sketch answers in one
+    // narrow pass with a few KB of mergeable state per group (and
+    // Spark's implementation stays EXACT in sparse mode for small
+    // cardinalities). The GLOBAL single-sketch error rows
+    // (`q_approx_distinct_error` / `q_approx_percentile_error` in
+    // [[Queries]]) price one ungrouped sketch; this family covers the
+    // realistic GROUP BY usage — per-group sketch state merged across
+    // partitions, error enforced as a max over ALL groups — plus the
+    // sketch's rank-error contract and the oracle-checked exact
+    // baseline. Rows-only: sketch contents are engine-defined
     "q_approx_distinct" -> ((s, d) =>
       graft.Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .transform(Queries.presentSorted(_, "event_type"))),
 
-    // floor: HLL++ at default rsd 0.05 must land every group within 5%
+    // floor: HLL++ at default rsd 0.05 must land EVERY group within 5%
     // relative error of the exact distinct count — a violation empties
     // the row (spark_rows: 0), the twin family's loud-failure convention
     "q_approx_distinct_gap" -> ((s, d) => {

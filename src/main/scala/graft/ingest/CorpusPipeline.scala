@@ -180,6 +180,14 @@ object CorpusPipeline {
     * the indexed corpus, drop within-batch near-dups, append survivors to
     * corpus AND index. Returns the number of docs appended.
     */
+  /** `indexCompactEvery`: the MinHash index's own `data` dir accumulates
+    * one file-set per appended batch exactly like the ANN/SQ sidecars —
+    * when > 0, every N-th append is followed by a whole-table
+    * [[graft.sources.Compaction.compact]] (the index rows are
+    * unpartitioned). Runs AFTER the gate append commits: compaction is a
+    * content-preserving atomic rewrite, so the retry-gate semantics are
+    * untouched.
+    */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,
                      gates: Seq[(String, Column)] = Seq.empty,
@@ -189,7 +197,8 @@ object CorpusPipeline {
                      lm: Option[LmGate] = None,
                      sq: Option[SqIndexCfg] = None,
                      dsir: Option[DsirGate] = None,
-                     lrq: Option[LrGate] = None): Long = {
+                     lrq: Option[LrGate] = None,
+                     indexCompactEvery: Int = 0): Long = {
     val heuristicGated =
       if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
     // statistical-LM gate after the cheap heuristics: only docs that
@@ -346,9 +355,12 @@ object CorpusPipeline {
               .parquet(s"${q.indexPath}/trained_meta")
           }
         }
-        if (indexExists(spark, indexPath))
+        if (indexExists(spark, indexPath)) {
           Dedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
-        else
+          maybeCompact(indexPath, indexCompactEvery) {
+            graft.sources.Compaction.compact(spark, s"$indexPath/data")
+          }
+        } else
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
       }
       appended

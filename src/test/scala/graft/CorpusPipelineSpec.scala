@@ -638,7 +638,8 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       compactEvery = 5)
     (1 to 20).foreach { b =>
       CorpusPipeline.dedupAndAppend(batch(b), corpus, idx, "doc_id",
-        "text", 0.8, ann = Some(annCfg), sq = Some(sqCfg))
+        "text", 0.8, ann = Some(annCfg), sq = Some(sqCfg),
+        indexCompactEvery = 5)
     }
     def parquetFiles(root: java.io.File): Int = {
       def walk(f: java.io.File): Int =
@@ -655,6 +656,14 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       s"codes table not compacted: $codeFiles files")
     val sqFiles = parquetFiles(new java.io.File(s"$sqp/data"))
     assert(sqFiles <= 8, s"sq data not compacted: $sqFiles files")
+    // the MinHash gate index compacts on the same cadence — and the gate
+    // still works: batch 21 re-sent must dedup fully against it
+    val mhFiles = parquetFiles(new java.io.File(s"$idx/data"))
+    assert(mhFiles <= 8, s"minhash index not compacted: $mhFiles files")
+    val replay = CorpusPipeline.dedupAndAppend(batch(20), corpus, idx,
+      "doc_id", "text", 0.8, ann = Some(annCfg), sq = Some(sqCfg),
+      indexCompactEvery = 5)
+    assert(replay === 0L, "replayed batch must match the compacted index")
     // the counter sidecar is invisible to Spark scans and survives
     assert(new java.io.File(s"$ann/_maint_appends").exists())
     // maintenance preserved the index contents: every appended doc's code
