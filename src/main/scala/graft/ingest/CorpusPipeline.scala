@@ -390,6 +390,7 @@ class CorpusPipeline(
     annReclusterImbalance: Double = Double.MaxValue,
     annTrainSampleFraction: Double = 1.0,
     annCompactEvery: Int = 0,
+    indexCompactEvery: Int = 0,
     lmIndexPath: Option[String] = None,
     lmMaxPpl: Double = Double.MaxValue,
     dsirIndexPath: Option[String] = None,
@@ -434,7 +435,7 @@ class CorpusPipeline(
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
       indexPath, idCol, textCol, threshold, gates,
       benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
-      dsir = dsir, lrq = lrq)
+      dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

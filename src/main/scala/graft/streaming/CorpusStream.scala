@@ -33,7 +33,8 @@ object CorpusStream {
             sq: Option[CorpusPipeline.SqIndexCfg] = None,
             dsir: Option[CorpusPipeline.DsirGate] = None,
             lrq: Option[CorpusPipeline.LrGate] = None,
-            drift: Option[DriftMonitor.Gate] = None)
+            drift: Option[DriftMonitor.Gate] = None,
+            indexCompactEvery: Int = 0)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -73,7 +74,7 @@ object CorpusStream {
         if (!quarantined)
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
-            ann, lm, sq, dsir, lrq)
+            ann, lm, sq, dsir, lrq, indexCompactEvery)
         ()
       }
       .start()
@@ -128,7 +129,8 @@ object CorpusStream {
                           lm: Option[CorpusPipeline.LmGate] = None,
                           sq: Option[CorpusPipeline.SqIndexCfg] = None,
                           dsir: Option[CorpusPipeline.DsirGate] = None,
-                          lrq: Option[CorpusPipeline.LrGate] = None)
+                          lrq: Option[CorpusPipeline.LrGate] = None,
+                          indexCompactEvery: Int = 0)
       : ReprocessResult = {
     val qDir = new java.io.File(quarantinePath)
     if (!qDir.exists()) return ReprocessResult(0L, 0L, 0L)
@@ -156,7 +158,7 @@ object CorpusStream {
           else {
             admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
               indexPath, idCol, textCol, threshold, gates, benchmark,
-              contaminationN, ann, lm, sq, dsir, lrq)
+              contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery)
             true
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
