@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * declared oracle key has a matching query.
   */
 class EntrySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
 
   test("entry returns >0 rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -53,6 +54,30 @@ class EntrySpec extends AnyFunSuite with SparkFixture {
       }
     assert(broken.isEmpty,
       s"${broken.size} queries evaporated:\n  ${broken.mkString("\n  ")}")
+  }
+
+  // The dual-layout events reader itself, against a SYNTHETIC old-layout
+  // fixture — the tripwire above catches an evaporation after the fact;
+  // this pins the ns-long branch directly so it keeps working even while
+  // the shipped testdata is in the µs layout (the r10/r11 regression ran
+  // the other way: a reader built for ns met µs data).
+  test("events reader: ns-long layout normalizes to TIMESTAMP_NTZ µs " +
+      "and watermark-filters") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("events_ns").toString
+    // 2024-01-01T00:00:00 + 123456789 ns, and one event an hour later
+    Seq((1L, 1704067200L * 1000000000L + 123456789L, 7L, "click"),
+        (2L, 1704070800L * 1000000000L, 8L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val e = Tables.events(spark, dir)
+    assert(e.schema("ts").dataType.typeName === "timestamp_ntz")
+    val first = e.orderBy("event_id")
+      .select(col("ts").cast("string")).as[String].head()
+    // ns → µs truncation, the same DuckDB applies reading ns parquet
+    assert(first === "2024-01-01 00:00:00.123456", first)
+    assert(e.where(col("ts") >
+      lit("2024-01-01 00:30:00").cast("timestamp_ntz")).count() === 1)
   }
 
   // q8 is the widest join tree in the suite (6 tables, nation twice): at
