@@ -224,20 +224,26 @@ object ExtQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .transform(Queries.presentSorted(_, "event_type"))),
 
-    // floor: HLL++ at default rsd 0.05 must land EVERY group within 5%
-    // relative error of the exact distinct count — a violation empties
-    // the row (spark_rows: 0), the twin family's loud-failure convention
+    // floor: EVERY group within 3.5 standard deviations of the sketch's
+    // configured rsd 0.02 (bound 0.07). rsd is a STANDARD deviation, not
+    // a max — a hard max-at-rsd bound would fail a dense-mode group with
+    // ~32% probability per group even with a healthy sketch; 3.5σ over a
+    // handful of groups flags only a real regression. (At the tested SFs
+    // the groups sit in HLL++'s exact sparse mode, so the observed error
+    // is 0 — the headroom matters the moment a group crosses the dense
+    // threshold.) A violation empties the row (spark_rows: 0), the twin
+    // family's loud-failure convention
     "q_approx_distinct_gap" -> ((s, d) => {
       val e = graft.Tables.events(s, d)
       val approx = e.groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("a"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
       val exact = e.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("x"))
       approx.join(exact, "event_type")
         .agg(count(lit(1)).as("groups"),
           max(abs(col("a") - col("x")) /
             col("x").cast("double")).as("max_rel_err"))
-        .withColumn("meets_floor", col("max_rel_err") <= 0.05)
+        .withColumn("meets_floor", col("max_rel_err") <= 0.07)
         .where(col("meets_floor"))
     }),
 
@@ -269,12 +275,15 @@ object ExtQueries {
           round(col("qs")(2), 6).as("p99"))
         .transform(Queries.presentSorted(_, "event_type"))),
 
-    // floor on the sketch's own contract — REALIZED rank error: for each
-    // (group, p) the fraction of rows ≤ the sketch's answer must sit
-    // within 1/accuracy of p, once the 1/n rank granularity of a finite
-    // group (the best ANY answer can do) is credited back. Tolerance
-    // 1e-3 + 1/accuracy, so a sketch regression surfaces while exact-mode
-    // small groups pass at machine precision
+    // floor on the sketch's own contract — REALIZED rank error, tie-
+    // aware: the sketch returns a data VALUE, which occupies the whole
+    // rank interval [(lt+1)/n, le/n] (lt = rows strictly below, le =
+    // rows ≤; a tie run widens the interval — counting only `le` would
+    // charge the sketch for tie mass no answer can avoid). The distance
+    // from p to that interval must sit within 1/accuracy plus the 1/n
+    // granularity of a finite group. A sketch regression surfaces; an
+    // exact-mode group passes at machine precision regardless of
+    // duplicated values at the percentile
     "q_approx_quantiles_gap" -> ((s, d) => {
       val acc = 10000
       val e = graft.Tables.events(s, d).select(col("event_type"),
@@ -287,13 +296,17 @@ object ExtQueries {
           element_at(typedlit(Seq(0.5, 0.9, 0.99)), col("i") + 1))
       e.join(approx, "event_type")
         .groupBy("event_type", "p", "v")
-        .agg(sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"),
+        .agg(sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"),
           count(lit(1)).as("n"))
-        .select((abs(col("le") / col("n").cast("double") - col("p")) -
-          lit(1.0) / col("n")).as("err_adj"))
-        .agg(count(lit(1)).as("cells"), max(col("err_adj")).as("max_rank_err"))
+        .select((greatest(lit(0.0),
+            (col("lt") + 1) / col("n").cast("double") - col("p"),
+            col("p") - col("le") / col("n").cast("double")) -
+          lit(1.0) / col("n")).as("err_excess"))
+        .agg(count(lit(1)).as("cells"),
+          max(col("err_excess")).as("max_rank_err_excess"))
         .withColumn("meets_floor",
-          col("max_rank_err") <= lit(1.0 / acc + 1e-3))
+          col("max_rank_err_excess") <= lit(1.0 / acc + 1e-9))
         .where(col("meets_floor"))
     }),
 

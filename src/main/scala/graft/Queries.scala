@@ -623,10 +623,13 @@ object Queries {
     // whole predicate is INTEGER arithmetic — valc·cnt > 2·totc in cents —
     // so no float threshold can flip a boundary part cross-engine; the
     // 1-row total broadcasts into the HAVING cut. The products are
-    // compared as decimal(38,0): at the 100 TB design point valc·cnt
-    // outgrows Long, where non-ANSI Spark would wrap silently while
-    // DuckDB promotes to HUGEINT — the decimal compare stays exact (and
-    // boundary-stable) at any SF on both engines.
+    // widened EXPLICITLY on both engines — Spark to decimal(38,0) (the
+    // 20-digit product is exact; the Long form would wrap silently under
+    // non-ANSI mode at the 100 TB design point), DuckDB to HUGEINT
+    // (128-bit; a DECIMAL(38,0)·BIGINT there would blow the 38-digit
+    // width cap and silently fall back to DOUBLE, re-opening the
+    // boundary) — so the cut is exact integer arithmetic at any SF on
+    // both engines.
     "q11_important_stock" -> ((s, d) => {
       val asia = regionSuppliers(s, d, "ASIA").select("s_suppkey")
       val byPart = partsuppGen(s, d)
@@ -1826,8 +1829,7 @@ object Queries {
         |SELECT ps_partkey,
         |  CAST(CAST(valc AS DECIMAL(18,4)) / 100 AS DOUBLE) AS value
         |FROM v, (SELECT sum(valc) AS totc, count(*) AS cnt FROM v) tv
-        |WHERE CAST(valc AS DECIMAL(38,0)) * cnt
-        |    > 2 * CAST(totc AS DECIMAL(38,0))
+        |WHERE CAST(valc AS HUGEINT) * cnt > 2 * CAST(totc AS HUGEINT)
         |ORDER BY value DESC, ps_partkey""".stripMargin),
     "q16_parts_supplier" ->
       (s"WITH $psCte" + """

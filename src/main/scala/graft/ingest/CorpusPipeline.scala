@@ -120,10 +120,11 @@ object CorpusPipeline {
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$indexPath/_maint_appends")),
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    catch { case _: Throwable => 0 }
+    catch { case scala.util.control.NonFatal(_) => 0 }
 
   private def writeAppendCount(indexPath: String, n: Int): Unit = {
     val p = java.nio.file.Paths.get(s"$indexPath/_maint_appends")
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     val tmp = java.nio.file.Paths.get(s"$indexPath/_maint_appends.tmp")
     java.nio.file.Files.write(tmp, n.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))

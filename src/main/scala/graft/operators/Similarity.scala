@@ -457,6 +457,12 @@ object Similarity {
         .filterNot(c => c == idCol || c == vecCol)
       val root = new java.io.File(path)
       val staging = graft.sources.Compaction.stagingDir(root, "reclustering")
+      // pre-clean a stale staging dir from a crashed prior run: Spark's
+      // overwrite would clear data/ and centroids/, but copyExtraSidecars
+      // copies by filename and would MERGE new sidecar part-files into
+      // surviving old ones — the swap would then install a corrupt
+      // sidecar (two conflicting trained_meta rows, say)
+      if (staging.exists()) graft.sources.Compaction.rm(staging)
       corpus.select(Seq(col(idCol), col(vecCol)) ++ attrCols.map(col) :+
           bestCellFor(cents)(col(vecCol)).as("cell"): _*)
         .write.mode("overwrite").partitionBy("cell")

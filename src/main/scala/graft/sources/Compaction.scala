@@ -56,7 +56,8 @@ object Compaction {
     (before.length, parquetFiles(dir).length)
   }
 
-  private def rm(f: File): Unit = {
+  /** Recursive delete, shared by every rewrite-then-replace site. */
+  private[graft] def rm(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
     f.delete()
   }
@@ -105,8 +106,13 @@ object Compaction {
                          targetBytes: Long = 128L * 1024 * 1024)
       : (Int, Int) = {
     def leaves(dir: File): Seq[File] = {
+      // the prefix filter mirrors Spark's own listing rule: a crash-
+      // leftover `.cell=3__compacting` staging dir contains '=' but must
+      // not be treated as a live leaf (it would be re-read and re-written
+      // as garbage on every maintenance pass, forever)
       val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.contains("="))
+        .filter(f => f.isDirectory && f.getName.contains("=") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       if (parts.isEmpty) Seq.empty
       else parts.toSeq.flatMap { p =>
         val deeper = leaves(p)

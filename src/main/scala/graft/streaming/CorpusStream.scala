@@ -106,15 +106,24 @@ object CorpusStream {
     * its own signatures in the MinHash index and drops, so re-running
     * this method is always safe.
     *
-    * Queue maintenance: if every batch released, the directory is retired
-    * to a dot-prefixed `__drained` sibling (invisible to Spark listings,
-    * one level of audit trail); on a partial release the still-held
-    * batches are rewritten in place via the staging + rename-swap
-    * discipline. A crash between the appends and the queue rewrite leaves
-    * the full queue on disk and the retry admits zero for the already-
-    * landed batches. Per-batch divergence rows append to `metricsPath`
-    * with `batch_id = -1` marking them as triage (not live-stream)
-    * measurements.
+    * Queue maintenance is CLAIM-based so triage is safe to run while the
+    * stream is live: the first act is an atomic rename of the queue
+    * directory to a dot-prefixed `__triage` sibling — from that moment
+    * the stream's quarantine writes land in a fresh `quarantinePath`
+    * this invocation never touches again (the old read-process-then-
+    * delete order could destroy a batch the stream quarantined mid-
+    * triage). Still-held batches are appended BACK to the live queue at
+    * the end; the claimed dir is then removed. A leftover claimed dir
+    * (crash mid-triage) is recovered FIRST on the next invocation, before
+    * any new claim, and re-admission stays exactly-once through the
+    * dedup gate — a crash between the held-batch re-append and the
+    * claimed-dir cleanup can at worst duplicate a held batch in the
+    * queue, where the gate drops it on eventual release. (A stream
+    * micro-batch that commits its quarantine write in the instant of the
+    * claim rename fails loudly and is replayed from the checkpoint —
+    * never silently lost.) Per-batch divergence rows append to
+    * `metricsPath` with `batch_id = -1` marking them as triage (not
+    * live-stream) measurements.
     */
   def reprocessQuarantine(spark: SparkSession, quarantinePath: String,
                           referencePath: String, maxJs: Double,
@@ -133,10 +142,21 @@ object CorpusStream {
                           indexCompactEvery: Int = 0)
       : ReprocessResult = {
     val qDir = new java.io.File(quarantinePath)
-    if (!qDir.exists()) return ReprocessResult(0L, 0L, 0L)
-    val raw = spark.read.parquet(quarantinePath)
-    if (raw.isEmpty) return ReprocessResult(0L, 0L, 0L)
-    // sever lineage from the files the partial-release rewrite swaps out
+    val claimed = graft.sources.Compaction.stagingDir(qDir, "triage")
+    // recover a crashed prior claim first; otherwise claim the current
+    // queue atomically (batches quarantined after this rename wait for
+    // the next invocation)
+    if (!claimed.exists()) {
+      if (!qDir.exists()) return ReprocessResult(0L, 0L, 0L)
+      if (!qDir.renameTo(claimed))
+        throw new java.io.IOException(s"cannot claim $quarantinePath")
+    }
+    val raw = spark.read.parquet(claimed.toString)
+    if (raw.isEmpty) {
+      graft.sources.Compaction.rm(claimed)
+      return ReprocessResult(0L, 0L, 0L)
+    }
+    // sever lineage from the claimed files removed at the end
     val queue = (if (raw.columns.contains("__q_batch")) raw
       else raw.withColumn("__q_batch", lit(-1L)))
       .localCheckpoint(true)
@@ -163,25 +183,13 @@ object CorpusStream {
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
       }.toSet
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      if (releasedIds.size == batchIds.length) {
-        val drained = graft.sources.Compaction.stagingDir(qDir, "drained")
-        if (drained.exists()) rm(drained)
-        if (!qDir.renameTo(drained))
-          throw new java.io.IOException(
-            s"cannot retire drained quarantine $quarantinePath")
-      } else if (releasedIds.nonEmpty) {
-        // partial release: rewrite the queue to the still-held batches
-        // (checkpointed above, so the write does not read the files it is
-        // about to replace)
-        val staging = graft.sources.Compaction.stagingDir(qDir, "triage")
+      // held batches rejoin the LIVE queue (append — the stream may have
+      // quarantined more batches there since the claim), then the claimed
+      // snapshot is removed
+      if (releasedIds.size < batchIds.length)
         queue.where(!col("__q_batch").isin(releasedIds.toSeq: _*))
-          .write.mode("overwrite").parquet(staging.toString)
-        graft.sources.Compaction.swapInto(quarantinePath, staging.toString)
-      }
+          .write.mode("append").parquet(quarantinePath)
+      graft.sources.Compaction.rm(claimed)
       ReprocessResult(batchIds.length.toLong, releasedIds.size.toLong,
         admitted)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(queue)
