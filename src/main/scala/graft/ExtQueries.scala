@@ -218,10 +218,14 @@ object ExtQueries {
     // realistic GROUP BY usage — per-group sketch state merged across
     // partitions, error enforced as a max over ALL groups — plus the
     // sketch's rank-error contract and the oracle-checked exact
-    // baseline. Rows-only: sketch contents are engine-defined
+    // baseline. Rows-only: sketch contents are engine-defined. rsd is
+    // EXPLICIT and identical to the _gap twin below — the twin certifies
+    // exactly the sketch configuration this row runs, so a regression in
+    // this path cannot hide behind a differently-configured floor
     "q_approx_distinct" -> ((s, d) =>
       graft.Tables.events(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02)
+          .as("approx_users"))
         .transform(Queries.presentSorted(_, "event_type"))),
 
     // floor: EVERY group within 3.5 standard deviations of the sketch's

@@ -988,13 +988,9 @@ object Queries {
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
 
-    // approx distinct — HLL sketch (engine-specific estimate → rows-only;
-    // the exact q_distinct_agg twin is the oracle-checked variant)
-    "q_approx_distinct" -> ((s, d) =>
-      t(s, d, "orders")
-        .groupBy("o_orderstatus")
-        .agg(approx_count_distinct("o_custkey").as("approx_cust"))
-        .orderBy("o_orderstatus")),
+    // (the grouped approx-distinct row lives in [[ExtQueries]] — one
+    // `q_approx_distinct` with rsd pinned to its _gap twin; a second
+    // entry here would be shadowed by the map merge and silently dead)
 
     // ordered-step funnel — view → click → purchase, strictly increasing
     // timestamps: per-user earliest chain (greedy-earliest is complete —

@@ -100,6 +100,15 @@ object Bpe {
       .orderBy(col("n").desc, col("w")) // deterministic word table
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver-memory contract, explicit (the ANN-sidecar discipline): the
+    // ONLY driver-resident state of the whole training loop is this
+    // frequency-ranked word table (≤ maxWords rows, enforced by the
+    // limit above and re-asserted here so a regression fails loudly) and
+    // the per-step pair-count map derived from it, whose size is bounded
+    // by the table's total symbol count — never by the corpus
+    require(wordFreq.length <= maxWords,
+      s"collected ${wordFreq.length} words > maxWords=$maxWords — " +
+        "driver-memory bound violated")
 
     // driver-side merge loop over the BOUNDED vocab (never the corpus)
     var words: Array[(Vector[String], Long)] = wordFreq.map { case (w, n) =>

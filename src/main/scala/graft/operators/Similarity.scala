@@ -478,9 +478,16 @@ object Similarity {
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(corpus)
   }
 
-  /** Copy every top-level entry of `root` not in `keep` (and not itself a
-    * `_`/`.`-prefixed staging dir) into `staging`, so a whole-root swap
-    * preserves sidecars the rewrite did not regenerate.
+  /** Copy every top-level entry of `root` not in `keep` into `staging`,
+    * so a whole-root swap preserves sidecars the rewrite did not
+    * regenerate. Exclusions are narrow by design: dot-prefixed entries
+    * are staging/retired dirs of the swap machinery itself (copying one
+    * would resurrect crash garbage), and `_`-prefixed DIRECTORIES are
+    * Spark metadata dirs — but `_`-prefixed plain FILES carry real
+    * state ([[graft.ingest.CorpusPipeline]]'s `_maint_appends`
+    * compaction-cadence counter lives at the index root) and must ride
+    * through the swap like any other sidecar, or every recluster would
+    * silently reset the maintenance cadence.
     */
   private def copyExtraSidecars(root: java.io.File, staging: java.io.File,
                                 keep: Set[String]): Unit = {
@@ -494,7 +501,8 @@ object Similarity {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Option(root.listFiles()).getOrElse(Array.empty)
       .filterNot(f => keep.contains(f.getName))
-      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .filterNot(f => f.getName.startsWith("."))
+      .filterNot(f => f.getName.startsWith("_") && f.isDirectory)
       .foreach(f => copy(f, new java.io.File(staging, f.getName)))
   }
 

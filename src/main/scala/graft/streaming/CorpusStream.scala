@@ -80,9 +80,10 @@ object CorpusStream {
       .start()
 
   /** Outcome of a [[reprocessQuarantine]] attempt: quarantined batches
-    * seen, batches that cleared the updated reference and flowed the gate
-    * chain, and how many docs actually landed (released minus gate
-    * failures minus already-present dups).
+    * triaged this invocation (≤ `maxBatches`; batches beyond the bound
+    * wait in the queue uncounted), batches that cleared the updated
+    * reference and flowed the gate chain, and how many docs actually
+    * landed (released minus gate failures minus already-present dups).
     */
   case class ReprocessResult(batches: Long, released: Long, admitted: Long)
 
@@ -121,9 +122,32 @@ object CorpusStream {
     * queue, where the gate drops it on eventual release. (A stream
     * micro-batch that commits its quarantine write in the instant of the
     * claim rename fails loudly and is replayed from the checkpoint —
-    * never silently lost.) Per-batch divergence rows append to
-    * `metricsPath` with `batch_id = -1` marking them as triage (not
-    * live-stream) measurements.
+    * never silently lost.) A claimed dir that holds no parquet files —
+    * a crash mid-removal after the data files were deleted, or a claim
+    * of an empty-but-existing queue dir — is garbage, not a snapshot:
+    * it is removed up front (reading it would throw "unable to infer
+    * schema" on every invocation forever, wedging triage). Per-batch
+    * divergence rows append to `metricsPath` with `batch_id = -1`
+    * marking them as triage (not live-stream) measurements.
+    *
+    * The queue is read with `mergeSchema` because the normal upgrade
+    * state is a MIXED queue: batches quarantined before the `__q_batch`
+    * tag existed next to tagged ones. Schema merge surfaces the tag
+    * column with nulls on the legacy rows, which fold into the `-1`
+    * pre-tag batch — without the merge Spark picks one file's schema,
+    * and either the tag is silently dropped (all batches pool into one
+    * mixture, the exact masking the per-batch tag prevents) or the
+    * legacy rows read the tag as null and the id collection NPEs with
+    * the claim left behind (triage permanently stuck).
+    *
+    * Triage is a sequential driver loop (one divergence job + one gate
+    * chain per batch id) — fine at daily cadence, but a pathological
+    * backlog of thousands of quarantined micro-batches would serialize.
+    * `maxBatches` bounds one invocation: the OLDEST `maxBatches` batch
+    * ids are triaged, the rest are re-appended to the live queue
+    * untouched (exactly like held batches), so a backlog drains across
+    * invocations instead of pinning the driver, and re-admission stays
+    * exactly-once throughout via the dedup gate.
     */
   def reprocessQuarantine(spark: SparkSession, quarantinePath: String,
                           referencePath: String, maxJs: Double,
@@ -139,10 +163,20 @@ object CorpusStream {
                           sq: Option[CorpusPipeline.SqIndexCfg] = None,
                           dsir: Option[CorpusPipeline.DsirGate] = None,
                           lrq: Option[CorpusPipeline.LrGate] = None,
-                          indexCompactEvery: Int = 0)
+                          indexCompactEvery: Int = 0,
+                          maxBatches: Int = Int.MaxValue)
       : ReprocessResult = {
+    require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
     val claimed = graft.sources.Compaction.stagingDir(qDir, "triage")
+    def hasParquet(dir: java.io.File): Boolean =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    // a parquet-less claimed dir (crash mid-removal, or a claim of an
+    // empty-but-existing queue) would fail schema inference forever —
+    // discard it so the live queue can be claimed
+    if (claimed.exists() && !hasParquet(claimed))
+      graft.sources.Compaction.rm(claimed)
     // recover a crashed prior claim first; otherwise claim the current
     // queue atomically (batches quarantined after this rename wait for
     // the next invocation)
@@ -150,22 +184,33 @@ object CorpusStream {
       if (!qDir.exists()) return ReprocessResult(0L, 0L, 0L)
       if (!qDir.renameTo(claimed))
         throw new java.io.IOException(s"cannot claim $quarantinePath")
+      if (!hasParquet(claimed)) { // claimed an empty queue dir
+        graft.sources.Compaction.rm(claimed)
+        return ReprocessResult(0L, 0L, 0L)
+      }
     }
-    val raw = spark.read.parquet(claimed.toString)
+    // mergeSchema: a mixed legacy/tagged queue must surface __q_batch
+    // with nulls on the legacy rows (see the method doc)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(claimed.toString)
     if (raw.isEmpty) {
       graft.sources.Compaction.rm(claimed)
       return ReprocessResult(0L, 0L, 0L)
     }
-    // sever lineage from the claimed files removed at the end
-    val queue = (if (raw.columns.contains("__q_batch")) raw
+    // sever lineage from the claimed files removed at the end; null-
+    // tagged legacy rows fold into the -1 pre-tag batch
+    val queue = (if (raw.columns.contains("__q_batch"))
+        raw.withColumn("__q_batch", coalesce(col("__q_batch"), lit(-1L)))
       else raw.withColumn("__q_batch", lit(-1L)))
       .localCheckpoint(true)
     try {
-      // bounded metadata: one id per quarantined micro-batch
+      // bounded metadata: one id per quarantined micro-batch; triage at
+      // most maxBatches of them, oldest-first
       val batchIds = queue.select("__q_batch").distinct()
         .collect().map(_.getLong(0)).sorted
+      val triaged = batchIds.take(maxBatches)
       var admitted = 0L
-      val releasedIds = batchIds.filter { bid =>
+      val releasedIds = triaged.filter { bid =>
         val b = queue.where(col("__q_batch") === bid).drop("__q_batch")
         val m = graft.operators.Divergence
           .divergenceAgainstReference(b, textCol, referencePath)
@@ -183,14 +228,15 @@ object CorpusStream {
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
       }.toSet
-      // held batches rejoin the LIVE queue (append — the stream may have
-      // quarantined more batches there since the claim), then the claimed
-      // snapshot is removed
+      // held batches (triaged-but-rejected AND beyond-maxBatches) rejoin
+      // the LIVE queue (append — the stream may have quarantined more
+      // batches there since the claim), then the claimed snapshot is
+      // removed
       if (releasedIds.size < batchIds.length)
         queue.where(!col("__q_batch").isin(releasedIds.toSeq: _*))
           .write.mode("append").parquet(quarantinePath)
       graft.sources.Compaction.rm(claimed)
-      ReprocessResult(batchIds.length.toLong, releasedIds.size.toLong,
+      ReprocessResult(triaged.length.toLong, releasedIds.size.toLong,
         admitted)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(queue)
   }

@@ -40,6 +40,16 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(m1.merges.take(2) === Seq(("c", "b"), ("a", "b")))
   }
 
+  test("maxWords bounds the driver-resident vocab: training sees only the " +
+      "top-frequency words") {
+    // 3 distinct words; maxWords = 1 keeps only the most frequent ("aa"
+    // x3) — merges from the dropped words ("bc", "cd") must not appear,
+    // proving the collected table (the ONLY driver state) honors the bound
+    val corpus = Seq("aa aa aa bc", "cd bc").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 5, maxWords = 1)
+    assert(m.merges === Seq(("a", "a")))
+  }
+
   test("degenerate corpora: empty corpus and single-char vocab train safely") {
     val empty = Seq.empty[String].toDF("text")
     assert(Bpe.train(empty, "text", numMerges = 10).merges === Seq.empty)

@@ -831,4 +831,134 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       .where(col("batch_id") === -1L).count()
     assert(triageRows === 4L)
   }
+
+  test("quarantine triage: MIXED legacy/tagged queue — legacy rows fold " +
+      "into the -1 batch, tags survive, batches stay separate") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Divergence
+    val dir = Files.createTempDirectory("corpus_triage_mixed")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val quar = dir.resolve("quarantine").toString
+    val garbledA = (("zzqx wvvk pqzt mmnb rrdd zzqx wvvk pqzt ggfh jjkl " +
+      "qqww eerr ttyy uuii oopp aass ddff gghh jjkk llzz xxcc vvbb ") * 25)
+      .trim
+    val garbledB = (("foo1 bar2 baz3 qux4 quux5 foo1 bar2 baz3 corge6 " +
+      "grault7 garply8 waldo9 fred0 plugh1 xyzzy2 thud3 foo1 bar2 ") * 25)
+      .trim
+    // the normal upgrade state: a file quarantined BEFORE the __q_batch
+    // tag existed (no column) next to a tagged file — one queue dir,
+    // two schemas
+    Seq((2L, garbledA)).toDF("doc_id", "text")
+      .write.mode("append").parquet(quar)
+    Seq((5L, garbledB)).toDF("doc_id", "text")
+      .withColumn("__q_batch", lit(7L))
+      .write.mode("append").parquet(quar)
+    // reference fits vocabulary A only → the legacy (-1) batch clears,
+    // the tagged batch is held. Pooled gating over the mixture — the
+    // failure the tag exists to prevent — could not release exactly one
+    val refA = dir.resolve("refA").toString
+    Divergence.writeReferenceCounts(
+      Seq((0L, garbledA)).toDF("doc_id", "text"), "text", refA)
+    val r1 = CorpusStream.reprocessQuarantine(spark, quar, refA, 0.15,
+      corpus, idx)
+    assert(r1.batches === 2L && r1.released === 1L && r1.admitted === 1L,
+      s"legacy batch must clear separately from the tagged one: $r1")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(2L))
+    // the held batch kept its tag through the queue rewrite — a dropped
+    // tag column here would pool it with future legacy rows
+    val held = spark.read.parquet(quar)
+    assert(held.columns.contains("__q_batch"))
+    assert(held.select("doc_id", "__q_batch").as[(Long, Long)]
+      .collect().toSeq === Seq((5L, 7L)))
+    // refit to vocabulary B: the tagged batch clears, queue drains
+    val refB = dir.resolve("refB").toString
+    Divergence.writeReferenceCounts(
+      Seq((0L, garbledB)).toDF("doc_id", "text"), "text", refB)
+    val r2 = CorpusStream.reprocessQuarantine(spark, quar, refB, 0.15,
+      corpus, idx)
+    assert(r2.batches === 1L && r2.released === 1L && r2.admitted === 1L)
+    assert(!new java.io.File(quar).exists())
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(2L, 5L))
+  }
+
+  test("quarantine triage: parquet-less claimed dir and empty queue dir " +
+      "are discarded, not wedged") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Divergence
+    val dir = Files.createTempDirectory("corpus_triage_wedge")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val quar = dir.resolve("quarantine").toString
+    val refA = dir.resolve("refA").toString
+    Divergence.writeReferenceCounts(
+      Seq((0L, base)).toDF("doc_id", "text"), "text", refA)
+    // an EMPTY-but-existing queue dir (all files consumed by an external
+    // cleanup, dir left) must not wedge the claim on schema inference
+    assert(new java.io.File(quar).mkdirs())
+    val r0 = CorpusStream.reprocessQuarantine(spark, quar, refA, 0.15,
+      corpus, idx)
+    assert(r0 === CorpusStream.ReprocessResult(0L, 0L, 0L))
+    assert(!new java.io.File(quar).exists(), "empty claim must be removed")
+    // a claimed dir whose data files were deleted by a crash mid-removal:
+    // without the guard every later invocation throws on schema
+    // inference and the LIVE queue is never claimed again
+    val claimed = graft.sources.Compaction
+      .stagingDir(new java.io.File(quar), "triage")
+    assert(claimed.mkdirs())
+    Seq((9L, base)).toDF("doc_id", "text")
+      .write.mode("append").parquet(quar)
+    val r1 = CorpusStream.reprocessQuarantine(spark, quar, refA, 0.15,
+      corpus, idx)
+    assert(r1.batches === 1L && r1.released === 1L && r1.admitted === 1L,
+      s"live queue must be claimed past the garbage claim: $r1")
+    assert(!claimed.exists() && !new java.io.File(quar).exists())
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSeq === Seq(9L))
+  }
+
+  test("quarantine triage: maxBatches bounds one invocation — a 50-batch " +
+      "backlog drains oldest-first, exactly-once, across 5 invocations") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Divergence
+    val dir = Files.createTempDirectory("corpus_triage_backlog")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val quar = dir.resolve("quarantine").toString
+    val refA = dir.resolve("refA").toString
+    Divergence.writeReferenceCounts(
+      Seq((0L, base)).toDF("doc_id", "text"), "text", refA)
+    // 50 one-doc batches, mutually non-duplicate texts (disjoint token
+    // sets — the minhash gate must admit every one exactly once)
+    def text(i: Int): String =
+      (1 to 12).map(j => s"tok${i}x$j").mkString(" ")
+    (0 until 50).map(i => (i.toLong, text(i), i.toLong))
+      .toDF("doc_id", "text", "__q_batch")
+      .write.mode("append").parquet(quar)
+    // maxJs = 10 ≥ any possible JS: every triaged batch releases, so the
+    // drain rate is governed purely by the maxBatches bound
+    val first = CorpusStream.reprocessQuarantine(spark, quar, refA, 10.0,
+      corpus, idx, maxBatches = 10)
+    // oldest-first: the first invocation triages batch ids 0..9 exactly
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === (0L until 10L))
+    val results = first +: (2 to 5).map { _ =>
+      CorpusStream.reprocessQuarantine(spark, quar, refA, 10.0,
+        corpus, idx, maxBatches = 10)
+    }
+    results.foreach { r =>
+      assert(r.batches === 10L && r.released === 10L && r.admitted === 10L,
+        s"each invocation must triage exactly the bound: $r")
+    }
+    assert(!new java.io.File(quar).exists(), "backlog must be drained")
+    // exactly-once: all 50 docs landed, none twice
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === (0L until 50L))
+    // a sixth invocation is a no-op
+    val r6 = CorpusStream.reprocessQuarantine(spark, quar, refA, 10.0,
+      corpus, idx, maxBatches = 10)
+    assert(r6 === CorpusStream.ReprocessResult(0L, 0L, 0L))
+  }
 }

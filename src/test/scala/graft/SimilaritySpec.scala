@@ -757,10 +757,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // whole-root swap (the recluster regenerates only data + centroids)
     Seq(300L).toDF("trained_rows").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/trained_meta")
+    // ...including `_`-prefixed PLAIN FILES: the compaction-cadence
+    // counter CorpusPipeline keeps at the index root ("_maint_appends")
+    // must not be dropped by the swap's metadata-dir exclusion, or every
+    // recluster silently resets the cadence
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_maint_appends"),
+      "7".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Similarity.reclusterIvfIndex(spark, dir, "vec_id", "embedding",
       kmeansIters = 5)
     assert(spark.read.parquet(s"$dir/trained_meta")
       .as[Long].head() === 300L, "sidecar lost in the root swap")
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_maint_appends")),
+      java.nio.charset.StandardCharsets.UTF_8) === "7",
+      "_maint_appends counter lost in the root swap")
     // the single-parent-rename discipline leaves no staging siblings
     val parent = new java.io.File(dir).getParentFile
     val leftovers = Option(parent.listFiles()).getOrElse(Array.empty)
