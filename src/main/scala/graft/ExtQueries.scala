@@ -51,6 +51,28 @@ object ExtQueries {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  /** The q_sketch_sidecar fixture: the documents table replayed as 5
+    * ingest batches (pmod on doc_id), each appending one mergeable
+    * sketch row — distinct over `doc_id`, quantiles over `n_chars` —
+    * exactly the per-batch write the corpus loop does. Rebuilt from
+    * scratch per call (append-only sidecars would otherwise double on a
+    * repeated query run in one session).
+    */
+  private def sketchSidecarFor(s: SparkSession, d: String)
+      : graft.sources.SketchSidecar.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_sketch_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(path)
+    val cfg = graft.sources.SketchSidecar.Cfg(path.toString,
+      distinctExpr = "doc_id", valueExpr = "n_chars")
+    (0 until 5).foreach { b =>
+      graft.sources.SketchSidecar.appendBatch(
+        docs(s, d).filter(pmod(col("doc_id"), lit(5)) === b), cfg)
+    }
+    cfg
+  }
+
   /** Recall of `approx` against ground-truth `truth` on key columns `keys`,
     * as a 1-row frame (found, total, recall, meets_floor) — puts the
     * approximate family's quality into the driver-visible correctness
@@ -311,6 +333,82 @@ object ExtQueries {
           max(col("err_excess")).as("max_rank_err_excess"))
         .withColumn("meets_floor",
           col("max_rank_err_excess") <= lit(1.0 / acc + 1e-9))
+        .where(col("meets_floor"))
+    }),
+
+    // persisted-sketch serving — the INCREMENTAL form of the sketch
+    // family above: the documents table arrives as 5 ingest batches,
+    // each appending one mergeable sidecar row (HLL registers +
+    // equi-depth quantile summary, exactly what the corpus loop
+    // maintains per admitted batch), and corpus-level distinct count
+    // and quantiles are answered by merging the 5 rows — O(#batches)
+    // serve, the 100 TB replacement for a per-question corpus re-scan.
+    // Rows-only (sketch answers are engine-defined); the _gap twin
+    // below enforces both error contracts against exact recompute
+    "q_sketch_sidecar" -> ((s, d) => {
+      val cfg = sketchSidecarFor(s, d)
+      val dist = graft.sources.SketchSidecar
+        .servedDistinct(s, cfg.sidecarPath)
+      val qs = graft.sources.SketchSidecar
+        .servedQuantiles(s, cfg.sidecarPath, Seq(0.5, 0.9, 0.99))
+        .agg(
+          max(when(col("p") === 0.5, col("value"))).as("p50"),
+          max(when(col("p") === 0.9, col("value"))).as("p90"),
+          max(when(col("p") === 0.99, col("value"))).as("p99"))
+      dist.crossJoin(qs)
+        .select(col("batches"), col("distinct_estimate"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
+          round(col("p99"), 6).as("p99"))
+    }),
+
+    // the sidecar's double floor, one row or loudly zero:
+    //   (a) distinct contract — the union-served estimate must sit
+    //       within 3.5σ of the sketch's configured rsd (1.04/√2^lgK)
+    //       of the EXACT distinct count. NOT an identity check against
+    //       the single-pass sketch: Datasketches' union promotes the
+    //       internal representation (coupon list → HLL array) earlier
+    //       than a single sketch over the same data would (measured:
+    //       494 vs a sparse-exact 500 at sf0.001), so the two
+    //       estimates legitimately differ while both honoring the rsd
+    //       — merge_drift rides along as a reported column;
+    //   (b) quantile rank error — each served value's tie-aware
+    //       realized rank must be within 2/numBuckets + 1/accuracy of
+    //       its target p (the derivation in SketchSidecar's scaladoc),
+    //       net of the 1/n granularity of a finite corpus
+    "q_sketch_sidecar_gap" -> ((s, d) => {
+      val cfg = sketchSidecarFor(s, d)
+      val e = docs(s, d).select(col("doc_id"),
+        col("n_chars").cast("double").as("value"))
+      val served = graft.sources.SketchSidecar
+        .servedDistinct(s, cfg.sidecarPath)
+      val direct = e.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("doc_id"), cfg.lgConfigK))
+          .as("direct_est"),
+        countDistinct(col("doc_id")).as("x"))
+      val distErr = served.crossJoin(direct).select(
+        (abs(col("distinct_estimate") - col("direct_est")) /
+          col("direct_est")).as("merge_drift"),
+        (abs(col("distinct_estimate") - col("x")) /
+          col("x").cast("double")).as("dist_rel_err"))
+      val sq = graft.sources.SketchSidecar
+        .servedQuantiles(s, cfg.sidecarPath, Seq(0.5, 0.9, 0.99))
+        .select(col("p"), col("value").as("v"))
+      val qErr = e.crossJoin(broadcast(sq))
+        .groupBy("p", "v")
+        .agg(sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .select((greatest(lit(0.0),
+            (col("lt") + 1) / col("n").cast("double") - col("p"),
+            col("p") - col("le") / col("n").cast("double")) -
+          lit(1.0) / col("n")).as("err_excess"))
+        .agg(max(col("err_excess")).as("max_rank_err_excess"))
+      distErr.crossJoin(qErr)
+        .withColumn("meets_floor",
+          col("dist_rel_err") <=
+            lit(3.5 * 1.04 / math.sqrt((1L << cfg.lgConfigK).toDouble)) &&
+          col("max_rank_err_excess") <=
+            lit(2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9))
         .where(col("meets_floor"))
     }),
 

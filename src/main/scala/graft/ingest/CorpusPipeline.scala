@@ -188,6 +188,15 @@ object CorpusPipeline {
     * unpartitioned). Runs AFTER the gate append commits: compaction is a
     * content-preserving atomic rewrite, so the retry-gate semantics are
     * untouched.
+    *
+    * `sketch`: when set, every admitted batch also appends one mergeable
+    * sketch row (HLL registers + equi-depth quantile summary,
+    * [[graft.sources.SketchSidecar]]) so corpus-level distinct counts
+    * and value quantiles are served by merging O(#batches) sidecar rows
+    * instead of re-scanning the corpus. Runs with the other monitoring
+    * sidecars BEFORE the MinHash gate append (crash-retry repeats it —
+    * idempotent for the HLL union, bounded double-weight for quantiles —
+    * rather than skipping it).
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,
@@ -199,7 +208,9 @@ object CorpusPipeline {
                      sq: Option[SqIndexCfg] = None,
                      dsir: Option[DsirGate] = None,
                      lrq: Option[LrGate] = None,
-                     indexCompactEvery: Int = 0): Long = {
+                     indexCompactEvery: Int = 0,
+                     sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
+      : Long = {
     val heuristicGated =
       if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
     // statistical-LM gate after the cheap heuristics: only docs that
@@ -333,6 +344,16 @@ object CorpusPipeline {
               .parquet(s"${a.indexPath}/trained_meta")
           }
         }
+        // sketch monitoring sidecar: one narrow aggregation over the
+        // admitted batch, appended like the ANN/SQ state (before the
+        // gate — see the parameter doc for the retry stance), then
+        // compacted on its own cadence
+        sketch.foreach { cfg =>
+          graft.sources.SketchSidecar.appendBatch(survivors, cfg)
+          maybeCompact(cfg.sidecarPath, cfg.compactEvery) {
+            graft.sources.Compaction.compact(spark, cfg.sidecarPath)
+          }
+        }
         // SQ8 maintenance: same rebuild-until-trained / frozen-append
         // contract as the ANN block above, and for the same reason it
         // runs BEFORE the MinHash gate append
@@ -397,7 +418,8 @@ class CorpusPipeline(
     dsirIndexPath: Option[String] = None,
     dsirMinLogw: Double = Double.NegativeInfinity,
     lrModelPath: Option[String] = None,
-    lrMinP: Double = 0.0) {
+    lrMinP: Double = 0.0,
+    sketch: Option[graft.sources.SketchSidecar.Cfg] = None) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
@@ -436,7 +458,8 @@ class CorpusPipeline(
     val appended = CorpusPipeline.dedupAndAppend(fresh, corpusPath,
       indexPath, idCol, textCol, threshold, gates,
       benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
-      dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery)
+      dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery,
+      sketch = sketch)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

@@ -34,7 +34,8 @@ object CorpusStream {
             dsir: Option[CorpusPipeline.DsirGate] = None,
             lrq: Option[CorpusPipeline.LrGate] = None,
             drift: Option[DriftMonitor.Gate] = None,
-            indexCompactEvery: Int = 0)
+            indexCompactEvery: Int = 0,
+            sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -74,7 +75,7 @@ object CorpusStream {
         if (!quarantined)
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
-            ann, lm, sq, dsir, lrq, indexCompactEvery)
+            ann, lm, sq, dsir, lrq, indexCompactEvery, sketch)
         ()
       }
       .start()
@@ -164,7 +165,8 @@ object CorpusStream {
                           dsir: Option[CorpusPipeline.DsirGate] = None,
                           lrq: Option[CorpusPipeline.LrGate] = None,
                           indexCompactEvery: Int = 0,
-                          maxBatches: Int = Int.MaxValue)
+                          maxBatches: Int = Int.MaxValue,
+                          sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -223,7 +225,8 @@ object CorpusStream {
           else {
             admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
               indexPath, idCol, textCol, threshold, gates, benchmark,
-              contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery)
+              contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
+              sketch)
             true
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)

@@ -832,6 +832,64 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(triageRows === 4L)
   }
 
+  test("sketch sidecar: one mergeable row per admitted batch; merged " +
+      "serving tracks the corpus without re-scanning it") {
+    import graft.sources.SketchSidecar
+    val dir = Files.createTempDirectory("corpus_sketch")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val sk = dir.resolve("sketch").toString
+    val cfg = SketchSidecar.Cfg(sk, distinctExpr = "doc_id",
+      valueExpr = "length(text)", compactEvery = 2)
+    // three batches; batch 2 carries a near-dup of an indexed batch-1 doc
+    // (dropped by the gate, so the sketch row must cover SURVIVORS only)
+    def word(i: Int, j: Int) = s"w${i}x$j"
+    def text(i: Int, words: Int) =
+      (1 to words).map(word(i, _)).mkString(" ")
+    val b1 = Seq((1L, base), (2L, text(2, 10))).toDF("doc_id", "text")
+    val b2 = Seq((3L, nearDup), (4L, text(4, 30))).toDF("doc_id", "text")
+    val b3 = Seq((5L, text(5, 50))).toDF("doc_id", "text")
+    val n1 = CorpusPipeline.dedupAndAppend(b1, corpus, idx, "doc_id",
+      "text", 0.8, sketch = Some(cfg))
+    val n2 = CorpusPipeline.dedupAndAppend(b2, corpus, idx, "doc_id",
+      "text", 0.8, sketch = Some(cfg))
+    val n3 = CorpusPipeline.dedupAndAppend(b3, corpus, idx, "doc_id",
+      "text", 0.8, sketch = Some(cfg))
+    assert((n1, n2, n3) === ((2L, 1L, 1L)), "doc 3 must dedup away")
+    // one sidecar row per admitted batch, each accounting its survivors
+    val rows = spark.read.parquet(sk).select("n").as[Long]
+      .collect().sorted.toSeq
+    assert(rows === Seq(1L, 1L, 2L))
+    // served distinct: HLL union across the 3 rows — exact in sparse
+    // mode at this cardinality, and equal to the corpus' true count
+    // without any corpus scan
+    val dist = SketchSidecar.servedDistinct(spark, sk).collect().head
+    assert(dist.getLong(0) === 3L) // batches merged
+    assert(dist.getLong(1) === 4L) // hll_sketch_estimate is a bigint
+    // served median: realized tie-aware rank error within the documented
+    // bound (2/K + 1/accuracy + 1/n granularity)
+    val p50 = SketchSidecar.servedQuantiles(spark, sk, Seq(0.5))
+      .collect().head.getDouble(1)
+    val lengths = spark.read.parquet(corpus)
+      .select(length(col("text")).cast("double")).as[Double]
+      .collect().sorted
+    val n = lengths.length
+    val lt = lengths.count(_ < p50)
+    val le = lengths.count(_ <= p50)
+    val errExcess = math.max(0.0,
+      math.max((lt + 1).toDouble / n - 0.5, 0.5 - le.toDouble / n)) -
+      1.0 / n
+    assert(errExcess <= 2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9,
+      s"served p50=$p50 rank error beyond contract (lengths=" +
+        s"${lengths.toSeq})")
+    // compactEvery=2: the cadence counter rides in the sidecar dir and
+    // the 2-append compaction collapsed the per-batch files
+    assert(new java.io.File(s"$sk/_maint_appends").exists())
+    val files = Option(new java.io.File(sk).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"expected compacted sidecar, got $files files")
+  }
+
   test("quarantine triage: MIXED legacy/tagged queue — legacy rows fold " +
       "into the -1 batch, tags survive, batches stay separate") {
     import graft.streaming.CorpusStream

@@ -170,6 +170,73 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(post === checksum)
   }
 
+  test("swapInto concurrency contract: a concurrent reader sees exactly " +
+      "the old snapshot, exactly the new one, or a clean failure — never " +
+      "a mixed or partial listing") {
+    // The entire maintenance story (compaction, recluster, triage) hangs
+    // on the single-parent-rename discipline: every rewrite lands in a
+    // dot-prefixed staging sibling and is installed by swapInto's two
+    // renames. This spec is the CONTRACT test — a reader racing the swap
+    // must never observe a half-old/half-new directory. Each generation
+    // writes a disjoint, self-describing value set across several files
+    // (one file alone can't impersonate a full snapshot), a hammering
+    // reader classifies every read, and the main thread swaps through 12
+    // generations underneath it.
+    import graft.sources.Compaction
+    val root = java.nio.file.Files.createTempDirectory("swap_contract")
+    val path = root.resolve("t").toString
+    val nRows = 400
+    def genData(g: Long) =
+      (0 until nRows).map(i => g * 100000L + i).toDF("v").repartition(4)
+    def genSet(g: Long): Set[Long] =
+      (0 until nRows).map(i => g * 100000L + i).toSet
+    genData(0L).write.mode("overwrite").parquet(path)
+    val maxGen = 12
+    val validSets = (0L to maxGen.toLong).map(genSet).toSet
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val failures = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val seen = spark.read.parquet(path)
+            .agg(collect_set(col("v"))).collect()
+            .head.getSeq[Long](0).toSet
+          reads.incrementAndGet()
+          if (!validSets.contains(seen))
+            bad.add(s"mixed snapshot: ${seen.size} rows, " +
+              s"gens=${seen.map(_ / 100000L).toSeq.sorted.mkString(",")}")
+        } catch {
+          // a reader that listed files the instant before the rename
+          // fails CLEANLY (FileNotFound under the retired path) — the
+          // contract allows that; silent mixing it does not
+          case _: Throwable => failures.incrementAndGet()
+        }
+      }
+    })
+    reader.start()
+    try {
+      for (g <- 1 to maxGen) {
+        val staging = Compaction
+          .stagingDir(new java.io.File(path), "rewrite")
+        genData(g.toLong).write.mode("overwrite").parquet(staging.toString)
+        Compaction.swapInto(path, staging.toString)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(bad.isEmpty, s"contract violated: ${bad.peek()}")
+    assert(reads.get() > 0, "reader never completed a single read " +
+      s"(failures=${failures.get()}) — the race never exercised the swap")
+    // the final state is exactly the last generation, with no staging or
+    // retired siblings left behind
+    val finalSeen = spark.read.parquet(path)
+      .agg(collect_set(col("v"))).collect().head.getSeq[Long](0).toSet
+    assert(finalSeen === genSet(maxGen.toLong))
+    val leftovers = Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName != "t")
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
   test("bucketed equi-join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
