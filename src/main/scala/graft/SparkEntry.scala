@@ -72,5 +72,11 @@ object SparkEntry {
     // rounds over the trade graph built from a 600k-row fact-fact join)
     // and the decode-heavy modality path (5k real PNG decodes → dHash →
     // blocked Hamming join)
-    "q_pagerank", "mm_dhash_dedup")
+    "q_pagerank", "mm_dhash_dedup",
+    // round 14: the same dedup served from the hash-once fingerprint
+    // index — pass 1 builds the index (decode), passes 2+ join 8-byte
+    // hashes with zero decodes, so the min-of-passes number IS the
+    // amortized steady-state cost next to mm_dhash_dedup's per-run
+    // decode cost
+    "mm_dhash_dedup_indexed")
 }

@@ -343,6 +343,62 @@ object Dedup {
       (0 until width).combinations(k)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
 
+  /** Two-sided blocked Hamming join: every (left, right) id pair whose
+    * 64-bit signatures sit within `maxHamming` — the batch-vs-index
+    * shape ([[graft.operators.Multimodal.dedupAgainstMediaIndex]]),
+    * where neither side self-joins and hamming 0 IS a valid cross
+    * match (unlike the pairs operator, where 0 means "same row").
+    *
+    * Same tiered candidate scheme as [[hammingPairs64]], across two
+    * frames: the blocked join runs over DISTINCT signatures per side
+    * (bucket width scales with signature diversity, never corpus size);
+    * radius ≤ 7 uses exact-block pigeonhole (4 or 8 blocks), 8–15
+    * expands the LEFT side's blocks to their Hamming balls (the batch —
+    * typically the small side — pays the bounded mask explosion) and
+    * joins the right side's exact values. Id-level pairs re-expand
+    * through two equi-joins; a degenerate signature shared by many rows
+    * of both sides expands there, which is inherent to the OUTPUT size,
+    * not to this plan (AQE's skew split owns that join at scale).
+    * Returns (leftIdCol, rightIdCol, hamming).
+    */
+  def hammingJoin64(left: DataFrame, leftIdCol: String,
+                    right: DataFrame, rightIdCol: String,
+                    hashCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"candidate generation over a 64-bit signature is exact only for " +
+        s"maxHamming <= 15, got $maxHamming")
+    val mL = left.select(col(leftIdCol), col(hashCol).cast("long").as("__hl"))
+    val mR = right.select(col(rightIdCol), col(hashCol).cast("long").as("__hr"))
+    def blockFrame(sigs: DataFrame, h: String, blocks: Int): DataFrame = {
+      val width = 64 / blocks
+      val mask = (1L << width) - 1
+      val blockVals = array((0 until blocks).map(b =>
+        shiftright(col(h), b * width).bitwiseAND(lit(mask))): _*)
+      sigs.select(col(h), posexplode(blockVals).as(Seq("block", "block_val")))
+    }
+    val blocks = if (maxHamming <= 3) 4 else 8
+    val sigL = mL.select("__hl").distinct()
+    val sigR = mR.select("__hr").distinct()
+    val candidates =
+      if (maxHamming <= 7)
+        blockFrame(sigL, "__hl", blocks)
+          .join(blockFrame(sigR, "__hr", blocks), Seq("block", "block_val"))
+      else {
+        val masks = hammingBallMasks(16, maxHamming / 4)
+        blockFrame(sigL, "__hl", 4)
+          .withColumn("__mask", explode(typedlit(masks)))
+          .select(col("__hl"), col("block"),
+            col("block_val").bitwiseXOR(col("__mask")).as("block_val"))
+          .join(blockFrame(sigR, "__hr", 4), Seq("block", "block_val"))
+      }
+    val sigPairs = candidates
+      .select(col("__hl"), col("__hr")).distinct()
+      .withColumn("hamming", bit_count(col("__hl").bitwiseXOR(col("__hr"))))
+      .where(col("hamming") <= maxHamming)
+    sigPairs.join(mL, Seq("__hl")).join(mR, Seq("__hr"))
+      .select(col(leftIdCol), col(rightIdCol), col("hamming"))
+  }
+
   /** Corpus cleaning: drop near-duplicates, keeping the lowest id of every
     * duplicate pair (greedy — for a chain a~b, b~c it keeps a). Built on
     * [[minhashLsh]], so the only per-doc cost is the signature; the anti

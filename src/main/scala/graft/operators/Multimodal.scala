@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -413,6 +413,55 @@ object Multimodal {
     */
   def imageNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs64(dHashes(df), "media_id", "dhash", maxHamming)
+
+  /** Hash-once media-fingerprint index — the multimodal analog of the
+    * MinHash gate index: decode every payload ONCE, at ingest, persist
+    * the 8-byte [[dHash]] next to the media id, and serve every later
+    * dedup question from the fingerprint table. "Read once" was already
+    * true WITHIN one [[imageNearDupPairs]] run; this makes it true
+    * across the corpus lifetime — at 100 TB the bytes are the cost
+    * (full image decode per payload), and steady-state maintenance must
+    * never touch them twice. The audio path composes identically from
+    * [[audioHashes]].
+    *
+    * Plain unpartitioned parquet of (media_id, dhash): 16 bytes/row
+    * means a billion-image index is ~16 GB — scan-cheap, join-cheap,
+    * compactable by [[graft.sources.Compaction.compact]] on the same
+    * cadence as the other sidecars.
+    */
+  def writeMediaHashIndex(df: DataFrame, indexPath: String): Unit =
+    dHashes(df).write.mode("overwrite").parquet(indexPath)
+
+  /** Append one ingest batch's fingerprints (one decode pass over the
+    * BATCH only — the indexed corpus is never re-decoded). */
+  def appendMediaHashIndex(df: DataFrame, indexPath: String): Unit =
+    dHashes(df).write.mode("append").parquet(indexPath)
+
+  /** [[imageNearDupPairs]] served FROM the fingerprint index: the same
+    * blocked Hamming join, zero decodes — the steady-state dedup pass.
+    * Returns (id_a, id_b, hamming).
+    */
+  def imageNearDupPairsFromIndex(spark: SparkSession, indexPath: String,
+                                 maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(spark.read.parquet(indexPath),
+      "media_id", "dhash", maxHamming)
+
+  /** New-batch media ids whose fingerprint sits within `maxHamming` of
+    * an INDEXED fingerprint — the media twin of
+    * [[Dedup.dedupAgainstIndex]]: the batch is decoded once (its own
+    * hashes), the corpus side joins by stored hash. Returns
+    * (new_id, corpus_id, hamming).
+    */
+  def dedupAgainstMediaIndex(batch: DataFrame, indexPath: String,
+                             maxHamming: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val newHashes = dHashes(batch)
+      .select(col("media_id").as("new_id"), col("dhash"))
+    val indexed = spark.read.parquet(indexPath)
+      .select(col("media_id").as("corpus_id"), col("dhash"))
+    Dedup.hammingJoin64(newHashes, "new_id", indexed, "corpus_id",
+      "dhash", maxHamming)
+  }
 
   /** Nearest-neighbor integer upscale of an image payload, re-encoded as
     * PNG — fixture generator for the resize-invariance contract of

@@ -200,6 +200,66 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(pairs === Seq((10L, 11L, 0L)))
   }
 
+  test("media hash index: write once, append batches, serve dedup with " +
+      "zero decodes; batch-vs-index gate finds the planted near-dup") {
+    val dir = java.nio.file.Files.createTempDirectory("media_hash_idx")
+      .resolve("idx").toString
+    def png(seed: Long) = Multimodal.syntheticNoisePng(seed, 18, 16)
+    // ingest batch 1: two distinct images → hash-once at write
+    Multimodal.writeMediaHashIndex(
+      Seq(10L -> png(10L), 20L -> png(20L)).toDF("media_id", "content"),
+      dir)
+    // ingest batch 2 appends: only ITS bytes are decoded
+    Multimodal.appendMediaHashIndex(
+      Seq(30L -> png(30L)).toDF("media_id", "content"), dir)
+    assert(spark.read.parquet(dir).columns.toSet ===
+      Set("media_id", "dhash"))
+    assert(spark.read.parquet(dir).count() === 3)
+    // a new batch carrying an exact ×2 upscale of indexed image 10 (dHash
+    // invariant → hamming 0) plus a fresh image: the gate flags exactly
+    // the near-dup, touching the index only through stored hashes
+    val batch = Seq(
+      100L -> Multimodal.upscaleNearest(png(10L), 2),
+      200L -> png(200L)).toDF("media_id", "content")
+    val hits = Multimodal.dedupAgainstMediaIndex(batch, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits === Seq((100L, 10L, 0L)))
+    // serving pairs FROM the index matches the decode path on the same
+    // corpus — and needs no content column at all
+    val viaIndex = Multimodal.imageNearDupPairsFromIndex(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaDecode = Multimodal.imageNearDupPairs(
+      Seq(10L -> png(10L), 20L -> png(20L), 30L -> png(30L))
+        .toDF("media_id", "content"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaIndex === viaDecode)
+  }
+
+  test("hammingJoin64: two-sided tiers — exact pigeonhole and masked " +
+      "multi-index — match brute force, hamming 0 is a valid match") {
+    import graft.operators.Dedup
+    // left/right signatures planted at distances 0, 3, 7, 11, 15, 16
+    val base = 0x0123456789ABCDEFL
+    def flip(h: Long, bits: Seq[Int]) = bits.foldLeft(h)((x, b) => x ^ (1L << b))
+    val right = Seq(
+      (0L, base),
+      (1L, flip(base, Seq(1, 17, 33))),           // d=3
+      (2L, flip(base, Seq(0, 1, 2, 16, 17, 32, 48))),          // d=7
+      (3L, flip(base, Seq(0, 1, 2, 16, 17, 18, 32, 33, 48, 49, 50))), // d=11
+      (4L, flip(base, (0 to 3).flatMap(b => Seq(b * 16, b * 16 + 1,
+        b * 16 + 2)) :+ 60)),                     // d=13
+      (5L, flip(base, (0 until 16).map(_ * 4)))   // d=16 — out of range
+    ).toDF("rid", "h")
+    val left = Seq((100L, base)).toDF("lid", "h")
+    for (r <- Seq(0, 3, 7, 11, 15)) {
+      val got = Dedup.hammingJoin64(left, "lid", right, "rid", "h", r)
+        .select("rid").as[Long].collect().toSet
+      val want = Seq((0L, 0), (1L, 3), (2L, 7), (3L, 11), (4L, 13))
+        .filter(_._2 <= r).map(_._1).toSet
+      assert(got === want, s"radius $r")
+    }
+  }
+
   test("audioHash: invariant to exact 2x time stretch (65|frames) and " +
       "re-encode; distinct noise seeds separate; stereo decodes") {
     val base = Multimodal.syntheticNoiseWav(5L, 130, 8000, 1)
