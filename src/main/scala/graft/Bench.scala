@@ -29,7 +29,12 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // dev-only filter for chasing a single row's variance (unset in the
+    // driver's runs → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // one warm-up pass (JIT + codegen cache) on the cheapest query
     try run(names.head) catch { case _: Throwable => () }
     // TWO full passes over the suite, reporting the per-query MIN. The host
