@@ -70,6 +70,28 @@ object ExtQueries {
     path.toString
   }
 
+  /** The q_heavy_hitters fixture: the events table replayed as 5 ingest
+    * batches (pmod on user_id), each appending a sidecar row with CMS +
+    * exact top-k over `event_type`. Rebuilt per call like
+    * [[sketchSidecarFor]].
+    */
+  private def hhSidecarFor(s: SparkSession, d: String)
+      : graft.sources.SketchSidecar.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_hh_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(path)
+    val cfg = graft.sources.SketchSidecar.Cfg(path.toString,
+      distinctExpr = "user_id", valueExpr = "value",
+      heavyKeyExpr = Some("event_type"))
+    (0 until 5).foreach { b =>
+      graft.sources.SketchSidecar.appendBatch(
+        graft.Tables.events(s, d)
+          .filter(pmod(col("user_id"), lit(5)) === b), cfg)
+    }
+    cfg
+  }
+
   /** The q_sketch_sidecar fixture: the documents table replayed as 5
     * ingest batches (pmod on doc_id), each appending one mergeable
     * sketch row — distinct over `doc_id`, quantiles over `n_chars` —
@@ -428,6 +450,62 @@ object ExtQueries {
             lit(3.5 * 1.04 / math.sqrt((1L << cfg.lgConfigK).toDouble)) &&
           col("max_rank_err_excess") <=
             lit(2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9))
+        .where(col("meets_floor"))
+    }),
+
+    // heavy hitters from the same per-batch sidecar discipline: each
+    // batch appends a Count-Min sketch + its exact top-k keys; "which
+    // keys dominate the corpus" merges the CMS rows cell-wise and
+    // prices the bounded candidate union against the merged sketch —
+    // O(#batches) state, no corpus re-scan, deterministic at the fixed
+    // seed. Rows-only; the _gap twin enforces all four guarantees
+    "q_heavy_hitters" -> ((s, d) => {
+      val cfg = hhSidecarFor(s, d)
+      graft.sources.SketchSidecar
+        .servedHeavyHitters(s, cfg.sidecarPath, phi = 0.1)
+    }),
+
+    // the CMS contract, machine-enforced (one row or loudly zero):
+    // no candidate under-counted (CMS only over-counts), every
+    // over-count within cmsEps·N (deterministic at the fixed seed),
+    // every truly-φ-heavy key served (completeness — provable since
+    // φ = 0.1 ≥ 1/topK = 1/32), and every served key truly at least
+    // (φ − cmsEps)-heavy (soundness)
+    "q_heavy_hitters_gap" -> ((s, d) => {
+      val cfg = hhSidecarFor(s, d)
+      val phi = 0.1
+      val exact = graft.Tables.events(s, d)
+        .groupBy(col("event_type").cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val totalRow = exact.agg(sum(col("cnt")).as("total"))
+      // phi→~0 serves EVERY candidate with its estimate (the bound
+      // checks need non-heavy candidates too)
+      val allEst = graft.sources.SketchSidecar
+        .servedHeavyHitters(s, cfg.sidecarPath, phi = 1e-12)
+        .select(col("key"), col("est"))
+      val served = graft.sources.SketchSidecar
+        .servedHeavyHitters(s, cfg.sidecarPath, phi)
+        .select(col("key")).withColumn("__served", lit(1))
+      val bounds = allEst.join(exact, Seq("key"))
+        .agg(max(col("cnt") - col("est")).as("max_under"),
+          max(col("est") - col("cnt")).as("max_over"))
+      val completeness = exact.crossJoin(totalRow)
+        .where(col("cnt") >= col("total") * phi)
+        .join(served, Seq("key"), "left")
+        .agg(count(lit(1)).as("heavy_true"),
+          coalesce(sum("__served"), lit(0L)).as("heavy_found"))
+      val soundness = served.join(exact, Seq("key")).crossJoin(totalRow)
+        .agg(count(lit(1)).as("served_n"),
+          coalesce(sum(when(
+            col("cnt") >= col("total") * (phi - cfg.cmsEps), 1L)
+            .otherwise(0L)), lit(0L)).as("served_sound"))
+      bounds.crossJoin(totalRow).crossJoin(completeness)
+        .crossJoin(soundness)
+        .withColumn("meets_floor",
+          col("max_under") <= 0L &&
+          col("max_over") <= col("total") * cfg.cmsEps &&
+          col("heavy_found") === col("heavy_true") &&
+          col("served_sound") === col("served_n"))
         .where(col("meets_floor"))
     }),
 

@@ -65,28 +65,74 @@ object SketchSidecar {
     * @param compactEvery when > 0, every N-th append compacts the
     *   sidecar's files (content-preserving; counter rides in the sidecar
     *   dir as `_maint_appends`, invisible to the parquet scan)
+    * @param heavyKeyExpr when set, each batch row additionally carries a
+    *   Count-Min sketch over this key expression plus the batch's exact
+    *   top-`topK` keys — the heavy-hitters monitoring state
+    *   ([[servedHeavyHitters]]): "which sources/domains/languages
+    *   dominate the corpus" answered from the sidecar, never a re-scan
+    * @param cmsEps CMS over-count bound: est ≤ true + cmsEps·N (width
+    *   ⌈2/eps⌉ counters; never UNDER-counts, by construction)
+    * @param cmsConfidence per-key probability the eps bound holds
+    *   (depth ⌈ln(1/(1−c))⌉ rows); with the FIXED `cmsSeed` the sketch —
+    *   and therefore every served estimate — is fully deterministic
+    * @param topK per-batch exact candidate list length. Candidate
+    *   completeness is PROVABLE, not heuristic: a key with corpus share
+    *   ≥ φ has batch share ≥ φ in at least one batch (weighted
+    *   average), and within that batch fewer than 1/φ keys can strictly
+    *   out-count it — so `topK ≥ ⌈1/φ⌉` guarantees every φ-heavy key
+    *   enters some batch's candidate list. Serve with φ ≥ 1/topK.
     */
   case class Cfg(sidecarPath: String, distinctExpr: String,
                  valueExpr: String, lgConfigK: Int = 12,
                  numBuckets: Int = 256, accuracy: Int = 10000,
-                 compactEvery: Int = 0) {
+                 compactEvery: Int = 0,
+                 heavyKeyExpr: Option[String] = None,
+                 cmsEps: Double = 0.001, cmsConfidence: Double = 0.999,
+                 cmsSeed: Int = 42, topK: Int = 32) {
     require(lgConfigK >= 4 && lgConfigK <= 21, s"lgConfigK=$lgConfigK")
     require(numBuckets >= 2, s"numBuckets=$numBuckets")
     require(accuracy >= 100, s"accuracy=$accuracy")
+    require(cmsEps > 0.0 && cmsEps < 1.0, s"cmsEps=$cmsEps")
+    require(cmsConfidence > 0.0 && cmsConfidence < 1.0,
+      s"cmsConfidence=$cmsConfidence")
+    require(topK >= 1, s"topK=$topK")
   }
 
-  /** One narrow aggregation over the batch → one appended sidecar row.
-    * No driver state beyond the single collected-at-write row Spark's
-    * writer handles; the batch is scanned exactly once.
+  /** One narrow aggregation over the batch → one appended sidecar row
+    * (plus one grouped count for the exact top-k candidate list when
+    * heavy-hitter tracking is on). No driver state beyond the single
+    * collected-at-write row Spark's writer handles.
     */
   def appendBatch(batch: DataFrame, cfg: Cfg): Unit = {
     val k = cfg.numBuckets
     val probs = array((0 to k).map(j => lit(j.toDouble / k)): _*)
-    batch.agg(
-        count(lit(1)).as("n"),
-        hll_sketch_agg(expr(cfg.distinctExpr), cfg.lgConfigK).as("hll"),
-        percentile_approx(expr(cfg.valueExpr).cast("double"), probs,
-          lit(cfg.accuracy)).as("qs"))
+    val baseAggs = Seq(
+      count(lit(1)).as("n"),
+      hll_sketch_agg(expr(cfg.distinctExpr), cfg.lgConfigK).as("hll"),
+      percentile_approx(expr(cfg.valueExpr).cast("double"), probs,
+        lit(cfg.accuracy)).as("qs"))
+    val aggs = cfg.heavyKeyExpr match {
+      case Some(ke) => baseAggs :+
+        count_min_sketch(expr(ke).cast("string"), lit(cfg.cmsEps),
+          lit(cfg.cmsConfidence), lit(cfg.cmsSeed)).as("cms")
+      case None => baseAggs
+    }
+    val row = batch.agg(aggs.head, aggs.tail: _*)
+    val withTop = cfg.heavyKeyExpr match {
+      case Some(ke) =>
+        // exact per-batch top-k (candidate list for servedHeavyHitters —
+        // see Cfg.topK for the completeness argument); deterministic
+        // count-then-key ordering
+        val top = batch
+          .groupBy(expr(ke).cast("string").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("key"))
+          .limit(cfg.topK)
+          .agg(collect_list(struct(col("key"), col("cnt"))).as("topk"))
+        row.crossJoin(top)
+      case None => row
+    }
+    withTop
       .withColumn("k", lit(k))
       .withColumn("accuracy", lit(cfg.accuracy))
       .withColumn("lgk", lit(cfg.lgConfigK))
@@ -146,5 +192,75 @@ object SketchSidecar {
       .groupBy(col("p"))
       .agg(min(col("v")).as("value"))
       .orderBy(col("p"))
+  }
+
+  /** Distributive Count-Min merge: cell-wise addition of the serialized
+    * sketches, run as a real Spark `Aggregator` so partial merges happen
+    * on executors (tree shape), never as a driver loop over rows. The
+    * buffer is the serialized form — a (de)serialization per sidecar
+    * ROW, bounded by #batches, the same bounded-metadata stance as the
+    * centroid sidecars.
+    */
+  private class CmsMerge
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def zero: Array[Byte] = null
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge(b, a)
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x == null) y
+      else if (y == null) x
+      else {
+        val s = CountMinSketch.readFrom(x)
+        s.mergeInPlace(CountMinSketch.readFrom(y))
+        s.toByteArray
+      }
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Corpus heavy hitters served from the sidecar: every key whose
+    * estimated corpus count reaches `phi`·N, with its estimate and the
+    * corpus total. Returns (key, est, total), heaviest first.
+    *
+    * Mechanics: the per-batch CMS rows merge cell-wise ([[CmsMerge]])
+    * into ONE sketch; the candidate set is the union of the per-batch
+    * exact top-k lists (≤ #batches·topK keys — bounded metadata); each
+    * candidate is priced against the merged sketch. Guarantees, all
+    * enforced by the `q_heavy_hitters_gap` twin:
+    *   - completeness: every key with true share ≥ phi is served
+    *     (provable when phi ≥ 1/topK — see [[Cfg.topK]]);
+    *   - no under-count: est ≥ true count, always (CMS takes a MIN over
+    *     hashed counters that only ever over-count);
+    *   - bounded over-count: est ≤ true + cmsEps·N at cmsConfidence
+    *     per key — deterministic at a fixed seed;
+    *   - soundness: a served key's true share is ≥ phi − cmsEps.
+    *
+    * The candidate×sketch pricing is a broadcast of one merged-sketch
+    * row against the bounded candidate frame; the lookup deserializes
+    * the sketch per candidate row, acceptable at candidate scale and
+    * kept out of every corpus-sized plan.
+    */
+  def servedHeavyHitters(spark: SparkSession, sidecarPath: String,
+                         phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi")
+    val rows = spark.read.parquet(sidecarPath)
+    val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+    val merged = rows.agg(cmsMerge(col("cms")).as("cms"),
+      sum(col("n")).as("total"))
+    val cands = rows
+      .select(explode(col("topk")).as("kv"))
+      .select(col("kv.key").as("key")).distinct()
+    val estimate = udf((bytes: Array[Byte], key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        .estimateCount(key))
+    cands.crossJoin(broadcast(merged))
+      .select(col("key"), estimate(col("cms"), col("key")).as("est"),
+        col("total"))
+      .where(col("est") >= col("total") * phi)
+      .orderBy(col("est").desc, col("key"))
   }
 }

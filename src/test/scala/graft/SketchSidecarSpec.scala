@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SketchSidecar
+
+/** The heavy-hitters face of the sketch sidecar: per-batch CMS + exact
+  * top-k candidates, merged serve, and the four guarantees (completeness,
+  * no under-count, bounded over-count, soundness). The HLL/quantile face
+  * is covered in CorpusPipelineSpec (corpus-loop integration) and by the
+  * q_sketch_sidecar_gap twin.
+  */
+class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def freshCfg(topK: Int = 32): SketchSidecar.Cfg =
+    SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_hh").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id",
+      heavyKeyExpr = Some("key"), topK = topK)
+
+  test("heavy hitters: planted shares surface at their thresholds; " +
+      "estimates never under-count and over-count within eps*N") {
+    val cfg = freshCfg()
+    // 3 batches, 400 rows total: "hot" 55%, "warm" 25%, 80 distinct rares
+    var id = 0L
+    def rows(spec: Seq[(String, Int)]): Seq[(Long, String)] =
+      spec.flatMap { case (k, c) => (1 to c).map { _ => id += 1; (id, k) } }
+    val batches = Seq(
+      rows(Seq("hot" -> 80, "warm" -> 30) ++
+        (1 to 20).map(i => s"r$i" -> 1)),
+      rows(Seq("hot" -> 70, "warm" -> 40) ++
+        (21 to 50).map(i => s"r$i" -> 1)),
+      rows(Seq("hot" -> 70, "warm" -> 30) ++
+        (51 to 80).map(i => s"r$i" -> 1)))
+    batches.foreach(b =>
+      SketchSidecar.appendBatch(b.toDF("id", "key"), cfg))
+    val all = batches.flatten
+    val n = all.length.toDouble
+    def servedKeys(phi: Double): Seq[String] =
+      SketchSidecar.servedHeavyHitters(spark, cfg.sidecarPath, phi)
+        .select("key").as[String].collect().toSeq
+    assert(servedKeys(0.5) === Seq("hot"))
+    assert(servedKeys(0.2) === Seq("hot", "warm"))
+    assert(servedKeys(0.04).toSet === Set("hot", "warm"),
+      "rares (each 0.25%) must stay below a 4% bar")
+    // bound checks over EVERY candidate
+    val est = SketchSidecar
+      .servedHeavyHitters(spark, cfg.sidecarPath, 1e-12)
+      .select("key", "est").as[(String, Long)].collect().toMap
+    val exact = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"CMS under-counted $k: $e < ${exact(k)}")
+      assert(e <= exact(k) + cfg.cmsEps * n,
+        s"CMS over-count beyond eps*N for $k")
+    }
+  }
+
+  test("heavy hitters: a key spread thin across every batch still enters " +
+      "the candidate set when topK >= 1/phi (completeness is structural, " +
+      "not luck)") {
+    // topK = 4, phi = 0.25: "spread" holds share exactly 0.25 of every
+    // batch but is top-4 nowhere by COUNT alone unless the completeness
+    // argument holds — each batch gives 3 keys a higher count, so spread
+    // is rank 4 everywhere: the last guaranteed candidate slot
+    val cfg = freshCfg(topK = 4)
+    var id = 0L
+    def rows(spec: Seq[(String, Int)]): Seq[(Long, String)] =
+      spec.flatMap { case (k, c) => (1 to c).map { _ => id += 1; (id, k) } }
+    // per batch: a=30, b=28, c=26, spread=30, fillers=6 → n_b=120;
+    // spread share = 0.25 per batch and overall
+    val mk = (i: Int) => rows(Seq(s"a$i" -> 30, s"b$i" -> 28, s"c$i" -> 26,
+      "spread" -> 30) ++ (1 to 6).map(j => s"f$i$j" -> 1))
+    (1 to 3).foreach(i =>
+      SketchSidecar.appendBatch(mk(i).toDF("id", "key"), cfg))
+    val served = SketchSidecar
+      .servedHeavyHitters(spark, cfg.sidecarPath, phi = 0.25)
+      .select("key").as[String].collect().toSeq
+    assert(served === Seq("spread"),
+      s"only 'spread' holds 25% of the whole corpus: $served")
+  }
+
+  test("heavy-hitter columns are absent when heavyKeyExpr is unset, and " +
+      "serving from such a sidecar fails loudly") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_nohh").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id")
+    SketchSidecar.appendBatch(
+      (1L to 10L).map(i => (i, s"k$i")).toDF("id", "key"), cfg)
+    val cols = spark.read.parquet(cfg.sidecarPath).columns.toSet
+    assert(!cols.contains("cms") && !cols.contains("topk"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SketchSidecar.servedHeavyHitters(spark, cfg.sidecarPath, 0.1)
+        .collect()
+    }
+  }
+}
