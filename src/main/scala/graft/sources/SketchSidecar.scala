@@ -222,6 +222,85 @@ object SketchSidecar {
       org.apache.spark.sql.Encoders.BINARY
   }
 
+  /** Row-merge compaction: collapse every appended batch row into ONE
+    * merged row, so serve cost stays O(1) no matter how many batches the
+    * corpus has seen — the file-level `compactEvery` pass bounds FILE
+    * count; this bounds ROW count. Atomic via the same staged
+    * [[Compaction.swapInto]] rename every sidecar rewrite uses; safe to
+    * run on any cadence (weekly/monthly), and appends keep landing
+    * next to the merged row afterwards.
+    *
+    * Exactness ledger, per merged component:
+    *   - `n`: exact sum;
+    *   - `hll`: register-max union — associative, so the merged-row
+    *     estimate is IDENTICAL to serving the unmerged rows;
+    *   - `cms` (when present): cell-wise addition — associative,
+    *     estimates identical to the unmerged serve;
+    *   - `topk` (when present): the candidate union re-priced against
+    *     the merged CMS, top `topK` kept by estimate. Completeness
+    *     survives: a φ-heavy key's estimate ≥ its true count ≥ φ·N, and
+    *     at most 1/(φ−cmsEps) keys can estimate ≥ φ·N (each over-counts
+    *     by ≤ cmsEps·N), so `topK ≥ 1/(φ−cmsEps)` keeps every φ-heavy
+    *     key servable after any number of compactions;
+    *   - `qs`: the merged point-mass distribution re-summarized to K
+    *     equi-depth boundaries — adds AT MOST 1/K rank error per
+    *     compaction GENERATION (re-bucketing granularity). Compact on a
+    *     coarse cadence and the ledger stays far inside the serve
+    *     contract; the generation count is the operator's dial, not a
+    *     hidden constant.
+    *
+    * Driver state: the K+1 merged boundaries and the ≤ topK candidate
+    * rows (collected to assemble the single output row) — bounded
+    * metadata, the centroid-sidecar convention.
+    */
+  def compactRows(spark: SparkSession, cfg: Cfg): Unit = {
+    val rows = spark.read.parquet(cfg.sidecarPath)
+    if (rows.limit(2).count() < 2) return // nothing to merge
+    val k = cfg.numBuckets
+    val hasCms = rows.columns.contains("cms")
+    // merged boundaries: the served quantiles at j/K over the point-mass
+    // merge (K+1 bounded values). p=0 is served as the global minimum
+    // anchor (qs[0] of the row whose minimum is smallest — approximated
+    // by the smallest stored boundary, exact for the anchor's purpose).
+    val probs = (1 to k).map(_.toDouble / k)
+    val served = servedQuantiles(spark, cfg.sidecarPath, probs)
+      .orderBy(col("p")).select(col("value"))
+      .collect().map(_.getDouble(0))
+    val minAnchor = rows.select(min(element_at(col("qs"), 1)))
+      .collect().head.getDouble(0)
+    val mergedQs = minAnchor +: served
+    val baseAggs = Seq(sum(col("n")).as("n"),
+      hll_union_agg(col("hll")).as("hll"))
+    val aggs = if (hasCms) baseAggs :+ {
+      val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+      cmsMerge(col("cms")).as("cms")
+    } else baseAggs
+    val mergedRow = rows.agg(aggs.head, aggs.tail: _*)
+      .withColumn("qs", typedlit(mergedQs.toSeq))
+    val withTop = if (hasCms) {
+      // candidate union re-priced by the merged sketch, topK kept
+      val top = servedHeavyHitters(spark, cfg.sidecarPath, phi = 1e-12)
+        .orderBy(col("est").desc, col("key")).limit(cfg.topK)
+        .select(col("key"), col("est").as("cnt"))
+        .agg(collect_list(struct(col("key"), col("cnt"))).as("topk"))
+      mergedRow.crossJoin(top)
+    } else mergedRow
+    val out = withTop
+      .withColumn("k", lit(k))
+      .withColumn("accuracy", lit(cfg.accuracy))
+      .withColumn("lgk", lit(cfg.lgConfigK))
+      .coalesce(1)
+      // sever lineage from the files the swap below replaces
+      .localCheckpoint(true)
+    try {
+      val dir = new java.io.File(cfg.sidecarPath)
+      val staging = Compaction.stagingDir(dir, "rowmerge")
+      if (staging.exists()) Compaction.rm(staging)
+      out.write.mode("overwrite").parquet(staging.toString)
+      Compaction.swapInto(cfg.sidecarPath, staging.toString)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
+  }
+
   /** Corpus heavy hitters served from the sidecar: every key whose
     * estimated corpus count reaches `phi`·N, with its estimate and the
     * corpus total. Returns (key, est, total), heaviest first.

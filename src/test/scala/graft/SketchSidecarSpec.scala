@@ -81,6 +81,63 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
       s"only 'spread' holds 25% of the whole corpus: $served")
   }
 
+  test("compactRows: many batch rows merge to one; HLL and CMS serve " +
+      "IDENTICALLY, quantiles stay within one extra 1/K of rank, appends " +
+      "keep landing afterwards") {
+    val cfg = freshCfg()
+    val rnd = new scala.util.Random(11)
+    var id = 0L
+    def batch(hotShare: Int): Seq[(Long, String, Long)] =
+      (1 to 100).map { _ =>
+        id += 1
+        val key = if (rnd.nextInt(100) < hotShare) "hot"
+          else s"k${rnd.nextInt(40)}"
+        (id, key, rnd.nextInt(1000).toLong)
+      }
+    val hhCfg = cfg.copy(distinctExpr = "id", valueExpr = "v")
+    val batches = (1 to 6).map(_ => batch(40))
+    batches.foreach(b =>
+      SketchSidecar.appendBatch(b.toDF("id", "key", "v"), hhCfg))
+    def dist() = SketchSidecar.servedDistinct(spark, cfg.sidecarPath)
+      .collect().head.getLong(1)
+    def hh() = SketchSidecar
+      .servedHeavyHitters(spark, cfg.sidecarPath, 0.2)
+      .select("key", "est").as[(String, Long)].collect().toSeq
+    def p50() = SketchSidecar
+      .servedQuantiles(spark, cfg.sidecarPath, Seq(0.5))
+      .collect().head.getDouble(1)
+    val (dBefore, hhBefore, p50Before) = (dist(), hh(), p50())
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 6)
+    SketchSidecar.compactRows(spark, hhCfg)
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 1,
+      "six rows must merge to one")
+    // associative register/cell merges: estimates are exactly equal
+    assert(dist() === dBefore)
+    assert(hh() === hhBefore)
+    // re-bucketing adds at most 1/K of rank: verify realized rank of the
+    // new p50 against the raw values
+    val values = batches.flatten.map(_._3.toDouble).sorted
+    val n = values.length
+    val v = p50()
+    val lt = values.count(_ < v); val le = values.count(_ <= v)
+    val err = math.max(0.0,
+      math.max((lt + 1).toDouble / n - 0.5, 0.5 - le.toDouble / n)) -
+      1.0 / n
+    val bound = 3.0 / hhCfg.numBuckets + 1.0 / hhCfg.accuracy + 1e-9
+    assert(err <= bound, s"p50 $v (was $p50Before) rank excess $err")
+    // the loop continues: a fresh append lands NEXT to the merged row
+    // and both contribute to the serve
+    SketchSidecar.appendBatch(
+      (1 to 50).map(i => (10000L + i, "newkey", 5000L))
+        .toDF("id", "key", "v"), hhCfg)
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 2)
+    assert(dist() > dBefore, "new ids must register")
+    val hhAfter = SketchSidecar
+      .servedHeavyHitters(spark, cfg.sidecarPath, 0.05)
+      .select("key").as[String].collect().toSet
+    assert(hhAfter.contains("newkey") && hhAfter.contains("hot"))
+  }
+
   test("heavy-hitter columns are absent when heavyKeyExpr is unset, and " +
       "serving from such a sidecar fails loudly") {
     val cfg = SketchSidecar.Cfg(
