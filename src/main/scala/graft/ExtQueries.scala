@@ -70,6 +70,29 @@ object ExtQueries {
     path.toString
   }
 
+  /** The q_bloom_gate fixture: an exact-key membership index over the
+    * TEXT of docs with `doc_id % 5 ≠ 0`, ingested as two batches. The
+    * filter is deliberately TIGHT (64k bits vs thousands of keys) so
+    * bloom false positives actually occur and the confirm join earns
+    * its keep — the gate result stays exact regardless, which is why
+    * this row can carry a full DuckDB oracle.
+    */
+  private def bloomIndexFor(s: SparkSession, d: String)
+      : graft.sources.BloomKeyIndex.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_bloom_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(path)
+    val cfg = graft.sources.BloomKeyIndex.Cfg(path.toString,
+      keyExpr = "text", expectedItems = 65536L, numBits = 65536L)
+    Seq(Seq(1, 2), Seq(3, 4)).foreach { mods =>
+      graft.sources.BloomKeyIndex.appendBatch(
+        docs(s, d).filter(pmod(col("doc_id"), lit(5)).isin(mods: _*)),
+        cfg)
+    }
+    cfg
+  }
+
   /** The q_heavy_hitters fixture: the events table replayed as 5 ingest
     * batches (pmod on user_id), each appending a sidecar row with CMS +
     * exact top-k over `event_type`. Rebuilt per call like
@@ -451,6 +474,22 @@ object ExtQueries {
           col("max_rank_err_excess") <=
             lit(2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9))
         .where(col("meets_floor"))
+    }),
+
+    // exact-key membership gate (URL-level exact dedup at scale): the
+    // arriving batch (doc_id % 5 = 0) is gated against the indexed
+    // corpus — bloom routes (definitely-new rows never join), the
+    // pruned keys table confirms the suspect minority, and because the
+    // route-then-confirm plan is EXACT the whole gate carries a full
+    // DuckDB oracle (NOT EXISTS over the same split), false positives
+    // and all
+    "q_bloom_gate" -> ((s, d) => {
+      val cfg = bloomIndexFor(s, d)
+      graft.sources.BloomKeyIndex.novelRows(
+          docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+            .select(col("doc_id"), col("text")),
+          cfg)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     // heavy hitters from the same per-batch sidecar discipline: each
@@ -2378,6 +2417,15 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
+    // exact novelty of the arriving batch vs the indexed corpus text —
+    // NOT EXISTS (null-safe like the gate: a null text never equals, so
+    // null-keyed rows stay novel on both engines)
+    "q_bloom_gate" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 5 <> 0 AND c.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
     "q_exact_quantiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,

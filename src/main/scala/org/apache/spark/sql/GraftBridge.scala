@@ -37,6 +37,19 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** `bloom_filter_agg` as a Column: the aggregate exists in Catalyst
+    * (it backs the optimizer's runtime DPP/join filters) but is only in
+    * the INTERNAL function registry, not the SQL one — same shim rule as
+    * the converters above. `child` must be a LongType key (xxhash64).
+    */
+  def bloomFilterAgg(child: Column, estimatedItems: Long,
+                     numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(child),
+        catalyst.expressions.Literal(estimatedItems),
+        catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
   /** Drain the async listener bus (`listenerBus` is `private[spark]`) —
     * lets a spec read listener-collected metrics (e.g. job counts)
     * deterministically right after an action returns.
