@@ -197,6 +197,23 @@ object CorpusPipeline {
     * sidecars BEFORE the MinHash gate append (crash-retry repeats it —
     * idempotent for the HLL union, bounded double-weight for quantiles —
     * rather than skipping it).
+    *
+    * `exactKeys`: when set, an EXACT-key membership gate
+    * ([[graft.sources.BloomKeyIndex.novelRows]] — bloom-routed,
+    * key-table-confirmed, exact) runs FIRST, before any quality gate:
+    * an exact re-delivery (same URL / same bytes) is the cheapest
+    * possible drop, and killing it up front spares every downstream
+    * gate — model scoring included — the work. Survivors' keys append
+    * AFTER the MinHash gate commit, deliberately the opposite side of
+    * the commit from every other sidecar: this gate can SWALLOW a
+    * retried batch outright, so keys committed before the MinHash
+    * signatures would turn a crash between the two into a permanent
+    * near-dup blind spot (batch in the corpus, signatures nowhere).
+    * On this side the failure degrades benignly instead — a crash
+    * after the MinHash commit but before the keys append leaves rows
+    * whose exact re-deliveries miss the CHEAP gate and fall through to
+    * the MinHash gate, which drops an identical text at any threshold
+    * ≤ 1.0 anyway.
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,
@@ -209,10 +226,16 @@ object CorpusPipeline {
                      dsir: Option[DsirGate] = None,
                      lrq: Option[LrGate] = None,
                      indexCompactEvery: Int = 0,
-                     sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
+                     sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
+                     exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None)
       : Long = {
+    val exactGated = exactKeys match {
+      case Some(cfg) => graft.sources.BloomKeyIndex.novelRows(batch, cfg)
+      case None => batch
+    }
     val heuristicGated =
-      if (gates.isEmpty) batch else CorpusFilter.keep(batch, gates)
+      if (gates.isEmpty) exactGated
+      else CorpusFilter.keep(exactGated, gates)
     // statistical-LM gate after the cheap heuristics: only docs that
     // cleared the narrow gates pay the bigram-stream joins
     val lmGated = lm match {
@@ -384,6 +407,12 @@ object CorpusPipeline {
           }
         } else
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
+        // exact-key index LAST, after the MinHash commit — the one
+        // sidecar whose premature commit could make a retry skip the
+        // gate chain entirely (see the exactKeys parameter doc)
+        exactKeys.foreach { cfg =>
+          graft.sources.BloomKeyIndex.appendBatch(survivors, cfg)
+        }
       }
       appended
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(survivors)
@@ -419,7 +448,8 @@ class CorpusPipeline(
     dsirMinLogw: Double = Double.NegativeInfinity,
     lrModelPath: Option[String] = None,
     lrMinP: Double = 0.0,
-    sketch: Option[graft.sources.SketchSidecar.Cfg] = None) {
+    sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
+    exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
@@ -459,7 +489,7 @@ class CorpusPipeline(
       indexPath, idCol, textCol, threshold, gates,
       benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
       dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery,
-      sketch = sketch)
+      sketch = sketch, exactKeys = exactKeys)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

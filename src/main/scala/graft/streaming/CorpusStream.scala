@@ -35,7 +35,8 @@ object CorpusStream {
             lrq: Option[CorpusPipeline.LrGate] = None,
             drift: Option[DriftMonitor.Gate] = None,
             indexCompactEvery: Int = 0,
-            sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
+            sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
+            exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -75,7 +76,7 @@ object CorpusStream {
         if (!quarantined)
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
-            ann, lm, sq, dsir, lrq, indexCompactEvery, sketch)
+            ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys)
         ()
       }
       .start()
@@ -166,7 +167,8 @@ object CorpusStream {
                           lrq: Option[CorpusPipeline.LrGate] = None,
                           indexCompactEvery: Int = 0,
                           maxBatches: Int = Int.MaxValue,
-                          sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
+                          sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
+                          exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -226,7 +228,7 @@ object CorpusStream {
             admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
               indexPath, idCol, textCol, threshold, gates, benchmark,
               contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
-              sketch)
+              sketch, exactKeys)
             true
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)

@@ -890,6 +890,39 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(files <= 2, s"expected compacted sidecar, got $files files")
   }
 
+  test("exact-key gate in the corpus loop: re-delivered texts die at the " +
+      "cheap gate, near-dups still die at the MinHash gate, keys commit " +
+      "after the signatures") {
+    import graft.sources.BloomKeyIndex
+    val dir = Files.createTempDirectory("corpus_exact_gate")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val keys = Some(BloomKeyIndex.Cfg(dir.resolve("keys").toString,
+      keyExpr = "text", expectedItems = 4096L, numBits = 32768L))
+    val b1 = Seq((1L, base), (2L, fresh2)).toDF("doc_id", "text")
+    assert(CorpusPipeline.dedupAndAppend(b1, corpus, idx, "doc_id",
+      "text", 0.8, exactKeys = keys) === 2L)
+    // batch 2: an EXACT re-delivery (new id, same bytes → exact gate),
+    // a NEAR-dup (one word off → passes the exact gate, dies at the
+    // MinHash gate), and a fresh doc
+    val b2 = Seq((10L, base), (11L, nearDup),
+      (12L, "entirely new content about streaming watermarks and " +
+        "stateful aggregation in distributed query engines today"))
+      .toDF("doc_id", "text")
+    assert(CorpusPipeline.dedupAndAppend(b2, corpus, idx, "doc_id",
+      "text", 0.8, exactKeys = keys) === 1L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 12L))
+    // every admitted doc's key is indexed (commit ordering: keys land
+    // last, so admitted size == keys size after a clean run)
+    assert(spark.read.parquet(s"${keys.get.indexPath}/keys").count() === 3L)
+    // a replay of batch 2 (the crash-retry shape) admits nothing and
+    // appends no keys twice
+    assert(CorpusPipeline.dedupAndAppend(b2, corpus, idx, "doc_id",
+      "text", 0.8, exactKeys = keys) === 0L)
+    assert(spark.read.parquet(s"${keys.get.indexPath}/keys").count() === 3L)
+  }
+
   test("quarantine triage: MIXED legacy/tagged queue — legacy rows fold " +
       "into the -1 batch, tags survive, batches stay separate") {
     import graft.streaming.CorpusStream
