@@ -35,6 +35,9 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(","))} matched no " +
+        "bench query — a typo would otherwise measure an empty suite")
     // one warm-up pass (JIT + codegen cache) on the cheapest query
     try run(names.head) catch { case _: Throwable => () }
     // TWO full passes over the suite, reporting the per-query MIN. The host

@@ -409,9 +409,15 @@ object CorpusPipeline {
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
         // exact-key index LAST, after the MinHash commit — the one
         // sidecar whose premature commit could make a retry skip the
-        // gate chain entirely (see the exactKeys parameter doc)
+        // gate chain entirely (see the exactKeys parameter doc). Its
+        // bloom rows are re-merged on EVERY gate call, so the row-merge
+        // cadence is this sidecar's serve-cost bound, not just file
+        // hygiene.
         exactKeys.foreach { cfg =>
           graft.sources.BloomKeyIndex.appendBatch(survivors, cfg)
+          maybeCompact(cfg.indexPath, cfg.compactEvery) {
+            graft.sources.BloomKeyIndex.compactRows(spark, cfg)
+          }
         }
       }
       appended

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Exact-key membership gate at corpus scale — the EXACT-dedup
   * complement to the MinHash near-dup index: "has this URL / content
-  * hash EVER been ingested", answered without shuffling the corpus.
+  * key EVER been ingested", answered without shuffling the corpus.
   *
   * Two sidecars per index, both append-per-batch like every other gate
   * state:
@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *     insertion is one narrow aggregation; the serialized form is
   *     `util.sketch.BloomFilter`, merged executor-side by bitwise OR —
   *     associative and EXACT, so row-merge compaction loses nothing);
-  *   - `keys/` — the 8-byte key hashes themselves, partitioned by
-  *     `kp = khash mod 256` so the exact-confirm pass prunes to the
-  *     partitions a batch actually touches.
+  *   - `keys/` — (hash, key) rows partitioned by `kp = khash mod 256`
+  *     so the exact-confirm pass prunes to the partitions a batch
+  *     actually touches. The KEY ITSELF is stored next to its 8-byte
+  *     hash and the confirm join matches on BOTH — a 64-bit hash
+  *     collision (a near-certainty somewhere in a multi-billion-key
+  *     corpus) therefore costs one extra compared row, never a wrongly
+  *     dropped document.
   *
   * The gate ([[novelRows]]) is EXACT, not probabilistic: the Bloom
   * filter only routes. Definitely-new rows (filter says "never seen" —
@@ -24,9 +28,9 @@ import org.apache.spark.sql.functions._
   * suspect minority (true dups + the fpp sliver of novel rows) is
   * confirmed against the keys table with a broadcast semi-join over the
   * pruned `kp` partitions — the corpus-sized side is SCANNED (pruned,
-  * 8-byte rows), never shuffled. Steady-state cost: one broadcast of
-  * the merged filter + a pruned scan proportional to the suspect
-  * partitions, with zero false drops and zero false admits.
+  * hash + key bytes per row), never shuffled. Steady-state cost: one
+  * broadcast of the merged filter + a pruned scan proportional to the
+  * suspect partitions, with zero false drops and zero false admits.
   *
   * Scale ledger: the merged filter is `numBits/8` bytes on the driver
   * and each executor (default 32 MB ≈ 4M keys at ~1% fpp; size it to
@@ -35,7 +39,10 @@ import org.apache.spark.sql.functions._
   * partitioning already gives). The suspect set is assumed
   * batch-bounded (mostly-novel batches — the corpus-builder steady
   * state); a batch of pure duplicates degrades to a full batch-side
-  * broadcast, which is still batch-sized.
+  * broadcast, which is still batch-sized. Set `compactEvery` so the
+  * bloom sidecar row-merges on a cadence — the merged filter is
+  * re-assembled from the stored rows on every gate call, so the row
+  * count is the serve cost.
   *
   * Null keys hash to null, are skipped by the filter aggregation and
   * the keys append, and are kept as novel by the gate — the
@@ -45,16 +52,20 @@ import org.apache.spark.sql.functions._
 object BloomKeyIndex {
 
   /** @param keyExpr SQL expression for the exact identity (e.g. "url",
-    *   "text", "xxhash64(content)"); hashed to 8 bytes via xxhash64
+    *   "text"); compared as a string, routed by its xxhash64
     * @param expectedItems sizing for EACH per-batch filter; fpp of the
     *   MERGED filter is governed by total inserted keys vs `numBits`
     * @param numBits filter width in bits (driver/executor footprint of
     *   the merged filter = numBits/8 bytes)
+    * @param compactEvery when > 0 and the index is driven by
+    *   [[graft.ingest.CorpusPipeline]], every N-th append row-merges the
+    *   bloom sidecar and compacts the keys leaves ([[compactRows]])
     */
   case class Cfg(indexPath: String, keyExpr: String,
                  expectedItems: Long = 4000000L,
                  numBits: Long = 33554432L,
-                 keyPartitions: Int = 256) {
+                 keyPartitions: Int = 256,
+                 compactEvery: Int = 0) {
     require(expectedItems > 0 && numBits > 0 && keyPartitions > 0)
     private[sources] def bloomPath = s"$indexPath/bloom"
     private[sources] def keysPath = s"$indexPath/keys"
@@ -63,25 +74,32 @@ object BloomKeyIndex {
   private def khash(cfg: Cfg) =
     xxhash64(expr(cfg.keyExpr).cast("string"))
 
-  /** Append one batch: its key hashes into the partitioned keys table,
-    * then its Bloom row. Ordering mirrors the corpus loop's gate
-    * discipline — the bloom row is the ROUTER, the keys table the
-    * truth: a crash between the two leaves keys indexed but not yet
-    * bloom-routed, and such keys are simply re-confirmable (a false
-    * "suspect" costs a join row; a bloom row WITHOUT keys could admit a
-    * duplicate, so the keys commit first).
+  /** Append one batch: its (hash, key) rows into the partitioned keys
+    * table, then its Bloom row — ONE evaluation of the batch (pinned),
+    * two writes. Ordering mirrors the corpus loop's gate discipline —
+    * the bloom row is the ROUTER, the keys table the truth: a crash
+    * between the two leaves keys indexed but not yet bloom-routed, and
+    * such keys are simply re-confirmable (a false "suspect" costs a
+    * join row; a bloom row WITHOUT keys could admit a duplicate, so the
+    * keys commit first).
     */
   def appendBatch(batch: DataFrame, cfg: Cfg): Unit = {
-    val keyed = batch.select(khash(cfg).as("khash"))
+    val keyed = batch
+      .select(khash(cfg).as("khash"),
+        expr(cfg.keyExpr).cast("string").as("key"))
       .where(col("khash").isNotNull).distinct()
-    keyed
-      .withColumn("kp", pmod(col("khash"), lit(cfg.keyPartitions)))
-      .write.mode("append").partitionBy("kp").parquet(cfg.keysPath)
-    keyed.agg(count(lit(1)).as("n"),
-        org.apache.spark.sql.GraftBridge.bloomFilterAgg(col("khash"),
-          cfg.expectedItems, cfg.numBits).as("bloom"))
-      .coalesce(1)
-      .write.mode("append").parquet(cfg.bloomPath)
+      // both writes read this frame; pin once, release after
+      .localCheckpoint(true)
+    try {
+      keyed
+        .withColumn("kp", pmod(col("khash"), lit(cfg.keyPartitions)))
+        .write.mode("append").partitionBy("kp").parquet(cfg.keysPath)
+      keyed.agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.GraftBridge.bloomFilterAgg(col("khash"),
+            cfg.expectedItems, cfg.numBits).as("bloom"))
+        .coalesce(1)
+        .write.mode("append").parquet(cfg.bloomPath)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keyed)
   }
 
   /** Executor-side OR-merge of serialized filters (the [[SketchSidecar]]
@@ -147,43 +165,53 @@ object BloomKeyIndex {
   /** Batch rows whose key has NEVER been ingested — exact (see the
     * class doc for the route-then-confirm plan). Returns the batch's
     * own columns, novel rows only.
+    *
+    * The returned frame is a PLAN, not a materialization — nothing is
+    * pinned, so the gate leaks no checkpoint blocks across the
+    * thousands of batches of a streaming loop (the broadcast filter is
+    * reclaimed by the context cleaner once the plan is dropped). The
+    * cost of that stance: the batch expression is evaluated more than
+    * once (route twice + the bounded kp collect), so a caller whose
+    * batch is EXPENSIVE or non-deterministic upstream should pin it
+    * first — the corpus loop's batches are deterministic scans, and its
+    * `survivors` checkpoint severs this plan before any index append
+    * can invalidate the files it reads.
     */
   def novelRows(batch: DataFrame, cfg: Cfg): DataFrame = {
     val spark = batch.sparkSession
-    val withHash = batch.withColumn("__kh", khash(cfg))
+    val withHash = batch
+      .withColumn("__kh", khash(cfg))
+      .withColumn("__key", expr(cfg.keyExpr).cast("string"))
     mergedFilter(spark, cfg) match {
-      case None => withHash.drop("__kh") // empty index: everything novel
+      case None => withHash.drop("__kh", "__key") // empty index
       case Some(bytes) =>
         val probe = new Probe(spark.sparkContext.broadcast(bytes))
         val might = udf((kh: java.lang.Long) => probe.might(kh))
         val routed = withHash.withColumn("__might", might(col("__kh")))
-          // the suspect minority re-routes through the exact confirm; the
-          // routed frame is read twice (novel + suspects), so pin it
-          .localCheckpoint(true)
-        try {
-          val suspects = routed.where(col("__might"))
-          val suspectHashes = suspects.select(col("__kh").as("khash"))
-            .distinct()
-          // bounded metadata: ≤ keyPartitions ints — turns the confirm
-          // scan's partition filter into literals (static pruning)
-          val kps = suspectHashes
-            .select(pmod(col("khash"), lit(cfg.keyPartitions)).as("kp"))
-            .distinct().collect().map(_.getLong(0))
-          val seen =
-            if (kps.isEmpty) suspectHashes.limit(0)
-            else spark.read.parquet(cfg.keysPath)
-              .where(col("kp").isin(kps: _*))
-              .join(broadcast(suspectHashes), Seq("khash"), "left_semi")
-              .select(col("khash"))
-          val novelSuspects = suspects
-            .join(broadcast(seen.withColumnRenamed("khash", "__kh")),
-              Seq("__kh"), "left_anti")
-          routed.where(!col("__might")).unionByName(novelSuspects)
-            .drop("__kh", "__might")
-            // materialize before releasing the checkpointed input
-            .localCheckpoint(true)
-        } finally
-          org.apache.spark.sql.GraftBridge.unpersistCheckpoint(routed)
+        val suspects = routed.where(col("__might"))
+        val suspectKeys = suspects
+          .select(col("__kh").as("khash"), col("__key").as("key"))
+          .distinct()
+        // bounded metadata: ≤ keyPartitions ints — turns the confirm
+        // scan's partition filter into literals (static pruning)
+        val kps = suspectKeys
+          .select(pmod(col("khash"), lit(cfg.keyPartitions)).as("kp"))
+          .distinct().collect().map(_.getLong(0))
+        // confirm on hash AND key — a colliding hash alone must not
+        // condemn a different key
+        val seen =
+          if (kps.isEmpty) suspectKeys.limit(0)
+          else spark.read.parquet(cfg.keysPath)
+            .where(col("kp").isin(kps: _*))
+            .join(broadcast(suspectKeys), Seq("khash", "key"), "left_semi")
+            .select(col("khash"), col("key"))
+        val novelSuspects = suspects
+          .join(broadcast(seen
+              .withColumnRenamed("khash", "__kh")
+              .withColumnRenamed("key", "__key")),
+            Seq("__kh", "__key"), "left_anti")
+        routed.where(!col("__might")).unionByName(novelSuspects)
+          .drop("__kh", "__key", "__might")
     }
   }
 

@@ -266,9 +266,14 @@ object SketchSidecar {
     val served = servedQuantiles(spark, cfg.sidecarPath, probs)
       .orderBy(col("p")).select(col("value"))
       .collect().map(_.getDouble(0))
-    val minAnchor = rows.select(min(element_at(col("qs"), 1)))
-      .collect().head.getDouble(0)
-    val mergedQs = minAnchor +: served
+    // a sidecar whose every row carries null qs (all-null valueExpr
+    // batches) merges to a null summary, not an NPE — the serve side
+    // already filters null qs rows
+    val minAnchorRow = rows.select(min(element_at(col("qs"), 1)))
+      .collect().head
+    val mergedQs: Option[Seq[Double]] =
+      if (served.isEmpty || minAnchorRow.isNullAt(0)) None
+      else Some(minAnchorRow.getDouble(0) +: served.toSeq)
     val baseAggs = Seq(sum(col("n")).as("n"),
       hll_union_agg(col("hll")).as("hll"))
     val aggs = if (hasCms) baseAggs :+ {
@@ -276,7 +281,8 @@ object SketchSidecar {
       cmsMerge(col("cms")).as("cms")
     } else baseAggs
     val mergedRow = rows.agg(aggs.head, aggs.tail: _*)
-      .withColumn("qs", typedlit(mergedQs.toSeq))
+      .withColumn("qs", mergedQs.map(q => typedlit(q))
+        .getOrElse(lit(null).cast("array<double>")))
     val withTop = if (hasCms) {
       // candidate union re-priced by the merged sketch, topK kept
       val top = servedHeavyHitters(spark, cfg.sidecarPath, phi = 1e-12)

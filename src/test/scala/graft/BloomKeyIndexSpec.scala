@@ -49,12 +49,13 @@ class BloomKeyIndexSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("the confirm scan is partition-pruned to the suspects' kp values " +
-      "and keys are stored 8 bytes/row") {
+      "and confirms on hash AND key (a colliding hash alone cannot " +
+      "condemn a different key)") {
     val cfg = cfgAt(Files.createTempDirectory("bloom_prune"))
     BloomKeyIndex.appendBatch(
       (1 to 500).map(i => (i.toLong, s"u$i")).toDF("id", "url"), cfg)
     val keys = spark.read.parquet(s"${cfg.indexPath}/keys")
-    assert(keys.columns.toSet === Set("khash", "kp"))
+    assert(keys.columns.toSet === Set("khash", "key", "kp"))
     assert(keys.count() === 500)
     // one re-delivered key → suspects hit exactly one kp partition; the
     // literal IN filter must reach the scan as a PartitionFilter
@@ -64,15 +65,38 @@ class BloomKeyIndexSpec extends AnyFunSuite with SparkFixture {
     val kp = java.lang.Math.floorMod(hash, 256L)
     val plan = {
       // replicate the gate's confirm subplan shape to inspect the scan
-      val suspects = Seq(hash).toDF("khash")
+      val suspects = Seq((hash, "u7")).toDF("khash", "key")
       spark.read.parquet(s"${cfg.indexPath}/keys")
         .where(col("kp").isin(kp))
-        .join(broadcast(suspects), Seq("khash"), "left_semi")
+        .join(broadcast(suspects), Seq("khash", "key"), "left_semi")
         .queryExecution.executedPlan.toString
     }
     assert(plan.contains("PartitionFilters") && plan.contains("kp"),
       s"expected kp partition pruning in:\n$plan")
     assert(BloomKeyIndex.novelRows(one, cfg).count() === 0)
+    // collision safety, simulated end to end: plant an index state in
+    // which "other-url"'s HASH is both bloom-routed and present in the
+    // keys table — but attached to a DIFFERENT key (the state a real
+    // 64-bit collision would produce). The (hash, key) confirm must
+    // keep "other-url" novel; a hash-only confirm would silently drop
+    // it.
+    val hash2 = Seq("other-url").toDF("url")
+      .select(xxhash64(col("url").cast("string"))).as[Long].collect().head
+    spark.createDataFrame(Seq((hash2, "not-other-url")))
+      .toDF("khash", "key")
+      .withColumn("kp", pmod(col("khash"), lit(256)))
+      .write.mode("append").partitionBy("kp")
+      .parquet(s"${cfg.indexPath}/keys")
+    Seq(hash2).toDF("khash")
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.GraftBridge.bloomFilterAgg(col("khash"),
+          10000L, 65536L).as("bloom"))
+      .coalesce(1).write.mode("append")
+      .parquet(s"${cfg.indexPath}/bloom")
+    val probe = Seq((1L, "other-url")).toDF("id", "url")
+    assert(BloomKeyIndex.novelRows(probe, cfg)
+      .select("id").as[Long].collect().toSeq === Seq(1L),
+      "a colliding hash with a different key must stay novel")
   }
 
   test("compactRows: bloom rows OR-merge losslessly to one; keys leaves " +

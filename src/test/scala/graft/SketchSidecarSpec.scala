@@ -138,6 +138,24 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     assert(hhAfter.contains("newkey") && hhAfter.contains("hot"))
   }
 
+  test("compactRows survives a sidecar whose rows all carry null " +
+      "quantile summaries (all-null valueExpr batches)") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_nullqs").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "v")
+    val nullV = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "v")
+    SketchSidecar.appendBatch(nullV, cfg)
+    SketchSidecar.appendBatch(nullV, cfg)
+    SketchSidecar.compactRows(spark, cfg) // must not NPE
+    val row = spark.read.parquet(cfg.sidecarPath)
+    assert(row.count() === 1)
+    assert(row.select("qs").collect().head.isNullAt(0))
+    // distinct serving still works off the merged row
+    assert(SketchSidecar.servedDistinct(spark, cfg.sidecarPath)
+      .collect().head.getLong(1) === 2L)
+  }
+
   test("heavy-hitter columns are absent when heavyKeyExpr is unset, and " +
       "serving from such a sidecar fails loudly") {
     val cfg = SketchSidecar.Cfg(
