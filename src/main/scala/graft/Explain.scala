@@ -21,7 +21,11 @@ object Explain {
       // round 9 headliners: correlated semi+anti pair, grouping sets,
       // filtered ANN, the span rewrite, DSIR scoring, retrieval eval
       "q21_sole_blame", "q15_top_supplier", "ann_ivf_filtered",
-      "dedup_span_removal", "dsir_weights", "q_rank_eval")
+      "dedup_span_removal", "dsir_weights", "q_rank_eval",
+      // round 14: sidecar serving paths (merged sketch / CMS pricing /
+      // bloom route-confirm with kp pruning) and the hash-once dedup
+      "q_sketch_sidecar", "q_heavy_hitters", "q_bloom_gate",
+      "mm_dhash_dedup_indexed")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

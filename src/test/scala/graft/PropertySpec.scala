@@ -91,6 +91,36 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("hammingJoin64 equals brute force on random signature clouds at " +
+      "every radius tier (0, 3, 7, 11, 15)") {
+    import graft.operators.Dedup
+    // clustered cloud: base points plus mutations at mixed distances, so
+    // every tier has matches and non-matches
+    val rnd = new scala.util.Random(31L)
+    val bases = Seq.fill(6)(rnd.nextLong())
+    def mutate(h: Long, flips: Int): Long = {
+      var x = h
+      rnd.shuffle((0 until 64).toList).take(flips)
+        .foreach(b => x ^= 1L << b)
+      x
+    }
+    val left = (0 until 30).map(i =>
+      (i.toLong, mutate(bases(i % bases.size), rnd.nextInt(10))))
+    val right = (0 until 30).map(i =>
+      (1000L + i, mutate(bases(i % bases.size), rnd.nextInt(10))))
+    val lDf = left.toDF("lid", "h")
+    val rDf = right.toDF("rid", "h")
+    for (r <- Seq(0, 3, 7, 11, 15)) {
+      val got = Dedup.hammingJoin64(lDf, "lid", rDf, "rid", "h", r)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (li, lh) <- left; (ri, rh) <- right
+        if java.lang.Long.bitCount(lh ^ rh) <= r
+      } yield (li, ri)).toSet
+      assert(got === want, s"radius $r: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("DSIR: n_feats = tokens − 1 for every scored doc; weights stable " +
       "under repartitioning") {
     import graft.operators.Dsir
