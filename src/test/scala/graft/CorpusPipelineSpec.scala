@@ -424,6 +424,47 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(corpus).count() === 2)
   }
 
+  test("streaming corpus maintains the sketch sidecar and exact-key " +
+      "index per micro-batch") {
+    import graft.streaming.CorpusStream
+    import graft.sources.{BloomKeyIndex, SketchSidecar}
+    val dir = Files.createTempDirectory("corpus_stream_sidecars")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val sk = Some(SketchSidecar.Cfg(dir.resolve("sketch").toString,
+      distinctExpr = "doc_id", valueExpr = "length(text)"))
+    val keys = Some(BloomKeyIndex.Cfg(dir.resolve("keys").toString,
+      keyExpr = "text", expectedItems = 4096L, numBits = 32768L))
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def runOnce(): Unit = {
+      val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+        sketch = sk, exactKeys = keys)
+      q.awaitTermination()
+    }
+    Seq((1L, base), (2L, fresh2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    runOnce()
+    // wave 2: exact re-delivery (new id, same text → the exact gate) +
+    // one fresh doc
+    Seq((3L, base), (4L, "fresh wave about columnar file formats and " +
+        "vectorized execution pipelines in modern analytic engines"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L))
+    // one sketch row per ADMITTED micro-batch, covering survivors only
+    val ns = spark.read.parquet(sk.get.sidecarPath).select("n")
+      .as[Long].collect().sorted.toSeq
+    assert(ns === Seq(1L, 2L))
+    assert(SketchSidecar.servedDistinct(spark, sk.get.sidecarPath)
+      .collect().head.getLong(1) === 3L)
+    // the exact-key index holds exactly the admitted texts
+    assert(spark.read.parquet(s"${keys.get.indexPath}/keys")
+      .count() === 3L)
+  }
+
   test("drift gate quarantines a JS-shifted micro-batch; in-distribution " +
       "batches land; metrics log both decisions") {
     import graft.streaming.{CorpusStream, DriftMonitor}
