@@ -137,6 +137,37 @@ object ExtQueries {
     cfg
   }
 
+  /** The q_kmv_overlap fixture: two corpus snapshots of the orders
+    * table — A = orderkeys with `o_orderkey % 10 < 6`, B = `% 10 >= 4`
+    * (true Jaccard ≈ 2/10 on the sequential key space) — each ingested
+    * as 2 sidecar batches carrying a KMV bottom-k sketch. The overlap
+    * question (how much of B is already in A) is then served from the
+    * two O(k) sidecars alone, the 100 TB dataset-versioning /
+    * contamination-pricing path.
+    */
+  private def kmvSidecarsFor(s: SparkSession, d: String)
+      : (graft.sources.SketchSidecar.Cfg, graft.sources.SketchSidecar.Cfg) = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_kmv_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(base)
+    val orders = Tables.load(s, d, "orders")
+    def cfgFor(sub: String) = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(base, sub).toString,
+      distinctExpr = "o_orderkey", valueExpr = "o_totalprice",
+      kmvKeyExpr = Some("o_orderkey"), kmvK = 1024)
+    val (cfgA, cfgB) = (cfgFor("a"), cfgFor("b"))
+    (0 until 2).foreach { b =>
+      graft.sources.SketchSidecar.appendBatch(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) < 6 &&
+          pmod(col("o_orderkey"), lit(2)) === b), cfgA)
+      graft.sources.SketchSidecar.appendBatch(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) >= 4 &&
+          pmod(col("o_orderkey"), lit(2)) === b), cfgB)
+    }
+    (cfgA, cfgB)
+  }
+
   /** Recall of `approx` against ground-truth `truth` on key columns `keys`,
     * as a 1-row frame (found, total, recall, meets_floor) — puts the
     * approximate family's quality into the driver-visible correctness
@@ -545,6 +576,67 @@ object ExtQueries {
           col("max_over") <= col("total") * cfg.cmsEps &&
           col("heavy_found") === col("heavy_true") &&
           col("served_sound") === col("served_n"))
+        .where(col("meets_floor"))
+    }),
+
+    // dataset-overlap estimation from two KMV sidecars — the set
+    // INTERSECTION question HLL registers cannot answer: Jaccard,
+    // intersection and union of two corpus snapshots priced from two
+    // O(k) sketches, never a scan of either side. Rows-only (estimates
+    // are engine-defined); the _gap twin enforces every bound against
+    // the exact answer. Deterministic: xxhash64 + a fixed merge order
+    "q_kmv_overlap" -> ((s, d) => {
+      val (cfgA, cfgB) = kmvSidecarsFor(s, d)
+      graft.sources.SketchSidecar
+        .servedOverlap(s, cfgA.sidecarPath, cfgB.sidecarPath)
+        .select(round(col("a_est"), 4).as("a_est"),
+          round(col("b_est"), 4).as("b_est"),
+          round(col("union_est"), 4).as("union_est"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("inter_est"), 4).as("inter_est"))
+    }),
+
+    // the KMV error contract, machine-enforced (one row or loudly
+    // zero): per-set and union distinct estimates within 3.5σ of the
+    // exact counts (rse = 1/√(k−2); exact-regime sketches pass at 0),
+    // the Jaccard estimate within 3.5·0.5/√k absolute of the true
+    // Jaccard (ρ is a mean of k Bernoulli(J) indicators, std ≤ 0.5/√k),
+    // and the intersection estimate within the two bounds composed
+    // (inter = ρ·U_est, so |err|/U ≤ jaccard bound + rel bound)
+    "q_kmv_overlap_gap" -> ((s, d) => {
+      val (cfgA, cfgB) = kmvSidecarsFor(s, d)
+      val k = cfgA.kmvK
+      val relBound = 3.5 / math.sqrt((k - 2).toDouble)
+      val jBound = 3.5 * 0.5 / math.sqrt(k.toDouble)
+      val served = graft.sources.SketchSidecar
+        .servedOverlap(s, cfgA.sidecarPath, cfgB.sidecarPath)
+      val m = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(10)).as("m"))
+      val exact = m.agg(
+        countDistinct(when(col("m") < 6, col("o_orderkey"))).as("na"),
+        countDistinct(when(col("m") >= 4, col("o_orderkey"))).as("nb"),
+        countDistinct(when(col("m").between(4, 5), col("o_orderkey")))
+          .as("ni"),
+        countDistinct(col("o_orderkey")).as("nu"))
+      served.crossJoin(exact)
+        .select(
+          round(abs(col("a_est") - col("na")) / col("na"), 6)
+            .as("a_rel_err"),
+          round(abs(col("b_est") - col("nb")) / col("nb"), 6)
+            .as("b_rel_err"),
+          round(abs(col("union_est") - col("nu")) / col("nu"), 6)
+            .as("union_rel_err"),
+          round(abs(col("jaccard") - col("ni") / col("nu").cast("double")),
+            6).as("jaccard_abs_err"),
+          round(abs(col("inter_est") - col("ni")) / col("nu"), 6)
+            .as("inter_err_vs_union"))
+        .withColumn("meets_floor",
+          col("a_rel_err") <= relBound &&
+          col("b_rel_err") <= relBound &&
+          col("union_rel_err") <= relBound &&
+          col("jaccard_abs_err") <= jBound &&
+          col("inter_err_vs_union") <= jBound + relBound)
         .where(col("meets_floor"))
     }),
 
@@ -1787,6 +1879,34 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "id"))
     }),
 
+    // the INCREMENTAL closure: the same pair set arrives as 3 ingest
+    // batches, each folded into a persisted label store (star edges ∪
+    // new pairs — O(batch) work per day, convergence bounded by the
+    // batch's path length, never the historical graph's diameter). The
+    // final store must equal the one-shot closure EXACTLY, so it hashes
+    // against the same recursive-CTE oracle as dedup_components
+    "dedup_components_incremental" -> ((s, d) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_label_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Compaction.rm(path)
+      // one pair computation, sliced into 3 deterministic arrival batches
+      // (the eager form materializes the O(duplicates)-small pair set so
+      // the three updates don't re-run the quadratic verify)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          Seq(col("lang"), floor(col("n_chars") / 64)), n = 3,
+          threshold = 0.5)
+        .localCheckpoint(true)
+      try {
+        (0 until 3).foreach { b =>
+          Components.updateLabelStore(s, path.toString,
+            pairs.where(pmod(col("id_b"), lit(3)) === b), "id_a", "id_b")
+        }
+        s.read.parquet(path.toString)
+          .transform(Queries.presentSorted(_, "id"))
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
+    }),
+
     // transitive corpus cleaning — ONE survivor (min doc_id) per connected
     // component of the MinHash near-dup graph, vs dedup_clean_corpus's
     // greedy drop-right-side (which over-keeps on star-shaped clusters
@@ -2415,6 +2535,39 @@ object ExtQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared by `dedup_components` and `dedup_components_incremental`:
+    * both must produce the labels of the transitive closure over the
+    * ngram-Jaccard pair set, so both hash against one recursive-CTE twin.
+    */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, n_chars // 64 AS nb,
+      |         string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, lang, nb,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(tk) - 2, 0)),
+      |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS ngrams
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a, t b
+      |  WHERE a.doc_id < b.doc_id AND a.lang = b.lang AND a.nb = b.nb
+      |    AND len(list_distinct(list_concat(a.ngrams, b.ngrams))) > 0
+      |    AND CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION
+      |  SELECT id_b AS s, id_a AS d FROM pairs),
+      |reach AS (
+      |  SELECT s AS id, d AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+      |SELECT id, least(min(r), id) AS component FROM reach
+      |GROUP BY id ORDER BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
     // exact novelty of the arriving batch vs the indexed corpus text —
@@ -2825,34 +2978,11 @@ object ExtQueries {
     // min reachable id per node — a node in a ≥2-cluster always reaches
     // itself through any neighbor, so min over reach ∪ {id} is exactly the
     // component minimum)
-    "dedup_components" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, n_chars // 64 AS nb,
-        |         string_split_regex(lower(trim(text)), '\s+') AS tk
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, lang, nb,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(len(tk) - 2, 0)),
-        |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS ngrams
-        |  FROM toks),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a, t b
-        |  WHERE a.doc_id < b.doc_id AND a.lang = b.lang AND a.nb = b.nb
-        |    AND len(list_distinct(list_concat(a.ngrams, b.ngrams))) > 0
-        |    AND CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS s, id_b AS d FROM pairs
-        |  UNION
-        |  SELECT id_b AS s, id_a AS d FROM pairs),
-        |reach AS (
-        |  SELECT s AS id, d AS r FROM edges
-        |  UNION
-        |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
-        |SELECT id, least(min(r), id) AS component FROM reach
-        |GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_components" -> componentsOracleSql,
+    // the incremental label store must land on the SAME labels as the
+    // one-shot closure over every pair ever seen — so it shares the
+    // one-shot row's oracle verbatim (set equality enforced by hash)
+    "dedup_components_incremental" -> componentsOracleSql,
     // tf-idf twin: identical tokenization to text_repetition's, identical
     // smoothing, ranking on the 6-decimal-ROUNDED score with the token as
     // tie-break (both engines order strings by binary collation)

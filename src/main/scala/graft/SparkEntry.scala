@@ -78,5 +78,9 @@ object SparkEntry {
     // hashes with zero decodes, so the min-of-passes number IS the
     // amortized steady-state cost next to mm_dhash_dedup's per-run
     // decode cost
-    "mm_dhash_dedup_indexed")
+    "mm_dhash_dedup_indexed",
+    // round 14: the KMV set-operation sketch — 4 per-batch bottom-k
+    // aggregations over orders (the typed-Aggregator ingest path whose
+    // throughput is the 100 TB cost) + the O(k) overlap serve
+    "q_kmv_overlap")
 }

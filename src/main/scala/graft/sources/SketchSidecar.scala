@@ -81,6 +81,19 @@ object SketchSidecar {
     *   average), and within that batch fewer than 1/φ keys can strictly
     *   out-count it — so `topK ≥ ⌈1/φ⌉` guarantees every φ-heavy key
     *   enters some batch's candidate list. Serve with φ ≥ 1/topK.
+    * @param kmvKeyExpr when set, each batch row additionally carries a
+    *   KMV (bottom-k / K-Minimum-Values) sketch over this key
+    *   expression — the SET-OPERATION sketch HLL registers cannot be:
+    *   two corpora's KMV sidecars answer "how much do these datasets
+    *   OVERLAP" ([[servedOverlap]] — Jaccard, intersection and union
+    *   estimates) without scanning either corpus. The 100 TB use case
+    *   is dataset versioning and contamination pricing: overlap between
+    *   yesterday's and today's corpus snapshot, or between a candidate
+    *   crawl and the training set, from two O(k) sidecars.
+    * @param kmvK sketch size: the k smallest distinct `xxhash64` values
+    *   are kept. Distinct-estimate rse ≈ 1/sqrt(k−2); Jaccard-estimate
+    *   std ≤ 0.5/sqrt(k). A sketch holding fewer than k values is EXACT
+    *   (it contains every distinct hash seen).
     */
   case class Cfg(sidecarPath: String, distinctExpr: String,
                  valueExpr: String, lgConfigK: Int = 12,
@@ -88,7 +101,8 @@ object SketchSidecar {
                  compactEvery: Int = 0,
                  heavyKeyExpr: Option[String] = None,
                  cmsEps: Double = 0.001, cmsConfidence: Double = 0.999,
-                 cmsSeed: Int = 42, topK: Int = 32) {
+                 cmsSeed: Int = 42, topK: Int = 32,
+                 kmvKeyExpr: Option[String] = None, kmvK: Int = 1024) {
     require(lgConfigK >= 4 && lgConfigK <= 21, s"lgConfigK=$lgConfigK")
     require(numBuckets >= 2, s"numBuckets=$numBuckets")
     require(accuracy >= 100, s"accuracy=$accuracy")
@@ -96,6 +110,7 @@ object SketchSidecar {
     require(cmsConfidence > 0.0 && cmsConfidence < 1.0,
       s"cmsConfidence=$cmsConfidence")
     require(topK >= 1, s"topK=$topK")
+    require(kmvK >= 16, s"kmvK=$kmvK")
   }
 
   /** One narrow aggregation over the batch → one appended sidecar row
@@ -111,11 +126,18 @@ object SketchSidecar {
       hll_sketch_agg(expr(cfg.distinctExpr), cfg.lgConfigK).as("hll"),
       percentile_approx(expr(cfg.valueExpr).cast("double"), probs,
         lit(cfg.accuracy)).as("qs"))
-    val aggs = cfg.heavyKeyExpr match {
+    val cmsAggs = cfg.heavyKeyExpr match {
       case Some(ke) => baseAggs :+
         count_min_sketch(expr(ke).cast("string"), lit(cfg.cmsEps),
           lit(cfg.cmsConfidence), lit(cfg.cmsSeed)).as("cms")
       case None => baseAggs
+    }
+    val aggs = cfg.kmvKeyExpr match {
+      case Some(ke) =>
+        val kmvAgg = udaf(new KmvAgg(cfg.kmvK),
+          org.apache.spark.sql.Encoders.scalaLong)
+        cmsAggs :+ kmvAgg(xxhash64(expr(ke))).as("kmv")
+      case None => cmsAggs
     }
     val row = batch.agg(aggs.head, aggs.tail: _*)
     val withTop = cfg.heavyKeyExpr match {
@@ -132,10 +154,13 @@ object SketchSidecar {
         row.crossJoin(top)
       case None => row
     }
-    withTop
+    val withCfgCols = withTop
       .withColumn("k", lit(k))
       .withColumn("accuracy", lit(cfg.accuracy))
       .withColumn("lgk", lit(cfg.lgConfigK))
+    (if (cfg.kmvKeyExpr.isDefined)
+       withCfgCols.withColumn("kmvk", lit(cfg.kmvK))
+     else withCfgCols)
       .coalesce(1)
       .write.mode("append").parquet(cfg.sidecarPath)
   }
@@ -194,6 +219,173 @@ object SketchSidecar {
       .orderBy(col("p"))
   }
 
+  // ---------------------------------------------------------------------
+  // KMV (bottom-k) sketch: the k smallest DISTINCT xxhash64 values of a
+  // set, kept sorted in unsigned order. Union of sketches = merge-and-cap
+  // (associative, commutative, idempotent — safe under crash-retry
+  // re-appends, like the HLL registers). Beyond distinct counts it
+  // estimates set INTERSECTIONS: for h in the union sketch K_U,
+  // θ_U ≤ θ_A, so h ∈ A implies h ∈ KMV(A) — membership of union-sketch
+  // values in the per-set sketches is EXACT, making
+  // ρ = |K_U ∩ KMV(A) ∩ KMV(B)| / |K_U| a textbook Jaccard estimator
+  // (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+  // Multiset Operations", SIGMOD'07). All helpers below are pure and
+  // driver-safe: every array is ≤ k longs (bounded metadata).
+  // ---------------------------------------------------------------------
+
+  /** Unsigned 64-bit hash mapped to a fraction in [0, 1). */
+  private[graft] def unsignedFrac(h: Long): Double = {
+    val twoTo64 = 1.8446744073709552e19
+    val u = h.toDouble + (if (h < 0) twoTo64 else 0.0)
+    u / twoTo64
+  }
+
+  /** Insert `h` into the sorted-unsigned distinct array `buf`, capped at
+    * `k`. O(1) rejection once the sketch is full (probability k/i for
+    * the i-th distinct value — accepted inserts collapse fast).
+    */
+  private[graft] def kmvInsert(buf: Array[Long], h: Long,
+                                 k: Int): Array[Long] = {
+    if (buf.length == k &&
+        java.lang.Long.compareUnsigned(h, buf(k - 1)) >= 0) return buf
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.lang.Long.compareUnsigned(buf(mid), h) < 0) lo = mid + 1
+      else hi = mid
+    }
+    if (lo < buf.length && buf(lo) == h) return buf // already present
+    val outLen = math.min(buf.length + 1, k)
+    val out = new Array[Long](outLen)
+    System.arraycopy(buf, 0, out, 0, lo)
+    out(lo) = h
+    System.arraycopy(buf, lo, out, lo + 1, outLen - lo - 1)
+    out
+  }
+
+  /** Union of two sketches: merge the sorted distinct arrays, keep the k
+    * smallest. Associative and idempotent.
+    */
+  private[graft] def kmvMergeArrays(a: Array[Long], b: Array[Long],
+                                      k: Int): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val take =
+        if (i >= a.length) { j += 1; b(j - 1) }
+        else if (j >= b.length) { i += 1; a(i - 1) }
+        else {
+          val c = java.lang.Long.compareUnsigned(a(i), b(j))
+          if (c < 0) { i += 1; a(i - 1) }
+          else if (c > 0) { j += 1; b(j - 1) }
+          else { i += 1; j += 1; a(i - 1) }
+        }
+      out(n) = take; n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Distinct-count estimate: EXACT when the sketch is not full (it then
+    * holds every distinct hash seen); (k−1)/θ_k otherwise, the unbiased
+    * KMV estimator with rse ≈ 1/sqrt(k−2).
+    */
+  private[graft] def kmvEstimate(kmv: Array[Long], k: Int): Double =
+    if (kmv.length < k) kmv.length.toDouble
+    else (k - 1).toDouble / math.max(unsignedFrac(kmv(k - 1)), 1e-18)
+
+  /** One-pass bottom-k aggregator over xxhash64 values. The buffer is a
+    * plain sorted long array (≤ k entries); partial merges happen on
+    * executors, serialization only at exchange boundaries.
+    */
+  private class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], h: Long): Array[Long] = kmvInsert(buf, h, k)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      kmvMergeArrays(a, b, k)
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The sidecar's rows merged to one sketch: explode → distinct → k
+    * smallest (unsigned order via the sign-bit flip, so a plain SQL sort
+    * works) → collect. Bounded: ≤ #batches·k rows enter the sort, ≤ k
+    * longs reach the driver — the centroid-sidecar convention. Returns
+    * the merged array and the rows' common `kmvk` (a mixed-k sidecar
+    * fails loudly: sketches of different k are not union-comparable).
+    */
+  private def mergedKmv(spark: SparkSession,
+                        sidecarPath: String): (Array[Long], Int) = {
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("kmv"),
+      s"sidecar at $sidecarPath carries no KMV sketch (set Cfg.kmvKeyExpr)")
+    val ks = rows.where(col("kmv").isNotNull)
+      .select(col("kmvk")).distinct().collect().map(_.getInt(0))
+    require(ks.length == 1,
+      s"mixed kmvK in sidecar at $sidecarPath: ${ks.mkString(",")}")
+    val k = ks.head
+    val merged = rows.where(col("kmv").isNotNull)
+      .select(explode(col("kmv")).as("h")).distinct()
+      .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)))
+      .limit(k)
+      .collect().map(_.getLong(0))
+    (merged, k)
+  }
+
+  /** Merged KMV distinct-count estimate over every appended batch — the
+    * bottom-k analog of [[servedDistinct]], same O(#batches) serve cost,
+    * rse ≈ 1/sqrt(kmvK−2). One row `(batches, distinct_estimate)`.
+    */
+  def servedKmvDistinct(spark: SparkSession,
+                        sidecarPath: String): DataFrame = {
+    val (kmv, k) = mergedKmv(spark, sidecarPath)
+    val batches = spark.read.parquet(sidecarPath).count()
+    import spark.implicits._
+    Seq((batches, kmvEstimate(kmv, k)))
+      .toDF("batches", "distinct_estimate")
+  }
+
+  /** Dataset-overlap estimates from two KMV sidecars — the question two
+    * 100 TB corpora cannot afford to answer by scanning: how much does
+    * corpus B overlap corpus A (snapshot-to-snapshot drift, crawl-vs-
+    * training-set contamination)? Serve cost is O(#batches·k) with k
+    * longs of driver state per side; the corpora are never touched.
+    *
+    * One row: `(a_est, b_est, union_est, jaccard, inter_est)`.
+    * Estimator: K_U = the k smallest of KMV(A) ∪ KMV(B) (a valid KMV of
+    * A ∪ B by associativity); every h ∈ K_U satisfies h ≤ θ_U ≤ θ_A, so
+    * h ∈ A ⇔ h ∈ KMV(A) — membership is exact, and
+    * ρ = |K_U ∩ KMV(A) ∩ KMV(B)|/|K_U| estimates Jaccard with
+    * std ≤ 0.5/sqrt(k); `inter_est` = ρ · `union_est`. When the union
+    * sketch is not full every estimate is EXACT (both sketches then hold
+    * every distinct hash of their sets). Both sidecars must share one
+    * `kmvK` (unequal-k sketches are not union-comparable — fails
+    * loudly).
+    */
+  def servedOverlap(spark: SparkSession, sidecarPathA: String,
+                    sidecarPathB: String): DataFrame = {
+    val (a, ka) = mergedKmv(spark, sidecarPathA)
+    val (b, kb) = mergedKmv(spark, sidecarPathB)
+    require(ka == kb, s"kmvK mismatch: $ka vs $kb — sketches of " +
+      "different k are not union-comparable")
+    val k = ka
+    val u = kmvMergeArrays(a, b, k)
+    val aSet = a.toSet
+    val bSet = b.toSet
+    val inBoth = u.count(h => aSet.contains(h) && bSet.contains(h))
+    val jaccard = if (u.isEmpty) 1.0 else inBoth.toDouble / u.length
+    val unionEst = kmvEstimate(u, k)
+    import spark.implicits._
+    Seq((kmvEstimate(a, k), kmvEstimate(b, k), unionEst, jaccard,
+        jaccard * unionEst))
+      .toDF("a_est", "b_est", "union_est", "jaccard", "inter_est")
+  }
+
   /** Distributive Count-Min merge: cell-wise addition of the serialized
     * sketches, run as a real Spark `Aggregator` so partial merges happen
     * on executors (tree shape), never as a driver loop over rows. The
@@ -247,7 +439,11 @@ object SketchSidecar {
     *     compaction GENERATION (re-bucketing granularity). Compact on a
     *     coarse cadence and the ledger stays far inside the serve
     *     contract; the generation count is the operator's dial, not a
-    *     hidden constant.
+    *     hidden constant;
+    *   - `kmv` (when present): bottom-k union — associative, the merged
+    *     row's sketch is IDENTICAL to merging the unmerged rows, so
+    *     every distinct/overlap estimate survives any number of
+    *     compactions bit-for-bit.
     *
     * Driver state: the K+1 merged boundaries and the ≤ topK candidate
     * rows (collected to assemble the single output row) — bounded
@@ -291,7 +487,13 @@ object SketchSidecar {
         .agg(collect_list(struct(col("key"), col("cnt"))).as("topk"))
       mergedRow.crossJoin(top)
     } else mergedRow
-    val out = withTop
+    // bottom-k union is associative: the merged row serves identically
+    val withKmv = if (rows.columns.contains("kmv")) {
+      val (kmvArr, kmvK) = mergedKmv(spark, cfg.sidecarPath)
+      withTop.withColumn("kmv", typedlit(kmvArr.toSeq))
+        .withColumn("kmvk", lit(kmvK))
+    } else withTop
+    val out = withKmv
       .withColumn("k", lit(k))
       .withColumn("accuracy", lit(cfg.accuracy))
       .withColumn("lgk", lit(cfg.lgConfigK))

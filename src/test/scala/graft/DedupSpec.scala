@@ -264,6 +264,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(comp.count() === 7)
   }
 
+  test("incremental label store: per-batch updates equal the one-shot " +
+      "closure, converge under an iteration budget the one-shot form " +
+      "BLOWS, merge prior components, and retry idempotently") {
+    import graft.operators.Components
+    val path = java.nio.file.Files.createTempDirectory("label_store")
+      .resolve("labels").toString
+    // a 30-edge chain 1-2-...-31 delivered as 6 batches of 5 edges:
+    // one-shot min-label propagation needs ~30 rounds (label 1 travels
+    // one hop per round), the star-folded incremental form needs ≤ ~7
+    // per batch — so maxIters = 8 separates them structurally
+    val chain = (1L to 30L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Components.connectedComponents(
+        chain.toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
+    }
+    chain.grouped(5).foreach { batch =>
+      Components.updateLabelStore(spark, path,
+        batch.toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
+    }
+    val got = spark.read.parquet(path).as[(Long, Long)].collect().toMap
+    assert(got === (1L to 31L).map(_ -> 1L).toMap,
+      "incremental labels must equal the full closure")
+    // a later batch MERGES two previously-final components (100-cluster
+    // joins the 1-chain through one bridge edge)
+    Components.updateLabelStore(spark, path,
+      Seq((100L, 101L), (101L, 102L)).toDF("id_a", "id_b"),
+      "id_a", "id_b", maxIters = 8)
+    Components.updateLabelStore(spark, path,
+      Seq((31L, 100L)).toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
+    val merged = spark.read.parquet(path).as[(Long, Long)].collect().toMap
+    assert(merged(102L) === 1L && merged(100L) === 1L,
+      s"bridge edge must relabel the absorbed component: $merged")
+    // crash-retry: replaying the last batch is a no-op (same partition)
+    Components.updateLabelStore(spark, path,
+      Seq((31L, 100L)).toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
+    assert(spark.read.parquet(path).as[(Long, Long)].collect().toMap
+      === merged)
+  }
+
   test("transitive cleaning: one survivor per component where greedy keeps two") {
     import graft.operators.Components
     // star-shaped cluster: 1~3 and 2~3 verified, but the 1~2 edge is

@@ -170,4 +170,137 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
         .collect()
     }
   }
+
+  // ---- KMV bottom-k: the set-operation face of the sidecar ----
+
+  test("kmv helpers: unsigned order, dedup, cap, and merge " +
+      "associativity/idempotence (negative longs sort HIGH)") {
+    val k = 4
+    // -1L is the LARGEST unsigned value: it must be evicted first
+    var buf = Array.emptyLongArray
+    Seq(5L, -1L, 3L, 3L, 7L, 1L).foreach(h =>
+      buf = SketchSidecar.kmvInsert(buf, h, k))
+    assert(buf.toSeq === Seq(1L, 3L, 5L, 7L),
+      s"expected the 4 smallest unsigned values, got ${buf.toSeq}")
+    // insert below the max evicts the max
+    buf = SketchSidecar.kmvInsert(buf, 2L, k)
+    assert(buf.toSeq === Seq(1L, 2L, 3L, 5L))
+    // merge: associative, commutative, idempotent
+    val a = Array(1L, 3L, 9L)
+    val b = Array(2L, 3L, -5L) // -5 unsigned-huge
+    val ab = SketchSidecar.kmvMergeArrays(a, b, k)
+    assert(ab.toSeq === Seq(1L, 2L, 3L, 9L))
+    assert(SketchSidecar.kmvMergeArrays(b, a, k).toSeq === ab.toSeq)
+    assert(SketchSidecar.kmvMergeArrays(ab, ab, k).toSeq === ab.toSeq)
+    val c = Array(4L, 5L)
+    val left = SketchSidecar.kmvMergeArrays(
+      SketchSidecar.kmvMergeArrays(a, b, k), c, k)
+    val right = SketchSidecar.kmvMergeArrays(
+      a, SketchSidecar.kmvMergeArrays(b, c, k), k)
+    assert(left.toSeq === right.toSeq)
+    // estimate: exact below k, (k-1)/theta at k
+    assert(SketchSidecar.kmvEstimate(Array(1L, 2L), k) === 2.0)
+    val full = Array(1L, 2L, 3L, Long.MaxValue) // theta ~ 0.5
+    val est = SketchSidecar.kmvEstimate(full, k)
+    assert(math.abs(est - 6.0) < 0.01, s"(k-1)/0.5 = 6, got $est")
+  }
+
+  test("kmv exact regime: sketches below k answer overlap EXACTLY") {
+    def mk(name: String, ids: Seq[Long], batches: Int) = {
+      val cfg = SketchSidecar.Cfg(
+        Files.createTempDirectory(s"kmv_$name").resolve("sc").toString,
+        distinctExpr = "id", valueExpr = "id",
+        kmvKeyExpr = Some("id"), kmvK = 1024)
+      ids.grouped(math.max(1, ids.length / batches)).foreach(g =>
+        SketchSidecar.appendBatch(g.map(Tuple1(_)).toDF("id"), cfg))
+      cfg
+    }
+    // |A|=300, |B|=300, overlap 100 → union 500, J = 0.2
+    val cfgA = mk("a", 1L to 300L, 3)
+    val cfgB = mk("b", 201L to 500L, 2)
+    val row = SketchSidecar
+      .servedOverlap(spark, cfgA.sidecarPath, cfgB.sidecarPath)
+      .collect().head
+    assert(row.getDouble(0) === 300.0) // a_est
+    assert(row.getDouble(1) === 300.0) // b_est
+    assert(row.getDouble(2) === 500.0) // union_est
+    assert(row.getDouble(3) === 0.2)   // jaccard
+    assert(row.getDouble(4) === 100.0) // inter_est
+    // distinct serve agrees
+    assert(SketchSidecar.servedKmvDistinct(spark, cfgA.sidecarPath)
+      .collect().head.getDouble(1) === 300.0)
+  }
+
+  test("kmv full regime: 20k-element sets with planted overlap stay " +
+      "within the 3.5-sigma bounds at k=512") {
+    val k = 512
+    def mk(name: String, ids: Seq[Long]) = {
+      val cfg = SketchSidecar.Cfg(
+        Files.createTempDirectory(s"kmvf_$name").resolve("sc").toString,
+        distinctExpr = "id", valueExpr = "id",
+        kmvKeyExpr = Some("id"), kmvK = k)
+      ids.grouped(7000).foreach(g =>
+        SketchSidecar.appendBatch(g.map(Tuple1(_)).toDF("id"), cfg))
+      cfg
+    }
+    // A = 1..20000, B = 15001..35000: union 35000, inter 5000, J = 1/7
+    val cfgA = mk("a", 1L to 20000L)
+    val cfgB = mk("b", 15001L to 35000L)
+    val row = SketchSidecar
+      .servedOverlap(spark, cfgA.sidecarPath, cfgB.sidecarPath)
+      .collect().head
+    val relBound = 3.5 / math.sqrt((k - 2).toDouble)
+    val jBound = 3.5 * 0.5 / math.sqrt(k.toDouble)
+    assert(math.abs(row.getDouble(0) - 20000) / 20000.0 <= relBound)
+    assert(math.abs(row.getDouble(1) - 20000) / 20000.0 <= relBound)
+    assert(math.abs(row.getDouble(2) - 35000) / 35000.0 <= relBound)
+    assert(math.abs(row.getDouble(3) - 1.0 / 7) <= jBound,
+      s"jaccard ${row.getDouble(3)} vs ${1.0 / 7}")
+    assert(math.abs(row.getDouble(4) - 5000) / 35000.0 <=
+      jBound + relBound)
+  }
+
+  test("kmv: compactRows merges rows to one with BIT-IDENTICAL serves, " +
+      "mixed-k sidecars and kmv-less sidecars fail loudly") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("kmv_compact").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id",
+      kmvKeyExpr = Some("id"), kmvK = 64)
+    (0 until 4).foreach(b => SketchSidecar.appendBatch(
+      (1L to 1000L).filter(_ % 4 == b).map(Tuple1(_)).toDF("id"), cfg))
+    val other = cfg.copy(sidecarPath =
+      Files.createTempDirectory("kmv_other").resolve("sc").toString)
+    SketchSidecar.appendBatch(
+      (500L to 1500L).map(Tuple1(_)).toDF("id"), other)
+    def overlap() = SketchSidecar
+      .servedOverlap(spark, cfg.sidecarPath, other.sidecarPath)
+      .collect().head.toSeq
+    val before = overlap()
+    SketchSidecar.compactRows(spark, cfg)
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 1)
+    assert(overlap() === before,
+      "bottom-k union is associative: the merged row must serve " +
+        "bit-identically")
+    // appends keep landing and registering after the row-merge
+    SketchSidecar.appendBatch(
+      (2000L to 2200L).map(Tuple1(_)).toDF("id"), cfg)
+    assert(SketchSidecar.servedKmvDistinct(spark, cfg.sidecarPath)
+      .collect().head.getDouble(1) > before.head.asInstanceOf[Double])
+    // mixed kmvK: not union-comparable, must throw
+    val mixed = cfg.copy(kmvK = 128)
+    SketchSidecar.appendBatch(
+      (1L to 10L).map(Tuple1(_)).toDF("id"), mixed)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedKmvDistinct(spark, cfg.sidecarPath).collect()
+    }
+    // a sidecar without kmv serves distinct/quantiles but not overlap
+    val noKmv = SketchSidecar.Cfg(
+      Files.createTempDirectory("kmv_none").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id")
+    SketchSidecar.appendBatch(
+      (1L to 10L).map(Tuple1(_)).toDF("id"), noKmv)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedKmvDistinct(spark, noKmv.sidecarPath).collect()
+    }
+  }
 }
