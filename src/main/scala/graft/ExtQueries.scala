@@ -168,6 +168,24 @@ object ExtQueries {
     (cfgA, cfgB)
   }
 
+  /** The q_emb_drift fixture: an IVF index frozen over the corpus slice
+    * (`vec_id % 5 ≠ 0`) with its cell-occupancy sidecar — the embedding-
+    * space reference the drift monitor scores batches against. Seed
+    * centroids (kmeansIters = 0) keep the cell space bit-deterministic,
+    * the emb_semdedup convention; nlist = 8 for a finer histogram than
+    * the serving fixtures need.
+    */
+  private def embDriftIndexFor(s: SparkSession, d: String): String = {
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_emb_drift_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    Similarity.writeIvfIndex(
+      embs(s, d).filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      "vec_id", "embedding", idx, nlist = 8, kmeansIters = 0)
+    graft.operators.Divergence.writeCellOccupancy(s, idx)
+    idx
+  }
+
   /** Recall of `approx` against ground-truth `truth` on key columns `keys`,
     * as a 1-row frame (found, total, recall, meets_floor) — puts the
     * approximate family's quality into the driver-visible correctness
@@ -637,6 +655,52 @@ object ExtQueries {
           col("union_rel_err") <= relBound &&
           col("jaccard_abs_err") <= jBound &&
           col("inter_err_vs_union") <= jBound + relBound)
+        .where(col("meets_floor"))
+    }),
+
+    // embedding-space drift against the frozen IVF index: the batch's
+    // vectors are assigned to the index's Voronoi cells (the same narrow
+    // argmax every IVF write uses) and the cell histogram is scored
+    // against the frozen occupancy sidecar with the same smoothed KL/JS
+    // math as the token monitor — the drift a token distribution can't
+    // see (embedding model version bump, out-of-domain cluster that is
+    // textually unremarkable). Per-batch cost: one narrow batch scan +
+    // a join of two <= nlist-row frames. Rows-only (cell space is
+    // engine-defined); the _gap twin below enforces discrimination
+    "q_emb_drift" -> ((s, d) => {
+      val idx = embDriftIndexFor(s, d)
+      graft.operators.Divergence.embeddingDivergenceAgainstIndex(
+        embs(s, d).filter(pmod(col("vec_id"), lit(5)) === 0),
+        "embedding", idx)
+    }),
+
+    // the monitor's discrimination contract, machine-enforced (one row
+    // or loudly zero): an IN-DISTRIBUTION batch (a disjoint split of the
+    // same corpus the index froze) must score materially LOWER than a
+    // genuinely shifted one (the same batch under a MEAN SHIFT — +0.5 on
+    // one dimension, the canonical "embedding model version changed"
+    // signature, which biases every dot product toward centroids strong
+    // in that dimension and skews the cell histogram). A monitor that
+    // can't separate those two is an alarm that never fires or never
+    // stops firing
+    "q_emb_drift_gap" -> ((s, d) => {
+      val idx = embDriftIndexFor(s, d)
+      val batch = embs(s, d).filter(pmod(col("vec_id"), lit(5)) === 0)
+      val shifted = batch.withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x)))
+      val jsIn = graft.operators.Divergence
+        .embeddingDivergenceAgainstIndex(batch, "embedding", idx)
+        .select(col("js").as("js_in"))
+      val jsShift = graft.operators.Divergence
+        .embeddingDivergenceAgainstIndex(shifted, "embedding", idx)
+        .select(col("js").as("js_shifted"))
+      jsIn.crossJoin(jsShift)
+        .withColumn("margin",
+          round(col("js_shifted") - col("js_in"), 6))
+        .withColumn("meets_floor",
+          col("js_shifted") >= col("js_in") * 2.0 &&
+          col("js_in") <= 0.1)
         .where(col("meets_floor"))
     }),
 

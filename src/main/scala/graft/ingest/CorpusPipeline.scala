@@ -190,13 +190,15 @@ object CorpusPipeline {
     * untouched.
     *
     * `sketch`: when set, every admitted batch also appends one mergeable
-    * sketch row (HLL registers + equi-depth quantile summary,
-    * [[graft.sources.SketchSidecar]]) so corpus-level distinct counts
-    * and value quantiles are served by merging O(#batches) sidecar rows
-    * instead of re-scanning the corpus. Runs with the other monitoring
-    * sidecars BEFORE the MinHash gate append (crash-retry repeats it —
-    * idempotent for the HLL union, bounded double-weight for quantiles —
-    * rather than skipping it).
+    * sketch row (HLL registers + equi-depth quantile summary, optional
+    * Count-Min heavy hitters and KMV bottom-k set sketch,
+    * [[graft.sources.SketchSidecar]]) so corpus-level distinct counts,
+    * value quantiles, dominant keys and snapshot-overlap questions are
+    * served by merging O(#batches) sidecar rows instead of re-scanning
+    * the corpus. Runs with the other monitoring sidecars BEFORE the
+    * MinHash gate append (crash-retry repeats it — idempotent for the
+    * HLL/KMV unions, bounded double-weight for quantiles — rather than
+    * skipping it).
     *
     * `exactKeys`: when set, an EXACT-key membership gate
     * ([[graft.sources.BloomKeyIndex.novelRows]] — bloom-routed,

@@ -98,6 +98,60 @@ object Divergence {
     divergenceOf(joined)
   }
 
+  /** Freeze the EMBEDDING-space reference for drift monitoring: the cell
+    * occupancy histogram of an IVF index (one count per centroid cell —
+    * nlist rows, bounded like the centroid sidecar itself). Written once
+    * per index (re)build from a column-pruned grouped count; REWRITE it
+    * after [[Similarity.reclusterIvfIndex]] (new centroids ⇒ new cell
+    * space — the sidecar rides through the swap by copy but prices the
+    * OLD partition of the space until refreshed).
+    */
+  def writeCellOccupancy(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$indexPath/data")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDir = if (fs.exists(hp)) s"$indexPath/data"
+      else s"$indexPath/codes"
+    spark.read.parquet(cellDir)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("c"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/cell_occupancy")
+  }
+
+  /** Embedding-space drift of a batch against a frozen IVF index — the
+    * vector-modality companion to [[divergenceAgainstReference]]: token
+    * distributions miss a drift that is textually unremarkable (a new
+    * embedding model version, an out-of-domain content cluster, a
+    * modality shift), but such a batch LANDS DIFFERENTLY on the index's
+    * Voronoi cells. Each batch vector is assigned to its nearest
+    * centroid (the same narrow in-row argmax every IVF write/append
+    * uses — centroids are literal, nothing joins), the cell histogram is
+    * compared against the frozen [[writeCellOccupancy]] sidecar with the
+    * same smoothed KL/JS math, cells standing in for tokens. Per-batch
+    * cost: one narrow scan of the batch + a join of two ≤ nlist-row
+    * frames — the corpus and the index data are never touched.
+    *
+    * Same output row as [[tokenDivergence]] with `vocab` = number of
+    * distinct cells observed on either side.
+    */
+  def embeddingDivergenceAgainstIndex(batch: DataFrame, vecCol: String,
+                                      indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = Similarity.readCentroids(spark, indexPath)
+    val ref = spark.read.parquet(s"$indexPath/cell_occupancy")
+    val batchCells = batch
+      .select(Similarity.bestCellFor(cents)(
+        graft.functions.Vectors.toDouble(col(vecCol))).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("ca"))
+    val joined = batchCells
+      .join(ref.withColumnRenamed("c", "cb"), Seq("cell"), "full")
+      .select(col("cell").cast("string").as("token"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    divergenceOf(joined)
+  }
+
   /** The k tokens most over-represented in either slice: (token, c_a,
     * c_b, log_ratio) with log_ratio = ln(p̂_a/p̂_b) under the same
     * smoothing, ordered by |log_ratio| desc then token — the "what

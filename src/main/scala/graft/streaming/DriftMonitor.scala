@@ -58,4 +58,32 @@ object DriftMonitor {
         ()
       }
       .start()
+
+  /** The EMBEDDING-space monitor: same execution contract as [[start]],
+    * but each micro-batch is scored with
+    * [[Divergence.embeddingDivergenceAgainstIndex]] against a frozen IVF
+    * index + its cell-occupancy sidecar instead of a token-count
+    * reference — the alarm for drift the token monitor is blind to (an
+    * embedding model version bump, an out-of-domain content cluster
+    * whose TEXT statistics look ordinary). Runs beside the token
+    * monitor, one metrics log each; per batch the work is one narrow
+    * batch scan plus a join of two ≤ nlist-row frames.
+    */
+  def startEmbedding(spark: SparkSession, sourceDir: String,
+                     schema: StructType, indexPath: String,
+                     metricsPath: String, checkpoint: String,
+                     vecCol: String = "embedding"): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          Divergence.embeddingDivergenceAgainstIndex(batch, vecCol,
+              indexPath)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(metricsPath)
+        ()
+      }
+      .start()
 }

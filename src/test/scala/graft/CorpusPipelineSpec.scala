@@ -881,7 +881,8 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     val idx = dir.resolve("index").toString
     val sk = dir.resolve("sketch").toString
     val cfg = SketchSidecar.Cfg(sk, distinctExpr = "doc_id",
-      valueExpr = "length(text)", compactEvery = 2)
+      valueExpr = "length(text)", compactEvery = 2,
+      kmvKeyExpr = Some("doc_id"))
     // three batches; batch 2 carries a near-dup of an indexed batch-1 doc
     // (dropped by the gate, so the sketch row must cover SURVIVORS only)
     def word(i: Int, j: Int) = s"w${i}x$j"
@@ -923,6 +924,10 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(errExcess <= 2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9,
       s"served p50=$p50 rank error beyond contract (lengths=" +
         s"${lengths.toSeq})")
+    // the KMV face rides the same loop rows: survivors-only (the deduped
+    // doc 3 never enters the sketch) and EXACT below k — 4 distinct ids
+    assert(SketchSidecar.servedKmvDistinct(spark, sk)
+      .collect().head.getDouble(1) === 4.0)
     // compactEvery=2: the cadence counter rides in the sidecar dir and
     // the 2-append compaction collapsed the per-batch files
     assert(new java.io.File(s"$sk/_maint_appends").exists())

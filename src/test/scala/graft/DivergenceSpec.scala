@@ -70,6 +70,60 @@ class DivergenceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(metrics).where(col("js").isNull).count() === 0)
   }
 
+  test("embedding drift: cell-occupancy divergence separates an " +
+      "in-distribution batch from a mean-shifted one; the streaming " +
+      "monitor logs one row per micro-batch") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("emb_drift")
+    val idx = dir.resolve("idx").toString
+    // two well-separated 4-d clusters; the index freezes their geometry
+    def vec(cluster: Int, i: Int): Seq[Float] = {
+      val base = if (cluster == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+      base.zipWithIndex.map { case (b, d) =>
+        b + 0.01f * ((i * 7 + d * 3) % 5) }
+    }
+    val corpus = (0 until 80).map(i => (i.toLong, vec(i % 2, i)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfIndex(corpus, "vec_id", "embedding",
+      idx, nlist = 2, kmeansIters = 2)
+    graft.operators.Divergence.writeCellOccupancy(spark, idx)
+    assert(spark.read.parquet(s"$idx/cell_occupancy").count() === 2)
+    // in-distribution batch: same 50/50 cluster mix → tiny js
+    val inDist = (100 until 140).map(i => (i.toLong, vec(i % 2, i)))
+      .toDF("vec_id", "embedding")
+    val jsIn = Divergence
+      .embeddingDivergenceAgainstIndex(inDist, "embedding", idx)
+      .select("js").as[Double].head()
+    // shifted batch: everything collapses onto cluster 0's cell
+    val shifted = (200 until 240).map(i => (i.toLong, vec(0, i)))
+      .toDF("vec_id", "embedding")
+    val jsShift = Divergence
+      .embeddingDivergenceAgainstIndex(shifted, "embedding", idx)
+      .select("js").as[Double].head()
+    assert(jsIn < 0.02, s"in-distribution js $jsIn")
+    assert(jsShift > 5 * math.max(jsIn, 1e-6),
+      s"shifted js $jsShift vs in-dist $jsIn")
+    // streaming monitor: two micro-batches, one metrics row each, and
+    // the logged values equal the batch-side operator's
+    val src = dir.resolve("src").toString
+    val metrics = dir.resolve("metrics").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = inDist.schema
+    inDist.write.mode("append").parquet(src)
+    graft.streaming.DriftMonitor
+      .startEmbedding(spark, src, schema, idx, metrics, ckpt)
+      .awaitTermination()
+    shifted.write.mode("append").parquet(src)
+    graft.streaming.DriftMonitor
+      .startEmbedding(spark, src, schema, idx, metrics, ckpt)
+      .awaitTermination()
+    val rows = spark.read.parquet(metrics)
+      .orderBy("batch_id").select("batch_id", "js")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq(0L, 1L))
+    assert(rows(0)._2 === jsIn && rows(1)._2 === jsShift)
+  }
+
   test("topShiftedTokens: disjoint-slice tokens rank above shared ones, " +
       "ties break on the token") {
     val rows = Divergence.topShiftedTokens(
