@@ -168,6 +168,32 @@ object ExtQueries {
     (cfgA, cfgB)
   }
 
+  /** The q_sketch_by_group fixture: the documents table replayed as 5
+    * ingest batches into a GROUPED sidecar — one row per (batch,
+    * source), distinct over `doc_id`, quantiles over `n_chars` — the
+    * per-domain monitoring dashboard served without a corpus scan.
+    * Batches split on a HASH of the id (not `doc_id % 5`, which the
+    * synthetic `source` column is correlated with) so every group spans
+    * several batches and the per-group row MERGE is what the query
+    * actually exercises.
+    */
+  private def groupedSketchSidecarFor(s: SparkSession, d: String)
+      : graft.sources.SketchSidecar.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_grp_sketch_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(path)
+    val cfg = graft.sources.SketchSidecar.Cfg(path.toString,
+      distinctExpr = "doc_id", valueExpr = "n_chars",
+      groupKeyExpr = Some("source"))
+    (0 until 5).foreach { b =>
+      graft.sources.SketchSidecar.appendBatch(
+        docs(s, d).filter(pmod(xxhash64(col("doc_id")), lit(5)) === b),
+        cfg)
+    }
+    cfg
+  }
+
   /** The q_emb_drift fixture: an IVF index frozen over the corpus slice
     * (`vec_id % 5 ≠ 0`) with its cell-occupancy sidecar — the embedding-
     * space reference the drift monitor scores batches against. Seed
@@ -594,6 +620,63 @@ object ExtQueries {
           col("max_over") <= col("total") * cfg.cmsEps &&
           col("heavy_found") === col("heavy_true") &&
           col("served_sound") === col("served_n"))
+        .where(col("meets_floor"))
+    }),
+
+    // the per-domain monitoring dashboard from the GROUPED sidecar: one
+    // row per source with its distinct-doc estimate and n_chars
+    // quantiles, merged from 5 per-batch rows — per-group answers with
+    // zero corpus scanning. Rows-only (sketch answers are
+    // engine-defined); the _gap twin enforces the per-group contracts
+    "q_sketch_by_group" -> ((s, d) => {
+      val cfg = groupedSketchSidecarFor(s, d)
+      val dist = graft.sources.SketchSidecar
+        .servedDistinctByGroup(s, cfg.sidecarPath)
+      val qs = graft.sources.SketchSidecar
+        .servedQuantilesByGroup(s, cfg.sidecarPath, Seq(0.5, 0.9))
+        .groupBy("grp")
+        .agg(max(when(col("p") === 0.5, col("value"))).as("p50"),
+          max(when(col("p") === 0.9, col("value"))).as("p90"))
+      dist.join(qs, Seq("grp"))
+        .select(col("grp"), col("batches"), col("distinct_estimate"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
+        .orderBy("grp")
+    }),
+
+    // the grouped sidecar's contract, enforced on the WORST group (one
+    // row or loudly zero): every group's merged distinct estimate within
+    // the HLL rsd of its exact per-group count, every group's served
+    // quantile within the rank-error bound of its OWN rank scale
+    "q_sketch_by_group_gap" -> ((s, d) => {
+      val cfg = groupedSketchSidecarFor(s, d)
+      val e = docs(s, d).select(col("source").as("grp"), col("doc_id"),
+        col("n_chars").cast("double").as("value"))
+      val served = graft.sources.SketchSidecar
+        .servedDistinctByGroup(s, cfg.sidecarPath)
+      val exact = e.groupBy("grp")
+        .agg(countDistinct(col("doc_id")).as("x"))
+      val distErr = served.join(exact, Seq("grp"))
+        .agg(max(abs(col("distinct_estimate") - col("x")) /
+          col("x").cast("double")).as("max_dist_rel_err"))
+      val sq = graft.sources.SketchSidecar
+        .servedQuantilesByGroup(s, cfg.sidecarPath, Seq(0.5, 0.9))
+        .select(col("grp"), col("p"), col("value").as("v"))
+      val qErr = e.join(broadcast(sq), Seq("grp"))
+        .groupBy("grp", "p", "v")
+        .agg(sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .select((greatest(lit(0.0),
+            (col("lt") + 1) / col("n").cast("double") - col("p"),
+            col("p") - col("le") / col("n").cast("double")) -
+          lit(1.0) / col("n")).as("err_excess"))
+        .agg(max(col("err_excess")).as("max_rank_err_excess"))
+      distErr.crossJoin(qErr)
+        .withColumn("meets_floor",
+          col("max_dist_rel_err") <=
+            lit(3.5 * 1.04 / math.sqrt((1L << cfg.lgConfigK).toDouble)) &&
+          col("max_rank_err_excess") <=
+            lit(2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9))
         .where(col("meets_floor"))
     }),
 

@@ -94,6 +94,18 @@ object SketchSidecar {
     *   are kept. Distinct-estimate rse ≈ 1/sqrt(k−2); Jaccard-estimate
     *   std ≤ 0.5/sqrt(k). A sketch holding fewer than k values is EXACT
     *   (it contains every distinct hash seen).
+    * @param groupKeyExpr when set, the sidecar is GROUPED: one row per
+    *   (batch, group) instead of per batch, and the base faces (count,
+    *   HLL distinct, quantile summary) serve PER GROUP
+    *   ([[servedDistinctByGroup]]/[[servedQuantilesByGroup]]) — the
+    *   per-domain/per-language monitoring dashboard ("is the length
+    *   distribution of lang=vi drifting?") answered from the sidecar,
+    *   never a corpus re-scan. Sidecar size scales with #groups ·
+    *   #batches; groups are operator-bounded dimensions (domains,
+    *   languages, sources), the same boundedness stance as nlist.
+    *   Mutually exclusive with `heavyKeyExpr` (which-group-dominates is
+    *   the heavy-hitter face's question) and `kmvKeyExpr` (set overlap
+    *   is corpus-level) — mixing fails loudly.
     */
   case class Cfg(sidecarPath: String, distinctExpr: String,
                  valueExpr: String, lgConfigK: Int = 12,
@@ -102,7 +114,8 @@ object SketchSidecar {
                  heavyKeyExpr: Option[String] = None,
                  cmsEps: Double = 0.001, cmsConfidence: Double = 0.999,
                  cmsSeed: Int = 42, topK: Int = 32,
-                 kmvKeyExpr: Option[String] = None, kmvK: Int = 1024) {
+                 kmvKeyExpr: Option[String] = None, kmvK: Int = 1024,
+                 groupKeyExpr: Option[String] = None) {
     require(lgConfigK >= 4 && lgConfigK <= 21, s"lgConfigK=$lgConfigK")
     require(numBuckets >= 2, s"numBuckets=$numBuckets")
     require(accuracy >= 100, s"accuracy=$accuracy")
@@ -111,6 +124,11 @@ object SketchSidecar {
       s"cmsConfidence=$cmsConfidence")
     require(topK >= 1, s"topK=$topK")
     require(kmvK >= 16, s"kmvK=$kmvK")
+    require(groupKeyExpr.isEmpty ||
+        (heavyKeyExpr.isEmpty && kmvKeyExpr.isEmpty),
+      "groupKeyExpr is mutually exclusive with heavyKeyExpr/kmvKeyExpr " +
+        "— dominance is the heavy-hitter face's question, set overlap " +
+        "is corpus-level")
   }
 
   /** One narrow aggregation over the batch → one appended sidecar row
@@ -126,6 +144,18 @@ object SketchSidecar {
       hll_sketch_agg(expr(cfg.distinctExpr), cfg.lgConfigK).as("hll"),
       percentile_approx(expr(cfg.valueExpr).cast("double"), probs,
         lit(cfg.accuracy)).as("qs"))
+    // grouped sidecar: one row per (batch, group), base faces only —
+    // still ONE narrow aggregation over the batch
+    if (cfg.groupKeyExpr.isDefined) {
+      batch.groupBy(expr(cfg.groupKeyExpr.get).cast("string").as("grp"))
+        .agg(baseAggs.head, baseAggs.tail: _*)
+        .withColumn("k", lit(k))
+        .withColumn("accuracy", lit(cfg.accuracy))
+        .withColumn("lgk", lit(cfg.lgConfigK))
+        .coalesce(1)
+        .write.mode("append").parquet(cfg.sidecarPath)
+      return
+    }
     val cmsAggs = cfg.heavyKeyExpr match {
       case Some(ke) => baseAggs :+
         count_min_sketch(expr(ke).cast("string"), lit(cfg.cmsEps),
@@ -217,6 +247,98 @@ object SketchSidecar {
       .groupBy(col("p"))
       .agg(min(col("v")).as("value"))
       .orderBy(col("p"))
+  }
+
+  /** Per-group merged distinct estimates from a GROUPED sidecar
+    * ([[Cfg.groupKeyExpr]]): one row `(grp, batches, distinct_estimate)`
+    * per group — register-max union within each group, same rsd contract
+    * as [[servedDistinct]]. `batches` counts the group's sidecar rows
+    * (a group absent from some batches has fewer).
+    */
+  def servedDistinctByGroup(spark: SparkSession,
+                            sidecarPath: String): DataFrame =
+    spark.read.parquet(sidecarPath)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("batches"),
+        hll_sketch_estimate(hll_union_agg(col("hll")))
+          .as("distinct_estimate"))
+
+  /** Per-group merged quantiles from a GROUPED sidecar: one row
+    * `(grp, p, value)` per (group, probability) — the same point-mass
+    * merge as [[servedQuantiles]] with every window partitioned by the
+    * group, so each group's rank-error contract is the single-group
+    * bound (2/numBuckets + 1/accuracy of the group's OWN rank scale).
+    * The windows order #batches·K summary points per group — bounded
+    * metadata times an operator-bounded group count.
+    */
+  def servedQuantilesByGroup(spark: SparkSession, sidecarPath: String,
+                             ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
+    import spark.implicits._
+    val rows = spark.read.parquet(sidecarPath)
+      .where(col("qs").isNotNull && col("n") > 0)
+    val points = rows.select(col("grp"),
+        explode(expr("slice(qs, 2, size(qs) - 1)")).as("v"),
+        (col("n").cast("double") / col("k")).as("w"))
+    val cum = points
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(
+        Window.partitionBy(col("grp"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    cum.crossJoin(broadcast(ps.toDF("p")))
+      .where(col("cum") >= col("p") * col("total") - lit(1e-9))
+      .groupBy(col("grp"), col("p"))
+      .agg(min(col("v")).as("value"))
+      .orderBy(col("grp"), col("p"))
+  }
+
+  /** Row-merge compaction for a GROUPED sidecar: collapse each group's
+    * batch rows into one merged row (same ledger as [[compactRows]]'s
+    * base faces: n exact, HLL union identical, re-bucketed quantiles add
+    * ≤ 1/K rank error per compaction generation). Entirely
+    * DataFrame-side — nothing is collected; the swap is the same staged
+    * atomic rename.
+    */
+  def compactRowsByGroup(spark: SparkSession, cfg: Cfg): Unit = {
+    val rows = spark.read.parquet(cfg.sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"${cfg.sidecarPath} is not a grouped sidecar (set Cfg.groupKeyExpr)")
+    if (rows.groupBy("grp").count().where(col("count") > 1).isEmpty)
+      return // every group already single-row
+    val k = cfg.numBuckets
+    val served = servedQuantilesByGroup(spark, cfg.sidecarPath,
+        (1 to k).map(_.toDouble / k))
+      .groupBy("grp")
+      // array_sort on (p, value) structs orders by p, so the projected
+      // values land in boundary order qs[1..K]
+      .agg(transform(array_sort(collect_list(struct(col("p"),
+          col("value")))), s => s.getField("value")).as("served"))
+    val anchors = rows.groupBy("grp")
+      .agg(sum(col("n")).as("n"), hll_union_agg(col("hll")).as("hll"),
+        min(element_at(col("qs"), 1)).as("anchor"))
+    val out = anchors.join(served, Seq("grp"), "left")
+      .select(col("grp"), col("n"), col("hll"),
+        // an all-null-qs group merges to a null summary (serve filters
+        // null qs), mirroring compactRows' stance
+        when(col("anchor").isNull || col("served").isNull,
+            lit(null).cast("array<double>"))
+          .otherwise(concat(array(col("anchor")), col("served")))
+          .as("qs"))
+      .withColumn("k", lit(k))
+      .withColumn("accuracy", lit(cfg.accuracy))
+      .withColumn("lgk", lit(cfg.lgConfigK))
+      .coalesce(1)
+      .localCheckpoint(true)
+    try {
+      val dir = new java.io.File(cfg.sidecarPath)
+      val staging = Compaction.stagingDir(dir, "rowmerge")
+      if (staging.exists()) Compaction.rm(staging)
+      out.write.mode("overwrite").parquet(staging.toString)
+      Compaction.swapInto(cfg.sidecarPath, staging.toString)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
   }
 
   // ---------------------------------------------------------------------
@@ -451,6 +573,9 @@ object SketchSidecar {
     */
   def compactRows(spark: SparkSession, cfg: Cfg): Unit = {
     val rows = spark.read.parquet(cfg.sidecarPath)
+    require(!rows.columns.contains("grp"),
+      s"${cfg.sidecarPath} is a grouped sidecar — use compactRowsByGroup " +
+        "(the ungrouped row-merge would destroy the group column)")
     if (rows.limit(2).count() < 2) return // nothing to merge
     val k = cfg.numBuckets
     val hasCms = rows.columns.contains("cms")

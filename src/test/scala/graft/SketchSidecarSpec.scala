@@ -171,6 +171,58 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("grouped sidecar: per-group distinct and quantiles track each " +
+      "group's own distribution; grouped row-merge keeps serving; " +
+      "config conflicts and wrong-compactor use fail loudly") {
+    intercept[IllegalArgumentException] {
+      SketchSidecar.Cfg("/tmp/x", "id", "v",
+        groupKeyExpr = Some("g"), heavyKeyExpr = Some("k"))
+    }
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_grp").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "v", groupKeyExpr = Some("g"),
+      numBuckets = 64)
+    // group "lo" ~ values 0..99, group "hi" ~ values 1000..1999; three
+    // batches, disjoint ids
+    def batch(b: Int) =
+      ((0 until 100).map(i => (b * 1000L + i, "lo", (i % 100).toLong)) ++
+       (0 until 50).map(i => (b * 1000L + 500 + i, "hi",
+         1000L + (i * 20) % 1000)))
+        .toDF("id", "g", "v")
+    (0 until 3).foreach(b => SketchSidecar.appendBatch(batch(b), cfg))
+    def dist() = SketchSidecar
+      .servedDistinctByGroup(spark, cfg.sidecarPath)
+      .select("grp", "distinct_estimate").as[(String, Long)]
+      .collect().toMap
+    def p50() = SketchSidecar
+      .servedQuantilesByGroup(spark, cfg.sidecarPath, Seq(0.5))
+      .select("grp", "value").as[(String, Double)].collect().toMap
+    val (d0, q0) = (dist(), p50())
+    assert(d0("lo") === 300L && d0("hi") === 150L,
+      s"sparse-regime HLL is exact at this cardinality: $d0")
+    // each group's median sits in its own value range — a cross-group
+    // leak would pull "lo" toward 1000+
+    assert(q0("lo") >= 0.0 && q0("lo") <= 100.0, s"lo p50 ${q0("lo")}")
+    assert(q0("hi") >= 1000.0 && q0("hi") <= 2000.0, s"hi p50 ${q0("hi")}")
+    // ungrouped compactor must refuse; grouped row-merge collapses to
+    // one row per group and serves identically for HLL, within one
+    // re-bucketing of rank for quantiles
+    intercept[IllegalArgumentException] {
+      SketchSidecar.compactRows(spark, cfg)
+    }
+    SketchSidecar.compactRowsByGroup(spark, cfg)
+    val rows = spark.read.parquet(cfg.sidecarPath)
+    assert(rows.count() === 2, "one merged row per group")
+    assert(dist() === d0)
+    val q1 = p50()
+    assert(math.abs(q1("lo") - q0("lo")) <= 100.0 * 2.0 / 64 + 1e-6)
+    // appends keep landing after the merge and register per group
+    SketchSidecar.appendBatch(
+      (0 until 25).map(i => (90000L + i, "hi", 1500L))
+        .toDF("id", "g", "v"), cfg)
+    assert(dist()("hi") === 175L && dist()("lo") === 300L)
+  }
+
   // ---- KMV bottom-k: the set-operation face of the sidecar ----
 
   test("kmv helpers: unsigned order, dedup, cap, and merge " +
