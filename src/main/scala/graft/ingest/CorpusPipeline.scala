@@ -216,6 +216,20 @@ object CorpusPipeline {
     * whose exact re-deliveries miss the CHEAP gate and fall through to
     * the MinHash gate, which drops an identical text at any threshold
     * ≤ 1.0 anyway.
+    *
+    * `dupLabels`: when set, every near-dup PAIR the gates discover (new
+    * doc ↔ indexed doc, and new doc ↔ new doc within the batch) is
+    * folded into a persisted component-label store
+    * ([[graft.operators.Components.updateLabelStore]]) — the provenance
+    * map a curation pipeline keeps so "which surviving document does
+    * each dropped near-dup belong to" stays answerable after the drop
+    * (dedup attribution, takedown propagation, cluster debugging).
+    * The fold runs with the other monitoring sidecars BEFORE the
+    * MinHash gate commit — and, unlike them, even for a batch whose
+    * every row was dropped (an all-dup batch is EXACTLY the provenance
+    * case) — and is idempotent on crash-retry: a replayed batch
+    * re-derives the same edges (plus self-matches against its own
+    * indexed signatures, which are self-loops the closure ignores).
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,
@@ -229,7 +243,8 @@ object CorpusPipeline {
                      lrq: Option[LrGate] = None,
                      indexCompactEvery: Int = 0,
                      sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
-                     exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None)
+                     exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
+                     dupLabels: Option[String] = None)
       : Long = {
     val exactGated = exactKeys match {
       case Some(cfg) => graft.sources.BloomKeyIndex.novelRows(batch, cfg)
@@ -283,14 +298,31 @@ object CorpusPipeline {
         lrGated.join(hit, Seq(idCol), "left_anti")
       case None => lrGated
     }
-    val vsCorpus =
-      if (!indexExists(batch.sparkSession, indexPath)) gated
+    // near-dup matches vs the indexed corpus: the ids gate the batch;
+    // with a label store configured the PAIRS are also provenance edges,
+    // so the match frame is checkpointed once and shared by both
+    // consumers instead of re-running the index join
+    val idxMatches: Option[DataFrame] =
+      if (!indexExists(batch.sparkSession, indexPath)) None
       else {
-        val dupIds = Dedup
-          .dedupAgainstIndex(gated, idCol, textCol, indexPath, threshold)
-          .select(col("new_id").as(idCol)).distinct()
-        gated.join(dupIds, Seq(idCol), "left_anti")
+        val m = Dedup.dedupAgainstIndex(gated, idCol, textCol, indexPath,
+          threshold)
+        Some(if (dupLabels.isDefined) m.localCheckpoint(true) else m)
       }
+    val vsCorpus = idxMatches match {
+      case Some(m) => gated.join(
+        m.select(col("new_id").as(idCol)).distinct(), Seq(idCol),
+        "left_anti")
+      case None => gated
+    }
+    // within-batch pairs: with a label store the pair set itself is
+    // needed (checkpointed O(duplicates)-small by minhashLsh), and the
+    // survivor anti-join below consumes the same frame — identical drop
+    // semantics to dropNearDuplicates, which is the no-store path
+    val batchPairs: Option[DataFrame] = dupLabels.map { _ =>
+      Dedup.minhashLsh(vsCorpus, idCol, textCol, threshold = threshold,
+        persistIntermediates = true)
+    }
     // localCheckpoint, NOT persist: the survivor plan READS the minhash
     // index parquet (the dedupAgainstIndex join), and the appends below
     // WRITE that same path — a cache-managed plan would be re-executed by
@@ -299,11 +331,32 @@ object CorpusPipeline {
     // shrinks to empty mid-function (observed: the ANN append landed zero
     // rows). Checkpointing severs the lineage so every consumer sees the
     // same materialized batch; blocks are released in the finally.
-    val survivors = Dedup.dropNearDuplicates(vsCorpus, idCol, textCol,
-      threshold = threshold, persistIntermediates = false)
-      .localCheckpoint(true)
+    val survivors = (batchPairs match {
+      case Some(p) => vsCorpus.join(
+        p.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
+        "left_anti")
+      case None => Dedup.dropNearDuplicates(vsCorpus, idCol, textCol,
+        threshold = threshold, persistIntermediates = false)
+    }).localCheckpoint(true)
     try {
       val appended = survivors.count()
+      // provenance fold FIRST and UNCONDITIONALLY (an all-dup batch has
+      // zero survivors and the most provenance to record); idempotent on
+      // replay, ordered before the MinHash gate commit like the other
+      // monitoring state
+      dupLabels.foreach { path =>
+        val edges = (idxMatches.map(_.select(
+            col("new_id").cast("long").as("src"),
+            col("corpus_id").cast("long").as("dst"))).toSeq ++
+          batchPairs.map(_.select(
+            col("id_a").cast("long").as("src"),
+            col("id_b").cast("long").as("dst"))).toSeq)
+          .reduceOption(_ union _)
+        edges.filter(!_.isEmpty).foreach { e =>
+          graft.operators.Components.updateLabelStore(
+            batch.sparkSession, path, e, "src", "dst")
+        }
+      }
       if (appended > 0) {
         val spark = survivors.sparkSession
         survivors.write.mode("append").parquet(corpusPath)
@@ -423,7 +476,15 @@ object CorpusPipeline {
         }
       }
       appended
-    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(survivors)
+    } finally {
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(survivors)
+      if (dupLabels.isDefined) {
+        idxMatches.foreach(
+          org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+        batchPairs.foreach(
+          org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+      }
+    }
   }
 }
 
@@ -457,7 +518,8 @@ class CorpusPipeline(
     lrModelPath: Option[String] = None,
     lrMinP: Double = 0.0,
     sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
-    exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None) {
+    exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
+    dupLabelsPath: Option[String] = None) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
@@ -497,7 +559,7 @@ class CorpusPipeline(
       indexPath, idCol, textCol, threshold, gates,
       benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
       dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery,
-      sketch = sketch, exactKeys = exactKeys)
+      sketch = sketch, exactKeys = exactKeys, dupLabels = dupLabelsPath)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

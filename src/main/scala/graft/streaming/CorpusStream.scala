@@ -36,7 +36,8 @@ object CorpusStream {
             drift: Option[DriftMonitor.Gate] = None,
             indexCompactEvery: Int = 0,
             sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
-            exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None)
+            exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
+            dupLabels: Option[String] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -76,7 +77,8 @@ object CorpusStream {
         if (!quarantined)
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
-            ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys)
+            ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
+            dupLabels)
         ()
       }
       .start()
@@ -168,7 +170,8 @@ object CorpusStream {
                           indexCompactEvery: Int = 0,
                           maxBatches: Int = Int.MaxValue,
                           sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
-                          exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None)
+                          exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
+                          dupLabels: Option[String] = None)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -228,7 +231,7 @@ object CorpusStream {
             admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
               indexPath, idCol, textCol, threshold, gates, benchmark,
               contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
-              sketch, exactKeys)
+              sketch, exactKeys, dupLabels)
             true
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)

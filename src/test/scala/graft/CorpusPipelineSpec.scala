@@ -873,6 +873,40 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(triageRows === 4L)
   }
 
+  test("dup-provenance label store: within-batch and vs-index pairs fold " +
+      "into persisted components, an all-dup batch still records its " +
+      "provenance, and a replayed batch changes nothing") {
+    val dir = Files.createTempDirectory("corpus_prov")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val labels = dir.resolve("dup_labels").toString
+    def run(rows: Seq[(Long, String)]): Long =
+      CorpusPipeline.dedupAndAppend(rows.toDF("doc_id", "text"), corpus,
+        idx, "doc_id", "text", 0.8, dupLabels = Some(labels))
+    def stored(): Map[Long, Long] =
+      spark.read.parquet(labels).as[(Long, Long)].collect().toMap
+    // batch 1: doc 2 is an exact within-batch copy of doc 1 → pair (1,2)
+    assert(run(Seq((1L, base), (2L, base))) === 1L)
+    assert(stored() === Map(1L -> 1L, 2L -> 1L))
+    // batch 2: doc 3 near-dups the INDEXED doc 1 (vs-index pair), doc 4
+    // is fresh (no pair — must stay OUT of the store)
+    assert(run(Seq((3L, nearDup), (4L, fresh2))) === 1L)
+    assert(stored() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // batch 3: ALL dups (zero survivors) — exactly the batch whose
+    // provenance matters most; the fold must run despite appended == 0
+    val dup5 = base.replace("softly", "gently")
+    assert(run(Seq((5L, dup5))) === 0L)
+    assert(stored() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+    // replay of batch 3 (crash-retry): rows match their own indexed
+    // signatures... doc 5 never entered the index (it was dropped), so
+    // it re-matches doc 1 — same edge, same labels, idempotent
+    assert(run(Seq((5L, dup5))) === 0L)
+    assert(stored() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+    // the corpus itself holds only the survivors
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 4L))
+  }
+
   test("sketch sidecar: one mergeable row per admitted batch; merged " +
       "serving tracks the corpus without re-scanning it") {
     import graft.sources.SketchSidecar
