@@ -143,6 +143,18 @@ object Components {
     * other sidecar rewrite; a retried batch re-derives the same labels
     * (idempotent: star ∪ same-pairs gives the same partition). The store
     * is O(nodes-in-pairs) — the duplicate minority, not the corpus.
+    *
+    * Propagation is PRUNED to the affected components: only stored
+    * labels whose component contains a new-edge endpoint enter the
+    * closure (two semi-joins find them); every other component cannot
+    * change (none of its nodes touches a new edge) and is unioned back
+    * verbatim. Per-batch closure cost is therefore O(new edges +
+    * members of touched components), independent of how large the
+    * historical dup graph has grown — without the pruning a daily
+    * batch of a few pairs would re-propagate over every label ever
+    * stored. (The store REWRITE is still a full-file swap; at 100 TB
+    * scale partition the store by a component hash and swap only
+    * touched partitions — the `Merge.keepLatestPartitioned` pattern.)
     */
   def updateLabelStore(spark: org.apache.spark.sql.SparkSession,
                        path: String, newPairs: DataFrame,
@@ -156,20 +168,43 @@ object Components {
       else None
     val edges = newPairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val all = prior match {
-      case Some(labels) => edges.union(
-        labels.select(col("id").as("src"), col("component").as("dst")))
-      case None => edges
+      // both prunes and the closure consume the edge frame — one
+      // materialization (O(batch pairs) small)
+      .localCheckpoint(true)
+    val (closureInput, untouched) = prior match {
+      case Some(labels) =>
+        val endpoints = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        val affectedComps = labels.join(endpoints, Seq("id"), "left_semi")
+          .select(col("component")).distinct()
+        val affected = labels.join(affectedComps, Seq("component"),
+          "left_semi")
+        val kept = labels.join(affectedComps, Seq("component"),
+          "left_anti")
+        (edges.union(affected.select(col("id").as("src"),
+          col("component").as("dst"))), Some(kept))
+      case None => (edges, None)
     }
-    val labels = connectedComponents(all, "src", "dst", maxIters)
+    val closed = connectedComponents(closureInput, "src", "dst", maxIters)
+    val labels = untouched match {
+      case Some(kept) => closed.union(kept.select("id", "component"))
+      case None => closed
+    }
     val staging = graft.sources.Compaction.stagingDir(dir, "labels")
     if (staging.exists()) graft.sources.Compaction.rm(staging)
-    // connectedComponents returns a checkpoint-backed frame (lineage
-    // severed from the prior store's files), so writing to staging and
-    // swapping the store underneath is safe
-    labels.write.mode("overwrite").parquet(staging.toString)
-    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
-    graft.sources.Compaction.swapInto(path, staging.toString)
+    // connectedComponents returns a checkpoint-backed frame, but the
+    // `untouched` side still READS the store files the swap replaces —
+    // materialize the union before writing so the swap cannot pull the
+    // files out from under a lazy scan
+    val out = labels.localCheckpoint(true)
+    try {
+      out.write.mode("overwrite").parquet(staging.toString)
+      graft.sources.Compaction.swapInto(path, staging.toString)
+    } finally {
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(closed)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
+    }
     spark.read.parquet(path)
   }
 

@@ -279,13 +279,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       Components.connectedComponents(
         chain.toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
     }
+    // a decoy component no later batch touches: the affected-component
+    // pruning must carry it through every update verbatim
+    Components.updateLabelStore(spark, path,
+      Seq((500L, 501L)).toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
     chain.grouped(5).foreach { batch =>
       Components.updateLabelStore(spark, path,
         batch.toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
     }
     val got = spark.read.parquet(path).as[(Long, Long)].collect().toMap
-    assert(got === (1L to 31L).map(_ -> 1L).toMap,
-      "incremental labels must equal the full closure")
+    assert(got === (1L to 31L).map(_ -> 1L).toMap +
+      (500L -> 500L) + (501L -> 500L),
+      "incremental labels must equal the full closure, untouched " +
+        "components carried verbatim")
     // a later batch MERGES two previously-final components (100-cluster
     // joins the 1-chain through one bridge edge)
     Components.updateLabelStore(spark, path,
@@ -296,6 +302,8 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val merged = spark.read.parquet(path).as[(Long, Long)].collect().toMap
     assert(merged(102L) === 1L && merged(100L) === 1L,
       s"bridge edge must relabel the absorbed component: $merged")
+    assert(merged(500L) === 500L && merged(501L) === 500L,
+      "the untouched decoy must survive the cross-component merge")
     // crash-retry: replaying the last batch is a no-op (same partition)
     Components.updateLabelStore(spark, path,
       Seq((31L, 100L)).toDF("id_a", "id_b"), "id_a", "id_b", maxIters = 8)
