@@ -25,7 +25,7 @@ object Explain {
       // round 14: sidecar serving paths (merged sketch / CMS pricing /
       // bloom route-confirm with kp pruning) and the hash-once dedup
       "q_sketch_sidecar", "q_heavy_hitters", "q_bloom_gate",
-      "mm_dhash_dedup_indexed", "q_kmv_overlap")
+      "mm_dhash_dedup_indexed", "q_kmv_overlap", "q_sketch_by_group")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -183,4 +183,42 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(fullMap(u) === ((Some(ta), tb)), s"user $u prefix mismatch")
     }
   }
+
+  test("kmv laws: insert-fold and pairwise merge both equal the reference " +
+      "bottom-k (sorted distinct unsigned, take k) on random long streams " +
+      "including sign-boundary values") {
+    import graft.sources.SketchSidecar
+    // reference: the k smallest distinct values in UNSIGNED order
+    def ref(xs: Seq[Long], k: Int): Seq[Long] =
+      xs.distinct.sortWith(java.lang.Long.compareUnsigned(_, _) < 0).take(k)
+    val boundary = Gen.oneOf(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      Long.MaxValue - 1, Long.MinValue + 1)
+    val anyLong = Gen.frequency(
+      3 -> Gen.choose(Long.MinValue, Long.MaxValue),
+      1 -> boundary,
+      2 -> Gen.choose(-50L, 50L)) // force duplicates
+    // k ≥ 3: the (k−1)/θ estimator is degenerate below that (Cfg
+    // enforces kmvK ≥ 16 — the merge/insert laws hold for any k, and
+    // they are exercised across the whole range regardless)
+    val streams = samples(
+      Gen.zip(Gen.choose(3, 48), Gen.listOfN(120, anyLong)), 30)
+    streams.foreach { case (k, xs) =>
+      val folded = xs.foldLeft(Array.emptyLongArray)(
+        (b, h) => SketchSidecar.kmvInsert(b, h, k))
+      assert(folded.toSeq === ref(xs, k), s"insert-fold k=$k")
+      // arbitrary split, sketch each side, merge — must equal the
+      // whole-stream sketch (the mergeability law the sidecar relies on)
+      val (l, r) = xs.splitAt(xs.length / 3)
+      val merged = SketchSidecar.kmvMergeArrays(
+        l.foldLeft(Array.emptyLongArray)(
+          (b, h) => SketchSidecar.kmvInsert(b, h, k)),
+        r.foldLeft(Array.emptyLongArray)(
+          (b, h) => SketchSidecar.kmvInsert(b, h, k)), k)
+      assert(merged.toSeq === ref(xs, k), s"split-merge k=$k")
+      // estimate sanity: exact when not full, positive and finite when full
+      val est = SketchSidecar.kmvEstimate(folded, k)
+      if (folded.length < k) assert(est === xs.distinct.length.toDouble)
+      else assert(est > 0.0 && java.lang.Double.isFinite(est))
+    }
+  }
 }
