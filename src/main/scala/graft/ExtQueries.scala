@@ -680,6 +680,74 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // cluster-balanced diversity selection: per-Voronoi-cell quotas over
+    // the frozen IVF index, a deterministic hash as the quality score —
+    // the same-budget alternative to a global top-N that one dense
+    // embedding mode would otherwise dominate. Rows-only (cell space is
+    // engine-defined); the _gap twin enforces the structural quota and
+    // the coverage guarantee
+    "q_cluster_sample" -> ((s, d) => {
+      val idx = embDriftIndexFor(s, d)
+      graft.operators.Sampling.clusterBalancedSample(
+          embs(s, d).withColumn("score",
+            pmod(xxhash64(col("vec_id")), lit(100000L))),
+          "vec_id", "embedding", idx, quotaPerCell = 5, "score")
+        .select(col("vec_id"), col("cell"), col("score"))
+        .orderBy("vec_id")
+    }),
+
+    // the sampler's contracts, machine-enforced (one row or loudly
+    // zero): (a) no cell exceeds its quota; (b) the selection size is
+    // exactly Σ min(quota, cell population); (c) cell coverage is no
+    // worse than a GLOBAL top-N of the same budget — the diversity
+    // property the operator exists for
+    "q_cluster_sample_gap" -> ((s, d) => {
+      val idx = embDriftIndexFor(s, d)
+      val quota = 5
+      val scored = embs(s, d).withColumn("score",
+        pmod(xxhash64(col("vec_id")), lit(100000L)))
+      val sel = graft.operators.Sampling.clusterBalancedSample(
+        scored, "vec_id", "embedding", idx, quota, "score")
+        .select(col("vec_id"), col("cell")).localCheckpoint(true)
+      try {
+        val perCell = sel.groupBy("cell").agg(count(lit(1)).as("cnt"))
+          .agg(max(col("cnt")).as("max_per_cell"),
+            sum(col("cnt")).as("selected"),
+            count(lit(1)).as("cells_covered"))
+        // the FULL table with its cell assignment: the sampler itself at
+        // an unreachable quota (same argmax, zero rows cut)
+        val allCelled = graft.operators.Sampling.clusterBalancedSample(
+            scored, "vec_id", "embedding", idx, Int.MaxValue, "score")
+          .select(col("vec_id"), col("cell"), col("score"))
+          .localCheckpoint(true)
+        try {
+          // expected size: sum over populated cells of min(quota, pop)
+          val pops = allCelled.groupBy("cell")
+            .agg(count(lit(1)).as("pop"))
+            .agg(sum(least(col("pop"), lit(quota))).as("expected"))
+          val budgetRow = sel.agg(count(lit(1)).as("budget"))
+          // global top-(same budget) by score: single-partition rank —
+          // twin-only cost at fixture scale, never the operator's plan
+          val globalCoverage = allCelled
+            .withColumn("__gr", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("score").desc, col("vec_id"))))
+            .crossJoin(broadcast(budgetRow))
+            .where(col("__gr") <= col("budget"))
+            .agg(countDistinct(col("cell")).as("global_cells"))
+          perCell.crossJoin(pops).crossJoin(globalCoverage)
+            .withColumn("meets_floor",
+              col("max_per_cell") <= quota &&
+              col("selected") === col("expected") &&
+              col("cells_covered") >= col("global_cells"))
+            .where(col("meets_floor"))
+            // materialize before releasing the checkpoints it reads
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.GraftBridge.unpersistCheckpoint(allCelled)
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(sel)
+    }),
+
     // dataset-overlap estimation from two KMV sidecars — the set
     // INTERSECTION question HLL registers cannot answer: Jaccard,
     // intersection and union of two corpus snapshots priced from two

@@ -230,6 +230,13 @@ object CorpusPipeline {
     * case) — and is idempotent on crash-retry: a replayed batch
     * re-derives the same edges (plus self-matches against its own
     * indexed signatures, which are self-loops the closure ignores).
+    * Scope: rows killed by the `exactKeys` gate leave NO edge — that
+    * gate confirms membership against an 8-byte keys table, not WHICH
+    * document matched (attributing them would mean carrying doc ids in
+    * the keys table and joining them back, a cost the cheap gate exists
+    * to avoid); an exact re-delivery that matters for attribution also
+    * matches at the MinHash gate, so disable `exactKeys` if every
+    * exact-dup edge must be recorded.
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,

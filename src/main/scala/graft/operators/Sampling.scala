@@ -187,4 +187,34 @@ object Sampling {
       .where(col("__nm_cum") * pDen <= col("__nm_tot") * pNum)
       .drop("__nm_cum", "__nm_tot")
   }
+
+  /** Cluster-balanced (diversity) selection: per Voronoi cell of the
+    * frozen IVF index at `indexPath`, keep the top `quotaPerCell` rows
+    * by `scoreCol` (id tie-break) — the diversity-selection staple of
+    * training-data curation. A GLOBAL top-N by score lets one dense
+    * mode of embedding space dominate the whole selection (near-dup
+    * boilerplate scores uniformly well); the per-cell quota spends the
+    * same budget across the space, so the selection's cell coverage is
+    * never worse than the global cut's (the `q_cluster_sample_gap` twin
+    * enforces exactly that).
+    *
+    * Plan shape: cell assignment is the same narrow in-row argmax every
+    * IVF write uses (centroids are literals — no join), then ONE window
+    * over a cell-keyed shuffle cuts the quota inside each partition —
+    * one exchange total, no driver state beyond the nlist centroid
+    * sidecar. Output = the selected rows plus their `cell`.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            indexPath: String, quotaPerCell: Int,
+                            scoreCol: String): DataFrame = {
+    require(quotaPerCell >= 1, s"quotaPerCell=$quotaPerCell")
+    val cents = Similarity.readCentroids(df.sparkSession, indexPath)
+    val celled = df.withColumn("cell", Similarity.bestCellFor(cents)(
+      graft.functions.Vectors.toDouble(col(vecCol))))
+    val w = Window.partitionBy("cell")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    celled.withColumn("__cb_rn", row_number().over(w))
+      .where(col("__cb_rn") <= quotaPerCell)
+      .drop("__cb_rn")
+  }
 }

@@ -437,18 +437,21 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       distinctExpr = "doc_id", valueExpr = "length(text)"))
     val keys = Some(BloomKeyIndex.Cfg(dir.resolve("keys").toString,
       keyExpr = "text", expectedItems = 4096L, numBits = 32768L))
+    val labels = dir.resolve("dup_labels").toString
     val schema = Seq((0L, "")).toDF("doc_id", "text").schema
     def runOnce(): Unit = {
       val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
-        sketch = sk, exactKeys = keys)
+        sketch = sk, exactKeys = keys, dupLabels = Some(labels))
       q.awaitTermination()
     }
     Seq((1L, base), (2L, fresh2)).toDF("doc_id", "text")
       .write.mode("append").parquet(src)
     runOnce()
-    // wave 2: exact re-delivery (new id, same text → the exact gate) +
-    // one fresh doc
-    Seq((3L, base), (4L, "fresh wave about columnar file formats and " +
+    // wave 2: exact re-delivery (new id, same text → the exact gate), a
+    // NEAR-dup of the indexed doc 1 (passes the exact gate, dies at the
+    // MinHash gate → a provenance pair), and one fresh doc
+    Seq((3L, base), (5L, nearDup),
+        (4L, "fresh wave about columnar file formats and " +
         "vectorized execution pipelines in modern analytic engines"))
       .toDF("doc_id", "text").write.mode("append").parquet(src)
     runOnce()
@@ -463,6 +466,12 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     // the exact-key index holds exactly the admitted texts
     assert(spark.read.parquet(s"${keys.get.indexPath}/keys")
       .count() === 3L)
+    // the MinHash-gated near-dup left its provenance in the label store
+    // (the exact-gate kill of doc 3 deliberately does not: the cheap
+    // gate confirms membership, not WHICH document — see the dupLabels
+    // parameter doc)
+    assert(spark.read.parquet(labels).as[(Long, Long)].collect().toMap
+      === Map(1L -> 1L, 5L -> 1L))
   }
 
   test("drift gate quarantines a JS-shifted micro-batch; in-distribution " +

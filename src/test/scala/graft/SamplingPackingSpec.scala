@@ -207,4 +207,36 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       Sampling.hashSplit(df.withColumn("split", lit("x")), "id", splits)
     }
   }
+
+  test("clusterBalancedSample: the dense high-scoring mode cannot crowd " +
+      "out the sparse cluster; quotas and per-cell ranking are exact") {
+    // cluster A: 40 vectors near (1,0), scores 100+; cluster B: 10
+    // vectors near (0,1), scores ≤ 20. A global top-10 is ALL A.
+    def vec(cluster: Int, i: Int): Seq[Float] = {
+      val eps = 0.001f * (i % 7)
+      if (cluster == 0) Seq(1f, eps) else Seq(eps, 1f)
+    }
+    val rows =
+      (0 until 40).map(i => (i.toLong, vec(0, i), 100L + i)) ++
+      (0 until 10).map(i => (100L + i, vec(1, i), 10L + i))
+    val df = rows.toDF("id", "embedding", "score")
+    val idx = java.nio.file.Files.createTempDirectory("cbs_idx")
+      .resolve("idx").toString
+    graft.operators.Similarity.writeIvfIndex(df, "id", "embedding", idx,
+      nlist = 2, kmeansIters = 2)
+    val sel = Sampling.clusterBalancedSample(df, "id", "embedding", idx,
+        quotaPerCell = 5, "score")
+      .select("id", "cell", "score")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 5 per cell, both clusters covered
+    assert(sel.length === 10)
+    assert(sel.groupBy(_._2).values.forall(_.size == 5))
+    val bIds = sel.map(_._1).filter(_ >= 100L).toSet
+    // cluster B's survivors are its top-5 by score (ids 105..109)
+    assert(bIds === (105L to 109L).toSet, s"got $bIds")
+    // the global cut at the same budget would have covered ONE cluster
+    val globalTop = rows.sortBy(r => (-r._3, r._1)).take(10).map(_._1)
+    assert(globalTop.forall(_ < 100L),
+      "fixture sanity: global top-10 is all cluster A")
+  }
 }
