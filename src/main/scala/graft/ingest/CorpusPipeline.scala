@@ -228,8 +228,10 @@ object CorpusPipeline {
     * MinHash gate commit — and, unlike them, even for a batch whose
     * every row was dropped (an all-dup batch is EXACTLY the provenance
     * case) — and is idempotent on crash-retry: a replayed batch
-    * re-derives the same edges (plus self-matches against its own
-    * indexed signatures, which are self-loops the closure ignores).
+    * re-derives the same edges, and the self-matches it additionally
+    * finds against its own indexed signatures are filtered out before
+    * the fold (a self-loop would otherwise add a spurious singleton
+    * row for a doc that was never a duplicate).
     * Scope: rows killed by the `exactKeys` gate leave NO edge — that
     * gate confirms membership against an 8-byte keys table, not WHICH
     * document matched (attributing them would mean carrying doc ids in
@@ -359,6 +361,12 @@ object CorpusPipeline {
             col("id_a").cast("long").as("src"),
             col("id_b").cast("long").as("dst"))).toSeq)
           .reduceOption(_ union _)
+          // drop self-matches BEFORE the fold: a replayed batch's rows
+          // match their own indexed signatures (new_id == corpus_id),
+          // and connectedComponents emits a row for EVERY vertex in its
+          // edge list — folding the self-loops would pollute the store
+          // with singleton rows for docs that were never duplicates
+          .map(_.where(col("src") =!= col("dst")))
         edges.filter(!_.isEmpty).foreach { e =>
           graft.operators.Components.updateLabelStore(
             batch.sparkSession, path, e, "src", "dst")

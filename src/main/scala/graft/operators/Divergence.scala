@@ -108,11 +108,7 @@ object Divergence {
     */
   def writeCellOccupancy(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(s"$indexPath/data")
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellDir = if (fs.exists(hp)) s"$indexPath/data"
-      else s"$indexPath/codes"
-    spark.read.parquet(cellDir)
+    spark.read.parquet(Similarity.cellTableDir(spark, indexPath))
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("c"))
       .coalesce(1)

@@ -208,6 +208,11 @@ object Sampling {
                             indexPath: String, quotaPerCell: Int,
                             scoreCol: String): DataFrame = {
     require(quotaPerCell >= 1, s"quotaPerCell=$quotaPerCell")
+    // loud, not silent: a frame read back from an IVF data directory
+    // already carries a `cell` partition column — overwriting it against
+    // a different index would quietly destroy the original assignment
+    require(!df.columns.contains("cell"),
+      "input already has a 'cell' column — drop or rename it first")
     val cents = Similarity.readCentroids(df.sparkSession, indexPath)
     val celled = df.withColumn("cell", Similarity.bestCellFor(cents)(
       graft.functions.Vectors.toDouble(col(vecCol))))

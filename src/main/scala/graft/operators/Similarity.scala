@@ -147,13 +147,21 @@ object Similarity {
     * the index wants retraining with more iterations or a resharded
     * nlist. One column-pruned scan (id only) + one grouped count.
     */
-  def ivfIndexStats(spark: SparkSession, path: String): DataFrame = {
-    // plain IVF stores vectors under data/, IVF-PQ stores codes under
-    // codes/ — the cell-population health question is the same for both
+  /** The cell-partitioned table of an IVF-family index: plain IVF stores
+    * vectors under `data/`, IVF-PQ stores codes under `codes/` — every
+    * cell-population question (health stats, the drift monitor's
+    * occupancy reference) dispatches on the same layout rule, kept in
+    * ONE place so a future layout can't silently diverge the two.
+    */
+  private[graft] def cellTableDir(spark: SparkSession,
+                                  path: String): String = {
     val hp = new org.apache.hadoop.fs.Path(s"$path/data")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellDir = if (fs.exists(hp)) s"$path/data" else s"$path/codes"
-    val counts = spark.read.parquet(cellDir)
+    if (fs.exists(hp)) s"$path/data" else s"$path/codes"
+  }
+
+  def ivfIndexStats(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.read.parquet(cellTableDir(spark, path))
       .groupBy("cell").agg(count(lit(1)).as("n"))
     val nlist = readCentroids(spark, path).size
     counts.agg(count(lit(1)).as("cells_populated"),

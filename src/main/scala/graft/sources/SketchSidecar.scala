@@ -441,15 +441,17 @@ object SketchSidecar {
     * the merged array and the rows' common `kmvk` (a mixed-k sidecar
     * fails loudly: sketches of different k are not union-comparable).
     */
-  private def mergedKmv(spark: SparkSession,
-                        sidecarPath: String): (Array[Long], Int) = {
-    val rows = spark.read.parquet(sidecarPath)
+  private def mergedKmvRows(rows: DataFrame,
+                            ctx: String): (Array[Long], Int) = {
     require(rows.columns.contains("kmv"),
-      s"sidecar at $sidecarPath carries no KMV sketch (set Cfg.kmvKeyExpr)")
+      s"sidecar at $ctx carries no KMV sketch (set Cfg.kmvKeyExpr)")
     val ks = rows.where(col("kmv").isNotNull)
       .select(col("kmvk")).distinct().collect().map(_.getInt(0))
+    require(ks.nonEmpty,
+      s"sidecar at $ctx has a kmv column but no non-null KMV rows — " +
+        "nothing was ever appended with kmvKeyExpr set")
     require(ks.length == 1,
-      s"mixed kmvK in sidecar at $sidecarPath: ${ks.mkString(",")}")
+      s"mixed kmvK in sidecar at $ctx: ${ks.mkString(",")}")
     val k = ks.head
     val merged = rows.where(col("kmv").isNotNull)
       .select(explode(col("kmv")).as("h")).distinct()
@@ -459,14 +461,20 @@ object SketchSidecar {
     (merged, k)
   }
 
+  private def mergedKmv(spark: SparkSession,
+                        sidecarPath: String): (Array[Long], Int) =
+    mergedKmvRows(spark.read.parquet(sidecarPath), sidecarPath)
+
   /** Merged KMV distinct-count estimate over every appended batch — the
     * bottom-k analog of [[servedDistinct]], same O(#batches) serve cost,
     * rse ≈ 1/sqrt(kmvK−2). One row `(batches, distinct_estimate)`.
     */
   def servedKmvDistinct(spark: SparkSession,
                         sidecarPath: String): DataFrame = {
-    val (kmv, k) = mergedKmv(spark, sidecarPath)
-    val batches = spark.read.parquet(sidecarPath).count()
+    // one read serves both the merge and the row count
+    val rows = spark.read.parquet(sidecarPath)
+    val (kmv, k) = mergedKmvRows(rows, sidecarPath)
+    val batches = rows.count()
     import spark.implicits._
     Seq((batches, kmvEstimate(kmv, k)))
       .toDF("batches", "distinct_estimate")
@@ -614,7 +622,7 @@ object SketchSidecar {
     } else mergedRow
     // bottom-k union is associative: the merged row serves identically
     val withKmv = if (rows.columns.contains("kmv")) {
-      val (kmvArr, kmvK) = mergedKmv(spark, cfg.sidecarPath)
+      val (kmvArr, kmvK) = mergedKmvRows(rows, cfg.sidecarPath)
       withTop.withColumn("kmv", typedlit(kmvArr.toSeq))
         .withColumn("kmvk", lit(kmvK))
     } else withTop

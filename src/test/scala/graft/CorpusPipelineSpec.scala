@@ -911,6 +911,13 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     // it re-matches doc 1 — same edge, same labels, idempotent
     assert(run(Seq((5L, dup5))) === 0L)
     assert(stored() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+    // replay of an ADMITTED fresh doc (crash after the MinHash commit):
+    // it matches its own indexed signature — a self-loop that must be
+    // filtered BEFORE the fold, or the store gains a spurious singleton
+    // row for a doc that was never a duplicate
+    assert(run(Seq((4L, fresh2))) === 0L)
+    assert(stored() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L),
+      "a replayed fresh doc must not enter the provenance store")
     // the corpus itself holds only the survivors
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().toSet === Set(1L, 4L))
