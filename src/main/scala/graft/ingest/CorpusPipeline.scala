@@ -253,7 +253,8 @@ object CorpusPipeline {
                      indexCompactEvery: Int = 0,
                      sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
                      exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
-                     dupLabels: Option[String] = None)
+                     dupLabels: Option[String] = None,
+                     corpusCompactEvery: Int = 0)
       : Long = {
     val exactGated = exactKeys match {
       case Some(cfg) => graft.sources.BloomKeyIndex.novelRows(batch, cfg)
@@ -375,6 +376,14 @@ object CorpusPipeline {
       if (appended > 0) {
         val spark = survivors.sparkSession
         survivors.write.mode("append").parquet(corpusPath)
+        // the corpus TABLE needs the same small-files hygiene as its
+        // indexes: one file-set lands per daily batch, and at 100 TB the
+        // per-file footer/open cost eventually dominates every scan.
+        // Content-preserving atomic rewrite (same swap contract), so the
+        // retry-gate semantics are untouched regardless of ordering.
+        maybeCompact(corpusPath, corpusCompactEvery) {
+          graft.sources.Compaction.compact(spark, corpusPath)
+        }
         // ANN maintenance runs BEFORE the MinHash append: the MinHash
         // index is the retry GATE (a replayed batch matches its own
         // indexed signatures and drops), so it must commit LAST — a crash
@@ -534,7 +543,8 @@ class CorpusPipeline(
     lrMinP: Double = 0.0,
     sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
     exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
-    dupLabelsPath: Option[String] = None) {
+    dupLabelsPath: Option[String] = None,
+    corpusCompactEvery: Int = 0) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
@@ -574,7 +584,8 @@ class CorpusPipeline(
       indexPath, idCol, textCol, threshold, gates,
       benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
       dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery,
-      sketch = sketch, exactKeys = exactKeys, dupLabels = dupLabelsPath)
+      sketch = sketch, exactKeys = exactKeys, dupLabels = dupLabelsPath,
+      corpusCompactEvery = corpusCompactEvery)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

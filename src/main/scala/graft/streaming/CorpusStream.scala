@@ -37,7 +37,8 @@ object CorpusStream {
             indexCompactEvery: Int = 0,
             sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
             exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
-            dupLabels: Option[String] = None)
+            dupLabels: Option[String] = None,
+            corpusCompactEvery: Int = 0)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -78,7 +79,7 @@ object CorpusStream {
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
             ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
-            dupLabels)
+            dupLabels, corpusCompactEvery)
         ()
       }
       .start()
@@ -171,7 +172,8 @@ object CorpusStream {
                           maxBatches: Int = Int.MaxValue,
                           sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
                           exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
-                          dupLabels: Option[String] = None)
+                          dupLabels: Option[String] = None,
+                          corpusCompactEvery: Int = 0)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -231,7 +233,7 @@ object CorpusStream {
             admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
               indexPath, idCol, textCol, threshold, gates, benchmark,
               contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
-              sketch, exactKeys, dupLabels)
+              sketch, exactKeys, dupLabels, corpusCompactEvery)
             true
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)

@@ -882,6 +882,32 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(triageRows === 4L)
   }
 
+  test("corpus-table compaction on a cadence: file count stays bounded, " +
+      "content is preserved, and the dedup gate still answers after the " +
+      "swap") {
+    val dir = Files.createTempDirectory("corpus_compact")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    def text(i: Int) = (1 to 15).map(j => s"c${i}w$j").mkString(" ")
+    def run(rows: Seq[(Long, String)]): Long =
+      CorpusPipeline.dedupAndAppend(rows.toDF("doc_id", "text"), corpus,
+        idx, "doc_id", "text", 0.8, corpusCompactEvery = 2)
+    def files(): Int = Option(new java.io.File(corpus).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    (1 to 4).foreach(i => assert(run(Seq((i.toLong, text(i)))) === 1L))
+    // two compactions fired (appends 2 and 4): the per-batch file sets
+    // collapsed; without the cadence this directory holds >= 4 file sets
+    assert(files() <= 2, s"expected compacted corpus, got ${files()} files")
+    assert(new java.io.File(s"$corpus/_maint_appends").exists())
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // the gate still drops a near-dup of a pre-compaction doc — the
+    // rewrite is content-preserving for the index's view of the corpus
+    assert(run(Seq((9L, text(1).replace("c1w7", "zzz")))) === 0L)
+    assert(run(Seq((10L, text(10)))) === 1L)
+  }
+
   test("dup-provenance label store: within-batch and vs-index pairs fold " +
       "into persisted components, an all-dup batch still records its " +
       "provenance, and a replayed batch changes nothing") {
