@@ -375,6 +375,32 @@ object CorpusPipeline {
       }
       if (appended > 0) {
         val spark = survivors.sparkSession
+        // loud, not silent: parquet append accepts ANY schema — a
+        // renamed/retyped column in a drifted source lands as a second
+        // schema in the same directory, and every later read resolves
+        // to whichever footer wins (columns silently null or dropped).
+        // A schema change must be an explicit migration, not a batch.
+        // Nullability is normalized first: the parquet round-trip widens
+        // containsNull/nullable, which is representation, not drift.
+        if (pathExists(spark, corpusPath)) {
+          import org.apache.spark.sql.types._
+          def norm(dt: DataType): DataType = dt match {
+            case s: StructType => StructType(s.fields.map(f =>
+              StructField(f.name, norm(f.dataType), nullable = true)))
+            case a: ArrayType => ArrayType(norm(a.elementType), true)
+            case m: MapType => MapType(norm(m.keyType), norm(m.valueType),
+              valueContainsNull = true)
+            case other => other
+          }
+          val have = spark.read.parquet(corpusPath).schema
+            .map(f => (f.name, norm(f.dataType))).toSet
+          val got = survivors.schema
+            .map(f => (f.name, norm(f.dataType))).toSet
+          require(got == have,
+            s"batch schema drifted from the corpus at $corpusPath: " +
+              s"batch-only ${got -- have}, corpus-only ${have -- got} — " +
+              "migrate the corpus explicitly instead of appending")
+        }
         survivors.write.mode("append").parquet(corpusPath)
         // the corpus TABLE needs the same small-files hygiene as its
         // indexes: one file-set lands per daily batch, and at 100 TB the

@@ -882,6 +882,40 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(triageRows === 4L)
   }
 
+  test("schema-drift gate: a batch whose schema renamed or retyped a " +
+      "column is rejected loudly instead of appending a second schema " +
+      "into the corpus; same columns in a different order pass") {
+    val dir = Files.createTempDirectory("corpus_schema")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    def text(i: Int) = (1 to 15).map(j => s"s${i}w$j").mkString(" ")
+    assert(CorpusPipeline.dedupAndAppend(
+      Seq((1L, text(1), "web")).toDF("doc_id", "text", "source"),
+      corpus, idx, "doc_id", "text", 0.8) === 1L)
+    // renamed column: must fail loudly, corpus untouched
+    val renamed = intercept[IllegalArgumentException] {
+      CorpusPipeline.dedupAndAppend(
+        Seq((2L, text(2), "web")).toDF("doc_id", "text", "src"),
+        corpus, idx, "doc_id", "text", 0.8)
+    }
+    assert(renamed.getMessage.contains("schema drifted"))
+    // retyped column: same failure
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.dedupAndAppend(
+        Seq((3, text(3), "web")).toDF("doc_id", "text", "source")
+          .withColumn("doc_id", col("doc_id").cast("int")),
+        corpus, idx, "doc_id", "text", 0.8)
+    }
+    assert(spark.read.parquet(corpus).count() === 1,
+      "a rejected batch must leave the corpus untouched")
+    // column ORDER is not schema drift (parquet resolves by name)
+    assert(CorpusPipeline.dedupAndAppend(
+      Seq(("web", text(4), 4L)).toDF("source", "text", "doc_id"),
+      corpus, idx, "doc_id", "text", 0.8) === 1L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 4L))
+  }
+
   test("corpus-table compaction on a cadence: file count stays bounded, " +
       "content is preserved, and the dedup gate still answers after the " +
       "swap") {
