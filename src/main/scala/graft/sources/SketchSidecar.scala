@@ -249,6 +249,29 @@ object SketchSidecar {
       .orderBy(col("p"))
   }
 
+  /** The corpus-`p` quantile served from the sidecar as one scalar —
+    * the ADAPTIVE-GATE hook. A fixed gate ("n_chars >= 100") encodes a
+    * guess made at pipeline-authoring time; reading the accepted
+    * corpus's own p-quantile each batch (an O(#batches) sidecar merge,
+    * never a corpus scan) lets the cut track the distribution the
+    * corpus actually has: `gates = thr.map(t => "adaptive_len" ->
+    * (col("n_chars") >= t))`. Returns None until a batch row with a
+    * non-null summary exists — bootstrap batches should gate on fixed
+    * floors until the corpus has history. Read the threshold BEFORE
+    * the batch is appended (the natural order in
+    * [[graft.ingest.CorpusPipeline.dedupAndAppend]], where gates run
+    * first), so a poisoned batch cannot move the bar it is judged by.
+    */
+  def servedThreshold(spark: SparkSession, sidecarPath: String,
+                      p: Double): Option[Double] = {
+    require(p > 0.0 && p <= 1.0, s"p=$p")
+    val hp = new org.apache.hadoop.fs.Path(sidecarPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return None
+    servedQuantiles(spark, sidecarPath, Seq(p))
+      .collect().headOption.map(_.getDouble(1))
+  }
+
   /** Per-group merged distinct estimates from a GROUPED sidecar
     * ([[Cfg.groupKeyExpr]]): one row `(grp, batches, distinct_estimate)`
     * per group — register-max union within each group, same rsd contract
