@@ -238,5 +238,20 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
     val globalTop = rows.sortBy(r => (-r._3, r._1)).take(10).map(_._1)
     assert(globalTop.forall(_ < 100L),
       "fixture sanity: global top-10 is all cluster A")
+    // plan shape: the whole selection is ONE exchange (the cell-keyed
+    // window shuffle) — centroids are literals, so there is no join and
+    // no broadcast in the plan
+    val sel2 = Sampling.clusterBalancedSample(df, "id", "embedding", idx,
+      quotaPerCell = 5, "score")
+    sel2.count()
+    val plan = sel2.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected <= 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    // input collision guard: a frame already carrying 'cell' is refused
+    intercept[IllegalArgumentException] {
+      Sampling.clusterBalancedSample(df.withColumn("cell", lit(0L)),
+        "id", "embedding", idx, 5, "score")
+    }
   }
 }
