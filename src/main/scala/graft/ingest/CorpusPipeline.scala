@@ -256,6 +256,35 @@ object CorpusPipeline {
                      dupLabels: Option[String] = None,
                      corpusCompactEvery: Int = 0)
       : Long = {
+    // schema-drift gate FIRST, before any other gate touches the batch:
+    // parquet append accepts ANY schema — a renamed/retyped column in a
+    // drifted source would land a second schema in the corpus directory
+    // and every later read would resolve to whichever footer wins
+    // (columns silently null or dropped). Checking batch.schema up front
+    // means a drifted batch fails BEFORE model scoring runs, BEFORE the
+    // provenance store commits edges for it, and regardless of whether
+    // any row would have survived — a schema change must be an explicit
+    // migration, not a batch. Nullability is normalized (the parquet
+    // round-trip widens containsNull/nullable — representation, not
+    // drift) and column order is irrelevant (parquet resolves by name).
+    if (pathExists(batch.sparkSession, corpusPath)) {
+      import org.apache.spark.sql.types._
+      def norm(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(f.name, norm(f.dataType), nullable = true)))
+        case a: ArrayType => ArrayType(norm(a.elementType), true)
+        case m: MapType => MapType(norm(m.keyType), norm(m.valueType),
+          valueContainsNull = true)
+        case other => other
+      }
+      val have = batch.sparkSession.read.parquet(corpusPath).schema
+        .map(f => (f.name, norm(f.dataType))).toSet
+      val got = batch.schema.map(f => (f.name, norm(f.dataType))).toSet
+      require(got == have,
+        s"batch schema drifted from the corpus at $corpusPath: " +
+          s"batch-only ${got -- have}, corpus-only ${have -- got} — " +
+          "migrate the corpus explicitly instead of appending")
+    }
     val exactGated = exactKeys match {
       case Some(cfg) => graft.sources.BloomKeyIndex.novelRows(batch, cfg)
       case None => batch
@@ -375,41 +404,7 @@ object CorpusPipeline {
       }
       if (appended > 0) {
         val spark = survivors.sparkSession
-        // loud, not silent: parquet append accepts ANY schema — a
-        // renamed/retyped column in a drifted source lands as a second
-        // schema in the same directory, and every later read resolves
-        // to whichever footer wins (columns silently null or dropped).
-        // A schema change must be an explicit migration, not a batch.
-        // Nullability is normalized first: the parquet round-trip widens
-        // containsNull/nullable, which is representation, not drift.
-        if (pathExists(spark, corpusPath)) {
-          import org.apache.spark.sql.types._
-          def norm(dt: DataType): DataType = dt match {
-            case s: StructType => StructType(s.fields.map(f =>
-              StructField(f.name, norm(f.dataType), nullable = true)))
-            case a: ArrayType => ArrayType(norm(a.elementType), true)
-            case m: MapType => MapType(norm(m.keyType), norm(m.valueType),
-              valueContainsNull = true)
-            case other => other
-          }
-          val have = spark.read.parquet(corpusPath).schema
-            .map(f => (f.name, norm(f.dataType))).toSet
-          val got = survivors.schema
-            .map(f => (f.name, norm(f.dataType))).toSet
-          require(got == have,
-            s"batch schema drifted from the corpus at $corpusPath: " +
-              s"batch-only ${got -- have}, corpus-only ${have -- got} — " +
-              "migrate the corpus explicitly instead of appending")
-        }
         survivors.write.mode("append").parquet(corpusPath)
-        // the corpus TABLE needs the same small-files hygiene as its
-        // indexes: one file-set lands per daily batch, and at 100 TB the
-        // per-file footer/open cost eventually dominates every scan.
-        // Content-preserving atomic rewrite (same swap contract), so the
-        // retry-gate semantics are untouched regardless of ordering.
-        maybeCompact(corpusPath, corpusCompactEvery) {
-          graft.sources.Compaction.compact(spark, corpusPath)
-        }
         // ANN maintenance runs BEFORE the MinHash append: the MinHash
         // index is the retry GATE (a replayed batch matches its own
         // indexed signatures and drops), so it must commit LAST — a crash
@@ -512,6 +507,15 @@ object CorpusPipeline {
           }
         } else
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
+        // corpus-table small-files hygiene, AFTER the MinHash gate
+        // commit like the index's own compaction: the rewrite is
+        // content-preserving, but it is an O(corpus) job — placed before
+        // the gate commit it would sit inside the crash window where a
+        // retry re-appends the batch (permanent duplicates); after the
+        // commit, a crash mid-compaction just re-runs the compaction
+        maybeCompact(corpusPath, corpusCompactEvery) {
+          graft.sources.Compaction.compact(spark, corpusPath)
+        }
         // exact-key index LAST, after the MinHash commit — the one
         // sidecar whose premature commit could make a retry skip the
         // gate chain entirely (see the exactKeys parameter doc). Its

@@ -210,8 +210,10 @@ object Sampling {
     require(quotaPerCell >= 1, s"quotaPerCell=$quotaPerCell")
     // loud, not silent: a frame read back from an IVF data directory
     // already carries a `cell` partition column — overwriting it against
-    // a different index would quietly destroy the original assignment
-    require(!df.columns.contains("cell"),
+    // a different index would quietly destroy the original assignment.
+    // Case-insensitive to match Spark's default resolver (withColumn
+    // would replace a `Cell` column too).
+    require(!df.columns.exists(_.equalsIgnoreCase("cell")),
       "input already has a 'cell' column — drop or rename it first")
     val cents = Similarity.readCentroids(df.sparkSession, indexPath)
     val celled = df.withColumn("cell", Similarity.bestCellFor(cents)(

@@ -230,11 +230,27 @@ object CorpusStream {
           val js = m.select(col("js")).collect().head.getDouble(0)
           if (js > maxJs) false
           else {
-            admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
-              indexPath, idCol, textCol, threshold, gates, benchmark,
-              contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
-              sketch, exactKeys, dupLabels, corpusCompactEvery)
-            true
+            // a batch whose gate chain fails TERMINALLY (e.g. the
+            // schema-drift gate awaiting an explicit corpus migration)
+            // is HELD — it rejoins the live queue like a rejected batch
+            // — instead of wedging triage forever: an unguarded throw
+            // would leave the claim behind and the oldest-first retry
+            // would hit the same batch on every invocation, never
+            // draining the healthy batches behind it. Holding is safe:
+            // the gate chain is replay-idempotent by design, so a batch
+            // that failed PARTWAY re-runs cleanly on a later release.
+            try {
+              admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
+                indexPath, idCol, textCol, threshold, gates, benchmark,
+                contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
+                sketch, exactKeys, dupLabels, corpusCompactEvery)
+              true
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[triage] batch $bid held: gate chain failed — $e")
+                false
+            }
           }
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(m)
       }.toSet

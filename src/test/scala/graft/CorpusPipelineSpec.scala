@@ -945,12 +945,71 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     }
     assert(spark.read.parquet(corpus).count() === 1,
       "a rejected batch must leave the corpus untouched")
+    // the check runs FIRST: a drifted batch must fail before the gate
+    // chain commits anything for it — here the provenance store stays
+    // absent even though the batch near-dups an indexed doc, and the
+    // failure fires even though zero rows would have survived
+    val labels = Files.createTempDirectory("schema_labels")
+      .resolve("labels").toString
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.dedupAndAppend(
+        Seq((5L, text(1), "web")).toDF("doc_id", "text", "src"),
+        corpus, idx, "doc_id", "text", 0.8, dupLabels = Some(labels))
+    }
+    assert(!new java.io.File(labels).exists(),
+      "a drifted batch must not commit provenance edges")
     // column ORDER is not schema drift (parquet resolves by name)
     assert(CorpusPipeline.dedupAndAppend(
       Seq(("web", text(4), 4L)).toDF("source", "text", "doc_id"),
       corpus, idx, "doc_id", "text", 0.8) === 1L)
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().toSet === Set(1L, 4L))
+  }
+
+  test("triage holds a batch whose gate chain fails terminally instead " +
+      "of wedging: healthy batches drain, the failed batch rejoins the " +
+      "live queue, the claim is cleaned") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Divergence
+    val dir = Files.createTempDirectory("triage_hold")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val quar = dir.resolve("quarantine").toString
+    val ref = dir.resolve("ref").toString
+    def text(i: Int) = (1 to 15).map(j => s"t${i}w$j").mkString(" ")
+    assert(CorpusPipeline.dedupAndAppend(
+      Seq((1L, text(1))).toDF("doc_id", "text"),
+      corpus, idx, "doc_id", "text", 0.8) === 1L)
+    // the reference accepts everything — only the gate chain's own
+    // failure can hold a batch here
+    Divergence.writeReferenceCounts(
+      (1 to 40).map(i => (i.toLong, text(i))).toDF("doc_id", "text"),
+      "text", ref)
+    // batch 7 trips a terminally-failing gate (raise_error mid-job —
+    // the stand-in for any exception the chain can throw, e.g. the
+    // schema-drift require awaiting a corpus migration); batch 8 is
+    // healthy
+    Seq((7L, text(7) + " boom")).toDF("doc_id", "text")
+      .withColumn("__q_batch", lit(7L))
+      .write.mode("append").parquet(quar)
+    Seq((8L, text(8))).toDF("doc_id", "text")
+      .withColumn("__q_batch", lit(8L))
+      .write.mode("append").parquet(quar)
+    val explodingGate = Seq("no_boom" ->
+      when(col("text").contains("boom"),
+        raise_error(lit("poison batch"))).otherwise(lit(true)))
+    val r = CorpusStream.reprocessQuarantine(spark, quar, ref,
+      maxJs = 10.0, corpus, idx, gates = explodingGate)
+    assert(r.batches === 2 && r.released === 1 && r.admitted === 1,
+      s"healthy batch must drain while the failing one is held: $r")
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 8L))
+    // the held batch is back in the LIVE queue, claim gone — a later
+    // invocation (after the operator fixes the cause) can retry it
+    assert(spark.read.parquet(quar)
+      .select("doc_id").as[Long].collect().toSeq === Seq(7L))
+    assert(!graft.sources.Compaction
+      .stagingDir(new java.io.File(quar), "triage").exists())
   }
 
   test("corpus-table compaction on a cadence: file count stays bounded, " +
