@@ -762,7 +762,9 @@ object ExtQueries {
           round(col("b_est"), 4).as("b_est"),
           round(col("union_est"), 4).as("union_est"),
           round(col("jaccard"), 6).as("jaccard"),
-          round(col("inter_est"), 4).as("inter_est"))
+          round(col("inter_est"), 4).as("inter_est"),
+          round(col("a_only_est"), 4).as("a_only_est"),
+          round(col("b_only_est"), 4).as("b_only_est"))
     }),
 
     // the KMV error contract, machine-enforced (one row or loudly
@@ -799,13 +801,19 @@ object ExtQueries {
           round(abs(col("jaccard") - col("ni") / col("nu").cast("double")),
             6).as("jaccard_abs_err"),
           round(abs(col("inter_est") - col("ni")) / col("nu"), 6)
-            .as("inter_err_vs_union"))
+            .as("inter_err_vs_union"),
+          round(abs(col("a_only_est") - (col("na") - col("ni"))) /
+            col("nu"), 6).as("a_only_err_vs_union"),
+          round(abs(col("b_only_est") - (col("nb") - col("ni"))) /
+            col("nu"), 6).as("b_only_err_vs_union"))
         .withColumn("meets_floor",
           col("a_rel_err") <= relBound &&
           col("b_rel_err") <= relBound &&
           col("union_rel_err") <= relBound &&
           col("jaccard_abs_err") <= jBound &&
-          col("inter_err_vs_union") <= jBound + relBound)
+          col("inter_err_vs_union") <= jBound + relBound &&
+          col("a_only_err_vs_union") <= jBound + relBound &&
+          col("b_only_err_vs_union") <= jBound + relBound)
         .where(col("meets_floor"))
     }),
 

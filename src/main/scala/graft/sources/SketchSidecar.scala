@@ -509,16 +509,22 @@ object SketchSidecar {
     * training-set contamination)? Serve cost is O(#batches·k) with k
     * longs of driver state per side; the corpora are never touched.
     *
-    * One row: `(a_est, b_est, union_est, jaccard, inter_est)`.
+    * One row: `(a_est, b_est, union_est, jaccard, inter_est,
+    * a_only_est, b_only_est)` — the full set algebra: sizes, union,
+    * Jaccard, intersection and both differences (new-content and
+    * lost-content volume between two snapshots).
     * Estimator: K_U = the k smallest of KMV(A) ∪ KMV(B) (a valid KMV of
     * A ∪ B by associativity); every h ∈ K_U satisfies h ≤ θ_U ≤ θ_A, so
     * h ∈ A ⇔ h ∈ KMV(A) — membership is exact, and
     * ρ = |K_U ∩ KMV(A) ∩ KMV(B)|/|K_U| estimates Jaccard with
-    * std ≤ 0.5/sqrt(k); `inter_est` = ρ · `union_est`. When the union
-    * sketch is not full every estimate is EXACT (both sketches then hold
-    * every distinct hash of their sets). Both sidecars must share one
-    * `kmvK` (unequal-k sketches are not union-comparable — fails
-    * loudly).
+    * std ≤ 0.5/sqrt(k); `inter_est` = ρ · `union_est`; the differences
+    * use the same exact-membership fractions of K_U (ρ_aOnly ·
+    * `union_est`), NOT a_est − inter_est, so each difference carries
+    * one fraction's error instead of two estimators' compounded error.
+    * When the union sketch is not full every estimate is EXACT (both
+    * sketches then hold every distinct hash of their sets). Both
+    * sidecars must share one `kmvK` (unequal-k sketches are not
+    * union-comparable — fails loudly).
     */
   def servedOverlap(spark: SparkSession, sidecarPathA: String,
                     sidecarPathB: String): DataFrame = {
@@ -531,12 +537,17 @@ object SketchSidecar {
     val aSet = a.toSet
     val bSet = b.toSet
     val inBoth = u.count(h => aSet.contains(h) && bSet.contains(h))
-    val jaccard = if (u.isEmpty) 1.0 else inBoth.toDouble / u.length
+    val aOnly = u.count(h => aSet.contains(h) && !bSet.contains(h))
+    val bOnly = u.count(h => bSet.contains(h) && !aSet.contains(h))
+    val denom = math.max(u.length, 1).toDouble
+    val jaccard = if (u.isEmpty) 1.0 else inBoth / denom
     val unionEst = kmvEstimate(u, k)
     import spark.implicits._
     Seq((kmvEstimate(a, k), kmvEstimate(b, k), unionEst, jaccard,
-        jaccard * unionEst))
-      .toDF("a_est", "b_est", "union_est", "jaccard", "inter_est")
+        jaccard * unionEst, aOnly / denom * unionEst,
+        bOnly / denom * unionEst))
+      .toDF("a_est", "b_est", "union_est", "jaccard", "inter_est",
+        "a_only_est", "b_only_est")
   }
 
   /** Distributive Count-Min merge: cell-wise addition of the serialized

@@ -278,6 +278,8 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     assert(row.getDouble(2) === 500.0) // union_est
     assert(row.getDouble(3) === 0.2)   // jaccard
     assert(row.getDouble(4) === 100.0) // inter_est
+    assert(row.getDouble(5) === 200.0) // a_only_est
+    assert(row.getDouble(6) === 200.0) // b_only_est
     // distinct serve agrees
     assert(SketchSidecar.servedKmvDistinct(spark, cfgA.sidecarPath)
       .collect().head.getDouble(1) === 300.0)
