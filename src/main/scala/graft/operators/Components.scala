@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -152,18 +152,64 @@ object Components {
     * members of touched components), independent of how large the
     * historical dup graph has grown — without the pruning a daily
     * batch of a few pairs would re-propagate over every label ever
-    * stored. (The store REWRITE is still a full-file swap; at 100 TB
-    * scale partition the store by a component hash and swap only
-    * touched partitions — the `Merge.keepLatestPartitioned` pattern.)
+    * stored.
+    *
+    * The store REWRITE has two layouts. `partitions = 0` (default):
+    * one flat table, whole-file atomic swap per update — right while
+    * the store is small. `partitions = P`: the store is laid out
+    * partitioned by `lp = pmod(xxhash64(component), P)` and an update
+    * rewrites ONLY the partitions holding affected or newly-labeled
+    * components (dynamic partition overwrite, the
+    * [[Merge.keepLatestPartitioned]] pattern) — write cost scales with
+    * the touched components, not the store. Rows merely co-resident in
+    * a touched partition (hash neighbors) are preserved by unioning
+    * them back into the rewrite. P is pinned in a `_label_partitions`
+    * meta file at creation; a mismatched `partitions` argument — or
+    * mixing the two layouts — fails loudly instead of corrupting the
+    * directory. Crash stance: the dynamic overwrite is atomic per
+    * partition, not across partitions (keepLatestPartitioned's
+    * documented trade) — a retried batch re-derives the same labels,
+    * so a partial overwrite converges on replay.
     */
   def updateLabelStore(spark: org.apache.spark.sql.SparkSession,
                        path: String, newPairs: DataFrame,
                        srcCol: String, dstCol: String,
-                       maxIters: Int = 25): DataFrame = {
+                       maxIters: Int = 25,
+                       partitions: Int = 0): DataFrame = {
+    require(partitions >= 0, s"partitions=$partitions")
     val dir = new java.io.File(path)
+    val meta = new java.io.File(dir, "_label_partitions")
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+    val flatExisting =
+      entries.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    val partitionedExisting =
+      entries.exists(f => f.isDirectory && f.getName.startsWith("lp="))
+    val metaP: Option[Int] =
+      if (meta.exists())
+        Some(java.nio.file.Files.readString(meta.toPath).trim.toInt)
+      else None
+    metaP match {
+      case Some(p) => require(partitions == p,
+        s"label store at $path was created with partitions=$p; " +
+          s"got partitions=$partitions — the layout is pinned at creation")
+      case None =>
+        require(!partitionedExisting,
+          s"label store at $path has lp= partitions but no " +
+            "_label_partitions meta (crashed creation) — rebuild it")
+        if (flatExisting) require(partitions == 0,
+          s"label store at $path is a flat table — migrate it " +
+            "explicitly before switching to a partitioned layout")
+    }
+    // pin the layout BEFORE any partitioned data lands: a crash between
+    // the two leaves meta-without-data, which the next call treats as a
+    // fresh creation at the same pinned P
+    if (partitions > 0 && metaP.isEmpty) {
+      dir.mkdirs()
+      java.nio.file.Files.writeString(meta.toPath, partitions.toString)
+    }
+    def lpOf(c: Column): Column = pmod(xxhash64(c), lit(partitions))
     val prior: Option[DataFrame] =
-      if (Option(dir.listFiles()).getOrElse(Array.empty)
-          .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+      if (flatExisting || partitionedExisting)
         Some(spark.read.parquet(path))
       else None
     val edges = newPairs.select(col(srcCol).cast("long").as("src"),
@@ -186,27 +232,91 @@ object Components {
       case None => (edges, None)
     }
     val closed = connectedComponents(closureInput, "src", "dst", maxIters)
-    val labels = untouched match {
-      case Some(kept) => closed.union(kept.select("id", "component"))
-      case None => closed
-    }
-    val staging = graft.sources.Compaction.stagingDir(dir, "labels")
-    if (staging.exists()) graft.sources.Compaction.rm(staging)
-    // connectedComponents returns a checkpoint-backed frame, but the
-    // `untouched` side still READS the store files the swap replaces —
-    // materialize the union before writing so the swap cannot pull the
-    // files out from under a lazy scan
-    val out = labels.localCheckpoint(true)
     try {
-      out.write.mode("overwrite").parquet(staging.toString)
-      graft.sources.Compaction.swapInto(path, staging.toString)
+      if (partitions == 0) {
+        val labels = untouched match {
+          case Some(kept) => closed.union(kept.select("id", "component"))
+          case None => closed
+        }
+        val staging = graft.sources.Compaction.stagingDir(dir, "labels")
+        if (staging.exists()) graft.sources.Compaction.rm(staging)
+        // connectedComponents returns a checkpoint-backed frame, but the
+        // `untouched` side still READS the store files the swap replaces
+        // — materialize the union before writing so the swap cannot pull
+        // the files out from under a lazy scan
+        val out = labels.localCheckpoint(true)
+        try {
+          out.write.mode("overwrite").parquet(staging.toString)
+          graft.sources.Compaction.swapInto(path, staging.toString)
+        } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
+      } else {
+        // touched partitions: where affected components lived (so rows
+        // whose component MOVED get erased from their old partition) ∪
+        // where the closed labels land. Bounded driver state: ≤ P ints.
+        val closedLp = closed.withColumn("lp", lpOf(col("component")))
+        val touchedLps: Set[Int] = (untouched match {
+          case Some(kept) =>
+            // affected = prior minus kept — but affected's lps are just
+            // the closed endpoints' OLD components' lps; collect from
+            // the prior side to include moved-away components
+            prior.get.join(kept.select("id"), Seq("id"), "left_anti")
+              .select(lpOf(col("component")).as("lp")).distinct()
+          case None => closedLp.select(col("lp")).distinct().limit(0)
+        }).collect().map(_.getLong(0).toInt).toSet ++
+          closedLp.select(col("lp")).distinct()
+            .collect().map(_.getLong(0).toInt).toSet
+        // hash neighbors living in a touched partition ride the rewrite
+        val coResident = untouched match {
+          case Some(kept) =>
+            kept.withColumn("lp", lpOf(col("component")))
+              .where(col("lp").isin(touchedLps.toSeq: _*))
+              .select("id", "component", "lp")
+          case None => closedLp.limit(0).select("id", "component", "lp")
+        }
+        val out = closedLp.select("id", "component", "lp")
+          .union(coResident)
+          // sever from the very files the dynamic overwrite replaces
+          .localCheckpoint(true)
+        val prevMode =
+          spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+            "dynamic")
+          out.write.mode("overwrite").partitionBy("lp").parquet(path)
+          // dynamic overwrite replaces only partitions PRESENT in the
+          // output — a partition whose every row moved away (a losing
+          // component's members relabeled into the winner's partition,
+          // no hash neighbors left behind) ends up with ZERO output
+          // rows and would silently keep its stale files, leaving a
+          // moved id labeled twice. Those emptied partitions are
+          // removed explicitly, after the new data is down: a crash
+          // between the two leaves duplicate labels a retry re-deletes
+          // (the same per-partition non-atomicity trade documented
+          // above).
+          val outputLps = out.select("lp").distinct()
+            .collect().map(_.getLong(0).toInt).toSet
+          (touchedLps -- outputLps).foreach { x =>
+            graft.sources.Compaction.rm(new java.io.File(dir, s"lp=$x"))
+          }
+        } finally {
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+            prevMode)
+          org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
+        }
+      }
     } finally {
-      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(closed)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
     }
-    spark.read.parquet(path)
+    readLabelStore(spark, path)
   }
+
+  /** The label store as (id, component), either layout — the partition
+    * column is an implementation detail readers never see.
+    */
+  def readLabelStore(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path).select("id", "component")
 
   /** Transitive cleaning with a QUALITY survivor policy: per connected
     * component keep the member maximizing `qualityCol` (id tie-break)

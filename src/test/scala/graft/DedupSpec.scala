@@ -311,6 +311,68 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       === merged)
   }
 
+  test("partitioned label store: labels equal the flat mode, untouched " +
+      "partitions stay byte-identical across updates, and layout misuse " +
+      "fails loudly") {
+    import graft.operators.Components
+    val base = java.nio.file.Files.createTempDirectory("label_part")
+    val flat = base.resolve("flat").toString
+    val part = base.resolve("part").toString
+    val P = 64
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L)),          // chain component
+      Seq((500L, 501L)),                 // decoy component
+      Seq((3L, 4L), (10L, 11L)))         // extend chain + new component
+    batches.foreach { b =>
+      Components.updateLabelStore(spark, flat,
+        b.toDF("id_a", "id_b"), "id_a", "id_b")
+      Components.updateLabelStore(spark, part,
+        b.toDF("id_a", "id_b"), "id_a", "id_b", partitions = P)
+    }
+    def labels(p: String): Map[Long, Long] =
+      Components.readLabelStore(spark, p)
+        .as[(Long, Long)].collect().toMap
+    assert(labels(part) === labels(flat))
+    assert(labels(part) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      500L -> 500L, 501L -> 500L, 10L -> 10L, 11L -> 10L))
+    // the decoy's partition must be untouched by an update elsewhere:
+    // snapshot its files, run an update merging 1- and 10-components,
+    // and compare byte-for-byte
+    val decoyLp = spark.read.parquet(part)
+      .where(col("component") === 500L).select("lp")
+      .distinct().as[Int].collect().toSeq
+    assert(decoyLp.length === 1)
+    val decoyDir = new java.io.File(part, s"lp=${decoyLp.head}")
+    def snapshot(): Map[String, Long] =
+      Option(decoyDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    val before = snapshot()
+    assert(before.nonEmpty)
+    Components.updateLabelStore(spark, part,
+      Seq((4L, 10L)).toDF("id_a", "id_b"), "id_a", "id_b", partitions = P)
+    assert(snapshot() === before,
+      "an update not touching the decoy's component must leave its " +
+        "partition files untouched")
+    assert(labels(part)(11L) === 1L, "the merge itself must apply")
+    assert(labels(part)(500L) === 500L)
+    // layout misuse: wrong P, flat-on-partitioned, partitioned-on-flat
+    intercept[IllegalArgumentException] {
+      Components.updateLabelStore(spark, part,
+        Seq((7L, 8L)).toDF("id_a", "id_b"), "id_a", "id_b",
+        partitions = 32)
+    }
+    intercept[IllegalArgumentException] {
+      Components.updateLabelStore(spark, part,
+        Seq((7L, 8L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    }
+    intercept[IllegalArgumentException] {
+      Components.updateLabelStore(spark, flat,
+        Seq((7L, 8L)).toDF("id_a", "id_b"), "id_a", "id_b",
+        partitions = P)
+    }
+  }
+
   test("transitive cleaning: one survivor per component where greedy keeps two") {
     import graft.operators.Components
     // star-shaped cluster: 1~3 and 2~3 verified, but the 1~2 edge is
