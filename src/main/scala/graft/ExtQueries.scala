@@ -2105,8 +2105,10 @@ object ExtQueries {
     // the INCREMENTAL closure: the same pair set arrives as 3 ingest
     // batches, each folded into a persisted label store (star edges ∪
     // new pairs — O(batch) work per day, convergence bounded by the
-    // batch's path length, never the historical graph's diameter). The
-    // final store must equal the one-shot closure EXACTLY, so it hashes
+    // batch's path length, never the historical graph's diameter), in
+    // the PARTITIONED layout (component-hash partitions, each update
+    // rewriting only touched partitions — the 100 TB shape). The final
+    // store must equal the one-shot closure EXACTLY, so it hashes
     // against the same recursive-CTE oracle as dedup_components
     "dedup_components_incremental" -> ((s, d) => {
       val path = new java.io.File(
@@ -2123,9 +2125,10 @@ object ExtQueries {
       try {
         (0 until 3).foreach { b =>
           Components.updateLabelStore(s, path.toString,
-            pairs.where(pmod(col("id_b"), lit(3)) === b), "id_a", "id_b")
+            pairs.where(pmod(col("id_b"), lit(3)) === b), "id_a", "id_b",
+            partitions = 16)
         }
-        s.read.parquet(path.toString)
+        Components.readLabelStore(s, path.toString)
           .transform(Queries.presentSorted(_, "id"))
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
     }),
