@@ -184,6 +184,46 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("label store law: after every random batch, flat and partitioned " +
+      "layouts hold identical labels, and both equal the one-shot " +
+      "closure over all edges so far") {
+    import graft.operators.Components
+    val base = java.nio.file.Files.createTempDirectory("label_prop")
+    val flat = base.resolve("flat").toString
+    val part = base.resolve("part").toString
+    // random edge batches over a small id space: forces every regime —
+    // fresh components, growth, cross-component merges, replays
+    val gen = Gen.listOfN(4,
+      Gen.zip(Gen.choose(1L, 40L), Gen.choose(1L, 40L)))
+    val batches = samples(gen, 12)
+    var allEdges = Seq.empty[(Long, Long)]
+    batches.zipWithIndex.foreach { case (raw, i) =>
+      val b = raw.filter { case (a, x) => a != x } // self-loops excluded
+      if (b.nonEmpty) {
+        allEdges ++= b
+        Components.updateLabelStore(spark, flat,
+          b.toDF("id_a", "id_b"), "id_a", "id_b")
+        Components.updateLabelStore(spark, part,
+          b.toDF("id_a", "id_b"), "id_a", "id_b", partitions = 8)
+        val f = Components.readLabelStore(spark, flat)
+          .as[(Long, Long)].collect().toMap
+        val p = Components.readLabelStore(spark, part)
+          .as[(Long, Long)].collect().toMap
+        assert(p === f, s"layouts diverged after batch $i")
+        val oneShot = Components.connectedComponents(
+            allEdges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(f === oneShot,
+          s"incremental != one-shot closure after batch $i")
+      }
+    }
+    // a partitioned store never carries duplicate ids (the stale-
+    // partition removal law)
+    val ids = spark.read.parquet(part).select("id").as[Long].collect()
+    assert(ids.length === ids.distinct.length,
+      "duplicate id rows — a stale partition survived a rewrite")
+  }
+
   test("kmv laws: insert-fold and pairwise merge both equal the reference " +
       "bottom-k (sorted distinct unsigned, take k) on random long streams " +
       "including sign-boundary values") {
