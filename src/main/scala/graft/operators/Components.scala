@@ -185,9 +185,13 @@ object Components {
     val partitionedExisting =
       entries.exists(f => f.isDirectory && f.getName.startsWith("lp="))
     val metaP: Option[Int] =
-      if (meta.exists())
-        Some(java.nio.file.Files.readString(meta.toPath).trim.toInt)
-      else None
+      if (meta.exists()) {
+        val raw = java.nio.file.Files.readString(meta.toPath).trim
+        require(raw.nonEmpty && raw.forall(_.isDigit),
+          s"label store meta at $meta is corrupt ('$raw') — a crashed " +
+            "meta write; rebuild the store")
+        Some(raw.toInt)
+      } else None
     metaP match {
       case Some(p) => require(partitions == p,
         s"label store at $path was created with partitions=$p; " +
@@ -202,10 +206,14 @@ object Components {
     }
     // pin the layout BEFORE any partitioned data lands: a crash between
     // the two leaves meta-without-data, which the next call treats as a
-    // fresh creation at the same pinned P
+    // fresh creation at the same pinned P. Write-then-rename (the swap
+    // discipline) so a crash mid-write cannot leave a truncated meta.
     if (partitions > 0 && metaP.isEmpty) {
       dir.mkdirs()
-      java.nio.file.Files.writeString(meta.toPath, partitions.toString)
+      val tmp = new java.io.File(dir, "._label_partitions__tmp")
+      java.nio.file.Files.writeString(tmp.toPath, partitions.toString)
+      if (!tmp.renameTo(meta))
+        throw new java.io.IOException(s"cannot pin layout meta at $meta")
     }
     def lpOf(c: Column): Column = pmod(xxhash64(c), lit(partitions))
     val prior: Option[DataFrame] =
@@ -217,7 +225,7 @@ object Components {
       // both prunes and the closure consume the edge frame — one
       // materialization (O(batch pairs) small)
       .localCheckpoint(true)
-    val (closureInput, untouched) = prior match {
+    val (closureInput, priorSplit) = prior match {
       case Some(labels) =>
         val endpoints = edges.select(col("src").as("id"))
           .union(edges.select(col("dst").as("id"))).distinct()
@@ -228,9 +236,10 @@ object Components {
         val kept = labels.join(affectedComps, Seq("component"),
           "left_anti")
         (edges.union(affected.select(col("id").as("src"),
-          col("component").as("dst"))), Some(kept))
+          col("component").as("dst"))), Some((kept, affected)))
       case None => (edges, None)
     }
+    val untouched = priorSplit.map(_._1)
     val closed = connectedComponents(closureInput, "src", "dst", maxIters)
     try {
       if (partitions == 0) {
@@ -253,16 +262,13 @@ object Components {
         // touched partitions: where affected components lived (so rows
         // whose component MOVED get erased from their old partition) ∪
         // where the closed labels land. Bounded driver state: ≤ P ints.
+        // The affected frame from the prune step is reused — re-deriving
+        // it would cost a second full-store join per update.
         val closedLp = closed.withColumn("lp", lpOf(col("component")))
-        val touchedLps: Set[Int] = (untouched match {
-          case Some(kept) =>
-            // affected = prior minus kept — but affected's lps are just
-            // the closed endpoints' OLD components' lps; collect from
-            // the prior side to include moved-away components
-            prior.get.join(kept.select("id"), Seq("id"), "left_anti")
-              .select(lpOf(col("component")).as("lp")).distinct()
-          case None => closedLp.select(col("lp")).distinct().limit(0)
-        }).collect().map(_.getLong(0).toInt).toSet ++
+        val touchedLps: Set[Int] = priorSplit.map { case (_, affected) =>
+          affected.select(lpOf(col("component")).as("lp")).distinct()
+            .collect().map(_.getLong(0).toInt).toSet
+        }.getOrElse(Set.empty) ++
           closedLp.select(col("lp")).distinct()
             .collect().map(_.getLong(0).toInt).toSet
         // hash neighbors living in a touched partition ride the rewrite
@@ -277,12 +283,14 @@ object Components {
           .union(coResident)
           // sever from the very files the dynamic overwrite replaces
           .localCheckpoint(true)
-        val prevMode =
-          spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         try {
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-            "dynamic")
-          out.write.mode("overwrite").partitionBy("lp").parquet(path)
+          // per-WRITE dynamic mode (the Merge.keepLatestPartitioned
+          // discipline) — toggling the session conf would race any
+          // concurrent writer on the same session into the wrong
+          // overwrite semantics
+          out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lp").parquet(path)
           // dynamic overwrite replaces only partitions PRESENT in the
           // output — a partition whose every row moved away (a losing
           // component's members relabeled into the winner's partition,
@@ -298,11 +306,7 @@ object Components {
           (touchedLps -- outputLps).foreach { x =>
             graft.sources.Compaction.rm(new java.io.File(dir, s"lp=$x"))
           }
-        } finally {
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-            prevMode)
-          org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
-        }
+        } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
       }
     } finally {
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(closed)
@@ -312,11 +316,23 @@ object Components {
   }
 
   /** The label store as (id, component), either layout — the partition
-    * column is an implementation detail readers never see.
+    * column is an implementation detail readers never see. A store with
+    * no data yet (never written, or a pinned-meta-only directory from a
+    * crash before the first partitioned write) reads as an EMPTY frame,
+    * not a schema-inference error — the same fail-open stance as the
+    * watermark sidecar.
     */
   def readLabelStore(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame =
-    spark.read.parquet(path).select("id", "component")
+                     path: String): DataFrame = {
+    val dir = new java.io.File(path)
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+    val hasData = entries.exists(f =>
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+      (f.isDirectory && f.getName.startsWith("lp=")))
+    if (!hasData)
+      spark.range(0).select(col("id"), col("id").as("component"))
+    else spark.read.parquet(path).select("id", "component")
+  }
 
   /** Transitive cleaning with a QUALITY survivor policy: per connected
     * component keep the member maximizing `qualityCol` (id tie-break)
