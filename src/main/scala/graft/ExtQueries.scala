@@ -95,7 +95,7 @@ object ExtQueries {
 
   /** The q_heavy_hitters fixture: the events table replayed as 5 ingest
     * batches (pmod on user_id), each appending a sidecar row with CMS +
-    * exact top-k over `event_type`. Rebuilt per call like
+    * Misra-Gries candidates over `event_type`. Rebuilt per call like
     * [[sketchSidecarFor]].
     */
   private def hhSidecarFor(s: SparkSession, d: String)
@@ -568,7 +568,8 @@ object ExtQueries {
     }),
 
     // heavy hitters from the same per-batch sidecar discipline: each
-    // batch appends a Count-Min sketch + its exact top-k keys; "which
+    // batch appends a Count-Min sketch + its Misra-Gries candidate keys
+    // (one single-scan aggregation per batch); "which
     // keys dominate the corpus" merges the CMS rows cell-wise and
     // prices the bounded candidate union against the merged sketch —
     // O(#batches) state, no corpus re-scan, deterministic at the fixed

@@ -30,6 +30,23 @@ import graft.operators.{Contamination, CorpusFilter, Dedup, Lm, Similarity}
   */
 object CorpusPipeline {
 
+  /** A gate-chain failure raised AFTER the corpus append committed but
+    * BEFORE the MinHash gate append did. This window is the one part of
+    * [[dedupAndAppend]] that is NOT replay-idempotent: the batch's
+    * survivors are already in the corpus with no index entry, so a
+    * blind re-run re-appends the same survivors as permanent duplicate
+    * corpus rows. Callers that retry automatically (the quarantine
+    * triage loop) must let this propagate as an operator-visible
+    * failure instead of holding the batch for a routine silent replay;
+    * failures BEFORE the corpus append (gates, schema check, model
+    * scoring) replay cleanly and are safe to hold.
+    */
+  final class PostAppendFailure(cause: Throwable)
+      extends RuntimeException(
+        "corpus append committed but the MinHash gate append did not — " +
+          "a blind replay would duplicate the batch's survivors in the " +
+          "corpus; reconcile before retrying", cause)
+
   /** Sidecar existence through the Hadoop FileSystem of the path's SCHEME
     * (not java.io.File, which silently answers false for every hdfs:// or
     * s3a:// path — the loop would then rebuild the index from the full
@@ -232,6 +249,12 @@ object CorpusPipeline {
     * finds against its own indexed signatures are filtered out before
     * the fold (a self-loop would otherwise add a spurious singleton
     * row for a doc that was never a duplicate).
+    * `dupLabelsPartitions` selects the store's LAYOUT (the
+    * [[graft.operators.Components.updateLabelStore]] `partitions`
+    * argument): 0 = flat, P > 0 = the component-hash-partitioned
+    * layout whose updates rewrite only touched partitions — the
+    * documented 100 TB shape. The layout is pinned at store creation,
+    * so pick it on the FIRST batch; a mismatch fails loudly there.
     * Scope: rows killed by the `exactKeys` gate leave NO edge — that
     * gate confirms membership against an 8-byte keys table, not WHICH
     * document matched (attributing them would mean carrying doc ids in
@@ -254,7 +277,8 @@ object CorpusPipeline {
                      sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
                      exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
                      dupLabels: Option[String] = None,
-                     corpusCompactEvery: Int = 0)
+                     corpusCompactEvery: Int = 0,
+                     dupLabelsPartitions: Int = 0)
       : Long = {
     // schema-drift gate FIRST, before any other gate touches the batch:
     // parquet append accepts ANY schema — a renamed/retyped column in a
@@ -399,11 +423,20 @@ object CorpusPipeline {
           .map(_.where(col("src") =!= col("dst")))
         edges.filter(!_.isEmpty).foreach { e =>
           graft.operators.Components.updateLabelStore(
-            batch.sparkSession, path, e, "src", "dst")
+            batch.sparkSession, path, e, "src", "dst",
+            partitions = dupLabelsPartitions)
         }
       }
       if (appended > 0) {
         val spark = survivors.sparkSession
+        val hadIndex = indexExists(spark, indexPath)
+        // Everything from the corpus append to the MinHash gate commit is
+        // the one non-replay-idempotent window of the function (see
+        // [[PostAppendFailure]]); a NonFatal failure inside it is
+        // re-thrown typed so automatic retriers (quarantine triage) can
+        // distinguish it from the cleanly-replayable pre-append failures
+        // they are allowed to hold-and-retry.
+        try {
         survivors.write.mode("append").parquet(corpusPath)
         // ANN maintenance runs BEFORE the MinHash append: the MinHash
         // index is the retry GATE (a replayed batch matches its own
@@ -500,13 +533,20 @@ object CorpusPipeline {
               .parquet(s"${q.indexPath}/trained_meta")
           }
         }
-        if (indexExists(spark, indexPath)) {
+        if (hadIndex)
           Dedup.appendMinhashIndex(survivors, idCol, textCol, indexPath)
-          maybeCompact(indexPath, indexCompactEvery) {
-            graft.sources.Compaction.compact(spark, s"$indexPath/data")
-          }
-        } else
+        else
           Dedup.writeMinhashIndex(survivors, idCol, textCol, indexPath)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new PostAppendFailure(e)
+        }
+        // MinHash gate committed — from here on a replayed batch matches
+        // its own indexed signatures and drops, so the remaining
+        // maintenance is crash-safe to repeat
+        if (hadIndex) maybeCompact(indexPath, indexCompactEvery) {
+          graft.sources.Compaction.compact(spark, s"$indexPath/data")
+        }
         // corpus-table small-files hygiene, AFTER the MinHash gate
         // commit like the index's own compaction: the rewrite is
         // content-preserving, but it is an O(corpus) job — placed before
@@ -574,7 +614,8 @@ class CorpusPipeline(
     sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
     exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
     dupLabelsPath: Option[String] = None,
-    corpusCompactEvery: Int = 0) {
+    corpusCompactEvery: Int = 0,
+    dupLabelsPartitions: Int = 0) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
@@ -615,7 +656,8 @@ class CorpusPipeline(
       benchmarkPath.map(spark.read.parquet(_)), contaminationN, ann, lm,
       dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery,
       sketch = sketch, exactKeys = exactKeys, dupLabels = dupLabelsPath,
-      corpusCompactEvery = corpusCompactEvery)
+      corpusCompactEvery = corpusCompactEvery,
+      dupLabelsPartitions = dupLabelsPartitions)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

@@ -108,11 +108,20 @@ object Divergence {
     */
   def writeCellOccupancy(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String): Unit = {
-    spark.read.parquet(Similarity.cellTableDir(spark, indexPath))
+    val occ = spark.read.parquet(Similarity.cellTableDir(spark, indexPath))
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("c"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/cell_occupancy")
+    // staged write + atomic rename, NOT a direct mode("overwrite") on the
+    // live path: a crash mid-rewrite (or a concurrent monitor micro-batch
+    // reading during the delete-then-write) must see the previous
+    // snapshot, never a missing/partial one — the same swap discipline
+    // every other sidecar rewrite in the repo follows
+    val dir = new java.io.File(s"$indexPath/cell_occupancy")
+    val staging = graft.sources.Compaction.stagingDir(dir, "occupancy")
+    if (staging.exists()) graft.sources.Compaction.rm(staging)
+    occ.write.mode("overwrite").parquet(staging.toString)
+    graft.sources.Compaction.swapInto(dir.toString, staging.toString)
   }
 
   /** Embedding-space drift of a batch against a frozen IVF index — the

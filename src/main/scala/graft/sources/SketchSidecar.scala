@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * answered by merging the accumulated rows — O(#batches), never
   * O(corpus). This is the same frozen-sidecar discipline the MinHash and
   * ANN indexes already follow (append per batch, bounded serve-time
-  * state), applied to monitoring.
+  * state), applied to monitoring. Every CONFIGURED face — base
+  * HLL+quantiles, Count-Min heavy hitters, KMV bottom-k, grouped or
+  * not — is computed in ONE aggregation pass over the batch
+  * ([[batchSummary]]): at 100 TB the batch scan dominates the append,
+  * and three scans for three monitoring faces is exactly the cost the
+  * corpus loop's fused quality gates refuse elsewhere.
   *
   * Per-batch row (one parquet row, one small file):
   *   - `n`         batch row count
@@ -75,12 +80,21 @@ object SketchSidecar {
     * @param cmsConfidence per-key probability the eps bound holds
     *   (depth ⌈ln(1/(1−c))⌉ rows); with the FIXED `cmsSeed` the sketch —
     *   and therefore every served estimate — is fully deterministic
-    * @param topK per-batch exact candidate list length. Candidate
-    *   completeness is PROVABLE, not heuristic: a key with corpus share
-    *   ≥ φ has batch share ≥ φ in at least one batch (weighted
-    *   average), and within that batch fewer than 1/φ keys can strictly
-    *   out-count it — so `topK ≥ ⌈1/φ⌉` guarantees every φ-heavy key
-    *   enters some batch's candidate list. Serve with φ ≥ 1/topK.
+    * @param topK per-batch candidate list capacity — a bounded-memory
+    *   Misra-Gries summary computed INSIDE the same aggregation pass as
+    *   every other face (one batch scan total, never a second
+    *   per-key-groupBy scan). Candidate completeness is PROVABLE, not
+    *   heuristic: a key with corpus share ≥ φ has batch share ≥ φ in at
+    *   least one batch (weighted average), and within that batch a
+    *   Misra-Gries summary of capacity `topK` under-counts any key by
+    *   at most N_b/(topK+1) — the mergeable-summaries bound (Agarwal
+    *   et al., "Mergeable Summaries", PODS'12), preserved under
+    *   Spark's partial-aggregation merge tree — so a key with batch
+    *   count ≥ φ·N_b > N_b/(topK+1) keeps a positive counter and
+    *   enters the batch's candidate list whenever `topK ≥ ⌈1/φ⌉`.
+    *   Serve with φ ≥ 1/topK. Stored per-candidate counts are the MG
+    *   lower bounds (diagnostic only — the serve prices every
+    *   candidate against the merged CMS, never against these).
     * @param kmvKeyExpr when set, each batch row additionally carries a
     *   KMV (bottom-k / K-Minimum-Values) sketch over this key
     *   expression — the SET-OPERATION sketch HLL registers cannot be:
@@ -103,9 +117,13 @@ object SketchSidecar {
     *   never a corpus re-scan. Sidecar size scales with #groups ·
     *   #batches; groups are operator-bounded dimensions (domains,
     *   languages, sources), the same boundedness stance as nlist.
-    *   Mutually exclusive with `heavyKeyExpr` (which-group-dominates is
-    *   the heavy-hitter face's question) and `kmvKeyExpr` (set overlap
-    *   is corpus-level) — mixing fails loudly.
+    *   COMPOSES with every other face: a grouped sidecar may also carry
+    *   CMS/candidate and KMV columns per (batch, group) row — still one
+    *   aggregation pass — and because CMS cell-addition, bottom-k union
+    *   and register-max are all associative, the corpus-level serves
+    *   ([[servedHeavyHitters]], [[servedKmvDistinct]], [[servedOverlap]])
+    *   merge straight across the group rows while the per-group serves
+    *   ([[servedOverlapByGroup]]) partition on them.
     */
   case class Cfg(sidecarPath: String, distinctExpr: String,
                  valueExpr: String, lgConfigK: Int = 12,
@@ -124,76 +142,123 @@ object SketchSidecar {
       s"cmsConfidence=$cmsConfidence")
     require(topK >= 1, s"topK=$topK")
     require(kmvK >= 16, s"kmvK=$kmvK")
-    require(groupKeyExpr.isEmpty ||
-        (heavyKeyExpr.isEmpty && kmvKeyExpr.isEmpty),
-      "groupKeyExpr is mutually exclusive with heavyKeyExpr/kmvKeyExpr " +
-        "— dominance is the heavy-hitter face's question, set overlap " +
-        "is corpus-level")
+    // driver-memory contract, explicit (the BPE discipline): the overlap
+    // serve merges KMV arrays ON THE DRIVER — k longs per side — so the
+    // footprint silently scales with kmvK; cap it where the merge is
+    // still trivially bounded (64k longs = 512 KB/side) instead of
+    // letting a tighter-Jaccard configuration walk into driver pressure
+    require(kmvK <= 65536,
+      s"kmvK=$kmvK > 65536 — the overlap serve holds k longs per side " +
+        "on the driver; raise the cap only with the serve path re-audited")
   }
 
-  /** One narrow aggregation over the batch → one appended sidecar row
-    * (plus one grouped count for the exact top-k candidate list when
-    * heavy-hitter tracking is on). No driver state beyond the single
-    * collected-at-write row Spark's writer handles.
+  /** A heavy-hitter candidate entry as stored in the `topk` column. */
+  private case class KeyCount(key: String, cnt: Long)
+
+  /** Bounded-memory Misra-Gries heavy-hitter summary over string keys:
+    * ≤ `m` counters per partial buffer, so the candidate face rides the
+    * SAME aggregation pass as every other face instead of costing the
+    * batch a second per-key-groupBy scan. The mergeable-summaries
+    * guarantee (see [[Cfg.topK]]): any counter under-counts its key by
+    * at most N/(m+1), after any merge tree — so every key with share
+    * > 1/(m+1) of the aggregated slice is present in the final summary.
+    * Null keys are not tracked (absence of a key is not a key — the CMS
+    * face skips them identically). Output is ordered (count desc, key
+    * asc) for a deterministic stored row.
     */
-  def appendBatch(batch: DataFrame, cfg: Cfg): Unit = {
+  private class MgTopK(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Seq[KeyCount]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
+      if (key == null) buf
+      else buf.get(key) match {
+        case Some(c) => buf.updated(key, c + 1)
+        case None if buf.size < m => buf.updated(key, 1L)
+        // full and key absent: the classic all-decrement step — one
+        // occurrence of m+1 DISTINCT keys cancels, charging every
+        // counter (and the new key) one decrement
+        case None => buf.collect { case (k, c) if c > 1 => k -> (c - 1) }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long])
+        : Map[String, Long] = {
+      val combined =
+        if (a.size >= b.size) b.foldLeft(a) { case (acc, (k, c)) =>
+          acc.updated(k, acc.getOrElse(k, 0L) + c)
+        }
+        else merge(b, a)
+      if (combined.size <= m) combined
+      else {
+        // subtract the (m+1)-th largest count from every counter and
+        // keep the positive ones (Agarwal et al.'s MERGE) — at most m
+        // survive, and total under-count stays ≤ N/(m+1)
+        val cut = combined.valuesIterator.toArray
+          .sorted(Ordering[Long].reverse).apply(m)
+        combined.collect { case (k, c) if c > cut => k -> (c - cut) }
+      }
+    }
+    def finish(r: Map[String, Long]): Seq[KeyCount] =
+      r.toSeq.sortBy { case (k, c) => (-c, k) }
+        .map { case (k, c) => KeyCount(k, c) }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[KeyCount]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[KeyCount]]()
+  }
+
+  /** The batch's sidecar row(s) as ONE aggregation over the batch —
+    * every configured face (count, HLL registers, quantile summary,
+    * CMS + Misra-Gries candidates, KMV bottom-k), grouped or not, in a
+    * single scan. Exposed `private[graft]` so the one-scan contract is
+    * plan-assertable: the optimized plan has exactly one leaf — the
+    * batch — no matter which faces are on.
+    */
+  private[graft] def batchSummary(batch: DataFrame, cfg: Cfg): DataFrame = {
     val k = cfg.numBuckets
     val probs = array((0 to k).map(j => lit(j.toDouble / k)): _*)
-    val baseAggs = Seq(
+    var aggs = Seq(
       count(lit(1)).as("n"),
       hll_sketch_agg(expr(cfg.distinctExpr), cfg.lgConfigK).as("hll"),
       percentile_approx(expr(cfg.valueExpr).cast("double"), probs,
         lit(cfg.accuracy)).as("qs"))
-    // grouped sidecar: one row per (batch, group), base faces only —
-    // still ONE narrow aggregation over the batch
-    if (cfg.groupKeyExpr.isDefined) {
-      batch.groupBy(expr(cfg.groupKeyExpr.get).cast("string").as("grp"))
-        .agg(baseAggs.head, baseAggs.tail: _*)
-        .withColumn("k", lit(k))
-        .withColumn("accuracy", lit(cfg.accuracy))
-        .withColumn("lgk", lit(cfg.lgConfigK))
-        .coalesce(1)
-        .write.mode("append").parquet(cfg.sidecarPath)
-      return
-    }
-    val cmsAggs = cfg.heavyKeyExpr match {
-      case Some(ke) => baseAggs :+
+    cfg.heavyKeyExpr.foreach { ke =>
+      val mg = udaf(new MgTopK(cfg.topK), org.apache.spark.sql.Encoders.STRING)
+      aggs = aggs :+
         count_min_sketch(expr(ke).cast("string"), lit(cfg.cmsEps),
-          lit(cfg.cmsConfidence), lit(cfg.cmsSeed)).as("cms")
-      case None => baseAggs
+          lit(cfg.cmsConfidence), lit(cfg.cmsSeed)).as("cms") :+
+        mg(expr(ke).cast("string")).as("topk")
     }
-    val aggs = cfg.kmvKeyExpr match {
-      case Some(ke) =>
-        val kmvAgg = udaf(new KmvAgg(cfg.kmvK),
-          org.apache.spark.sql.Encoders.scalaLong)
-        cmsAggs :+ kmvAgg(xxhash64(expr(ke))).as("kmv")
-      case None => cmsAggs
+    cfg.kmvKeyExpr.foreach { ke =>
+      val kmvAgg = udaf(new KmvAgg(cfg.kmvK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      aggs = aggs :+ kmvAgg(xxhash64(expr(ke))).as("kmv")
     }
-    val row = batch.agg(aggs.head, aggs.tail: _*)
-    val withTop = cfg.heavyKeyExpr match {
-      case Some(ke) =>
-        // exact per-batch top-k (candidate list for servedHeavyHitters —
-        // see Cfg.topK for the completeness argument); deterministic
-        // count-then-key ordering
-        val top = batch
-          .groupBy(expr(ke).cast("string").as("key"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("key"))
-          .limit(cfg.topK)
-          .agg(collect_list(struct(col("key"), col("cnt"))).as("topk"))
-        row.crossJoin(top)
-      case None => row
+    val row = cfg.groupKeyExpr match {
+      case Some(ge) =>
+        batch.groupBy(expr(ge).cast("string").as("grp"))
+          .agg(aggs.head, aggs.tail: _*)
+      case None => batch.agg(aggs.head, aggs.tail: _*)
     }
-    val withCfgCols = withTop
+    val withCfgCols = row
       .withColumn("k", lit(k))
       .withColumn("accuracy", lit(cfg.accuracy))
       .withColumn("lgk", lit(cfg.lgConfigK))
-    (if (cfg.kmvKeyExpr.isDefined)
-       withCfgCols.withColumn("kmvk", lit(cfg.kmvK))
-     else withCfgCols)
+    if (cfg.kmvKeyExpr.isDefined)
+      withCfgCols.withColumn("kmvk", lit(cfg.kmvK))
+    else withCfgCols
+  }
+
+  /** ONE aggregation pass over the batch → one appended sidecar row per
+    * batch (per (batch, group) when grouped), carrying every configured
+    * face. No driver state beyond the collected-at-write rows Spark's
+    * writer handles.
+    */
+  def appendBatch(batch: DataFrame, cfg: Cfg): Unit =
+    batchSummary(batch, cfg)
       .coalesce(1)
       .write.mode("append").parquet(cfg.sidecarPath)
-  }
 
   /** Merged distinct-count estimate over every appended batch: one row
     * `(batches, distinct_estimate)`. Register-max union at the rows'
@@ -319,11 +384,13 @@ object SketchSidecar {
   }
 
   /** Row-merge compaction for a GROUPED sidecar: collapse each group's
-    * batch rows into one merged row (same ledger as [[compactRows]]'s
-    * base faces: n exact, HLL union identical, re-bucketed quantiles add
-    * ≤ 1/K rank error per compaction generation). Entirely
-    * DataFrame-side — nothing is collected; the swap is the same staged
-    * atomic rename.
+    * batch rows into one merged row — the same ledger as [[compactRows]]
+    * face by face (n exact; HLL union, CMS cell-addition and KMV
+    * bottom-k union identical-by-associativity; candidates re-priced
+    * against the group's merged CMS; re-bucketed quantiles add ≤ 1/K
+    * rank error per compaction generation), every merge partitioned by
+    * the group. Entirely DataFrame-side — nothing is collected; the
+    * swap is the same staged atomic rename.
     */
   def compactRowsByGroup(spark: SparkSession, cfg: Cfg): Unit = {
     val rows = spark.read.parquet(cfg.sidecarPath)
@@ -332,6 +399,8 @@ object SketchSidecar {
     if (rows.groupBy("grp").count().where(col("count") > 1).isEmpty)
       return // every group already single-row
     val k = cfg.numBuckets
+    val hasCms = rows.columns.contains("cms")
+    val hasKmv = rows.columns.contains("kmv")
     val served = servedQuantilesByGroup(spark, cfg.sidecarPath,
         (1 to k).map(_.toDouble / k))
       .groupBy("grp")
@@ -339,29 +408,79 @@ object SketchSidecar {
       // values land in boundary order qs[1..K]
       .agg(transform(array_sort(collect_list(struct(col("p"),
           col("value")))), s => s.getField("value")).as("served"))
-    val anchors = rows.groupBy("grp")
-      .agg(sum(col("n")).as("n"), hll_union_agg(col("hll")).as("hll"),
-        min(element_at(col("qs"), 1)).as("anchor"))
-    val out = anchors.join(served, Seq("grp"), "left")
-      .select(col("grp"), col("n"), col("hll"),
+    var anchorAggs = Seq(sum(col("n")).as("n"),
+      hll_union_agg(col("hll")).as("hll"),
+      min(element_at(col("qs"), 1)).as("anchor"))
+    if (hasCms) {
+      val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+      anchorAggs = anchorAggs :+ cmsMerge(col("cms")).as("cms")
+    }
+    if (hasKmv) {
+      val kmvMerge = udaf(new KmvMergeAgg(cfg.kmvK),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Array[Long]]())
+      // a mixed-k sidecar is not union-comparable — same loud failure
+      // as the serve path, enforced before the merge rewrites anything
+      val ks = rows.where(col("kmv").isNotNull)
+        .select(col("kmvk")).distinct().collect().map(_.getInt(0))
+      require(ks.forall(_ == cfg.kmvK),
+        s"sidecar kmvk ${ks.mkString(",")} != cfg.kmvK=${cfg.kmvK}")
+      anchorAggs = anchorAggs :+ kmvMerge(col("kmv")).as("kmv")
+    }
+    val anchors = rows.groupBy("grp").agg(anchorAggs.head, anchorAggs.tail: _*)
+    // per-group candidate union re-priced against the group's merged
+    // CMS — the grouped form of compactRows' candidate ledger; the
+    // estimate lookup touches only #groups·topK candidate rows
+    val topkByGrp =
+      if (!hasCms) None
+      else Some {
+        val cands = rows
+          .select(col("grp"), explode(col("topk")).as("kv"))
+          .select(col("grp"), col("kv.key").as("key")).distinct()
+        val estimate = udf((bytes: Array[Byte], key: String) =>
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+            .estimateCount(key))
+        val w = Window.partitionBy("grp")
+          .orderBy(col("cnt").desc, col("key"))
+        cands.join(anchors.select(col("grp"), col("cms")), Seq("grp"))
+          .select(col("grp"), col("key"),
+            estimate(col("cms"), col("key")).as("cnt"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= cfg.topK)
+          .groupBy("grp")
+          // deterministic stored order: count desc, key asc
+          .agg(transform(
+            array_sort(collect_list(struct((-col("cnt")).as("negcnt"),
+              col("key"), col("cnt")))),
+            s => struct(s.getField("key").as("key"),
+              s.getField("cnt").as("cnt"))).as("topk"))
+      }
+    val merged = topkByGrp match {
+      case Some(t) => anchors.join(t, Seq("grp"), "left")
+      case None => anchors
+    }
+    val out = merged.join(served, Seq("grp"), "left")
+      .withColumn("qs",
         // an all-null-qs group merges to a null summary (serve filters
         // null qs), mirroring compactRows' stance
         when(col("anchor").isNull || col("served").isNull,
             lit(null).cast("array<double>"))
-          .otherwise(concat(array(col("anchor")), col("served")))
-          .as("qs"))
+          .otherwise(concat(array(col("anchor")), col("served"))))
+      .drop("anchor", "served")
       .withColumn("k", lit(k))
       .withColumn("accuracy", lit(cfg.accuracy))
       .withColumn("lgk", lit(cfg.lgConfigK))
+    val outK =
+      (if (hasKmv) out.withColumn("kmvk", lit(cfg.kmvK)) else out)
       .coalesce(1)
       .localCheckpoint(true)
     try {
       val dir = new java.io.File(cfg.sidecarPath)
       val staging = Compaction.stagingDir(dir, "rowmerge")
       if (staging.exists()) Compaction.rm(staging)
-      out.write.mode("overwrite").parquet(staging.toString)
+      outK.write.mode("overwrite").parquet(staging.toString)
       Compaction.swapInto(cfg.sidecarPath, staging.toString)
-    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(outK)
   }
 
   // ---------------------------------------------------------------------
@@ -448,6 +567,25 @@ object SketchSidecar {
         Long, Array[Long], Array[Long]] {
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(buf: Array[Long], h: Long): Array[Long] = kmvInsert(buf, h, k)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      kmvMergeArrays(a, b, k)
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Union-merge of STORED KMV sketches (each input an already-built
+    * bottom-k array): executor-side [[kmvMergeArrays]] folds, bounded at
+    * k longs per buffer — the grouped-merge analog of [[CmsMerge]].
+    */
+  private class KmvMergeAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], a: Array[Long]): Array[Long] =
+      if (a == null) buf else kmvMergeArrays(buf, a, k)
     def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       kmvMergeArrays(a, b, k)
     def finish(r: Array[Long]): Array[Long] = r
@@ -682,7 +820,8 @@ object SketchSidecar {
     *
     * Mechanics: the per-batch CMS rows merge cell-wise ([[CmsMerge]])
     * into ONE sketch; the candidate set is the union of the per-batch
-    * exact top-k lists (≤ #batches·topK keys — bounded metadata); each
+    * Misra-Gries summaries (≤ #batches·topK keys — bounded metadata,
+    * computed inside the batches' single-scan aggregation); each
     * candidate is priced against the merged sketch. Guarantees, all
     * enforced by the `q_heavy_hitters_gap` twin:
     *   - completeness: every key with true share ≥ phi is served

@@ -38,7 +38,8 @@ object CorpusStream {
             sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
             exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
             dupLabels: Option[String] = None,
-            corpusCompactEvery: Int = 0)
+            corpusCompactEvery: Int = 0,
+            dupLabelsPartitions: Int = 0)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -79,7 +80,7 @@ object CorpusStream {
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
             ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
-            dupLabels, corpusCompactEvery)
+            dupLabels, corpusCompactEvery, dupLabelsPartitions)
         ()
       }
       .start()
@@ -173,7 +174,8 @@ object CorpusStream {
                           sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
                           exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
                           dupLabels: Option[String] = None,
-                          corpusCompactEvery: Int = 0)
+                          corpusCompactEvery: Int = 0,
+                          dupLabelsPartitions: Int = 0)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -230,22 +232,30 @@ object CorpusStream {
           val js = m.select(col("js")).collect().head.getDouble(0)
           if (js > maxJs) false
           else {
-            // a batch whose gate chain fails TERMINALLY (e.g. the
-            // schema-drift gate awaiting an explicit corpus migration)
-            // is HELD — it rejoins the live queue like a rejected batch
-            // — instead of wedging triage forever: an unguarded throw
-            // would leave the claim behind and the oldest-first retry
-            // would hit the same batch on every invocation, never
-            // draining the healthy batches behind it. Holding is safe:
-            // the gate chain is replay-idempotent by design, so a batch
-            // that failed PARTWAY re-runs cleanly on a later release.
+            // a batch whose gate chain fails BEFORE its corpus append
+            // (e.g. the schema-drift gate awaiting an explicit corpus
+            // migration) is HELD — it rejoins the live queue like a
+            // rejected batch — instead of wedging triage forever: an
+            // unguarded throw would leave the claim behind and the
+            // oldest-first retry would hit the same batch on every
+            // invocation, never draining the healthy batches behind it.
+            // Holding is safe ONLY for that pre-append window, which
+            // replays cleanly; a failure between the corpus append and
+            // the MinHash gate commit arrives typed as
+            // [[CorpusPipeline.PostAppendFailure]] and PROPAGATES — a
+            // routine silent hold-and-retry there would re-append the
+            // batch's survivors as permanent duplicate corpus rows, so
+            // it must stay an operator-visible crash (the claim dir is
+            // left behind and recovered on the next invocation).
             try {
               admitted += CorpusPipeline.dedupAndAppend(b, corpusPath,
                 indexPath, idCol, textCol, threshold, gates, benchmark,
                 contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
-                sketch, exactKeys, dupLabels, corpusCompactEvery)
+                sketch, exactKeys, dupLabels, corpusCompactEvery,
+                dupLabelsPartitions)
               true
             } catch {
+              case e: CorpusPipeline.PostAppendFailure => throw e
               case scala.util.control.NonFatal(e) =>
                 System.err.println(
                   s"[triage] batch $bid held: gate chain failed — $e")

@@ -173,11 +173,7 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
 
   test("grouped sidecar: per-group distinct and quantiles track each " +
       "group's own distribution; grouped row-merge keeps serving; " +
-      "config conflicts and wrong-compactor use fail loudly") {
-    intercept[IllegalArgumentException] {
-      SketchSidecar.Cfg("/tmp/x", "id", "v",
-        groupKeyExpr = Some("g"), heavyKeyExpr = Some("k"))
-    }
+      "wrong-compactor use fails loudly") {
     val cfg = SketchSidecar.Cfg(
       Files.createTempDirectory("sketch_grp").resolve("sc").toString,
       distinctExpr = "id", valueExpr = "v", groupKeyExpr = Some("g"),
@@ -223,6 +219,68 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     assert(dist()("hi") === 175L && dist()("lo") === 300L)
   }
 
+  test("single-scan contract: every configured face — base, CMS+MG " +
+      "candidates, KMV, grouped or not — aggregates in ONE pass over " +
+      "the batch (exactly one leaf in the optimized plan)") {
+    val allFaces = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_1scan").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "v",
+      heavyKeyExpr = Some("key"), kmvKeyExpr = Some("key"))
+    val batch = (1L to 100L).map(i => (i, s"k${i % 7}", i * 2L))
+      .toDF("id", "key", "v")
+    Seq(allFaces, allFaces.copy(groupKeyExpr = Some("key"))).foreach { c =>
+      val leaves = SketchSidecar.batchSummary(batch, c)
+        .queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.length === 1,
+        s"multi-face append must scan the batch exactly once, got " +
+          s"${leaves.length} leaves:\n${leaves.mkString("\n")}")
+    }
+  }
+
+  test("fused grouped sidecar: one (batch, group) row carries every " +
+      "face; corpus-level heavy hitters and KMV distinct merge straight " +
+      "across the group rows; grouped row-merge preserves every serve") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_fused").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "v",
+      groupKeyExpr = Some("g"), heavyKeyExpr = Some("key"),
+      kmvKeyExpr = Some("id"), kmvK = 64)
+    // 3 batches × 2 groups; key "hot" holds 60% of group a (30% of the
+    // corpus), ids disjoint across batches
+    def batch(b: Int) =
+      ((0 until 50).map { i =>
+        (b * 1000L + i, "a", if (i < 30) "hot" else s"r$b$i", i.toLong)
+      } ++ (0 until 50).map { i =>
+        (b * 1000L + 500 + i, "b", s"c${i % 10}", 100L + i)
+      }).toDF("id", "g", "key", "v")
+    (0 until 3).foreach(b => SketchSidecar.appendBatch(batch(b), cfg))
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 6,
+      "one row per (batch, group)")
+    def distByGrp() = SketchSidecar
+      .servedDistinctByGroup(spark, cfg.sidecarPath)
+      .select("grp", "distinct_estimate").as[(String, Long)]
+      .collect().toMap
+    def hot() = SketchSidecar
+      .servedHeavyHitters(spark, cfg.sidecarPath, phi = 0.25)
+      .select("key").as[String].collect().toSeq
+    def kmvDist() = SketchSidecar
+      .servedKmvDistinct(spark, cfg.sidecarPath)
+      .collect().head.getDouble(1)
+    assert(distByGrp() === Map("a" -> 150L, "b" -> 150L))
+    assert(hot() === Seq("hot"),
+      "hot is 30% of the corpus — the only key above a 25% bar")
+    val kd = kmvDist()
+    assert(math.abs(kd - 300.0) / 300.0 <= 3.5 / math.sqrt(62.0),
+      s"corpus KMV distinct $kd")
+    // grouped row-merge: every face survives per group
+    SketchSidecar.compactRowsByGroup(spark, cfg)
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 2)
+    assert(distByGrp() === Map("a" -> 150L, "b" -> 150L))
+    assert(hot() === Seq("hot"))
+    assert(kmvDist() === kd,
+      "bottom-k union is associative — the merged rows serve identically")
+  }
+
   // ---- KMV bottom-k: the set-operation face of the sidecar ----
 
   test("kmv helpers: unsigned order, dedup, cap, and merge " +
@@ -255,6 +313,13 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     val full = Array(1L, 2L, 3L, Long.MaxValue) // theta ~ 0.5
     val est = SketchSidecar.kmvEstimate(full, k)
     assert(math.abs(est - 6.0) < 0.01, s"(k-1)/0.5 = 6, got $est")
+    // the driver-merge contract is explicit: kmvK beyond the documented
+    // cap (k longs per side on the driver at serve time) fails at Cfg
+    // construction, not silently at scale
+    intercept[IllegalArgumentException] {
+      SketchSidecar.Cfg("/tmp/x", "id", "v",
+        kmvKeyExpr = Some("id"), kmvK = 65537)
+    }
   }
 
   test("kmv exact regime: sketches below k answer overlap EXACTLY") {
