@@ -168,6 +168,38 @@ object ExtQueries {
     (cfgA, cfgB)
   }
 
+  /** The q_kmv_by_group fixture: the same two corpus snapshots as
+    * [[kmvSidecarsFor]] ingested into GROUPED sidecars — one KMV row
+    * per (batch, o_orderpriority) — so the overlap question is answered
+    * PER PRIORITY GROUP: the per-domain contamination-pricing dashboard
+    * ("how much of group G's candidate crawl is already in the training
+    * set") from two O(#groups·k) sidecars. Also the fused-face fixture:
+    * grouped and KMV on one sidecar, one aggregation pass per batch.
+    */
+  private def groupedKmvSidecarsFor(s: SparkSession, d: String)
+      : (graft.sources.SketchSidecar.Cfg, graft.sources.SketchSidecar.Cfg) = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_gkmv_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(base)
+    val orders = Tables.load(s, d, "orders")
+    def cfgFor(sub: String) = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(base, sub).toString,
+      distinctExpr = "o_orderkey", valueExpr = "o_totalprice",
+      kmvKeyExpr = Some("o_orderkey"), kmvK = 1024,
+      groupKeyExpr = Some("o_orderpriority"))
+    val (cfgA, cfgB) = (cfgFor("a"), cfgFor("b"))
+    (0 until 2).foreach { b =>
+      graft.sources.SketchSidecar.appendBatch(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) < 6 &&
+          pmod(col("o_orderkey"), lit(2)) === b), cfgA)
+      graft.sources.SketchSidecar.appendBatch(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) >= 4 &&
+          pmod(col("o_orderkey"), lit(2)) === b), cfgB)
+    }
+    (cfgA, cfgB)
+  }
+
   /** The q_sketch_by_group fixture: the documents table replayed as 5
     * ingest batches into a GROUPED sidecar — one row per (batch,
     * source), distinct over `doc_id`, quantiles over `n_chars` — the
@@ -815,6 +847,74 @@ object ExtQueries {
           col("inter_err_vs_union") <= jBound + relBound &&
           col("a_only_err_vs_union") <= jBound + relBound &&
           col("b_only_err_vs_union") <= jBound + relBound)
+        .where(col("meets_floor"))
+    }),
+
+    // per-group dataset overlap from two GROUPED KMV sidecars — the
+    // contamination-pricing dashboard: Jaccard/intersection/differences
+    // of two corpus snapshots PER o_orderpriority group, each group
+    // served from its own bottom-k sketch pair (fused grouped+KMV rows,
+    // one aggregation pass per ingest batch). Rows-only (estimates are
+    // engine-defined); the _gap twin enforces the per-group bounds on
+    // the WORST group. Deterministic: xxhash64 + fixed merge order
+    "q_kmv_by_group" -> ((s, d) => {
+      val (cfgA, cfgB) = groupedKmvSidecarsFor(s, d)
+      graft.sources.SketchSidecar
+        .servedOverlapByGroup(s, cfgA.sidecarPath, cfgB.sidecarPath)
+        .select(col("grp"),
+          round(col("a_est"), 4).as("a_est"),
+          round(col("b_est"), 4).as("b_est"),
+          round(col("union_est"), 4).as("union_est"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("inter_est"), 4).as("inter_est"),
+          round(col("a_only_est"), 4).as("a_only_est"),
+          round(col("b_only_est"), 4).as("b_only_est"))
+        .orderBy("grp")
+    }),
+
+    // the grouped KMV contract, machine-enforced on the WORST group
+    // (one row or loudly zero): every group's per-set/union estimates
+    // within 3.5σ of that group's exact counts (each group carries its
+    // own full-k sketch, so the single-pair rse/Jaccard bounds apply
+    // per group — the q_kmv_overlap_gap math, maxed over groups)
+    "q_kmv_by_group_gap" -> ((s, d) => {
+      val (cfgA, cfgB) = groupedKmvSidecarsFor(s, d)
+      val k = cfgA.kmvK
+      val relBound = 3.5 / math.sqrt((k - 2).toDouble)
+      val jBound = 3.5 * 0.5 / math.sqrt(k.toDouble)
+      val served = graft.sources.SketchSidecar
+        .servedOverlapByGroup(s, cfgA.sidecarPath, cfgB.sidecarPath)
+      val m = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          pmod(col("o_orderkey"), lit(10)).as("m"))
+      val exact = m.groupBy("grp").agg(
+        countDistinct(when(col("m") < 6, col("o_orderkey"))).as("na"),
+        countDistinct(when(col("m") >= 4, col("o_orderkey"))).as("nb"),
+        countDistinct(when(col("m").between(4, 5), col("o_orderkey")))
+          .as("ni"),
+        countDistinct(col("o_orderkey")).as("nu"))
+      served.join(exact, Seq("grp"))
+        .select(
+          (abs(col("a_est") - col("na")) / col("na")).as("a_rel_err"),
+          (abs(col("b_est") - col("nb")) / col("nb")).as("b_rel_err"),
+          (abs(col("union_est") - col("nu")) / col("nu"))
+            .as("union_rel_err"),
+          abs(col("jaccard") - col("ni") / col("nu").cast("double"))
+            .as("jaccard_abs_err"),
+          (abs(col("inter_est") - col("ni")) / col("nu"))
+            .as("inter_err_vs_union"))
+        .agg(round(max(col("a_rel_err")), 6).as("max_a_rel_err"),
+          round(max(col("b_rel_err")), 6).as("max_b_rel_err"),
+          round(max(col("union_rel_err")), 6).as("max_union_rel_err"),
+          round(max(col("jaccard_abs_err")), 6).as("max_jaccard_abs_err"),
+          round(max(col("inter_err_vs_union")), 6)
+            .as("max_inter_err_vs_union"))
+        .withColumn("meets_floor",
+          col("max_a_rel_err") <= relBound &&
+          col("max_b_rel_err") <= relBound &&
+          col("max_union_rel_err") <= relBound &&
+          col("max_jaccard_abs_err") <= jBound &&
+          col("max_inter_err_vs_union") <= jBound + relBound)
         .where(col("meets_floor"))
     }),
 

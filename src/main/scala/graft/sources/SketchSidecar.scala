@@ -670,7 +670,17 @@ object SketchSidecar {
     val (b, kb) = mergedKmv(spark, sidecarPathB)
     require(ka == kb, s"kmvK mismatch: $ka vs $kb — sketches of " +
       "different k are not union-comparable")
-    val k = ka
+    import spark.implicits._
+    Seq(overlapStats(a, b, ka))
+      .toDF("a_est", "b_est", "union_est", "jaccard", "inter_est",
+        "a_only_est", "b_only_est")
+  }
+
+  /** The exact-membership set algebra of [[servedOverlap]] over two
+    * merged sketches — pure and driver-safe (every array ≤ k longs).
+    */
+  private def overlapStats(a: Array[Long], b: Array[Long], k: Int)
+      : (Double, Double, Double, Double, Double, Double, Double) = {
     val u = kmvMergeArrays(a, b, k)
     val aSet = a.toSet
     val bSet = b.toSet
@@ -680,11 +690,68 @@ object SketchSidecar {
     val denom = math.max(u.length, 1).toDouble
     val jaccard = if (u.isEmpty) 1.0 else inBoth / denom
     val unionEst = kmvEstimate(u, k)
+    (kmvEstimate(a, k), kmvEstimate(b, k), unionEst, jaccard,
+      jaccard * unionEst, aOnly / denom * unionEst,
+      bOnly / denom * unionEst)
+  }
+
+  /** Per-group merged KMV sketches of a GROUPED sidecar, collected to
+    * the driver as (group → sketch): executor-side [[KmvMergeAgg]]
+    * partial merges, then ≤ #groups·k longs of driver state — the
+    * bounded-metadata stance scaled by an operator-bounded group
+    * dimension (domains/languages/sources, the [[Cfg.groupKeyExpr]]
+    * contract). Mixed-k sidecars fail loudly, as everywhere.
+    */
+  private def mergedKmvByGroup(spark: SparkSession, sidecarPath: String)
+      : (Map[String, Array[Long]], Int) = {
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    require(rows.columns.contains("kmv"),
+      s"sidecar at $sidecarPath carries no KMV sketch (set Cfg.kmvKeyExpr)")
+    val ks = rows.where(col("kmv").isNotNull)
+      .select(col("kmvk")).distinct().collect().map(_.getInt(0))
+    require(ks.nonEmpty, s"sidecar at $sidecarPath has a kmv column but " +
+      "no non-null KMV rows")
+    require(ks.length == 1,
+      s"mixed kmvK in sidecar at $sidecarPath: ${ks.mkString(",")}")
+    val k = ks.head
+    val kmvMerge = udaf(new KmvMergeAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    val merged = rows.where(col("kmv").isNotNull)
+      .groupBy("grp").agg(kmvMerge(col("kmv")).as("kmv"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    (merged, k)
+  }
+
+  /** [[servedOverlap]] PER GROUP from two GROUPED KMV sidecars — the
+    * contamination-pricing dashboard by source/language/domain: "how
+    * much of domain D's crawl is already in the training set", one row
+    * `(grp, a_est, b_est, union_est, jaccard, inter_est, a_only_est,
+    * b_only_est)` per group present on either side, served from two
+    * O(#groups·k) sidecars without scanning either corpus. A group
+    * absent from one side gets that side's empty sketch: its estimates
+    * are exact zeros and the overlap is 0 — "nothing of D is in the
+    * training set" is an answer, not an error. Per-group error bounds
+    * are the single-pair bounds of [[servedOverlap]] on each group's
+    * OWN scale (each group has its own full-k sketch — the same
+    * per-group-contract stance as [[servedQuantilesByGroup]]).
+    */
+  def servedOverlapByGroup(spark: SparkSession, sidecarPathA: String,
+                           sidecarPathB: String): DataFrame = {
+    val (a, ka) = mergedKmvByGroup(spark, sidecarPathA)
+    val (b, kb) = mergedKmvByGroup(spark, sidecarPathB)
+    require(ka == kb, s"kmvK mismatch: $ka vs $kb — sketches of " +
+      "different k are not union-comparable")
     import spark.implicits._
-    Seq((kmvEstimate(a, k), kmvEstimate(b, k), unionEst, jaccard,
-        jaccard * unionEst, aOnly / denom * unionEst,
-        bOnly / denom * unionEst))
-      .toDF("a_est", "b_est", "union_est", "jaccard", "inter_est",
+    (a.keySet ++ b.keySet).toSeq.sorted
+      .map { g =>
+        val s = overlapStats(a.getOrElse(g, Array.emptyLongArray),
+          b.getOrElse(g, Array.emptyLongArray), ka)
+        (g, s._1, s._2, s._3, s._4, s._5, s._6, s._7)
+      }
+      .toDF("grp", "a_est", "b_est", "union_est", "jaccard", "inter_est",
         "a_only_est", "b_only_est")
   }
 

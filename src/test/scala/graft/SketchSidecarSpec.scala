@@ -350,6 +350,53 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getDouble(1) === 300.0)
   }
 
+  test("kmv by group: per-group overlap is exact below k, a group " +
+      "missing from one side prices as zero overlap, ungrouped/kmv-less " +
+      "sidecars fail loudly") {
+    def mk(name: String, rows: Seq[(Long, String)]) = {
+      val cfg = SketchSidecar.Cfg(
+        Files.createTempDirectory(s"gkmv_$name").resolve("sc").toString,
+        distinctExpr = "id", valueExpr = "id",
+        kmvKeyExpr = Some("id"), kmvK = 1024,
+        groupKeyExpr = Some("g"))
+      rows.grouped(math.max(1, rows.length / 2)).foreach(b =>
+        SketchSidecar.appendBatch(b.toDF("id", "g"), cfg))
+      cfg
+    }
+    // group x: A 1..300, B 201..500 (inter 100, union 500, J 0.2);
+    // group y: A only 1000..1099; group z: B only 2000..2049
+    val cfgA = mk("a", (1L to 300L).map((_, "x")) ++
+      (1000L to 1099L).map((_, "y")))
+    val cfgB = mk("b", (201L to 500L).map((_, "x")) ++
+      (2000L to 2049L).map((_, "z")))
+    val rows = SketchSidecar
+      .servedOverlapByGroup(spark, cfgA.sidecarPath, cfgB.sidecarPath)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(rows.keySet === Set("x", "y", "z"))
+    assert(rows("x") === Seq(300.0, 300.0, 500.0, 0.2, 100.0, 200.0, 200.0))
+    assert(rows("y") === Seq(100.0, 0.0, 100.0, 0.0, 0.0, 100.0, 0.0))
+    assert(rows("z") === Seq(0.0, 50.0, 50.0, 0.0, 0.0, 0.0, 50.0))
+    // an ungrouped KMV sidecar cannot serve the grouped question
+    val flat = SketchSidecar.Cfg(
+      Files.createTempDirectory("gkmv_flat").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id", kmvKeyExpr = Some("id"))
+    SketchSidecar.appendBatch((1L to 10L).map(Tuple1(_)).toDF("id"), flat)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedOverlapByGroup(spark, flat.sidecarPath,
+        cfgB.sidecarPath)
+    }
+    // a grouped sidecar without the KMV face cannot either
+    val noKmv = SketchSidecar.Cfg(
+      Files.createTempDirectory("gkmv_none").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id", groupKeyExpr = Some("g"))
+    SketchSidecar.appendBatch(
+      (1L to 10L).map((_, "x")).toDF("id", "g"), noKmv)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedOverlapByGroup(spark, noKmv.sidecarPath,
+        cfgB.sidecarPath)
+    }
+  }
+
   test("kmv full regime: 20k-element sets with planted overlap stay " +
       "within the 3.5-sigma bounds at k=512") {
     val k = 512
