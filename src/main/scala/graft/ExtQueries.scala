@@ -2234,6 +2234,46 @@ object ExtQueries {
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
     }),
 
+    // provenance POINT lookup against the partitioned label store: the
+    // same 3-batch incremental build as dedup_components_incremental,
+    // then two lookupMembers probes (the smallest and largest labeled
+    // ids) served by bloom-route + two pruned partition reads — never a
+    // full-store scan (the pruning is plan-asserted in DedupSpec). The
+    // route-then-confirm lookup is EXACT, so the row carries a full
+    // DuckDB twin: the same recursive-CTE closure probed at the same
+    // two ids
+    "dedup_provenance_lookup" -> ((s, d) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_prov_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Compaction.rm(path)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          Seq(col("lang"), floor(col("n_chars") / 64)), n = 3,
+          threshold = 0.5)
+        .localCheckpoint(true)
+      try {
+        (0 until 3).foreach { b =>
+          Components.updateLabelStore(s, path.toString,
+            pairs.where(pmod(col("id_b"), lit(3)) === b), "id_a", "id_b",
+            partitions = 16)
+        }
+        import s.implicits._
+        val bounds = Components.readLabelStore(s, path.toString)
+          .agg(min("id"), max("id")).collect().head
+        if (bounds.isNullAt(0))
+          Seq.empty[(Long, Long, Long)].toDF("probe", "id", "component")
+        else {
+          val probes = Seq(bounds.getLong(0), bounds.getLong(1)).distinct
+          probes.map { p =>
+            Components.lookupMembers(s, path.toString, p)
+              .withColumn("probe", lit(p))
+          }.reduce(_ unionByName _)
+            .select(col("probe"), col("id"), col("component"))
+            .orderBy("probe", "id")
+        }
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
+    }),
+
     // transitive corpus cleaning — ONE survivor (min doc_id) per connected
     // component of the MinHash near-dup graph, vs dedup_clean_corpus's
     // greedy drop-right-side (which over-keeps on star-shaped clusters
@@ -2862,11 +2902,13 @@ object ExtQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared by `dedup_components` and `dedup_components_incremental`:
-    * both must produce the labels of the transitive closure over the
-    * ngram-Jaccard pair set, so both hash against one recursive-CTE twin.
+  /** The recursive-CTE closure over the ngram-Jaccard pair set — the
+    * shared prefix of every component-family twin (`dedup_components`,
+    * `dedup_components_incremental`, `dedup_provenance_lookup`): tokens
+    * → 3-gram sets → Jaccard-thresholded pairs → symmetric edges →
+    * reachability.
     */
-  private val componentsOracleSql: String =
+  private val componentsClosureCte: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, lang, n_chars // 64 AS nb,
       |         string_split_regex(lower(trim(text)), '\s+') AS tk
@@ -2891,9 +2933,37 @@ object ExtQueries {
       |reach AS (
       |  SELECT s AS id, d AS r FROM edges
       |  UNION
-      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)""".stripMargin
+
+  /** Shared by `dedup_components` and `dedup_components_incremental`:
+    * both must produce the labels of the transitive closure over the
+    * ngram-Jaccard pair set, so both hash against one recursive-CTE twin.
+    */
+  private val componentsOracleSql: String =
+    componentsClosureCte +
+      """
       |SELECT id, least(min(r), id) AS component FROM reach
       |GROUP BY id ORDER BY id""".stripMargin
+
+  /** The `dedup_provenance_lookup` twin: the same closure, probed at the
+    * smallest and largest labeled ids — each probe's full component
+    * membership, exactly what two [[graft.operators.Components
+    * .lookupMembers]] point-reads serve from the partitioned store.
+    */
+  private val provenanceOracleSql: String =
+    componentsClosureCte +
+      """,
+      |closure AS (
+      |  SELECT id, least(min(r), id) AS component FROM reach GROUP BY id),
+      |probes AS (
+      |  SELECT min(id) AS probe FROM closure
+      |  UNION
+      |  SELECT max(id) AS probe FROM closure)
+      |SELECT p.probe, c.id, c.component
+      |FROM probes p
+      |JOIN closure pc ON pc.id = p.probe
+      |JOIN closure c ON c.component = pc.component
+      |ORDER BY p.probe, c.id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
@@ -3310,6 +3380,7 @@ object ExtQueries {
     // one-shot closure over every pair ever seen — so it shares the
     // one-shot row's oracle verbatim (set equality enforced by hash)
     "dedup_components_incremental" -> componentsOracleSql,
+    "dedup_provenance_lookup" -> provenanceOracleSql,
     // tf-idf twin: identical tokenization to text_repetition's, identical
     // smoothing, ranking on the 6-decimal-ROUNDED score with the token as
     // tie-break (both engines order strings by binary collation)

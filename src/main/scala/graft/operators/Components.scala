@@ -171,11 +171,19 @@ object Components {
     * documented trade) — a retried batch re-derives the same labels,
     * so a partial overwrite converges on replay.
     */
+  /** `idBloomBits`/`idBloomExpectedItems` size the per-partition id
+    * Bloom rows of the partitioned layout's point-lookup sidecar (see
+    * [[lookupComponent]]); an undersized filter only raises the false-
+    * positive rate — more candidate partitions read per lookup, never a
+    * wrong answer (the confirm filter is exact).
+    */
   def updateLabelStore(spark: org.apache.spark.sql.SparkSession,
                        path: String, newPairs: DataFrame,
                        srcCol: String, dstCol: String,
                        maxIters: Int = 25,
-                       partitions: Int = 0): DataFrame = {
+                       partitions: Int = 0,
+                       idBloomBits: Long = 1L << 22,
+                       idBloomExpectedItems: Long = 1000000L): DataFrame = {
     require(partitions >= 0, s"partitions=$partitions")
     val dir = new java.io.File(path)
     val meta = new java.io.File(dir, "_label_partitions")
@@ -305,7 +313,29 @@ object Components {
             .collect().map(_.getLong(0).toInt).toSet
           (touchedLps -- outputLps).foreach { x =>
             graft.sources.Compaction.rm(new java.io.File(dir, s"lp=$x"))
+            graft.sources.Compaction.rm(
+              new java.io.File(dir, s"_id_blooms/lp=$x"))
           }
+          // point-lookup sidecar LAST: per touched partition, one Bloom
+          // row over the ids now resident there ([[lookupComponent]]'s
+          // router), refreshed with the same dynamic-overwrite shape as
+          // the data. Ordering makes the crash ledger one-sided: a
+          // stale bloom for a REMOVED partition routes a lookup to a
+          // partition the scan finds empty (a wasted read); a crash
+          // before this refresh leaves blooms that may MISS a
+          // just-moved id until the retry rewrites both — route-level
+          // staleness a replayed batch heals, never a wrong component
+          // (the confirm filter matches the id exactly).
+          out.groupBy("lp")
+            .agg(count(lit(1)).as("n"),
+              // raw ids, not xxhash64(id): BloomFilter hashes its input
+              // itself, and the probe side tests the same raw long
+              org.apache.spark.sql.GraftBridge.bloomFilterAgg(
+                col("id"), idBloomExpectedItems, idBloomBits)
+                .as("bloom"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lp").parquet(s"$path/_id_blooms")
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(out)
       }
     } finally {
@@ -332,6 +362,106 @@ object Components {
     if (!hasData)
       spark.range(0).select(col("id"), col("id").as("component"))
     else spark.read.parquet(path).select("id", "component")
+  }
+
+  /** The pinned partition count of a partitioned store (None = flat). */
+  private def storePartitions(path: String): Option[Int] = {
+    val meta = new java.io.File(new java.io.File(path), "_label_partitions")
+    if (!meta.exists()) None
+    else Some(java.nio.file.Files.readString(meta.toPath).trim.toInt)
+  }
+
+  /** Candidate `lp` partitions for an id, routed through the
+    * `_id_blooms` sidecar — bounded driver state (≤ P ints out, one
+    * per-row filter deserialization over ≤ P bloom rows in). No sidecar
+    * (a store predating it, or never updated since) routes to EVERY
+    * partition — degraded to a full scan, never a wrong answer.
+    */
+  private def candidateLps(spark: org.apache.spark.sql.SparkSession,
+                           path: String, id: Long): Seq[Int] = {
+    val bloomsDir = new java.io.File(new java.io.File(path), "_id_blooms")
+    val hasBlooms = Option(bloomsDir.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("lp="))
+    if (!hasBlooms)
+      return Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("lp="))
+        .map(_.getName.stripPrefix("lp=").toInt).toSeq
+    val probe = udf((bytes: Array[Byte]) =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+        .mightContainLong(id))
+    spark.read.parquet(bloomsDir.toString)
+      .where(probe(col("bloom")))
+      .select("lp").collect().map(_.getInt(0)).toSeq
+  }
+
+  /** Point lookup: the component label of `id`, served WITHOUT a full
+    * store scan — the provenance question a curation pipeline asks per
+    * takedown/debug ticket ("why was X dropped; what replaced it").
+    *
+    * Partitioned layout: the store is partitioned by
+    * `lp = pmod(xxhash64(component), P)`, which an id alone cannot
+    * prune — so each partition keeps a Bloom row over its RESIDENT ids
+    * (`_id_blooms`, refreshed by the same touched-partition rewrite
+    * that moves the data) and the lookup routes-then-confirms exactly
+    * like [[graft.sources.BloomKeyIndex.novelRows]]: bloom hits pick
+    * the candidate partitions (false positives read one extra
+    * partition, never corrupt the answer), the pruned scan confirms on
+    * `id` itself. Flat layout: the store is small by the layout's own
+    * definition — plain filter.
+    *
+    * None = `id` was never labeled (it is its own singleton component —
+    * the [[connectedComponents]] caller convention), or the lookup ran
+    * inside the documented crash window between a data rewrite and its
+    * bloom refresh (a retried update heals it; see the sidecar comment
+    * in [[updateLabelStore]]).
+    */
+  def lookupComponent(spark: org.apache.spark.sql.SparkSession,
+                      path: String, id: Long): Option[Long] =
+    storePartitions(path) match {
+      case None =>
+        readLabelStore(spark, path).where(col("id") === id)
+          .select("component").collect().headOption.map(_.getLong(0))
+      case Some(_) =>
+        val cands = candidateLps(spark, path, id)
+        if (cands.isEmpty) None
+        else spark.read.parquet(path)
+          .where(col("lp").isin(cands: _*) && col("id") === id)
+          .select("component").collect().headOption.map(_.getLong(0))
+    }
+
+  /** All (id, component) rows of the component containing `id` — the
+    * full provenance answer ("every known duplicate of X, and the
+    * surviving representative = the component minimum"). Two pruned
+    * point-reads in the partitioned layout: [[lookupComponent]] routes
+    * to the id's row, then the members scan prunes STATICALLY on the
+    * component's own partition (`lp = pmod(xxhash64(component), P)` is
+    * a literal — the plan carries a PartitionFilters entry, asserted in
+    * `DedupSpec`). An unlabeled id yields its singleton: (id, id).
+    */
+  def lookupMembers(spark: org.apache.spark.sql.SparkSession,
+                    path: String, id: Long): DataFrame = {
+    import spark.implicits._
+    lookupComponent(spark, path, id) match {
+      case None =>
+        Seq((id, id)).toDF("id", "component")
+      case Some(c) =>
+        storePartitions(path) match {
+          case None =>
+            readLabelStore(spark, path).where(col("component") === c)
+          case Some(p) =>
+            val lp = java.lang.Math.floorMod(
+              // xxhash64 of a long column under Spark's default seed 42,
+              // reproduced driver-side to make the partition filter a
+              // literal (static pruning, not a runtime subquery)
+              org.apache.spark.sql.catalyst.expressions.XxHash64Function
+                .hash(c, org.apache.spark.sql.types.LongType, 42L),
+              p.toLong)
+            spark.read.parquet(path)
+              .where(col("lp") === lit(lp) && col("component") === c)
+              .select("id", "component")
+        }
+    }
   }
 
   /** Transitive cleaning with a QUALITY survivor policy: per connected

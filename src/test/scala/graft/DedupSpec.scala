@@ -373,6 +373,56 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("label store point lookup: bloom-routes to candidate partitions, " +
+      "the members read prunes statically on the component's partition, " +
+      "answers agree with the closure, unlabeled ids are singletons") {
+    import graft.operators.Components
+    val base = java.nio.file.Files.createTempDirectory("label_lookup")
+    val part = base.resolve("part").toString
+    val P = 16
+    // three components built across two updates, one cross-component
+    // merge so looked-up ids have MOVED partition at least once
+    Components.updateLabelStore(spark, part,
+      Seq((1L, 2L), (10L, 11L), (500L, 501L)).toDF("id_a", "id_b"),
+      "id_a", "id_b", partitions = P)
+    Components.updateLabelStore(spark, part,
+      Seq((2L, 10L)).toDF("id_a", "id_b"), "id_a", "id_b", partitions = P)
+    // point lookups agree with the full closure, including a moved id
+    assert(Components.lookupComponent(spark, part, 11L) === Some(1L))
+    assert(Components.lookupComponent(spark, part, 501L) === Some(500L))
+    assert(Components.lookupComponent(spark, part, 999L) === None)
+    val members = Components.lookupMembers(spark, part, 11L)
+    assert(members.as[(Long, Long)].collect().toSet ===
+      Set((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L)))
+    // the members scan is PRUNED: a literal partition filter on lp, so
+    // the plan reads one partition, never the store
+    val plan = members.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lp".r.findFirstIn(plan).nonEmpty,
+      s"members read must prune on lp:\n$plan")
+    // the unlabeled id serves its singleton without touching the store
+    assert(Components.lookupMembers(spark, part, 999L)
+      .as[(Long, Long)].collect().toSeq === Seq((999L, 999L)))
+    // the bloom router narrows the candidate set: the id-bloom sidecar
+    // exists per live partition, is invisible to the store read, and a
+    // store with the sidecar deleted still answers (full-scan fallback)
+    val bloomDirs = Option(new java.io.File(part, "_id_blooms")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("lp="))
+    assert(bloomDirs.nonEmpty, "id blooms must exist after updates")
+    assert(Components.readLabelStore(spark, part).columns.toSeq ===
+      Seq("id", "component"))
+    graft.sources.Compaction.rm(new java.io.File(part, "_id_blooms"))
+    assert(Components.lookupComponent(spark, part, 11L) === Some(1L),
+      "bloom-less store must degrade to scan, not to a wrong answer")
+    // flat layout: same API, plain filter
+    val flat = base.resolve("flat").toString
+    Components.updateLabelStore(spark, flat,
+      Seq((7L, 8L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(Components.lookupComponent(spark, flat, 8L) === Some(7L))
+    assert(Components.lookupMembers(spark, flat, 7L)
+      .as[(Long, Long)].collect().toSet === Set((7L, 7L), (8L, 7L)))
+  }
+
   test("transitive cleaning: one survivor per component where greedy keeps two") {
     import graft.operators.Components
     // star-shaped cluster: 1~3 and 2~3 verified, but the 1~2 edge is
