@@ -224,6 +224,71 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       "duplicate id rows — a stale partition survived a rewrite")
   }
 
+  test("partitioned label store: a crash between the data overwrite and " +
+      "the emptied-partition removal leaves the documented duplicate-" +
+      "label window, and the retried update heals it to the closure") {
+    import graft.operators.Components
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val base = java.nio.file.Files.createTempDirectory("label_crash")
+    val part = base.resolve("part").toString
+    val P = 8
+    def lpOf(c: Long): Int = java.lang.Math.floorMod(
+      XxHash64Function.hash(c, LongType, 42L), P.toLong).toInt
+    // a second component whose partition DIFFERS from component 1's —
+    // the emptied-partition case needs the loser's rows to actually
+    // relocate across partitions
+    val c2 = (10L to 100L).find(c => lpOf(c) != lpOf(1L)).get
+    Components.updateLabelStore(spark, part,
+      Seq((1L, 2L), (c2, c2 + 1)).toDF("id_a", "id_b"), "id_a", "id_b",
+      partitions = P)
+    val loserDir = new java.io.File(part, s"lp=${lpOf(c2)}")
+    assert(loserDir.exists(), "fixture: c2's component must have its own " +
+      "partition before the merge")
+    // snapshot the partition that the merge will empty and remove
+    val backup = java.nio.file.Files.createTempDirectory("label_bk").toFile
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) copyDir(f, new java.io.File(to, f.getName))
+        else java.nio.file.Files.copy(f.toPath,
+          new java.io.File(to, f.getName).toPath)
+      }
+    }
+    copyDir(loserDir, backup)
+    // the merge relabels c2's members into component 1: the loser
+    // partition gets ZERO output rows, so the update writes the new
+    // data and then explicitly removes the emptied partition — the
+    // two-step whose non-atomicity is under test
+    val merge = Seq((2L, c2 + 1)).toDF("id_a", "id_b")
+    Components.updateLabelStore(spark, part, merge, "id_a", "id_b",
+      partitions = P)
+    assert(!loserDir.exists(), "the emptied partition must be removed " +
+      "by a completed update")
+    val healed = Components.readLabelStore(spark, part)
+      .as[(Long, Long)].collect().toMap
+    assert(healed ===
+      Map(1L -> 1L, 2L -> 1L, c2 -> 1L, (c2 + 1) -> 1L))
+    // CRASH SIMULATION: restore the stale partition exactly as a crash
+    // after the dynamic overwrite but before the removal would leave it
+    copyDir(backup, loserDir)
+    val ids = spark.read.parquet(part).select("id").as[Long].collect()
+    assert(ids.length > ids.distinct.length,
+      "the window must be OBSERVABLE: relocated ids labeled twice " +
+        "(old component in the stale partition, new in the winner's)")
+    // the documented recovery: replaying the SAME batch re-derives the
+    // same labels, re-touches the stale component's partition (its
+    // stale rows still name the old component) and re-deletes it
+    Components.updateLabelStore(spark, part, merge, "id_a", "id_b",
+      partitions = P)
+    assert(!loserDir.exists(), "retry must re-remove the stale partition")
+    val after = Components.readLabelStore(spark, part)
+      .as[(Long, Long)].collect()
+    assert(after.map(_._1).distinct.length === after.length,
+      "no duplicate labels after the healing replay")
+    assert(after.toMap === healed, "healed labels must equal the closure")
+  }
+
   test("kmv laws: insert-fold and pairwise merge both equal the reference " +
       "bottom-k (sorted distinct unsigned, take k) on random long streams " +
       "including sign-boundary values") {
