@@ -93,24 +93,46 @@ object ExtQueries {
     cfg
   }
 
+  /** Build-once gate for the deterministic sketch fixtures (the
+    * [[mediaHashIndexFor]] convention): `build` runs only when the
+    * `_FIXTURE_DONE` marker is absent — the marker is written AFTER the
+    * last append, so a crashed partial build rebuilds from scratch —
+    * and later calls serve from the existing sidecar. This is what
+    * makes the bench rows SERVE-ONLY: pass 1 pays the one-off batch
+    * ingest, passes 2+ time the O(#batches) sidecar merge alone, so the
+    * min-of-passes number is the steady-state monitoring cost (the
+    * mm_dhash_dedup_indexed discipline). Sound to reuse across runs:
+    * every append is a deterministic function of the parquet fixture
+    * (pmod splits, fixed config, seeded sketches).
+    */
+  private def buildOnce(dir: java.io.File)(build: => Unit): Unit = {
+    val marker = new java.io.File(dir, "_FIXTURE_DONE")
+    if (marker.exists()) return
+    graft.sources.Compaction.rm(dir)
+    build
+    java.nio.file.Files.writeString(marker.toPath, "done")
+  }
+
   /** The q_heavy_hitters fixture: the events table replayed as 5 ingest
     * batches (pmod on user_id), each appending a sidecar row with CMS +
-    * Misra-Gries candidates over `event_type`. Rebuilt per call like
-    * [[sketchSidecarFor]].
+    * Misra-Gries candidates over `event_type`. Built once per sf dir
+    * ([[buildOnce]]); the serve merges the 5 rows.
     */
   private def hhSidecarFor(s: SparkSession, d: String)
       : graft.sources.SketchSidecar.Cfg = {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_hh_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.sources.Compaction.rm(path)
-    val cfg = graft.sources.SketchSidecar.Cfg(path.toString,
+    val cfg = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(path, "sc").toString,
       distinctExpr = "user_id", valueExpr = "value",
       heavyKeyExpr = Some("event_type"))
-    (0 until 5).foreach { b =>
-      graft.sources.SketchSidecar.appendBatch(
-        graft.Tables.events(s, d)
-          .filter(pmod(col("user_id"), lit(5)) === b), cfg)
+    buildOnce(path) {
+      (0 until 5).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          graft.Tables.events(s, d)
+            .filter(pmod(col("user_id"), lit(5)) === b), cfg)
+      }
     }
     cfg
   }
@@ -118,21 +140,22 @@ object ExtQueries {
   /** The q_sketch_sidecar fixture: the documents table replayed as 5
     * ingest batches (pmod on doc_id), each appending one mergeable
     * sketch row — distinct over `doc_id`, quantiles over `n_chars` —
-    * exactly the per-batch write the corpus loop does. Rebuilt from
-    * scratch per call (append-only sidecars would otherwise double on a
-    * repeated query run in one session).
+    * exactly the per-batch write the corpus loop does. Built once per
+    * sf dir ([[buildOnce]]); the serve merges the 5 rows.
     */
   private def sketchSidecarFor(s: SparkSession, d: String)
       : graft.sources.SketchSidecar.Cfg = {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_sketch_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.sources.Compaction.rm(path)
-    val cfg = graft.sources.SketchSidecar.Cfg(path.toString,
+    val cfg = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(path, "sc").toString,
       distinctExpr = "doc_id", valueExpr = "n_chars")
-    (0 until 5).foreach { b =>
-      graft.sources.SketchSidecar.appendBatch(
-        docs(s, d).filter(pmod(col("doc_id"), lit(5)) === b), cfg)
+    buildOnce(path) {
+      (0 until 5).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          docs(s, d).filter(pmod(col("doc_id"), lit(5)) === b), cfg)
+      }
     }
     cfg
   }

@@ -82,5 +82,11 @@ object SparkEntry {
     // round 14: the KMV set-operation sketch — 4 per-batch bottom-k
     // aggregations over orders (the typed-Aggregator ingest path whose
     // throughput is the 100 TB cost) + the O(k) overlap serve
-    "q_kmv_overlap")
+    "q_kmv_overlap",
+    // round 15: the monitoring SERVE paths — their design claim is
+    // O(#batches) cost independent of corpus size, and these rows put a
+    // number on it: the fixtures are built once outside the steady
+    // state (marker-gated, the mm_dhash_dedup_indexed convention), so
+    // the min-of-passes number is the pure sidecar-merge serve cost
+    "q_sketch_sidecar", "q_heavy_hitters")
 }
