@@ -223,28 +223,34 @@ object ExtQueries {
     (cfgA, cfgB)
   }
 
-  /** The q_sketch_by_group fixture: the documents table replayed as 5
-    * ingest batches into a GROUPED sidecar — one row per (batch,
-    * source), distinct over `doc_id`, quantiles over `n_chars` — the
-    * per-domain monitoring dashboard served without a corpus scan.
-    * Batches split on a HASH of the id (not `doc_id % 5`, which the
-    * synthetic `source` column is correlated with) so every group spans
-    * several batches and the per-group row MERGE is what the query
-    * actually exercises.
+  /** The q_sketch_by_group / q_heavy_hitters_by_group fixture: the
+    * documents table replayed as 5 ingest batches into a GROUPED
+    * sidecar that ALSO carries the heavy-hitter face — one row per
+    * (batch, source) holding distinct-over-`doc_id` HLL registers,
+    * `n_chars` quantile summaries, AND a CMS + Misra-Gries candidates
+    * over `lang`, all from the round-15 single-scan append — so one
+    * sidecar serves both the per-domain distribution dashboard and
+    * "which languages dominate each source". Batches split on a HASH of
+    * the id (not `doc_id % 5`, which the synthetic `source` column is
+    * correlated with) so every group spans several batches and the
+    * per-group row MERGE is what the queries actually exercise. Built
+    * once per sf dir ([[buildOnce]]).
     */
   private def groupedSketchSidecarFor(s: SparkSession, d: String)
       : graft.sources.SketchSidecar.Cfg = {
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_grp_sketch_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.sources.Compaction.rm(path)
-    val cfg = graft.sources.SketchSidecar.Cfg(path.toString,
+    val cfg = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(path, "sc").toString,
       distinctExpr = "doc_id", valueExpr = "n_chars",
-      groupKeyExpr = Some("source"))
-    (0 until 5).foreach { b =>
-      graft.sources.SketchSidecar.appendBatch(
-        docs(s, d).filter(pmod(xxhash64(col("doc_id")), lit(5)) === b),
-        cfg)
+      groupKeyExpr = Some("source"), heavyKeyExpr = Some("lang"))
+    buildOnce(path) {
+      (0 until 5).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          docs(s, d).filter(pmod(xxhash64(col("doc_id")), lit(5)) === b),
+          cfg)
+      }
     }
     cfg
   }
@@ -870,6 +876,62 @@ object ExtQueries {
           col("inter_err_vs_union") <= jBound + relBound &&
           col("a_only_err_vs_union") <= jBound + relBound &&
           col("b_only_err_vs_union") <= jBound + relBound)
+        .where(col("meets_floor"))
+    }),
+
+    // per-group heavy hitters from the SAME grouped sidecar as
+    // q_sketch_by_group (one single-scan append feeds both dashboards):
+    // which languages hold >= 25% of each source, candidates from the
+    // per-(batch, group) Misra-Gries summaries, priced against each
+    // group's cell-merged CMS. Rows-only; the _gap twin enforces the
+    // per-group CMS contract on every group at once
+    "q_heavy_hitters_by_group" -> ((s, d) => {
+      val cfg = groupedSketchSidecarFor(s, d)
+      graft.sources.SketchSidecar
+        .servedHeavyHittersByGroup(s, cfg.sidecarPath, phi = 0.25)
+        .orderBy("grp", "key")
+    }),
+
+    // the grouped CMS contract, machine-enforced across EVERY group
+    // (one row or loudly zero): no candidate under-counted, over-counts
+    // within cmsEps of each group's OWN total, every truly-phi-heavy
+    // (grp, lang) served (completeness — provable since phi = 0.25 >=
+    // 1/topK), and every served pair truly (phi − cmsEps)-heavy in its
+    // group (soundness)
+    "q_heavy_hitters_by_group_gap" -> ((s, d) => {
+      val cfg = groupedSketchSidecarFor(s, d)
+      val phi = 0.25
+      val exact = docs(s, d)
+        .groupBy(col("source").as("grp"), col("lang").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = exact.groupBy("grp").agg(sum(col("cnt")).as("total"))
+      val allEst = graft.sources.SketchSidecar
+        .servedHeavyHittersByGroup(s, cfg.sidecarPath, phi = 1e-12)
+        .select(col("grp"), col("key"), col("est"))
+      val served = graft.sources.SketchSidecar
+        .servedHeavyHittersByGroup(s, cfg.sidecarPath, phi)
+        .select(col("grp"), col("key")).withColumn("__served", lit(1))
+      val bounds = allEst.join(exact, Seq("grp", "key"))
+        .join(totals, Seq("grp"))
+        .agg(max(col("cnt") - col("est")).as("max_under"),
+          max((col("est") - col("cnt")) / col("total")).as("max_over_rel"))
+      val completeness = exact.join(totals, Seq("grp"))
+        .where(col("cnt") >= col("total") * phi)
+        .join(served, Seq("grp", "key"), "left")
+        .agg(count(lit(1)).as("heavy_true"),
+          coalesce(sum("__served"), lit(0L)).as("heavy_found"))
+      val soundness = served.join(exact, Seq("grp", "key"))
+        .join(totals, Seq("grp"))
+        .agg(count(lit(1)).as("served_n"),
+          coalesce(sum(when(
+            col("cnt") >= col("total") * (phi - cfg.cmsEps), 1L)
+            .otherwise(0L)), lit(0L)).as("served_sound"))
+      bounds.crossJoin(completeness).crossJoin(soundness)
+        .withColumn("meets_floor",
+          col("max_under") <= 0L &&
+          col("max_over_rel") <= cfg.cmsEps &&
+          col("heavy_found") === col("heavy_true") &&
+          col("served_sound") === col("served_n"))
         .where(col("meets_floor"))
     }),
 

@@ -383,6 +383,55 @@ object SketchSidecar {
       .orderBy(col("grp"), col("p"))
   }
 
+  /** [[servedHeavyHitters]] PER GROUP from a GROUPED sidecar carrying
+    * the CMS face: every (group, key) whose estimated count reaches
+    * `phi` of the GROUP's total — "which languages dominate each
+    * source", one monitoring answer per group with zero corpus
+    * scanning. Returns (grp, key, est, total), grouped then heaviest
+    * first. All four [[servedHeavyHitters]] guarantees hold PER GROUP
+    * on the group's own scale: each group's CMS rows aggregate only
+    * that group's slices (over-count ≤ cmsEps·N_g), and a group-φ-heavy
+    * key has share ≥ φ in at least one of the group's batch slices, so
+    * it enters that slice's Misra-Gries candidates whenever
+    * `topK ≥ 1/φ` — the [[Cfg.topK]] argument verbatim with "batch"
+    * read as "(batch, group) slice".
+    */
+  def servedHeavyHittersByGroup(spark: SparkSession, sidecarPath: String,
+                                phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi")
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+    val merged = rows.groupBy("grp")
+      .agg(cmsMerge(col("cms")).as("cms"), sum(col("n")).as("total"))
+    val cands = rows
+      .select(col("grp"), explode(col("topk")).as("kv"))
+      .select(col("grp"), col("kv.key").as("key")).distinct()
+    val estimate = udf((bytes: Array[Byte], key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        .estimateCount(key))
+    cands.join(broadcast(merged), Seq("grp"))
+      .select(col("grp"), col("key"),
+        estimate(col("cms"), col("key")).as("est"), col("total"))
+      .where(col("est") >= col("total") * phi)
+      .orderBy(col("grp"), col("est").desc, col("key"))
+  }
+
+  /** Per-group merged KMV distinct estimates from a GROUPED sidecar
+    * carrying the KMV face — the bottom-k analog of
+    * [[servedDistinctByGroup]]: one row `(grp, distinct_estimate)` per
+    * group, exact below k, rse ≈ 1/sqrt(kmvK−2) at k.
+    */
+  def servedKmvDistinctByGroup(spark: SparkSession,
+                               sidecarPath: String): DataFrame = {
+    val (m, k) = mergedKmvByGroup(spark, sidecarPath)
+    import spark.implicits._
+    m.toSeq.sortBy(_._1)
+      .map { case (g, kmv) => (g, kmvEstimate(kmv, k)) }
+      .toDF("grp", "distinct_estimate")
+  }
+
   /** Row-merge compaction for a GROUPED sidecar: collapse each group's
     * batch rows into one merged row — the same ledger as [[compactRows]]
     * face by face (n exact; HLL union, CMS cell-addition and KMV

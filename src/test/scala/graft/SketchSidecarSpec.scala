@@ -272,6 +272,19 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     val kd = kmvDist()
     assert(math.abs(kd - 300.0) / 300.0 <= 3.5 / math.sqrt(62.0),
       s"corpus KMV distinct $kd")
+    // per-group serves from the same fused rows
+    def hotByGrp() = SketchSidecar
+      .servedHeavyHittersByGroup(spark, cfg.sidecarPath, phi = 0.5)
+      .select("grp", "key").as[(String, String)].collect().toSeq
+    assert(hotByGrp() === Seq(("a", "hot")),
+      "hot is 60% of group a; no group-b key reaches 50%")
+    val kByGrp = SketchSidecar
+      .servedKmvDistinctByGroup(spark, cfg.sidecarPath)
+      .as[(String, Double)].collect().toMap
+    val rse = 3.5 / math.sqrt(62.0)
+    assert(kByGrp.keySet === Set("a", "b") &&
+      kByGrp.values.forall(v => math.abs(v - 150.0) / 150.0 <= rse),
+      s"per-group KMV distinct: $kByGrp")
     // grouped row-merge: every face survives per group
     SketchSidecar.compactRowsByGroup(spark, cfg)
     assert(spark.read.parquet(cfg.sidecarPath).count() === 2)
@@ -279,6 +292,10 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     assert(hot() === Seq("hot"))
     assert(kmvDist() === kd,
       "bottom-k union is associative — the merged rows serve identically")
+    assert(hotByGrp() === Seq(("a", "hot")))
+    assert(SketchSidecar.servedKmvDistinctByGroup(spark, cfg.sidecarPath)
+      .as[(String, Double)].collect().toMap === kByGrp,
+      "per-group bottom-k serves identically off the merged rows")
   }
 
   // ---- KMV bottom-k: the set-operation face of the sidecar ----
