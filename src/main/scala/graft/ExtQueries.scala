@@ -255,6 +255,35 @@ object ExtQueries {
     cfg
   }
 
+  /** The dedup_provenance_lookup / dedup_attribution fixture: the same
+    * ngram-Jaccard pair set as dedup_components, folded into a
+    * PARTITIONED label store as 3 incremental batches (the
+    * dedup_components_incremental discipline) — built once per sf dir
+    * ([[buildOnce]]; the pair generation and every update are
+    * deterministic). Returns the store path.
+    */
+  private def provStoreFor(s: SparkSession, d: String): String = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_prov_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val store = new java.io.File(base, "store").toString
+    buildOnce(base) {
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(docs(s, d),
+          "doc_id", "text",
+          Seq(col("lang"), floor(col("n_chars") / 64)), n = 3,
+          threshold = 0.5)
+        .localCheckpoint(true)
+      try {
+        (0 until 3).foreach { b =>
+          Components.updateLabelStore(s, store,
+            pairs.where(pmod(col("id_b"), lit(3)) === b), "id_a", "id_b",
+            partitions = 16)
+        }
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
+    }
+    store
+  }
+
   /** The q_emb_drift fixture: an IVF index frozen over the corpus slice
     * (`vec_id % 5 ≠ 0`) with its cell-occupancy sidecar — the embedding-
     * space reference the drift monitor scores batches against. Seed
@@ -2319,6 +2348,9 @@ object ExtQueries {
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
     }),
 
+    // (fixture for the two rows below: the 3-batch incremental
+    // PARTITIONED label store over the oracle-checked ngram pair set,
+    // built once per sf dir — see provStoreFor)
     // provenance POINT lookup against the partitioned label store: the
     // same 3-batch incremental build as dedup_components_incremental,
     // then two lookupMembers probes (the smallest and largest labeled
@@ -2328,35 +2360,34 @@ object ExtQueries {
     // DuckDB twin: the same recursive-CTE closure probed at the same
     // two ids
     "dedup_provenance_lookup" -> ((s, d) => {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_prov_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.sources.Compaction.rm(path)
-      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
-          Seq(col("lang"), floor(col("n_chars") / 64)), n = 3,
-          threshold = 0.5)
-        .localCheckpoint(true)
-      try {
-        (0 until 3).foreach { b =>
-          Components.updateLabelStore(s, path.toString,
-            pairs.where(pmod(col("id_b"), lit(3)) === b), "id_a", "id_b",
-            partitions = 16)
-        }
-        import s.implicits._
-        val bounds = Components.readLabelStore(s, path.toString)
-          .agg(min("id"), max("id")).collect().head
-        if (bounds.isNullAt(0))
-          Seq.empty[(Long, Long, Long)].toDF("probe", "id", "component")
-        else {
-          val probes = Seq(bounds.getLong(0), bounds.getLong(1)).distinct
-          probes.map { p =>
-            Components.lookupMembers(s, path.toString, p)
-              .withColumn("probe", lit(p))
-          }.reduce(_ unionByName _)
-            .select(col("probe"), col("id"), col("component"))
-            .orderBy("probe", "id")
-        }
-      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
+      val store = provStoreFor(s, d)
+      import s.implicits._
+      val bounds = Components.readLabelStore(s, store)
+        .agg(min("id"), max("id")).collect().head
+      if (bounds.isNullAt(0))
+        Seq.empty[(Long, Long, Long)].toDF("probe", "id", "component")
+      else {
+        val probes = Seq(bounds.getLong(0), bounds.getLong(1)).distinct
+        probes.map { p =>
+          Components.lookupMembers(s, store, p)
+            .withColumn("probe", lit(p))
+        }.reduce(_ unionByName _)
+          .select(col("probe"), col("id"), col("component"))
+          .orderBy("probe", "id")
+      }
+    }),
+
+    // corpus-wide dedup ATTRIBUTION off the same store: every document
+    // mapped to its canonical survivor (component for labeled ids, the
+    // id itself for never-duplicated docs) — the join the training
+    // manifest builder runs to de-reference drops. One equi-join of the
+    // corpus slice against the dup-minority-sized store; fully
+    // hash-checked against the closure CTE left-joined to documents
+    "dedup_attribution" -> ((s, d) => {
+      val store = provStoreFor(s, d)
+      Components.attachCanonical(docs(s, d), "doc_id", store)
+        .select(col("doc_id"), col("canonical_id"))
+        .orderBy("doc_id")
     }),
 
     // transitive corpus cleaning — ONE survivor (min doc_id) per connected
@@ -3050,6 +3081,19 @@ object ExtQueries {
       |JOIN closure c ON c.component = pc.component
       |ORDER BY p.probe, c.id""".stripMargin
 
+  /** The `dedup_attribution` twin: the closure left-joined to every
+    * document — canonical id = component for labeled docs, the doc's
+    * own id otherwise.
+    */
+  private val attributionOracleSql: String =
+    componentsClosureCte +
+      """,
+      |closure AS (
+      |  SELECT id, least(min(r), id) AS component FROM reach GROUP BY id)
+      |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+      |FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
     // exact novelty of the arriving batch vs the indexed corpus text —
@@ -3466,6 +3510,7 @@ object ExtQueries {
     // one-shot row's oracle verbatim (set equality enforced by hash)
     "dedup_components_incremental" -> componentsOracleSql,
     "dedup_provenance_lookup" -> provenanceOracleSql,
+    "dedup_attribution" -> attributionOracleSql,
     // tf-idf twin: identical tokenization to text_repetition's, identical
     // smoothing, ranking on the 6-decimal-ROUNDED score with the token as
     // tie-break (both engines order strings by binary collation)

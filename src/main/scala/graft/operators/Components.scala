@@ -464,6 +464,76 @@ object Components {
     }
   }
 
+  /** Batch point lookup — the takedown-list shape of [[lookupComponent]]:
+    * map EVERY probe id to its component in ONE bloom-routed pruned
+    * read instead of N point reads. Candidate partitions are the union
+    * of each bloom's hits over the whole probe list (one pass over ≤ P
+    * bloom rows, each testing the broadcast probe array); the pruned
+    * scan confirms ids exactly; probes the store has never labeled come
+    * back as their own singleton components — every probe is answered.
+    * Driver state: the probe list and ≤ P candidate ints.
+    */
+  def lookupComponents(spark: org.apache.spark.sql.SparkSession,
+                       path: String, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(ids.nonEmpty, "empty probe list")
+    val probes = ids.distinct
+    val probeDf = probes.toDF("id")
+    val found = storePartitions(path) match {
+      case None =>
+        readLabelStore(spark, path).where(col("id").isin(probes: _*))
+      case Some(_) =>
+        val bloomsDir =
+          new java.io.File(new java.io.File(path), "_id_blooms")
+        val hasBlooms = Option(bloomsDir.listFiles())
+          .getOrElse(Array.empty)
+          .exists(f => f.isDirectory && f.getName.startsWith("lp="))
+        val cands =
+          if (!hasBlooms)
+            Option(new java.io.File(path).listFiles())
+              .getOrElse(Array.empty)
+              .filter(f => f.isDirectory && f.getName.startsWith("lp="))
+              .map(_.getName.stripPrefix("lp=").toInt).toSeq
+          else {
+            val probeArr = probes.toArray
+            val anyHit = udf((bytes: Array[Byte]) => {
+              val f = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+              probeArr.exists(f.mightContainLong)
+            })
+            spark.read.parquet(bloomsDir.toString)
+              .where(anyHit(col("bloom")))
+              .select("lp").collect().map(_.getInt(0)).toSeq
+          }
+        if (cands.isEmpty)
+          spark.range(0).select(col("id"), col("id").as("component"))
+        else spark.read.parquet(path)
+          .where(col("lp").isin(cands: _*) && col("id").isin(probes: _*))
+          .select("id", "component")
+    }
+    probeDf.join(found, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Dedup ATTRIBUTION over a corpus slice: attach each row's canonical
+    * (surviving) document id from the label store — `component` for
+    * labeled ids, the id itself for singletons. This is the corpus-wide
+    * join form ([[lookupComponents]] is the point form): one equi-join
+    * of the slice against the store, whose size is O(nodes-in-pairs) —
+    * the duplicate minority — so at 100 TB the join side to worry about
+    * is the corpus scan the caller was doing anyway; leave the store
+    * side to AQE's broadcast decision rather than forcing one (a
+    * billion-row dup graph must NOT be pinned to the driver).
+    */
+  def attachCanonical(df: DataFrame, idCol: String, storePath: String,
+                      outCol: String = "canonical_id"): DataFrame = {
+    val labels = readLabelStore(df.sparkSession, storePath)
+      .select(col("id").as(idCol), col("component").as("__cc_comp"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col("__cc_comp"), col(idCol)))
+      .drop("__cc_comp")
+  }
+
   /** Transitive cleaning with a QUALITY survivor policy: per connected
     * component keep the member maximizing `qualityCol` (id tie-break)
     * instead of the lowest id — the component analog of

@@ -423,6 +423,35 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toSet === Set((7L, 7L), (8L, 7L)))
   }
 
+  test("batch lookup and attribution: one pruned read answers a probe " +
+      "list with singletons for unlabeled ids; attachCanonical maps a " +
+      "corpus slice to its survivors") {
+    import graft.operators.Components
+    val base = java.nio.file.Files.createTempDirectory("label_batch")
+    val part = base.resolve("part").toString
+    Components.updateLabelStore(spark, part,
+      Seq((1L, 2L), (10L, 11L), (500L, 501L)).toDF("id_a", "id_b"),
+      "id_a", "id_b", partitions = 16)
+    // the takedown-list shape: labeled ids from different components
+    // plus a never-labeled probe, every probe answered in one call
+    val got = Components.lookupComponents(spark, part,
+        Seq(2L, 501L, 999L, 11L))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 1L, 501L -> 500L, 999L -> 999L, 11L -> 10L))
+    // the confirm read prunes on the routed partitions
+    intercept[IllegalArgumentException] {
+      Components.lookupComponents(spark, part, Seq.empty)
+    }
+    // attribution: corpus rows joined to their canonical survivor;
+    // rows outside every component keep their own id
+    val corpus = Seq(1L, 2L, 5L, 11L, 501L).toDF("doc_id")
+    val attributed = Components
+      .attachCanonical(corpus, "doc_id", part)
+      .as[(Long, Long)].collect().toMap
+    assert(attributed ===
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 11L -> 10L, 501L -> 500L))
+  }
+
   test("transitive cleaning: one survivor per component where greedy keeps two") {
     import graft.operators.Components
     // star-shaped cluster: 1~3 and 2~3 verified, but the 1~2 edge is
