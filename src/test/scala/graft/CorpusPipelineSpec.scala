@@ -474,6 +474,62 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       === Map(1L -> 1L, 5L -> 1L))
   }
 
+  test("streaming corpus drives a GROUPED multi-face sketch sidecar and " +
+      "a PARTITIONED provenance store through the gate chain") {
+    import graft.streaming.CorpusStream
+    import graft.sources.SketchSidecar
+    import graft.operators.Components
+    val dir = Files.createTempDirectory("corpus_stream_grouped")
+    val src = dir.resolve("src").toString
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // grouped + KMV on ONE sidecar — the fused single-scan append
+    // running inside the loop, per (micro-batch, source) row
+    val sk = Some(SketchSidecar.Cfg(dir.resolve("sketch").toString,
+      distinctExpr = "doc_id", valueExpr = "length(text)",
+      groupKeyExpr = Some("source"), kmvKeyExpr = Some("doc_id"),
+      kmvK = 64))
+    val labels = dir.resolve("dup_labels").toString
+    val schema = Seq((0L, "", "")).toDF("doc_id", "text", "source").schema
+    def runOnce(): Unit = {
+      val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
+        sketch = sk, dupLabels = Some(labels), dupLabelsPartitions = 8)
+      q.awaitTermination()
+    }
+    Seq((1L, base, "sa"), (2L, fresh2, "sb"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(src)
+    runOnce()
+    Seq((5L, nearDup, "sa"),
+        (4L, "fresh wave about columnar file formats and " +
+        "vectorized execution pipelines in modern analytic engines", "sb"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L))
+    // one fused row per (admitted micro-batch, group): wave 1 admits
+    // into sa and sb, wave 2's survivor is sb-only
+    val rows = spark.read.parquet(sk.get.sidecarPath)
+    assert(rows.count() === 3L)
+    assert(rows.columns.contains("kmv") && rows.columns.contains("grp"))
+    assert(SketchSidecar.servedDistinctByGroup(spark, sk.get.sidecarPath)
+      .select("grp", "distinct_estimate").as[(String, Long)]
+      .collect().toMap === Map("sa" -> 1L, "sb" -> 2L))
+    assert(SketchSidecar
+      .servedKmvDistinctByGroup(spark, sk.get.sidecarPath)
+      .as[(String, Double)].collect().toMap ===
+      Map("sa" -> 1.0, "sb" -> 2.0))
+    // the provenance store was fed in its PARTITIONED layout by the
+    // pipeline (the plumbed dupLabelsPartitions), and the point lookup
+    // serves through it
+    assert(new java.io.File(labels, "_label_partitions").exists())
+    assert(Components.readLabelStore(spark, labels)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 1L, 5L -> 1L))
+    assert(Components.lookupComponent(spark, labels, 5L) === Some(1L))
+  }
+
   test("drift gate quarantines a JS-shifted micro-batch; in-distribution " +
       "batches land; metrics log both decisions") {
     import graft.streaming.{CorpusStream, DriftMonitor}
