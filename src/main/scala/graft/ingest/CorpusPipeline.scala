@@ -133,22 +133,28 @@ object CorpusPipeline {
     * ([[graft.sources.Compaction]] — object stores want a
     * manifest-commit layer for BOTH the counter and the swap).
     */
-  private def readAppendCount(indexPath: String): Int =
+  private def readCount(indexPath: String, name: String): Int =
     try new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$indexPath/_maint_appends")),
+      java.nio.file.Paths.get(s"$indexPath/$name")),
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt
     catch { case scala.util.control.NonFatal(_) => 0 }
 
-  private def writeAppendCount(indexPath: String, n: Int): Unit = {
-    val p = java.nio.file.Paths.get(s"$indexPath/_maint_appends")
+  private def writeCount(indexPath: String, name: String, n: Int): Unit = {
+    val p = java.nio.file.Paths.get(s"$indexPath/$name")
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = java.nio.file.Paths.get(s"$indexPath/_maint_appends.tmp")
+    val tmp = java.nio.file.Paths.get(s"$indexPath/$name.tmp")
     java.nio.file.Files.write(tmp, n.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def readAppendCount(indexPath: String): Int =
+    readCount(indexPath, "_maint_appends")
+
+  private def writeAppendCount(indexPath: String, n: Int): Unit =
+    writeCount(indexPath, "_maint_appends", n)
 
   /** Bump the counter after an append; when it reaches `every`, run
     * `compactAction` and reset. The bumped counter is persisted BEFORE
@@ -508,6 +514,20 @@ object CorpusPipeline {
           graft.sources.SketchSidecar.appendBatch(survivors, cfg)
           maybeCompact(cfg.sidecarPath, cfg.compactEvery) {
             graft.sources.Compaction.compact(spark, cfg.sidecarPath)
+          }
+          // row-merge on its own (coarser) cadence — the serve re-merges
+          // every row per question, so row count IS the serve cost; the
+          // counter rides as _maint_rowmerge next to _maint_appends
+          if (cfg.rowMergeEvery > 0) {
+            val n = readCount(cfg.sidecarPath, "_maint_rowmerge") + 1
+            writeCount(cfg.sidecarPath, "_maint_rowmerge", n)
+            if (n >= cfg.rowMergeEvery) {
+              if (cfg.groupKeyExpr.isDefined)
+                graft.sources.SketchSidecar.compactRowsByGroup(spark, cfg)
+              else
+                graft.sources.SketchSidecar.compactRows(spark, cfg)
+              writeCount(cfg.sidecarPath, "_maint_rowmerge", 0)
+            }
           }
         }
         // SQ8 maintenance: same rebuild-until-trained / frozen-append

@@ -70,6 +70,15 @@ object SketchSidecar {
     * @param compactEvery when > 0, every N-th append compacts the
     *   sidecar's files (content-preserving; counter rides in the sidecar
     *   dir as `_maint_appends`, invisible to the parquet scan)
+    * @param rowMergeEvery when > 0 and the sidecar is driven by
+    *   [[graft.ingest.CorpusPipeline]], every N-th append ROW-merges the
+    *   sidecar ([[compactRows]]/[[compactRowsByGroup]] by layout) — the
+    *   [[graft.sources.BloomKeyIndex.Cfg.compactEvery]] discipline: the
+    *   rows are re-merged on every serve, so row count is the serve
+    *   cost and this cadence is its bound, not just file hygiene. Note
+    *   the quantile ledger: each row-merge generation adds ≤ 1/K rank
+    *   error, so the cadence is a coarse dial (weekly/monthly), not
+    *   per-batch
     * @param heavyKeyExpr when set, each batch row additionally carries a
     *   Count-Min sketch over this key expression plus the batch's exact
     *   top-`topK` keys — the heavy-hitters monitoring state
@@ -128,7 +137,7 @@ object SketchSidecar {
   case class Cfg(sidecarPath: String, distinctExpr: String,
                  valueExpr: String, lgConfigK: Int = 12,
                  numBuckets: Int = 256, accuracy: Int = 10000,
-                 compactEvery: Int = 0,
+                 compactEvery: Int = 0, rowMergeEvery: Int = 0,
                  heavyKeyExpr: Option[String] = None,
                  cmsEps: Double = 0.001, cmsConfidence: Double = 0.999,
                  cmsSeed: Int = 42, topK: Int = 32,
@@ -335,6 +344,32 @@ object SketchSidecar {
     if (!fs.exists(hp)) return None
     servedQuantiles(spark, sidecarPath, Seq(p))
       .collect().headOption.map(_.getDouble(1))
+  }
+
+  /** The per-group corpus-`p` quantiles of a GROUPED sidecar as a
+    * (grp, threshold) frame — the per-domain form of [[servedThreshold]]
+    * for ADAPTIVE gates that track each source/language's OWN
+    * distribution instead of one global bar (a length floor tuned on
+    * English prose systematically mis-gates CJK text; a per-lang
+    * threshold does not). Broadcast-join it onto the batch and compare:
+    * `batch.join(broadcast(thr), Seq("lang"), "left")
+    *   .where(col("n_chars") >= coalesce(col("threshold"), lit(floor)))`
+    * — groups with no sidecar history yet fall back to the caller's
+    * fixed floor via the coalesce, the [[servedThreshold]] bootstrap
+    * stance. Read BEFORE the batch appends, as ever, so a poisoned
+    * batch cannot move the bar it is judged by. Returns an empty frame
+    * when the sidecar does not exist yet.
+    */
+  def servedThresholdsByGroup(spark: SparkSession, sidecarPath: String,
+                              p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p=$p")
+    import spark.implicits._
+    val hp = new org.apache.hadoop.fs.Path(sidecarPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp))
+      return Seq.empty[(String, Double)].toDF("grp", "threshold")
+    servedQuantilesByGroup(spark, sidecarPath, Seq(p))
+      .select(col("grp"), col("value").as("threshold"))
   }
 
   /** Per-group merged distinct estimates from a GROUPED sidecar

@@ -975,6 +975,36 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(cfg.sidecarPath).count() === 2)
   }
 
+  test("rowMergeEvery: the loop row-merges the sketch sidecar on its " +
+      "cadence, serves survive, and appends keep landing after") {
+    import graft.sources.SketchSidecar
+    val dir = Files.createTempDirectory("corpus_rowmerge")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val cfg = SketchSidecar.Cfg(dir.resolve("sketch").toString,
+      distinctExpr = "doc_id", valueExpr = "length(text)",
+      rowMergeEvery = 2)
+    def docsBatch(ids: Seq[Long]) = ids.map(i =>
+      (i, (1 to 12).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    CorpusPipeline.dedupAndAppend(docsBatch(Seq(1L, 2L)), corpus, idx,
+      "doc_id", "text", 0.8, sketch = Some(cfg))
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 1L)
+    CorpusPipeline.dedupAndAppend(docsBatch(Seq(3L, 4L)), corpus, idx,
+      "doc_id", "text", 0.8, sketch = Some(cfg))
+    // second append hit the cadence: two rows merged to one
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 1L,
+      "cadence must row-merge 2 batch rows into 1")
+    assert(SketchSidecar.servedDistinct(spark, cfg.sidecarPath)
+      .collect().head.getLong(1) === 4L)
+    // the loop continues: the next append lands NEXT to the merged row
+    CorpusPipeline.dedupAndAppend(docsBatch(Seq(5L)), corpus, idx,
+      "doc_id", "text", 0.8, sketch = Some(cfg))
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 2L)
+    assert(SketchSidecar.servedDistinct(spark, cfg.sidecarPath)
+      .collect().head.getLong(1) === 5L)
+  }
+
   test("schema-drift gate: a batch whose schema renamed or retyped a " +
       "column is rejected loudly instead of appending a second schema " +
       "into the corpus; same columns in a different order pass") {

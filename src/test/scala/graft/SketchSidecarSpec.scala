@@ -298,6 +298,44 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
       "per-group bottom-k serves identically off the merged rows")
   }
 
+  test("per-group adaptive thresholds: each group's p-quantile lands in " +
+      "its own value range; a missing sidecar serves an empty frame") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_thr").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "v", groupKeyExpr = Some("g"),
+      numBuckets = 64)
+    assert(SketchSidecar
+      .servedThresholdsByGroup(spark, cfg.sidecarPath, 0.5)
+      .isEmpty, "no sidecar yet -> empty frame, the bootstrap stance")
+    // lo ~ 0..99, hi ~ 1000..1999 — a global bar would mis-gate one side
+    def batch(b: Int) =
+      ((0 until 100).map(i => (b * 1000L + i, "lo", (i % 100).toLong)) ++
+       (0 until 100).map(i => (b * 1000L + 500 + i, "hi",
+         1000L + (i * 10) % 1000)))
+        .toDF("id", "g", "v")
+    (0 until 2).foreach(b => SketchSidecar.appendBatch(batch(b), cfg))
+    val thr = SketchSidecar
+      .servedThresholdsByGroup(spark, cfg.sidecarPath, 0.5)
+      .as[(String, Double)].collect().toMap
+    assert(thr.keySet === Set("lo", "hi"))
+    assert(thr("lo") >= 0.0 && thr("lo") <= 100.0, s"lo ${thr("lo")}")
+    assert(thr("hi") >= 1000.0 && thr("hi") <= 2000.0, s"hi ${thr("hi")}")
+    // the documented gate composition: per-group bar, fixed-floor
+    // fallback for a group with no history
+    val probe = Seq((1L, "lo", 60L), (2L, "lo", 10L), (3L, "hi", 1600L),
+        (4L, "hi", 1100L), (5L, "new", 7L))
+      .toDF("id", "g", "v")
+    val kept = probe
+      .join(broadcast(SketchSidecar.servedThresholdsByGroup(
+        spark, cfg.sidecarPath, 0.5)
+        .withColumnRenamed("grp", "g")), Seq("g"), "left")
+      .where(col("v") >= coalesce(col("threshold"), lit(5.0)))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L),
+      "per-group medians gate each group on its own scale; the " +
+        "history-less group falls back to the fixed floor")
+  }
+
   // ---- KMV bottom-k: the set-operation face of the sidecar ----
 
   test("kmv helpers: unsigned order, dedup, cap, and merge " +
