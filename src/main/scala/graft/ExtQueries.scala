@@ -255,6 +255,30 @@ object ExtQueries {
     cfg
   }
 
+  /** The q_range_bucketed fixture: the documents projection laid out in
+    * `rb=` range partitions whose bounds are the 8-way equi-depth
+    * boundaries SERVED from the sketch sidecar ([[sketchSidecarFor]] —
+    * the same monitoring state the corpus loop already maintains), so
+    * the layout costs one data pass and zero sampling. Built once per
+    * sf dir; returns (table path, bounds).
+    */
+  private def rangeBucketedFor(s: SparkSession, d: String)
+      : (String, Seq[Double]) = {
+    val cfg = sketchSidecarFor(s, d)
+    val bounds = graft.sources.SketchSidecar
+      .servedRangeBounds(s, cfg.sidecarPath, 8)
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_range_bucketed_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val tab = new java.io.File(base, "t").toString
+    buildOnce(base) {
+      graft.sources.Bucketing.writeRangeBucketed(
+        docs(s, d).select(col("doc_id"), col("n_chars")),
+        tab, "n_chars", bounds)
+    }
+    (tab, bounds)
+  }
+
   /** The dedup_provenance_lookup / dedup_attribution fixture: the same
     * ngram-Jaccard pair set as dedup_components, folded into a
     * PARTITIONED label store as 3 incremental batches (the
@@ -905,6 +929,48 @@ object ExtQueries {
           col("inter_err_vs_union") <= jBound + relBound &&
           col("a_only_err_vs_union") <= jBound + relBound &&
           col("b_only_err_vs_union") <= jBound + relBound)
+        .where(col("meets_floor"))
+    }),
+
+    // sidecar-driven range layout: a range predicate served from the
+    // rb= partitioned copy whose bounds came from the monitoring
+    // sidecar's equi-depth quantiles — static partition pruning with
+    // zero sampling passes (plan-asserted in SourcesSpec). The bucket
+    // layout cannot change membership (the value predicate decides), so
+    // the row carries a full DuckDB oracle over the plain table
+    "q_range_bucketed" -> ((s, d) => {
+      val (tab, bounds) = rangeBucketedFor(s, d)
+      graft.sources.Bucketing
+        .readRange(s, tab, "n_chars", bounds, 128.0, 256.0)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // the layout's BALANCE contract, machine-enforced (one row or
+    // loudly zero): every bucket's mass within the quantile ledger of
+    // the equi-depth ideal — 1/n + 2·(2/K + 1/accuracy) of rank error
+    // plus the worst single-value tie mass (a tied boundary value's
+    // whole mass lands in one bucket by construction) plus the 1/N
+    // granularity
+    "q_range_bucketed_gap" -> ((s, d) => {
+      val (tab, bounds) = rangeBucketedFor(s, d)
+      val cfg = sketchSidecarFor(s, d)
+      val nBuckets = bounds.length + 1
+      val eps = 2.0 / cfg.numBuckets + 1.0 / cfg.accuracy
+      val shares = s.read.parquet(tab).groupBy("rb")
+        .agg(count(lit(1)).as("c"))
+      val total = docs(s, d).agg(count(lit(1)).as("total"))
+      val maxTie = docs(s, d).groupBy("n_chars")
+        .agg(count(lit(1)).as("tc")).agg(max(col("tc")).as("max_tie"))
+      shares.crossJoin(total).crossJoin(maxTie)
+        .select((col("c") / col("total")).as("share"),
+          (col("max_tie") / col("total")).as("tie_share"),
+          (lit(1.0) / col("total")).as("granularity"))
+        .agg(round(max(col("share")), 6).as("max_bucket_share"),
+          round(max(lit(1.0 / nBuckets) + lit(2.0 * eps) +
+            col("tie_share") + col("granularity")), 6).as("bound"))
+        .withColumn("meets_floor",
+          col("max_bucket_share") <= col("bound"))
         .where(col("meets_floor"))
     }),
 
@@ -3096,6 +3162,12 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
+    // the bucketed layout must not change range-predicate membership:
+    // the twin is the PLAIN table under the same value predicate
+    "q_range_bucketed" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= 128 AND n_chars <= 256
+        |ORDER BY doc_id""".stripMargin,
     // exact novelty of the arriving batch vs the indexed corpus text —
     // NOT EXISTS (null-safe like the gate: a null text never equals, so
     // null-keyed rows stay novel on both engines)

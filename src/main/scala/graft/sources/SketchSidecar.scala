@@ -346,6 +346,26 @@ object SketchSidecar {
       .collect().headOption.map(_.getDouble(1))
   }
 
+  /** The n−1 interior equi-depth boundaries of `valueExpr` served from
+    * the sidecar — balanced RANGE-split bounds for an n-bucket layout
+    * ([[Bucketing.writeRangeBucketed]]) WITHOUT the sampling pass
+    * `repartitionByRange` pays per write: at 100 TB the sampler is an
+    * extra read of the data and its bounds drift run to run, while the
+    * sidecar already knows the accepted corpus's distribution to within
+    * the quantile ledger (each bucket's mass is within 2·(2/K +
+    * 1/accuracy) of 1/n, plus any single-value tie mass — enforced by
+    * the `q_range_bucketed_gap` twin). Bounds are ascending and
+    * deduplicated; a degenerate distribution (fewer distinct boundary
+    * values than buckets) yields fewer, still-correct bounds.
+    */
+  def servedRangeBounds(spark: SparkSession, sidecarPath: String,
+                        n: Int): Seq[Double] = {
+    require(n >= 2, s"n=$n")
+    servedQuantiles(spark, sidecarPath, (1 until n).map(_.toDouble / n))
+      .orderBy("p").select("value")
+      .collect().map(_.getDouble(0)).toSeq.distinct
+  }
+
   /** The per-group corpus-`p` quantiles of a GROUPED sidecar as a
     * (grp, threshold) frame — the per-domain form of [[servedThreshold]]
     * for ADAPTIVE gates that track each source/language's OWN

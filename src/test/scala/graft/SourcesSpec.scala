@@ -72,4 +72,42 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val back = sources.Jdbc.read(spark, url, "spec_ow")
     assert(back.as[(Long, String)].collect().toSet === Set((1L, "A"), (2L, "B")))
   }
+
+  test("range-bucketed layout: balanced rb= partitions from explicit " +
+      "bounds, statically pruned range reads, nulls in bucket 0, " +
+      "misordered bounds fail loudly") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("range_bucketed")
+    val tab = dir.resolve("t").toString
+    // 0..999 with 3 nulls; bounds at the exact quartiles
+    val df = ((0 until 1000).map(i => (i.toLong, Some(i.toDouble))) ++
+        Seq((2000L, None), (2001L, None), (2002L, None)))
+      .toDF("id", "v")
+    val bounds = Seq(250.0, 500.0, 750.0)
+    Bucketing.writeRangeBucketed(df, tab, "v", bounds)
+    val byBucket = spark.read.parquet(tab).groupBy("rb")
+      .agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().toMap
+    assert(byBucket === Map(0 -> 253L, 1 -> 250L, 2 -> 250L, 3 -> 250L),
+      s"quartile bounds must balance the buckets (nulls ride bucket 0): " +
+        s"$byBucket")
+    // the range read: statically pruned to the two covering partitions,
+    // value-exact regardless of the layout
+    val read = Bucketing.readRange(spark, tab, "v", bounds, 300.0, 600.0)
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*rb".r.findFirstIn(plan).nonEmpty,
+      s"range read must prune on rb:\n$plan")
+    assert(read.select("id").as[Long].collect().sorted.toSeq ===
+      (300L to 600L))
+    // nulls never leak into a range read (null >= lo is never true)
+    assert(Bucketing.readRange(spark, tab, "v", bounds, 0.0, 5000.0)
+      .count() === 1000L)
+    intercept[IllegalArgumentException] {
+      Bucketing.rangeBucket(col("v"), Seq(3.0, 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Bucketing.readRange(spark, tab, "v", bounds, 10.0, 5.0)
+    }
+  }
 }
