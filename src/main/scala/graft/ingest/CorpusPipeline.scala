@@ -284,7 +284,8 @@ object CorpusPipeline {
                      exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
                      dupLabels: Option[String] = None,
                      corpusCompactEvery: Int = 0,
-                     dupLabelsPartitions: Int = 0)
+                     dupLabelsPartitions: Int = 0,
+                     funnel: Option[String] = None)
       : Long = {
     // schema-drift gate FIRST, before any other gate touches the batch:
     // parquet append accepts ANY schema — a renamed/retyped column in a
@@ -409,6 +410,27 @@ object CorpusPipeline {
     }).localCheckpoint(true)
     try {
       val appended = survivors.count()
+      // gate-attrition funnel, OPT-IN: one row per batch with the
+      // surviving count after every stage — "why did my batch shrink
+      // 90%" answered from a parquet log instead of re-deriving it by
+      // hand during an incident. Cost, stated plainly: each stage count
+      // re-executes the batch-side chain up to that stage (the stages
+      // are anti-join chains over the BATCH — never the corpus — so
+      // this is O(stages) batch passes), which is why it is a triage
+      // dial and not steady-state default. Counted BEFORE any append
+      // commits, so the recomputation sees the same index state the
+      // gates did.
+      funnel.foreach { fp =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Seq((batch.count(), exactGated.count(), heuristicGated.count(),
+            lmGated.count(), qualityGated.count(), lrGated.count(),
+            gated.count(), vsCorpus.count(), appended))
+          .toDF("n_arrived", "n_after_exact", "n_after_quality",
+            "n_after_lm", "n_after_dsir", "n_after_classifier",
+            "n_after_decontamination", "n_after_index_dedup", "n_appended")
+          .coalesce(1).write.mode("append").parquet(fp)
+      }
       // provenance fold FIRST and UNCONDITIONALLY (an all-dup batch has
       // zero survivors and the most provenance to record); idempotent on
       // replay, ordered before the MinHash gate commit like the other
@@ -635,7 +657,8 @@ class CorpusPipeline(
     exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
     dupLabelsPath: Option[String] = None,
     corpusCompactEvery: Int = 0,
-    dupLabelsPartitions: Int = 0) {
+    dupLabelsPartitions: Int = 0,
+    funnelPath: Option[String] = None) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
@@ -677,7 +700,8 @@ class CorpusPipeline(
       dsir = dsir, lrq = lrq, indexCompactEvery = indexCompactEvery,
       sketch = sketch, exactKeys = exactKeys, dupLabels = dupLabelsPath,
       corpusCompactEvery = corpusCompactEvery,
-      dupLabelsPartitions = dupLabelsPartitions)
+      dupLabelsPartitions = dupLabelsPartitions,
+      funnel = funnelPath)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

@@ -39,7 +39,8 @@ object CorpusStream {
             exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
             dupLabels: Option[String] = None,
             corpusCompactEvery: Int = 0,
-            dupLabelsPartitions: Int = 0)
+            dupLabelsPartitions: Int = 0,
+            funnel: Option[String] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -80,7 +81,7 @@ object CorpusStream {
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
             ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
-            dupLabels, corpusCompactEvery, dupLabelsPartitions)
+            dupLabels, corpusCompactEvery, dupLabelsPartitions, funnel)
         ()
       }
       .start()

@@ -1005,6 +1005,37 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getLong(1) === 5L)
   }
 
+  test("gate funnel: one opt-in row per batch records the surviving " +
+      "count after every stage") {
+    import org.apache.spark.sql.functions.{col, length}
+    val dir = Files.createTempDirectory("corpus_funnel")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val funnel = dir.resolve("funnel").toString
+    def doc(i: Long) = (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+    val gates = Seq("len" -> (length(col("text")) > 30))
+    CorpusPipeline.dedupAndAppend(
+      Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"),
+      corpus, idx, "doc_id", "text", 0.8, gates = gates,
+      funnel = Some(funnel))
+    // wave 2: a quality kill ("short"), an index dup (doc 1's text), a
+    // within-batch dup pair (5/6 share a text), one true fresh doc
+    CorpusPipeline.dedupAndAppend(
+      Seq((3L, "short"), (4L, doc(1)), (5L, doc(5)), (6L, doc(5)),
+          (7L, doc(7))).toDF("doc_id", "text"),
+      corpus, idx, "doc_id", "text", 0.8, gates = gates,
+      funnel = Some(funnel))
+    val rows = spark.read.parquet(funnel)
+      .orderBy("n_arrived").collect()
+    assert(rows.length === 2)
+    val w2 = rows.last.toSeq.map(_.asInstanceOf[Long])
+    // arrived 5 → quality kills doc 3 → index dedup kills doc 4 →
+    // batch dedup collapses 5/6 → 2 appended; unconfigured stages
+    // (exact/lm/dsir/classifier/decontamination) pass everything through
+    assert(w2 === Seq(5L, 5L, 4L, 4L, 4L, 4L, 4L, 3L, 2L), s"funnel $w2")
+    assert(spark.read.parquet(corpus).count() === 4L)
+  }
+
   test("schema-drift gate: a batch whose schema renamed or retyped a " +
       "column is rejected loudly instead of appending a second schema " +
       "into the corpus; same columns in a different order pass") {
