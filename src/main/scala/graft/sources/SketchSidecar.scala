@@ -482,7 +482,7 @@ object SketchSidecar {
                                sidecarPath: String): DataFrame = {
     val (m, k) = mergedKmvByGroup(spark, sidecarPath)
     import spark.implicits._
-    m.toSeq.sortBy(_._1)
+    m.toSeq.sortBy(t => Option(t._1)) // null group keys order, not NPE
       .map { case (g, kmv) => (g, kmvEstimate(kmv, k)) }
       .toDF("grp", "distinct_estimate")
   }
@@ -849,7 +849,9 @@ object SketchSidecar {
     require(ka == kb, s"kmvK mismatch: $ka vs $kb — sketches of " +
       "different k are not union-comparable")
     import spark.implicits._
-    (a.keySet ++ b.keySet).toSeq.sorted
+    // sort through Option: a null group key (null groupKeyExpr values
+    // are a real group) must order, not NPE
+    (a.keySet ++ b.keySet).toSeq.sortBy(Option(_))
       .map { g =>
         val s = overlapStats(a.getOrElse(g, Array.emptyLongArray),
           b.getOrElse(g, Array.emptyLongArray), ka)

@@ -431,6 +431,18 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     assert(rows("x") === Seq(300.0, 300.0, 500.0, 0.2, 100.0, 200.0, 200.0))
     assert(rows("y") === Seq(100.0, 0.0, 100.0, 0.0, 0.0, 100.0, 0.0))
     assert(rows("z") === Seq(0.0, 50.0, 50.0, 0.0, 0.0, 0.0, 50.0))
+    // a NULL group key is a real group (null source values happen in
+    // real crawls) — it must serve, not NPE the driver-side sort
+    val withNull = mk("n", (900L to 905L).map((_, "x")) ++
+      Seq((910L, null.asInstanceOf[String]), (911L, null.asInstanceOf[String])))
+    val nullRows = SketchSidecar
+      .servedOverlapByGroup(spark, withNull.sidecarPath, cfgB.sidecarPath)
+      .where(col("grp").isNull).collect()
+    assert(nullRows.length === 1 && nullRows.head.getDouble(1) === 2.0,
+      "the null group's own sketch must serve")
+    assert(SketchSidecar
+      .servedKmvDistinctByGroup(spark, withNull.sidecarPath)
+      .where(col("grp").isNull).collect().head.getDouble(1) === 2.0)
     // an ungrouped KMV sidecar cannot serve the grouped question
     val flat = SketchSidecar.Cfg(
       Files.createTempDirectory("gkmv_flat").resolve("sc").toString,
