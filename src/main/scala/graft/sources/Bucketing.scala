@@ -68,14 +68,24 @@ object Bucketing {
     * the bounds' equi-depth construction; no shuffle is forced (the
     * dynamic partition writer splits each task's output by bucket), so
     * the write costs one pass over the data, exactly like the unbucketed
-    * write it replaces.
+    * write it replaces. Installed by the staged atomic swap, not a
+    * delete-then-write on the live path — a re-laid-out table that is
+    * already serving must expose the old layout or the new one, never a
+    * half-written directory (the [[Compaction.swapInto]] discipline
+    * every rewrite in the repo follows).
     */
   def writeRangeBucketed(df: DataFrame, path: String, colName: String,
                          bounds: Seq[Double],
-                         bucketCol: String = "rb"): Unit =
+                         bucketCol: String = "rb"): Unit = {
+    val dir = new java.io.File(path)
+    val staging = Compaction.stagingDir(dir, "rangebucket")
+    if (staging.exists()) Compaction.rm(staging)
     df.withColumn(bucketCol,
         rangeBucket(col(colName).cast("double"), bounds))
-      .write.mode("overwrite").partitionBy(bucketCol).parquet(path)
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(staging.toString)
+    Compaction.swapInto(path, staging.toString)
+  }
 
   /** Range read over a [[writeRangeBucketed]] table: the value predicate
     * `lo ≤ colName ≤ hi` is composed with the DERIVED bucket predicate

@@ -176,7 +176,8 @@ object CorpusStream {
                           exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
                           dupLabels: Option[String] = None,
                           corpusCompactEvery: Int = 0,
-                          dupLabelsPartitions: Int = 0)
+                          dupLabelsPartitions: Int = 0,
+                          funnel: Option[String] = None)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -253,7 +254,7 @@ object CorpusStream {
                 indexPath, idCol, textCol, threshold, gates, benchmark,
                 contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
                 sketch, exactKeys, dupLabels, corpusCompactEvery,
-                dupLabelsPartitions)
+                dupLabelsPartitions, funnel)
               true
             } catch {
               case e: CorpusPipeline.PostAppendFailure => throw e
