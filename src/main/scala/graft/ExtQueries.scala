@@ -308,6 +308,37 @@ object ExtQueries {
     store
   }
 
+  /** The q_sketch_window fixture: the events table replayed as 5 ingest
+    * batches into a DAY-grouped sidecar — one row per (batch, day),
+    * distinct over `user_id` — so "distinct users over an arbitrary
+    * date range" is served by register union of the covered days' rows
+    * ([[graft.sources.SketchSidecar.servedDistinctAcrossGroups]]), the
+    * classic production HLL pattern. Batches split on event_id so every
+    * day spans several batches. Built once per sf dir.
+    */
+  private def daySketchSidecarFor(s: SparkSession, d: String)
+      : graft.sources.SketchSidecar.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_day_sketch_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val cfg = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(path, "sc").toString,
+      distinctExpr = "user_id", valueExpr = "value",
+      groupKeyExpr = Some("cast(ts as date)"))
+    buildOnce(path) {
+      (0 until 5).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          graft.Tables.events(s, d)
+            .filter(pmod(col("event_id"), lit(5)) === b), cfg)
+      }
+    }
+    cfg
+  }
+
+  /** The 7-day window probed by q_sketch_window: Jan 7–13 2024. */
+  private val sketchWindowDays: Seq[String] =
+    (7 to 13).map(day => f"2024-01-$day%02d")
+
   /** The q_emb_drift fixture: an IVF index frozen over the corpus slice
     * (`vec_id % 5 ≠ 0`) with its cell-occupancy sidecar — the embedding-
     * space reference the drift monitor scores batches against. Seed
@@ -929,6 +960,41 @@ object ExtQueries {
           col("inter_err_vs_union") <= jBound + relBound &&
           col("a_only_err_vs_union") <= jBound + relBound &&
           col("b_only_err_vs_union") <= jBound + relBound)
+        .where(col("meets_floor"))
+    }),
+
+    // any-window distinct from a DAY-grouped sidecar: distinct users
+    // over a 7-day range by register union of the covered days' rows —
+    // O(rows-in-range) serve, never an events re-scan, single-sketch
+    // rsd regardless of span. Rows-only (sketch answers are
+    // engine-defined); the _gap twin enforces coverage and the rsd
+    // contract against the exact range count
+    "q_sketch_window" -> ((s, d) => {
+      val cfg = daySketchSidecarFor(s, d)
+      graft.sources.SketchSidecar
+        .servedDistinctAcrossGroups(s, cfg.sidecarPath, sketchWindowDays)
+    }),
+
+    // the window serve's contract, machine-enforced (one row or loudly
+    // zero): every requested day contributed rows, and the unioned
+    // estimate sits within 3.5 sigma of the sketch's configured rsd of
+    // the EXACT distinct-user count over the same closed date range
+    "q_sketch_window_gap" -> ((s, d) => {
+      val cfg = daySketchSidecarFor(s, d)
+      val served = graft.sources.SketchSidecar
+        .servedDistinctAcrossGroups(s, cfg.sidecarPath, sketchWindowDays)
+      val exact = graft.Tables.events(s, d)
+        .where(col("ts").cast("date")
+          .between(sketchWindowDays.head, sketchWindowDays.last))
+        .agg(countDistinct(col("user_id")).as("x"))
+      served.crossJoin(exact)
+        .select(col("groups_covered"),
+          round(abs(col("distinct_estimate") - col("x")) /
+            col("x").cast("double"), 6).as("rel_err"))
+        .withColumn("meets_floor",
+          col("groups_covered") === sketchWindowDays.length &&
+          col("rel_err") <=
+            lit(3.5 * 1.04 / math.sqrt((1L << cfg.lgConfigK).toDouble)))
         .where(col("meets_floor"))
     }),
 

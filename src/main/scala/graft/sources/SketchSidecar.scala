@@ -406,6 +406,27 @@ object SketchSidecar {
         hll_sketch_estimate(hll_union_agg(col("hll")))
           .as("distinct_estimate"))
 
+  /** Distinct estimate ACROSS a selected subset of groups — the
+    * any-window serve of a time-grouped sidecar: with `groupKeyExpr` a
+    * date (one row per (batch, day)), "distinct users over an arbitrary
+    * date range" is the register-max union of the covered days' rows —
+    * O(rows-in-range), never an events re-scan, and the union is
+    * associative so the answer carries the single-sketch rsd no matter
+    * how many days it spans. `groups_covered` reports how many of the
+    * REQUESTED groups had sidecar rows (a day with no traffic
+    * contributes nothing — callers distinguishing "no data" from "zero
+    * distinct" check it against their request length).
+    */
+  def servedDistinctAcrossGroups(spark: SparkSession, sidecarPath: String,
+                                 groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "empty group selection")
+    spark.read.parquet(sidecarPath)
+      .where(col("grp").isin(groups: _*))
+      .agg(count_distinct(col("grp")).as("groups_covered"),
+        hll_sketch_estimate(hll_union_agg(col("hll")))
+          .as("distinct_estimate"))
+  }
+
   /** Per-group merged quantiles from a GROUPED sidecar: one row
     * `(grp, p, value)` per (group, probability) — the same point-mass
     * merge as [[servedQuantiles]] with every window partitioned by the

@@ -217,6 +217,14 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
       (0 until 25).map(i => (90000L + i, "hi", 1500L))
         .toDF("id", "g", "v"), cfg)
     assert(dist()("hi") === 175L && dist()("lo") === 300L)
+    // any-window union across selected groups: the union of lo+hi is
+    // the whole corpus; a requested group with no rows reports reduced
+    // coverage instead of silently reading as zero-distinct
+    val win = SketchSidecar.servedDistinctAcrossGroups(
+        spark, cfg.sidecarPath, Seq("lo", "hi", "absent"))
+      .collect().head
+    assert(win.getLong(0) === 2L, "only 2 of 3 requested groups exist")
+    assert(win.getLong(1) === 475L, "union = 300 lo + 175 hi distinct ids")
   }
 
   test("single-scan contract: every configured face — base, CMS+MG " +
