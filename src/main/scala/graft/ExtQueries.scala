@@ -70,6 +70,22 @@ object ExtQueries {
     path.toString
   }
 
+  /** The mm_ahash_dedup_indexed fixture: the hash-once AUDIO fingerprint
+    * index for the [[ahashMedia]] corpus — the waveform twin of
+    * [[mediaHashIndexFor]], same `_SUCCESS`-gated build-if-absent
+    * discipline (deterministic seed-keyed synthetic WAVs).
+    */
+  private def audioHashIndexFor(s: SparkSession, d: String): String = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_audio_hash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.sources.Compaction.rm(path)
+      Multimodal.writeAudioHashIndex(ahashMedia(s, d), path.toString)
+    }
+    path.toString
+  }
+
   /** The q_bloom_gate fixture: an exact-key membership index over the
     * TEXT of docs with `doc_id % 5 ≠ 0`, ingested as two batches. The
     * filter is deliberately TIGHT (64k bits vs thousands of keys) so
@@ -1853,6 +1869,35 @@ object ExtQueries {
           "left_semi")
       recallOf(truth, Multimodal.audioNearDupPairs(ahashMedia(s, d)),
         Seq("id_a", "id_b"), floor = 1.0)
+    }),
+
+    // the audio dedup served from the hash-once fingerprint index —
+    // the waveform twin of mm_dhash_dedup_indexed: PCM decoded once per
+    // sf dir, every later run joins 8-byte fingerprints with zero
+    // decodes. rows-only; the _gap twin pins it pair-for-pair to the
+    // decode path
+    "mm_ahash_dedup_indexed" -> ((s, d) =>
+      Multimodal.audioNearDupPairsFromIndex(s, audioHashIndexFor(s, d))
+        .transform(Queries.presentSorted(_, "id_a", "id_b"))),
+
+    // floor 1.0 both ways in one row, the mm_dhash_indexed_gap
+    // discipline: byte-identical hashes must give identical pair sets
+    "mm_ahash_indexed_gap" -> ((s, d) => {
+      val truth = Multimodal.audioNearDupPairs(ahashMedia(s, d))
+        .select("id_a", "id_b")
+      val indexed = Multimodal
+        .audioNearDupPairsFromIndex(s, audioHashIndexFor(s, d))
+        .select("id_a", "id_b")
+      val t = truth.withColumn("__t", lit(1))
+      val i = indexed.withColumn("__i", lit(1))
+      t.join(i, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(lit(1)).as("total"),
+          coalesce(sum("__t"), lit(0L)).as("in_truth"),
+          coalesce(sum("__i"), lit(0L)).as("in_index"))
+        .withColumn("meets_floor",
+          col("in_truth") === col("total") &&
+          col("in_index") === col("total"))
+        .where(col("meets_floor"))
     }),
 
     // REAL audio codec, driver-visible — the WAV twin of

@@ -600,6 +600,42 @@ object Multimodal {
   def audioNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs64(audioHashes(df), "media_id", "ahash", maxHamming)
 
+  /** Hash-once AUDIO fingerprint index — [[writeMediaHashIndex]]'s
+    * waveform twin: decode every payload once at ingest, persist
+    * (media_id, ahash), serve every later dedup question from the
+    * 16-byte rows. Same maintenance story (append per batch, plain
+    * compaction) and the same steady-state claim: at 100 TB the PCM
+    * decode is the cost and it is paid exactly once per payload.
+    */
+  def writeAudioHashIndex(df: DataFrame, indexPath: String): Unit =
+    audioHashes(df).write.mode("overwrite").parquet(indexPath)
+
+  /** Append one ingest batch's audio fingerprints (one decode pass over
+    * the BATCH only). */
+  def appendAudioHashIndex(df: DataFrame, indexPath: String): Unit =
+    audioHashes(df).write.mode("append").parquet(indexPath)
+
+  /** [[audioNearDupPairs]] served FROM the fingerprint index — zero
+    * decodes. Returns (id_a, id_b, hamming). */
+  def audioNearDupPairsFromIndex(spark: SparkSession, indexPath: String,
+                                 maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(spark.read.parquet(indexPath),
+      "media_id", "ahash", maxHamming)
+
+  /** New-batch audio ids within `maxHamming` of an INDEXED fingerprint
+    * — [[dedupAgainstMediaIndex]]'s waveform twin. Returns
+    * (new_id, corpus_id, hamming). */
+  def dedupAgainstAudioIndex(batch: DataFrame, indexPath: String,
+                             maxHamming: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val newHashes = audioHashes(batch)
+      .select(col("media_id").as("new_id"), col("ahash"))
+    val indexed = spark.read.parquet(indexPath)
+      .select(col("media_id").as("corpus_id"), col("ahash"))
+    Dedup.hammingJoin64(newHashes, "new_id", indexed, "corpus_id",
+      "ahash", maxHamming)
+  }
+
   /** Exact ×k time stretch of a 16-bit PCM WAV (each frame repeated k
     * times, real javax.sound re-encode) — fixture generator for the
     * stretch-invariance contract of [[audioHash]].
