@@ -199,6 +199,35 @@ object CorpusPipeline {
     */
   case class LrGate(modelPath: String, minP: Double)
 
+  /** MEDIA near-dup gate against a hash-once fingerprint index
+    * ([[graft.operators.Multimodal.writeMediaHashIndex]] /
+    * `writeAudioHashIndex`) — the multimodal leg of the loop: a batch
+    * whose `mediaCol` payload sits within `maxHamming` of an indexed
+    * fingerprint (a re-crawled image at a new URL, a re-encoded audio
+    * clip) is dropped, and within-batch media dups collapse to the
+    * lowest id, BEFORE the text MinHash gate sees the rows.
+    *
+    * Decode discipline: the batch's payloads are decoded EXACTLY ONCE —
+    * one fingerprint pass pinned for the whole call — and that pass
+    * serves all three consumers (index gate, within-batch self-dedup,
+    * and the survivors' index append). The corpus's payloads are never
+    * re-decoded: the index side joins stored 8-byte hashes.
+    *
+    * Commit ordering: the survivors' fingerprints append AFTER the
+    * MinHash gate commit, on the [[dedupAndAppend]] `exactKeys` side of
+    * the boundary and for the same reason — this gate can swallow a
+    * replayed batch outright, so fingerprints committed BEFORE the
+    * MinHash signatures would let a crash between the two leave corpus
+    * rows the TEXT index can never match (every future text-dedup
+    * decision poisoned). On this side the window degrades to a
+    * media-only blind spot for that batch's payloads — real, but
+    * confined to the subsystem that crashed, and visible to
+    * reconciliation (corpus ids missing from the media index).
+    */
+  case class MediaGate(indexPath: String, mediaCol: String,
+                       audio: Boolean = false, maxHamming: Int = 3,
+                       compactEvery: Int = 0)
+
   /** The dedup-and-append gate shared by the batch loop and the streaming
     * wrapper ([[graft.streaming.CorpusStream]]): drop docs near-duplicating
     * the indexed corpus, drop within-batch near-dups, append survivors to
@@ -285,7 +314,8 @@ object CorpusPipeline {
                      dupLabels: Option[String] = None,
                      corpusCompactEvery: Int = 0,
                      dupLabelsPartitions: Int = 0,
-                     funnel: Option[String] = None)
+                     funnel: Option[String] = None,
+                     media: Option[MediaGate] = None)
       : Long = {
     // schema-drift gate FIRST, before any other gate touches the batch:
     // parquet append accepts ANY schema — a renamed/retyped column in a
@@ -368,6 +398,39 @@ object CorpusPipeline {
         lrGated.join(hit, Seq(idCol), "left_anti")
       case None => lrGated
     }
+    // media gate: ONE fingerprint pass over the decontaminated batch
+    // (pinned — the only decode of the call; released in the finally)
+    // serves the index gate, the within-batch self-dedup, and later the
+    // survivors' index append
+    val mediaHashes: Option[DataFrame] = media.map { g =>
+      val frame = gated.select(col(idCol).cast("long").as("media_id"),
+        col(g.mediaCol).as("content"))
+      (if (g.audio) graft.operators.Multimodal.audioHashes(frame)
+       else graft.operators.Multimodal.dHashes(frame))
+        .localCheckpoint(true)
+    }
+    val mediaGated = (media, mediaHashes) match {
+      case (Some(g), Some(h)) =>
+        val hashCol = if (g.audio) "ahash" else "dhash"
+        val vsIdx =
+          if (!pathExists(batch.sparkSession, g.indexPath)) gated
+          else {
+            val indexed = batch.sparkSession.read.parquet(g.indexPath)
+              .select(col("media_id").as("corpus_id"), col(hashCol))
+            val hits = Dedup.hammingJoin64(
+                h.select(col("media_id").as("new_id"), col(hashCol)),
+                "new_id", indexed, "corpus_id", hashCol, g.maxHamming)
+              .select(col("new_id").as(idCol)).distinct()
+            gated.join(hits, Seq(idCol), "left_anti")
+          }
+        // within-batch media dups collapse to the lowest id (the
+        // dropNearDuplicates stance, fingerprint edition)
+        val selfDup = Dedup.hammingPairs64(h, "media_id", hashCol,
+            g.maxHamming)
+          .select(col("id_b").as(idCol)).distinct()
+        vsIdx.join(selfDup, Seq(idCol), "left_anti")
+      case _ => gated
+    }
     // near-dup matches vs the indexed corpus: the ids gate the batch;
     // with a label store configured the PAIRS are also provenance edges,
     // so the match frame is checkpointed once and shared by both
@@ -375,15 +438,15 @@ object CorpusPipeline {
     val idxMatches: Option[DataFrame] =
       if (!indexExists(batch.sparkSession, indexPath)) None
       else {
-        val m = Dedup.dedupAgainstIndex(gated, idCol, textCol, indexPath,
-          threshold)
+        val m = Dedup.dedupAgainstIndex(mediaGated, idCol, textCol,
+          indexPath, threshold)
         Some(if (dupLabels.isDefined) m.localCheckpoint(true) else m)
       }
     val vsCorpus = idxMatches match {
-      case Some(m) => gated.join(
+      case Some(m) => mediaGated.join(
         m.select(col("new_id").as(idCol)).distinct(), Seq(idCol),
         "left_anti")
-      case None => gated
+      case None => mediaGated
     }
     // within-batch pairs: with a label store the pair set itself is
     // needed (checkpointed O(duplicates)-small by minhashLsh), and the
@@ -425,10 +488,11 @@ object CorpusPipeline {
         import spark.implicits._
         Seq((batch.count(), exactGated.count(), heuristicGated.count(),
             lmGated.count(), qualityGated.count(), lrGated.count(),
-            gated.count(), vsCorpus.count(), appended))
+            gated.count(), mediaGated.count(), vsCorpus.count(), appended))
           .toDF("n_arrived", "n_after_exact", "n_after_quality",
             "n_after_lm", "n_after_dsir", "n_after_classifier",
-            "n_after_decontamination", "n_after_index_dedup", "n_appended")
+            "n_after_decontamination", "n_after_media",
+            "n_after_index_dedup", "n_appended")
           .coalesce(1).write.mode("append").parquet(fp)
       }
       // provenance fold FIRST and UNCONDITIONALLY (an all-dup batch has
@@ -610,10 +674,26 @@ object CorpusPipeline {
             graft.sources.BloomKeyIndex.compactRows(spark, cfg)
           }
         }
+        // media fingerprints of the SURVIVORS, from the already-pinned
+        // batch hash pass (zero extra decodes) — after the MinHash
+        // commit, the exactKeys side of the boundary (see [[MediaGate]])
+        (media, mediaHashes) match {
+          case (Some(g), Some(h)) =>
+            h.join(survivors
+                .select(col(idCol).cast("long").as("media_id")),
+                Seq("media_id"), "left_semi")
+              .write.mode("append").parquet(g.indexPath)
+            maybeCompact(g.indexPath, g.compactEvery) {
+              graft.sources.Compaction.compact(spark, g.indexPath)
+            }
+          case _ => ()
+        }
       }
       appended
     } finally {
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(survivors)
+      mediaHashes.foreach(
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
       if (dupLabels.isDefined) {
         idxMatches.foreach(
           org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
@@ -658,7 +738,8 @@ class CorpusPipeline(
     dupLabelsPath: Option[String] = None,
     corpusCompactEvery: Int = 0,
     dupLabelsPartitions: Int = 0,
-    funnelPath: Option[String] = None) {
+    funnelPath: Option[String] = None,
+    media: Option[CorpusPipeline.MediaGate] = None) {
 
   private val lm: Option[CorpusPipeline.LmGate] =
     lmIndexPath.map(CorpusPipeline.LmGate(_, lmMaxPpl))
@@ -701,7 +782,7 @@ class CorpusPipeline(
       sketch = sketch, exactKeys = exactKeys, dupLabels = dupLabelsPath,
       corpusCompactEvery = corpusCompactEvery,
       dupLabelsPartitions = dupLabelsPartitions,
-      funnel = funnelPath)
+      funnel = funnelPath, media = media)
     // watermark covers the WHOLE fresh batch (dropped dups AND gate
     // failures were processed — reprocessing them forever would be the
     // bug), and only moves after the appends committed

@@ -40,7 +40,8 @@ object CorpusStream {
             dupLabels: Option[String] = None,
             corpusCompactEvery: Int = 0,
             dupLabelsPartitions: Int = 0,
-            funnel: Option[String] = None)
+            funnel: Option[String] = None,
+            media: Option[CorpusPipeline.MediaGate] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -81,7 +82,8 @@ object CorpusStream {
           CorpusPipeline.dedupAndAppend(batch, corpusPath, indexPath,
             idCol, textCol, threshold, gates, benchmark, contaminationN,
             ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
-            dupLabels, corpusCompactEvery, dupLabelsPartitions, funnel)
+            dupLabels, corpusCompactEvery, dupLabelsPartitions, funnel,
+            media)
         ()
       }
       .start()
@@ -177,7 +179,8 @@ object CorpusStream {
                           dupLabels: Option[String] = None,
                           corpusCompactEvery: Int = 0,
                           dupLabelsPartitions: Int = 0,
-                          funnel: Option[String] = None)
+                          funnel: Option[String] = None,
+                          media: Option[CorpusPipeline.MediaGate] = None)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -254,7 +257,7 @@ object CorpusStream {
                 indexPath, idCol, textCol, threshold, gates, benchmark,
                 contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
                 sketch, exactKeys, dupLabels, corpusCompactEvery,
-                dupLabelsPartitions, funnel)
+                dupLabelsPartitions, funnel, media)
               true
             } catch {
               case e: CorpusPipeline.PostAppendFailure => throw e

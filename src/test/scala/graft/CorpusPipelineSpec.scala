@@ -1005,6 +1005,40 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().head.getLong(1) === 5L)
   }
 
+  test("media gate: payload near-dups of the indexed corpus and within " +
+      "the batch are dropped before the text gate, fingerprints decode " +
+      "once and append after the MinHash commit, replay admits nothing") {
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("corpus_media")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val mediaIdx = dir.resolve("media_index").toString
+    val gate = Some(CorpusPipeline.MediaGate(mediaIdx, "img"))
+    def text(i: Long) = (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+    def img(seed: Long) = Multimodal.syntheticNoisePng(seed, 18, 16)
+    def run(rows: Seq[(Long, String, Array[Byte])]): Long =
+      CorpusPipeline.dedupAndAppend(rows.toDF("doc_id", "text", "img"),
+        corpus, idx, "doc_id", "text", 0.8, media = gate)
+    assert(run(Seq((1L, text(1), img(1)), (2L, text(2), img(2)))) === 2L)
+    assert(spark.read.parquet(mediaIdx).count() === 2L)
+    // wave 2: doc 3 carries a RESIZE of doc 1's image (media near-dup
+    // of the corpus — fresh text, so only the media gate can catch it);
+    // docs 4/5 share one new image (within-batch media pair, lowest id
+    // survives); doc 6 is genuinely fresh
+    val wave2 = Seq((3L, text(3), Multimodal.upscaleNearest(img(1), 2)),
+      (4L, text(4), img(7)), (5L, text(5), img(7)), (6L, text(6), img(9)))
+    assert(run(wave2) === 2L)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L, 6L))
+    // the index holds exactly the survivors' fingerprints
+    assert(spark.read.parquet(mediaIdx).select("media_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L, 6L))
+    // replay: every row now matches its own indexed state through one
+    // gate or the other — nothing double-appends
+    assert(run(wave2) === 0L)
+    assert(spark.read.parquet(corpus).count() === 4L)
+  }
+
   test("gate funnel: one opt-in row per batch records the surviving " +
       "count after every stage") {
     import org.apache.spark.sql.functions.{col, length}
@@ -1031,8 +1065,10 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     val w2 = rows.last.toSeq.map(_.asInstanceOf[Long])
     // arrived 5 → quality kills doc 3 → index dedup kills doc 4 →
     // batch dedup collapses 5/6 → 2 appended; unconfigured stages
-    // (exact/lm/dsir/classifier/decontamination) pass everything through
-    assert(w2 === Seq(5L, 5L, 4L, 4L, 4L, 4L, 4L, 3L, 2L), s"funnel $w2")
+    // (exact/lm/dsir/classifier/decontamination/media) pass everything
+    // through
+    assert(w2 === Seq(5L, 5L, 4L, 4L, 4L, 4L, 4L, 4L, 3L, 2L),
+      s"funnel $w2")
     assert(spark.read.parquet(corpus).count() === 4L)
   }
 
