@@ -423,6 +423,53 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toSet === Set((7L, 7L), (8L, 7L)))
   }
 
+  test("id-bloom staleness window: a crash between the data rewrite and " +
+      "the bloom refresh can only mis-route (never mis-answer), and the " +
+      "retried update heals the router") {
+    import graft.operators.Components
+    val base = java.nio.file.Files.createTempDirectory("label_bloomcrash")
+    val part = base.resolve("part").toString
+    val P = 16
+    Components.updateLabelStore(spark, part,
+      Seq((1L, 2L), (50L, 51L)).toDF("id_a", "id_b"), "id_a", "id_b",
+      partitions = P)
+    // snapshot the bloom sidecar, run a merge that relocates 50/51 into
+    // component 1's partition, then restore the OLD blooms — exactly
+    // the crash-after-data-before-blooms state
+    val bloomsDir = new java.io.File(part, "_id_blooms")
+    val backup = java.nio.file.Files.createTempDirectory("blooms_bk").toFile
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) copyDir(f, new java.io.File(to, f.getName))
+        else java.nio.file.Files.copy(f.toPath,
+          new java.io.File(to, f.getName).toPath)
+      }
+    }
+    copyDir(bloomsDir, backup)
+    val merge = Seq((2L, 51L)).toDF("id_a", "id_b")
+    Components.updateLabelStore(spark, part, merge, "id_a", "id_b",
+      partitions = P)
+    assert(Components.lookupComponent(spark, part, 51L) === Some(1L))
+    graft.sources.Compaction.rm(bloomsDir)
+    copyDir(backup, bloomsDir)
+    // with stale blooms the lookup may MISS a moved id (routed to its
+    // old, now-absent partition) but can never return a stale label:
+    // any answer it does give comes from the confirm filter over live
+    // data
+    val stale = Components.lookupComponent(spark, part, 51L)
+    assert(stale.isEmpty || stale === Some(1L),
+      s"stale router must miss or answer from live data, got $stale")
+    // the documented heal: replaying the same batch rewrites data AND
+    // blooms for the touched partitions
+    Components.updateLabelStore(spark, part, merge, "id_a", "id_b",
+      partitions = P)
+    assert(Components.lookupComponent(spark, part, 51L) === Some(1L))
+    assert(Components.lookupMembers(spark, part, 51L)
+      .as[(Long, Long)].collect().toSet ===
+      Set((1L, 1L), (2L, 1L), (50L, 1L), (51L, 1L)))
+  }
+
   test("batch lookup and attribution: one pruned read answers a probe " +
       "list with singletons for unlabeled ids; attachCanonical maps a " +
       "corpus slice to its survivors") {
