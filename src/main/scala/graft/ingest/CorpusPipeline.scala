@@ -315,7 +315,8 @@ object CorpusPipeline {
                      corpusCompactEvery: Int = 0,
                      dupLabelsPartitions: Int = 0,
                      funnel: Option[String] = None,
-                     media: Option[MediaGate] = None)
+                     media: Option[MediaGate] = None,
+                     funnelBatchId: Long = -1L)
       : Long = {
     // schema-drift gate FIRST, before any other gate touches the batch:
     // parquet append accepts ANY schema — a renamed/retyped column in a
@@ -486,13 +487,17 @@ object CorpusPipeline {
       funnel.foreach { fp =>
         val spark = batch.sparkSession
         import spark.implicits._
-        Seq((batch.count(), exactGated.count(), heuristicGated.count(),
-            lmGated.count(), qualityGated.count(), lrGated.count(),
-            gated.count(), mediaGated.count(), vsCorpus.count(), appended))
-          .toDF("n_arrived", "n_after_exact", "n_after_quality",
-            "n_after_lm", "n_after_dsir", "n_after_classifier",
-            "n_after_decontamination", "n_after_media",
-            "n_after_index_dedup", "n_appended")
+        // batch_id correlates rows to their batch: the streaming wrapper
+        // stamps the checkpointed micro-batch id, triage stamps the
+        // quarantine tag, the plain batch loop leaves -1
+        Seq((funnelBatchId, batch.count(), exactGated.count(),
+            heuristicGated.count(), lmGated.count(), qualityGated.count(),
+            lrGated.count(), gated.count(), mediaGated.count(),
+            vsCorpus.count(), appended))
+          .toDF("batch_id", "n_arrived", "n_after_exact",
+            "n_after_quality", "n_after_lm", "n_after_dsir",
+            "n_after_classifier", "n_after_decontamination",
+            "n_after_media", "n_after_index_dedup", "n_appended")
           .coalesce(1).write.mode("append").parquet(fp)
       }
       // provenance fold FIRST and UNCONDITIONALLY (an all-dup batch has

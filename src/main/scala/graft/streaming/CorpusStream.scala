@@ -83,7 +83,7 @@ object CorpusStream {
             idCol, textCol, threshold, gates, benchmark, contaminationN,
             ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
             dupLabels, corpusCompactEvery, dupLabelsPartitions, funnel,
-            media)
+            media, funnelBatchId = id)
         ()
       }
       .start()
@@ -257,7 +257,7 @@ object CorpusStream {
                 indexPath, idCol, textCol, threshold, gates, benchmark,
                 contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
                 sketch, exactKeys, dupLabels, corpusCompactEvery,
-                dupLabelsPartitions, funnel, media)
+                dupLabelsPartitions, funnel, media, funnelBatchId = bid)
               true
             } catch {
               case e: CorpusPipeline.PostAppendFailure => throw e

@@ -491,10 +491,12 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       groupKeyExpr = Some("source"), kmvKeyExpr = Some("doc_id"),
       kmvK = 64))
     val labels = dir.resolve("dup_labels").toString
+    val funnel = dir.resolve("funnel").toString
     val schema = Seq((0L, "", "")).toDF("doc_id", "text", "source").schema
     def runOnce(): Unit = {
       val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
-        sketch = sk, dupLabels = Some(labels), dupLabelsPartitions = 8)
+        sketch = sk, dupLabels = Some(labels), dupLabelsPartitions = 8,
+        funnel = Some(funnel))
       q.awaitTermination()
     }
     Seq((1L, base, "sa"), (2L, fresh2, "sb"))
@@ -528,6 +530,12 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Components.readLabelStore(spark, labels)
       .as[(Long, Long)].collect().toMap === Map(1L -> 1L, 5L -> 1L))
     assert(Components.lookupComponent(spark, labels, 5L) === Some(1L))
+    // the stream stamps each funnel row with its checkpointed
+    // micro-batch id — the log correlates to batches, not just sizes
+    assert(spark.read.parquet(funnel)
+      .select("batch_id", "n_arrived", "n_appended")
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((0L, 2L, 2L), (1L, 2L, 1L)))
   }
 
   test("drift gate quarantines a JS-shifted micro-batch; in-distribution " +
@@ -1063,11 +1071,11 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       .orderBy("n_arrived").collect()
     assert(rows.length === 2)
     val w2 = rows.last.toSeq.map(_.asInstanceOf[Long])
-    // arrived 5 → quality kills doc 3 → index dedup kills doc 4 →
-    // batch dedup collapses 5/6 → 2 appended; unconfigured stages
-    // (exact/lm/dsir/classifier/decontamination/media) pass everything
-    // through
-    assert(w2 === Seq(5L, 5L, 4L, 4L, 4L, 4L, 4L, 4L, 3L, 2L),
+    // batch_id −1 (plain loop), arrived 5 → quality kills doc 3 →
+    // index dedup kills doc 4 → batch dedup collapses 5/6 → 2 appended;
+    // unconfigured stages (exact/lm/dsir/classifier/decontamination/
+    // media) pass everything through
+    assert(w2 === Seq(-1L, 5L, 5L, 4L, 4L, 4L, 4L, 4L, 4L, 3L, 2L),
       s"funnel $w2")
     assert(spark.read.parquet(corpus).count() === 4L)
   }
