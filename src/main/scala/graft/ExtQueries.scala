@@ -987,30 +987,59 @@ object ExtQueries {
     // contract against the exact range count
     "q_sketch_window" -> ((s, d) => {
       val cfg = daySketchSidecarFor(s, d)
-      graft.sources.SketchSidecar
+      val dist = graft.sources.SketchSidecar
         .servedDistinctAcrossGroups(s, cfg.sidecarPath, sketchWindowDays)
+      val qs = graft.sources.SketchSidecar
+        .servedQuantilesAcrossGroups(s, cfg.sidecarPath,
+          sketchWindowDays, Seq(0.5, 0.9))
+        .agg(max(when(col("p") === 0.5, col("value"))).as("p50"),
+          max(when(col("p") === 0.9, col("value"))).as("p90"))
+      dist.crossJoin(qs)
+        .select(col("groups_covered"), col("distinct_estimate"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
     }),
 
     // the window serve's contract, machine-enforced (one row or loudly
-    // zero): every requested day contributed rows, and the unioned
+    // zero): every requested day contributed rows, the unioned distinct
     // estimate sits within 3.5 sigma of the sketch's configured rsd of
-    // the EXACT distinct-user count over the same closed date range
+    // the EXACT range count, and every windowed quantile's tie-aware
+    // realized rank is within the 2/K + 1/accuracy ledger of its target
+    // on the WINDOW's own rank scale
     "q_sketch_window_gap" -> ((s, d) => {
       val cfg = daySketchSidecarFor(s, d)
       val served = graft.sources.SketchSidecar
         .servedDistinctAcrossGroups(s, cfg.sidecarPath, sketchWindowDays)
-      val exact = graft.Tables.events(s, d)
+      val inWindow = graft.Tables.events(s, d)
         .where(col("ts").cast("date")
           .between(sketchWindowDays.head, sketchWindowDays.last))
-        .agg(countDistinct(col("user_id")).as("x"))
-      served.crossJoin(exact)
+      val exact = inWindow.agg(countDistinct(col("user_id")).as("x"))
+      val sq = graft.sources.SketchSidecar
+        .servedQuantilesAcrossGroups(s, cfg.sidecarPath,
+          sketchWindowDays, Seq(0.5, 0.9))
+        .select(col("p"), col("value").as("v"))
+      val qErr = inWindow
+        .select(col("value").cast("double").as("value"))
+        .crossJoin(broadcast(sq))
+        .groupBy("p", "v")
+        .agg(sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .select((greatest(lit(0.0),
+            (col("lt") + 1) / col("n").cast("double") - col("p"),
+            col("p") - col("le") / col("n").cast("double")) -
+          lit(1.0) / col("n")).as("err_excess"))
+        .agg(max(col("err_excess")).as("max_rank_err_excess"))
+      served.crossJoin(exact).crossJoin(qErr)
         .select(col("groups_covered"),
           round(abs(col("distinct_estimate") - col("x")) /
-            col("x").cast("double"), 6).as("rel_err"))
+            col("x").cast("double"), 6).as("rel_err"),
+          round(col("max_rank_err_excess"), 6).as("max_rank_err_excess"))
         .withColumn("meets_floor",
           col("groups_covered") === sketchWindowDays.length &&
           col("rel_err") <=
-            lit(3.5 * 1.04 / math.sqrt((1L << cfg.lgConfigK).toDouble)))
+            lit(3.5 * 1.04 / math.sqrt((1L << cfg.lgConfigK).toDouble)) &&
+          col("max_rank_err_excess") <=
+            lit(2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9))
         .where(col("meets_floor"))
     }),
 

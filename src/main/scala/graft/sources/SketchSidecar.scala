@@ -299,10 +299,33 @@ object SketchSidecar {
     * centroid sidecars), never corpus rows.
     */
   def servedQuantiles(spark: SparkSession, sidecarPath: String,
-                      ps: Seq[Double]): DataFrame = {
+                      ps: Seq[Double]): DataFrame =
+    quantilesOfRows(spark, spark.read.parquet(sidecarPath), ps)
+
+  /** Quantiles ACROSS a selected subset of groups — the windowed-
+    * quantile companion of [[servedDistinctAcrossGroups]]: with day
+    * groups, "p50/p99 document length over this date range" is the
+    * point-mass merge of the covered days' summaries, O(rows-in-range),
+    * carrying the same rank-error ledger as [[servedQuantiles]] on the
+    * window's own rank scale.
+    */
+  def servedQuantilesAcrossGroups(spark: SparkSession, sidecarPath: String,
+                                  groups: Seq[String],
+                                  ps: Seq[Double]): DataFrame = {
+    require(groups.nonEmpty, "empty group selection")
+    quantilesOfRows(spark,
+      spark.read.parquet(sidecarPath).where(col("grp").isin(groups: _*)),
+      ps)
+  }
+
+  /** The point-mass quantile merge over a sidecar row frame (the
+    * [[servedQuantiles]] math, row source abstracted so whole-sidecar
+    * and group-windowed serves share one implementation). */
+  private def quantilesOfRows(spark: SparkSession, rows0: DataFrame,
+                              ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
     import spark.implicits._
-    val rows = spark.read.parquet(sidecarPath)
+    val rows = rows0
       .where(col("qs").isNotNull && col("n") > 0)
     // the j-th upper boundary (qs[1..K] — the leading qs[0] is the batch
     // minimum, an anchor only) carries mass n/K
