@@ -355,6 +355,96 @@ object ExtQueries {
   private val sketchWindowDays: Seq[String] =
     (7 to 13).map(day => f"2024-01-$day%02d")
 
+  /** The q_hh_window / q_kmv_window fixture: the events table replayed
+    * as 5 ingest batches into a DAY-grouped sidecar that ALSO carries
+    * the CMS heavy-hitter face (over `event_type`) and the KMV face
+    * (over `user_id`) — every face in the one single-scan append — so
+    * windowed monitoring questions ("which event types dominated THIS
+    * week", "how many distinct users, with set algebra on tap") are
+    * served from the covered day rows alone. Own dir (the multi-face
+    * day config postdates [[daySketchSidecarFor]]'s marker-gated
+    * build).
+    */
+  private def dayMultiSidecarFor(s: SparkSession, d: String)
+      : graft.sources.SketchSidecar.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_day_multi_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val cfg = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(path, "sc").toString,
+      distinctExpr = "user_id", valueExpr = "value",
+      groupKeyExpr = Some("cast(ts as date)"),
+      heavyKeyExpr = Some("event_type"),
+      kmvKeyExpr = Some("user_id"), kmvK = 1024)
+    buildOnce(path) {
+      (0 until 5).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          graft.Tables.events(s, d)
+            .filter(pmod(col("event_id"), lit(5)) === b), cfg)
+      }
+    }
+    cfg
+  }
+
+  /** The q_join_size fixture: the two order-snapshot corpora of
+    * [[kmvSidecarsFor]] (A = keys % 10 < 6, B = % 10 >= 4, 2 batches
+    * each) ingested with the CMS face over `o_custkey` — so the
+    * join-cardinality question |A ⋈ B| on custkey is answered from the
+    * two sidecars' merged sketches alone ([[graft.sources.SketchSidecar
+    * .servedJoinSize]]), never by joining the corpora.
+    */
+  private def cmsJoinSidecarsFor(s: SparkSession, d: String)
+      : (graft.sources.SketchSidecar.Cfg, graft.sources.SketchSidecar.Cfg) = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_cmsjoin_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val orders = Tables.load(s, d, "orders")
+    def cfgFor(sub: String) = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(base, sub).toString,
+      distinctExpr = "o_orderkey", valueExpr = "o_totalprice",
+      heavyKeyExpr = Some("o_custkey"))
+    val (cfgA, cfgB) = (cfgFor("a"), cfgFor("b"))
+    buildOnce(base) {
+      (0 until 2).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) < 6 &&
+            pmod(col("o_orderkey"), lit(2)) === b), cfgA)
+        graft.sources.SketchSidecar.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) >= 4 &&
+            pmod(col("o_orderkey"), lit(2)) === b), cfgB)
+      }
+    }
+    (cfgA, cfgB)
+  }
+
+  /** The q_sketch_moments fixture: the documents table replayed as 5
+    * ingest batches into a source-GROUPED sidecar (hash split, the
+    * [[groupedSketchSidecarFor]] convention) — its own dir because the
+    * moments columns (vn/vsum/vsum2/vmin/vmax) postdate the other
+    * sidecar fixtures' marker-gated builds. Exercises the one sidecar
+    * face served EXACTLY: per-group and cross-group merges of the
+    * per-batch sums/extrema equal a direct corpus scan, so both
+    * queries carry full DuckDB equality oracles.
+    */
+  private def momentsSidecarFor(s: SparkSession, d: String)
+      : graft.sources.SketchSidecar.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_moments_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val cfg = graft.sources.SketchSidecar.Cfg(
+      new java.io.File(path, "sc").toString,
+      distinctExpr = "doc_id", valueExpr = "n_chars",
+      groupKeyExpr = Some("source"))
+    buildOnce(path) {
+      (0 until 5).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          docs(s, d).filter(pmod(xxhash64(col("doc_id")), lit(5)) === b),
+          cfg)
+      }
+    }
+    cfg
+  }
+
   /** The q_emb_drift fixture: an IVF index frozen over the corpus slice
     * (`vec_id % 5 ≠ 0`) with its cell-occupancy sidecar — the embedding-
     * space reference the drift monitor scores batches against. Seed
@@ -1041,6 +1131,165 @@ object ExtQueries {
           col("max_rank_err_excess") <=
             lit(2.0 / cfg.numBuckets + 1.0 / cfg.accuracy + 1e-9))
         .where(col("meets_floor"))
+    }),
+
+    // any-window heavy hitters from the DAY-grouped multi-face sidecar:
+    // which event types dominated the Jan 7-13 window, by CMS cell-merge
+    // + candidate union over the covered day rows only — O(rows-in-
+    // range), never an events re-scan. Rows-only; the _gap twin
+    // enforces all four CMS guarantees on the window's own scale
+    "q_hh_window" -> ((s, d) => {
+      val cfg = dayMultiSidecarFor(s, d)
+      graft.sources.SketchSidecar.servedHeavyHittersAcrossGroups(
+        s, cfg.sidecarPath, sketchWindowDays, phi = 0.1)
+    }),
+
+    // the windowed CMS contract (one row or loudly zero): vs the EXACT
+    // per-key counts INSIDE the window — no candidate under-counted,
+    // over-counts within cmsEps*N_window, every truly-phi-heavy key
+    // served (phi = 0.1 >= 1/topK), every served key at least
+    // (phi - cmsEps)-heavy
+    "q_hh_window_gap" -> ((s, d) => {
+      val cfg = dayMultiSidecarFor(s, d)
+      val phi = 0.1
+      val inWindow = graft.Tables.events(s, d)
+        .where(col("ts").cast("date")
+          .between(sketchWindowDays.head, sketchWindowDays.last))
+      val exact = inWindow
+        .groupBy(col("event_type").cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val totalRow = exact.agg(sum(col("cnt")).as("total"))
+      val allEst = graft.sources.SketchSidecar
+        .servedHeavyHittersAcrossGroups(s, cfg.sidecarPath,
+          sketchWindowDays, phi = 1e-12)
+        .select(col("key"), col("est"))
+      val served = graft.sources.SketchSidecar
+        .servedHeavyHittersAcrossGroups(s, cfg.sidecarPath,
+          sketchWindowDays, phi)
+        .select(col("key")).withColumn("__served", lit(1))
+      val bounds = allEst.join(exact, Seq("key"))
+        .agg(max(col("cnt") - col("est")).as("max_under"),
+          max(col("est") - col("cnt")).as("max_over"))
+      val completeness = exact.crossJoin(totalRow)
+        .where(col("cnt") >= col("total") * phi)
+        .join(served, Seq("key"), "left")
+        .agg(count(lit(1)).as("heavy_true"),
+          coalesce(sum("__served"), lit(0L)).as("heavy_found"))
+      val soundness = served.join(exact, Seq("key")).crossJoin(totalRow)
+        .agg(count(lit(1)).as("served_n"),
+          coalesce(sum(when(
+            col("cnt") >= col("total") * (phi - cfg.cmsEps), 1L)
+            .otherwise(0L)), lit(0L)).as("served_sound"))
+      bounds.crossJoin(totalRow).crossJoin(completeness)
+        .crossJoin(soundness)
+        .withColumn("meets_floor",
+          col("max_under") <= 0L &&
+          col("max_over") <= col("total") * cfg.cmsEps &&
+          col("heavy_found") === col("heavy_true") &&
+          col("served_sound") === col("served_n"))
+        .where(col("meets_floor"))
+    }),
+
+    // any-window KMV distinct from the same multi-face day sidecar:
+    // bottom-k union over the covered day rows — the windowed serve of
+    // the face that also answers set-algebra questions. Rows-only; the
+    // _gap twin below prices it against the exact range count
+    "q_kmv_window" -> ((s, d) => {
+      val cfg = dayMultiSidecarFor(s, d)
+      graft.sources.SketchSidecar.servedKmvDistinctAcrossGroups(
+          s, cfg.sidecarPath, sketchWindowDays)
+        .select(col("groups_covered"),
+          round(col("distinct_estimate"), 6).as("distinct_estimate"))
+    }),
+
+    // the windowed KMV contract (one row or loudly zero): every
+    // requested day covered, and the unioned bottom-k estimate within
+    // 3.5 sigma of rse = 1/sqrt(k-2) of the EXACT windowed distinct
+    "q_kmv_window_gap" -> ((s, d) => {
+      val cfg = dayMultiSidecarFor(s, d)
+      val served = graft.sources.SketchSidecar
+        .servedKmvDistinctAcrossGroups(s, cfg.sidecarPath,
+          sketchWindowDays)
+      val exact = graft.Tables.events(s, d)
+        .where(col("ts").cast("date")
+          .between(sketchWindowDays.head, sketchWindowDays.last))
+        .agg(countDistinct(col("user_id")).as("x"))
+      served.crossJoin(exact)
+        .select(col("groups_covered"),
+          round(abs(col("distinct_estimate") - col("x")) /
+            col("x").cast("double"), 6).as("rel_err"))
+        .withColumn("meets_floor",
+          col("groups_covered") === sketchWindowDays.length &&
+          col("rel_err") <=
+            lit(3.5 / math.sqrt((cfg.kmvK - 2).toDouble)))
+        .where(col("meets_floor"))
+    }),
+
+    // join-cardinality estimation from monitoring state alone: |A JOIN B|
+    // on o_custkey estimated as the Count-Min INNER PRODUCT of the two
+    // snapshots' merged CMS sidecars — the query-planning estimate two
+    // 100 TB tables cannot afford to compute by joining. Rows-only
+    // (engine-defined estimate); the _gap twin enforces the sandwich
+    "q_join_size" -> ((s, d) => {
+      val (cfgA, cfgB) = cmsJoinSidecarsFor(s, d)
+      graft.sources.SketchSidecar
+        .servedJoinSize(s, cfgA.sidecarPath, cfgB.sidecarPath)
+        .select(col("a_n"), col("b_n"), col("join_size_est"),
+          round(col("bound"), 6).as("bound"))
+    }),
+
+    // the inner-product contract, machine-enforced (one row or loudly
+    // zero): never under the EXACT join cardinality (collisions only
+    // add), and over by at most 2*Na*Nb/width — the Markov bound the
+    // depth-wise min beats with probability 1 - 2^-depth, deterministic
+    // at the fixed seed
+    "q_join_size_gap" -> ((s, d) => {
+      val (cfgA, cfgB) = cmsJoinSidecarsFor(s, d)
+      val served = graft.sources.SketchSidecar
+        .servedJoinSize(s, cfgA.sidecarPath, cfgB.sidecarPath)
+      val orders = Tables.load(s, d, "orders")
+      val ca = orders.where(pmod(col("o_orderkey"), lit(10)) < 6)
+        .groupBy("o_custkey").agg(count(lit(1)).as("ca"))
+      val cb = orders.where(pmod(col("o_orderkey"), lit(10)) >= 4)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cb"))
+      val exact = ca.join(cb, Seq("o_custkey"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact"))
+      served.crossJoin(exact)
+        .select(col("exact"), col("join_size_est"),
+          round((col("join_size_est") - col("exact")) /
+            greatest(col("exact"), lit(1L)), 6).as("rel_excess"),
+          col("bound"))
+        .withColumn("meets_floor",
+          col("join_size_est") >= col("exact") &&
+          (col("join_size_est") - col("exact")).cast("double") <=
+            col("bound"))
+        .where(col("meets_floor"))
+    }),
+
+    // the sidecar family's EXACT face: corpus mean/variance/extrema of
+    // n_chars served by merging the 5 per-batch moment rows — sums,
+    // min and max merge associatively with NO error term, so unlike
+    // every sketch face this serve carries a full DuckDB equality
+    // oracle (the cross-GROUP merge of a grouped sidecar, proving the
+    // group dimension drops out exactly too)
+    "q_sketch_moments" -> ((s, d) => {
+      val cfg = momentsSidecarFor(s, d)
+      graft.sources.SketchSidecar.servedMoments(s, cfg.sidecarPath)
+        .select(col("vn"), col("vsum"), col("vmin"), col("vmax"),
+          round(col("mean"), 6).as("mean"),
+          round(col("variance"), 6).as("variance"))
+    }),
+
+    // the per-source moments dashboard from the same grouped sidecar —
+    // each group's served mean/variance/extrema EQUAL the group's
+    // direct scan (full equality oracle, GROUP BY source)
+    "q_sketch_moments_by_group" -> ((s, d) => {
+      val cfg = momentsSidecarFor(s, d)
+      graft.sources.SketchSidecar.servedMomentsByGroup(s, cfg.sidecarPath)
+        .select(col("grp"), col("vn"), col("vsum"), col("vmin"),
+          col("vmax"), round(col("mean"), 6).as("mean"),
+          round(col("variance"), 6).as("variance"))
+        .orderBy("grp")
     }),
 
     // sidecar-driven range layout: a range predicate served from the
@@ -3302,6 +3551,33 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
+    // the moments face merges EXACTLY, so the sidecar serve must equal
+    // a direct scan — same double formula on both engines (exact
+    // integer sums below 2^53 make the arithmetic order-independent)
+    "q_sketch_moments" ->
+      """SELECT count(n_chars) AS vn,
+        |  CAST(sum(n_chars) AS DOUBLE) AS vsum,
+        |  CAST(min(n_chars) AS DOUBLE) AS vmin,
+        |  CAST(max(n_chars) AS DOUBLE) AS vmax,
+        |  ROUND(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6) AS mean,
+        |  ROUND(CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS DOUBLE)
+        |      / count(n_chars)
+        |    - (CAST(sum(n_chars) AS DOUBLE) / count(n_chars))
+        |      * (CAST(sum(n_chars) AS DOUBLE) / count(n_chars)), 6)
+        |    AS variance
+        |FROM documents""".stripMargin,
+    "q_sketch_moments_by_group" ->
+      """SELECT source AS grp, count(n_chars) AS vn,
+        |  CAST(sum(n_chars) AS DOUBLE) AS vsum,
+        |  CAST(min(n_chars) AS DOUBLE) AS vmin,
+        |  CAST(max(n_chars) AS DOUBLE) AS vmax,
+        |  ROUND(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6) AS mean,
+        |  ROUND(CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS DOUBLE)
+        |      / count(n_chars)
+        |    - (CAST(sum(n_chars) AS DOUBLE) / count(n_chars))
+        |      * (CAST(sum(n_chars) AS DOUBLE) / count(n_chars)), 6)
+        |    AS variance
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // the bucketed layout must not change range-predicate membership:
     // the twin is the PLAIN table under the same value predicate
     "q_range_bucketed" ->

@@ -4,6 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** A heavy-hitter candidate entry as stored in the sketch sidecar's
+  * `topk` column. Top-level (not nested in the object) so the encoder's
+  * generated code resolves the class — a nested case class sends every
+  * candidate projection down Janino's interpreter fallback.
+  */
+private[sources] case class KeyCount(key: String, cnt: Long)
+
 /** Persisted mergeable sketch state for the corpus loop — the incremental
   * serving story for distinct counts and value quantiles.
   *
@@ -161,9 +168,6 @@ object SketchSidecar {
         "on the driver; raise the cap only with the serve path re-audited")
   }
 
-  /** A heavy-hitter candidate entry as stored in the `topk` column. */
-  private case class KeyCount(key: String, cnt: Long)
-
   /** Bounded-memory Misra-Gries heavy-hitter summary over string keys:
     * ≤ `m` counters per partial buffer, so the candidate face rides the
     * SAME aggregation pass as every other face instead of costing the
@@ -227,11 +231,25 @@ object SketchSidecar {
   private[graft] def batchSummary(batch: DataFrame, cfg: Cfg): DataFrame = {
     val k = cfg.numBuckets
     val probs = array((0 to k).map(j => lit(j.toDouble / k)): _*)
+    val v = expr(cfg.valueExpr).cast("double")
     var aggs = Seq(
       count(lit(1)).as("n"),
       hll_sketch_agg(expr(cfg.distinctExpr), cfg.lgConfigK).as("hll"),
-      percentile_approx(expr(cfg.valueExpr).cast("double"), probs,
-        lit(cfg.accuracy)).as("qs"))
+      percentile_approx(v, probs, lit(cfg.accuracy)).as("qs"),
+      // the EXACT moments face — always on (four scalar aggregates in
+      // the same single scan cost nothing next to the sketches) and,
+      // unlike every sketch face, merged WITHOUT error: sums, min and
+      // max are associative as-is, so the served mean/variance/extrema
+      // ([[servedMoments]]) are identical to a direct corpus scan —
+      // the one sidecar face that carries a full equality oracle.
+      // `vn` counts non-null values (n counts rows), so a partly-null
+      // valueExpr serves the mean of its actual values; v·v (not pow)
+      // keeps integer-valued inputs exact in the double sum
+      count(v).as("vn"),
+      sum(v).as("vsum"),
+      sum(v * v).as("vsum2"),
+      min(v).as("vmin"),
+      max(v).as("vmax"))
     cfg.heavyKeyExpr.foreach { ke =>
       val mg = udaf(new MgTopK(cfg.topK), org.apache.spark.sql.Encoders.STRING)
       aggs = aggs :+
@@ -344,6 +362,79 @@ object SketchSidecar {
       .groupBy(col("p"))
       .agg(min(col("v")).as("value"))
       .orderBy(col("p"))
+  }
+
+  /** The associative merge of the exact-moments columns — shared by
+    * every serve and both row-merge compactions (so a compacted
+    * sidecar's moments stay bit-identical to the unmerged rows').
+    */
+  private def momentMergeAggs: Seq[Column] = Seq(
+    sum(col("vn")).as("vn"), sum(col("vsum")).as("vsum"),
+    sum(col("vsum2")).as("vsum2"), min(col("vmin")).as("vmin"),
+    max(col("vmax")).as("vmax"))
+
+  /** `valueExpr`'s EXACT corpus moments served from the sidecar: one row
+    * `(batches, vn, vsum, vmin, vmax, mean, variance, stddev)` —
+    * population variance via vsum2/vn − mean². Unlike the sketch faces
+    * this serve carries NO error term: the per-batch sums/extrema merge
+    * associatively, so the answer equals a direct corpus scan exactly
+    * (for integer-valued `valueExpr`, bit-for-bit — double sums of
+    * exact integers below 2^53 are order-independent), which is why
+    * `q_sketch_moments` holds a full DuckDB equality oracle where every
+    * sibling face settles for a floor twin. An all-null corpus serves
+    * null moments (vn = 0), not a division error. Fails loudly on a
+    * sidecar written before the moments face existed.
+    */
+  def servedMoments(spark: SparkSession, sidecarPath: String): DataFrame =
+    momentsOfRows(spark.read.parquet(sidecarPath), sidecarPath, None)
+
+  /** [[servedMoments]] PER GROUP from a GROUPED sidecar — one row
+    * `(grp, batches, vn, vsum, vmin, vmax, mean, variance, stddev)` per
+    * group, each exactly the group's own corpus moments.
+    */
+  def servedMomentsByGroup(spark: SparkSession,
+                           sidecarPath: String): DataFrame = {
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    momentsOfRows(rows, sidecarPath, Some(col("grp")))
+  }
+
+  /** [[servedMoments]] ACROSS a selected subset of groups — the
+    * windowed-moments serve of a time-grouped sidecar ("mean/stddev
+    * document length over this date range"), exact over the covered
+    * rows, O(rows-in-range).
+    */
+  def servedMomentsAcrossGroups(spark: SparkSession, sidecarPath: String,
+                                groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "empty group selection")
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    momentsOfRows(rows.where(col("grp").isin(groups: _*)), sidecarPath,
+      None)
+  }
+
+  /** The moments merge + derived statistics over a sidecar row frame
+    * (whole-sidecar, grouped and group-windowed serves share it). */
+  private def momentsOfRows(rows: DataFrame, ctx: String,
+                            grp: Option[Column]): DataFrame = {
+    require(rows.columns.contains("vsum"),
+      s"sidecar at $ctx predates the moments face — rows carry no " +
+        "vsum/vsum2/vmin/vmax columns (re-append or row-merge with " +
+        "current code to add them)")
+    val aggs = (count(lit(1)).as("batches") +: momentMergeAggs)
+    val merged = grp match {
+      case Some(g) => rows.groupBy(g).agg(aggs.head, aggs.tail: _*)
+      case None => rows.agg(aggs.head, aggs.tail: _*)
+    }
+    val mean = col("vsum") / col("vn")
+    val variance = col("vsum2") / col("vn") - mean * mean
+    val out = merged
+      .withColumn("mean", when(col("vn") > 0, mean))
+      .withColumn("variance", when(col("vn") > 0, variance))
+      .withColumn("stddev", when(col("vn") > 0, sqrt(variance)))
+    grp.map(_ => out.orderBy("grp")).getOrElse(out)
   }
 
   /** The corpus-`p` quantile served from the sidecar as one scalar —
@@ -559,6 +650,8 @@ object SketchSidecar {
     var anchorAggs = Seq(sum(col("n")).as("n"),
       hll_union_agg(col("hll")).as("hll"),
       min(element_at(col("qs"), 1)).as("anchor"))
+    if (rows.columns.contains("vsum"))
+      anchorAggs = anchorAggs ++ momentMergeAggs
     if (hasCms) {
       val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
       anchorAggs = anchorAggs :+ cmsMerge(col("cms")).as("cms")
@@ -905,6 +998,122 @@ object SketchSidecar {
         "a_only_est", "b_only_est")
   }
 
+  /** A Spark `CountMinSketch` opened for arithmetic the class API
+    * doesn't expose: depth/width, total added count, the row-hash
+    * parameters and the flattened counter table, parsed from the
+    * sketch's stable binary form (version 1 — the layout Spark's own
+    * `readFrom` consumes). Validated structurally rather than by
+    * trusting an assumed field order: in a Count-Min table EVERY row's
+    * counters sum to the total added count (each add increments exactly
+    * one counter per row), so the parse accepts whichever of the two
+    * plausible block orders (hash params before or after the table)
+    * satisfies that invariant for every row — a wrong slice fails it
+    * immediately and loudly.
+    */
+  private[graft] case class ParsedCms(depth: Int, width: Int, total: Long,
+                                      hashA: Array[Long],
+                                      table: Array[Long])
+
+  private[graft] def parseCms(bytes: Array[Byte]): ParsedCms = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1,
+      s"unsupported CountMinSketch serialization version $version")
+    val total = in.readLong()
+    val depth = in.readInt()
+    val width = in.readInt()
+    require(depth > 0 && width > 0, s"bad CMS dims $depth x $width")
+    val expected = 4L + 8 + 4 + 4 + (depth.toLong * width + depth) * 8
+    require(bytes.length.toLong == expected,
+      s"CMS byte length ${bytes.length} != expected $expected " +
+        s"for $depth x $width")
+    val longs = new Array[Long](depth * width + depth)
+    var i = 0
+    while (i < longs.length) { longs(i) = in.readLong(); i += 1 }
+    def rowsSumToTotal(tableOff: Int): Boolean =
+      (0 until depth).forall { d =>
+        var s = 0L; var w = 0
+        while (w < width) { s += longs(tableOff + d * width + w); w += 1 }
+        s == total
+      }
+    if (rowsSumToTotal(depth)) // hash params first, then table
+      ParsedCms(depth, width, total, longs.slice(0, depth),
+        longs.slice(depth, depth + depth * width))
+    else if (rowsSumToTotal(0)) // table first, then hash params
+      ParsedCms(depth, width, total, longs.slice(depth * width,
+        depth * width + depth), longs.slice(0, depth * width))
+    else throw new IllegalArgumentException(
+      "CMS parse: no block layout satisfies the row-sum invariant — " +
+        "serialization format changed upstream; re-audit parseCms")
+  }
+
+  /** The sidecar's CMS rows merged to one parsed sketch (cell-wise
+    * executor-side merge, ≤ depth·width longs of driver state). */
+  private def mergedCms(spark: SparkSession, sidecarPath: String)
+      : ParsedCms = {
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("cms"),
+      s"sidecar at $sidecarPath carries no CMS face (set Cfg.heavyKeyExpr)")
+    val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+    val bytes = rows.where(col("cms").isNotNull)
+      .agg(cmsMerge(col("cms")).as("cms"))
+      .collect().head.getAs[Array[Byte]](0)
+    require(bytes != null,
+      s"sidecar at $sidecarPath has a cms column but no non-null rows")
+    parseCms(bytes)
+  }
+
+  /** Join-cardinality estimate between two corpora from their CMS
+    * sidecars alone — the query-planning question two 100 TB tables
+    * cannot afford to answer by joining: |A ⋈ B| on the CMS key
+    * (counting multiplicity, i.e. Σ_k cnt_A(k)·cnt_B(k)) estimated as
+    * the Count-Min INNER PRODUCT, min over rows d of
+    * Σ_w A[d][w]·B[d][w] (Cormode & Muthukrishnan's second canonical
+    * CM query, alongside the point estimates [[servedHeavyHitters]]
+    * already serves). Guarantees, enforced by the `q_join_size_gap`
+    * twin:
+    *   - never an under-estimate: each row's inner product contains
+    *     every true Σ cnt_A·cnt_B term (colliding keys only ADD);
+    *   - bounded over-estimate: excess ≤ 2·N_A·N_B/width per row with
+    *     probability 1/2 (Markov on the collision expectation
+    *     N_A·N_B/width), so the min over `depth` independent rows
+    *     exceeds it with probability ≤ 2^−depth — at the default
+    *     eps/confidence (width 2000, depth 10), within 0.1% of
+    *     N_A·N_B at odds 1023:1, deterministic at the fixed seed.
+    * Serve cost: two O(#batches) sidecar merges + one depth·width
+    * driver pass; the corpora are never touched. Both sidecars must
+    * share dims AND hash parameters (same cmsEps/cmsConfidence/
+    * cmsSeed) — sketches hashed differently are not comparable and
+    * fail loudly. One row `(a_n, b_n, join_size_est, bound)`.
+    */
+  def servedJoinSize(spark: SparkSession, sidecarPathA: String,
+                     sidecarPathB: String): DataFrame = {
+    val a = mergedCms(spark, sidecarPathA)
+    val b = mergedCms(spark, sidecarPathB)
+    require(a.depth == b.depth && a.width == b.width,
+      s"CMS dims mismatch: ${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+    require(java.util.Arrays.equals(a.hashA, b.hashA),
+      "CMS hash parameters differ (different cmsSeed?) — sketches are " +
+        "not inner-product comparable")
+    var est = Long.MaxValue
+    var d = 0
+    while (d < a.depth) {
+      var s = 0L
+      var w = 0
+      while (w < a.width) {
+        s += a.table(d * a.width + w) * b.table(d * a.width + w)
+        w += 1
+      }
+      if (s < est) est = s
+      d += 1
+    }
+    val bound = 2.0 * a.total * b.total / a.width
+    import spark.implicits._
+    Seq((a.total, b.total, est, bound))
+      .toDF("a_n", "b_n", "join_size_est", "bound")
+  }
+
   /** Distributive Count-Min merge: cell-wise addition of the serialized
     * sketches, run as a real Spark `Aggregator` so partial merges happen
     * on executors (tree shape), never as a driver loop over rows. The
@@ -992,8 +1201,12 @@ object SketchSidecar {
     val mergedQs: Option[Seq[Double]] =
       if (served.isEmpty || minAnchorRow.isNullAt(0)) None
       else Some(minAnchorRow.getDouble(0) +: served.toSeq)
-    val baseAggs = Seq(sum(col("n")).as("n"),
+    var baseAggs = Seq(sum(col("n")).as("n"),
       hll_union_agg(col("hll")).as("hll"))
+    // moments merge is EXACT (sum/sum/min/max are associative as-is);
+    // sidecars written before the face existed simply don't carry it
+    if (rows.columns.contains("vsum"))
+      baseAggs = baseAggs ++ momentMergeAggs
     val aggs = if (hasCms) baseAggs :+ {
       val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
       cmsMerge(col("cms")).as("cms")
@@ -1057,7 +1270,59 @@ object SketchSidecar {
   def servedHeavyHitters(spark: SparkSession, sidecarPath: String,
                          phi: Double): DataFrame = {
     require(phi > 0.0 && phi <= 1.0, s"phi=$phi")
+    heavyHittersOfRows(spark.read.parquet(sidecarPath), phi)
+  }
+
+  /** [[servedHeavyHitters]] ACROSS a selected subset of groups — the
+    * any-window serve of a time-grouped sidecar carrying the CMS face:
+    * "which keys dominated THIS date range", by cell-wise CMS merge and
+    * candidate union over the covered rows only. All four guarantees
+    * hold on the window's own scale (the per-(batch, group) slices are
+    * exactly the window's batches: over-count ≤ cmsEps·N_window, and a
+    * window-φ-heavy key has share ≥ φ in at least one covered slice, so
+    * it entered that slice's Misra-Gries candidates whenever
+    * topK ≥ ⌈1/φ⌉ — the [[Cfg.topK]] argument with "batch" read as
+    * "covered slice").
+    */
+  def servedHeavyHittersAcrossGroups(spark: SparkSession,
+                                     sidecarPath: String,
+                                     groups: Seq[String],
+                                     phi: Double): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi=$phi")
+    require(groups.nonEmpty, "empty group selection")
     val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    heavyHittersOfRows(rows.where(col("grp").isin(groups: _*)), phi)
+  }
+
+  /** Merged KMV distinct estimate ACROSS a selected subset of groups —
+    * the any-window bottom-k serve: one row `(groups_covered,
+    * distinct_estimate)`, exact below k, rse ≈ 1/sqrt(kmvK−2) at k —
+    * mirroring [[servedDistinctAcrossGroups]] for the face that also
+    * supports set algebra. `groups_covered` counts the REQUESTED groups
+    * that had rows, as there.
+    */
+  def servedKmvDistinctAcrossGroups(spark: SparkSession,
+                                    sidecarPath: String,
+                                    groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty, "empty group selection")
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    val inWindow = rows.where(col("grp").isin(groups: _*))
+    val covered = inWindow.agg(count_distinct(col("grp")))
+      .collect().head.getLong(0)
+    val (kmv, k) = mergedKmvRows(inWindow, sidecarPath)
+    import rows.sparkSession.implicits._
+    Seq((covered, kmvEstimate(kmv, k)))
+      .toDF("groups_covered", "distinct_estimate")
+  }
+
+  /** The CMS-merge + candidate-pricing serve over a sidecar row frame
+    * (whole-sidecar and group-windowed serves share it). */
+  private def heavyHittersOfRows(rows: DataFrame, phi: Double)
+      : DataFrame = {
     val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
     val merged = rows.agg(cmsMerge(col("cms")).as("cms"),
       sum(col("n")).as("total"))

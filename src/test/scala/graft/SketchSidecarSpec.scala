@@ -544,4 +544,217 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
       SketchSidecar.servedKmvDistinct(spark, noKmv.sidecarPath).collect()
     }
   }
+
+  test("windowed serves: heavy hitters and KMV distinct across a group " +
+      "subset answer from the covered rows only — a key heavy in the " +
+      "window but diluted overall surfaces, and absent groups are " +
+      "reported, not invented") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_win").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id",
+      groupKeyExpr = Some("day"), heavyKeyExpr = Some("key"),
+      kmvKeyExpr = Some("id"), kmvK = 64)
+    // 2 batches x 4 days; key "burst" holds 50% of days d1-d2 but 20%
+    // overall (diluted by d3-d4 where it never appears)
+    var id = 0L
+    def rows(day: String, spec: Seq[(String, Int)]): Seq[(Long, String,
+        String)] =
+      spec.flatMap { case (k, c) =>
+        (1 to c).map { _ => id += 1; (id, day, k) } }
+    (0 until 2).foreach { _ =>
+      val b = rows("d1", Seq("burst" -> 15, "a" -> 10, "b" -> 5)) ++
+        rows("d2", Seq("burst" -> 15, "a" -> 8, "b" -> 7)) ++
+        rows("d3", Seq("a" -> 20, "b" -> 25)) ++
+        rows("d4", Seq("a" -> 30, "b" -> 15))
+      SketchSidecar.appendBatch(b.toDF("id", "day", "key"), cfg)
+    }
+    val windowKeys = SketchSidecar.servedHeavyHittersAcrossGroups(
+        spark, cfg.sidecarPath, Seq("d1", "d2"), phi = 0.4)
+      .select("key").as[String].collect().toSeq
+    assert(windowKeys === Seq("burst"),
+      s"only 'burst' holds 40% of the d1-d2 window: $windowKeys")
+    val globalKeys = SketchSidecar.servedHeavyHitters(
+        spark, cfg.sidecarPath, phi = 0.4)
+      .select("key").as[String].collect().toSeq
+    assert(!globalKeys.contains("burst"),
+      "burst is diluted to 20% corpus-wide and must NOT serve at 40%")
+    // windowed KMV: d1-d2 hold exactly the ids inserted there (2 x 60
+    // rows < k = 64 per slice... union 120 > k, estimator regime); vs
+    // the exact window count the rse bound must hold
+    val kmvWin = SketchSidecar.servedKmvDistinctAcrossGroups(
+        spark, cfg.sidecarPath, Seq("d1", "d2", "d9"))
+      .collect().head
+    assert(kmvWin.getLong(0) === 2, "d9 never had rows: covered = 2")
+    val exactWin = 120.0
+    assert(math.abs(kmvWin.getDouble(1) - exactWin) / exactWin <=
+      3.5 / math.sqrt(62.0))
+    // ungrouped sidecar: windowed serves must refuse loudly
+    val flat = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_win_flat").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id",
+      heavyKeyExpr = Some("key"), kmvKeyExpr = Some("id"), kmvK = 64)
+    SketchSidecar.appendBatch(
+      Seq((1L, "x")).toDF("id", "key"), flat)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedHeavyHittersAcrossGroups(
+        spark, flat.sidecarPath, Seq("d1"), 0.1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedKmvDistinctAcrossGroups(
+        spark, flat.sidecarPath, Seq("d1"))
+    }
+  }
+
+  test("join-size estimate: the CMS inner product of two sidecars " +
+      "sandwiches the exact join cardinality (never under, over by at " +
+      "most 2*Na*Nb/width), the parse satisfies the row-sum invariant, " +
+      "and differently-seeded sketches refuse loudly") {
+    def mkCfg(seed: Int = 42) = SketchSidecar.Cfg(
+      Files.createTempDirectory("cms_join").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id",
+      heavyKeyExpr = Some("key"), cmsSeed = seed)
+    val cfgA = mkCfg()
+    val cfgB = mkCfg()
+    // A: key k_i with multiplicity (i % 7) + 1 over 200 keys; B: only
+    // even keys, multiplicity (i % 5) + 1 — planted exact join size
+    def side(keys: Range, mult: Int => Int): Seq[(Long, String)] = {
+      var id = 0L
+      keys.flatMap { i => (1 to mult(i)).map { _ =>
+        id += 1; (id, s"k$i") } }
+    }
+    val aRows = side(0 until 200, i => (i % 7) + 1)
+    val bRows = side(0 until 200 by 2, i => (i % 5) + 1)
+    // 2 batches each, split by hash of the synthetic id
+    Seq((aRows, cfgA), (bRows, cfgB)).foreach { case (rows, cfg) =>
+      (0 until 2).foreach { b =>
+        SketchSidecar.appendBatch(
+          rows.filter(_._1 % 2 == b).toDF("id", "key"), cfg)
+      }
+    }
+    val exact = (0 until 200 by 2)
+      .map(i => ((i % 7) + 1).toLong * ((i % 5) + 1)).sum
+    val r = SketchSidecar
+      .servedJoinSize(spark, cfgA.sidecarPath, cfgB.sidecarPath)
+      .collect().head
+    val (aN, bN, est, bound) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(aN === aRows.length.toLong && bN === bRows.length.toLong)
+    assert(est >= exact, s"inner product must never under-estimate: " +
+      s"$est < $exact")
+    assert(est - exact <= bound,
+      s"excess ${est - exact} beyond the 2*Na*Nb/width bound $bound")
+    // a different seed hashes differently — not comparable
+    val cfgC = mkCfg(seed = 7)
+    (0 until 2).foreach { b =>
+      SketchSidecar.appendBatch(
+        bRows.filter(_._1 % 2 == b).toDF("id", "key"), cfgC)
+    }
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedJoinSize(spark, cfgA.sidecarPath,
+        cfgC.sidecarPath).collect()
+    }
+    // parse invariant directly: every table row sums to the total
+    val bytes = org.apache.spark.util.sketch.CountMinSketch
+      .create(0.01, 0.9, 13)
+    (1 to 50).foreach(i => bytes.add(s"x${i % 9}"))
+    val parsed = SketchSidecar.parseCms(bytes.toByteArray)
+    assert(parsed.total === 50L)
+    (0 until parsed.depth).foreach { dd =>
+      val rowSum = (0 until parsed.width)
+        .map(w => parsed.table(dd * parsed.width + w)).sum
+      assert(rowSum === 50L)
+    }
+  }
+
+  test("moments face: served mean/variance/extrema EQUAL a direct scan " +
+      "(per group, across selected groups, and cross-group), survive " +
+      "row-merge bit-for-bit, and null values don't poison the mean") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_mom").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "v", groupKeyExpr = Some("g"))
+    // 3 batches × 2 groups, integer values (exact double sums), group b
+    // carries some null values in batch 2
+    def batch(b: Int) = (0 until 40).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v: java.lang.Long =
+        if (g == "b" && b == 2 && i < 10) null
+        else java.lang.Long.valueOf((b * 100 + i * 3).toLong)
+      (b * 1000L + i, g, v)
+    }.toDF("id", "g", "v")
+    val all = (1 to 3).map(batch).reduce(_ unionAll _)
+    (1 to 3).foreach(b => SketchSidecar.appendBatch(batch(b), cfg))
+    def direct(df: org.apache.spark.sql.DataFrame): (Long, Double, Double,
+        Double, Double) = {
+      val r = df.agg(count(col("v")).as("vn"),
+        sum(col("v").cast("double")).as("vsum"),
+        min(col("v").cast("double")).as("vmin"),
+        max(col("v").cast("double")).as("vmax"),
+        sum(col("v").cast("double") * col("v")).as("vsum2"))
+        .collect().head
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+    }
+    def servedTuple(df: org.apache.spark.sql.DataFrame): (Long, Double,
+        Double, Double, Double, Double) = {
+      val r = df.select("vn", "vsum", "vmin", "vmax", "mean", "variance")
+        .collect().head
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    }
+    def check(served: org.apache.spark.sql.DataFrame,
+              src: org.apache.spark.sql.DataFrame): Unit = {
+      val (vn, vsum, vmin, vmax, vsum2) = direct(src)
+      val s = servedTuple(served)
+      assert(s === ((vn, vsum, vmin, vmax, vsum / vn,
+        vsum2 / vn - (vsum / vn) * (vsum / vn))),
+        "served moments must equal the direct scan exactly")
+    }
+    check(SketchSidecar.servedMoments(spark, cfg.sidecarPath), all)
+    Seq("a", "b").foreach { g =>
+      check(SketchSidecar.servedMomentsByGroup(spark, cfg.sidecarPath)
+          .where(col("grp") === g),
+        all.where(col("g") === g))
+    }
+    check(SketchSidecar.servedMomentsAcrossGroups(spark, cfg.sidecarPath,
+      Seq("b")), all.where(col("g") === "b"))
+    // row-merge: the merged row's moments are bit-identical
+    val before = servedTuple(
+      SketchSidecar.servedMoments(spark, cfg.sidecarPath))
+    SketchSidecar.compactRowsByGroup(spark, cfg)
+    assert(spark.read.parquet(cfg.sidecarPath).count() === 2)
+    assert(servedTuple(SketchSidecar.servedMoments(spark, cfg.sidecarPath))
+      === before, "row-merge must preserve moments bit-for-bit")
+    // ungrouped row-merge preserves them too
+    val flat = cfg.copy(
+      sidecarPath = Files.createTempDirectory("sketch_mom_flat")
+        .resolve("sc").toString,
+      groupKeyExpr = None)
+    (1 to 3).foreach(b => SketchSidecar.appendBatch(batch(b), flat))
+    val flatBefore = servedTuple(
+      SketchSidecar.servedMoments(spark, flat.sidecarPath))
+    SketchSidecar.compactRows(spark, flat)
+    assert(servedTuple(
+      SketchSidecar.servedMoments(spark, flat.sidecarPath)) === flatBefore)
+    // an all-null-value corpus serves null moments, not a crash
+    val allNull = cfg.copy(
+      sidecarPath = Files.createTempDirectory("sketch_mom_null")
+        .resolve("sc").toString,
+      groupKeyExpr = None)
+    SketchSidecar.appendBatch(
+      Seq((1L, null: java.lang.Long), (2L, null: java.lang.Long))
+        .toDF("id", "v"), allNull)
+    val nr = SketchSidecar.servedMoments(spark, allNull.sidecarPath)
+      .collect().head
+    assert(nr.getLong(nr.fieldIndex("vn")) === 0L)
+    assert(nr.isNullAt(nr.fieldIndex("mean")))
+    // a pre-moments sidecar fails loudly
+    val legacy = Files.createTempDirectory("sketch_mom_legacy")
+      .resolve("sc").toString
+    spark.read.parquet(flat.sidecarPath)
+      .drop("vn", "vsum", "vsum2", "vmin", "vmax")
+      .write.parquet(legacy)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedMoments(spark, legacy).collect()
+    }
+  }
 }
