@@ -1225,6 +1225,51 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // key-skew diagnosis from monitoring state alone: the CMS self
+    // inner product estimates F2 = sum of squared key counts, giving
+    // the skew measures a partitioner plans by (l2/l1 ratio, effective
+    // uniform key count, bracketed top-key share) — "does event_type
+    // need salting" answered from the sidecar, never a re-scan.
+    // Rows-only; the _gap twin enforces the sandwich and the bracket
+    "q_f2_skew" -> ((s, d) => {
+      val cfg = hhSidecarFor(s, d)
+      graft.sources.SketchSidecar.servedKeySkew(s, cfg.sidecarPath)
+        .select(col("n"), col("f2_est"),
+          round(col("l2_l1_ratio"), 6).as("l2_l1_ratio"),
+          round(col("uniform_equiv_keys"), 6).as("uniform_equiv_keys"),
+          round(col("top_share_lb"), 6).as("top_share_lb"),
+          round(col("top_share_ub"), 6).as("top_share_ub"))
+    }),
+
+    // the F2 contract (one row or loudly zero): never under the exact
+    // second moment, over by at most 2*N^2/width, and the true top-key
+    // share inside the served [lb, ub] bracket
+    "q_f2_skew_gap" -> ((s, d) => {
+      val cfg = hhSidecarFor(s, d)
+      val served = graft.sources.SketchSidecar
+        .servedKeySkew(s, cfg.sidecarPath)
+      val counts = graft.Tables.events(s, d)
+        .groupBy(col("event_type").cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = counts.agg(
+        coalesce(sum(col("cnt") * col("cnt")), lit(0L)).as("exact_f2"),
+        max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total"))
+      served.crossJoin(exact)
+        .select(col("exact_f2"), col("f2_est"),
+          round((col("f2_est") - col("exact_f2")) /
+            greatest(col("exact_f2"), lit(1L)), 6).as("rel_excess"),
+          col("f2_bound"),
+          (col("top_cnt") / col("total").cast("double")).as("top_share"),
+          col("top_share_lb"), col("top_share_ub"))
+        .withColumn("meets_floor",
+          col("f2_est") >= col("exact_f2") &&
+          (col("f2_est") - col("exact_f2")).cast("double") <=
+            col("f2_bound") &&
+          col("top_share") >= col("top_share_lb") - lit(1e-9) &&
+          col("top_share") <= col("top_share_ub") + lit(1e-9))
+        .where(col("meets_floor"))
+    }),
+
     // join-cardinality estimation from monitoring state alone: |A JOIN B|
     // on o_custkey estimated as the Count-Min INNER PRODUCT of the two
     // snapshots' merged CMS sidecars — the query-planning estimate two

@@ -1114,6 +1114,59 @@ object SketchSidecar {
       .toDF("a_n", "b_n", "join_size_est", "bound")
   }
 
+  /** Key-skew diagnosis from the CMS sidecar alone — "does this join/
+    * group key need salting?" answered without scanning the corpus: the
+    * sketch's inner product WITH ITSELF estimates the second frequency
+    * moment F2 = Σ_k cnt(k)² (never under, over by ≤ 2·N²/width at the
+    * [[servedJoinSize]] confidence), and F2 pins the skew measures a
+    * partitioner plans by:
+    *   - `l2_l1_ratio` = √F2/N ∈ (0, 1] — 1/√distinct for a uniform
+    *     column, → 1 as one key dominates;
+    *   - `top_share_ub` = max served-candidate estimate / N — at least
+    *     the heaviest candidate's true share since CMS only over-counts
+    *     — with `top_share_lb` subtracting the point-query slack
+    *     (cmsEps): the heaviest key's corpus share, bracketed
+    *     (completeness of the candidate set per [[Cfg.topK]]);
+    *   - `uniform_equiv_keys` = N²/F2 — the "effective key count": the
+    *     number of EQUALLY-LOADED keys that would produce this F2, so
+    *     a 10^9-distinct column with uniform_equiv_keys ≈ 40 tells the
+    *     planner it hashes like 40 keys and WILL hotspot without
+    *     salting.
+    * One row `(n, f2_est, f2_bound, l2_l1_ratio, uniform_equiv_keys,
+    * top_share_lb, top_share_ub)`. Serve cost: one O(#batches) sidecar
+    * merge + a depth·width driver pass.
+    */
+  def servedKeySkew(spark: SparkSession, sidecarPath: String): DataFrame = {
+    val m = mergedCms(spark, sidecarPath)
+    var f2 = Long.MaxValue
+    var d = 0
+    while (d < m.depth) {
+      var s = 0L
+      var w = 0
+      while (w < m.width) {
+        val c = m.table(d * m.width + w)
+        s += c * c
+        w += 1
+      }
+      if (s < f2) f2 = s
+      d += 1
+    }
+    val bound = 2.0 * m.total * m.total / m.width
+    // heaviest candidate: price the sidecar's Misra-Gries union against
+    // the merged sketch, exactly the servedHeavyHitters path
+    val topEst = heavyHittersOfRows(
+        spark.read.parquet(sidecarPath), phi = 1e-12)
+      .agg(max(col("est"))).collect().head.getLong(0)
+    val n = m.total.toDouble
+    val epsEff = 2.0 / m.width
+    import spark.implicits._
+    Seq((m.total, f2, bound, math.sqrt(f2.toDouble) / n,
+        n * n / f2.toDouble, math.max(0.0, topEst / n - epsEff),
+        math.min(1.0, topEst / n)))
+      .toDF("n", "f2_est", "f2_bound", "l2_l1_ratio",
+        "uniform_equiv_keys", "top_share_lb", "top_share_ub")
+  }
+
   /** Distributive Count-Min merge: cell-wise addition of the serialized
     * sketches, run as a real Spark `Aggregator` so partial merges happen
     * on executors (tree shape), never as a driver loop over rows. The

@@ -666,6 +666,39 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("key-skew from the CMS sidecar: F2 sandwiches the exact second " +
+      "moment, the top-share bracket contains the true share, and a " +
+      "skewed column reports far fewer effective keys than distinct") {
+    val cfg = freshCfg()
+    // planted skew: "dom" holds 50%, 100 rares split the rest evenly
+    var id = 0L
+    def rows(spec: Seq[(String, Int)]): Seq[(Long, String)] =
+      spec.flatMap { case (k, c) => (1 to c).map { _ => id += 1; (id, k) } }
+    (0 until 2).foreach { _ =>
+      SketchSidecar.appendBatch(
+        rows(Seq("dom" -> 100) ++ (1 to 100).map(i => s"r$i" -> 1))
+          .toDF("id", "key"), cfg)
+    }
+    val exact = Map("dom" -> 200L) ++ (1 to 100).map(i => s"r$i" -> 2L)
+    val exactF2 = exact.values.map(c => c * c).sum
+    val n = exact.values.sum.toDouble
+    val r = SketchSidecar.servedKeySkew(spark, cfg.sidecarPath)
+      .collect().head
+    val f2 = r.getLong(r.fieldIndex("f2_est"))
+    assert(f2 >= exactF2, s"F2 must never under-estimate: $f2 < $exactF2")
+    assert(f2 - exactF2 <= r.getDouble(r.fieldIndex("f2_bound")))
+    val topShare = 200.0 / n
+    assert(r.getDouble(r.fieldIndex("top_share_lb")) <= topShare + 1e-9)
+    assert(r.getDouble(r.fieldIndex("top_share_ub")) >= topShare - 1e-9)
+    // 101 distinct keys, but the square mass is dominated by "dom":
+    // effective uniform keys = n^2/F2 = 160000/40400 ~ 4 — the salting
+    // signal (scan-free) a 101-distinct count would hide
+    val eff = r.getDouble(r.fieldIndex("uniform_equiv_keys"))
+    assert(eff < 10.0, s"skewed column must report few effective keys: $eff")
+    assert(math.abs(r.getDouble(r.fieldIndex("l2_l1_ratio")) -
+      math.sqrt(f2.toDouble) / n) < 1e-12)
+  }
+
   test("moments face: served mean/variance/extrema EQUAL a direct scan " +
       "(per group, across selected groups, and cross-group), survive " +
       "row-merge bit-for-bit, and null values don't poison the mean") {
