@@ -17,13 +17,15 @@ import graft.functions.Vectors
   *
   * Spark shapes: codebooks are bounded driver state (m·k·subDim doubles —
   * like IVF centroids), trained by per-subspace Lloyd iterations in plain
-  * Scala over a capped, seeded sample collected once. Encoding is a
-  * narrow expression — per subspace, an `array_min` argmin over k literal
-  * (cost, code) structs, each cost one codegen'd [[Vectors.dot]] against
-  * a literal centroid; normalization enters as a scalar division of the
-  * dot (never a per-element map, which would drop out of codegen). ADC
-  * scoring is m literal-array `element_at` lookups summed — also narrow.
-  * Nothing here shuffles except the final top-k.
+  * Scala over a capped, seeded sample collected once. Encoding and the
+  * per-query ADC tables are FUSED native expressions
+  * ([[graft.functions.PqEncode]] / [[graft.functions.PqAdcTables]]):
+  * primitive codegen loops over the codebooks as one flat reference
+  * array — constant generated-code size at any m·k, where the composed
+  * per-centroid expression trees blew Janino's 64 KB method limit and
+  * fell back to the interpreter on the corpus-sized encode. ADC scoring
+  * is m `element_at` lookups summed — narrow. Nothing here shuffles
+  * except the final top-k.
   */
 object Pq {
 
@@ -98,24 +100,16 @@ object Pq {
 
   /** The PQ code array (one int per subspace) for a raw vector column:
     * per subspace, argmin_j ‖sub/‖v‖ − c_j‖² = argmin_j (‖c_j‖² −
-    * 2·dot(sub, c_j)/‖v‖) — the norm enters as a scalar division, so the
-    * whole argmin is codegen'd struct comparison over literals.
+    * 2·dot(sub, c_j)/‖v‖) — one fused native expression
+    * ([[graft.functions.PqEncode]]): the m×k argmin as three primitive
+    * codegen loops with the codebooks as a flat reference array. The
+    * former composed form (per-subspace `array_min` over k literal
+    * structs) unrolled to an m·k expression tree whose generated
+    * projection blew Janino's 64 KB method limit at m = k = 16, pushing
+    * the corpus-sized encode stage into the interpreter.
     */
-  def encodeExpr(cb: Codebooks, vec: Column): Column = {
-    val v = Vectors.toDouble(vec)
-    val nrm = Vectors.l2Norm(v)
-    val safe = when(nrm === 0, lit(1.0)).otherwise(nrm)
-    val codes = (0 until cb.m).map { mi =>
-      val sub = slice(v, mi * cb.subDim + 1, cb.subDim)
-      val scored = cb.cents(mi).zipWithIndex.map { case (c, j) =>
-        val cNorm2 = c.map(x => x * x).sum
-        struct((lit(cNorm2) - lit(2.0) * Vectors.dot(sub, typedlit(c)) / safe)
-          .as("cost"), lit(j).as("code"))
-      }
-      array_min(array(scored: _*)).getField("code")
-    }
-    array(codes: _*)
-  }
+  def encodeExpr(cb: Codebooks, vec: Column): Column =
+    graft.functions.PqEncodeExpr.pqEncode(Vectors.toDouble(vec), cb.cents)
 
   /** Corpus → (idCol, pq_codes) — the compressed index representation. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
@@ -272,16 +266,8 @@ object Pq {
     * m·k literal-centroid dots per query row (not per candidate);
     * candidates then score with m `element_at` lookups, the ADC contract.
     */
-  private[operators] def adcTablesExpr(cb: Codebooks, vec: Column): Column = {
-    val v = Vectors.toDouble(vec)
-    val nrm = Vectors.l2Norm(v)
-    val safe = when(nrm === 0, lit(1.0)).otherwise(nrm)
-    array((0 until cb.m).map { mi =>
-      val sub = slice(v, mi * cb.subDim + 1, cb.subDim)
-      array(cb.cents(mi).map(c =>
-        Vectors.dot(sub, typedlit(c)) / safe): _*)
-    }: _*)
-  }
+  private[operators] def adcTablesExpr(cb: Codebooks, vec: Column): Column =
+    graft.functions.PqEncodeExpr.pqAdcTables(Vectors.toDouble(vec), cb.cents)
 
   /** ADC score of a `pq_codes` column against per-row ADC tables (either
     * a literal via [[adcTablesExpr]]'s shape or the column it returns).
