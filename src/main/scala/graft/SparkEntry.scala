@@ -88,5 +88,10 @@ object SparkEntry {
     // number on it: the fixtures are built once outside the steady
     // state (marker-gated, the mm_dhash_dedup_indexed convention), so
     // the min-of-passes number is the pure sidecar-merge serve cost
-    "q_sketch_sidecar", "q_heavy_hitters")
+    "q_sketch_sidecar", "q_heavy_hitters",
+    // round 15 (cont.): the EXACT moments serve (grouped sidecar,
+    // cross-group merge) and the scan-free join-size estimate (two CMS
+    // merges + one depth x width driver pass) — both serve-only rows on
+    // marker-gated fixtures, same steady-state convention as above
+    "q_sketch_moments", "q_join_size")
 }
