@@ -1315,6 +1315,34 @@ object Queries {
         .transform(presentSorted(_, "nation"))
     }),
 
+    // exact triangle census of the co-purchase graph (parts bought
+    // together in one order): degree-oriented wedge join + closing
+    // semi-join — the Chiba-Nishizeki orientation that bounds the wedge
+    // fan-out by O(sqrt m) per node on any graph, so the plan survives
+    // the power-law hubs real co-occurrence graphs have. Exact counts,
+    // full DuckDB oracle
+    "q_graph_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.operators.Graph.triangles(pairs, "src", "dst")
+        .select(col("nodes"), col("edges"), col("wedges"),
+          col("triangles"),
+          round(col("global_clustering"), 6).as("global_clustering"))
+    }),
+
+    // cohort retention matrix over the event stream: users cohorted by
+    // first active day, cells = users active exactly `offset` days
+    // later (0..7). Exact — full DuckDB oracle; the distinct
+    // (user, day) collapse up front keeps the working set at
+    // active-user-days, never raw events
+    "q_retention" -> ((s, d) =>
+      graft.operators.Funnel.retention(graft.Tables.events(s, d),
+        "user_id", "ts", 7)),
+
     // One-pass column profiler over orders — exact mode for oracle parity
     // (the 100 TB default is the HLL path; ProfileSpec asserts that one
     // plans WITHOUT Expand). Typed min/max lanes: numerics as double,
@@ -1483,6 +1511,37 @@ object Queries {
         |ORDER BY event_id""".stripMargin,
     "q_profile_orders" -> oracleProfile,
     "q_pagerank" -> oraclePagerank,
+    // id-ordered 3-way join over the canonical pair set counts each
+    // triangle once; orientation differs from the engine's
+    // degree-ordering but the census is orientation-invariant
+    "q_graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |    SELECT lo AS id FROM pairs
+        |    UNION ALL SELECT hi FROM pairs) GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM pairs e1
+        |  JOIN pairs e2 ON e2.lo = e1.hi
+        |  JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |ds AS (SELECT CAST(count(*) AS BIGINT) AS nodes,
+        |  CAST(sum(d*(d-1)/2) AS BIGINT) AS wedges,
+        |  sum(d*(d-1)/2) AS wedges_d FROM deg),
+        |es AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM pairs)
+        |SELECT nodes, edges, wedges, CAST(t AS BIGINT) AS triangles,
+        |  round(3.0 * t / wedges_d, 6) AS global_clustering
+        |FROM ds, es, tri""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |f AS (SELECT u, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, day) AS INT) AS "offset",
+        |  CAST(count(*) AS BIGINT) AS users
+        |FROM e JOIN f USING (u)
+        |WHERE datediff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_graph_degrees" ->
       """WITH edges AS (
         |  SELECT s_n.n_nationkey AS src, c_n.n_nationkey AS dst

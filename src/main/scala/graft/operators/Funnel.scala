@@ -72,4 +72,36 @@ object Funnel {
       .select(col("s.step"), col("s.name"), col("s.n_users"),
         col("s.conversion"))
   }
+
+  /** Cohort retention matrix — the other canonical event-analytics
+    * question next to the funnel: users cohorted by their FIRST active
+    * day, one row `(cohort_day, offset, users)` per (cohort, day-offset
+    * in 0..maxOffsetDays) counting the cohort's users active exactly
+    * `offset` days after their first day. Exact, so it carries a full
+    * DuckDB oracle.
+    *
+    * Scale shape: the stream is collapsed to DISTINCT (user, day) FIRST
+    * — retention counts users, so active-user-days (bounded by
+    * users × window) is the right working set, not raw events. The
+    * first-day aggregation and the join both key on `user`, sharing one
+    * shuffle partitioning, and because (user, day) rows are already
+    * distinct the final cell count is a plain `count(1)` — no
+    * count_distinct Expand over the matrix.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                maxOffsetDays: Int): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays=$maxOffsetDays")
+    val e = events
+      .select(col(userCol).as("user"), col(tsCol).cast("date").as("day"))
+      .where(col("user").isNotNull && col("day").isNotNull)
+      .distinct()
+    val first = e.groupBy("user").agg(min(col("day")).as("cohort_day"))
+    e.join(first, Seq("user"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("offset"))
+      .where(col("offset") <= maxOffsetDays)
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_day", "offset")
+  }
 }

@@ -117,4 +117,75 @@ object Graph {
         coalesce(col("out_w"), lit(0.0)).as("out_w"),
         coalesce(col("in_w"), lit(0.0)).as("in_w"))
   }
+
+  /** Exact triangle count + global clustering coefficient of the
+    * UNDIRECTED simple graph under `edges` (direction and multiplicity
+    * dropped; self-loops ignored). One row `(nodes, edges, wedges,
+    * triangles, global_clustering)` with clustering = 3·triangles /
+    * wedges (wedges = Σ_v C(deg v, 2); null when wedge-free).
+    *
+    * Scale shape — the DEGREE-ORIENTATION trick (Chiba–Nishizeki;
+    * "compact-forward"): each simple edge is oriented from its
+    * lower-(degree, id) endpoint to the higher, so every triangle is
+    * generated exactly once AND the oriented out-degree is O(√m) on any
+    * graph — the wedge join below fans out Σ outdeg(v)² = O(m^1.5)
+    * worst-case instead of the Σ deg(v)² a naive orientation pays,
+    * which on a power-law graph (the shape web/co-occurrence graphs
+    * take) is the difference between a hub node contributing C(10⁶, 2)
+    * candidate wedges and C(√m, 2). Three shuffles total: the simple-
+    * edge distinct, the wedge self-join on the pivot, and the closing
+    * semi-join on (lo, hi) — all key-partitioned equi-joins, no
+    * cartesian anywhere.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    // canonical simple edges (lo < hi)
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val deg = e.select(col("lo").as("id"))
+      .unionAll(e.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lo-(deg,id) endpoint -> hi endpoint
+    val oriented = e
+      .join(deg.withColumnRenamed("id", "lo")
+        .withColumnRenamed("deg", "dlo"), Seq("lo"))
+      .join(deg.withColumnRenamed("id", "hi")
+        .withColumnRenamed("deg", "dhi"), Seq("hi"))
+      .select(
+        when(col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          struct(col("lo").as("s"), col("hi").as("d")))
+          .otherwise(struct(col("hi").as("s"), col("lo").as("d")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    // wedges at the LOW-degree pivot: (s -> d1), (s -> d2), d1 < d2 by
+    // canonical (lo, hi) order of the closing edge candidate
+    val wedgePairs = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
+        col("e1.d") < col("e2.d"))
+      .select(col("e1.d").as("lo2"), col("e2.d").as("hi2"))
+    // a wedge closes iff its third side exists as a simple edge; the
+    // closing side's canonical form is (min, max) of the two spokes
+    val tri = wedgePairs
+      .select(least(col("lo2"), col("hi2")).as("lo"),
+        greatest(col("lo2"), col("hi2")).as("hi"))
+      .join(e, Seq("lo", "hi"), "left_semi")
+    val counts = tri.agg(count(lit(1)).as("triangles"))
+    val base = e.agg(count(lit(1)).as("edges"))
+    val degStats = deg.agg(count(lit(1)).as("nodes"),
+      sum(col("deg") * (col("deg") - 1) / 2).as("wedges"))
+    base.crossJoin(degStats).crossJoin(counts)
+      .select(col("nodes"), col("edges"),
+        col("wedges").cast("long").as("wedges"), col("triangles"),
+        when(col("wedges") > 0,
+          lit(3.0) * col("triangles") / col("wedges"))
+          .as("global_clustering"))
+  }
 }

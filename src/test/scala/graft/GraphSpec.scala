@@ -74,4 +74,55 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       Graph.pageRank(triangle.where("src < 0"), "src", "dst")
     }
   }
+
+  test("triangles: exact census on hand-computed graphs — K4, a hub star " +
+      "(zero triangles despite max wedges), direction/multiplicity/" +
+      "self-loops dropped") {
+    def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K4: 4 nodes, 6 edges, C(3,2)*4 = 12 wedges, 4 triangles,
+    // clustering = 3*4/12 = 1.0
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(census(k4) === ((4L, 6L, 12L, 4L)))
+    val k4c = Graph.triangles(k4.toDF("src", "dst"), "src", "dst")
+      .collect().head.getDouble(4)
+    assert(math.abs(k4c - 1.0) < 1e-12)
+    // star: hub 0 to 10 spokes — 45 wedges, 0 triangles (the case the
+    // degree orientation exists for: the hub pivots nothing because
+    // every edge orients spoke -> hub)
+    val star = (1L to 10L).map(i => (0L, i))
+    assert(census(star) === ((11L, 10L, 45L, 0L)))
+    // direction + duplicates + self-loops are graph noise, not edges
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (2L, 3L), (3L, 2L))
+    assert(census(noisy) === ((3L, 3L, 3L, 1L)))
+    // hub-heavy graph: triangle (1,2,3) plus hub 1 fanned to 50 leaves;
+    // count stays exactly 1 — wedge fan-out at the hub never invents one
+    val hubbed = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      (10L to 59L).map(i => (1L, i))
+    assert(census(hubbed)._4 === 1L)
+  }
+
+  test("retention: hand-computed cohort matrix — first day cohorts, " +
+      "duplicate events collapse, offsets beyond the horizon drop") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 9) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1: days 1,2,9 (offset 8 beyond a 7-day horizon — dropped)
+    // u2: days 1,2 with a duplicate on day 2 (collapses)
+    // u3: day 2 only (its own cohort)
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(9)),
+      (2L, ts(1)), (2L, ts(2, 8)), (2L, ts(2, 20)),
+      (3L, ts(2))).toDF("user_id", "ts")
+    val r = graft.operators.Funnel.retention(events, "user_id", "ts", 7)
+      .collect().map(x => (x.getDate(0).toString, x.getInt(1),
+        x.getLong(2))).toSeq
+    assert(r === Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 2L),
+      ("2024-01-02", 0, 1L)))
+  }
 }
