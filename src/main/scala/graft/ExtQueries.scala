@@ -1812,6 +1812,51 @@ object ExtQueries {
         .select("doc_id", "lang")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // priority sampling: a fixed-512-row weighted sample of orders
+    // (weight = o_totalprice) from which ANY subset spend is estimable
+    // via the Horvitz-Thompson weights. Priorities are deterministic
+    // (w / scramble-uniform) so SELECTION, threshold and HT weights all
+    // carry a FULL DuckDB oracle — a weighted sampler rand() could
+    // never cross-engine-check
+    "q_priority_sample" -> ((s, d) =>
+      graft.operators.Sampling.prioritySample(
+          Tables.load(s, d, "orders"), "o_orderkey", "o_totalprice", 512)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("ht_weight"), 6).as("ht_weight"))
+        .transform(Queries.presentSorted(_, "o_orderkey"))),
+
+    // the estimator's accuracy, machine-enforced (one row or loudly
+    // zero): the HT total-spend estimate within 3.5/sqrt(k-1) relative
+    // (variance <= W^2/(k-1), Szegedy STOC'06), and the WORST of the
+    // five o_orderpriority subset estimates within sqrt(5) of that
+    // (each class holds ~1/5 of the mass)
+    "q_priority_sample_gap" -> ((s, d) => {
+      val k = 512
+      val sample = graft.operators.Sampling.prioritySample(
+        Tables.load(s, d, "orders"), "o_orderkey", "o_totalprice", k)
+      val est = sample.groupBy("o_orderpriority")
+        .agg(sum(col("ht_weight")).as("est"))
+      val exact = Tables.load(s, d, "orders").groupBy("o_orderpriority")
+        .agg(sum(col("o_totalprice")).as("w"))
+      val perClass = exact.join(est, Seq("o_orderpriority"), "left")
+        .select((abs(coalesce(col("est"), lit(0.0)) - col("w")) /
+          col("w")).as("rel_err"))
+        .agg(max(col("rel_err")).as("max_class_rel_err"))
+      val total = sample.agg(sum(col("ht_weight")).as("est_total"))
+        .crossJoin(Tables.load(s, d, "orders")
+          .agg(sum(col("o_totalprice")).as("w_total")))
+        .select((abs(col("est_total") - col("w_total")) / col("w_total"))
+          .as("total_rel_err"))
+      val bound = 3.5 / math.sqrt((k - 1).toDouble)
+      total.crossJoin(perClass)
+        .select(round(col("total_rel_err"), 6).as("total_rel_err"),
+          round(col("max_class_rel_err"), 6).as("max_class_rel_err"))
+        .withColumn("meets_floor",
+          col("total_rel_err") <= lit(bound) &&
+          col("max_class_rel_err") <= lit(bound * math.sqrt(5.0)))
+        .where(col("meets_floor"))
+    }),
+
     // deterministic 80/10/10 train/val/test assignment by the same
     // scramble — membership is a pure function of doc_id (no rand()), so
     // the oracle recomputes every row's split and a doc can never migrate
@@ -3677,6 +3722,22 @@ object ExtQueries {
         |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
         |  round(sum(m), 6) AS centroid_sum
         |FROM m GROUP BY grp ORDER BY grp""".stripMargin,
+    // priority-sampling twin: identical priority arithmetic (w divided
+    // by the scramble-uniform), identical (priority desc, id) ranking,
+    // tau = the (k+1)-th priority, HT weight = greatest(w, tau)
+    "q_priority_sample" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    o_totalprice / (((o_orderkey * 2654435761) % 4294967296 + 1)
+        |      / 4294967296.0) AS q
+        |  FROM orders WHERE o_totalprice > 0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY q DESC, o_orderkey)
+        |        AS rn FROM p),
+        |t AS (SELECT coalesce(max(CASE WHEN rn = 513 THEN q END), 0.0)
+        |        AS tau FROM r)
+        |SELECT o_orderkey, o_totalprice,
+        |  round(greatest(o_totalprice, tau), 6) AS ht_weight
+        |FROM r, t WHERE rn <= 512 ORDER BY o_orderkey""".stripMargin,
     // deterministic sampling twin: the scramble is plain integer
     // arithmetic, so the SAME ranking runs in both engines
     "q_stratified_sample" ->

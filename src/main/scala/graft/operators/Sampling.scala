@@ -62,6 +62,48 @@ object Sampling {
       .map(c => math.round(c / total * 4294967296.0))
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a FIXED-k
+    * weighted sample from which ANY subset sum is estimable — the
+    * bounded-size answer store for "total tokens of domain D / spend of
+    * segment S" questions a 100 TB table can't afford per query. Each
+    * row gets priority q = w/u with u ∈ (0, 1] DETERMINISTIC from the
+    * id ([[scramble]] — no engine-seeded rand(), so the sample is
+    * reproducible anywhere, and the whole selection carries a full SQL
+    * oracle); the k highest-priority rows survive, and τ = the
+    * (k+1)-th priority prices each survivor at its Horvitz–Thompson
+    * weight max(w, τ). Estimating Σ_{i∈S} w_i = summing `ht_weight`
+    * over the sample's rows in S — unbiased over the u-draws, with
+    * variance ≤ W²/(k−1) for the total (Szegedy's proof of the
+    * Duffield–Lund–Thorup optimality conjecture, STOC'06).
+    *
+    * Scale shape: one TakeOrderedAndProject (top k+1 by priority — no
+    * full sort), a row_number over the ≤ k+1 survivors (bounded, single
+    * partition by construction), τ folded back as a broadcast scalar —
+    * no driver collect in the plan. Rows with null or ≤ 0 weight have
+    * no defined priority and are excluded (match the oracle with
+    * `WHERE w > 0`). When the table has ≤ k qualifying rows, τ = 0 and
+    * every ht_weight is the exact weight.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val u = (scramble(col(idCol)) + 1) / lit(4294967296.0)
+    val take = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__q", col(weightCol).cast("double") / u)
+      .orderBy(col("__q").desc, col(idCol))
+      .limit(k + 1)
+    val w = Window.orderBy(col("__q").desc, col(idCol))
+    val ranked = take.withColumn("__rn", row_number().over(w))
+    val tau = ranked.agg(coalesce(
+      max(when(col("__rn") === k + 1, col("__q"))), lit(0.0)).as("__tau"))
+    ranked.where(col("__rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("ht_weight",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__q", "__rn", "__tau")
+  }
+
   /** Keep `quota(row)` rows per stratum, chosen by scrambled-id order
     * (ties on the raw id for total determinism). `quota` is any Column —
     * a literal for balanced strata, or an expression over the stratum

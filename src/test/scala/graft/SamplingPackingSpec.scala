@@ -254,4 +254,46 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
         "id", "embedding", idx, 5, "score")
     }
   }
+
+  test("prioritySample: exactly k rows, HT weights >= raw weights, " +
+      "subset sums estimable, exact regime below k, and non-positive " +
+      "weights excluded") {
+    // 2000 rows in two segments with very different weight scales
+    val df = (1L to 2000L).map { i =>
+      val seg = if (i % 4 == 0) "heavy" else "light"
+      val w = if (seg == "heavy") 100.0 + (i % 7) else 1.0 + (i % 3)
+      (i, seg, w)
+    }.toDF("id", "seg", "w")
+    val k = 256
+    val s = Sampling.prioritySample(df, "id", "w", k)
+    assert(s.count() === k)
+    // determinism: the same call selects the same ids
+    val ids1 = s.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.prioritySample(df, "id", "w", k)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+    // HT weight never below the raw weight (max(w, tau))
+    assert(s.where(col("ht_weight") < col("w")).isEmpty)
+    // subset-sum estimates: within 3.5/sqrt(k-1) of truth scaled by
+    // the segment's mass share (heavy ~0.96 of mass, light the rest —
+    // light gets the loose bound)
+    val exact = df.groupBy("seg").agg(sum("w")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val est = s.groupBy("seg").agg(sum("ht_weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wTotal = exact.values.sum
+    exact.foreach { case (seg, ex) =>
+      val bound = 3.5 / math.sqrt((k - 1).toDouble) *
+        math.sqrt(wTotal / ex)
+      assert(math.abs(est.getOrElse(seg, 0.0) - ex) / ex <= bound,
+        s"$seg: est=${est.get(seg)} exact=$ex bound=$bound")
+    }
+    // n <= k: every qualifying row kept with ht == w exactly
+    val tiny = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0), (4L, 2.5))
+      .toDF("id", "w")
+    val ts = Sampling.prioritySample(tiny, "id", "w", 10)
+      .select("id", "ht_weight").as[(Long, Double)].collect().toMap
+    assert(ts === Map(1L -> 5.0, 4L -> 2.5),
+      "below k: exact weights, non-positive weights excluded")
+  }
 }
