@@ -1825,6 +1825,18 @@ object ExtQueries {
           round(col("ht_weight"), 6).as("ht_weight"))
         .transform(Queries.presentSorted(_, "o_orderkey"))),
 
+    // the per-stratum sampler: a fixed-64-row weighted sample of EVERY
+    // order-priority class in one window pass, each class carrying its
+    // own threshold — per-domain subset-sum stores. Selection and HT
+    // weights fully oracle-checked, as above
+    "q_priority_sample_by_class" -> ((s, d) =>
+      graft.operators.Sampling.prioritySamplePerStratum(
+          Tables.load(s, d, "orders"), Seq("o_orderpriority"),
+          "o_orderkey", "o_totalprice", 64)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), round(col("ht_weight"), 6).as("ht_weight"))
+        .transform(Queries.presentSorted(_, "o_orderkey"))),
+
     // the estimator's accuracy, machine-enforced (one row or loudly
     // zero): the HT total-spend estimate within 3.5/sqrt(k-1) relative
     // (variance <= W^2/(k-1), Szegedy STOC'06), and the WORST of the
@@ -3738,6 +3750,23 @@ object ExtQueries {
         |SELECT o_orderkey, o_totalprice,
         |  round(greatest(o_totalprice, tau), 6) AS ht_weight
         |FROM r, t WHERE rn <= 512 ORDER BY o_orderkey""".stripMargin,
+    // per-stratum priority twin: same arithmetic with the ranking and
+    // the (k+1)-th-priority threshold partitioned by the class
+    "q_priority_sample_by_class" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    o_totalprice / (((o_orderkey * 2654435761) % 4294967296 + 1)
+        |      / 4294967296.0) AS q
+        |  FROM orders WHERE o_totalprice > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY q DESC, o_orderkey) AS rn FROM p),
+        |t AS (SELECT o_orderpriority,
+        |        coalesce(max(CASE WHEN rn = 65 THEN q END), 0.0) AS tau
+        |      FROM r GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(greatest(o_totalprice, tau), 6) AS ht_weight
+        |FROM r JOIN t USING (o_orderpriority)
+        |WHERE rn <= 64 ORDER BY o_orderkey""".stripMargin,
     // deterministic sampling twin: the scramble is plain integer
     // arithmetic, so the SAME ranking runs in both engines
     "q_stratified_sample" ->

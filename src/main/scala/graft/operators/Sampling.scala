@@ -104,6 +104,42 @@ object Sampling {
       .drop("__q", "__rn", "__tau")
   }
 
+  /** [[prioritySample]] PER STRATUM: a fixed-k weighted sample of EVERY
+    * group in one pass — the per-domain/per-language subset-sum store
+    * ("spend of segment S within domain D" from k·#domains rows). Each
+    * stratum gets its own threshold τ_g = its (k+1)-th priority, so the
+    * per-group estimator guarantees are [[prioritySample]]'s verbatim
+    * on each group's own mass. One shuffle on the stratum (the window),
+    * rank + τ computed inside the same window pass — no per-group
+    * driver work, no TakeOrdered (the window's per-partition top-k is
+    * the scalable shape when #groups × k rows is the output, vs one
+    * global limit). Same determinism and exclusions as
+    * [[prioritySample]]; same full-SQL-oracle property.
+    */
+  def prioritySamplePerStratum(df: DataFrame, strataCols: Seq[String],
+                               idCol: String, weightCol: String,
+                               k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(strataCols.nonEmpty)
+    val u = (scramble(col(idCol)) + 1) / lit(4294967296.0)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__q").desc, col(idCol))
+    val wAll = Window.partitionBy(strataCols.map(col): _*)
+    val ranked = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__q", col(weightCol).cast("double") / u)
+      .withColumn("__rn", row_number().over(w))
+      // rows beyond k+1 are dead weight for both the sample and tau —
+      // drop them before the tau window pass
+      .where(col("__rn") <= k + 1)
+      .withColumn("__tau", coalesce(
+        max(when(col("__rn") === k + 1, col("__q"))).over(wAll), lit(0.0)))
+    ranked.where(col("__rn") <= k)
+      .withColumn("ht_weight",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__q", "__rn", "__tau")
+  }
+
   /** Keep `quota(row)` rows per stratum, chosen by scrambled-id order
     * (ties on the raw id for total determinism). `quota` is any Column —
     * a literal for balanced strata, or an expression over the stratum

@@ -295,5 +295,24 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       .select("id", "ht_weight").as[(Long, Double)].collect().toMap
     assert(ts === Map(1L -> 5.0, 4L -> 2.5),
       "below k: exact weights, non-positive weights excluded")
+    // per-stratum: k rows per segment, each with its own threshold;
+    // per-segment HT sums track each segment's OWN mass at the
+    // single-sample bound; an under-k segment is exact
+    val kps = 128
+    val ps = Sampling.prioritySamplePerStratum(
+      df.unionAll(Seq((9001L, "rare", 7.0), (9002L, "rare", 3.0))
+        .toDF("id", "seg", "w")), Seq("seg"), "id", "w", kps)
+    val bySeg = ps.groupBy("seg").agg(count(lit(1)).as("n"),
+        sum("ht_weight").as("est")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(bySeg("heavy")._1 === kps && bySeg("light")._1 === kps)
+    assert(bySeg("rare") === ((2L, 10.0)), "under-k segment is exact")
+    val exactSeg = df.groupBy("seg").agg(sum("w")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val psBound = 3.5 / math.sqrt((kps - 1).toDouble)
+    Seq("heavy", "light").foreach { seg =>
+      assert(math.abs(bySeg(seg)._2 - exactSeg(seg)) / exactSeg(seg)
+        <= psBound, s"$seg: ${bySeg(seg)._2} vs ${exactSeg(seg)}")
+    }
   }
 }
