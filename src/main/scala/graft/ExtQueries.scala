@@ -1159,10 +1159,12 @@ object ExtQueries {
         .groupBy(col("event_type").cast("string").as("key"))
         .agg(count(lit(1)).as("cnt"))
       val totalRow = exact.agg(sum(col("cnt")).as("total"))
-      val allEst = graft.sources.SketchSidecar
+      val allServe = graft.sources.SketchSidecar
         .servedHeavyHittersAcrossGroups(s, cfg.sidecarPath,
           sketchWindowDays, phi = 1e-12)
-        .select(col("key"), col("est"))
+      val coverage = allServe
+        .agg(max(col("groups_covered")).as("groups_covered"))
+      val allEst = allServe.select(col("key"), col("est"))
       val served = graft.sources.SketchSidecar
         .servedHeavyHittersAcrossGroups(s, cfg.sidecarPath,
           sketchWindowDays, phi)
@@ -1181,8 +1183,9 @@ object ExtQueries {
             col("cnt") >= col("total") * (phi - cfg.cmsEps), 1L)
             .otherwise(0L)), lit(0L)).as("served_sound"))
       bounds.crossJoin(totalRow).crossJoin(completeness)
-        .crossJoin(soundness)
+        .crossJoin(soundness).crossJoin(coverage)
         .withColumn("meets_floor",
+          col("groups_covered") === sketchWindowDays.length &&
           col("max_under") <= 0L &&
           col("max_over") <= col("total") * cfg.cmsEps &&
           col("heavy_found") === col("heavy_true") &&

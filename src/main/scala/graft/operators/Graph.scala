@@ -167,16 +167,14 @@ object Graph {
       .select(col("e.s").as("s"), col("e.d").as("d"))
     // wedges at the LOW-degree pivot: (s -> d1), (s -> d2), d1 < d2 by
     // canonical (lo, hi) order of the closing edge candidate
+    // a wedge closes iff its third side exists as a simple edge; the
+    // e1.d < e2.d join condition already yields the closing side in
+    // canonical (lo, hi) order
     val wedgePairs = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
         col("e1.d") < col("e2.d"))
-      .select(col("e1.d").as("lo2"), col("e2.d").as("hi2"))
-    // a wedge closes iff its third side exists as a simple edge; the
-    // closing side's canonical form is (min, max) of the two spokes
-    val tri = wedgePairs
-      .select(least(col("lo2"), col("hi2")).as("lo"),
-        greatest(col("lo2"), col("hi2")).as("hi"))
-      .join(e, Seq("lo", "hi"), "left_semi")
+      .select(col("e1.d").as("lo"), col("e2.d").as("hi"))
+    val tri = wedgePairs.join(e, Seq("lo", "hi"), "left_semi")
     val counts = tri.agg(count(lit(1)).as("triangles"))
     val base = e.agg(count(lit(1)).as("edges"))
     val degStats = deg.agg(count(lit(1)).as("nodes"),

@@ -94,11 +94,16 @@ object Sampling {
       .orderBy(col("__q").desc, col(idCol))
       .limit(k + 1)
     val w = Window.orderBy(col("__q").desc, col(idCol))
-    val ranked = take.withColumn("__rn", row_number().over(w))
-    val tau = ranked.agg(coalesce(
-      max(when(col("__rn") === k + 1, col("__q"))), lit(0.0)).as("__tau"))
-    ranked.where(col("__rn") <= k)
-      .crossJoin(broadcast(tau))
+    // tau rides a whole-frame window over the SAME ≤ k+1 survivors the
+    // rank window already holds (single partition by construction), so
+    // the expensive part — the TakeOrdered scan of the source — runs
+    // exactly once; a separate aggregate branch would execute it twice
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    take.withColumn("__rn", row_number().over(w))
+      .withColumn("__tau", coalesce(
+        max(when(col("__rn") === k + 1, col("__q"))).over(wAll), lit(0.0)))
+      .where(col("__rn") <= k)
       .withColumn("ht_weight",
         greatest(col(weightCol).cast("double"), col("__tau")))
       .drop("__q", "__rn", "__tau")

@@ -386,7 +386,20 @@ object SketchSidecar {
     * sidecar written before the moments face existed.
     */
   def servedMoments(spark: SparkSession, sidecarPath: String): DataFrame =
-    momentsOfRows(spark.read.parquet(sidecarPath), sidecarPath, None)
+    momentsOfRows(readForMoments(spark, sidecarPath), sidecarPath, None)
+
+  /** Moments-serve read: `mergeSchema` so a sidecar whose history spans
+    * the introduction of the moments face reads ALL columns regardless
+    * of which file's footer wins the schema sample (the
+    * CorpusStream.readQuarantine convention for mixed legacy layouts).
+    * Legacy rows then carry null moments and are REFUSED loudly by the
+    * serve — a pre-moments batch has no sums to merge, so serving
+    * around it would present the post-upgrade batches' moments as the
+    * corpus answer.
+    */
+  private def readForMoments(spark: SparkSession,
+                             sidecarPath: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(sidecarPath)
 
   /** [[servedMoments]] PER GROUP from a GROUPED sidecar — one row
     * `(grp, batches, vn, vsum, vmin, vmax, mean, variance, stddev)` per
@@ -394,7 +407,7 @@ object SketchSidecar {
     */
   def servedMomentsByGroup(spark: SparkSession,
                            sidecarPath: String): DataFrame = {
-    val rows = spark.read.parquet(sidecarPath)
+    val rows = readForMoments(spark, sidecarPath)
     require(rows.columns.contains("grp"),
       s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
     momentsOfRows(rows, sidecarPath, Some(col("grp")))
@@ -408,22 +421,36 @@ object SketchSidecar {
   def servedMomentsAcrossGroups(spark: SparkSession, sidecarPath: String,
                                 groups: Seq[String]): DataFrame = {
     require(groups.nonEmpty, "empty group selection")
-    val rows = spark.read.parquet(sidecarPath)
+    val rows = readForMoments(spark, sidecarPath)
     require(rows.columns.contains("grp"),
       s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
     momentsOfRows(rows.where(col("grp").isin(groups: _*)), sidecarPath,
-      None)
+      None, coveredOf = Some(groups))
   }
 
   /** The moments merge + derived statistics over a sidecar row frame
-    * (whole-sidecar, grouped and group-windowed serves share it). */
+    * (whole-sidecar, grouped and group-windowed serves share it).
+    * `coveredOf` adds a `groups_covered` column counting the REQUESTED
+    * groups that had rows — the windowed serves' "absent groups are
+    * reported, not invented" contract. */
   private def momentsOfRows(rows: DataFrame, ctx: String,
-                            grp: Option[Column]): DataFrame = {
+                            grp: Option[Column],
+                            coveredOf: Option[Seq[String]] = None)
+      : DataFrame = {
     require(rows.columns.contains("vsum"),
       s"sidecar at $ctx predates the moments face — rows carry no " +
-        "vsum/vsum2/vmin/vmax columns (re-append or row-merge with " +
-        "current code to add them)")
-    val aggs = (count(lit(1)).as("batches") +: momentMergeAggs)
+        "vsum/vsum2/vmin/vmax columns; the face cannot be reconstructed " +
+        "for batches whose sums were never recorded (start a fresh " +
+        "sidecar, or serve this one's pre-moments faces only)")
+    require(rows.where(col("vn").isNull).isEmpty,
+      s"sidecar at $ctx mixes pre-moments rows (null vn) with current " +
+        "ones — serving around them would present the post-upgrade " +
+        "batches' moments as the corpus answer; row-merge cannot add " +
+        "sums that were never recorded, so start a fresh sidecar or " +
+        "serve the pre-moments faces only")
+    var aggs = (count(lit(1)).as("batches") +: momentMergeAggs)
+    coveredOf.foreach(_ =>
+      aggs = aggs :+ count_distinct(col("grp")).as("groups_covered"))
     val merged = grp match {
       case Some(g) => rows.groupBy(g).agg(aggs.head, aggs.tail: _*)
       case None => rows.agg(aggs.head, aggs.tail: _*)
@@ -632,7 +659,9 @@ object SketchSidecar {
     * swap is the same staged atomic rename.
     */
   def compactRowsByGroup(spark: SparkSession, cfg: Cfg): Unit = {
-    val rows = spark.read.parquet(cfg.sidecarPath)
+    // mergeSchema: see compactRows
+    val rows = spark.read.option("mergeSchema", "true")
+      .parquet(cfg.sidecarPath)
     require(rows.columns.contains("grp"),
       s"${cfg.sidecarPath} is not a grouped sidecar (set Cfg.groupKeyExpr)")
     if (rows.groupBy("grp").count().where(col("count") > 1).isEmpty)
@@ -650,7 +679,9 @@ object SketchSidecar {
     var anchorAggs = Seq(sum(col("n")).as("n"),
       hll_union_agg(col("hll")).as("hll"),
       min(element_at(col("qs"), 1)).as("anchor"))
-    if (rows.columns.contains("vsum"))
+    // same honest-degrade gate as compactRows
+    if (rows.columns.contains("vsum") &&
+        rows.where(col("vn").isNull).isEmpty)
       anchorAggs = anchorAggs ++ momentMergeAggs
     if (hasCms) {
       val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
@@ -1051,8 +1082,11 @@ object SketchSidecar {
   /** The sidecar's CMS rows merged to one parsed sketch (cell-wise
     * executor-side merge, ≤ depth·width longs of driver state). */
   private def mergedCms(spark: SparkSession, sidecarPath: String)
+      : ParsedCms =
+    mergedCmsRows(spark.read.parquet(sidecarPath), sidecarPath)
+
+  private def mergedCmsRows(rows: DataFrame, sidecarPath: String)
       : ParsedCms = {
-    val rows = spark.read.parquet(sidecarPath)
     require(rows.columns.contains("cms"),
       s"sidecar at $sidecarPath carries no CMS face (set Cfg.heavyKeyExpr)")
     val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
@@ -1096,13 +1130,18 @@ object SketchSidecar {
     require(java.util.Arrays.equals(a.hashA, b.hashA),
       "CMS hash parameters differ (different cmsSeed?) — sketches are " +
         "not inner-product comparable")
-    var est = Long.MaxValue
+    // double accumulation: a long would overflow near N_A·N_B/width ≈
+    // 2^63 — i.e. exactly the 100 TB corpora this serve exists for.
+    // Doubles are exact below 2^53 per product/sum and carry ~1e-16
+    // relative error beyond, invisible next to the eps·N_A·N_B bound
+    var est = Double.PositiveInfinity
     var d = 0
     while (d < a.depth) {
-      var s = 0L
+      var s = 0.0
       var w = 0
       while (w < a.width) {
-        s += a.table(d * a.width + w) * b.table(d * a.width + w)
+        s += a.table(d * a.width + w).toDouble *
+          b.table(d * a.width + w)
         w += 1
       }
       if (s < est) est = s
@@ -1137,14 +1176,21 @@ object SketchSidecar {
     * merge + a depth·width driver pass.
     */
   def servedKeySkew(spark: SparkSession, sidecarPath: String): DataFrame = {
-    val m = mergedCms(spark, sidecarPath)
-    var f2 = Long.MaxValue
+    val rows = spark.read.parquet(sidecarPath) // one read serves both legs
+    val m = mergedCmsRows(rows, sidecarPath)
+    require(m.total > 0,
+      s"sidecar at $sidecarPath saw no CMS keys (every batch empty or " +
+        "all-null heavyKeyExpr) — skew of an empty key column is not a " +
+        "number; gate on n before asking")
+    // double accumulation — the long form overflows at the corpus sizes
+    // this serve targets (see servedJoinSize)
+    var f2 = Double.PositiveInfinity
     var d = 0
     while (d < m.depth) {
-      var s = 0L
+      var s = 0.0
       var w = 0
       while (w < m.width) {
-        val c = m.table(d * m.width + w)
+        val c = m.table(d * m.width + w).toDouble
         s += c * c
         w += 1
       }
@@ -1153,15 +1199,15 @@ object SketchSidecar {
     }
     val bound = 2.0 * m.total * m.total / m.width
     // heaviest candidate: price the sidecar's Misra-Gries union against
-    // the merged sketch, exactly the servedHeavyHitters path
-    val topEst = heavyHittersOfRows(
-        spark.read.parquet(sidecarPath), phi = 1e-12)
+    // the merged sketch, exactly the servedHeavyHitters path. total > 0
+    // implies some batch had keys, hence a non-empty candidate union
+    val topEst = heavyHittersOfRows(rows, phi = 1e-12)
       .agg(max(col("est"))).collect().head.getLong(0)
     val n = m.total.toDouble
     val epsEff = 2.0 / m.width
     import spark.implicits._
-    Seq((m.total, f2, bound, math.sqrt(f2.toDouble) / n,
-        n * n / f2.toDouble, math.max(0.0, topEst / n - epsEff),
+    Seq((m.total, f2, bound, math.sqrt(f2) / n,
+        n * n / f2, math.max(0.0, topEst / n - epsEff),
         math.min(1.0, topEst / n)))
       .toDF("n", "f2_est", "f2_bound", "l2_l1_ratio",
         "uniform_equiv_keys", "top_share_lb", "top_share_ub")
@@ -1231,7 +1277,10 @@ object SketchSidecar {
     * metadata, the centroid-sidecar convention.
     */
   def compactRows(spark: SparkSession, cfg: Cfg): Unit = {
-    val rows = spark.read.parquet(cfg.sidecarPath)
+    // mergeSchema: face detection must see every generation's columns,
+    // not whichever file's footer wins the schema sample
+    val rows = spark.read.option("mergeSchema", "true")
+      .parquet(cfg.sidecarPath)
     require(!rows.columns.contains("grp"),
       s"${cfg.sidecarPath} is a grouped sidecar — use compactRowsByGroup " +
         "(the ungrouped row-merge would destroy the group column)")
@@ -1256,9 +1305,13 @@ object SketchSidecar {
       else Some(minAnchorRow.getDouble(0) +: served.toSeq)
     var baseAggs = Seq(sum(col("n")).as("n"),
       hll_union_agg(col("hll")).as("hll"))
-    // moments merge is EXACT (sum/sum/min/max are associative as-is);
-    // sidecars written before the face existed simply don't carry it
-    if (rows.columns.contains("vsum"))
+    // moments merge is EXACT (sum/sum/min/max are associative as-is).
+    // Carried only when EVERY row has the face: merging around legacy
+    // null-moment rows would stamp the post-upgrade batches' sums onto
+    // the whole history's n — the compacted sidecar instead degrades
+    // honestly to pre-moments (serves refuse loudly, not subtly wrong)
+    if (rows.columns.contains("vsum") &&
+        rows.where(col("vn").isNull).isEmpty)
       baseAggs = baseAggs ++ momentMergeAggs
     val aggs = if (hasCms) baseAggs :+ {
       val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
@@ -1346,7 +1399,12 @@ object SketchSidecar {
     val rows = spark.read.parquet(sidecarPath)
     require(rows.columns.contains("grp"),
       s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
-    heavyHittersOfRows(rows.where(col("grp").isin(groups: _*)), phi)
+    val inWindow = rows.where(col("grp").isin(groups: _*))
+    // absent groups are reported, not invented — the same coverage
+    // column every sibling windowed serve carries (constant per row)
+    val covered = inWindow
+      .agg(count_distinct(col("grp")).as("groups_covered"))
+    heavyHittersOfRows(inWindow, phi).crossJoin(broadcast(covered))
   }
 
   /** Merged KMV distinct estimate ACROSS a selected subset of groups —

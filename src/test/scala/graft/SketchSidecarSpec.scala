@@ -568,11 +568,13 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
         rows("d4", Seq("a" -> 30, "b" -> 15))
       SketchSidecar.appendBatch(b.toDF("id", "day", "key"), cfg)
     }
-    val windowKeys = SketchSidecar.servedHeavyHittersAcrossGroups(
-        spark, cfg.sidecarPath, Seq("d1", "d2"), phi = 0.4)
-      .select("key").as[String].collect().toSeq
+    val winServe = SketchSidecar.servedHeavyHittersAcrossGroups(
+      spark, cfg.sidecarPath, Seq("d1", "d2", "d9"), phi = 0.4)
+    val windowKeys = winServe.select("key").as[String].collect().toSeq
     assert(windowKeys === Seq("burst"),
       s"only 'burst' holds 40% of the d1-d2 window: $windowKeys")
+    assert(winServe.select("groups_covered").as[Long].collect().head
+      === 2L, "d9 never had rows: covered = 2, reported not invented")
     val globalKeys = SketchSidecar.servedHeavyHitters(
         spark, cfg.sidecarPath, phi = 0.4)
       .select("key").as[String].collect().toSeq
@@ -637,10 +639,10 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
       .servedJoinSize(spark, cfgA.sidecarPath, cfgB.sidecarPath)
       .collect().head
     val (aN, bN, est, bound) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
     assert(aN === aRows.length.toLong && bN === bRows.length.toLong)
-    assert(est >= exact, s"inner product must never under-estimate: " +
-      s"$est < $exact")
+    assert(est >= exact.toDouble,
+      s"inner product must never under-estimate: $est < $exact")
     assert(est - exact <= bound,
       s"excess ${est - exact} beyond the 2*Na*Nb/width bound $bound")
     // a different seed hashes differently — not comparable
@@ -684,8 +686,9 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     val n = exact.values.sum.toDouble
     val r = SketchSidecar.servedKeySkew(spark, cfg.sidecarPath)
       .collect().head
-    val f2 = r.getLong(r.fieldIndex("f2_est"))
-    assert(f2 >= exactF2, s"F2 must never under-estimate: $f2 < $exactF2")
+    val f2 = r.getDouble(r.fieldIndex("f2_est"))
+    assert(f2 >= exactF2.toDouble,
+      s"F2 must never under-estimate: $f2 < $exactF2")
     assert(f2 - exactF2 <= r.getDouble(r.fieldIndex("f2_bound")))
     val topShare = 200.0 / n
     assert(r.getDouble(r.fieldIndex("top_share_lb")) <= topShare + 1e-9)
@@ -696,7 +699,14 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     val eff = r.getDouble(r.fieldIndex("uniform_equiv_keys"))
     assert(eff < 10.0, s"skewed column must report few effective keys: $eff")
     assert(math.abs(r.getDouble(r.fieldIndex("l2_l1_ratio")) -
-      math.sqrt(f2.toDouble) / n) < 1e-12)
+      math.sqrt(f2) / n) < 1e-12)
+    // a sidecar whose CMS saw no keys refuses loudly
+    val empty = freshCfg()
+    SketchSidecar.appendBatch(
+      Seq((1L, null: String)).toDF("id", "key"), empty)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedKeySkew(spark, empty.sidecarPath)
+    }
   }
 
   test("moments face: served mean/variance/extrema EQUAL a direct scan " +
@@ -748,8 +758,11 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
           .where(col("grp") === g),
         all.where(col("g") === g))
     }
-    check(SketchSidecar.servedMomentsAcrossGroups(spark, cfg.sidecarPath,
-      Seq("b")), all.where(col("g") === "b"))
+    val winMoments = SketchSidecar.servedMomentsAcrossGroups(
+      spark, cfg.sidecarPath, Seq("b", "zzz"))
+    check(winMoments, all.where(col("g") === "b"))
+    assert(winMoments.select("groups_covered").collect().head.getLong(0)
+      === 1L, "'zzz' never had rows: covered = 1, reported not invented")
     // row-merge: the merged row's moments are bit-identical
     val before = servedTuple(
       SketchSidecar.servedMoments(spark, cfg.sidecarPath))
@@ -786,6 +799,23 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     spark.read.parquet(flat.sidecarPath)
       .drop("vn", "vsum", "vsum2", "vmin", "vmax")
       .write.parquet(legacy)
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedMoments(spark, legacy).collect()
+    }
+    // a MIXED sidecar (legacy rows + one current append) must refuse
+    // too — regardless of which file's footer wins the schema sample,
+    // serving around the null-moment rows would present the upgraded
+    // batches' sums as the corpus answer
+    SketchSidecar.appendBatch(batch(4), cfg.copy(sidecarPath = legacy,
+      groupKeyExpr = None))
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedMoments(spark, legacy).collect()
+    }
+    // and row-merge on the mixed sidecar degrades honestly: the merged
+    // row drops the moments face instead of stamping partial sums onto
+    // the full history's n
+    SketchSidecar.compactRows(spark, cfg.copy(sidecarPath = legacy,
+      groupKeyExpr = None))
     intercept[IllegalArgumentException] {
       SketchSidecar.servedMoments(spark, legacy).collect()
     }
