@@ -355,6 +355,14 @@ object ExtQueries {
   private val sketchWindowDays: Seq[String] =
     (7 to 13).map(day => f"2024-01-$day%02d")
 
+  /** The two windows probed by q_kmv_window_overlap: Jan 7–10 vs
+    * Jan 11–13 2024 (disjoint in days; users recur, so the sets
+    * overlap). */
+  private val kmvWindowDaysA: Seq[String] =
+    (7 to 10).map(day => f"2024-01-$day%02d")
+  private val kmvWindowDaysB: Seq[String] =
+    (11 to 13).map(day => f"2024-01-$day%02d")
+
   /** The q_hh_window / q_kmv_window fixture: the events table replayed
     * as 5 ingest batches into a DAY-grouped sidecar that ALSO carries
     * the CMS heavy-hitter face (over `event_type`) and the KMV face
@@ -1311,6 +1319,81 @@ object ExtQueries {
           col("join_size_est") >= col("exact") &&
           (col("join_size_est") - col("exact")).cast("double") <=
             col("bound"))
+        .where(col("meets_floor"))
+    }),
+
+    // set algebra BETWEEN two time windows of ONE day-grouped KMV
+    // sidecar — sketch-served returning users: how many of Jan 11-13's
+    // users were also active Jan 7-10 (inter), churned (a_only), new
+    // (b_only) — from the covered day rows alone. Rows-only; the _gap
+    // twin prices every estimate against exact windowed recomputes
+    "q_kmv_window_overlap" -> ((s, d) => {
+      val cfg = dayMultiSidecarFor(s, d)
+      graft.sources.SketchSidecar.servedOverlapBetweenWindows(
+          s, cfg.sidecarPath, kmvWindowDaysA, kmvWindowDaysB)
+        .select(col("a_groups_covered"), col("b_groups_covered"),
+          round(col("a_est"), 6).as("a_est"),
+          round(col("b_est"), 6).as("b_est"),
+          round(col("union_est"), 6).as("union_est"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("inter_est"), 6).as("inter_est"),
+          round(col("a_only_est"), 6).as("a_only_est"),
+          round(col("b_only_est"), 6).as("b_only_est"))
+    }),
+
+    // the between-windows contract (one row or loudly zero): both
+    // windows fully covered, sizes and union within 3.5 sigma of
+    // rse = 1/sqrt(k-2) of the exact windowed distinct counts, overlap
+    // fractions within the exact-membership Jaccard bounds — the
+    // q_kmv_overlap_gap floors on window-scoped truth
+    "q_kmv_window_overlap_gap" -> ((s, d) => {
+      val cfg = dayMultiSidecarFor(s, d)
+      val k = cfg.kmvK
+      val relBound = 3.5 / math.sqrt((k - 2).toDouble)
+      val jBound = 3.5 * 0.5 / math.sqrt(k.toDouble)
+      val served = graft.sources.SketchSidecar
+        .servedOverlapBetweenWindows(s, cfg.sidecarPath,
+          kmvWindowDaysA, kmvWindowDaysB)
+      val ev = graft.Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val inA = col("day").between(kmvWindowDaysA.head,
+        kmvWindowDaysA.last)
+      val inB = col("day").between(kmvWindowDaysB.head,
+        kmvWindowDaysB.last)
+      val exact = ev.agg(
+        countDistinct(when(inA, col("user_id"))).as("na"),
+        countDistinct(when(inB, col("user_id"))).as("nb"),
+        countDistinct(when(inA || inB, col("user_id"))).as("nu"))
+        .crossJoin(ev.where(inA).select("user_id").distinct()
+          .join(ev.where(inB).select("user_id").distinct(),
+            Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("ni")))
+      served.crossJoin(exact)
+        .select(col("a_groups_covered"), col("b_groups_covered"),
+          round(abs(col("a_est") - col("na")) / col("na"), 6)
+            .as("a_rel_err"),
+          round(abs(col("b_est") - col("nb")) / col("nb"), 6)
+            .as("b_rel_err"),
+          round(abs(col("union_est") - col("nu")) / col("nu"), 6)
+            .as("union_rel_err"),
+          round(abs(col("jaccard") - col("ni") / col("nu").cast("double")),
+            6).as("jaccard_abs_err"),
+          round(abs(col("inter_est") - col("ni")) / col("nu"), 6)
+            .as("inter_err_vs_union"),
+          round(abs(col("a_only_est") - (col("na") - col("ni"))) /
+            col("nu"), 6).as("a_only_err_vs_union"),
+          round(abs(col("b_only_est") - (col("nb") - col("ni"))) /
+            col("nu"), 6).as("b_only_err_vs_union"))
+        .withColumn("meets_floor",
+          col("a_groups_covered") === kmvWindowDaysA.length &&
+          col("b_groups_covered") === kmvWindowDaysB.length &&
+          col("a_rel_err") <= relBound &&
+          col("b_rel_err") <= relBound &&
+          col("union_rel_err") <= relBound &&
+          col("jaccard_abs_err") <= jBound &&
+          col("inter_err_vs_union") <= jBound + relBound &&
+          col("a_only_err_vs_union") <= jBound + relBound &&
+          col("b_only_err_vs_union") <= jBound + relBound)
         .where(col("meets_floor"))
     }),
 

@@ -1334,6 +1334,19 @@ object Queries {
           round(col("global_clustering"), 6).as("global_clustering"))
     }),
 
+    // pairwise association mining on the same co-purchase baskets:
+    // support, lift and PMI for every part pair bought together in at
+    // least 2 orders — exact counts, broadcast-priced item supports,
+    // full DuckDB oracle
+    "q_copurchase_lift" -> ((s, d) =>
+      graft.operators.Assoc.pairAssociations(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("item_a"), col("item_b"), col("support_ab"),
+          col("support_a"), col("support_b"), col("n_baskets"),
+          round(col("lift"), 6).as("lift"), round(col("pmi"), 6).as("pmi"))
+        .orderBy("item_a", "item_b")),
+
     // cohort retention matrix over the event stream: users cohorted by
     // first active day, cells = users active exactly `offset` days
     // later (0..7). Exact — full DuckDB oracle; the distinct
@@ -1532,6 +1545,26 @@ object Queries {
         |SELECT nodes, edges, wedges, CAST(t AS BIGINT) AS triangles,
         |  round(3.0 * t / wedges_d, 6) AS global_clustering
         |FROM ds, es, tri""".stripMargin,
+    "q_copurchase_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+        |    l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS support_ab
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |i AS (SELECT item, CAST(count(*) AS BIGINT) AS support
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+        |  FROM b)
+        |SELECT item_a, item_b, support_ab, ia.support AS support_a,
+        |  ib.support AS support_b, n_baskets,
+        |  round(CAST(support_ab * n_baskets AS DOUBLE)
+        |    / (ia.support * ib.support), 6) AS lift,
+        |  round(log2(CAST(support_ab * n_baskets AS DOUBLE)
+        |    / (ia.support * ib.support)), 6) AS pmi
+        |FROM p JOIN i ia ON ia.item = item_a
+        |  JOIN i ib ON ib.item = item_b CROSS JOIN t
+        |ORDER BY item_a, item_b""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id AS u,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

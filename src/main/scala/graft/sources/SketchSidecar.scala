@@ -1430,6 +1430,51 @@ object SketchSidecar {
       .toDF("groups_covered", "distinct_estimate")
   }
 
+  /** Set algebra BETWEEN two group-windows of ONE grouped KMV sidecar —
+    * the sketch-served form of "how many of this week's users were also
+    * active last week": bottom-k union over each window's covered rows,
+    * then the exact-membership overlap estimator of [[servedOverlap]].
+    * One row `(a_groups_covered, b_groups_covered, a_est, b_est,
+    * union_est, jaccard, inter_est, a_only_est, b_only_est)` — the full
+    * algebra (returning users = inter, churned = a_only, new = b_only)
+    * from O(rows-in-range) work and ≤ k longs of driver state per side,
+    * never an events re-scan. Windows may overlap or be disjoint; a
+    * window with no covered rows has an empty (exact) sketch, and each
+    * side's `*_groups_covered` reports its REQUESTED days that had rows
+    * — absent days are reported, not invented. Estimator bounds are
+    * [[servedOverlap]]'s verbatim.
+    */
+  def servedOverlapBetweenWindows(spark: SparkSession, sidecarPath: String,
+                                  groupsA: Seq[String],
+                                  groupsB: Seq[String]): DataFrame = {
+    require(groupsA.nonEmpty && groupsB.nonEmpty, "empty group selection")
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    def side(groups: Seq[String]): (Long, Array[Long], Int) = {
+      val in = rows.where(col("grp").isin(groups: _*))
+      val covered = in.agg(count_distinct(col("grp")))
+        .collect().head.getLong(0)
+      if (covered == 0) (0L, Array.emptyLongArray, 0)
+      else {
+        val (kmv, k) = mergedKmvRows(in, sidecarPath)
+        (covered, kmv, k)
+      }
+    }
+    val (ca, a, ka) = side(groupsA)
+    val (cb, b, kb) = side(groupsB)
+    require(ka == 0 || kb == 0 || ka == kb,
+      s"kmvK mismatch: $ka vs $kb — sketches of different k are not " +
+        "union-comparable")
+    val k = math.max(ka, kb)
+    require(k > 0, "neither window covered any sidecar rows")
+    val s = overlapStats(a, b, k)
+    import spark.implicits._
+    Seq((ca, cb, s._1, s._2, s._3, s._4, s._5, s._6, s._7))
+      .toDF("a_groups_covered", "b_groups_covered", "a_est", "b_est",
+        "union_est", "jaccard", "inter_est", "a_only_est", "b_only_est")
+  }
+
   /** The CMS-merge + candidate-pricing serve over a sidecar row frame
     * (whole-sidecar and group-windowed serves share it). */
   private def heavyHittersOfRows(rows: DataFrame, phi: Double)

@@ -668,6 +668,44 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("overlap between two windows of one grouped KMV sidecar: exact " +
+      "in the below-k regime, one-empty-window degrades to zero overlap, " +
+      "both-empty refuses") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("kmv_winov").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id",
+      groupKeyExpr = Some("day"), kmvKeyExpr = Some("id"), kmvK = 256)
+    // d1: ids 1-100, d2: ids 51-150 — inter 50, union 150, all < k
+    val rows = (1L to 100L).map(i => (i, "d1")) ++
+      (51L to 150L).map(i => (i, "d2"))
+    (0 until 2).foreach(b => SketchSidecar.appendBatch(
+      rows.filter(_._1 % 2 == b).toDF("id", "day"), cfg))
+    val r = SketchSidecar.servedOverlapBetweenWindows(
+      spark, cfg.sidecarPath, Seq("d1"), Seq("d2", "d9")).collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 1L,
+      "d9 never had rows: b covered = 1")
+    assert(r.getDouble(r.fieldIndex("a_est")) === 100.0)
+    assert(r.getDouble(r.fieldIndex("b_est")) === 100.0)
+    assert(r.getDouble(r.fieldIndex("union_est")) === 150.0)
+    assert(r.getDouble(r.fieldIndex("inter_est")) === 50.0)
+    assert(r.getDouble(r.fieldIndex("a_only_est")) === 50.0)
+    assert(r.getDouble(r.fieldIndex("b_only_est")) === 50.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("jaccard")) - 50.0 / 150.0)
+      < 1e-12)
+    // one side entirely absent: empty exact sketch, zero overlap
+    val e = SketchSidecar.servedOverlapBetweenWindows(
+      spark, cfg.sidecarPath, Seq("d9"), Seq("d2")).collect().head
+    assert(e.getLong(0) === 0L)
+    assert(e.getDouble(e.fieldIndex("a_est")) === 0.0)
+    assert(e.getDouble(e.fieldIndex("inter_est")) === 0.0)
+    assert(e.getDouble(e.fieldIndex("b_est")) === 100.0)
+    // both sides absent: nothing to estimate with — loud refusal
+    intercept[IllegalArgumentException] {
+      SketchSidecar.servedOverlapBetweenWindows(
+        spark, cfg.sidecarPath, Seq("d8"), Seq("d9"))
+    }
+  }
+
   test("key-skew from the CMS sidecar: F2 sandwiches the exact second " +
       "moment, the top-share bracket contains the true share, and a " +
       "skewed column reports far fewer effective keys than distinct") {
