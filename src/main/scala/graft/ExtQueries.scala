@@ -1322,6 +1322,22 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // distribution drift between the same two windows from the EXACT
+    // moments face: Welch's z for the mean shift of `value`, served
+    // from the covered day rows — and because the inputs are exact
+    // sums, the whole statistic carries a full DuckDB equality oracle
+    // (a drift monitor a sketch could only bound)
+    "q_moments_drift" -> ((s, d) => {
+      val cfg = dayMultiSidecarFor(s, d)
+      graft.sources.SketchSidecar.servedMomentsDrift(
+          s, cfg.sidecarPath, kmvWindowDaysA, kmvWindowDaysB)
+        .select(col("a_groups_covered"), col("b_groups_covered"),
+          col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("welch_z"), 6).as("welch_z"))
+    }),
+
     // set algebra BETWEEN two time windows of ONE day-grouped KMV
     // sidecar — sketch-served returning users: how many of Jan 11-13's
     // users were also active Jan 7-10 (inter), churned (a_only), new
@@ -3820,6 +3836,29 @@ object ExtQueries {
         |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
         |  round(sum(m), 6) AS centroid_sum
         |FROM m GROUP BY grp ORDER BY grp""".stripMargin,
+    // drift twin: identical Welch arithmetic from exact window sums
+    // (population variance, same operation order)
+    "q_moments_drift" ->
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    value FROM events),
+        |a AS (SELECT CAST(count(DISTINCT day) AS BIGINT)
+        |        AS a_groups_covered,
+        |      CAST(count(value) AS BIGINT) AS n_a,
+        |      sum(value) AS sa, sum(value * value) AS sa2
+        |    FROM e WHERE day BETWEEN '2024-01-07' AND '2024-01-10'),
+        |b AS (SELECT CAST(count(DISTINCT day) AS BIGINT)
+        |        AS b_groups_covered,
+        |      CAST(count(value) AS BIGINT) AS n_b,
+        |      sum(value) AS sb, sum(value * value) AS sb2
+        |    FROM e WHERE day BETWEEN '2024-01-11' AND '2024-01-13')
+        |SELECT a_groups_covered, b_groups_covered, n_a, n_b,
+        |  round(sa / n_a, 6) AS mean_a,
+        |  round(sb / n_b, 6) AS mean_b,
+        |  round((sa / n_a - sb / n_b) /
+        |    sqrt((sa2 / n_a - (sa / n_a) * (sa / n_a)) / n_a
+        |       + (sb2 / n_b - (sb / n_b) * (sb / n_b)) / n_b), 6)
+        |    AS welch_z
+        |FROM a, b""".stripMargin,
     // priority-sampling twin: identical priority arithmetic (w divided
     // by the scramble-uniform), identical (priority desc, id) ranking,
     // tau = the (k+1)-th priority, HT weight = greatest(w, tau)

@@ -428,6 +428,39 @@ object SketchSidecar {
       None, coveredOf = Some(groups))
   }
 
+  /** Distribution drift BETWEEN two group-windows of one grouped
+    * sidecar, from the EXACT moments face: Welch's z for the mean shift,
+    * z = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b) with the
+    * population variances the face serves — "did this week's document
+    * length shift against last week's" answered from the covered day
+    * rows, no corpus re-scan, and because the inputs are exact sums the
+    * statistic carries a full equality oracle (unlike every sketch-fed
+    * drift monitor). One row `(a_groups_covered, b_groups_covered, n_a,
+    * n_b, mean_a, mean_b, welch_z)`; z is null when either window has
+    * no values or both variances are zero (no scale to measure shift
+    * against — gate on the counts before alerting).
+    */
+  def servedMomentsDrift(spark: SparkSession, sidecarPath: String,
+                         groupsA: Seq[String],
+                         groupsB: Seq[String]): DataFrame = {
+    def sideCols(df: DataFrame, p: String): DataFrame =
+      df.select(col("groups_covered").as(s"${p}_groups_covered"),
+        col("vn").as(s"n_$p"), col("mean").as(s"mean_$p"),
+        col("variance").as(s"var_$p"))
+    val a = sideCols(
+      servedMomentsAcrossGroups(spark, sidecarPath, groupsA), "a")
+    val b = sideCols(
+      servedMomentsAcrossGroups(spark, sidecarPath, groupsB), "b")
+    val se2 = col("var_a") / col("n_a") + col("var_b") / col("n_b")
+    a.crossJoin(b)
+      .withColumn("welch_z",
+        when(col("n_a") > 0 && col("n_b") > 0 && se2 > 0,
+          (col("mean_a") - col("mean_b")) / sqrt(se2)))
+      .select(col("a_groups_covered"), col("b_groups_covered"),
+        col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("welch_z"))
+  }
+
   /** The moments merge + derived statistics over a sidecar row frame
     * (whole-sidecar, grouped and group-windowed serves share it).
     * `coveredOf` adds a `groups_covered` column counting the REQUESTED

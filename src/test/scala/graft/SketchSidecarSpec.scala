@@ -801,6 +801,19 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     check(winMoments, all.where(col("g") === "b"))
     assert(winMoments.select("groups_covered").collect().head.getLong(0)
       === 1L, "'zzz' never had rows: covered = 1, reported not invented")
+    // Welch drift between the two groups equals the hand formula over
+    // the direct stats
+    val (na, sa, _, _, sa2) = direct(all.where(col("g") === "a"))
+    val (nb, sb, _, _, sb2) = direct(all.where(col("g") === "b"))
+    val (ma, mb) = (sa / na, sb / nb)
+    val (va, vb) = (sa2 / na - ma * ma, sb2 / nb - mb * mb)
+    val zExp = (ma - mb) / math.sqrt(va / na + vb / nb)
+    val dr = SketchSidecar.servedMomentsDrift(spark, cfg.sidecarPath,
+      Seq("a"), Seq("b", "zzz")).collect().head
+    assert(dr.getLong(dr.fieldIndex("b_groups_covered")) === 1L)
+    assert(math.abs(dr.getDouble(dr.fieldIndex("welch_z")) - zExp)
+      < 1e-12, s"welch_z ${dr.getDouble(dr.fieldIndex("welch_z"))} " +
+        s"vs $zExp")
     // row-merge: the merged row's moments are bit-identical
     val before = servedTuple(
       SketchSidecar.servedMoments(spark, cfg.sidecarPath))
