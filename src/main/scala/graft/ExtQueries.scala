@@ -1281,6 +1281,52 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // per-group key skew from the GROUPED CMS face: which source's lang
+    // distribution is skewed, each group priced on its own scale —
+    // the salting dashboard per domain. Rows-only; the _gap twin
+    // enforces every group's sandwich and bracket at the worst group
+    "q_f2_skew_by_group" -> ((s, d) => {
+      val cfg = groupedSketchSidecarFor(s, d)
+      graft.sources.SketchSidecar
+        .servedKeySkewByGroup(s, cfg.sidecarPath)
+        .select(col("grp"), col("n"), col("f2_est"),
+          round(col("l2_l1_ratio"), 6).as("l2_l1_ratio"),
+          round(col("uniform_equiv_keys"), 6).as("uniform_equiv_keys"),
+          round(col("top_share_lb"), 6).as("top_share_lb"),
+          round(col("top_share_ub"), 6).as("top_share_ub"))
+        .orderBy("grp")
+    }),
+
+    // every group's F2 sandwich and top-share bracket vs exact
+    // (source, lang) counts, enforced at the WORST group (one row or
+    // loudly zero)
+    "q_f2_skew_by_group_gap" -> ((s, d) => {
+      val cfg = groupedSketchSidecarFor(s, d)
+      val served = graft.sources.SketchSidecar
+        .servedKeySkewByGroup(s, cfg.sidecarPath)
+      val exact = docs(s, d)
+        .groupBy(col("source").cast("string").as("grp"),
+          col("lang").cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("grp")
+        .agg(sum(col("cnt") * col("cnt")).as("exact_f2"),
+          max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total"))
+      served.join(exact, Seq("grp"))
+        .select(col("grp"),
+          (col("f2_est") >= col("exact_f2") &&
+           (col("f2_est") - col("exact_f2")) <= col("f2_bound") &&
+           col("top_cnt") / col("total").cast("double") >=
+             col("top_share_lb") - lit(1e-9) &&
+           col("top_cnt") / col("total").cast("double") <=
+             col("top_share_ub") + lit(1e-9)).as("ok"))
+        .agg(count(lit(1)).as("groups"),
+          coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L))
+            .as("groups_ok"))
+        .withColumn("meets_floor", col("groups_ok") === col("groups") &&
+          col("groups") > 0)
+        .where(col("meets_floor"))
+    }),
+
     // join-cardinality estimation from monitoring state alone: |A JOIN B|
     // on o_custkey estimated as the Count-Min INNER PRODUCT of the two
     // snapshots' merged CMS sidecars — the query-planning estimate two

@@ -1246,6 +1246,61 @@ object SketchSidecar {
         "uniform_equiv_keys", "top_share_lb", "top_share_ub")
   }
 
+  /** [[servedKeySkew]] PER GROUP from a GROUPED sidecar carrying the CMS
+    * face — "WHICH domain's key column is skewed": one row per group
+    * with the group's own F2 estimate, skew measures and top-share
+    * bracket, every guarantee [[servedKeySkew]]'s on the group's own
+    * scale. Groups whose CMS saw no keys (all-null heavyKeyExpr) are
+    * OMITTED — their skew is not a number, and a monitoring row of NaNs
+    * would read as an answer. Driver state: one parsed sketch per group
+    * (depth·width longs — ~160 KB at the default eps/confidence), times
+    * the operator-bounded group dimension, the [[Cfg.groupKeyExpr]]
+    * contract.
+    */
+  def servedKeySkewByGroup(spark: SparkSession,
+                           sidecarPath: String): DataFrame = {
+    val rows = spark.read.parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr)")
+    require(rows.columns.contains("cms"),
+      s"sidecar at $sidecarPath carries no CMS face (set Cfg.heavyKeyExpr)")
+    val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+    val merged = rows.where(col("cms").isNotNull)
+      .groupBy("grp").agg(cmsMerge(col("cms")).as("cms"))
+      .collect()
+      .map(r => r.getString(0) -> parseCms(r.getAs[Array[Byte]](1)))
+      .toMap
+    val tops = servedHeavyHittersByGroup(spark, sidecarPath, phi = 1e-12)
+      .groupBy("grp").agg(max(col("est")).as("top_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    merged.toSeq.sortBy(t => Option(t._1))
+      .filter(_._2.total > 0)
+      .map { case (g, m) =>
+        var f2 = Double.PositiveInfinity
+        var d = 0
+        while (d < m.depth) {
+          var s = 0.0
+          var w = 0
+          while (w < m.width) {
+            val c = m.table(d * m.width + w).toDouble
+            s += c * c
+            w += 1
+          }
+          if (s < f2) f2 = s
+          d += 1
+        }
+        val n = m.total.toDouble
+        val epsEff = 2.0 / m.width
+        val topEst = tops.getOrElse(g, 0L)
+        (g, m.total, f2, 2.0 * n * n / m.width, math.sqrt(f2) / n,
+          n * n / f2, math.max(0.0, topEst / n - epsEff),
+          math.min(1.0, topEst / n))
+      }
+      .toDF("grp", "n", "f2_est", "f2_bound", "l2_l1_ratio",
+        "uniform_equiv_keys", "top_share_lb", "top_share_ub")
+  }
+
   /** Distributive Count-Min merge: cell-wise addition of the serialized
     * sketches, run as a real Spark `Aggregator` so partial merges happen
     * on executors (tree shape), never as a driver loop over rows. The

@@ -745,6 +745,42 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       SketchSidecar.servedKeySkew(spark, empty.sidecarPath)
     }
+    // grouped: the skewed group reports far fewer effective keys than
+    // the uniform one on the same serve; an all-null-key group is
+    // omitted, not served as NaN
+    val gcfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("sketch_gskew").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "id",
+      groupKeyExpr = Some("g"), heavyKeyExpr = Some("key"))
+    var gid = 0L
+    def grows(g: String, spec: Seq[(String, Int)]) =
+      spec.flatMap { case (k, c) => (1 to c).map { _ =>
+        gid += 1; (gid, g, k) } }
+    (0 until 2).foreach { _ =>
+      SketchSidecar.appendBatch(
+        (grows("skewed", Seq("dom" -> 100) ++
+            (1 to 100).map(i => s"r$i" -> 1)) ++
+          grows("uniform", (1 to 100).map(i => s"u$i" -> 2)) ++
+          (1 to 5).map { _ => gid += 1; (gid, "nullkey",
+            null.asInstanceOf[String]) })
+          .toDF("id", "g", "key"), gcfg)
+    }
+    val byGrp = SketchSidecar.servedKeySkewByGroup(spark, gcfg.sidecarPath)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(byGrp.keySet === Set("skewed", "uniform"),
+      "the all-null-key group must be omitted")
+    val skewEff = byGrp("skewed")
+      .getDouble(byGrp("skewed").fieldIndex("uniform_equiv_keys"))
+    val unifEff = byGrp("uniform")
+      .getDouble(byGrp("uniform").fieldIndex("uniform_equiv_keys"))
+    assert(skewEff < 10.0 && unifEff > 50.0,
+      s"skewed=$skewEff uniform=$unifEff")
+    // per-group sandwich for the skewed group
+    val sf2 = byGrp("skewed").getDouble(byGrp("skewed").fieldIndex("f2_est"))
+    val sExact = (200L * 200L + 100L * 2L * 2L).toDouble
+    assert(sf2 >= sExact &&
+      sf2 - sExact <= byGrp("skewed")
+        .getDouble(byGrp("skewed").fieldIndex("f2_bound")))
   }
 
   test("moments face: served mean/variance/extrema EQUAL a direct scan " +
