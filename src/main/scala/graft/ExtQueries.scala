@@ -425,6 +425,36 @@ object ExtQueries {
     (cfgA, cfgB)
   }
 
+  /** The q_graph_triangles_incremental fixture: the co-purchase edge
+    * stream (same pair construction as Queries.q_graph_triangles)
+    * arriving as 3 order-keyed batches into an incremental triangle
+    * store — each batch folds in at O(m + delta·deg) instead of the
+    * O(m^1.5) recount. Built once per sf dir; the final census must
+    * EQUAL the one-shot count, which is exactly what the shared DuckDB
+    * oracle checks.
+    */
+  private def triangleStoreFor(s: SparkSession, d: String): String = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_tri_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val store = new java.io.File(base, "store").toString
+    buildOnce(base) {
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      (0 until 3).foreach { b =>
+        val batch = li.filter(pmod(col("l_orderkey"), lit(3)) === b)
+        val pairs = batch.as("a").join(batch.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+        graft.operators.Graph.updateTriangleCensus(s, store, pairs,
+          "src", "dst")
+      }
+    }
+    store
+  }
+
   /** The q_sketch_moments fixture: the documents table replayed as 5
     * ingest batches into a source-GROUPED sidecar (hash split, the
     * [[groupedSketchSidecarFor]] convention) — its own dir because the
@@ -1279,6 +1309,18 @@ object ExtQueries {
           col("top_share") >= col("top_share_lb") - lit(1e-9) &&
           col("top_share") <= col("top_share_ub") + lit(1e-9))
         .where(col("meets_floor"))
+    }),
+
+    // the incremental triangle store after 3 edge batches: the census
+    // must equal the one-shot count exactly — same full DuckDB oracle
+    // as q_graph_triangles, now also proving the delta algebra and the
+    // store's crash-healing read path
+    "q_graph_triangles_incremental" -> ((s, d) => {
+      val store = triangleStoreFor(s, d)
+      graft.operators.Graph.readTriangleCensus(s, store)
+        .select(col("nodes"), col("edges"), col("wedges"),
+          col("triangles"),
+          round(col("global_clustering"), 6).as("global_clustering"))
     }),
 
     // per-group key skew from the GROUPED CMS face: which source's lang
@@ -3801,6 +3843,10 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
+    // the incremental store's census must equal the one-shot count —
+    // the SAME oracle as the single-pass query
+    "q_graph_triangles_incremental" ->
+      Queries.oracles("q_graph_triangles"),
     // the moments face merges EXACTLY, so the sidecar serve must equal
     // a direct scan — same double formula on both engines (exact
     // integer sums below 2^53 make the arithmetic order-independent)

@@ -106,6 +106,56 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(census(hubbed)._4 === 1L)
   }
 
+  test("incremental triangle census: randomized law — batched folds " +
+      "equal the one-shot recount; replay is a noop; a stale census " +
+      "(crash between edges append and census swap) heals by recount") {
+    import java.nio.file.Files
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val store = Files.createTempDirectory(s"tri_store_$trial")
+        .resolve("s").toString
+      val n = 24
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)) ++ Seq((3L, 2L), (2L, 3L), (5L, 5L)) // noise
+      val shuffled = rnd.shuffle(edges)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / 3)).toSeq
+      var last: org.apache.spark.sql.Row = null
+      batches.foreach { b =>
+        last = Graph.updateTriangleCensus(spark, store,
+          b.toDF("src", "dst"), "src", "dst").collect().head
+      }
+      val oneShot = Graph.triangles(shuffled.toDF("src", "dst"),
+        "src", "dst").collect().head
+      Seq("nodes", "edges", "wedges", "triangles").foreach { c =>
+        assert(last.getLong(last.fieldIndex(c)) ===
+          oneShot.getLong(oneShot.fieldIndex(c)),
+          s"trial $trial: $c diverged from the one-shot recount")
+      }
+      // replaying the last batch changes nothing
+      val replay = Graph.updateTriangleCensus(spark, store,
+        batches.last.toDF("src", "dst"), "src", "dst").collect().head
+      assert(replay.getString(replay.fieldIndex("mode")) === "noop")
+      assert(replay.getLong(replay.fieldIndex("triangles")) ===
+        last.getLong(last.fieldIndex("triangles")))
+      // simulate the crash window: edges land without the census swap
+      val extra = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+      extra.toDF("lo", "hi").write.mode("append")
+        .parquet(s"$store/edges")
+      val healed = Graph.updateTriangleCensus(spark, store,
+        Seq((100L, 103L)).toDF("src", "dst"), "src", "dst")
+        .collect().head
+      assert(healed.getString(healed.fieldIndex("mode")) === "recount",
+        "a stale census must heal by recount, not compound")
+      val expect = Graph.triangles(
+        (shuffled ++ extra ++ Seq((100L, 103L))).toDF("src", "dst"),
+        "src", "dst").collect().head
+      assert(healed.getLong(healed.fieldIndex("triangles")) ===
+        expect.getLong(expect.fieldIndex("triangles")))
+    }
+  }
+
   test("retention: hand-computed cohort matrix — first day cohorts, " +
       "duplicate events collapse, offsets beyond the horizon drop") {
     import java.sql.Timestamp
