@@ -1334,6 +1334,20 @@ object Queries {
           round(col("global_clustering"), 6).as("global_clustering"))
     }),
 
+    // grouped OLS in one aggregation pass: slope/intercept/corr/r2 of
+    // extendedprice on quantity per returnflag from the five moment
+    // sums — closed form, no iteration, map-side partials carrying the
+    // scan. Exact arithmetic, full DuckDB oracle
+    "q_ols" -> ((s, d) =>
+      graft.operators.Profile.olsByGroup(t(s, d, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("corr"), 6).as("corr"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("l_returnflag")),
+
     // pairwise association mining on the same co-purchase baskets:
     // support, lift and PMI for every part pair bought together in at
     // least 2 orders — exact counts, broadcast-priced item supports,
@@ -1545,6 +1559,35 @@ object Queries {
         |SELECT nodes, edges, wedges, CAST(t AS BIGINT) AS triangles,
         |  round(3.0 * t / wedges_d, 6) AS global_clustering
         |FROM ds, es, tri""".stripMargin,
+    // OLS twin: identical moment-sum formulas, same operation order
+    // (casts to double up front so both engines sum the same values)
+    "q_ols" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS sx,
+        |    sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+        |    sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE)) AS sxy,
+        |    sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE)) AS sx2,
+        |    sum(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE)) AS sy2
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    (sxy - sx * sy / n) / (sx2 - sx * sx / n) AS slope_raw,
+        |    (sxy - sx * sy / n)
+        |      / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n))
+        |      AS corr_raw,
+        |    sx, sy
+        |  FROM s)
+        |SELECT l_returnflag, n, round(slope_raw, 6) AS slope,
+        |  round((sy - slope_raw * sx) / n, 6) AS intercept,
+        |  round(corr_raw, 6) AS corr,
+        |  round(corr_raw * corr_raw, 6) AS r2
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "q_copurchase_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
         |    l_partkey AS item FROM lineitem),

@@ -86,4 +86,43 @@ object Profile {
       .withColumn("z", z)
       .drop("__ol_mean", "__ol_sd")
   }
+
+  /** Grouped simple linear regression (OLS of y on x) in ONE
+    * aggregation pass: slope, intercept, Pearson correlation and r²
+    * per group from the five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) —
+    * the closed form, no iteration, no second scan, map-side partial
+    * aggregation doing the heavy lifting. Rows where either side is
+    * null are excluded (pairwise deletion, the `REGR_*` convention).
+    * Groups with fewer than 2 points or zero x-variance serve null
+    * slope/intercept (a vertical or single-point fit is not a line);
+    * r²/corr additionally null when y-variance is zero. Exact moment
+    * arithmetic — the formulas are plain SQL, so query rows over this
+    * carry full DuckDB oracles.
+    */
+  def olsByGroup(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val both = x.isNotNull && y.isNotNull
+    val base = df.where(both)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sx2"),
+        sum(y * y).as("sy2"))
+    val n = col("n").cast("double")
+    val covN = col("sxy") - col("sx") * col("sy") / n  // n·cov(x,y)
+    val varXN = col("sx2") - col("sx") * col("sx") / n // n·var(x)
+    val varYN = col("sy2") - col("sy") * col("sy") / n
+    val slope = when(col("n") >= 2 && varXN > 0, covN / varXN)
+    val corr = when(col("n") >= 2 && varXN > 0 && varYN > 0,
+      covN / sqrt(varXN * varYN))
+    base
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sy") - slope * col("sx")) / n)
+      .withColumn("corr", corr)
+      .withColumn("r2", corr * corr)
+      .drop("sx", "sy", "sxy", "sx2", "sy2")
+  }
 }

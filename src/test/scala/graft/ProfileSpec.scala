@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Profile
 
@@ -58,5 +59,38 @@ class ProfileSpec extends AnyFunSuite with SparkFixture {
     val expected = (101.0 - 21.0) / 44.72135954999579
     assert(math.abs(hit.head._2 - expected) < 1e-9)
     assert(Profile.outliers(df, Seq("g"), "v", 1.8).count() === 0)
+  }
+
+  test("olsByGroup: exact fit recovers the line, degenerate groups " +
+      "serve nulls, null pairs excluded") {
+    val rows = Seq(
+      // g1: y = 2x + 1 exactly, plus a null-y row (excluded)
+      ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+      ("g1", 4.0, Double.NaN),
+      // g2: constant y (zero y-variance): slope defined, corr/r2 null
+      ("g2", 1.0, 4.0), ("g2", 2.0, 4.0), ("g2", 3.0, 4.0),
+      // g3: single point: no line
+      ("g3", 5.0, 9.0),
+      // g4: zero x-variance: no line
+      ("g4", 2.0, 1.0), ("g4", 2.0, 3.0))
+      .toDF("g", "x", "y")
+      .withColumn("y", when(isnan(col("y")), lit(null)).otherwise(col("y")))
+    val r = Profile.olsByGroup(rows, Seq("g"), "x", "y")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val g1 = r("g1")
+    assert(g1.getLong(g1.fieldIndex("n")) === 3L, "null pair excluded")
+    assert(math.abs(g1.getDouble(g1.fieldIndex("slope")) - 2.0) < 1e-12)
+    assert(math.abs(g1.getDouble(g1.fieldIndex("intercept")) - 1.0)
+      < 1e-12)
+    assert(math.abs(g1.getDouble(g1.fieldIndex("r2")) - 1.0) < 1e-12)
+    val g2 = r("g2")
+    assert(math.abs(g2.getDouble(g2.fieldIndex("slope"))) < 1e-12)
+    assert(g2.isNullAt(g2.fieldIndex("corr")) &&
+      g2.isNullAt(g2.fieldIndex("r2")))
+    Seq("g3", "g4").foreach { g =>
+      assert(r(g).isNullAt(r(g).fieldIndex("slope")) &&
+        r(g).isNullAt(r(g).fieldIndex("intercept")),
+        s"$g: a vertical or single-point fit is not a line")
+    }
   }
 }
