@@ -1353,14 +1353,17 @@ object ExtQueries {
         .groupBy("grp")
         .agg(sum(col("cnt") * col("cnt")).as("exact_f2"),
           max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total"))
-      served.join(exact, Seq("grp"))
+      // LEFT join from the exact side: a group the serve wrongly
+      // dropped must FAIL the floor (null served columns → ok false),
+      // not silently vanish from the check
+      exact.join(served, Seq("grp"), "left")
         .select(col("grp"),
-          (col("f2_est") >= col("exact_f2") &&
+          coalesce(col("f2_est") >= col("exact_f2") &&
            (col("f2_est") - col("exact_f2")) <= col("f2_bound") &&
            col("top_cnt") / col("total").cast("double") >=
              col("top_share_lb") - lit(1e-9) &&
            col("top_cnt") / col("total").cast("double") <=
-             col("top_share_ub") + lit(1e-9)).as("ok"))
+             col("top_share_ub") + lit(1e-9), lit(false)).as("ok"))
         .agg(count(lit(1)).as("groups"),
           coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L))
             .as("groups_ok"))

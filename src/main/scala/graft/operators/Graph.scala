@@ -118,6 +118,18 @@ object Graph {
         coalesce(col("in_w"), lit(0.0)).as("in_w"))
   }
 
+  /** Canonical simple-edge form: (lo < hi), self-loops out, distinct. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+
   /** Exact triangle count + global clustering coefficient of the
     * UNDIRECTED simple graph under `edges` (direction and multiplicity
     * dropped; self-loops ignored). One row `(nodes, edges, wedges,
@@ -137,18 +149,6 @@ object Graph {
     * semi-join on (lo, hi) — all key-partitioned equi-joins, no
     * cartesian anywhere.
     */
-  /** Canonical simple-edge form: (lo < hi), self-loops out, distinct. */
-  private def canonicalEdges(edges: DataFrame, srcCol: String,
-                             dstCol: String): DataFrame =
-    edges
-      .select(col(srcCol).cast("long").as("a"),
-        col(dstCol).cast("long").as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("lo"),
-        greatest(col("a"), col("b")).as("hi"))
-      .distinct()
-
   def triangles(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
     val e = canonicalEdges(edges, srcCol, dstCol)
@@ -239,10 +239,24 @@ object Graph {
       val stale = stored.forall(r =>
         r.getLong(r.fieldIndex("edges")) != oldEdgeCount)
       if (delta.isEmpty && !stale) {
-        return readTriangleCensus(spark, censusPath)
+        // materialize from the already-collected row — a lazy read over
+        // census/ would dangle once the NEXT update's swap retires it
+        val s0 = stored.get
+        import spark.implicits._
+        return Seq((s0.getLong(s0.fieldIndex("nodes")),
+            s0.getLong(s0.fieldIndex("edges")),
+            s0.getLong(s0.fieldIndex("wedges")),
+            s0.getLong(s0.fieldIndex("triangles")),
+            if (s0.isNullAt(s0.fieldIndex("global_clustering"))) None
+            else Some(s0.getDouble(s0.fieldIndex("global_clustering")))))
+          .toDF("nodes", "edges", "wedges", "triangles",
+            "global_clustering")
           .withColumn("mode", lit("noop"))
       }
-      val full = old.unionAll(delta)
+      // one materialized copy of the merged set: every count below (and
+      // the recount path) reads it instead of re-scanning the store
+      val full = old.unionAll(delta).localCheckpoint(true)
+      try {
       def sym(f: DataFrame): DataFrame =
         f.select(col("lo").as("a"), col("hi").as("b"))
           .unionAll(f.select(col("hi").as("a"), col("lo").as("b")))
@@ -303,6 +317,7 @@ object Graph {
       census.coalesce(1).write.mode("overwrite").parquet(staging.toString)
       Compaction.swapInto(censusPath, staging.toString)
       census.withColumn("mode", lit(mode))
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(full)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(delta)
   }
 

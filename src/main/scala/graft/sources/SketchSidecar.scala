@@ -1215,8 +1215,23 @@ object SketchSidecar {
       s"sidecar at $sidecarPath saw no CMS keys (every batch empty or " +
         "all-null heavyKeyExpr) — skew of an empty key column is not a " +
         "number; gate on n before asking")
-    // double accumulation — the long form overflows at the corpus sizes
-    // this serve targets (see servedJoinSize)
+    // heaviest candidate: price the sidecar's Misra-Gries union against
+    // the merged sketch, exactly the servedHeavyHitters path. total > 0
+    // implies some batch had keys, hence a non-empty candidate union
+    val topEst = heavyHittersOfRows(rows, phi = 1e-12)
+      .agg(max(col("est"))).collect().head.getLong(0)
+    import spark.implicits._
+    Seq(skewStats(m, topEst))
+      .toDF("n", "f2_est", "f2_bound", "l2_l1_ratio",
+        "uniform_equiv_keys", "top_share_lb", "top_share_ub")
+  }
+
+  /** The CMS self inner product (min over rows of Σ c²) — the F2
+    * estimator shared by the global and per-group skew serves. Double
+    * accumulation: the long form overflows at the corpus sizes these
+    * serves target (see [[servedJoinSize]]).
+    */
+  private def cmsSelfF2(m: ParsedCms): Double = {
     var f2 = Double.PositiveInfinity
     var d = 0
     while (d < m.depth) {
@@ -1230,20 +1245,21 @@ object SketchSidecar {
       if (s < f2) f2 = s
       d += 1
     }
-    val bound = 2.0 * m.total * m.total / m.width
-    // heaviest candidate: price the sidecar's Misra-Gries union against
-    // the merged sketch, exactly the servedHeavyHitters path. total > 0
-    // implies some batch had keys, hence a non-empty candidate union
-    val topEst = heavyHittersOfRows(rows, phi = 1e-12)
-      .agg(max(col("est"))).collect().head.getLong(0)
+    f2
+  }
+
+  /** The derived skew row (n, f2, bound, l2/l1, effective keys, top
+    * share bracket) from one parsed sketch + its priced heaviest
+    * candidate — one definition for both skew serves.
+    */
+  private def skewStats(m: ParsedCms, topEst: Long)
+      : (Long, Double, Double, Double, Double, Double, Double) = {
+    val f2 = cmsSelfF2(m)
     val n = m.total.toDouble
     val epsEff = 2.0 / m.width
-    import spark.implicits._
-    Seq((m.total, f2, bound, math.sqrt(f2) / n,
-        n * n / f2, math.max(0.0, topEst / n - epsEff),
-        math.min(1.0, topEst / n)))
-      .toDF("n", "f2_est", "f2_bound", "l2_l1_ratio",
-        "uniform_equiv_keys", "top_share_lb", "top_share_ub")
+    (m.total, f2, 2.0 * n * n / m.width, math.sqrt(f2) / n,
+      n * n / f2, math.max(0.0, topEst / n - epsEff),
+      math.min(1.0, topEst / n))
   }
 
   /** [[servedKeySkew]] PER GROUP from a GROUPED sidecar carrying the CMS
@@ -1265,37 +1281,32 @@ object SketchSidecar {
     require(rows.columns.contains("cms"),
       s"sidecar at $sidecarPath carries no CMS face (set Cfg.heavyKeyExpr)")
     val cmsMerge = udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
-    val merged = rows.where(col("cms").isNotNull)
+    val mergedBytes = rows.where(col("cms").isNotNull)
       .groupBy("grp").agg(cmsMerge(col("cms")).as("cms"))
       .collect()
-      .map(r => r.getString(0) -> parseCms(r.getAs[Array[Byte]](1)))
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
       .toMap
-    val tops = servedHeavyHittersByGroup(spark, sidecarPath, phi = 1e-12)
-      .groupBy("grp").agg(max(col("est")).as("top_est"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // candidate keys per group from the stored Misra-Gries lists —
+    // bounded metadata; priced driver-side against the ALREADY-merged
+    // sketches (one deserialization per group, no second sidecar
+    // read + re-merge)
+    val cands = rows.select(col("grp"), explode(col("topk")).as("kv"))
+      .select(col("grp"), col("kv.key").as("key")).distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq).toMap
     import spark.implicits._
-    merged.toSeq.sortBy(t => Option(t._1))
-      .filter(_._2.total > 0)
-      .map { case (g, m) =>
-        var f2 = Double.PositiveInfinity
-        var d = 0
-        while (d < m.depth) {
-          var s = 0.0
-          var w = 0
-          while (w < m.width) {
-            val c = m.table(d * m.width + w).toDouble
-            s += c * c
-            w += 1
-          }
-          if (s < f2) f2 = s
-          d += 1
-        }
-        val n = m.total.toDouble
-        val epsEff = 2.0 / m.width
-        val topEst = tops.getOrElse(g, 0L)
-        (g, m.total, f2, 2.0 * n * n / m.width, math.sqrt(f2) / n,
-          n * n / f2, math.max(0.0, topEst / n - epsEff),
-          math.min(1.0, topEst / n))
+    mergedBytes.toSeq.sortBy(t => Option(t._1))
+      .map { case (g, bytes) =>
+        val sketch =
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        val topEst = cands.getOrElse(g, Seq.empty)
+          .map(sketch.estimateCount(_)).foldLeft(0L)(math.max)
+        g -> skewStats(parseCms(bytes), topEst)
+      }
+      .filter(_._2._1 > 0)
+      .map { case (g, s) =>
+        (g, s._1, s._2, s._3, s._4, s._5, s._6, s._7)
       }
       .toDF("grp", "n", "f2_est", "f2_bound", "l2_l1_ratio",
         "uniform_equiv_keys", "top_share_lb", "top_share_ub")
