@@ -1504,6 +1504,21 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // the statistical refusal hook: an arriving batch screened against
+    // the corpus's own accumulated moments (batch-vs-corpus Welch z,
+    // read before any append) — exact inputs, so the whole screen
+    // carries a full DuckDB equality oracle, anomaly verdict included
+    "q_moments_anomaly" -> ((s, d) => {
+      val cfg = momentsSidecarFor(s, d)
+      graft.sources.SketchSidecar.batchAnomaly(
+          docs(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+          cfg, zMax = 4.0)
+        .select(col("n_batch"), col("n_corpus"),
+          round(col("mean_batch"), 6).as("mean_batch"),
+          round(col("mean_corpus"), 6).as("mean_corpus"),
+          round(col("welch_z"), 6).as("welch_z"), col("anomalous"))
+    }),
+
     // the sidecar family's EXACT face: corpus mean/variance/extrema of
     // n_chars served by merging the 5 per-batch moment rows — sums,
     // min and max merge associatively with NO error term, so unlike
@@ -3931,6 +3946,29 @@ object ExtQueries {
         |  round(sqrt(sum(m * m)), 6) AS centroid_norm,
         |  round(sum(m), 6) AS centroid_sum
         |FROM m GROUP BY grp ORDER BY grp""".stripMargin,
+    // anomaly-screen twin: identical Welch arithmetic, batch slice vs
+    // the whole table (the fixture sidecar holds every document)
+    "q_moments_anomaly" ->
+      """WITH b AS (SELECT count(n_chars) AS n_batch,
+        |    sum(CAST(n_chars AS DOUBLE)) AS bs,
+        |    sum(CAST(n_chars AS DOUBLE) * n_chars) AS bs2
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT count(n_chars) AS n_corpus,
+        |    sum(CAST(n_chars AS DOUBLE)) AS cs,
+        |    sum(CAST(n_chars AS DOUBLE) * n_chars) AS cs2
+        |  FROM documents),
+        |z AS (SELECT n_batch, n_corpus,
+        |    bs / n_batch AS mb, cs / n_corpus AS mc,
+        |    (bs / n_batch - cs / n_corpus)
+        |      / sqrt((bs2 / n_batch - (bs / n_batch) * (bs / n_batch))
+        |          / n_batch
+        |        + (cs2 / n_corpus - (cs / n_corpus) * (cs / n_corpus))
+        |          / n_corpus) AS wz
+        |  FROM b, c)
+        |SELECT n_batch, n_corpus, round(mb, 6) AS mean_batch,
+        |  round(mc, 6) AS mean_corpus, round(wz, 6) AS welch_z,
+        |  abs(wz) > 4.0 AS anomalous
+        |FROM z""".stripMargin,
     // drift twin: identical Welch arithmetic from exact window sums
     // (population variance, same operation order)
     "q_moments_drift" ->

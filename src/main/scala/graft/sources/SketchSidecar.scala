@@ -461,6 +461,53 @@ object SketchSidecar {
         col("welch_z"))
   }
 
+  /** Batch-vs-corpus anomaly screen from the exact moments face — the
+    * statistical REFUSAL hook beside [[servedThreshold]]'s adaptive
+    * cut: one row `(n_batch, n_corpus, mean_batch, mean_corpus,
+    * welch_z, anomalous)` comparing the ARRIVING batch's `valueExpr`
+    * distribution against the accepted corpus's own accumulated
+    * moments, `anomalous` when |z| > zMax. Compose it in front of
+    * [[graft.ingest.CorpusPipeline.dedupAndAppend]]: collect the row,
+    * route an anomalous batch to quarantine (or `require(!anomalous)`)
+    * BEFORE the append — read-before-append, as every adaptive hook
+    * here, so a poisoned batch cannot move the bar it is judged by.
+    * Bootstrap stance: a missing sidecar (or one with no values yet)
+    * serves null z and `anomalous = false` — the first batches define
+    * the distribution rather than being judged against nothing. Serve
+    * cost: one batch aggregation + an O(#rows) sidecar merge.
+    */
+  def batchAnomaly(batch: DataFrame, cfg: Cfg,
+                   zMax: Double): DataFrame = {
+    require(zMax > 0, s"zMax=$zMax")
+    val spark = batch.sparkSession
+    val v = expr(cfg.valueExpr).cast("double")
+    val b = batch.agg(count(v).as("n_batch"),
+      sum(v).as("bsum"), sum(v * v).as("bsum2"))
+    val hp = new org.apache.hadoop.fs.Path(cfg.sidecarPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val c =
+      if (!fs.exists(hp))
+        b.sparkSession.sql(
+          "SELECT CAST(0 AS BIGINT) AS n_corpus, " +
+            "CAST(NULL AS DOUBLE) AS mean_corpus, " +
+            "CAST(NULL AS DOUBLE) AS var_corpus")
+      else servedMoments(spark, cfg.sidecarPath)
+        .select(col("vn").as("n_corpus"), col("mean").as("mean_corpus"),
+          col("variance").as("var_corpus"))
+    val meanB = col("bsum") / col("n_batch")
+    val varB = col("bsum2") / col("n_batch") - meanB * meanB
+    val se2 = varB / col("n_batch") + col("var_corpus") / col("n_corpus")
+    val z = when(col("n_batch") > 0 && col("n_corpus") > 0 && se2 > 0,
+      (meanB - col("mean_corpus")) / sqrt(se2))
+    b.crossJoin(c)
+      .withColumn("mean_batch", when(col("n_batch") > 0, meanB))
+      .withColumn("welch_z", z)
+      .withColumn("anomalous",
+        coalesce(abs(z) > zMax, lit(false)))
+      .select(col("n_batch"), col("n_corpus"), col("mean_batch"),
+        col("mean_corpus"), col("welch_z"), col("anomalous"))
+  }
+
   /** The moments merge + derived statistics over a sidecar row frame
     * (whole-sidecar, grouped and group-windowed serves share it).
     * `coveredOf` adds a `groups_covered` column counting the REQUESTED

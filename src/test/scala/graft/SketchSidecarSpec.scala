@@ -668,6 +668,38 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("batch anomaly screen: a shifted batch flags, an in-distribution " +
+      "batch passes, and a missing sidecar bootstraps to not-anomalous") {
+    val cfg = SketchSidecar.Cfg(
+      Files.createTempDirectory("mom_anom").resolve("sc").toString,
+      distinctExpr = "id", valueExpr = "v")
+    def anom(rows: Seq[(Long, Long)],
+             c: SketchSidecar.Cfg): org.apache.spark.sql.Row =
+      SketchSidecar.batchAnomaly(rows.toDF("id", "v"), c, zMax = 4.0)
+        .collect().head
+    // bootstrap: no sidecar yet
+    val boot = anom(Seq((1L, 100L)), cfg)
+    assert(!boot.getBoolean(boot.fieldIndex("anomalous")))
+    assert(boot.isNullAt(boot.fieldIndex("welch_z")))
+    // corpus: 3 batches of values ~N(100, small spread)
+    var id = 0L
+    (1 to 3).foreach { b =>
+      SketchSidecar.appendBatch((1 to 200).map { i =>
+        id += 1; (id, 90L + ((b * 7 + i * 13) % 21)) }.toDF("id", "v"),
+        cfg)
+    }
+    // in-distribution batch (same construction): passes
+    val ok = anom((1 to 100).map { i =>
+      id += 1; (id, 90L + ((i * 13) % 21)) }, cfg)
+    assert(!ok.getBoolean(ok.fieldIndex("anomalous")),
+      s"in-distribution batch flagged: z=${ok.get(ok.fieldIndex("welch_z"))}")
+    // shifted batch (mean 300 vs ~100): flags
+    val bad = anom((1 to 100).map { i => id += 1; (id, 290L + (i % 21)) },
+      cfg)
+    assert(bad.getBoolean(bad.fieldIndex("anomalous")))
+    assert(math.abs(bad.getDouble(bad.fieldIndex("welch_z"))) > 4.0)
+  }
+
   test("overlap between two windows of one grouped KMV sidecar: exact " +
       "in the below-k regime, one-empty-window degrades to zero overlap, " +
       "both-empty refuses") {
