@@ -1361,6 +1361,24 @@ object Queries {
           round(col("lift"), 6).as("lift"), round(col("pmi"), 6).as("pmi"))
         .orderBy("item_a", "item_b")),
 
+    // per-node local clustering on the same graph: the 20 parts most
+    // embedded in co-purchase triangles with their neighborhood-clique
+    // coefficients — the community-core vs bridge-hub signal. Exact,
+    // full DuckDB oracle, deterministic (triangles desc, id) cut
+    "q_local_clustering" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.operators.Graph.localClustering(pairs, "src", "dst")
+        .orderBy(col("triangles").desc, col("id"))
+        .limit(20)
+        .select(col("id"), col("deg"), col("triangles"),
+          round(col("local_clustering"), 6).as("local_clustering"))
+    }),
+
     // cohort retention matrix over the event stream: users cohorted by
     // first active day, cells = users active exactly `offset` days
     // later (0..7). Exact — full DuckDB oracle; the distinct
@@ -1608,6 +1626,31 @@ object Queries {
         |FROM p JOIN i ia ON ia.item = item_a
         |  JOIN i ib ON ib.item = item_b CROSS JOIN t
         |ORDER BY item_a, item_b""".stripMargin,
+    // per-node twin: triangle corners exploded from the id-ordered
+    // 3-join, left-joined onto degree-2+ nodes (a triangle-free node
+    // is a 0, not a missing row)
+    "q_local_clustering" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |    SELECT lo AS id FROM pairs
+        |    UNION ALL SELECT hi FROM pairs) GROUP BY 1),
+        |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM pairs e1
+        |  JOIN pairs e2 ON e2.lo = e1.hi
+        |  JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |corner AS (SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS t
+        |  FROM corner GROUP BY 1)
+        |SELECT deg.id, CAST(d AS BIGINT) AS deg,
+        |  coalesce(t, 0) AS triangles,
+        |  round(coalesce(t, 0) / (d * (d - 1) / 2.0), 6)
+        |    AS local_clustering
+        |FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+        |WHERE d >= 2
+        |ORDER BY triangles DESC, deg.id LIMIT 20""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id AS u,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

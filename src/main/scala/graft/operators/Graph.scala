@@ -149,15 +149,17 @@ object Graph {
     * semi-join on (lo, hi) — all key-partitioned equi-joins, no
     * cartesian anywhere.
     */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String)
-      : DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol)
-    val deg = e.select(col("lo").as("id"))
+  /** Simple-graph degrees of the canonical edge set. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("lo").as("id"))
       .unionAll(e.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): lo-(deg,id) endpoint -> hi endpoint
-    val oriented = e
-      .join(deg.withColumnRenamed("id", "lo")
+
+  /** Degree-orientation of the canonical edge set: each edge from its
+    * lower-(degree, id) endpoint `s` to the higher `d` — the shared
+    * machinery of [[triangles]] and [[localClustering]]. */
+  private def orientedOf(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.withColumnRenamed("id", "lo")
         .withColumnRenamed("deg", "dlo"), Seq("lo"))
       .join(deg.withColumnRenamed("id", "hi")
         .withColumnRenamed("deg", "dhi"), Seq("hi"))
@@ -168,16 +170,24 @@ object Graph {
           .otherwise(struct(col("hi").as("s"), col("lo").as("d")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
-    // wedges at the LOW-degree pivot: (s -> d1), (s -> d2), d1 < d2 by
-    // canonical (lo, hi) order of the closing edge candidate
-    // a wedge closes iff its third side exists as a simple edge; the
-    // e1.d < e2.d join condition already yields the closing side in
-    // canonical (lo, hi) order
-    val wedgePairs = oriented.as("e1")
+
+  /** Closed wedges of the canonical edge set as (s, lo, hi) triangle
+    * rows, each triangle exactly once (pivot s = its lowest-(deg, id)
+    * corner; the e1.d < e2.d join condition yields the closing side in
+    * canonical order). */
+  private def closedWedges(e: DataFrame, oriented: DataFrame): DataFrame =
+    oriented.as("e1")
       .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
         col("e1.d") < col("e2.d"))
-      .select(col("e1.d").as("lo"), col("e2.d").as("hi"))
-    val tri = wedgePairs.join(e, Seq("lo", "hi"), "left_semi")
+      .select(col("e1.s").as("s"), col("e1.d").as("lo"),
+        col("e2.d").as("hi"))
+      .join(e, Seq("lo", "hi"), "left_semi")
+
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(e)
+    val tri = closedWedges(e, orientedOf(e, deg))
     val counts = tri.agg(count(lit(1)).as("triangles"))
     val base = e.agg(count(lit(1)).as("edges"))
     val degStats = deg.agg(count(lit(1)).as("nodes"),
@@ -188,6 +198,36 @@ object Graph {
         when(col("wedges") > 0,
           lit(3.0) * col("triangles") / col("wedges"))
           .as("global_clustering"))
+  }
+
+  /** Per-node triangle participation + LOCAL clustering coefficient —
+    * the node-granular companion of [[triangles]]: for every node of
+    * degree ≥ 2, `(id, deg, triangles, local_clustering)` with
+    * coefficient = triangles(v) / C(deg v, 2) ∈ [0, 1] ("how much of a
+    * clique is this node's neighborhood" — the community-core vs
+    * bridge-hub signal curation priors read). Same degree-oriented
+    * wedge join as the census; each closed wedge credits its THREE
+    * corners via one explode + grouped count, so the per-node pass
+    * costs one extra narrow aggregation over the O(triangles) closed
+    * rows. Triangle-free nodes serve an explicit 0 / 0.0 (a bridge is
+    * an answer, not an absence); degree-1 and isolated nodes are
+    * excluded (no wedge to close — their coefficient is undefined).
+    */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(e)
+    val closed = closedWedges(e, orientedOf(e, deg))
+    val perNode = closed
+      .select(explode(array(col("s"), col("lo"), col("hi"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.where(col("deg") >= 2)
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (coalesce(col("triangles"), lit(0L)) /
+          (col("deg") * (col("deg") - 1) / lit(2.0)))
+          .as("local_clustering"))
   }
 
   /** Incrementally-maintained triangle census — the batch-arrival form

@@ -106,6 +106,33 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(census(hubbed)._4 === 1L)
   }
 
+  test("localClustering: hand-computed coefficients — K4 all-1.0, a " +
+      "star hub is an explicit 0, degree-1 nodes are excluded, and a " +
+      "triangle with a tail mixes correctly") {
+    def byId(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+      Graph.localClustering(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4r = byId(k4)
+    assert(k4r.size === 4)
+    k4r.values.foreach { case (deg, tri, c) =>
+      assert(deg === 3L && tri === 3L && math.abs(c - 1.0) < 1e-12)
+    }
+    // star: hub has 45 wedges, zero triangles — a bridge is an answer
+    val star = (1L to 10L).map(i => (0L, i))
+    val starR = byId(star)
+    assert(starR.keySet === Set(0L), "spokes (deg 1) are excluded")
+    assert(starR(0L) === ((10L, 0L, 0.0)))
+    // triangle {1,2,3} with tail 3-4: nodes 1,2 coefficient 1.0;
+    // node 3 has deg 3 (3 wedges, 1 triangle) -> 1/3; node 4 excluded
+    val tail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val tailR = byId(tail)
+    assert(tailR(1L)._3 === 1.0 && tailR(2L)._3 === 1.0)
+    assert(math.abs(tailR(3L)._3 - 1.0 / 3.0) < 1e-12)
+    assert(!tailR.contains(4L))
+  }
+
   test("incremental triangle census: randomized law — batched folds " +
       "equal the one-shot recount; replay is a noop; a stale census " +
       "(crash between edges append and census swap) heals by recount") {
