@@ -1379,6 +1379,26 @@ object Queries {
           round(col("local_clustering"), 6).as("local_clustering"))
     }),
 
+    // link prediction on the co-purchase graph: the 20 strongest
+    // NOT-yet-connected part pairs by shared-neighbor evidence
+    // (common count, neighborhood Jaccard, Adamic-Adar) — the
+    // related-item candidate / graph-negative mining query. Exact,
+    // full DuckDB oracle, deterministic (common desc, a, b) cut
+    "q_link_prediction" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.operators.Graph.linkScores(pairs, "src", "dst", minCommon = 2)
+        .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("common_neighbors"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("adamic_adar"), 6).as("adamic_adar"))
+    }),
+
     // cohort retention matrix over the event stream: users cohorted by
     // first active day, cells = users active exactly `offset` days
     // later (0..7). Exact — full DuckDB oracle; the distinct
@@ -1626,6 +1646,35 @@ object Queries {
         |FROM p JOIN i ia ON ia.item = item_a
         |  JOIN i ib ON ib.item = item_b CROSS JOIN t
         |ORDER BY item_a, item_b""".stripMargin,
+    // link-prediction twin: same wedge evidence, natural-log weights,
+    // non-edge filter and deterministic cut
+    "q_link_prediction" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |    SELECT lo AS id FROM pairs
+        |    UNION ALL SELECT hi FROM pairs) GROUP BY 1),
+        |sym AS (SELECT lo AS w, hi AS n FROM pairs
+        |  UNION ALL SELECT hi, lo FROM pairs),
+        |wedges AS (SELECT n1.w, n1.n AS lo, n2.n AS hi
+        |  FROM sym n1 JOIN sym n2 ON n1.w = n2.w AND n1.n < n2.n),
+        |sc AS (SELECT lo, hi, CAST(count(*) AS BIGINT)
+        |      AS common_neighbors,
+        |    sum(1.0 / ln(d)) AS adamic_adar
+        |  FROM wedges JOIN deg ON deg.id = wedges.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT sc.* FROM sc
+        |  LEFT JOIN pairs p ON p.lo = sc.lo AND p.hi = sc.hi
+        |  WHERE p.lo IS NULL)
+        |SELECT ne.lo AS a, ne.hi AS b, common_neighbors,
+        |  round(common_neighbors /
+        |    CAST(da.d + db.d - common_neighbors AS DOUBLE), 6)
+        |    AS jaccard,
+        |  round(adamic_adar, 6) AS adamic_adar
+        |FROM ne JOIN deg da ON da.id = ne.lo JOIN deg db ON db.id = ne.hi
+        |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin,
     // per-node twin: triangle corners exploded from the id-ordered
     // 3-join, left-joined onto degree-2+ nodes (a triangle-free node
     // is a 0, not a missing row)

@@ -230,6 +230,60 @@ object Graph {
           .as("local_clustering"))
   }
 
+  /** Link-prediction scores for NON-edges — the "which pairs are one
+    * step from connecting" question behind related-item candidates and
+    * graph-based hard-negative mining: every node pair sharing ≥
+    * `minCommon` neighbors but NOT already adjacent, scored by common
+    * neighbors, neighborhood Jaccard (common / |N(a) ∪ N(b)|) and
+    * Adamic–Adar (Σ_w 1/ln(deg w) — rare shared neighbors weigh more
+    * than hub co-membership, Adamic & Adar 2003). Exact and all-SQL, so
+    * query rows carry full oracles.
+    *
+    * Cost is the UNORIENTED wedge join — Σ_w C(deg w, 2) rows, the
+    * irreducible size of the common-neighbor evidence itself (every
+    * scored pair must surface each shared neighbor once; the census's
+    * degree-orientation trick doesn't apply because the output here IS
+    * the per-pair aggregation, not a global count). `minCommon` prunes
+    * after the pair aggregation; on hub-heavy graphs cap or pre-filter
+    * pivot degrees if the evidence stream must be bounded.
+    */
+  def linkScores(edges: DataFrame, srcCol: String, dstCol: String,
+                 minCommon: Long = 1L): DataFrame = {
+    require(minCommon >= 1, s"minCommon=$minCommon")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(e)
+    val sym = e.select(col("lo").as("w"), col("hi").as("n"))
+      .unionAll(e.select(col("hi").as("w"), col("lo").as("n")))
+    // each shared neighbor w of a candidate pair (x < y) is one wedge
+    val wedges = sym.as("n1")
+      .join(sym.as("n2"), col("n1.w") === col("n2.w") &&
+        col("n1.n") < col("n2.n"))
+      .select(col("n1.w").as("w"), col("n1.n").as("lo"),
+        col("n2.n").as("hi"))
+    val scored = wedges
+      // pivot degree for the Adamic-Adar weight; a pivot has >= 2
+      // neighbors by construction so ln(deg) > 0
+      .join(deg.withColumnRenamed("id", "w")
+        .withColumnRenamed("deg", "wdeg"), Seq("w"))
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("wdeg"))).as("adamic_adar"))
+      .where(col("common_neighbors") >= minCommon)
+      // NON-edges only: an existing edge is a fact, not a prediction
+      .join(e, Seq("lo", "hi"), "left_anti")
+    scored
+      .join(deg.withColumnRenamed("id", "lo")
+        .withColumnRenamed("deg", "dlo"), Seq("lo"))
+      .join(deg.withColumnRenamed("id", "hi")
+        .withColumnRenamed("deg", "dhi"), Seq("hi"))
+      .select(col("lo").as("a"), col("hi").as("b"),
+        col("common_neighbors"),
+        (col("common_neighbors") /
+          (col("dlo") + col("dhi") - col("common_neighbors"))
+          .cast("double")).as("jaccard"),
+        col("adamic_adar"))
+  }
+
   /** Incrementally-maintained triangle census — the batch-arrival form
     * of [[triangles]]: a store at `storePath` holds the canonical edge
     * set (`edges/`) plus one census row (`census/`), and each

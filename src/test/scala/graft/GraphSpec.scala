@@ -133,6 +133,41 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(!tailR.contains(4L))
   }
 
+  test("linkScores: 4-cycle diagonals score common=2 with full " +
+      "neighborhood Jaccard, existing edges are never predicted, " +
+      "Adamic-Adar favors rare shared neighbors") {
+    // cycle 1-2-3-4-1: non-edges (1,3) and (2,4), each sharing both
+    // cycle neighbors; all degrees 2 so AA = 2/ln 2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val r = Graph.linkScores(cyc.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet === Set((1L, 3L), (2L, 4L)))
+    r.values.foreach { case (c, j, aa) =>
+      assert(c === 2L && math.abs(j - 1.0) < 1e-12 &&
+        math.abs(aa - 2.0 / math.log(2.0)) < 1e-12)
+    }
+    // K4 is complete: nothing left to predict
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(Graph.linkScores(k4.toDF("src", "dst"), "src", "dst")
+      .isEmpty)
+    // hub vs rare evidence: x and y share hub h (deg 5) and rare w
+    // (deg 2); z and y share ONLY the hub — AA must rank (x,y) above
+    // (y,z) even at equal... here common differs too, so check AA values
+    val g = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L),
+      (11L, 1L), (11L, 2L))
+    val rr = Graph.linkScores(g.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        x.getDouble(4)).toMap
+    // (1,2) share hub 10 (deg 5) AND rare 11 (deg 2): AA = 1/ln5 + 1/ln2
+    assert(math.abs(rr((1L, 2L)) -
+      (1.0 / math.log(5.0) + 1.0 / math.log(2.0))) < 1e-12)
+    // (1,3) share only the hub: AA = 1/ln5 — the rare co-neighbor is
+    // worth more than the hub co-membership
+    assert(math.abs(rr((1L, 3L)) - 1.0 / math.log(5.0)) < 1e-12)
+    assert(rr((1L, 2L)) > rr((1L, 3L)))
+  }
+
   test("incremental triangle census: randomized law — batched folds " +
       "equal the one-shot recount; replay is a noop; a stale census " +
       "(crash between edges append and census swap) heals by recount") {
