@@ -1321,18 +1321,11 @@ object Queries {
     // fan-out by O(sqrt m) per node on any graph, so the plan survives
     // the power-law hubs real co-occurrence graphs have. Exact counts,
     // full DuckDB oracle
-    "q_graph_triangles" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"),
-        col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.operators.Graph.triangles(pairs, "src", "dst")
+    "q_graph_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangles(copurchaseEdges(s, d), "src", "dst")
         .select(col("nodes"), col("edges"), col("wedges"),
           col("triangles"),
-          round(col("global_clustering"), 6).as("global_clustering"))
-    }),
+          round(col("global_clustering"), 6).as("global_clustering"))),
 
     // grouped OLS in one aggregation pass: slope/intercept/corr/r2 of
     // extendedprice on quantity per returnflag from the five moment
@@ -1366,13 +1359,8 @@ object Queries {
     // coefficients — the community-core vs bridge-hub signal. Exact,
     // full DuckDB oracle, deterministic (triangles desc, id) cut
     "q_local_clustering" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"),
-        col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.operators.Graph.localClustering(pairs, "src", "dst")
+      graft.operators.Graph.localClustering(copurchaseEdges(s, d),
+          "src", "dst")
         .orderBy(col("triangles").desc, col("id"))
         .limit(20)
         .select(col("id"), col("deg"), col("triangles"),
@@ -1385,18 +1373,58 @@ object Queries {
     // related-item candidate / graph-negative mining query. Exact,
     // full DuckDB oracle, deterministic (common desc, a, b) cut
     "q_link_prediction" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"),
-        col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.operators.Graph.linkScores(pairs, "src", "dst", minCommon = 2)
+      graft.operators.Graph.linkScores(copurchaseEdges(s, d),
+          "src", "dst", minCommon = 2)
         .orderBy(col("common_neighbors").desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), col("common_neighbors"),
           round(col("jaccard"), 6).as("jaccard"),
           round(col("adamic_adar"), 6).as("adamic_adar"))
+    }),
+
+    // graph degeneracy: coreness per part on the co-purchase graph
+    // (neighbor H-index iteration to its fixpoint — deeply-embedded
+    // cores vs peel-away periphery). Engine-iterative, so rows-only;
+    // the _gap twin certifies the fixpoint + soundness properties
+    "q_kcore" -> ((s, d) => {
+      graft.operators.Graph.coreness(copurchaseEdges(s, d), "src", "dst")
+        .orderBy(col("coreness").desc, col("id"))
+        .limit(20)
+    }),
+
+    // the coreness certificate, machine-enforced (one row or loudly
+    // zero): the served assignment is a true H-fixpoint (c_v equals the
+    // H-index of its neighbors' values — the exactness condition of the
+    // convergence theorem) AND sound by definition (every node has at
+    // least c_v neighbors of coreness >= c_v, so it genuinely sits in
+    // a min-degree-c_v subgraph)
+    "q_kcore_gap" -> ((s, d) => {
+      val c = graft.operators.Graph.coreness(copurchaseEdges(s, d),
+        "src", "dst")
+      val e = copurchaseEdges(s, d).distinct()
+      val sym = e.select(col("src").as("id"), col("dst").as("nb"))
+        .unionAll(e.select(col("dst").as("id"), col("src").as("nb")))
+      val joined = sym
+        .join(c.withColumnRenamed("id", "nb")
+          .withColumnRenamed("coreness", "nbc"), Seq("nb"))
+        .join(c, Seq("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("nbc").desc, col("nb"))
+      val perNode = joined
+        .withColumn("__rk", row_number().over(w))
+        .groupBy("id")
+        .agg(max(least(col("nbc"), col("__rk"))).as("h"),
+          sum(when(col("nbc") >= col("coreness"), 1L).otherwise(0L))
+            .as("cnt_ge"),
+          first(col("coreness")).as("c"))
+      perNode.agg(
+          max(abs(col("h") - col("c"))).as("max_fixpoint_gap"),
+          min(col("cnt_ge") - col("c")).as("min_soundness_slack"),
+          count(lit(1)).as("nodes"))
+        .withColumn("meets_floor",
+          col("max_fixpoint_gap") === 0L &&
+          col("min_soundness_slack") >= 0L && col("nodes") > 0)
+        .where(col("meets_floor"))
     }),
 
     // cohort retention matrix over the event stream: users cohorted by
@@ -1431,6 +1459,17 @@ object Queries {
     * per lineitem (weights coalesce inside [[graft.operators.Graph]]).
     * Orders is the single fact-fact shuffle; both dims broadcast.
     */
+  /** The co-purchase edge stream (parts bought together in one order,
+    * src < dst) feeding the triangle/clustering/link/coreness family. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  }
+
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),

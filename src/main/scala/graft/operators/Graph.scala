@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -228,6 +229,68 @@ object Graph {
         (coalesce(col("triangles"), lit(0L)) /
           (col("deg") * (col("deg") - 1) / lit(2.0)))
           .as("local_clustering"))
+  }
+
+  /** Coreness (k-core number) per node: the largest k such that the
+    * node survives in the maximal subgraph of minimum degree k — the
+    * graph-degeneracy signal separating deeply-embedded community cores
+    * from peel-away periphery (spam farms and boilerplate mirrors sit
+    * in dense cores; one-off pages peel at k = 1).
+    *
+    * Algorithm: the neighbor H-INDEX iteration (Lü et al., "The
+    * H-index of a network node", Nature Communications 2016): start
+    * c_v = deg(v); each round set c_v to the H-index of its neighbors'
+    * current values (the largest h with ≥ h neighbors valued ≥ h);
+    * the sequence is monotonically non-increasing and its fixpoint is
+    * EXACTLY the coreness. Spark shape: one value-join + one per-node
+    * window per round (c is monotone per node, so rounds are
+    * idempotent to replay), per-round `localCheckpoint` with
+    * previous-round release — the [[pageRank]] loop discipline.
+    * Convergence is certified, not assumed: iteration stops when a
+    * round changes nothing, and [[graft.ExtQueries]]'s `q_kcore_gap`
+    * twin re-checks the fixpoint property over the final assignment
+    * (c_v = H(neighbor c) everywhere — the exactness theorem's
+    * condition) as a machine-enforced floor. Isolated nodes never
+    * appear (no edges → no rows), degree-only nodes settle at their
+    * true coreness in round one where possible.
+    */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+               maxRounds: Int = 200): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+      .localCheckpoint(true)
+    try {
+      val sym = e.select(col("lo").as("id"), col("hi").as("nb"))
+        .unionAll(e.select(col("hi").as("id"), col("lo").as("nb")))
+      var c = degreesOf(e).withColumnRenamed("deg", "c")
+        .localCheckpoint(true)
+      var round = 0
+      var changed = 1L
+      while (changed > 0 && round < maxRounds) {
+        // H-index of neighbor values: rank neighbors by value desc,
+        // h = max over neighbors of min(value, rank)
+        val w = Window.partitionBy("id")
+          .orderBy(col("nbc").desc, col("nb"))
+        val next = sym
+          .join(c.withColumnRenamed("id", "nb")
+            .withColumnRenamed("c", "nbc"), Seq("nb"))
+          .withColumn("__rk", row_number().over(w))
+          .groupBy("id")
+          .agg(max(least(col("nbc"), col("__rk"))).as("c"))
+          .localCheckpoint(true)
+        changed = next.join(c.withColumnRenamed("c", "prev"), Seq("id"))
+          .where(col("c") =!= col("prev")).count()
+        val old = c
+        c = next
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(old)
+        round += 1
+      }
+      require(changed == 0,
+        s"coreness did not converge in $maxRounds rounds — raise " +
+          "maxRounds (convergence is bounded by the graph's degeneracy " +
+          "ordering depth, pathological only on adversarial chains)")
+      c.withColumnRenamed("c", "coreness")
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(e)
   }
 
   /** Link-prediction scores for NON-edges — the "which pairs are one

@@ -168,6 +168,50 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rr((1L, 2L)) > rr((1L, 3L)))
   }
 
+  test("coreness: hand cases (K4=3, cycle=2, star=1) and a randomized " +
+      "law — the H-index fixpoint equals brute-force min-degree peeling") {
+    def served(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.coreness(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute peel: repeatedly remove a min-degree node; coreness = the
+    // running max of the min degree at removal time
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = scala.collection.mutable.Map[Long,
+        scala.collection.mutable.Set[Long]]()
+      simple.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      val core = scala.collection.mutable.Map[Long, Long]()
+      var k = 0L
+      while (adj.nonEmpty) {
+        val v = adj.minBy { case (id, ns) => (ns.size, id) }._1
+        k = math.max(k, adj(v).size.toLong)
+        core(v) = k
+        adj(v).foreach(u => adj(u) -= v)
+        adj -= v
+      }
+      core.toMap
+    }
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(served(k4) === (1L to 4L).map(_ -> 3L).toMap)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(served(cyc) === (1L to 4L).map(_ -> 2L).toMap)
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(served(star) === ((0L to 6L).map(_ -> 1L).toMap))
+    val rnd = new scala.util.Random(19)
+    (1 to 3).foreach { trial =>
+      val edges = (for {
+        a <- 1L to 20L; b <- (a + 1) to 20L
+        if rnd.nextDouble() < 0.2 + 0.1 * trial
+      } yield (a, b)).toSeq
+      assert(served(edges) === brute(edges),
+        s"trial $trial diverged from brute peeling")
+    }
+  }
+
   test("incremental triangle census: randomized law — batched folds " +
       "equal the one-shot recount; replay is a noop; a stale census " +
       "(crash between edges append and census swap) heals by recount") {
