@@ -474,27 +474,40 @@ object CorpusPipeline {
     }).localCheckpoint(true)
     try {
       val appended = survivors.count()
-      // gate-attrition funnel, OPT-IN: one row per batch with the
-      // surviving count after every stage — "why did my batch shrink
-      // 90%" answered from a parquet log instead of re-deriving it by
-      // hand during an incident. Cost, stated plainly: each stage count
-      // re-executes the batch-side chain up to that stage (the stages
-      // are anti-join chains over the BATCH — never the corpus — so
-      // this is O(stages) batch passes), which is why it is a triage
+      // gate-attrition funnel, OPT-IN: one row per GATE-CHAIN EXECUTION
+      // with the surviving count after every stage — "why did my batch
+      // shrink 90%" answered from a parquet log instead of re-deriving
+      // it by hand during an incident. Cost, stated plainly: each stage
+      // count re-executes the batch-side chain up to that stage (the
+      // stages are anti-join chains over the BATCH — never the corpus —
+      // so this is O(stages) batch passes), which is why it is a triage
       // dial and not steady-state default. Counted BEFORE any append
       // commits, so the recomputation sees the same index state the
       // gates did.
+      //
+      // Semantics, stated for consumers: funnel rows are ARRIVAL EVENTS,
+      // not a one-row-per-batch ledger. The row lands before any commit
+      // point on purpose (an all-dup or later-failing batch still gets
+      // its attrition recorded — that IS the triage case), so a replayed
+      // batch writes a second row with the same batch_id. `attempt_ts`
+      // (wall-clock millis at gate-chain execution) is the replay
+      // discriminator: dedupe to a per-batch view with
+      //   row_number() OVER (PARTITION BY batch_id ORDER BY attempt_ts
+      //   DESC) = 1
+      // or keep every row and read the funnel as an execution log —
+      // both contracts are deterministic from the stored columns alone.
       funnel.foreach { fp =>
         val spark = batch.sparkSession
         import spark.implicits._
         // batch_id correlates rows to their batch: the streaming wrapper
         // stamps the checkpointed micro-batch id, triage stamps the
         // quarantine tag, the plain batch loop leaves -1
-        Seq((funnelBatchId, batch.count(), exactGated.count(),
+        Seq((funnelBatchId, System.currentTimeMillis(), batch.count(),
+            exactGated.count(),
             heuristicGated.count(), lmGated.count(), qualityGated.count(),
             lrGated.count(), gated.count(), mediaGated.count(),
             vsCorpus.count(), appended))
-          .toDF("batch_id", "n_arrived", "n_after_exact",
+          .toDF("batch_id", "attempt_ts", "n_arrived", "n_after_exact",
             "n_after_quality", "n_after_lm", "n_after_dsir",
             "n_after_classifier", "n_after_decontamination",
             "n_after_media", "n_after_index_dedup", "n_appended")
@@ -527,14 +540,29 @@ object CorpusPipeline {
       if (appended > 0) {
         val spark = survivors.sparkSession
         val hadIndex = indexExists(spark, indexPath)
-        // Everything from the corpus append to the MinHash gate commit is
-        // the one non-replay-idempotent window of the function (see
-        // [[PostAppendFailure]]); a NonFatal failure inside it is
-        // re-thrown typed so automatic retriers (quarantine triage) can
-        // distinguish it from the cleanly-replayable pre-append failures
-        // they are allowed to hold-and-retry.
-        try {
+        // The corpus append sits OUTSIDE the typed wrap: until the write
+        // returns, the v1 committer has moved nothing into the table (a
+        // failed job leaves only _temporary), so a failure HERE is still
+        // cleanly replayable and triage may hold-and-retry it like any
+        // pre-append gate failure — wrapping it as [[PostAppendFailure]]
+        // would crash the whole quarantine run for a transient write
+        // error that a routine replay heals. The one residual hazard is
+        // a failure AFTER commitJob but inside the call's post-commit
+        // bookkeeping (rows landed, exception anyway): that replay DOES
+        // duplicate, but it is a vanishingly narrow driver-local window,
+        // and treating every append failure as poisonous to cover it
+        // would convert the overwhelmingly-common replayable case into
+        // an operator page. Reconciliation for the narrow case: compare
+        // the corpus row count against the funnel log's n_appended sums
+        // before force-replaying a batch that failed at this line.
         survivors.write.mode("append").parquet(corpusPath)
+        // Everything from here (corpus append committed) to the MinHash
+        // gate commit is the one non-replay-idempotent window of the
+        // function (see [[PostAppendFailure]]); a NonFatal failure
+        // inside it is re-thrown typed so automatic retriers (quarantine
+        // triage) can distinguish it from the cleanly-replayable
+        // pre-append failures they are allowed to hold-and-retry.
+        try {
         // ANN maintenance runs BEFORE the MinHash append: the MinHash
         // index is the retry GATE (a replayed batch matches its own
         // indexed signatures and drops), so it must commit LAST — a crash

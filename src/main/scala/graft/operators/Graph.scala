@@ -255,8 +255,8 @@ object Graph {
     * true coreness in round one where possible.
     */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
-               maxRounds: Int = 200): DataFrame = {
-    require(maxRounds >= 1, s"maxRounds=$maxRounds")
+               maxRounds: Int = 0): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds=$maxRounds")
     val e = canonicalEdges(edges, srcCol, dstCol)
       .localCheckpoint(true)
     try {
@@ -264,9 +264,23 @@ object Graph {
         .unionAll(e.select(col("hi").as("id"), col("lo").as("nb")))
       var c = degreesOf(e).withColumnRenamed("deg", "c")
         .localCheckpoint(true)
+      // Round bound: peeling propagates ONE HOP per round, so the round
+      // count is bounded by the graph's diameter — which on a perfectly
+      // legitimate chain/ring graph is Θ(nodes), not a constant. The
+      // auto default (maxRounds = 0) therefore scales with the node
+      // count: max(200, #nodes) rounds can never fire the convergence
+      // require on a real graph (the H sequence strictly decreases
+      // somewhere every non-converged round, and values are bounded by
+      // n), while still bounding a would-be-infinite loop if the
+      // monotonicity argument were ever violated by a bug. Pass an
+      // explicit maxRounds only to CAP latency on graphs whose diameter
+      // you know.
+      val roundBound =
+        if (maxRounds > 0) maxRounds
+        else math.max(200L, c.count()).min(Int.MaxValue.toLong).toInt
       var round = 0
       var changed = 1L
-      while (changed > 0 && round < maxRounds) {
+      while (changed > 0 && round < roundBound) {
         // H-index of neighbor values: rank neighbors by value desc,
         // h = max over neighbors of min(value, rank)
         val w = Window.partitionBy("id")
@@ -286,9 +300,12 @@ object Graph {
         round += 1
       }
       require(changed == 0,
-        s"coreness did not converge in $maxRounds rounds — raise " +
-          "maxRounds (convergence is bounded by the graph's degeneracy " +
-          "ordering depth, pathological only on adversarial chains)")
+        s"coreness did not converge in $roundBound rounds — with the " +
+          "auto bound (maxRounds = 0, #nodes rounds) this indicates a " +
+          "bug, not a slow graph; with an explicit cap, raise it " +
+          "(rounds needed grow with the graph's diameter: any " +
+          "large-diameter sparse graph — a long path or ring, not just " +
+          "adversarial input — legitimately needs ~diameter rounds)")
       c.withColumnRenamed("c", "coreness")
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(e)
   }

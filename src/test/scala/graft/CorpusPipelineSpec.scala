@@ -1070,7 +1070,12 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     val rows = spark.read.parquet(funnel)
       .orderBy("n_arrived").collect()
     assert(rows.length === 2)
-    val w2 = rows.last.toSeq.map(_.asInstanceOf[Long])
+    // every row is stamped with its gate-chain execution time — the
+    // replay discriminator consumers dedupe arrival events on
+    assert(rows.forall(r => r.getLong(r.fieldIndex("attempt_ts")) > 0L))
+    val w2 = rows.last.toSeq.zipWithIndex
+      .collect { case (v, i) if i != rows.last.fieldIndex("attempt_ts") =>
+        v.asInstanceOf[Long] }
     // batch_id −1 (plain loop), arrived 5 → quality kills doc 3 →
     // index dedup kills doc 4 → batch dedup collapses 5/6 → 2 appended;
     // unconfigured stages (exact/lm/dsir/classifier/decontamination/
@@ -1078,6 +1083,27 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(w2 === Seq(-1L, 5L, 5L, 4L, 4L, 4L, 4L, 4L, 4L, 3L, 2L),
       s"funnel $w2")
     assert(spark.read.parquet(corpus).count() === 4L)
+    // funnel rows are ARRIVAL EVENTS: a replayed gate-chain execution
+    // writes a second row with the same batch_id, and the documented
+    // latest-attempt window dedupes it back to a per-batch view
+    CorpusPipeline.dedupAndAppend(
+      Seq((3L, "short"), (4L, doc(1)), (5L, doc(5)), (6L, doc(5)),
+          (7L, doc(7))).toDF("doc_id", "text"),
+      corpus, idx, "doc_id", "text", 0.8, gates = gates,
+      funnel = Some(funnel))
+    val log = spark.read.parquet(funnel)
+    assert(log.count() === 3L, "one row per execution, not per batch")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val perBatch = log.withColumn("__rn", row_number().over(
+        Window.partitionBy("batch_id")
+          .orderBy(col("attempt_ts").desc, col("n_appended"))))
+      .where(col("__rn") === 1)
+    assert(perBatch.count() === 1L)
+    // the replay's row records the batch dropping entirely (every doc
+    // now matches its own indexed signatures), which is the row the
+    // latest-attempt view serves
+    assert(perBatch.select("n_appended").as[Long].collect().head === 0L)
   }
 
   test("schema-drift gate: a batch whose schema renamed or retyped a " +

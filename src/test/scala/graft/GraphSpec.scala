@@ -210,6 +210,17 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       assert(served(edges) === brute(edges),
         s"trial $trial diverged from brute peeling")
     }
+    // round-bound contract: peeling propagates one hop per round, so a
+    // legitimate long path needs ~diameter/2 rounds — an explicit cap
+    // below that fails LOUDLY (no silent wrong answer), and the auto
+    // bound (maxRounds = 0 → max(200, nodes)) converges on any graph
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val capped = intercept[IllegalArgumentException] {
+      Graph.coreness(path.toDF("src", "dst"), "src", "dst", maxRounds = 2)
+        .collect()
+    }
+    assert(capped.getMessage.contains("did not converge"))
+    assert(served(path) === (1L to 12L).map(_ -> 1L).toMap)
   }
 
   test("incremental triangle census: randomized law — batched folds " +

@@ -655,17 +655,38 @@ class SketchSidecarSpec extends AnyFunSuite with SparkFixture {
       SketchSidecar.servedJoinSize(spark, cfgA.sidecarPath,
         cfgC.sidecarPath).collect()
     }
-    // parse invariant directly: every table row sums to the total
-    val bytes = org.apache.spark.util.sketch.CountMinSketch
+    // upstream-format canary: round-trip a freshly built CountMinSketch
+    // through parseCms so a Spark dependency bump that changes the
+    // private version-1 binary layout breaks HERE at build time, not in
+    // a production servedJoinSize/servedKeySkew call. Pins the parsed
+    // dims against the class's own accessors (a block-order misparse
+    // cannot fake those AND the row-sum invariant below), the version
+    // gate, and the per-row sum invariant the parser's layout
+    // disambiguation relies on.
+    val sk = org.apache.spark.util.sketch.CountMinSketch
       .create(0.01, 0.9, 13)
-    (1 to 50).foreach(i => bytes.add(s"x${i % 9}"))
-    val parsed = SketchSidecar.parseCms(bytes.toByteArray)
+    (1 to 50).foreach(i => sk.add(s"x${i % 9}"))
+    val parsed = SketchSidecar.parseCms(sk.toByteArray)
+    assert(parsed.depth === sk.depth().toInt)
+    assert(parsed.width === sk.width().toInt)
+    assert(parsed.total === sk.totalCount())
     assert(parsed.total === 50L)
+    assert(parsed.hashA.length === parsed.depth)
     (0 until parsed.depth).foreach { dd =>
       val rowSum = (0 until parsed.width)
         .map(w => parsed.table(dd * parsed.width + w)).sum
       assert(rowSum === 50L)
     }
+    // and the F2 self-product SketchSidecar derives from the table is
+    // sane: ≥ the true second moment (i%9 over 1..50 → residues 1..5
+    // appear 6 times, residues 0 and 6..8 appear 5 times)
+    val trueF2 = 5 * 36L + 4 * 25L
+    val f2Est = (0 until parsed.depth).map { dd =>
+      (0 until parsed.width)
+        .map { w => val v = parsed.table(dd * parsed.width + w); v * v }
+        .sum
+    }.min
+    assert(f2Est >= trueF2)
   }
 
   test("batch anomaly screen: a shifted batch flags, an in-distribution " +
