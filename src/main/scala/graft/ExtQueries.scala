@@ -3659,7 +3659,95 @@ object ExtQueries {
     "q_manifest_diff_summary" -> ((s, d) =>
       graft.operators.Versioning.diffSummary(
           manifestOld(s, d), manifestNew(s, d), "doc_id")
-        .transform(Queries.presentSorted(_, "status"))))
+        .transform(Queries.presentSorted(_, "status"))),
+
+    // ---- round 16: index-backed retrieval, record linkage, history ----
+
+    // BM25 served from the persisted inverted index (built as 3
+    // incremental appends): reads only the query terms' tp partitions
+    // plus the O(#appends)-row stats sidecar — never the corpus — and
+    // must still hash-match q_bm25_topk's oracle VERBATIM (same
+    // tokenizer, same score tree, same rounding and tie-break)
+    "q_bm25_indexed" -> ((s, d) =>
+      graft.sources.TextIndex.bm25TopK(s, textIndexFor(s, d), "doc_id",
+          query = Seq("hash", "join", "vector"), k = 20)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // SCD2 (type-2 dimension history) fold of the orders stream: one
+    // row per (customer, status/priority CHANGE) with its validity
+    // interval — the reproducibility ledger behind "what did this
+    // dimension say when batch X was ingested"
+    "q_scd2" -> ((s, d) =>
+      graft.operators.Merge.scd2(Tables.load(s, d, "orders"),
+          Seq("o_custkey"), "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"))
+        .transform(Queries.presentSorted(_, "o_custkey", "valid_from"))),
+
+    // the same history maintained INCREMENTALLY: three version-ordered
+    // batches folded by scd2Apply (closed intervals pass through
+    // untouched; the work is the batch fold + one key-join against the
+    // current rows) — must equal the one-shot fold, so it carries the
+    // same oracle verbatim
+    "q_scd2_incremental" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val keyCols = Seq("o_custkey")
+      val attrs = Seq("o_orderstatus", "o_orderpriority")
+      // deterministic version-range cuts from the data itself (two
+      // scalars — bounded driver state)
+      val mm = o.agg(min("o_orderkey"), max("o_orderkey")).collect().head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val h0 = graft.operators.Merge.scd2(
+        o.where(col("o_orderkey") <= t1), keyCols, "o_orderkey", attrs)
+      val h1 = graft.operators.Merge.scd2Apply(h0,
+        o.where(col("o_orderkey") > t1 && col("o_orderkey") <= t2),
+        keyCols, "o_orderkey", attrs)
+      graft.operators.Merge.scd2Apply(h1,
+          o.where(col("o_orderkey") > t2), keyCols, "o_orderkey", attrs)
+        .transform(Queries.presentSorted(_, "o_custkey", "valid_from"))
+    }),
+
+    // CUSUM mean-shift trace over the daily order-count series (the
+    // monitor runs on the bounded post-aggregation series; the
+    // distributed work is the daily groupBy) — exact long running sums,
+    // one float at the mean, full oracle
+    "q_cusum" -> ((s, d) =>
+      graft.operators.Profile.cusum(dailyOrders(s, d), "day", "v")
+        .transform(Queries.presentSorted(_, "day"))),
+
+    // the located changepoint: the |cusum| extremum, earliest on ties
+    "q_changepoint" -> ((s, d) =>
+      graft.operators.Profile.changepoint(dailyOrders(s, d), "day",
+        "v")))
+
+  /** The q_bm25_indexed fixture: documents ingested into the persisted
+    * inverted index as 3 batches (pmod on doc_id), so the serve
+    * exercises the incremental-append path end to end. Built once per
+    * sf dir ([[buildOnce]]); the bench row times the pruned-partition
+    * serve alone.
+    */
+  private def textIndexFor(s: SparkSession, d: String)
+      : graft.sources.TextIndex.Cfg = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_text_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val cfg = graft.sources.TextIndex.Cfg(
+      new java.io.File(path, "ti").toString, partitions = 16)
+    buildOnce(path) {
+      (0 until 3).foreach { b =>
+        graft.sources.TextIndex.appendBatch(
+          docs(s, d).filter(pmod(col("doc_id"), lit(3)) === b),
+          "doc_id", "text", cfg)
+      }
+    }
+    cfg
+  }
+
+  /** The daily order-count series behind q_cusum/q_changepoint. */
+  private def dailyOrders(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("v"))
 
   /** The two deterministic snapshot manifests behind q_manifest_diff*. */
   private def manifestOld(s: SparkSession, d: String): DataFrame =
@@ -4420,38 +4508,33 @@ object ExtQueries {
     // BM25 twin: same tokenization, Lucene positive idf, identical
     // operator association per term, 6-decimal per-term round summed as
     // DECIMAL (order-independent), doc_id tie-break on the top-20 cut
-    "q_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
-        |    AS token
-        |  FROM documents),
-        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
-        |stats AS (
-        |  SELECT count(*) AS n_docs,
-        |    avg(coalesce(blen, 0)) AS avgdl
-        |  FROM documents LEFT JOIN lens USING (doc_id)),
-        |tf AS (
-        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
-        |  WHERE token IN ('hash', 'join', 'vector')
-        |  GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
-        |scored AS (
-        |  SELECT doc_id,
-        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
-        |      (tfreq * (1.2 + 1.0)) /
-        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
-        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
-        |  CROSS JOIN stats),
-        |agg AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
-        |      AS DOUBLE) AS bm25
-        |  FROM scored GROUP BY doc_id)
-        |SELECT * FROM (
-        |  SELECT doc_id, bm25 FROM agg
-        |  ORDER BY bm25 DESC, doc_id LIMIT 20)
-        |ORDER BY doc_id""".stripMargin,
+    "q_bm25_topk" -> bm25TopkOracleSql,
+
+    // the index-backed serve must equal the scan path bit-for-bit — the
+    // SAME oracle verbatim (the q_graph_triangles_incremental stance:
+    // an incremental/index path earns its keep by matching the direct
+    // path's ground truth, not a weaker one)
+    "q_bm25_indexed" -> bm25TopkOracleSql,
+
+    // SCD2 fold: change rows by null-safe per-column comparison against
+    // the previous version, validity chained by lead over kept rows
+    "q_scd2" -> scd2OracleSql,
+    // the incremental fold must equal the one-shot fold — same oracle
+    "q_scd2_incremental" -> scd2OracleSql,
+
+    "q_cusum" -> (cusumOracleCtes +
+      """SELECT day, value,
+        |  round(rsum - rn * (CAST(total AS DOUBLE) / n), 6) AS cusum
+        |FROM c CROSS JOIN t ORDER BY day""".stripMargin),
+
+    "q_changepoint" -> (cusumOracleCtes +
+      """SELECT day, value, cusum, abs(cusum) AS abs_cusum
+        |FROM (
+        |  SELECT day, value,
+        |    round(rsum - rn * (CAST(total AS DOUBLE) / n), 6) AS cusum
+        |  FROM c CROSS JOIN t)
+        |ORDER BY abs_cusum DESC, day LIMIT 1""".stripMargin),
+
     // batched-BM25 twin: the corpus CTEs are q_bm25_topk's verbatim; the
     // query table is an inline VALUES list and each query joins back its
     // own terms' tf rows
@@ -5136,4 +5219,86 @@ object ExtQueries {
       |c AS (SELECT token, ca, cb, v, na, nb,
       |    (ca + 1.0) / (na + v) AS p, (cb + 1.0) / (nb + v) AS q
       |  FROM j CROSS JOIN t)""".stripMargin
+
+  /** The BM25 ground truth shared by the scan-path row (q_bm25_topk) and
+    * the index-backed row (q_bm25_indexed): same tokenization, Lucene
+    * positive idf, identical operator association per term, 6-decimal
+    * per-term round summed as DECIMAL, doc_id tie-break on the top-20
+    * cut. (A def, not a val — object vals initialize in declaration
+    * order and the oracles map above would read null.)
+    */
+  private def bm25TopkOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+      |    AS token
+      |  FROM documents),
+      |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |    avg(coalesce(blen, 0)) AS avgdl
+      |  FROM documents LEFT JOIN lens USING (doc_id)),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+      |  WHERE token IN ('hash', 'join', 'vector')
+      |  GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+      |      (tfreq * (1.2 + 1.0)) /
+      |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+      |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+      |  CROSS JOIN stats),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS bm25
+      |  FROM scored GROUP BY doc_id)
+      |SELECT * FROM (
+      |  SELECT doc_id, bm25 FROM agg
+      |  ORDER BY bm25 DESC, doc_id LIMIT 20)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The SCD2 ground truth shared by q_scd2 and q_scd2_incremental:
+    * change rows by null-safe per-column comparison against the key's
+    * previous version, validity chained by lead over the kept rows.
+    */
+  private def scd2OracleSql: String =
+    """WITH ordered AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+      |    row_number() OVER w AS rn,
+      |    lag(o_orderstatus) OVER w AS pst,
+      |    lag(o_orderpriority) OVER w AS ppr
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)),
+      |kept AS (
+      |  SELECT o_custkey, o_orderkey AS valid_from, o_orderstatus,
+      |    o_orderpriority
+      |  FROM ordered
+      |  WHERE rn = 1 OR (o_orderstatus IS DISTINCT FROM pst)
+      |     OR (o_orderpriority IS DISTINCT FROM ppr))
+      |SELECT o_custkey, valid_from, o_orderstatus, o_orderpriority,
+      |  lead(valid_from) OVER w2 AS valid_to,
+      |  (lead(valid_from) OVER w2) IS NULL AS is_current
+      |FROM kept
+      |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from)
+      |ORDER BY o_custkey, valid_from""".stripMargin
+
+  /** The daily-order CUSUM CTEs shared by q_cusum and q_changepoint:
+    * exact BIGINT running sums over the day-grouped series; the one
+    * float enters at the mean, mirroring Profile.cusum's arithmetic
+    * order exactly.
+    */
+  private def cusumOracleCtes: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS value
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(value) AS BIGINT) AS total, count(*) AS n
+      |  FROM daily),
+      |c AS (SELECT day, value,
+      |    CAST(sum(value) OVER (ORDER BY day) AS BIGINT) AS rsum,
+      |    row_number() OVER (ORDER BY day) AS rn
+      |  FROM daily)
+      |""".stripMargin
 }

@@ -93,5 +93,10 @@ object SparkEntry {
     // cross-group merge) and the scan-free join-size estimate (two CMS
     // merges + one depth x width driver pass) — both serve-only rows on
     // marker-gated fixtures, same steady-state convention as above
-    "q_sketch_moments", "q_join_size")
+    "q_sketch_moments", "q_join_size",
+    // round 16: BM25 served from the persisted inverted index — the
+    // lexical-retrieval steady state next to q_bm25_topk's per-query
+    // corpus scan (marker-gated fixture: pass 1 ingests, passes 2+ time
+    // the pruned-partition serve alone)
+    "q_bm25_indexed")
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -17,6 +17,22 @@ import org.apache.spark.sql.expressions.Window
   * around two honest shuffles.
   */
 object Keywords {
+
+  /** The per-(doc, term) BM25 score — Lucene's positive idf times the
+    * saturated-tf/length-norm fraction — as ONE Column tree shared by
+    * every serving path ([[bm25TopK]], [[bm25BatchTopK]],
+    * [[graft.sources.TextIndex.bm25TopK]]): the index-backed serve is
+    * hash-compared against the scan path's DuckDB twin, so the two sides
+    * must apply the exact same operator association (floating-point
+    * multiplication/division is not associative; a re-parenthesized
+    * "equal" formula drifts in the last ulp and flips rounded ranks).
+    */
+  private[graft] def bm25ScoreCol(tf: Column, dfc: Column, n: Column,
+                                  len: Column, avgdl: Column,
+                                  k1: Double, b: Double): Column =
+    log(lit(1.0) + (n - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+      (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * len / avgdl))
 
   /** BM25 retrieval: top-`k` documents for a bag-of-words query
     * (Robertson/Okapi BM25, the ranking function behind Lucene and every
@@ -61,11 +77,8 @@ object Keywords {
       .join(lens, Seq(idCol))
       .crossJoin(broadcast(stats))
       .select(col(idCol),
-        (log(lit(1.0) + (col("__bm_n") - col("__bm_df") + lit(0.5)) /
-            (col("__bm_df") + lit(0.5))) *
-          (col("__bm_tf") * lit(k1 + 1.0)) /
-          (col("__bm_tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("__bm_len") / col("__bm_avgdl"))))
+        bm25ScoreCol(col("__bm_tf"), col("__bm_df"), col("__bm_n"),
+          col("__bm_len"), col("__bm_avgdl"), k1, b)
           .as("__bm_score"))
       // per-term score is a deterministic double (identical association on
       // both engines); rounding it to 6 decimals and summing as DECIMAL
@@ -119,11 +132,8 @@ object Keywords {
       .join(lens, Seq(idCol))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),
-        (log(lit(1.0) + (col("__bm_n") - col("__bm_df") + lit(0.5)) /
-            (col("__bm_df") + lit(0.5))) *
-          (col("__bm_tf") * lit(k1 + 1.0)) /
-          (col("__bm_tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("__bm_len") / col("__bm_avgdl"))))
+        bm25ScoreCol(col("__bm_tf"), col("__bm_df"), col("__bm_n"),
+          col("__bm_len"), col("__bm_avgdl"), k1, b)
           .as("__bm_score"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(round(col("__bm_score"), 6).cast("decimal(18,6)"))

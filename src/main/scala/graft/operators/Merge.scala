@@ -126,4 +126,117 @@ object Merge {
       .partitionBy(partitionCol)
       .parquet(basePath)
   }
+
+  // -----------------------------------------------------------------------
+  // Slowly-changing-dimension type 2: keep-latest answers "what is the
+  // value now"; SCD2 keeps the full validity history — "what was the
+  // value when batch X was ingested" is the reproducibility question
+  // every versioned training-data pipeline eventually gets asked.
+  // -----------------------------------------------------------------------
+
+  /** Fold a pile of versioned records into a type-2 history: one row per
+    * (key, CHANGE), carrying `valid_from` (the version that introduced
+    * the attribute values), `valid_to` (the version that replaced them;
+    * null while current) and `is_current`. Consecutive versions with
+    * identical attributes collapse into one validity interval —
+    * comparisons are null-safe PER COLUMN (`<=>`), so null attribute
+    * values are values, not wildcards.
+    *
+    * Contract: `versionCol` is unique per key (the fixture uses a
+    * globally-unique sequence; wall-clock versions need a tie-breaking
+    * composite pushed into `versionCol` by the caller). Non-key,
+    * non-version, non-attr input columns are dropped — the history is a
+    * dimension table, not a fact mirror.
+    *
+    * Plan shape: ONE shuffle on the key (both windows and the filter
+    * partition by it; Catalyst reuses the exchange), no joins.
+    */
+  def scd2(records: DataFrame, keyCols: Seq[String], versionCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs key and attribute columns")
+    val reserved = Seq("valid_from", "valid_to", "is_current")
+    require(!(keyCols ++ attrCols :+ versionCol).exists(reserved.contains),
+      s"input may not use the reserved output names $reserved")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).asc)
+    // a row opens a new interval iff it is the key's first version or
+    // any attribute differs (null-safely) from the previous version
+    val changedVsLag = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val kept = records
+      .select((keyCols ++ (versionCol +: attrCols)).map(col): _*)
+      .withColumn("__scd_rn", row_number().over(w))
+      // window expressions must be projected before they can be
+      // filtered on (Spark disallows them inside WHERE)
+      .withColumn("__scd_chg", changedVsLag)
+      .where(col("__scd_rn") === 1 || col("__scd_chg"))
+      .drop("__scd_rn", "__scd_chg")
+      .withColumnRenamed(versionCol, "valid_from")
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from").asc)
+    kept
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Incremental SCD2 maintenance: fold a batch of NEW versions into an
+    * existing [[scd2]] history without re-reading the closed intervals.
+    * Equals `scd2(history's records ++ updates)` exactly (law-tested)
+    * under the append-only contract: every update's version is greater
+    * than every existing version of its key.
+    *
+    * Cost shape: the closed history rows pass through untouched (at
+    * scale, partition the stored history by `is_current` and this
+    * becomes a current-partition-only rewrite); the work is one fold of
+    * the BATCH plus one key-join of the batch's first changes against
+    * the current rows.
+    */
+  def scd2Apply(history: DataFrame, updates: DataFrame,
+                keyCols: Seq[String], versionCol: String,
+                attrCols: Seq[String]): DataFrame = {
+    val cur = history.where(col("is_current"))
+    val curAttrs = cur.select(
+      (keyCols.map(col) ++
+        attrCols.map(a => col(a).as(s"__scd_cur_$a")) :+
+        lit(1).as("__scd_has_cur")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).asc)
+    val changedVsLag = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    // the batch's first row per key compares against the key's CURRENT
+    // attributes (a repeat of the current values opens no interval);
+    // later rows compare within the batch as in the one-shot fold
+    val changedVsCur = attrCols
+      .map(a => !(col(a) <=> col(s"__scd_cur_$a")))
+      .reduce(_ || _) || col("__scd_has_cur").isNull
+    val keptUpd = updates
+      .select((keyCols ++ (versionCol +: attrCols)).map(col): _*)
+      .join(curAttrs, keyCols, "left")
+      .withColumn("__scd_rn", row_number().over(w))
+      .withColumn("__scd_chg", changedVsLag)
+      .where(when(col("__scd_rn") === 1, changedVsCur)
+        .otherwise(col("__scd_chg")))
+      .select((keyCols ++ (versionCol +: attrCols)).map(col): _*)
+      .withColumnRenamed(versionCol, "valid_from")
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from").asc)
+    val newRows = keptUpd
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .withColumn("is_current", col("valid_to").isNull)
+    // close each current row whose key opened a new interval: its
+    // valid_to becomes the FIRST kept update's version
+    val firstChange = keptUpd.groupBy(keyCols.map(col): _*)
+      .agg(min(col("valid_from")).as("__scd_close_at"))
+    val curAdjusted = cur.join(firstChange, keyCols, "left")
+      .withColumn("valid_to",
+        coalesce(col("__scd_close_at"), col("valid_to")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__scd_close_at")
+    history.where(!col("is_current"))
+      .unionByName(curAdjusted)
+      .unionByName(newRows)
+  }
 }

@@ -125,4 +125,59 @@ object Profile {
       .withColumn("r2", corr * corr)
       .drop("sx", "sy", "sxy", "sx2", "sy2")
   }
+
+  /** CUSUM statistics over an ordered series: per point,
+    * `cusum_i = Σ_{j≤i} x_j − i·mean(x)` — the classic Page/Pettitt
+    * mean-shift trace whose extremum locates the most likely changepoint
+    * (before a level shift the deviations accumulate one way, after it
+    * they unwind; a no-change series random-walks near zero).
+    *
+    * Scale contract, stated plainly: this runs a GLOBAL-ORDER window
+    * (one partition), so `df` must be an already-aggregated bounded
+    * series — days/hours of a KPI (thousands of rows), never raw events.
+    * The distributed work is the upstream `groupBy(day)` that produced
+    * the series; the monitor itself is o(1) of corpus scale. This is the
+    * same bounded-series stance as [[graft.operators.Divergence]].
+    *
+    * Exactness: with an integral `valueCol` the running sum is exact
+    * long arithmetic; the one float enters at `mean = total / n`, and
+    * `round(rsum − rn·mean, 6)` is a fixed two-op tail — query rows
+    * over integral series carry FULL DuckDB oracles (the house
+    * sums-then-formula discipline).
+    *
+    * Output: (orderCol, value, cusum), one row per input point.
+    */
+  def cusum(df: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val v = col(valueCol).cast("long")
+    val totals = df.agg(sum(v).as("__cs_total"),
+      count(lit(1)).as("__cs_n"))
+    df.select(col(orderCol), v.as("value"))
+      .withColumn("__cs_rsum", sum(col("value")).over(w))
+      .withColumn("__cs_rn", count(lit(1)).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("cusum",
+        round(col("__cs_rsum") -
+          col("__cs_rn") * (col("__cs_total").cast("double") /
+            col("__cs_n")), 6))
+      .select(col(orderCol), col("value"), col("cusum"))
+  }
+
+  /** The most likely changepoint of the series: the point maximizing
+    * |cusum|, earliest point on ties — one row (orderCol, value, cusum,
+    * abs_cusum). The caller thresholds `abs_cusum` against its own
+    * history (e.g. [[graft.sources.SketchSidecar.batchAnomaly]]'s z
+    * discipline) to decide whether the shift is real.
+    */
+  def changepoint(df: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame =
+    cusum(df, orderCol, valueCol)
+      .withColumn("abs_cusum", abs(col("cusum")))
+      .orderBy(col("abs_cusum").desc, col(orderCol).asc)
+      .limit(1)
 }

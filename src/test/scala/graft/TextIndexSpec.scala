@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Keywords
+import graft.sources.TextIndex
+
+/** The inverted text index: BM25 served from term-partitioned postings
+  * must be ROW-IDENTICAL to the corpus-scan path (same tokenizer, same
+  * score tree, same rounding/tie-break), incremental appends must equal
+  * the one-shot build, the serve must prune to the query terms'
+  * partitions, and maintenance must be invisible to results.
+  */
+class TextIndexSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // deterministic corpus: a small vocabulary so terms repeat across docs
+  // (df > 1), doc lengths vary (the length norm matters), two zero-token
+  // docs (avgdl must average over them), and one doc of only-whitespace
+  private val vocab = Vector("hash", "join", "vector", "scan", "sort",
+    "merge", "spill", "page", "codec", "probe")
+  private def docText(i: Long): String =
+    if (i % 17 == 0) ""
+    else if (i % 13 == 0) "   "
+    else (0 until (3 + (i % 9)).toInt)
+      .map(j => vocab(((i * 7 + j * j) % vocab.size).toInt))
+      .mkString(" ")
+  private def corpus(n: Long): DataFrame =
+    (1L to n).map(i => (i, docText(i))).toDF("doc_id", "text")
+
+  private def newCfg(parts: Int = 8): TextIndex.Cfg = TextIndex.Cfg(
+    Files.createTempDirectory("text_index").resolve("ti").toString,
+    partitions = parts)
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.as[(Long, Double)].collect().toSeq
+
+  test("index-backed BM25 equals the corpus-scan path row-for-row: " +
+      "multi-term, single-term, partially-missing and all-missing " +
+      "queries, at cuts that split score ties") {
+    val docs = corpus(60)
+    val cfg = newCfg()
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    val queries = Seq(
+      Seq("hash", "join", "vector"),
+      Seq("spill"),
+      Seq("codec", "nosuchterm"),
+      Seq("HASH", "hash", "Join"), // case folding + duplicate terms
+      Seq("absent", "alsoabsent"))
+    for (q <- queries; k <- Seq(5, 17)) {
+      val scan = rows(Keywords.bm25TopK(docs, "doc_id", "text", q, k))
+      val idx = rows(TextIndex.bm25TopK(spark, cfg, "doc_id", q, k))
+      assert(idx === scan, s"query=$q k=$k")
+    }
+    assert(rows(TextIndex.bm25TopK(spark, cfg, "doc_id",
+      Seq("absent"), 5)).isEmpty)
+  }
+
+  test("incremental appends equal the one-shot build, and compaction " +
+      "(postings leaves + stats row-merge) changes no served row") {
+    val docs = corpus(60)
+    val oneShot = newCfg()
+    TextIndex.writeIndex(docs, "doc_id", "text", oneShot)
+    val incr = newCfg()
+    (0 until 3).foreach { b =>
+      TextIndex.appendBatch(docs.filter(pmod(col("doc_id"), lit(3)) === b),
+        "doc_id", "text", incr)
+    }
+    val q = Seq("hash", "join", "vector")
+    val expect = rows(TextIndex.bm25TopK(spark, oneShot, "doc_id", q, 10))
+    assert(rows(TextIndex.bm25TopK(spark, incr, "doc_id", q, 10))
+      === expect)
+    // stats really is one row per append before the merge
+    assert(spark.read.parquet(s"${incr.indexPath}/stats").count() === 3L)
+    TextIndex.compact(spark, incr)
+    assert(spark.read.parquet(s"${incr.indexPath}/stats").count() === 1L)
+    assert(rows(TextIndex.bm25TopK(spark, incr, "doc_id", q, 10))
+      === expect)
+  }
+
+  test("the serve prunes the postings scan to the query terms' tp " +
+      "partitions (static PartitionFilters on the plan)") {
+    val cfg = newCfg(parts = 8)
+    TextIndex.writeIndex(corpus(60), "doc_id", "text", cfg)
+    val served = TextIndex.bm25TopK(spark, cfg, "doc_id",
+      Seq("hash"), 5)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tp".r.findFirstIn(plan).nonEmpty,
+      s"postings read must prune on tp:\n$plan")
+    // and the pruned read really covers the right rows: served equality
+    // (checked above at scale) plus a direct posting check here
+    val postings = spark.read.parquet(s"${cfg.indexPath}/postings")
+    val hashDf = postings.where(col("term") === "hash").count()
+    assert(hashDf > 0L)
+  }
+
+  test("layout pin: a partition-count drift fails loudly; reserved " +
+      "output column collision fails loudly") {
+    val cfg = newCfg(parts = 8)
+    TextIndex.writeIndex(corpus(20), "doc_id", "text", cfg)
+    val drift = intercept[IllegalArgumentException] {
+      TextIndex.appendBatch(corpus(5), "doc_id", "text",
+        cfg.copy(partitions = 16))
+    }
+    assert(drift.getMessage.contains("pinned"))
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(spark, cfg, "bm25", Seq("hash"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(spark, cfg, "doc_id", Seq.empty, 5)
+    }
+  }
+}
