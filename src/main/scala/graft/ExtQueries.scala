@@ -3673,6 +3673,17 @@ object ExtQueries {
           query = Seq("hash", "join", "vector"), k = 20)
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // the batched serve from the same index — q_bm25_batched's query
+    // table answered from pruned postings, same oracle verbatim
+    "q_bm25_indexed_batched" -> ((s, d) => {
+      import s.implicits._
+      val qdf = Seq((1L, Seq("hash", "join")), (2L, Seq("vector", "spark")),
+        (3L, Seq("customer"))).toDF("query_id", "terms")
+      graft.sources.TextIndex.bm25BatchTopK(s, textIndexFor(s, d),
+          "doc_id", qdf, "query_id", "terms", k = 10)
+        .transform(Queries.presentSorted(_, "query_id", "doc_id"))
+    }),
+
     // SCD2 (type-2 dimension history) fold of the orders stream: one
     // row per (customer, status/priority CHANGE) with its validity
     // interval — the reproducibility ledger behind "what did this
@@ -4538,44 +4549,9 @@ object ExtQueries {
     // batched-BM25 twin: the corpus CTEs are q_bm25_topk's verbatim; the
     // query table is an inline VALUES list and each query joins back its
     // own terms' tf rows
-    "q_bm25_batched" ->
-      """WITH queries(query_id, token) AS (
-        |  VALUES (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'spark'),
-        |    (3, 'customer')),
-        |toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
-        |    AS token
-        |  FROM documents),
-        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
-        |stats AS (
-        |  SELECT count(*) AS n_docs,
-        |    avg(coalesce(blen, 0)) AS avgdl
-        |  FROM documents LEFT JOIN lens USING (doc_id)),
-        |tf AS (
-        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
-        |  WHERE token IN (SELECT token FROM queries)
-        |  GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
-        |scored AS (
-        |  SELECT query_id, doc_id,
-        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
-        |      (tfreq * (1.2 + 1.0)) /
-        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
-        |  FROM tf JOIN dfreq USING (token) JOIN queries USING (token)
-        |  JOIN lens USING (doc_id) CROSS JOIN stats),
-        |agg AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
-        |      AS DOUBLE) AS bm25
-        |  FROM scored GROUP BY query_id, doc_id),
-        |r AS (
-        |  SELECT query_id, doc_id, bm25,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY bm25 DESC, doc_id) AS rn
-        |  FROM agg)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25
-        |FROM r WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    "q_bm25_batched" -> bm25BatchedOracleSql,
+    // the index-backed batched serve equals the batched scan bit-for-bit
+    "q_bm25_indexed_batched" -> bm25BatchedOracleSql,
     // hybrid-RRF twin: the bm25 CTE is q_bm25_topk's verbatim, the dense
     // CTE is ann_bruteforce's cosine; ranks are integer row_numbers and
     // the fusion sums 9-decimal DECIMALs, so the whole hybrid hashes
@@ -5259,6 +5235,50 @@ object ExtQueries {
       |  SELECT doc_id, bm25 FROM agg
       |  ORDER BY bm25 DESC, doc_id LIMIT 20)
       |ORDER BY doc_id""".stripMargin
+
+  /** The batched-BM25 ground truth shared by q_bm25_batched (scan) and
+    * q_bm25_indexed_batched (index serve): the corpus CTEs are
+    * q_bm25_topk's verbatim, the query table is an inline VALUES list,
+    * each query joins back its own terms' tf rows.
+    */
+  private def bm25BatchedOracleSql: String =
+    """WITH queries(query_id, token) AS (
+        |  VALUES (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'spark'),
+        |    (3, 'customer')),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM documents LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN (SELECT token FROM queries)
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN queries USING (token)
+        |  JOIN lens USING (doc_id) CROSS JOIN stats),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY query_id, doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, bm25,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25
+        |FROM r WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin
 
   /** The SCD2 ground truth shared by q_scd2 and q_scd2_incremental:
     * change rows by null-safe per-column comparison against the key's

@@ -297,6 +297,17 @@ object CorpusPipeline {
     * to avoid); an exact re-delivery that matters for attribution also
     * matches at the MinHash gate, so disable `exactKeys` if every
     * exact-dup edge must be recorded.
+    *
+    * `textIndex`: when set, each admitted batch's survivors are ALSO
+    * appended to a persisted inverted index
+    * ([[graft.sources.TextIndex]]), so lexical retrieval (BM25) over
+    * the corpus stays serveable from pruned term partitions instead of
+    * re-scanning 100 TB per query. Appends BEFORE the MinHash gate
+    * commit with the other index state (crash-retry REPEATS the append
+    * — duplicated postings inflate the one batch's scores until a
+    * rebuild, visible and repairable — rather than SKIPPING it, which
+    * would leave the batch permanently unfindable); compacted on its
+    * own `compactEvery` cadence like the ANN codes table.
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,
@@ -316,7 +327,8 @@ object CorpusPipeline {
                      dupLabelsPartitions: Int = 0,
                      funnel: Option[String] = None,
                      media: Option[MediaGate] = None,
-                     funnelBatchId: Long = -1L)
+                     funnelBatchId: Long = -1L,
+                     textIndex: Option[graft.sources.TextIndex.Cfg] = None)
       : Long = {
     // schema-drift gate FIRST, before any other gate touches the batch:
     // parquet append accepts ANY schema — a renamed/retyped column in a
@@ -623,6 +635,21 @@ object CorpusPipeline {
             Seq(n).toDF("trained_rows").coalesce(1)
               .write.mode("overwrite")
               .parquet(s"${a.indexPath}/trained_meta")
+          }
+        }
+        // lexical retrieval index: the survivors' postings append with
+        // the other per-batch index state BEFORE the MinHash gate
+        // commit, for the ANN block's reason — a crash in the window
+        // makes the retry REPEAT the append (duplicated postings for
+        // one batch: affected docs score high until a rebuild, a
+        // visible and repairable drift), whereas committing after the
+        // gate would make the retry SKIP it (the batch silently
+        // unfindable by lexical retrieval forever)
+        textIndex.foreach { cfg =>
+          graft.sources.TextIndex.appendBatch(survivors, idCol, textCol,
+            cfg)
+          maybeCompact(cfg.indexPath, cfg.compactEvery) {
+            graft.sources.TextIndex.compact(spark, cfg)
           }
         }
         // sketch monitoring sidecar: one narrow aggregation over the

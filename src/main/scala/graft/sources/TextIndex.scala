@@ -59,11 +59,15 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** @param indexPath  index root directory
-    * @param partitions term-hash partition count P — pinned into the
-    *                   layout at first write
+  /** @param indexPath    index root directory
+    * @param partitions   term-hash partition count P — pinned into the
+    *                     layout at first write
+    * @param compactEvery corpus-loop maintenance cadence (see
+    *                     [[graft.ingest.CorpusPipeline.dedupAndAppend]]);
+    *                     0 = never
     */
-  case class Cfg(indexPath: String, partitions: Int = 16) {
+  case class Cfg(indexPath: String, partitions: Int = 16,
+                 compactEvery: Int = 0) {
     require(partitions > 0, s"partitions=$partitions")
   }
 
@@ -158,17 +162,21 @@ object TextIndex {
     * corpus. Output (idCol, bm25), identical row-for-row to
     * [[graft.operators.Keywords.bm25TopK]] on the indexed corpus.
     */
-  def bm25TopK(spark: SparkSession, cfg: Cfg, idCol: String,
-               query: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(query.nonEmpty, "BM25 needs at least one query term")
-    require(idCol != "bm25",
-      s"idCol '$idCol' collides with the reserved output column bm25")
-    val terms = query.map(_.toLowerCase).distinct
+  private def pinnedPartitionCount(cfg: Cfg): Int = {
     val pinned = pinFile(cfg)
     require(pinned.exists(), s"no text index at ${cfg.indexPath}")
-    val p = java.nio.file.Files.readString(pinned.toPath).trim.toInt
-    val tps = termPartitions(terms, p)
+    java.nio.file.Files.readString(pinned.toPath).trim.toInt
+  }
+
+  /** The pruned postings for `terms` plus the two serving sidecar frames
+    * every BM25 face shares: per-term document frequency (a count of the
+    * pruned postings — df is a global per-term fact, independent of
+    * which queries ask) and the 1-row (N, avgdl) stats merge.
+    */
+  private def servingFrames(spark: SparkSession, cfg: Cfg,
+                            terms: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tps = termPartitions(terms, pinnedPartitionCount(cfg))
     // tp is the partition column: this filter prunes statically, the
     // term filter lands on the surviving files' dictionary pages
     val postings = spark.read.parquet(postingsPath(cfg))
@@ -180,6 +188,17 @@ object TextIndex {
       // scan path's avg() computes
       .select(col("__bm_n"),
         (col("__bm_sl").cast("double") / col("__bm_n")).as("__bm_avgdl"))
+    (postings, dfreq, stats)
+  }
+
+  def bm25TopK(spark: SparkSession, cfg: Cfg, idCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    require(idCol != "bm25",
+      s"idCol '$idCol' collides with the reserved output column bm25")
+    val terms = query.map(_.toLowerCase).distinct
+    val (postings, dfreq, stats) = servingFrames(spark, cfg, terms)
     postings.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id").as(idCol),
@@ -191,6 +210,45 @@ object TextIndex {
         .cast("double").as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+  }
+
+  /** BATCHED BM25 from the index — a whole query table answered in one
+    * plan, identical per query to looping [[bm25TopK]] (and so to
+    * [[graft.operators.Keywords.bm25BatchTopK]], whose oracle the
+    * `q_bm25_indexed_batched` row reuses verbatim). The postings read is
+    * pruned to the UNION of all queries' terms — collected driver-side
+    * for partition pruning, bounded by the query batch's vocabulary,
+    * never the corpus — scored once per (doc, term), and fanned out to
+    * queries by a broadcast join. Returns (query_id, idCol, bm25),
+    * per-query top-k with the decimal sum + id tie-break.
+    */
+  def bm25BatchTopK(spark: SparkSession, cfg: Cfg, idCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTermsCol: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(idCol != "bm25" && idCol != "query_id",
+      s"idCol '$idCol' collides with a reserved output column")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(transform(col(queryTermsCol), lower(_))))
+        .as("term"))
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val (postings, dfreq, stats) = servingFrames(spark, cfg, terms)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))
+    postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id").as(idCol),
+        graft.operators.Keywords.bm25ScoreCol(col("tf"), col("__bm_df"),
+          col("__bm_n"), col("dl"), col("__bm_avgdl"), k1, b)
+          .as("__bm_score"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(round(col("__bm_score"), 6).cast("decimal(18,6)"))
+        .cast("double").as("bm25"))
+      .withColumn("__bm_rank", row_number().over(w))
+      .where(col("__bm_rank") <= k).drop("__bm_rank")
   }
 
   /** Small-files maintenance: per-term-partition rewrite of the postings

@@ -41,7 +41,8 @@ object CorpusStream {
             corpusCompactEvery: Int = 0,
             dupLabelsPartitions: Int = 0,
             funnel: Option[String] = None,
-            media: Option[CorpusPipeline.MediaGate] = None)
+            media: Option[CorpusPipeline.MediaGate] = None,
+            textIndex: Option[graft.sources.TextIndex.Cfg] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -83,7 +84,7 @@ object CorpusStream {
             idCol, textCol, threshold, gates, benchmark, contaminationN,
             ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
             dupLabels, corpusCompactEvery, dupLabelsPartitions, funnel,
-            media, funnelBatchId = id)
+            media, funnelBatchId = id, textIndex = textIndex)
         ()
       }
       .start()
@@ -180,7 +181,9 @@ object CorpusStream {
                           corpusCompactEvery: Int = 0,
                           dupLabelsPartitions: Int = 0,
                           funnel: Option[String] = None,
-                          media: Option[CorpusPipeline.MediaGate] = None)
+                          media: Option[CorpusPipeline.MediaGate] = None,
+                          textIndex: Option[graft.sources.TextIndex.Cfg] =
+                            None)
       : ReprocessResult = {
     require(maxBatches > 0, "maxBatches must be positive")
     val qDir = new java.io.File(quarantinePath)
@@ -257,7 +260,8 @@ object CorpusStream {
                 indexPath, idCol, textCol, threshold, gates, benchmark,
                 contaminationN, ann, lm, sq, dsir, lrq, indexCompactEvery,
                 sketch, exactKeys, dupLabels, corpusCompactEvery,
-                dupLabelsPartitions, funnel, media, funnelBatchId = bid)
+                dupLabelsPartitions, funnel, media, funnelBatchId = bid,
+                textIndex = textIndex)
               true
             } catch {
               case e: CorpusPipeline.PostAppendFailure => throw e

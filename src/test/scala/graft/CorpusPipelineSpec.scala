@@ -1106,6 +1106,48 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(perBatch.select("n_appended").as[Long].collect().head === 0L)
   }
 
+  test("corpus loop maintains the inverted text index: the index-served " +
+      "BM25 equals a corpus scan after every batch, dropped dups never " +
+      "enter the postings, and a compaction cadence keeps files bounded") {
+    import graft.sources.TextIndex
+    val dir = Files.createTempDirectory("corpus_text_index")
+    val corpus = dir.resolve("corpus").toString
+    val idx = dir.resolve("index").toString
+    val ti = TextIndex.Cfg(dir.resolve("ti").toString, partitions = 4,
+      compactEvery = 2)
+    def doc(i: Long) = (1 to 12)
+      .map(j => if (j == 1) "probe" else s"w${i}x$j").mkString(" ")
+    // batch 1: two docs; batch 2: an exact dup of doc 1 (must not enter
+    // the postings) + a fresh doc; batch 3: fresh
+    val batches = Seq(
+      Seq((1L, doc(1)), (2L, doc(2))),
+      Seq((3L, doc(1)), (4L, doc(4))),
+      Seq((5L, doc(5))))
+    batches.foreach { b =>
+      CorpusPipeline.dedupAndAppend(b.toDF("doc_id", "text"),
+        corpus, idx, "doc_id", "text", 0.8, textIndex = Some(ti))
+      // the serve and the scan must agree after EVERY admitted batch —
+      // the index is additive and dup-free exactly when the loop feeds
+      // it survivors only
+      val scan = graft.operators.Keywords.bm25TopK(
+          spark.read.parquet(corpus), "doc_id", "text",
+          query = Seq("probe"), k = 10)
+        .as[(Long, Double)].collect().toSeq
+      val served = TextIndex.bm25TopK(spark, ti, "doc_id",
+          Seq("probe"), 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(served === scan)
+    }
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L, 5L))
+    // dup doc 3 never entered: postings carry exactly the 4 survivors
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .select("doc_id").distinct().as[Long].collect().toSet ===
+      Set(1L, 2L, 4L, 5L))
+    // compactEvery = 2 fired at least once: stats row-merged to <= 2 rows
+    assert(spark.read.parquet(s"${ti.indexPath}/stats").count() <= 2L)
+  }
+
   test("schema-drift gate: a batch whose schema renamed or retyped a " +
       "column is rejected loudly instead of appending a second schema " +
       "into the corpus; same columns in a different order pass") {

@@ -80,6 +80,31 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
       === expect)
   }
 
+  test("batched serve equals the batched scan path AND a loop of " +
+      "single-query serves — shared-term queries, disjoint queries, " +
+      "queries with missing terms") {
+    val docs = corpus(60)
+    val cfg = newCfg()
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    val qdf = Seq((1L, Seq("hash", "join")), (2L, Seq("vector", "scan")),
+      (3L, Seq("codec", "nosuchterm")), (4L, Seq("onlymissing")))
+      .toDF("query_id", "terms")
+    val got = TextIndex.bm25BatchTopK(spark, cfg, "doc_id", qdf,
+        "query_id", "terms", k = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    val scan = graft.operators.Keywords.bm25BatchTopK(docs, "doc_id",
+        "text", qdf, "query_id", "terms", k = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === scan)
+    val looped = Seq(1L -> Seq("hash", "join"), 2L -> Seq("vector", "scan"),
+        3L -> Seq("codec", "nosuchterm"))
+      .flatMap { case (q, ts) =>
+        rows(TextIndex.bm25TopK(spark, cfg, "doc_id", ts, 7))
+          .map { case (id, s) => (q, id, s) }
+      }.toSet
+    assert(got === looped)
+  }
+
   test("the serve prunes the postings scan to the query terms' tp " +
       "partitions (static PartitionFilters on the plan)") {
     val cfg = newCfg(parts = 8)
