@@ -1304,6 +1304,24 @@ object Queries {
         .transform(presentSorted(_, "nation"))
     }),
 
+    // personalized PageRank over the same trade graph, teleporting to
+    // the seed nations (key % 5 = 0) — relevance w.r.t. trusted anchors
+    // rather than global authority. Full oracle: the 5 rounds unroll to
+    // SQL CTEs with the identical float association (seed teleport,
+    // dangling mass to seeds), rounded to 6 like q_pagerank
+    "q_ppr" -> ((s, d) => {
+      val seeds = t(s, d, "nation")
+        .where(pmod(col("n_nationkey"), lit(5)) === 0)
+        .select(col("n_nationkey").as("id"))
+      graft.operators.Graph.personalizedPageRank(tradeEdges(s, d),
+          "src", "dst", seeds, "id", iterations = 5)
+        .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("id"), col("n_name").as("nation"))),
+          Seq("id"))
+        .select(col("nation"), round(col("ppr"), 6).as("ppr"))
+        .transform(presentSorted(_, "nation"))
+    }),
+
     "q_graph_degrees" -> ((s, d) => {
       graft.operators.Graph.degrees(tradeEdges(s, d), "src", "dst")
         .join(broadcast(t(s, d, "nation")
@@ -1580,6 +1598,53 @@ object Queries {
        |ORDER BY nation""".stripMargin
   }
 
+  /** The q_ppr twin: [[oraclePagerank]]'s structure with the teleport
+    * redirected to the seed set — per round, seeds get
+    * `(1−d)/s + d·(contrib + dang/s)`, non-seeds `d·contrib`; r0 = 1/s
+    * on seeds. The float constants interpolate from the SAME Scala
+    * doubles the operator uses (`1.0 - d` is not 0.15 in binary), and
+    * every division/association mirrors the Column tree.
+    */
+  private val oraclePpr: String = {
+    val d = 0.85
+    def tele(of: String) =
+      s"CASE WHEN sd.id IS NOT NULL THEN $of / ss.s ELSE 0.0 END"
+    val steps = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.id,
+         |    ${tele((1.0 - d).toString)} + $d * (COALESCE(c.c, 0) +
+         |      ${tele("dg.dang")}) AS pr
+         |  FROM nodes
+         |  LEFT JOIN seeds sd ON nodes.id = sd.id
+         |  LEFT JOIN (SELECT t.dst AS id, sum(r.pr * t.p) AS c
+         |             FROM trans t JOIN r${k - 1} r ON r.id = t.src
+         |             GROUP BY t.dst) c ON nodes.id = c.id
+         |  CROSS JOIN (SELECT COALESCE(sum(pr), 0) AS dang FROM r${k - 1}
+         |              WHERE id NOT IN (SELECT src FROM edges)) dg
+         |  CROSS JOIN ss)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT s_n.n_nationkey AS src, c_n.n_nationkey AS dst,
+       |    CAST(count(*) AS DOUBLE) AS w
+       |  FROM lineitem, orders, customer, supplier, nation s_n, nation c_n
+       |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND l_suppkey = s_suppkey AND s_nationkey = s_n.n_nationkey
+       |    AND c_nationkey = c_n.n_nationkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |seeds AS (SELECT id FROM nodes WHERE id % 5 = 0),
+       |ss AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+       |trans AS (SELECT src, dst, w / (sum(w) OVER (PARTITION BY src)) AS p
+       |          FROM edges),
+       |r0 AS (SELECT nodes.id,
+       |    CASE WHEN sd.id IS NOT NULL THEN 1.0 / ss.s ELSE 0.0 END AS pr
+       |  FROM nodes LEFT JOIN seeds sd ON nodes.id = sd.id CROSS JOIN ss),
+       |$steps
+       |SELECT n_name AS nation, round(pr, 6) AS ppr
+       |FROM r5 JOIN nation ON id = n_nationkey
+       |ORDER BY nation""".stripMargin
+  }
+
   /** Profile twin: one UNION ALL branch per orders column, numeric and
     * string min/max lanes mirroring [[graft.operators.Profile.summary]].
     */
@@ -1615,6 +1680,7 @@ object Queries {
         |ORDER BY event_id""".stripMargin,
     "q_profile_orders" -> oracleProfile,
     "q_pagerank" -> oraclePagerank,
+    "q_ppr" -> oraclePpr,
     // id-ordered 3-way join over the canonical pair set counts each
     // triangle once; orientation differs from the engine's
     // degree-ordering but the census is orientation-invariant

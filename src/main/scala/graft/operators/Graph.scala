@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -93,6 +93,94 @@ object Graph {
     e.unpersist(false); nodes.unpersist(false)
     trans.unpersist(false); srcs.unpersist(false)
     ranks
+  }
+
+  /** Personalized PageRank: random walks that TELEPORT to a seed set
+    * instead of everywhere — relevance w.r.t. trusted anchors (seed a
+    * crawl's curated domains and PPR ranks the rest of the link graph by
+    * proximity-with-authority; seed one entity and the top ranks are its
+    * graph neighborhood, the candidate generator behind related-item
+    * and hard-negative mining).
+    *
+    * Update per round, with `s = |seeds ∩ nodes|` and dangling mass
+    * redistributed to the seeds (the teleport distribution, as in
+    * uniform [[pageRank]] it goes to 1/n):
+    * `r' = (1−d)·e_S + d·(Pᵀ r + dang·e_S)` where `e_S = 1/s` on seeds,
+    * 0 elsewhere; `r0 = e_S`. Mass is conserved at 1 every round, so
+    * ranks are comparable across seed sets.
+    *
+    * Same shuffle shape and loop discipline as [[pageRank]]: edge/
+    * transition frames persisted once, one src-keyed join + dst-keyed
+    * aggregate per round, per-round `localCheckpoint` with
+    * previous-round release, dangling mass as a 1-row broadcast
+    * crossJoin. Seeds are a DataFrame (`idCol`), joined not collected —
+    * a seed set can be millions of curated domains. Seeds outside the
+    * graph are ignored (they can neither receive nor emit mass);
+    * at least one seed must be a graph node.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedIdCol: String,
+                           weightCol: Option[String] = None,
+                           iterations: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds
+      .select(col(seedIdCol).cast("long").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seedIds.select(col("id"), lit(1).as("__seed")), Seq("id"),
+        "left")
+      .select(col("id"), (col("__seed") === 1).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the one driver scalar: the in-graph seed count
+    val s = nodes.where(col("is_seed")).count()
+    require(s > 0, "personalizedPageRank needs >= 1 seed inside the graph")
+    val trans = e.groupBy("src").agg(sum("w").as("__ow"))
+      .join(e, "src")
+      .select(col("src"), col("dst"), (col("w") / col("__ow")).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = e.select("src").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // e_S as a column over the node frame — reused by init, teleport
+    // and dangling redistribution so the three stay consistent
+    def teleport(of: Column): Column =
+      when(col("is_seed"), of / s).otherwise(lit(0.0))
+    var ranks = nodes.select(col("id"), teleport(lit(1.0)).as("rank"))
+      .localCheckpoint(true)
+    var prev: DataFrame = ranks
+    for (_ <- 1 to iterations) {
+      val dang = ranks.join(srcs, col("id") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
+      val contrib = trans
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .groupBy("dst").agg(sum(col("rank") * col("p")).as("__c"))
+      val next = nodes
+        .join(contrib, col("id") === col("dst"), "left")
+        .crossJoin(dang)
+        .select(col("id"), col("is_seed"),
+          (teleport(lit(1.0 - damping)) + lit(damping) *
+            (coalesce(col("__c"), lit(0.0)) +
+              teleport(col("__dang"))))
+            .as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prev)
+      prev = next
+      ranks = next
+    }
+    e.unpersist(false); nodes.unpersist(false)
+    trans.unpersist(false); srcs.unpersist(false)
+    ranks.select(col("id"), col("rank").as("ppr"))
   }
 
   /** Degree/strength summary per node of the directed multigraph:

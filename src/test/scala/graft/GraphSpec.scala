@@ -168,6 +168,46 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rr((1L, 2L)) > rr((1L, 3L)))
   }
 
+  test("personalized PageRank: hand-computed two-node chain, mass " +
+      "conservation, locality (seed side outranks the far side on a " +
+      "barbell), out-of-graph seeds ignored, no in-graph seed fails") {
+    def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+            iters: Int): Map[Long, Double] =
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("id"), "id", iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // chain 1 -> 2, seed {1}, one round, d = 0.85:
+    //   node 1 (seed, no in-edges): 0.15/1 + 0.85*(0 + dang/1); dang = 0
+    //     (node 2 holds 0 at r0 and is the only dangling node) = 0.15
+    //   node 2: 0.85 * (r0(1) * 1.0) = 0.85
+    val chain = ppr(Seq((1L, 2L)), Seq(1L), iters = 1)
+    assert(math.abs(chain(1L) - 0.15) < 1e-12)
+    assert(math.abs(chain(2L) - 0.85) < 1e-12)
+    // mass conservation: sums to 1 every round (dangling mass recycled)
+    val rnd = new scala.util.Random(41)
+    val edges = (for {
+      a <- 1L to 15L; b <- 1L to 15L
+      if a != b && rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val m = ppr(edges, Seq(1L, 2L, 3L), iters = 7)
+    assert(math.abs(m.values.sum - 1.0) < 1e-9)
+    // locality on a barbell: two 3-cliques bridged by one edge — seeding
+    // clique A must rank every A node above every B node
+    val cliqueA = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L))
+    val cliqueB = Seq((11L, 12L), (12L, 11L), (12L, 13L), (13L, 12L),
+      (11L, 13L), (13L, 11L))
+    val barbell = cliqueA ++ cliqueB ++ Seq((3L, 11L), (11L, 3L))
+    val bb = ppr(barbell, Seq(1L), iters = 10)
+    assert(Seq(1L, 2L, 3L).map(bb).min > Seq(11L, 12L, 13L).map(bb).max)
+    // out-of-graph seeds are ignored; all-out-of-graph fails loudly
+    val withGhost = ppr(Seq((1L, 2L)), Seq(1L, 999L), iters = 1)
+    assert(math.abs(withGhost(1L) - 0.15) < 1e-12)
+    intercept[IllegalArgumentException] {
+      ppr(Seq((1L, 2L)), Seq(999L), iters = 1)
+    }
+  }
+
   test("coreness: hand cases (K4=3, cycle=2, star=1) and a randomized " +
       "law — the H-index fixpoint equals brute-force min-degree peeling") {
     def served(edges: Seq[(Long, Long)]): Map[Long, Long] =
