@@ -48,6 +48,22 @@ object ExtQueries {
         Multimodal.MediaRecord(id, bytes)
       }).toDF()
   }
+  /** The mm_video_neardup corpus: one synthetic animated GIF per doc
+    * (every `every`-th doc only, for the quadratic gap twin's subset) —
+    * even docs get 6 frames, their odd neighbors the 4-frame PREFIX
+    * re-cut of the same seed, so (2k, 2k+1) are planted near-dups.
+    */
+  private def videoMedia(s: SparkSession, d: String,
+                         every: Int): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"))
+      .where(pmod(col("doc_id"), lit(every)) === 0).as[Long]
+      .mapPartitions(_.map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.syntheticGif(id / 2, if (id % 2 == 0) 6 else 4, 9, 8))
+      }).toDF()
+  }
+
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
@@ -2377,6 +2393,56 @@ object ExtQueries {
         .agg(first(col("n_frames")).as("n_frames"),
           count(lit(1)).cast("int").as("n_sampled"))
         .orderBy("media_id")
+    }),
+
+    // VIDEO near-dup via frame-fingerprint set overlap — the motion
+    // member of the near-dup family: real multi-frame GIF decode → one
+    // dHash per sampled frame → media blocked on a shared exact frame
+    // hash → exact Jaccard over the distinct frame-hash sets. Each even
+    // doc carries a 6-frame animation, its odd neighbor the 4-frame
+    // prefix RE-CUT (same seed), so the planted pairs sit at ~2/3
+    // Jaccard; the synthetic frame space folds into 256 luminance
+    // classes, so the blocked join is exercised with genuinely heavy
+    // hash buckets. rows-only (perceptual hashing is engine-defined);
+    // priced by the equality twin below at floor exact.
+    "mm_video_neardup" -> ((s, d) =>
+      Multimodal.videoNearDupPairs(videoMedia(s, d, every = 1),
+          minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          round(col("jaccard"), 9).as("jaccard"))
+        .transform(Queries.presentSorted(_, "id_a", "id_b"))),
+
+    // the twin: on a 1-in-29 subset, the blocked join must equal the
+    // deliberately-quadratic brute-force pairwise Jaccard over the SAME
+    // fingerprints (collect_set + crossJoin — twin-only cost, never the
+    // operator's plan), both directions, floor exact
+    "mm_video_neardup_gap" -> ((s, d) => {
+      val sub = videoMedia(s, d, every = 29)
+      val thr = 0.5
+      val fs = Multimodal.frameHashes(sub)
+        .groupBy("media_id").agg(collect_set(col("fhash")).as("fs"))
+      val brute = fs.select(col("media_id").as("id_a"),
+          col("fs").as("fa"))
+        .crossJoin(fs.select(col("media_id").as("id_b"),
+          col("fs").as("fb")))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("fa"), col("fb"))).cast("long")
+            .as("shared"),
+          (size(array_intersect(col("fa"), col("fb"))).cast("double") /
+            size(array_union(col("fa"), col("fb")))).as("jaccard"))
+        .where(col("shared") > 0 && col("jaccard") >= thr)
+      val op = Multimodal.videoNearDupPairs(sub, minJaccard = thr)
+      val t = brute.withColumn("__t", lit(1))
+      val i = op.withColumn("__i", lit(1))
+      t.join(i, Seq("id_a", "id_b", "shared", "jaccard"), "full_outer")
+        .agg(count(lit(1)).as("total"),
+          coalesce(sum("__t"), lit(0L)).as("in_brute"),
+          coalesce(sum("__i"), lit(0L)).as("in_op"))
+        .withColumn("meets_floor",
+          col("in_brute") === col("total") &&
+          col("in_op") === col("total"))
+        .where(col("meets_floor"))
     }),
 
     // IMAGE near-dup via perceptual hash — the modality the text dedup

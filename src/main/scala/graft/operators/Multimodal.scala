@@ -357,8 +357,15 @@ object Multimodal {
     * 8 bytes per image: corpus-scale image dedup shuffles a long column,
     * never pixels.
     */
-  def dHash(bytes: Array[Byte]): Long = {
-    val img = readImage(bytes)
+  def dHash(bytes: Array[Byte]): Long = dHashImage(readImage(bytes))
+
+  /** [[dHash]]'s core over an already-decoded image — shared by the
+    * whole-payload hash and the per-frame video fingerprints
+    * ([[frameHashes]]), so a still and the identical frame of an
+    * animation hash identically by construction.
+    */
+  private[graft] def dHashImage(
+      img: java.awt.image.BufferedImage): Long = {
     val gw = 9; val gh = 8
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Long](gh * gw)
@@ -775,6 +782,84 @@ object Multimodal {
           } finally iis.close()
         }
       }
+  }
+
+  /** Per-frame [[dHash]] fingerprints of multi-frame payloads (animated
+    * GIF through the same ImageIO seam as [[decodeFrames]]): ONE decode
+    * pass, one (media_id, frame_idx, fhash) row per sampled frame —
+    * 12 bytes of fingerprint per frame where the payload held kilobytes
+    * of pixels. `stride` subsamples frames (every stride-th), the usual
+    * video-fingerprint economy: near-dup detection needs the frame SET's
+    * signature, not every frame.
+    */
+  def frameHashes(df: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as(Encoders.product[MediaRecord])
+      .mapPartitions { it: Iterator[MediaRecord] =>
+        it.flatMap { r =>
+          require(r.content != null && r.content.length > 0,
+            "empty media payload")
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext, "no ImageIO reader for payload")
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride)
+                .map(f => (r.media_id, f, dHashImage(reader.read(f))))
+            } finally reader.dispose()
+          } finally iis.close()
+        }
+      }.toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** Video near-duplicate pairs by frame-fingerprint SET overlap — the
+    * motion member of the near-dup family (images: Hamming on one hash;
+    * audio: Hamming on the loudness profile; video: Jaccard over the
+    * frame-hash set, the shape that catches re-cuts, trims and
+    * re-containered copies that share footage). Candidates BLOCK on a
+    * shared frame hash — the contamination-join shape: only media
+    * sharing at least one exact frame fingerprint ever meet, nothing
+    * goes all-pairs, and the join shuffles (id, 8-byte hash) rows, never
+    * pixels. Jaccard is priced exactly over the DISTINCT frame-hash sets
+    * (na + nb − shared in the denominator, so the count never double-
+    * dips). Returns (id_a < id_b, shared, jaccard) at
+    * `jaccard >= minJaccard`.
+    *
+    * Per-frame NEAR-matches (a re-encode that perturbs pixels) are out
+    * of scope of the exact-equality block by design — compose
+    * [[frameHashes]] with [[graft.operators.Dedup.hammingPairs64]] on
+    * the frame level when the footage itself is lossy-re-encoded.
+    */
+  def videoNearDupPairs(df: DataFrame, stride: Int = 1,
+                        minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard=$minJaccard must be in (0, 1] — at 0 every pair of " +
+        "media sharing any frame would emit, which is the blocked join's " +
+        "candidate set, not a duplicate verdict")
+    val fh = frameHashes(df, stride)
+      .select("media_id", "fhash").distinct()
+    val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("nf"))
+    val withSizes = fh.join(sizes, "media_id")
+    val a = withSizes.select(col("media_id").as("id_a"), col("fhash"),
+      col("nf").as("na"))
+    val b = withSizes.select(col("media_id").as("id_b"), col("fhash"),
+      col("nf").as("nb"))
+    a.join(b, "fhash")
+      .where(col("id_a") < col("id_b"))
+      // na/nb are constants per pair — grouping keys, not aggregates
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "shared", "jaccard")
   }
 
   /** Deterministic synthetic animated GIF (seed-keyed per-frame gradients,

@@ -260,6 +260,53 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("videoNearDupPairs: randomized law — the blocked frame-set join " +
+      "equals brute-force pairwise Jaccard over the same fingerprints; " +
+      "a prefix re-cut shares its full frame set; stride subsamples") {
+    // media 0/1 share a seed (1 is the 4-frame prefix re-cut of 0's 6
+    // frames); 2/3 share another; 4 stands alone; 5 is a single frame
+    val specs = Seq((0L, 100L, 6), (1L, 100L, 4), (2L, 200L, 6),
+      (3L, 200L, 3), (4L, 300L, 5), (5L, 400L, 1))
+    val media = specs.toDF("media_id", "seed", "nf")
+      .as[(Long, Long, Int)]
+      .mapPartitions(_.map { case (id, seed, nf) =>
+        Multimodal.MediaRecord(id,
+          Multimodal.syntheticGif(seed, nf, 9, 8))
+      }).toDF()
+    val fh = Multimodal.frameHashes(media)
+      .as[(Long, Int, Long)].collect()
+    val sets = fh.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map(_._3).toSet }
+    // brute-force pairwise Jaccard over the ACTUAL fingerprint sets
+    def brute(thr: Double) = (for {
+      a <- sets.keys.toSeq; b <- sets.keys.toSeq; if a < b
+      sh = (sets(a) & sets(b)).size
+      if sh > 0
+      j = sh.toDouble / (sets(a) | sets(b)).size
+      if j >= thr
+    } yield (a, b, sh.toLong, j)).toSet
+    Seq(0.2, 0.5, 0.9).foreach { thr =>
+      val got = Multimodal.videoNearDupPairs(media, minJaccard = thr)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === brute(thr), s"thr=$thr")
+    }
+    // the prefix re-cut: every frame of 1 is a frame of 0, so the pair
+    // lands with shared = |set(1)| (and likewise 2/3)
+    val pairs = Multimodal.videoNearDupPairs(media, minJaccard = 0.2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) ===
+      sets(1L).size.toLong)
+    assert(pairs.contains((2L, 3L)))
+    // stride = 2 halves the sampled frames but stays a law-abiding set
+    val strided = Multimodal.videoNearDupPairs(media, stride = 2,
+      minJaccard = 0.01)
+    assert(strided.collect().forall(r => r.getDouble(3) <= 1.0))
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairs(media, minJaccard = 0.0)
+    }
+  }
+
   test("audioHash: invariant to exact 2x time stretch (65|frames) and " +
       "re-encode; distinct noise seeds separate; stereo decodes") {
     val base = Multimodal.syntheticNoiseWav(5L, 130, 8000, 1)
