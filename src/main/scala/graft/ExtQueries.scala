@@ -3795,7 +3795,23 @@ object ExtQueries {
     // the located changepoint: the |cusum| extremum, earliest on ties
     "q_changepoint" -> ((s, d) =>
       graft.operators.Profile.changepoint(dailyOrders(s, d), "day",
-        "v")))
+        "v")),
+
+    // seasonal-baseline anomaly: each day scored against ITS weekday's
+    // mean/σ (season = epoch-day mod 7 — calendar-function-free, so
+    // both engines derive the identical season id). Full oracle: exact
+    // double moment sums, fixed-order z formula, round 6
+    "q_seasonal_anomaly" -> ((s, d) =>
+      graft.operators.Profile.seasonalAnomaly(
+          dailyOrders(s, d)
+            .withColumn("season",
+              pmod(datediff(col("day"), lit("1970-01-01")), lit(7))
+                .cast("long")),
+          "day", "season", "v")
+        .select(col("day"), col("season"), col("value"),
+          round(col("season_mean"), 6).as("season_mean"),
+          round(col("z"), 6).as("z"))
+        .transform(Queries.presentSorted(_, "day"))))
 
   /** The q_bm25_indexed fixture: documents ingested into the persisted
     * inverted index as 3 batches (pmod on doc_id), so the serve
@@ -4611,6 +4627,27 @@ object ExtQueries {
         |    round(rsum - rn * (CAST(total AS DOUBLE) / n), 6) AS cusum
         |  FROM c CROSS JOIN t)
         |ORDER BY abs_cusum DESC, day LIMIT 1""".stripMargin),
+
+    // seasonal anomaly: identical moment sums (inputs cast to double up
+    // front, the q_ols convention) and the identical fixed-order z
+    "q_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7 AS season,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT season, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s1, sum(v * v) AS s2
+        |  FROM daily GROUP BY season)
+        |SELECT day, season, v AS value,
+        |  round(s1 / n, 6) AS season_mean,
+        |  round(CASE WHEN n >= 2
+        |      AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        |    THEN (v - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+        |    END, 6) AS z
+        |FROM daily JOIN m USING (season)
+        |ORDER BY day""".stripMargin,
 
     // batched-BM25 twin: the corpus CTEs are q_bm25_topk's verbatim; the
     // query table is an inline VALUES list and each query joins back its

@@ -168,6 +168,40 @@ object Profile {
       .select(col(orderCol), col("value"), col("cusum"))
   }
 
+  /** Seasonal-baseline anomaly scores: each point's deviation from ITS
+    * season's mean, in season-σ units — "is this Monday odd FOR A
+    * MONDAY", the question a raw threshold can't ask of a series with a
+    * weekly/daily pulse. `seasonCol` is any bounded season id (the
+    * query uses epoch-day mod 7: calendar-function-free, so both
+    * engines derive the identical season); seasons with < 2 points or
+    * zero variance serve a null z, not a NaN.
+    *
+    * Same bounded-series stance as [[cusum]]: the input is the
+    * post-aggregation series, the per-season moment table is
+    * season-count-sized and broadcasts. Exact double moment sums feed a
+    * fixed-order formula (the [[olsByGroup]] discipline), so query rows
+    * over it carry full DuckDB oracles.
+    *
+    * Output: (orderCol, seasonCol, value, season_mean, z).
+    */
+  def seasonalAnomaly(df: DataFrame, orderCol: String, seasonCol: String,
+                      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val m = df.groupBy(col(seasonCol))
+      .agg(count(lit(1)).as("__sa_n"), sum(v).as("__sa_s1"),
+        sum(v * v).as("__sa_s2"))
+    val varN = (col("__sa_s2") -
+      col("__sa_s1") * col("__sa_s1") / col("__sa_n")) /
+      (col("__sa_n") - 1)
+    df.join(broadcast(m), Seq(seasonCol))
+      .withColumn("season_mean", col("__sa_s1") / col("__sa_n"))
+      .withColumn("z",
+        when(col("__sa_n") >= 2 && varN > 0,
+          (v - col("season_mean")) / sqrt(varN)))
+      .select(col(orderCol), col(seasonCol), v.as("value"),
+        col("season_mean"), col("z"))
+  }
+
   /** The most likely changepoint of the series: the point maximizing
     * |cusum|, earliest point on ties — one row (orderCol, value, cusum,
     * abs_cusum). The caller thresholds `abs_cusum` against its own

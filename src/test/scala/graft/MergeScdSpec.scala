@@ -102,4 +102,23 @@ class MergeScdSpec extends AnyFunSuite with SparkFixture {
     assert(Profile.cusum(flat, "t", "v").as[(Long, Long, Double)]
       .collect().forall(_._3 === 0.0))
   }
+
+  test("seasonal anomaly: a spike is odd only against ITS season's " +
+      "baseline; constant and singleton seasons serve null z") {
+    // season 0: values 10,10,10,40 (spike); season 1: constant 20s;
+    // season 2: a single point
+    val pts = Seq(
+      (1L, 0L, 10L), (2L, 0L, 10L), (3L, 0L, 10L), (4L, 0L, 40L),
+      (5L, 1L, 20L), (6L, 1L, 20L), (7L, 1L, 20L),
+      (8L, 2L, 99L)).toDF("t", "season", "v")
+    val out = Profile.seasonalAnomaly(pts, "t", "season", "v")
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // season 0: mean 17.5, sample sd 15 → spike z = 22.5/15 = 1.5
+    assert(math.abs(out(4L)._5.get - 1.5) < 1e-9)
+    assert(math.abs(out(1L)._5.get - (-0.5)) < 1e-9)
+    // zero-variance and singleton seasons: null z, never NaN
+    assert(Seq(5L, 6L, 7L, 8L).forall(out(_)._5.isEmpty))
+    assert(out(8L)._4 === 99.0)
+  }
 }
