@@ -3784,6 +3784,29 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "o_custkey", "valid_from"))
     }),
 
+    // the PATH-BACKED history: closed intervals live in the
+    // is_current=false partition and are never rewritten; three
+    // version-ordered applies land in the store (buildOnce fixture) and
+    // the read-back must STILL equal the one-shot fold's oracle
+    "q_scd2_stored" -> ((s, d) =>
+      graft.operators.Merge.scd2ReadStored(s, scd2StoreFor(s, d))
+        .transform(Queries.presentSorted(_, "o_custkey", "valid_from"))),
+
+    // point-in-time lookup over the history: the dimension state AS OF
+    // the mid-stream version X — valid_from <= X < valid_to (null-open).
+    // The reproducibility question SCD2 exists to answer; full oracle
+    "q_scd2_asof" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val x = o.agg(max("o_orderkey")).collect().head.getLong(0) / 2
+      graft.operators.Merge.scd2(o, Seq("o_custkey"), "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"))
+        .where(col("valid_from") <= x &&
+          (col("valid_to").isNull || col("valid_to") > x))
+        .select(col("o_custkey"), col("valid_from"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .transform(Queries.presentSorted(_, "o_custkey"))
+    }),
+
     // CUSUM mean-shift trace over the daily order-count series (the
     // monitor runs on the bounded post-aggregation series; the
     // distributed work is the daily groupBy) — exact long running sums,
@@ -3834,6 +3857,35 @@ object ExtQueries {
       }
     }
     cfg
+  }
+
+  /** The q_scd2_stored fixture: the orders history folded into the
+    * partitioned SCD2 store as three version-ordered applies (the same
+    * tertile cuts as q_scd2_incremental). Built once per sf dir
+    * ([[buildOnce]]).
+    */
+  private def scd2StoreFor(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_scd2_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val path = new java.io.File(root, "h").toString
+    buildOnce(root) {
+      val o = Tables.load(s, d, "orders")
+      val keyCols = Seq("o_custkey")
+      val attrs = Seq("o_orderstatus", "o_orderpriority")
+      val mm = o.agg(min("o_orderkey"), max("o_orderkey")).collect().head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      graft.operators.Merge.scd2WriteStored(
+        o.where(col("o_orderkey") <= t1), path, keyCols, "o_orderkey",
+        attrs)
+      graft.operators.Merge.scd2ApplyStored(s, path,
+        o.where(col("o_orderkey") > t1 && col("o_orderkey") <= t2),
+        keyCols, "o_orderkey", attrs)
+      graft.operators.Merge.scd2ApplyStored(s, path,
+        o.where(col("o_orderkey") > t2), keyCols, "o_orderkey", attrs)
+    }
+    path
   }
 
   /** The daily order-count series behind q_cusum/q_changepoint. */
@@ -4614,6 +4666,37 @@ object ExtQueries {
     "q_scd2" -> scd2OracleSql,
     // the incremental fold must equal the one-shot fold — same oracle
     "q_scd2_incremental" -> scd2OracleSql,
+    // and so must the partitioned store's read-back
+    "q_scd2_stored" -> scd2OracleSql,
+
+    // point-in-time state: the history filtered to valid_from <= X <
+    // valid_to at the mid-stream version X, derived identically (floor
+    // division of the max key) on both engines
+    "q_scd2_asof" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+        |    row_number() OVER w AS rn,
+        |    lag(o_orderstatus) OVER w AS pst,
+        |    lag(o_orderpriority) OVER w AS ppr
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)),
+        |kept AS (
+        |  SELECT o_custkey, o_orderkey AS valid_from, o_orderstatus,
+        |    o_orderpriority
+        |  FROM ordered
+        |  WHERE rn = 1 OR (o_orderstatus IS DISTINCT FROM pst)
+        |     OR (o_orderpriority IS DISTINCT FROM ppr)),
+        |hist AS (
+        |  SELECT o_custkey, valid_from, o_orderstatus, o_orderpriority,
+        |    lead(valid_from) OVER w2 AS valid_to
+        |  FROM kept
+        |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from)),
+        |x AS (SELECT CAST(max(o_orderkey) AS BIGINT) // 2 AS xv
+        |  FROM orders)
+        |SELECT o_custkey, valid_from, o_orderstatus, o_orderpriority
+        |FROM hist CROSS JOIN x
+        |WHERE valid_from <= xv AND (valid_to IS NULL OR valid_to > xv)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_cusum" -> (cusumOracleCtes +
       """SELECT day, value,

@@ -239,4 +239,76 @@ object Merge {
       .unionByName(curAdjusted)
       .unionByName(newRows)
   }
+
+  /** Path-backed SCD2 store, partitioned by `is_current` — the 100 TB
+    * layout the DataFrame-level [[scd2Apply]] scaladoc promises: closed
+    * intervals (the ever-growing bulk) live in the `is_current=false`
+    * partition and are NEVER rewritten; each apply reads and replaces
+    * only the current partition (one row per live key) and APPENDS the
+    * newly-closed rows. Apply cost is O(live keys + batch), independent
+    * of history depth.
+    */
+  def scd2WriteStored(records: DataFrame, path: String,
+                      keyCols: Seq[String], versionCol: String,
+                      attrCols: Seq[String]): Unit =
+    scd2(records, keyCols, versionCol, attrCols)
+      .write.mode("overwrite").partitionBy("is_current").parquet(path)
+
+  /** The stored history, with `is_current` restored to a boolean column
+    * (it comes back from the partition directory name). */
+  def scd2ReadStored(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("is_current", col("is_current").cast("boolean"))
+  }
+
+  /** Incremental apply against the store. Two writes, in this order:
+    *
+    *  1. APPEND the newly-closed intervals to `is_current=false`;
+    *  2. dynamically OVERWRITE the `is_current=true` partition with the
+    *     new current rows.
+    *
+    * The order pins the crash contract (the [[graft.operators.Components]]
+    * label-store stance): a crash between the two leaves the closed rows
+    * appended while the stale current partition still stands — a RETRY
+    * recomputes the same closed rows from the same stale partition and
+    * re-appends them as EXACT duplicates, then the overwrite heals the
+    * current side. Closed-side duplicates are byte-equal rows, healed
+    * losslessly by [[scd2DedupeStored]] (or a consumer-side DISTINCT);
+    * the reverse order would instead LOSE closed intervals on a crash —
+    * silent history truncation instead of visible duplication.
+    */
+  def scd2ApplyStored(spark: SparkSession, path: String,
+                      updates: DataFrame, keyCols: Seq[String],
+                      versionCol: String, attrCols: Seq[String]): Unit = {
+    val cur = scd2ReadStored(spark, path).where(col("is_current"))
+    // scd2Apply over a current-only history = curAdjusted ∪ newRows;
+    // checkpointed because the dynamic overwrite below replaces the very
+    // files this plan reads (the keepLatestPartitioned discipline)
+    val updated = scd2Apply(cur, updates, keyCols, versionCol, attrCols)
+      .localCheckpoint(true)
+    try {
+      updated.where(!col("is_current"))
+        .write.mode("append").partitionBy("is_current").parquet(path)
+      updated.where(col("is_current"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("is_current").parquet(path)
+    } finally
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(updated)
+  }
+
+  /** Maintenance for the documented crash window: exact-duplicate closed
+    * rows (a replayed apply) collapse by full-row DISTINCT; the closed
+    * leaf is rewritten via the staged atomic swap so concurrent readers
+    * see old or new, never a half state.
+    */
+  def scd2DedupeStored(spark: SparkSession, path: String): Unit = {
+    val leaf = new java.io.File(path, "is_current=false")
+    if (!leaf.exists()) return
+    val staging = graft.sources.Compaction.stagingDir(leaf, "scd2dedupe")
+    if (staging.exists()) graft.sources.Compaction.rm(staging)
+    spark.read.parquet(leaf.toString).distinct()
+      .write.mode("overwrite").parquet(staging.toString)
+    graft.sources.Compaction.swapInto(leaf.toString, staging.toString)
+  }
 }

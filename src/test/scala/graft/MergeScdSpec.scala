@@ -75,6 +75,50 @@ class MergeScdSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stored SCD2: batched applies equal the one-shot fold, closed " +
+      "files are never rewritten, and the pinned crash window (duplicate " +
+      "closed append) heals losslessly via scd2DedupeStored") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("scd2_store").resolve("h").toString
+    val rnd = new scala.util.Random(37)
+    val recs: Seq[Rec] = (1L to 60L).map { v =>
+      (1L + rnd.nextInt(4), v,
+        Seq("a", "b").apply(rnd.nextInt(2)),
+        if (rnd.nextBoolean()) Some(rnd.nextInt(2).toLong) else None)
+    }
+    val batches = recs.sortBy(_._2).grouped(20).toSeq
+    Merge.scd2WriteStored(batches.head.toDF("k", "v", "status", "tier"),
+      path, Seq("k"), "v", Seq("status", "tier"))
+    Merge.scd2ApplyStored(spark, path,
+      batches(1).toDF("k", "v", "status", "tier"),
+      Seq("k"), "v", Seq("status", "tier"))
+    // closed files written so far must survive the NEXT apply untouched
+    def closedFiles = Option(new java.io.File(path, "is_current=false")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = closedFiles
+    assert(before.nonEmpty)
+    Merge.scd2ApplyStored(spark, path,
+      batches(2).toDF("k", "v", "status", "tier"),
+      Seq("k"), "v", Seq("status", "tier"))
+    assert(before.subsetOf(closedFiles),
+      "an apply must never rewrite already-closed files")
+    assert(asSet(Merge.scd2ReadStored(spark, path)) === asSet(fold(recs)))
+    // crash window: re-run ONLY the closed-append step (a replay that
+    // died before the current-partition overwrite re-appends the same
+    // closed rows) — visible duplication, healed by the dedupe swap
+    val closed = Merge.scd2ReadStored(spark, path)
+      .where(!org.apache.spark.sql.functions.col("is_current"))
+    val closedCount = closed.count()
+    closed.drop("is_current").limit(3).write.mode("append")
+      .parquet(path + "/is_current=false")
+    assert(Merge.scd2ReadStored(spark, path)
+      .where(!org.apache.spark.sql.functions.col("is_current"))
+      .count() === closedCount + 3)
+    Merge.scd2DedupeStored(spark, path)
+    assert(asSet(Merge.scd2ReadStored(spark, path)) === asSet(fold(recs)))
+  }
+
   test("reserved output names and empty column lists fail loudly") {
     intercept[IllegalArgumentException] {
       Merge.scd2(Seq((1L, 1L, true)).toDF("k", "v", "is_current"),
