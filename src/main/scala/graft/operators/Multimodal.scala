@@ -836,15 +836,41 @@ object Multimodal {
     * of scope of the exact-equality block by design — compose
     * [[frameHashes]] with [[graft.operators.Dedup.hammingPairs64]] on
     * the frame level when the footage itself is lossy-re-encoded.
+    *
+    * `maxFrameDf` is the BOILERPLATE-FRAME guard, and it matters at
+    * corpus scale: a frame hash shared by B media generates B² candidate
+    * rows at the join, and real video corpora are full of near-universal
+    * frames (black frames, title cards, network logos) — one black frame
+    * across a million clips is a 10¹² -row bucket. Capping the blocking
+    * at document frequency ≤ maxFrameDf drops such hashes from BOTH the
+    * blocking and the Jaccard sets (both sides symmetrically, so the
+    * measure stays a true Jaccard — over the DISCRIMINATIVE frames),
+    * the stop-word practice of every similarity join. A pair sharing
+    * ONLY boilerplate frames is then not reported — which is the point:
+    * two different shows sharing a black frame are not duplicates.
+    * Default ∞ = exact set Jaccard (the gap twin's setting).
     */
   def videoNearDupPairs(df: DataFrame, stride: Int = 1,
-                        minJaccard: Double = 0.5): DataFrame = {
+                        minJaccard: Double = 0.5,
+                        maxFrameDf: Long = Long.MaxValue): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard=$minJaccard must be in (0, 1] — at 0 every pair of " +
         "media sharing any frame would emit, which is the blocked join's " +
         "candidate set, not a duplicate verdict")
-    val fh = frameHashes(df, stride)
+    require(maxFrameDf >= 1, s"maxFrameDf=$maxFrameDf")
+    val fhAll = frameHashes(df, stride)
       .select("media_id", "fhash").distinct()
+    val fh =
+      if (maxFrameDf == Long.MaxValue) fhAll
+      else {
+        // document frequency per frame hash over the DISTINCT sets —
+        // one extra hash-keyed aggregate, paid only when the cap is on
+        val dfreq = fhAll.groupBy("fhash")
+          .agg(count(lit(1)).as("__vf_df"))
+          .where(col("__vf_df") <= maxFrameDf)
+          .select("fhash")
+        fhAll.join(dfreq, Seq("fhash"), "left_semi")
+      }
     val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("nf"))
     val withSizes = fh.join(sizes, "media_id")
     val a = withSizes.select(col("media_id").as("id_a"), col("fhash"),

@@ -234,6 +234,14 @@ object TextIndex {
     val terms = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "BM25 needs at least one query term")
+    // the explicit driver-state contract (the BPE/servedOverlap
+    // discipline): partition pruning needs the term union driver-side,
+    // so its size is bounded loudly — chunk a larger query table
+    require(terms.size <= 65536,
+      s"bm25BatchTopK collected ${terms.size} distinct query terms for " +
+        "partition pruning (driver-side, bounded by the query batch's " +
+        "vocabulary) — the 65536 bound keeps that contract explicit; " +
+        "serve a larger query table in chunks")
     val (postings, dfreq, stats) = servingFrames(spark, cfg, terms)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("bm25").desc, col(idCol))

@@ -305,6 +305,15 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       Multimodal.videoNearDupPairs(media, minJaccard = 0.0)
     }
+    // boilerplate-frame cap: capping df at 1 removes every shared frame
+    // from blocking AND sets — no pair survives; at the corpus size it
+    // is a no-op equal to the uncapped law
+    assert(Multimodal.videoNearDupPairs(media, minJaccard = 0.01,
+      maxFrameDf = 1L).count() === 0L)
+    val capped = Multimodal.videoNearDupPairs(media, minJaccard = 0.2,
+        maxFrameDf = specs.size.toLong)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(capped === brute(0.2))
   }
 
   test("audioHash: invariant to exact 2x time stretch (65|frames) and " +
