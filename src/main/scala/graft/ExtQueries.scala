@@ -3739,6 +3739,14 @@ object ExtQueries {
           query = Seq("hash", "join", "vector"), k = 20)
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // conjunctive retrieval from the same index: top-k among docs
+    // containing EVERY query term (the high-precision mode) — one
+    // HAVING over the per-doc group on top of the pruned serve
+    "q_bm25_indexed_and" -> ((s, d) =>
+      graft.sources.TextIndex.bm25TopKAll(s, textIndexFor(s, d), "doc_id",
+          query = Seq("hash", "join", "vector"), k = 20)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // the batched serve from the same index — q_bm25_batched's query
     // table answered from pruned postings, same oracle verbatim
     "q_bm25_indexed_batched" -> ((s, d) => {
@@ -4660,6 +4668,42 @@ object ExtQueries {
     // an incremental/index path earns its keep by matching the direct
     // path's ground truth, not a weaker one)
     "q_bm25_indexed" -> bm25TopkOracleSql,
+
+    // conjunctive twin: the scan-path CTEs + a HAVING all-terms filter
+    // on the per-doc aggregate before the cut
+    "q_bm25_indexed_and" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM documents LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id
+        |  HAVING count(*) = 3)
+        |SELECT * FROM (
+        |  SELECT doc_id, bm25 FROM agg
+        |  ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
 
     // SCD2 fold: change rows by null-safe per-column comparison against
     // the previous version, validity chained by lead over kept rows

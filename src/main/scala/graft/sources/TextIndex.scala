@@ -212,6 +212,38 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Conjunctive (boolean-AND) BM25: top-`k` among documents containing
+    * EVERY query term — the high-precision retrieval mode (all-terms
+    * filter, BM25 order). Costs exactly the disjunctive serve plus one
+    * HAVING over the per-doc group: postings are unique per (term, doc),
+    * so a doc's matched-term count is its posting-row count in the
+    * pruned read. A term absent from the corpus empties the result — the
+    * correct AND semantics, loudly visible rather than silently relaxed.
+    */
+  def bm25TopKAll(spark: SparkSession, cfg: Cfg, idCol: String,
+                  query: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    require(idCol != "bm25",
+      s"idCol '$idCol' collides with the reserved output column bm25")
+    val terms = query.map(_.toLowerCase).distinct
+    val (postings, dfreq, stats) = servingFrames(spark, cfg, terms)
+    postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id").as(idCol),
+        graft.operators.Keywords.bm25ScoreCol(col("tf"), col("__bm_df"),
+          col("__bm_n"), col("dl"), col("__bm_avgdl"), k1, b)
+          .as("__bm_score"))
+      .groupBy(col(idCol))
+      .agg(sum(round(col("__bm_score"), 6).cast("decimal(18,6)"))
+        .cast("double").as("bm25"),
+        count(lit(1)).as("__bm_matched"))
+      .where(col("__bm_matched") === terms.size)
+      .drop("__bm_matched")
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BATCHED BM25 from the index — a whole query table answered in one
     * plan, identical per query to looping [[bm25TopK]] (and so to
     * [[graft.operators.Keywords.bm25BatchTopK]], whose oracle the

@@ -80,6 +80,29 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
       === expect)
   }
 
+  test("conjunctive serve: only all-terms docs rank, their scores equal " +
+      "the disjunctive serve's, and an absent term empties the result") {
+    val docs = corpus(60)
+    val cfg = newCfg()
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    val q = Seq("hash", "join")
+    val and = rows(TextIndex.bm25TopKAll(spark, cfg, "doc_id", q, 60))
+    val or = rows(TextIndex.bm25TopK(spark, cfg, "doc_id", q, 60)).toMap
+    assert(and.nonEmpty && and.size < or.size,
+      "the fixture must have both all-terms and some-terms docs")
+    // every AND hit scores exactly its OR score (same formula, same cut)
+    assert(and.forall { case (id, s) => or(id) == s })
+    // AND membership == docs whose token set covers the query
+    val covered = docs.collect().filter { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSet
+      q.forall(toks.contains)
+    }.map(_.getLong(0)).toSet
+    assert(and.map(_._1).toSet === covered)
+    assert(rows(TextIndex.bm25TopKAll(spark, cfg, "doc_id",
+      Seq("hash", "nosuchterm"), 10)).isEmpty)
+  }
+
   test("batched serve equals the batched scan path AND a loop of " +
       "single-query serves — shared-term queries, disjoint queries, " +
       "queries with missing terms") {
