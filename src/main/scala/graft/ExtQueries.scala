@@ -3739,6 +3739,15 @@ object ExtQueries {
           query = Seq("hash", "join", "vector"), k = 20)
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // index health from the sidecars (no corpus scan): doc/token mass
+    // and postings/vocabulary counts — full oracle, DuckDB recomputes
+    // the same facts from the raw documents
+    "q_text_index_stats" -> ((s, d) =>
+      graft.sources.TextIndex.stats(s, textIndexFor(s, d))
+        .select(col("n_docs"), col("sum_len"),
+          round(col("avgdl"), 6).as("avgdl"),
+          col("n_postings"), col("n_terms"))),
+
     // conjunctive retrieval from the same index: top-k among docs
     // containing EVERY query term (the high-precision mode) — one
     // HAVING over the per-doc group on top of the pruned serve
@@ -4668,6 +4677,26 @@ object ExtQueries {
     // an incremental/index path earns its keep by matching the direct
     // path's ground truth, not a weaker one)
     "q_bm25_indexed" -> bm25TopkOracleSql,
+
+    // index-stats twin: the same facts recomputed from raw documents —
+    // n_docs counts every doc, sum_len every token, avgdl their exact
+    // division, n_postings the distinct (doc, token) pairs
+    "q_text_index_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM toks
+        |  GROUP BY doc_id, token),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS sum_len FROM toks),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_terms FROM tf)
+        |SELECT n_docs, sum_len,
+        |  round(CAST(sum_len AS DOUBLE) / n_docs, 6) AS avgdl,
+        |  n_postings, n_terms
+        |FROM d, t, p""".stripMargin,
 
     // conjunctive twin: the scan-path CTEs + a HAVING all-terms filter
     // on the per-doc aggregate before the cut

@@ -291,6 +291,25 @@ object TextIndex {
       .where(col("__bm_rank") <= k).drop("__bm_rank")
   }
 
+  /** Index health: one row (n_docs, sum_len, avgdl, n_postings,
+    * n_terms) — the monitoring face operators poll before trusting a
+    * serve (a postings/doc ratio drifting up means the tokenizer or the
+    * upstream dedup changed). n_docs/sum_len/avgdl come from the
+    * O(#appends) stats sidecar; the postings/terms counts are one
+    * narrow aggregate over the (term) column — no text, no corpus.
+    */
+  def stats(spark: SparkSession, cfg: Cfg): DataFrame = {
+    val s = spark.read.parquet(statsPath(cfg))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
+    val p = spark.read.parquet(postingsPath(cfg))
+      .agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("term")).as("n_terms"))
+    s.crossJoin(p)
+      .select(col("n_docs"), col("sum_len"),
+        (col("sum_len").cast("double") / col("n_docs")).as("avgdl"),
+        col("n_postings"), col("n_terms"))
+  }
+
   /** Small-files maintenance: per-term-partition rewrite of the postings
     * (atomic per leaf, layout preserved) and a lossless row-merge of the
     * stats sidecar to ONE row (the columns are sums). Row-for-row

@@ -492,11 +492,13 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       kmvK = 64))
     val labels = dir.resolve("dup_labels").toString
     val funnel = dir.resolve("funnel").toString
+    val ti = graft.sources.TextIndex.Cfg(
+      dir.resolve("text_index").toString, partitions = 4)
     val schema = Seq((0L, "", "")).toDF("doc_id", "text", "source").schema
     def runOnce(): Unit = {
       val q = CorpusStream.start(spark, src, schema, corpus, idx, ckpt,
         sketch = sk, dupLabels = Some(labels), dupLabelsPartitions = 8,
-        funnel = Some(funnel))
+        funnel = Some(funnel), textIndex = Some(ti))
       q.awaitTermination()
     }
     Seq((1L, base, "sa"), (2L, fresh2, "sb"))
@@ -536,6 +538,19 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkFixture {
       .select("batch_id", "n_arrived", "n_appended")
       .as[(Long, Long, Long)].collect().toSet ===
       Set((0L, 2L, 2L), (1L, 2L, 1L)))
+    // the inverted text index rode the same micro-batches: the pruned
+    // serve equals a scan of the corpus as it now stands, and the
+    // dropped near-dup never entered the postings
+    val scanBm = graft.operators.Keywords.bm25TopK(
+        spark.read.parquet(corpus), "doc_id", "text",
+        query = Seq("analytic"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(graft.sources.TextIndex.bm25TopK(spark, ti, "doc_id",
+        Seq("analytic"), 10)
+      .as[(Long, Double)].collect().toSeq === scanBm)
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .select("doc_id").distinct().as[Long].collect().toSet ===
+      Set(1L, 2L, 4L))
   }
 
   test("drift gate quarantines a JS-shifted micro-batch; in-distribution " +
