@@ -3767,6 +3767,25 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "query_id", "doc_id"))
     }),
 
+    // fuzzy join with BOTH sides corpus-scale — the cell the broadcast
+    // fuzzyJoin excludes: typo'd probe names (3rd char deleted) matched
+    // against the part catalog through the PassJoin composition (one
+    // self-join over the parity-tagged union, cross pairs kept). Full
+    // oracle: DuckDB recomputes the same join with its own levenshtein
+    "q_fuzzy_cross" -> ((s, d) => {
+      val part = Tables.load(s, d, "part")
+      val probes = part.where(pmod(col("p_partkey"), lit(37)) === 0)
+        .select(col("p_partkey").as("probe_id"),
+          concat(col("p_name").substr(lit(1), lit(2)),
+            col("p_name").substr(lit(4), lit(Int.MaxValue)))
+            .as("pname"))
+      graft.operators.Joins.fuzzyCrossJoin(
+          probes, "probe_id", "pname",
+          part.select("p_partkey", "p_name"), "p_partkey", "p_name",
+          maxDistance = 1)
+        .transform(Queries.presentSorted(_, "probe_id", "p_partkey"))
+    }),
+
     // SCD2 (type-2 dimension history) fold of the orders stream: one
     // row per (customer, status/priority CHANGE) with its validity
     // interval — the reproducibility ledger behind "what did this
@@ -4733,6 +4752,22 @@ object ExtQueries {
         |  SELECT doc_id, bm25 FROM agg
         |  ORDER BY bm25 DESC, doc_id LIMIT 20)
         |ORDER BY doc_id""".stripMargin,
+
+    // two-large-frames fuzzy join: DuckDB recomputes the probe
+    // corruption and the levenshtein join directly (the length
+    // prefilter only cuts the cross product; the distance predicate
+    // decides membership)
+    "q_fuzzy_cross" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_id,
+        |    substr(p_name, 1, 2) || substr(p_name, 4) AS pname
+        |  FROM part WHERE p_partkey % 37 = 0)
+        |SELECT probe_id, p_partkey,
+        |  levenshtein(pname, p_name) AS distance
+        |FROM probes, part
+        |WHERE abs(length(pname) - length(p_name)) <= 1
+        |  AND levenshtein(pname, p_name) <= 1
+        |ORDER BY probe_id, p_partkey""".stripMargin,
 
     // SCD2 fold: change rows by null-safe per-column comparison against
     // the previous version, validity chained by lead over kept rows

@@ -225,4 +225,53 @@ object Joins {
       .where(col("distance") <= d)
       .select("id_a", "id_b", "distance")
   }
+
+  /** Fuzzy join of TWO corpus-scale frames — the cell [[fuzzyJoin]]'s
+    * broadcast contract excludes (neither side fits a broadcast) and
+    * [[fuzzySelfJoin]] covers only within one frame. Pure COMPOSITION,
+    * zero new algorithm code: fold both sides into one id space with the
+    * PARITY as the side tag (left ids → 2·id, right → 2·id + 1), run the
+    * PassJoin self-join once over the union, keep only the cross-parity
+    * pairs, shift the ids back. Completeness and exactness are inherited
+    * verbatim from [[fuzzySelfJoin]]'s recall argument; the premium is
+    * the within-side candidates the union admits — work [[fuzzySelfJoin]]
+    * would do anyway on each side separately, paid here in one job.
+    *
+    * Ids must be non-negative longs below 2^62 (checked IN the id
+    * expression, so a violating row fails the job loudly instead of
+    * silently colliding). Returns (`lIdCol`, `rIdCol`, distance) —
+    * each qualifying cross pair exactly once.
+    */
+  def fuzzyCrossJoin(left: DataFrame, lIdCol: String, lStrCol: String,
+                     right: DataFrame, rIdCol: String, rStrCol: String,
+                     maxDistance: Int): DataFrame = {
+    require(lIdCol != rIdCol,
+      s"output id columns must differ, got '$lIdCol' twice")
+    require(lIdCol != "distance" && rIdCol != "distance",
+      "'distance' is the reserved output column")
+    def tagged(df: DataFrame, idC: String, strC: String,
+               parity: Int): DataFrame = {
+      val id = col(idC).cast("long")
+      // assert_true rides INSIDE the id expression — it cannot be
+      // pruned away, so a bad id fails the job instead of colliding
+      df.select(
+        when(assert_true(id >= 0 && id < Long.MaxValue / 2,
+            lit(s"fuzzyCrossJoin ids must be in [0, 2^62), got a " +
+              s"violating '$idC'")).isNull,
+          id * 2 + parity).as("__fcj_id"),
+        col(strC).as("__fcj_txt"))
+    }
+    val pairs = fuzzySelfJoin(
+      tagged(left, lIdCol, lStrCol, 0)
+        .unionByName(tagged(right, rIdCol, rStrCol, 1)),
+      "__fcj_id", "__fcj_txt", maxDistance)
+    pairs
+      .where(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .select(
+        shiftright(when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+          .otherwise(col("id_b")), 1).as(lIdCol),
+        shiftright(when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as(rIdCol),
+        col("distance"))
+  }
 }

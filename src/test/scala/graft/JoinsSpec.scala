@@ -128,4 +128,57 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("fuzzyCrossJoin: exact cross-frame pair set vs brute-force " +
+      "Levenshtein (distance-0 cross duplicates included, no " +
+      "within-side pairs), id round-trip, and loud id-contract failure") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rnd = new scala.util.Random(13)
+    def word() = (1 to 2 + rnd.nextInt(7))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    // overlapping vocabularies so distance-0 cross pairs exist; ids on
+    // the two sides collide numerically on purpose (the parity tag must
+    // keep them apart)
+    val ls = ((1 to 25).map(i => (i.toLong, word())) ++
+      Seq((90L, "abab"), (91L, ""))).distinct
+    val rs = ((1 to 25).map(i => (i.toLong, word())) ++
+      Seq((90L, "abab"), (92L, "a"))).distinct
+    for (d <- Seq(1, 2)) {
+      val truth = (for {
+        (li, la) <- ls; (ri, ra) <- rs
+        if lev(la, ra) <= d
+      } yield (li, ri, lev(la, ra))).toSet
+      val got = Joins.fuzzyCrossJoin(
+          ls.toDF("lid", "ltxt"), "lid", "ltxt",
+          rs.toDF("rid", "rtxt"), "rid", "rtxt", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === truth, s"d=$d mismatch: " +
+        s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    }
+    // the id contract fails the JOB, not silently: a negative id would
+    // collide after the parity fold
+    val err = intercept[Exception] {
+      Joins.fuzzyCrossJoin(
+        Seq((-1L, "abc")).toDF("lid", "ltxt"), "lid", "ltxt",
+        Seq((1L, "abc")).toDF("rid", "rtxt"), "rid", "rtxt", 1).collect()
+    }
+    assert(err.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Joins.fuzzyCrossJoin(
+        Seq((1L, "a")).toDF("id", "t"), "id", "t",
+        Seq((1L, "a")).toDF("id", "t2"), "id", "t2", 1)
+    }
+  }
 }
