@@ -205,20 +205,24 @@ object ExtQueries {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_kmv_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.sources.Compaction.rm(base)
     val orders = Tables.load(s, d, "orders")
     def cfgFor(sub: String) = graft.sources.SketchSidecar.Cfg(
       new java.io.File(base, sub).toString,
       distinctExpr = "o_orderkey", valueExpr = "o_totalprice",
       kmvKeyExpr = Some("o_orderkey"), kmvK = 1024)
     val (cfgA, cfgB) = (cfgFor("a"), cfgFor("b"))
-    (0 until 2).foreach { b =>
-      graft.sources.SketchSidecar.appendBatch(
-        orders.filter(pmod(col("o_orderkey"), lit(10)) < 6 &&
-          pmod(col("o_orderkey"), lit(2)) === b), cfgA)
-      graft.sources.SketchSidecar.appendBatch(
-        orders.filter(pmod(col("o_orderkey"), lit(10)) >= 4 &&
-          pmod(col("o_orderkey"), lit(2)) === b), cfgB)
+    // marker-gated like every other sidecar fixture, so the bench rows
+    // price the O(k) sidecar SERVE the operator claims — not a 4-append
+    // rebuild on every call (pass 1 pays ingest once per sf dir)
+    buildOnce(base) {
+      (0 until 2).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) < 6 &&
+            pmod(col("o_orderkey"), lit(2)) === b), cfgA)
+        graft.sources.SketchSidecar.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) >= 4 &&
+            pmod(col("o_orderkey"), lit(2)) === b), cfgB)
+      }
     }
     (cfgA, cfgB)
   }
@@ -236,7 +240,6 @@ object ExtQueries {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_gkmv_sidecar_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.sources.Compaction.rm(base)
     val orders = Tables.load(s, d, "orders")
     def cfgFor(sub: String) = graft.sources.SketchSidecar.Cfg(
       new java.io.File(base, sub).toString,
@@ -244,13 +247,17 @@ object ExtQueries {
       kmvKeyExpr = Some("o_orderkey"), kmvK = 1024,
       groupKeyExpr = Some("o_orderpriority"))
     val (cfgA, cfgB) = (cfgFor("a"), cfgFor("b"))
-    (0 until 2).foreach { b =>
-      graft.sources.SketchSidecar.appendBatch(
-        orders.filter(pmod(col("o_orderkey"), lit(10)) < 6 &&
-          pmod(col("o_orderkey"), lit(2)) === b), cfgA)
-      graft.sources.SketchSidecar.appendBatch(
-        orders.filter(pmod(col("o_orderkey"), lit(10)) >= 4 &&
-          pmod(col("o_orderkey"), lit(2)) === b), cfgB)
+    // marker-gated (see [[kmvSidecarsFor]]) — the serve rows time the
+    // O(#groups·k) sidecar merge, never the fixture ingest
+    buildOnce(base) {
+      (0 until 2).foreach { b =>
+        graft.sources.SketchSidecar.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) < 6 &&
+            pmod(col("o_orderkey"), lit(2)) === b), cfgA)
+        graft.sources.SketchSidecar.appendBatch(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) >= 4 &&
+            pmod(col("o_orderkey"), lit(2)) === b), cfgB)
+      }
     }
     (cfgA, cfgB)
   }
@@ -3767,6 +3774,18 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "query_id", "doc_id"))
     }),
 
+    // exact-phrase retrieval from the POSITIONAL index (round 17): docs
+    // containing "hash join" consecutively, BM25-ranked over the phrase
+    // terms with the occurrence count alongside — served from the two
+    // terms' tp partitions, adjacency decided by position-array
+    // arithmetic, never a text re-scan. Full oracle: DuckDB re-derives
+    // positions with generate_subscripts and joins pos+1
+    "q_bm25_phrase" -> ((s, d) =>
+      graft.sources.TextIndex.phraseTopK(s, textIndexFor(s, d), "doc_id",
+          phrase = Seq("hash", "join"), k = 20)
+        .select(col("doc_id"), col("bm25"), col("n_occurrences"))
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // fuzzy join with BOTH sides corpus-scale — the cell the broadcast
     // fuzzyJoin excludes: typo'd probe names (3rd char deleted) matched
     // against the part catalog through the PassJoin composition (one
@@ -3880,11 +3899,15 @@ object ExtQueries {
     */
   private def textIndexFor(s: SparkSession, d: String)
       : graft.sources.TextIndex.Cfg = {
+    // dir renamed (…_pos_) with the positional upgrade: the layout is
+    // part of the fixture config, and a stale non-positional fixture
+    // under the old name must not satisfy the marker gate
     val path = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_text_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft_text_index_pos_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     val cfg = graft.sources.TextIndex.Cfg(
-      new java.io.File(path, "ti").toString, partitions = 16)
+      new java.io.File(path, "ti").toString, partitions = 16,
+      positional = true)
     buildOnce(path) {
       (0 until 3).foreach { b =>
         graft.sources.TextIndex.appendBatch(
@@ -4751,6 +4774,54 @@ object ExtQueries {
         |SELECT * FROM (
         |  SELECT doc_id, bm25 FROM agg
         |  ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+
+    // phrase twin: token positions re-derived with generate_subscripts
+    // (trimmed text split on \s+ leaves no interior empties, so kept-
+    // token positions equal raw subscripts), adjacency as a pos+1
+    // self-join whose per-doc pair count IS the start-position count;
+    // BM25 over the phrase terms with the scan-path arithmetic verbatim
+    "q_bm25_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |      AS token,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1)
+        |      AS pos
+        |  FROM documents),
+        |phrase AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.token = 'hash' AND b.token = 'join'
+        |  GROUP BY a.doc_id),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, avg(coalesce(blen, 0)) AS avgdl
+        |  FROM documents LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'join')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT p.doc_id, a.bm25, p.n_occurrences
+        |  FROM phrase p JOIN agg a USING (doc_id)
+        |  ORDER BY a.bm25 DESC, p.doc_id LIMIT 20)
         |ORDER BY doc_id""".stripMargin,
 
     // two-large-frames fuzzy join: DuckDB recomputes the probe

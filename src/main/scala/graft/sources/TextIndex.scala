@@ -65,15 +65,25 @@ object TextIndex {
     * @param compactEvery corpus-loop maintenance cadence (see
     *                     [[graft.ingest.CorpusPipeline.dedupAndAppend]]);
     *                     0 = never
+    * @param positional   store each posting's token-offset array
+    *                     (`positions`) so exact-phrase retrieval
+    *                     ([[phraseTopK]]) serves from the pruned
+    *                     partitions; pinned into the layout like P
+    *                     (mixing positional and bare postings in one
+    *                     directory would leave phrase answers silently
+    *                     incomplete). Costs one int per token stored;
+    *                     every BM25 face ignores the column (parquet
+    *                     prunes it from their scans).
     */
   case class Cfg(indexPath: String, partitions: Int = 16,
-                 compactEvery: Int = 0) {
+                 compactEvery: Int = 0, positional: Boolean = false) {
     require(partitions > 0, s"partitions=$partitions")
   }
 
   private def postingsPath(cfg: Cfg) = s"${cfg.indexPath}/postings"
   private def statsPath(cfg: Cfg) = s"${cfg.indexPath}/stats"
   private def pinFile(cfg: Cfg) = new File(cfg.indexPath, "_index_partitions")
+  private def posFile(cfg: Cfg) = new File(cfg.indexPath, "_index_positional")
 
   /** The one tokenizer of the text family (Keywords/TextAnalysis):
     * whitespace split of the lowercased, trimmed text, empties dropped.
@@ -90,47 +100,69 @@ object TextIndex {
         s"text index at ${cfg.indexPath} was created with " +
           s"partitions=$pinned, not ${cfg.partitions} — the term-hash " +
           "layout is pinned at creation; re-create the index to change it")
+      require(posFile(cfg).exists() == cfg.positional,
+        s"text index at ${cfg.indexPath} was created with " +
+          s"positional=${posFile(cfg).exists()}, not ${cfg.positional} — " +
+          "the postings schema is pinned at creation; re-create the " +
+          "index to change it")
     } else {
       new File(cfg.indexPath).mkdirs()
       java.nio.file.Files.writeString(f.toPath, cfg.partitions.toString)
+      if (cfg.positional)
+        java.nio.file.Files.writeString(posFile(cfg).toPath, "true")
     }
   }
 
-  /** Index `batch` — one tokenize+aggregate pass, one partitioned write,
-    * one stats row. Incremental by construction: call once per ingested
-    * batch (single-delivery contract above).
+  /** Index `batch` — ONE job over the batch (the postings write; the
+    * stats row is a second 1-row local write). Incremental by
+    * construction: call once per ingested batch (single-delivery
+    * contract above).
     *
-    * Plan shape: explode → (doc, term) count [the one shuffle, keyed on
-    * doc so the per-doc length is a cheap second aggregate of tf rows,
-    * not a second pass over raw tokens] → join lengths back → cluster by
-    * `tp` so each term partition receives whole files.
+    * Plan shape: posexplode → (doc, term) count/positions [the one
+    * data shuffle, keyed on doc so the per-doc length is a window
+    * aggregate of tf rows, not a second pass over raw tokens] → doc
+    * window for `dl` → cluster by `tp` so each term partition receives
+    * whole files. The (n_docs, sum_len) stats scalars ride the SAME
+    * job as `observe` metrics (the [[graft.ingest.IncrementalBatch]]
+    * discipline) — n_docs observed below the explode so zero-token
+    * docs still count into N (avgdl averages over every document,
+    * exactly as the scan path's left join does), sum_len observed over
+    * the final tf rows. `TextIndexSpec` pins the job count: the old
+    * shape re-ran the tokenize+shuffle for `sum_len` and a third job
+    * for `n_docs` — at daily 100 TB-pipeline batch sizes that is 3×
+    * tokenize cost per append for two scalars.
     */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
                   cfg: Cfg): Unit = {
     checkOrPin(cfg)
-    val tf = batch
+    val nDocsObs = new org.apache.spark.sql.Observation
+    val sumLenObs = new org.apache.spark.sql.Observation
+    val toks = batch
+      .observe(nDocsObs, count(lit(1)).as("n_docs"))
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(tokens(textCol)).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    // dl = total token count = sum of tf over the doc's terms; derived
-    // from the tf aggregate (already doc-keyed) instead of re-counting
-    // the raw token stream
-    val lens = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(lens, Seq("doc_id"))
+        posexplode(tokens(textCol)).as(Seq("pos", "term")))
+    val tf =
+      if (cfg.positional)
+        toks.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl = total token count = sum of tf over the doc's terms; a window
+    // over the tf rows (already doc-keyed) instead of a join back
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tf.withColumn("dl", sum("tf").over(wDoc))
       .withColumn("tp", pmod(xxhash64(col("term")), lit(cfg.partitions))
         .cast("int"))
+      .observe(sumLenObs, coalesce(sum("tf"), lit(0L)).as("sum_len"))
       .repartition(col("tp"))
       .write.mode("append").partitionBy("tp")
       .parquet(postingsPath(cfg))
-    // stats over ALL batch docs — zero-token docs have no postings but
-    // must count into N (avgdl averages over every document, exactly as
-    // the scan path's left join does)
     val spark = batch.sparkSession
     import spark.implicits._
-    val sumLen = tf.agg(coalesce(sum("tf"), lit(0L))).collect().head
-      .getLong(0) // one scalar — bounded driver state
-    Seq((batch.count(), sumLen)).toDF("n_docs", "sum_len")
+    Seq((nDocsObs.get("n_docs").asInstanceOf[Long],
+        sumLenObs.get("sum_len").asInstanceOf[Long]))
+      .toDF("n_docs", "sum_len")
       .coalesce(1).write.mode("append").parquet(statsPath(cfg))
   }
 
@@ -244,6 +276,64 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Exact-PHRASE retrieval from a positional index: top-`k` among
+    * documents containing the query terms CONSECUTIVELY, ranked by BM25
+    * over the phrase's terms (same score tree / decimal sum / id
+    * tie-break as every other face) with the occurrence count alongside.
+    *
+    * Same serve cost as the conjunctive face — only the phrase terms'
+    * `tp=` partitions are read — plus the positions arrays of those
+    * postings. The adjacency decision is pure array arithmetic, no
+    * re-scan of text: a doc contains the phrase iff
+    * `∩ᵢ (positions(termᵢ) − i)` is non-empty (each member of the
+    * intersection is a start offset, so its size IS the occurrence
+    * count; repeated phrase terms fall out of the same algebra — the
+    * map holds each term's full position list once, shifted per slot).
+    *
+    * This is also the position-aware decontamination primitive: a
+    * benchmark phrase's member docs come back from pruned partitions
+    * instead of the n-gram re-scan [[graft.operators.Contamination]]
+    * pays.
+    */
+  def phraseTopK(spark: SparkSession, cfg: Cfg, idCol: String,
+                 phrase: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "phrase retrieval needs at least one term")
+    require(idCol != "bm25" && idCol != "n_occurrences",
+      s"idCol '$idCol' collides with a reserved output column")
+    require(posFile(cfg).exists(),
+      s"text index at ${cfg.indexPath} stores no positions — phrase " +
+        "retrieval needs an index created with Cfg(positional = true)")
+    val slots = phrase.map(_.toLowerCase)
+    val terms = slots.distinct
+    val (postings, dfreq, stats) = servingFrames(spark, cfg, terms)
+    val byDoc = postings.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("positions"),
+        graft.operators.Keywords.bm25ScoreCol(col("tf"), col("__bm_df"),
+          col("__bm_n"), col("dl"), col("__bm_avgdl"), k1, b)
+          .as("__bm_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(round(col("__bm_score"), 6).cast("decimal(18,6)"))
+        .cast("double").as("bm25"),
+        count(lit(1)).as("__bm_matched"),
+        // ≤ |terms| entries per doc (postings are unique per (term, doc))
+        map_from_entries(collect_list(struct(col("term"), col("positions"))))
+          .as("__bm_pos"))
+      // all phrase terms present is necessary for adjacency; checking it
+      // first keeps the array algebra off the non-candidates
+      .where(col("__bm_matched") === terms.size)
+    val starts = slots.zipWithIndex.map { case (t, i) =>
+        transform(col("__bm_pos").getItem(t), p => p - i)
+      }.reduce(array_intersect(_, _))
+    byDoc
+      .withColumn("n_occurrences", size(starts).cast("long"))
+      .where(col("n_occurrences") > 0)
+      .select(col("doc_id").as(idCol), col("bm25"), col("n_occurrences"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BATCHED BM25 from the index — a whole query table answered in one
     * plan, identical per query to looping [[bm25TopK]] (and so to
     * [[graft.operators.Keywords.bm25BatchTopK]], whose oracle the
@@ -308,6 +398,99 @@ object TextIndex {
       .select(col("n_docs"), col("sum_len"),
         (col("sum_len").cast("double") / col("n_docs")).as("avgdl"),
         col("n_postings"), col("n_terms"))
+  }
+
+  /** TAKEDOWN: excise `docs` (their id + text columns, read from the
+    * corpus BEFORE its own rewrite) from the index — postings removed,
+    * stats compensated — so every serve answers over the surviving
+    * corpus only.
+    *
+    * Pruning: the docs' terms re-tokenize under the pinned tokenizer,
+    * so the touched `tp=` partitions are known up front (≤ P ints
+    * driver-side) and ONLY those leaves are rewritten (anti-join on
+    * doc_id, staged atomic swap per leaf — untouched partitions keep
+    * their files byte-for-byte, spec-asserted). The stats sidecar is
+    * additive, so history is never rewritten: one compensating NEGATIVE
+    * (n_docs, sum_len) row lands instead, measured from the postings
+    * actually present for these docs plus the docs' own count (zero-
+    * token docs left no postings but counted into N at append).
+    *
+    * Crash contract: the leaf rewrites are idempotent (an anti-join of
+    * absent ids is a no-op), so re-running after a crash mid-rewrite
+    * heals the remaining leaves; `sum_len` compensation is SELF-MEASURING
+    * (only postings still present count), so it stays exact across
+    * re-runs. The one non-idempotent quantity is `n_docs`: a re-run
+    * after any crash BEFORE the orchestrator's corpus rewrite still
+    * finds the docs in the corpus and subtracts their count again.
+    * Reconciliation is one cheap comparison — summed stats `n_docs` vs
+    * the corpus row count — and [[healStats]] rebuilds the sidecar
+    * exactly from the surviving postings + corpus when they disagree
+    * (spec-proven).
+    *
+    * Returns (docs removed from N, token mass removed).
+    */
+  def retract(spark: SparkSession, cfg: Cfg, docs: DataFrame,
+              idCol: String, textCol: String): (Long, Long) = {
+    val p = pinnedPartitionCount(cfg)
+    val ids = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    try {
+      // touched partitions from the docs' own terms — the writer's hash,
+      // bounded by P
+      val tps = docs
+        .select(explode(tokens(textCol)).as("term"))
+        .select(pmod(xxhash64(col("term")), lit(p)).cast("int").as("tp"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val pdir = new File(postingsPath(cfg))
+      val liveTps = tps.filter(v => new File(pdir, s"tp=$v").exists())
+      // compensation measured from the postings ACTUALLY present (an
+      // already-excised doc contributes zero) + the doc count itself
+      val (nDocs, sumLen) =
+        if (liveTps.isEmpty) (docs.count(), 0L)
+        else {
+          val removed = spark.read.parquet(postingsPath(cfg))
+            .where(col("tp").isin(liveTps: _*))
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+            .agg(coalesce(sum("tf"), lit(0L)).as("sl"))
+            .collect().head
+          (docs.count(), removed.getLong(0))
+        }
+      if (nDocs > 0) {
+        import spark.implicits._
+        Seq((-nDocs, -sumLen)).toDF("n_docs", "sum_len")
+          .coalesce(1).write.mode("append").parquet(statsPath(cfg))
+      }
+      liveTps.foreach { v =>
+        val leaf = new File(pdir, s"tp=$v")
+        val staging = Compaction.stagingDir(leaf, "retract")
+        if (staging.exists()) Compaction.rm(staging)
+        spark.read.parquet(leaf.toString)
+          .join(broadcast(ids), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(staging.toString)
+        Compaction.swapInto(leaf.toString, staging.toString)
+      }
+      (nDocs, sumLen)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(ids)
+  }
+
+  /** Rebuild the stats sidecar exactly from ground truth — the heal for
+    * [[retract]]'s documented stats crash window: n_docs from the
+    * surviving corpus (zero-token docs included, as at append time),
+    * sum_len from the surviving postings (one narrow O(index) aggregate
+    * over the tf column — never the corpus text). Staged atomic swap,
+    * so a serve mid-heal sees old or new, never half.
+    */
+  def healStats(spark: SparkSession, cfg: Cfg, corpus: DataFrame): Unit = {
+    val n = corpus.count()
+    val sl = spark.read.parquet(postingsPath(cfg))
+      .agg(coalesce(sum("tf"), lit(0L))).collect().head.getLong(0)
+    import spark.implicits._
+    val dir = new File(statsPath(cfg))
+    val staging = Compaction.stagingDir(dir, "statsheal")
+    if (staging.exists()) Compaction.rm(staging)
+    Seq((n, sl)).toDF("n_docs", "sum_len")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    Compaction.swapInto(statsPath(cfg), staging.toString)
   }
 
   /** Small-files maintenance: per-term-partition rewrite of the postings

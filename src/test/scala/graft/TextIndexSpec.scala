@@ -144,6 +144,149 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
     assert(hashDf > 0L)
   }
 
+  test("appendBatch is ONE pass over the batch: exactly 2 actions run " +
+      "(the postings write carrying the stats scalars as observe " +
+      "metrics, plus the 1-row stats write) — the old shape re-ran the " +
+      "tokenize for sum_len and a third job for n_docs") {
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      // drain any straggler events from earlier tests before counting
+      Thread.sleep(1000)
+      actions.set(0)
+      TextIndex.appendBatch(corpus(60), "doc_id", "text", newCfg())
+      // the listener bus is async: wait for the count to stabilize
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 4 && waited < 10000) {
+        Thread.sleep(250); waited += 250
+        if (actions.get() == last) stable += 1 else { stable = 0 }
+        last = actions.get()
+      }
+      assert(actions.get() === 2,
+        s"appendBatch must run exactly 2 actions, ran ${actions.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("phrase serve from a positional index equals a brute-force token " +
+      "adjacency scan — membership, occurrence counts, and BM25 scores " +
+      "(= the conjunctive serve's, same formula) — including a " +
+      "repeated-term phrase; non-positional index fails loudly") {
+    val docs = corpus(80)
+    val cfg = TextIndex.Cfg(
+      Files.createTempDirectory("text_index_pos").resolve("ti").toString,
+      partitions = 8, positional = true)
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    // brute-force expected: token-sequence adjacency per doc
+    val toks: Map[Long, Array[String]] = docs.collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .toMap
+    def expectOcc(phrase: Seq[String]): Map[Long, Long] = toks.flatMap {
+      case (id, ts) =>
+        val n = (0 to ts.length - phrase.length)
+          .count(s => phrase.indices.forall(i => ts(s + i) == phrase(i)))
+        if (n > 0 && phrase.nonEmpty && ts.length >= phrase.length)
+          Some(id -> n.toLong)
+        else None
+    }
+    for (phrase <- Seq(Seq("hash", "join"), Seq("join", "vector", "scan"),
+        Seq("hash", "hash"), Seq("spill"))) {
+      val got = TextIndex.phraseTopK(spark, cfg, "doc_id", phrase, k = 100)
+        .as[(Long, Double, Long)].collect()
+      val exp = expectOcc(phrase)
+      assert(got.map(r => r._1 -> r._3).toMap === exp, s"phrase=$phrase")
+      // scores equal the conjunctive serve's for the same distinct terms
+      val and = rows(TextIndex.bm25TopKAll(spark, cfg, "doc_id",
+        phrase.distinct, 100)).toMap
+      assert(got.forall { case (id, s, _) => and(id) == s },
+        s"phrase=$phrase scores must match the conjunctive serve")
+    }
+    assert(TextIndex.phraseTopK(spark, cfg, "doc_id",
+      Seq("hash", "nosuchterm"), 10).isEmpty)
+    // a bare index refuses phrase serves instead of answering wrong
+    val bare = newCfg()
+    TextIndex.writeIndex(docs, "doc_id", "text", bare)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.phraseTopK(spark, bare, "doc_id", Seq("hash", "join"), 5)
+    }
+    assert(e.getMessage.contains("positional"))
+    // the positional flag is pinned like P
+    intercept[IllegalArgumentException] {
+      TextIndex.appendBatch(corpus(5), "doc_id", "text",
+        bare.copy(positional = true))
+    }
+    // BM25 faces on the positional index still equal the scan path
+    // (positions are invisible to them)
+    val q = Seq("hash", "join", "vector")
+    assert(rows(TextIndex.bm25TopK(spark, cfg, "doc_id", q, 10))
+      === rows(Keywords.bm25TopK(docs, "doc_id", "text", q, 10)))
+  }
+
+  test("retract excises docs from postings + stats: serves equal a " +
+      "fresh index over the survivors, untouched tp partitions keep " +
+      "their files byte-for-byte, and the documented stats crash window " +
+      "heals via healStats") {
+    val docs = corpus(60)
+    val cfg = newCfg(parts = 8)
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    // doc 17 is zero-token (must still decrement n_docs); 5 and 10 carry
+    // postings
+    val goneIds = Seq(5L, 10L, 17L)
+    val gone = docs.where(col("doc_id").isin(goneIds: _*))
+    val survivors = docs.where(!col("doc_id").isin(goneIds: _*))
+    // record the files of partitions the retracted docs' terms do NOT
+    // touch — they must not be rewritten
+    val touched = gone
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .where(length(col("t")) > 0)
+      .select(pmod(xxhash64(col("t")), lit(8)).cast("int"))
+      .distinct().as[Int].collect().toSet
+    def leafFiles(tp: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"${cfg.indexPath}/postings/tp=$tp")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouched = (0 until 8).filterNot(touched)
+    assert(untouched.nonEmpty, "fixture must leave some partitions alone")
+    val before = untouched.map(v => v -> leafFiles(v)).toMap
+    val (nGone, _) = TextIndex.retract(spark, cfg, gone, "doc_id", "text")
+    assert(nGone === 3L)
+    untouched.foreach(v => assert(leafFiles(v) === before(v),
+      s"tp=$v was rewritten but holds none of the retracted terms"))
+    // serves and health stats equal a fresh index over the survivors
+    val fresh = newCfg(parts = 8)
+    TextIndex.writeIndex(survivors, "doc_id", "text", fresh)
+    for (q <- Seq(Seq("hash", "join", "vector"), Seq("spill"))) {
+      assert(rows(TextIndex.bm25TopK(spark, cfg, "doc_id", q, 20))
+        === rows(TextIndex.bm25TopK(spark, fresh, "doc_id", q, 20)))
+    }
+    def statsRow(c: TextIndex.Cfg) = TextIndex.stats(spark, c)
+      .as[(Long, Long, Double, Long, Long)].collect().head
+    assert(statsRow(cfg) === statsRow(fresh))
+    // re-admission is clean: the retracted docs append again and serve
+    TextIndex.appendBatch(gone, "doc_id", "text", cfg)
+    assert(statsRow(cfg)._1 === 60L)
+    // the documented crash window: a re-run BEFORE the corpus rewrite
+    // re-subtracts n_docs (sum_len self-measures to 0) — reconciliation
+    // sees stats disagree with the corpus, healStats rebuilds exactly
+    TextIndex.retract(spark, cfg, gone, "doc_id", "text")
+    TextIndex.retract(spark, cfg, gone, "doc_id", "text") // replayed
+    assert(statsRow(cfg)._1 === 54L, "the window double-subtracts n_docs")
+    TextIndex.healStats(spark, cfg, survivors)
+    assert(statsRow(cfg) === statsRow(fresh))
+  }
+
   test("layout pin: a partition-count drift fails loudly; reserved " +
       "output column collision fails loudly") {
     val cfg = newCfg(parts = 8)
