@@ -1322,6 +1322,57 @@ object Queries {
         .transform(presentSorted(_, "nation"))
     }),
 
+    // LOCAL (forward-push) PPR over the same trade graph and seeds — the
+    // point-query form whose work tracks the seed neighborhood, not the
+    // graph. Engine-defined estimates (the push schedule is the
+    // algorithm), so rows-only here; the _gap twin below machine-enforces
+    // the ACL bound vs the full power iteration. Each row carries its
+    // own unsettled residual — the serve is self-pricing.
+    "q_ppr_local" -> ((s, d) => {
+      val seeds = t(s, d, "nation")
+        .where(pmod(col("n_nationkey"), lit(5)) === 0)
+        .select(col("n_nationkey").as("id"))
+      graft.operators.Graph.localPersonalizedPageRank(tradeEdges(s, d),
+          "src", "dst", seeds, "id", eps = 1e-4)
+        .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("id"), col("n_name").as("nation"))),
+          Seq("id"))
+        .select(col("nation"), round(col("ppr"), 6).as("ppr_push"),
+          round(col("resid"), 6).as("resid"))
+        .transform(presentSorted(_, "nation"))
+    }),
+
+    // the ACL invariant as a floor: ‖ppr_full − p‖₁ ≤ Σ resid (+ the
+    // full form's own d^k truncation tail + float slack) AND p ≤ ppr
+    // pointwise. A push bug (lost mass, double-push, wrong dangling
+    // routing) breaks the bound and the row vanishes — machine-enforced
+    "q_ppr_local_gap" -> ((s, d) => {
+      val seeds = t(s, d, "nation")
+        .where(pmod(col("n_nationkey"), lit(5)) === 0)
+        .select(col("n_nationkey").as("id"))
+      val push = graft.operators.Graph.localPersonalizedPageRank(
+          tradeEdges(s, d), "src", "dst", seeds, "id", eps = 1e-4)
+        .select(col("id"), col("ppr").as("p_push"), col("resid"))
+      val full = graft.operators.Graph.personalizedPageRank(
+        tradeEdges(s, d), "src", "dst", seeds, "id", iterations = 50)
+      // 50 damping-powers of truncation tail on the full side; the push
+      // side prices itself via the residual sum
+      val tail = 2.0 * math.pow(0.85, 50)
+      full.join(push, Seq("id"), "full_outer")
+        .agg(
+          sum(abs(coalesce(col("ppr"), lit(0.0)) -
+            coalesce(col("p_push"), lit(0.0)))).as("l1"),
+          sum(coalesce(col("resid"), lit(0.0))).as("resid_sum"),
+          max(coalesce(col("p_push"), lit(0.0)) -
+            coalesce(col("ppr"), lit(0.0))).as("max_overshoot"))
+        .select(round(col("l1"), 6).as("l1"),
+          round(col("resid_sum"), 6).as("resid_sum"),
+          (col("l1") <= col("resid_sum") + lit(tail) + lit(1e-9) &&
+            col("max_overshoot") <= lit(tail) + lit(1e-9))
+            .as("meets_floor"))
+        .where(col("meets_floor"))
+    }),
+
     "q_graph_degrees" -> ((s, d) => {
       graft.operators.Graph.degrees(tradeEdges(s, d), "src", "dst")
         .join(broadcast(t(s, d, "nation")

@@ -183,6 +183,127 @@ object Graph {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** LOCAL personalized PageRank by frontier-bounded forward push
+    * (Andersen–Chung–Lang, "Local Graph Partitioning using PageRank
+    * Vectors", FOCS 2006 — the batch-synchronous form): the
+    * "related docs for THIS doc" serve. [[personalizedPageRank]] runs
+    * `iterations` FULL-GRAPH rounds per seed set — right for batch
+    * scoring every node, wrong at 100 TB for a point query whose answer
+    * lives in one neighborhood. Push touches only nodes holding
+    * residual mass: per round, every node with `r(u) ≥ eps·deg(u)`
+    * settles `(1−d)·r(u)` into its estimate and forwards `d·r(u)`
+    * along its transition row (dangling mass → the seed distribution,
+    * exactly the global form's chain), so total work tracks the seed's
+    * neighborhood at tolerance `eps`, not the graph.
+    *
+    * Same chain, so the estimates are COMPARABLE to the global form's:
+    * `p(v) ≤ ppr(v)` pointwise and `Σ|ppr − p| ≤ Σ r` (the ACL
+    * invariant `ppr = p + Σᵤ r(u)·pprᵤ` with unit mass per pprᵤ) —
+    * both machine-enforced: the law in `GraphSpec`, the L1 bound by
+    * the `q_ppr_local_gap` twin, each priced by the RETURNED residual
+    * (every row carries its `resid`, so the caller can see exactly how
+    * much mass is still unsettled and where).
+    *
+    * Loop discipline as the other iterative operators: edge/transition/
+    * degree frames persisted once; per-round localCheckpoint of the
+    * (estimate, residual) pair with previous-round release; the only
+    * driver scalars are the seed count and the per-round frontier
+    * emptiness check.
+    */
+  def localPersonalizedPageRank(edges: DataFrame, srcCol: String,
+                                dstCol: String, seeds: DataFrame,
+                                seedIdCol: String,
+                                weightCol: Option[String] = None,
+                                damping: Double = 0.85,
+                                eps: Double = 1e-4,
+                                maxRounds: Int = 200): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trans = e.groupBy("src").agg(sum("w").as("__ow"))
+      .join(e, "src")
+      .select(col("src"), col("dst"), (col("w") / col("__ow")).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // out-degree per node (distinct neighbors) — the ACL push threshold
+    // r(u) ≥ eps·deg(u); dangling nodes push at deg 1
+    val degs = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .select(col("src").as("id"), col("__deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds
+      .select(col(seedIdCol).cast("long").as("id")).distinct()
+    val graphNodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seedsInGraph = seedIds.join(graphNodes, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seedsInGraph.count()
+    require(s > 0,
+      "localPersonalizedPageRank needs >= 1 seed inside the graph")
+    // state: (id, p, r) — estimate + residual; starts as r = e_S
+    var state = seedsInGraph
+      .select(col("id"), lit(0.0).as("p"), lit(1.0 / s).as("r"))
+      .localCheckpoint(true)
+    var prev: DataFrame = state
+    var round = 0
+    var frontierEmpty = false
+    while (!frontierEmpty && round < maxRounds) {
+      val st = state.join(degs, Seq("id"), "left")
+        .select(col("id"), col("p"), col("r"),
+          (col("r") >= lit(eps) * greatest(coalesce(col("__deg"), lit(1L))
+            .cast("double"), lit(1.0))).as("__push"))
+      val active = st.where(col("__push"))
+      frontierEmpty = active.isEmpty
+      if (!frontierEmpty) {
+        // settled mass stays put; pushed residual zeroes out
+        val settled = st.select(col("id"),
+          when(col("__push"), col("p") + lit(1.0 - damping) * col("r"))
+            .otherwise(col("p")).as("p"),
+          when(col("__push"), lit(0.0)).otherwise(col("r")).as("r"))
+        // d·r along the transition rows of pushing nodes
+        val viaEdges = active
+          .select(col("id").as("src"), col("r"))
+          .join(trans, "src")
+          .select(col("dst").as("id"),
+            (lit(damping) * col("r") * col("p")).as("__dr"))
+        // pushing nodes with NO out-edges forward their d·r to the seed
+        // distribution (1 row → broadcast crossJoin, the global form's
+        // dangling discipline)
+        val dangMass = active
+          .join(degs, Seq("id"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0.0)).as("__dang"))
+        val toSeeds = seedsInGraph.crossJoin(broadcast(dangMass))
+          .select(col("id"),
+            (lit(damping) * col("__dang") / s).as("__dr"))
+        val incoming = viaEdges.union(toSeeds)
+          .groupBy("id").agg(sum("__dr").as("__dr"))
+        val next = settled.join(incoming, Seq("id"), "full_outer")
+          .select(col("id"),
+            coalesce(col("p"), lit(0.0)).as("p"),
+            (coalesce(col("r"), lit(0.0)) +
+              coalesce(col("__dr"), lit(0.0))).as("r"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prev)
+        prev = next
+        state = next
+        round += 1
+      }
+    }
+    e.unpersist(false); trans.unpersist(false)
+    degs.unpersist(false); seedsInGraph.unpersist(false)
+    if (!frontierEmpty)
+      throw new IllegalStateException(
+        s"forward push did not drain the frontier in $maxRounds rounds " +
+          "at eps=" + eps + "; raise maxRounds or eps")
+    state.select(col("id"), col("p").as("ppr"), col("r").as("resid"))
+  }
+
   /** Degree/strength summary per node of the directed multigraph:
     * (id, out_deg, in_deg, out_w, in_w) — distinct-neighbor degrees and
     * summed edge weights, zero-filled for one-sided nodes. One grouped agg

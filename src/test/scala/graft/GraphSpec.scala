@@ -208,6 +208,61 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("local (forward-push) PPR: the ACL invariant vs the global form " +
+      "— pointwise lower bound and L1 gap within the returned residual " +
+      "— on random graphs with dangling nodes; work stays in the seed " +
+      "neighborhood on a disconnected graph; eps guardrails") {
+    def push(edges: Seq[(Long, Long)], seeds: Seq[Long], eps: Double)
+        : Map[Long, (Double, Double)] =
+      Graph.localPersonalizedPageRank(edges.toDF("src", "dst"),
+          "src", "dst", seeds.toDF("id"), "id", eps = eps)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def full(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int)
+        : Map[Long, Double] =
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("id"), "id", iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rnd = new scala.util.Random(43)
+    for (seed <- Seq(Seq(1L), Seq(1L, 2L, 3L))) {
+      // random digraph with guaranteed dangling nodes (no out-edges from
+      // 14, 15): the dangling→seed routing must match the global chain
+      val edges = (for {
+        a <- 1L to 13L; b <- 1L to 15L
+        if a != b && rnd.nextDouble() < 0.2
+      } yield (a, b)).toSeq
+      val p = push(edges, seed, eps = 1e-6)
+      val f = full(edges, seed, iters = 80) // d^80 ~ 2e-6 truncation
+      val residSum = p.values.map(_._2).sum
+      val ids = (p.keySet ++ f.keySet).toSeq
+      val l1 = ids.map(id =>
+        math.abs(f.getOrElse(id, 0.0) - p.get(id).map(_._1).getOrElse(0.0)))
+        .sum
+      assert(l1 <= residSum + 1e-4, s"L1 $l1 vs resid $residSum")
+      // p is a pointwise LOWER bound (modulo the full form's truncation)
+      ids.foreach { id =>
+        assert(p.get(id).map(_._1).getOrElse(0.0)
+          <= f.getOrElse(id, 0.0) + 1e-4)
+      }
+      // estimate+residual mass is conserved at 1
+      assert(math.abs(p.values.map(t => t._1 + t._2).sum - 1.0) < 1e-9)
+    }
+    // locality: on two disconnected cliques, seeding one must leave the
+    // other untouched — no row at all for the far component
+    val cliqueA = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L))
+    val cliqueB = Seq((11L, 12L), (12L, 11L))
+    val loc = push(cliqueA ++ cliqueB, Seq(1L), eps = 1e-7)
+    assert(loc.keySet === Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      push(Seq((1L, 2L)), Seq(999L), eps = 1e-4) // no in-graph seed
+    }
+    intercept[IllegalArgumentException] {
+      Graph.localPersonalizedPageRank(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", Seq(1L).toDF("id"), "id", eps = 0.0)
+    }
+  }
+
   test("coreness: hand cases (K4=3, cycle=2, star=1) and a randomized " +
       "law — the H-index fixpoint equals brute-force min-degree peeling") {
     def served(edges: Seq[(Long, Long)]): Map[Long, Long] =
