@@ -3786,6 +3786,68 @@ object ExtQueries {
         .select(col("doc_id"), col("bm25"), col("n_occurrences"))
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // ---- round 17: takedown / retraction ----
+
+    // BM25 served from the text index AFTER doc_id % 83 == 0 was
+    // retracted ([[takedownFor]]): the pruned-partition excision + the
+    // compensating negative stats row must leave the serve bit-identical
+    // to an index that never held those docs — the oracle is the scan
+    // path's own BM25 SQL over the SURVIVING documents (CTE-shadowed
+    // view), scores included (df/N/avgdl all shift with the retraction)
+    "q_takedown" -> ((s, d) =>
+      graft.sources.TextIndex.bm25TopK(s, takedownFor(s, d).text,
+          "doc_id", query = Seq("hash", "join", "vector"), k = 20)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // the surviving corpus itself after the anti-join rewrite
+    "q_takedown_corpus" -> ((s, d) =>
+      s.read.parquet(takedownFor(s, d).corpus)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // machine-enforced takedown contract across every serving artifact:
+    // no retracted id comes back from the BM25 serve, the ANN serve
+    // (probed with a retracted doc's own embedding — its nearest
+    // neighbor would be itself if the code row survived), or the
+    // MinHash gate's corpus side; AND the gates re-admit a re-submitted
+    // copy (bloom gate routes it suspect, the keys table confirms it
+    // gone → novel; the MinHash gate holds no signature). A takedown
+    // that bans instead of forgets, or forgets partially, zeroes this
+    // row out.
+    "q_takedown_serves" -> ((s, d) => {
+      import s.implicits._
+      val fx = takedownFor(s, d)
+      val gone = docs(s, d).where(pmod(col("doc_id"), lit(83)) === 0)
+      val goneIds = gone.select("doc_id")
+      val nGone = gone.count()
+      val bmHits = graft.sources.TextIndex.bm25TopK(s, fx.text, "doc_id",
+          Seq("hash", "join", "vector"), k = 1000)
+        .join(goneIds, Seq("doc_id"), "left_semi").count()
+      val annHits = graft.operators.Similarity.ivfTopKFromIndex(s, fx.ann,
+          "vec_id", "embedding",
+          Tables.load(s, d, "embeddings").where(col("vec_id") === 83L),
+          "embedding", k = 500, nprobe = 8)
+        .join(goneIds.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").count()
+      // the index side of the gate: no batch may ever match AGAINST a
+      // retracted corpus doc (matching a surviving twin is fine)
+      val mhHits = graft.operators.Dedup.dedupAgainstIndex(docs(s, d),
+          "doc_id", "text", fx.minhash, threshold = 0.8)
+        .join(goneIds.select(col("doc_id").as("corpus_id")),
+          Seq("corpus_id"), "left_semi").count()
+      val readmitted = graft.sources.BloomKeyIndex.novelRows(gone, fx.bloom)
+        .count()
+      Seq((bmHits, annHits, mhHits, readmitted, nGone))
+        .toDF("bm25_hits", "ann_hits", "minhash_hits", "bloom_readmitted",
+          "n_retracted")
+        .withColumn("meets_floor",
+          col("bm25_hits") === 0 && col("ann_hits") === 0 &&
+            col("minhash_hits") === 0 &&
+            col("bloom_readmitted") === col("n_retracted") &&
+            col("n_retracted") > 0)
+        .where(col("meets_floor"))
+    }),
+
     // fuzzy join with BOTH sides corpus-scale — the cell the broadcast
     // fuzzyJoin excludes: typo'd probe names (3rd char deleted) matched
     // against the part catalog through the PassJoin composition (one
@@ -3916,6 +3978,62 @@ object ExtQueries {
       }
     }
     cfg
+  }
+
+  /** The q_takedown fixture: the documents corpus with its serving
+    * artifacts — positional text index (3 incremental appends), MinHash
+    * index, exact-key bloom gate, IVF index over the embeddings table
+    * (vec_id shares the doc id space) — built once per sf dir, then
+    * `doc_id % 83 == 0` (7 docs at sf0.01, doc 0 included) RETRACTED
+    * through [[graft.operators.Retraction.retractDocs]]. The takedown
+    * rows all serve from this post-retraction state, so the fixture IS
+    * the operator under test: q_takedown/q_takedown_corpus carry full
+    * DuckDB oracles over the surviving documents, q_takedown_serves
+    * machine-enforces that no serve answers with a retracted id and
+    * that the gates re-admit.
+    */
+  private case class TakedownFx(corpus: String,
+                                text: graft.sources.TextIndex.Cfg,
+                                minhash: String,
+                                bloom: graft.sources.BloomKeyIndex.Cfg,
+                                ann: String)
+
+  private def takedownFor(s: SparkSession, d: String): TakedownFx = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_takedown_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val fx = TakedownFx(
+      new java.io.File(root, "corpus").toString,
+      graft.sources.TextIndex.Cfg(
+        new java.io.File(root, "ti").toString, partitions = 16,
+        positional = true),
+      new java.io.File(root, "mh").toString,
+      graft.sources.BloomKeyIndex.Cfg(
+        new java.io.File(root, "bk").toString, keyExpr = "text"),
+      new java.io.File(root, "ann").toString)
+    buildOnce(root) {
+      val all = docs(s, d)
+      all.write.mode("overwrite").parquet(fx.corpus)
+      (0 until 3).foreach { b =>
+        graft.sources.TextIndex.appendBatch(
+          all.filter(pmod(col("doc_id"), lit(3)) === b),
+          "doc_id", "text", fx.text)
+      }
+      graft.operators.Dedup.writeMinhashIndex(all, "doc_id", "text",
+        fx.minhash)
+      graft.sources.BloomKeyIndex.appendBatch(all, fx.bloom)
+      graft.operators.Similarity.writeIvfIndex(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding", fx.ann,
+        nlist = 8)
+      graft.operators.Retraction.retractDocs(s,
+        all.where(pmod(col("doc_id"), lit(83)) === 0).select("doc_id"),
+        "doc_id",
+        graft.operators.Retraction.Artifacts(fx.corpus,
+          minhashIndexPath = Some(fx.minhash), textIndex = Some(fx.text),
+          exactKeys = Some(fx.bloom), annIndexPath = Some(fx.ann),
+          annIdCol = "vec_id"))
+    }
+    fx
   }
 
   /** The q_scd2_stored fixture: the orders history folded into the
@@ -4823,6 +4941,49 @@ object ExtQueries {
         |  FROM phrase p JOIN agg a USING (doc_id)
         |  ORDER BY a.bm25 DESC, p.doc_id LIMIT 20)
         |ORDER BY doc_id""".stripMargin,
+
+    // takedown twins: the scan-path BM25 arithmetic verbatim, over a
+    // CTE that shadows `documents` with the survivors — the index-backed
+    // serve after retraction must hash-match a world where the retracted
+    // docs never existed (document frequencies, N and avgdl included)
+    "q_takedown" ->
+      """WITH surviving AS (
+        |  SELECT * FROM documents WHERE doc_id % 83 <> 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM surviving),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM surviving LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT doc_id, bm25 FROM agg
+        |  ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_takedown_corpus" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 83 <> 0 ORDER BY doc_id""".stripMargin,
 
     // two-large-frames fuzzy join: DuckDB recomputes the probe
     // corruption and the levenshtein join directly (the length

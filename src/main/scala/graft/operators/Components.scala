@@ -345,6 +345,73 @@ object Components {
     readLabelStore(spark, path)
   }
 
+  /** TAKEDOWN over the label store: re-closure over the SURVIVOR star
+    * edges. The store holds one (id → component) star edge per labeled
+    * node; retracting a set R keeps exactly the edges with BOTH
+    * endpoints outside R — a member row pointing at a retracted
+    * canonical is itself a reference to the retracted document and must
+    * go. Consequences, stated plainly:
+    *
+    *  - a retracted SATELLITE simply loses its row;
+    *  - a retracted CANONICAL (component minimum) orphans its
+    *    satellites back to singletons (the caller convention: no row =
+    *    own component). The star form never stored the satellites'
+    *    mutual pair evidence — attribution was to the canonical — so
+    *    regrouping them would be fabrication; re-deriving their true
+    *    pairs from the surviving corpus (the dedup gates' job) is the
+    *    sanctioned way to re-cluster them, and is exactly what happens
+    *    if they re-enter the corpus loop.
+    *
+    * Partitioned layout: rows for ids in R live in their component's
+    * `lp=` partition and rows pointing AT R live in `lp(r)` — one
+    * column-pruned (id, component, lp) semi-join over the store finds
+    * the touched partitions (bounded: ≤ P ints), and only those leaves
+    * are rewritten (per-leaf anti-join, staged atomic swap). The
+    * `_id_blooms` rows of touched partitions go stale-POSITIVE only
+    * (a removed id routes one wasted confirm read — the documented
+    * false-positive contract, never a wrong answer). Flat layout: one
+    * whole-store rewrite. Idempotent either way.
+    */
+  def retractFromLabelStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            idCol: String): Unit = {
+    val dir = new java.io.File(path)
+    val keys = ids.select(col(idCol).cast("long").as("__rid")).distinct()
+      .localCheckpoint(true)
+    try {
+      storePartitions(path) match {
+        case None =>
+          graft.sources.Compaction.retractRows(spark, path, keys,
+            (t, k) => t("id") === k("__rid") ||
+              t("component") === k("__rid"))
+        case Some(_) =>
+          val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+          if (!entries.exists(f => f.isDirectory &&
+              f.getName.startsWith("lp="))) return
+          val store = spark.read.parquet(path)
+          val touched = store.select("id", "component", "lp")
+            .join(broadcast(keys),
+              col("id") === col("__rid") ||
+                col("component") === col("__rid"), "left_semi")
+            .select("lp").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          touched.foreach { x =>
+            val leaf = new java.io.File(dir, s"lp=$x")
+            val staging =
+              graft.sources.Compaction.stagingDir(leaf, "retract")
+            if (staging.exists()) graft.sources.Compaction.rm(staging)
+            spark.read.parquet(leaf.toString)
+              .join(broadcast(keys),
+                col("id") === col("__rid") ||
+                  col("component") === col("__rid"), "left_anti")
+              .write.mode("overwrite").parquet(staging.toString)
+            graft.sources.Compaction.swapInto(leaf.toString,
+              staging.toString)
+          }
+      }
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
+  }
+
   /** The label store as (id, component), either layout — the partition
     * column is an implementation detail readers never see. A store with
     * no data yet (never written, or a pinned-meta-only directory from a

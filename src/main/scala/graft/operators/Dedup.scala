@@ -466,6 +466,23 @@ object Dedup {
       .write.mode("append").parquet(s"$path/data")
   }
 
+  /** TAKEDOWN over the MinHash index: excise the given doc ids' band
+    * rows (and their signatures with them) so no future batch can match
+    * against a retracted document — and, symmetrically, the retracted
+    * document itself re-admits cleanly if re-submitted (tombstone ≠
+    * ban: the gate finds no signature and treats it as novel). The data
+    * table is unpartitioned (band hashes have no useful locality for a
+    * doc-keyed delete), so this is ONE whole-index anti-join rewrite —
+    * O(index), ints only, never the corpus text — via the staged atomic
+    * swap. The meta sidecar is parameters, not membership — untouched.
+    */
+  def retractFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, ids: DataFrame,
+                              idCol: String): Unit =
+    graft.sources.Compaction.retractRows(spark, s"$path/data",
+      ids.select(col(idCol).cast("long").as("__rid")).distinct(),
+      (t, k) => t("corpus_id") === k("__rid"))
+
   /** Near-duplicate matches of an arriving batch against an indexed
     * corpus: the batch's signatures are computed narrow (the only
     * shingling in the query), band-joined against the stored band hashes,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -293,6 +293,51 @@ object Merge {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("is_current").parquet(path)
+    } finally
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(updated)
+  }
+
+  /** TAKEDOWN for the SCD2 store: close, don't delete. A dimension's
+    * history is a reproducibility ledger, so erasing a key's past would
+    * silently rewrite what every already-trained artifact saw; the
+    * correct retraction is to CLOSE the key's current interval at
+    * `closeAt` — from that version on, the key has no current value,
+    * and as-of reads at earlier versions still reproduce. (Callers
+    * whose attribute VALUES are themselves the thing to erase should
+    * follow with an explicit attribute-scrub migration — a policy
+    * decision this operator deliberately does not make.)
+    *
+    * Same two-write order and crash contract as [[scd2ApplyStored]]:
+    * newly-closed rows APPEND to the never-rewritten closed partition
+    * first, then the current partition is dynamically overwritten —
+    * a crash between the two duplicates byte-equal closed rows that
+    * [[scd2DedupeStored]] heals. One extra case this verb can hit that
+    * apply never does: closing EVERY live key leaves zero current rows,
+    * and a dynamic overwrite with an empty frame would keep the stale
+    * current partition — so that partition is removed explicitly.
+    * Keys with no current row are a no-op (idempotent).
+    */
+  def scd2CloseStored(spark: SparkSession, path: String,
+                      keys: DataFrame, keyCols: Seq[String],
+                      closeAt: Column): Unit = {
+    val cur = scd2ReadStored(spark, path).where(col("is_current"))
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    val closed = cur.join(broadcast(k), keyCols, "left_semi")
+      .withColumn("valid_to", closeAt)
+      .withColumn("is_current", lit(false))
+    val remaining = cur.join(broadcast(k), keyCols, "left_anti")
+    val updated = closed.unionByName(remaining).localCheckpoint(true)
+    try {
+      updated.where(!col("is_current"))
+        .write.mode("append").partitionBy("is_current").parquet(path)
+      val stillCurrent = updated.where(col("is_current"))
+      if (stillCurrent.isEmpty)
+        graft.sources.Compaction.rm(
+          new java.io.File(path, "is_current=true"))
+      else
+        stillCurrent.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("is_current").parquet(path)
     } finally
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(updated)
   }

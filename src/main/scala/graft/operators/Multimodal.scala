@@ -444,6 +444,18 @@ object Multimodal {
   def appendMediaHashIndex(df: DataFrame, indexPath: String): Unit =
     dHashes(df).write.mode("append").parquet(indexPath)
 
+  /** TAKEDOWN over a media/audio fingerprint index: one anti-join
+    * rewrite of the flat (media_id, hash) table — 16 bytes per row,
+    * O(index) — via the staged atomic swap. After it, the media gate
+    * cannot match new payloads against the retracted item, and a
+    * re-submitted copy of it re-admits (tombstone ≠ ban). Idempotent.
+    */
+  def retractFromMediaIndex(spark: SparkSession, indexPath: String,
+                            ids: DataFrame, idCol: String): Unit =
+    graft.sources.Compaction.retractRows(spark, indexPath,
+      ids.select(col(idCol).cast("long").as("__rid")).distinct(),
+      (t, k) => t("media_id") === k("__rid"))
+
   /** [[imageNearDupPairs]] served FROM the fingerprint index: the same
     * blocked Hamming join, zero decodes — the steady-state dedup pass.
     * Returns (id_a, id_b, hamming).

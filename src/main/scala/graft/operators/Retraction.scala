@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TAKEDOWN / retraction — the lifecycle verb the append-only corpus was
+  * missing: excise a set of documents from the corpus AND every derived
+  * serving artifact, so the first GDPR request, license revocation, or
+  * poisoned-batch rollback is an operator call, not an incident.
+  *
+  * The reference's storage is a mutable Postgres table, where this is one
+  * `DELETE` (`/root/reference/script.sql:1-4` shows the in-place-mutation
+  * idiom — the daily job UPDATEs rows in place). A 100 TB parquet corpus
+  * has no in-place mutation, and worse, it fans out into derived state —
+  * text postings, MinHash signatures, hash indexes, ANN code tables, key
+  * tables, provenance labels — each of which would keep SERVING the
+  * retracted document forever if only the corpus row disappeared. So the
+  * verb is a fan-out of artifact-local excisions, each owned by the
+  * artifact's module (the module that knows the layout owns the pruned
+  * rewrite):
+  *
+  *  - text postings  → [[graft.sources.TextIndex.retract]] — anti-join
+  *    pruned to the docs' terms' `tp=` partitions + a compensating
+  *    NEGATIVE stats row (the stats schema is additive; history is never
+  *    rewritten);
+  *  - MinHash index  → [[Dedup.retractFromMinhashIndex]] — one O(index)
+  *    ints-only rewrite (band hashes have no doc locality);
+  *  - exact-key gate → [[graft.sources.BloomKeyIndex.retractKeys]] —
+  *    keys table pruned to the keys' `kp=` partitions; the bloom keeps a
+  *    stale positive that the exact-confirm join resolves, which is
+  *    precisely the re-admission contract;
+  *  - ANN code/data  → [[Similarity.retractFromIndex]] — cell-pruned
+  *    rewrite (≤ nlist touched leaves), geometry sidecars untouched;
+  *  - SQ8 index      → [[Sq.retractFromSqIndex]];
+  *  - media/audio    → [[Multimodal.retractFromMediaIndex]];
+  *  - label store    → [[Components.retractFromLabelStore]] — re-closure
+  *    over the survivor star edges;
+  *  - corpus         → one anti-join rewrite, LAST (see ordering below).
+  *
+  * Artifacts NOT excised, by design:
+  *  - sketch sidecars (HLL/KMV/CMS/quantiles) are one-way additive —
+  *    they cannot subtract a member. The stance: monitoring sketches
+  *    describe what WAS ingested (a ledger, like the funnel), and a
+  *    deployment that must forget even sketch-level membership evidence
+  *    either re-derives the sidecar from the surviving corpus (one scan,
+  *    the [[graft.sources.TextIndex.healStats]] shape) or segments
+  *    sidecars by ingest EPOCH and drops whole epochs. The one additive
+  *    face with exact inverse — the moments face — could take a negative
+  *    row, but a half-forgetting sidecar is worse than a documented one.
+  *  - the SCD2 store closes rather than deletes
+  *    ([[Merge.scd2CloseStored]] — dimension keys, not doc ids, so it is
+  *    not in [[Artifacts]]);
+  *  - the funnel log is an execution ledger, kept.
+  *
+  * ORDERING — derived artifacts first, corpus LAST. The text-index
+  * excision prunes by re-tokenizing the docs' text, and the bloom-key
+  * excision recomputes their keys, so the corpus row must still exist
+  * when they run; putting the corpus rewrite last also makes the whole
+  * verb re-runnable: a crash anywhere before it leaves the docs readable,
+  * and every artifact excision is an anti-join (absent ids are a no-op).
+  * The one non-idempotent residue is the text index's `n_docs`
+  * compensation (documented + healable at
+  * [[graft.sources.TextIndex.retract]]). After the corpus rewrite
+  * commits, a re-run finds zero docs and does nothing.
+  *
+  * Scale shape: every derived-artifact rewrite is partition-pruned or
+  * O(index-ints); the corpus rewrite is the one O(corpus) pass, so batch
+  * takedown requests and apply them on a cadence (the verb takes a SET).
+  * At 100 TB the corpus itself should be date-partitioned, turning that
+  * pass into a touched-partition rewrite too — the layouts here model
+  * the compute; a manifest-committing table format supplies the atomic
+  * multi-file swap on object stores.
+  *
+  * Tombstone ≠ ban, stated as a contract: after retraction the engine
+  * holds NO memory of the document in any gate, so a re-submitted copy
+  * re-admits through the corpus loop like any novel document
+  * (spec-proven in `RetractionSpec`). A deployment that wants a BLOCK
+  * list should gate on it explicitly — forgetting and banning are
+  * different verbs.
+  */
+object Retraction {
+
+  /** The artifact set a corpus deployment maintains — mirror of the
+    * [[graft.ingest.CorpusPipeline.dedupAndAppend]] sidecar options, so
+    * a loop's configuration maps 1:1 onto its takedown configuration.
+    */
+  case class Artifacts(
+      corpusPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minhashIndexPath: Option[String] = None,
+      textIndex: Option[graft.sources.TextIndex.Cfg] = None,
+      exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
+      annIndexPath: Option[String] = None,
+      annIdCol: String = "doc_id",
+      sqIndexPath: Option[String] = None,
+      sqIdCol: String = "doc_id",
+      mediaIndexPath: Option[String] = None,
+      dupLabelsPath: Option[String] = None)
+
+  /** @param requested distinct ids asked for
+    * @param found     of those, ids present in the corpus this run (0 on
+    *                  a clean re-run — the verb already completed)
+    */
+  case class Report(requested: Long, found: Long)
+
+  /** Excise `ids` from every configured artifact, then from the corpus.
+    * Safe to re-run (see ordering contract above).
+    */
+  def retractDocs(spark: SparkSession, ids: DataFrame, idsCol: String,
+                  a: Artifacts): Report = {
+    val keys = ids.select(col(idsCol).cast("long").as("__rid")).distinct()
+      .localCheckpoint(true)
+    try {
+      val requested = keys.count()
+      // the docs' full rows, read BEFORE any rewrite: the text-pruned and
+      // key-pruned excisions derive their partition lists from them
+      val corpus = spark.read.parquet(a.corpusPath)
+      val docs = corpus
+        .join(broadcast(keys), corpus(a.idCol).cast("long") === col("__rid"),
+          "left_semi")
+        .localCheckpoint(true)
+      try {
+        val found = docs.count()
+        a.textIndex.foreach { cfg =>
+          graft.sources.TextIndex.retract(spark, cfg, docs, a.idCol,
+            a.textCol)
+        }
+        a.exactKeys.foreach { cfg =>
+          graft.sources.BloomKeyIndex.retractKeys(docs, cfg)
+        }
+        a.minhashIndexPath.foreach { p =>
+          Dedup.retractFromMinhashIndex(spark, p, keys, "__rid")
+        }
+        a.annIndexPath.foreach { p =>
+          Similarity.retractFromIndex(spark, p, keys, "__rid", a.annIdCol)
+        }
+        a.sqIndexPath.foreach { p =>
+          Sq.retractFromSqIndex(spark, p, keys, "__rid", a.sqIdCol)
+        }
+        a.mediaIndexPath.foreach { p =>
+          Multimodal.retractFromMediaIndex(spark, p, keys, "__rid")
+        }
+        a.dupLabelsPath.foreach { p =>
+          Components.retractFromLabelStore(spark, p, keys, "__rid")
+        }
+        // corpus LAST — the commit point after which a re-run is a no-op
+        if (found > 0)
+          graft.sources.Compaction.retractRows(spark, a.corpusPath, keys,
+            (t, k) => t(a.idCol).cast("long") === k("__rid"))
+        Report(requested, found)
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
+  }
+}

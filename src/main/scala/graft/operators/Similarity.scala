@@ -160,6 +160,43 @@ object Similarity {
     if (fs.exists(hp)) s"$path/data" else s"$path/codes"
   }
 
+  /** TAKEDOWN over an IVF-family index: excise the given ids from the
+    * cell table (data/ for plain IVF, codes/ for IVF-PQ — the
+    * [[cellTableDir]] dispatch) with a CELL-PRUNED rewrite: one
+    * column-pruned pass (id + the directory-derived cell, no vectors/
+    * codes read) finds which cells hold the ids (≤ nlist ints,
+    * bounded), then ONLY those leaves are rewritten — anti-join on the
+    * id, staged atomic swap per leaf, untouched cells keep their files
+    * byte-for-byte (the [[graft.sources.TextIndex.retract]]
+    * discipline). Sidecars (centroids/codebooks/trained_meta) are
+    * geometry, not membership — untouched. Idempotent: re-running for
+    * absent ids is a no-op.
+    */
+  def retractFromIndex(spark: SparkSession, path: String,
+                       ids: DataFrame, idsCol: String,
+                       indexIdCol: String): Unit = {
+    val table = cellTableDir(spark, path)
+    val keys = ids.select(col(idsCol).cast("long").as("__rid")).distinct()
+      .localCheckpoint(true)
+    try {
+      val touched = spark.read.parquet(table)
+        .select(col(indexIdCol).cast("long").as("__rid"), col("cell"))
+        .join(broadcast(keys), Seq("__rid"), "left_semi")
+        .select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      touched.foreach { c =>
+        val leaf = new java.io.File(table, s"cell=$c")
+        val staging = graft.sources.Compaction.stagingDir(leaf, "retract")
+        if (staging.exists()) graft.sources.Compaction.rm(staging)
+        val leafDf = spark.read.parquet(leaf.toString)
+        leafDf.join(broadcast(keys),
+            leafDf(indexIdCol).cast("long") === keys("__rid"), "left_anti")
+          .write.mode("overwrite").parquet(staging.toString)
+        graft.sources.Compaction.swapInto(leaf.toString, staging.toString)
+      }
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
+  }
+
   def ivfIndexStats(spark: SparkSession, path: String): DataFrame = {
     val counts = spark.read.parquet(cellTableDir(spark, path))
       .groupBy("cell").agg(count(lit(1)).as("n"))

@@ -104,6 +104,18 @@ object Sq {
       .write.mode("append").parquet(s"$path/data")
   }
 
+  /** TAKEDOWN over the SQ8 index: one anti-join rewrite of the
+    * unpartitioned data table (codes + floats, O(index)) via the staged
+    * atomic swap; the (min, max) params sidecar is geometry, untouched.
+    * Idempotent (absent ids are a no-op).
+    */
+  def retractFromSqIndex(spark: SparkSession, path: String,
+                         ids: DataFrame, idsCol: String,
+                         indexIdCol: String): Unit =
+    graft.sources.Compaction.retractRows(spark, s"$path/data",
+      ids.select(col(idsCol).cast("long").as("__rid")).distinct(),
+      (t, k) => t(indexIdCol).cast("long") === k("__rid"))
+
   private[graft] def readSqParams(
       spark: SparkSession, path: String): (Array[Double], Array[Double]) = {
     val rows = spark.read.parquet(s"$path/params").orderBy("dim").collect()

@@ -215,6 +215,47 @@ object BloomKeyIndex {
     }
   }
 
+  /** TAKEDOWN: excise `rows`' keys (computed with the index's own
+    * `keyExpr` — pass the retracted docs' corpus rows) from the KEYS
+    * table, pruned to the `kp=` partitions those keys hash into
+    * (bounded driver list, per-leaf anti-join on (khash, key), staged
+    * atomic swap — untouched partitions keep their files).
+    *
+    * The Bloom sidecar is deliberately NOT rewritten: blooms cannot
+    * subtract, and they don't need to — the filter only ROUTES. A
+    * retracted key leaves a stale positive bit, which makes its
+    * re-delivery a "suspect" that the exact-confirm join then finds
+    * ABSENT from the keys table → admitted as novel. That is exactly
+    * the re-admission contract (tombstone ≠ ban), bought with one
+    * wasted confirm read per stale key and healed wholesale whenever
+    * the operator rebuilds the sidecar from the keys table. Idempotent:
+    * re-excising absent keys is a no-op.
+    */
+  def retractKeys(rows: DataFrame, cfg: Cfg): Unit = {
+    val spark = rows.sparkSession
+    val keyed = rows
+      .select(khash(cfg).as("khash"),
+        expr(cfg.keyExpr).cast("string").as("key"))
+      .where(col("khash").isNotNull).distinct()
+      .localCheckpoint(true)
+    try {
+      val kps = keyed
+        .select(pmod(col("khash"), lit(cfg.keyPartitions)).as("kp"))
+        .distinct().collect().map(_.getLong(0))
+      kps.foreach { v =>
+        val leaf = new java.io.File(cfg.keysPath, s"kp=$v")
+        if (leaf.exists()) {
+          val staging = Compaction.stagingDir(leaf, "retract")
+          if (staging.exists()) Compaction.rm(staging)
+          spark.read.parquet(leaf.toString)
+            .join(broadcast(keyed), Seq("khash", "key"), "left_anti")
+            .write.mode("overwrite").parquet(staging.toString)
+          Compaction.swapInto(leaf.toString, staging.toString)
+        }
+      }
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keyed)
+  }
+
   /** Row-merge the bloom sidecar to ONE row (bitwise OR — associative,
     * exact) and compact the keys table's partition leaves; the
     * [[SketchSidecar.compactRows]] discipline with a zero-loss ledger.

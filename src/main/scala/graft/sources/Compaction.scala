@@ -84,6 +84,30 @@ object Compaction {
     rm(retired)
   }
 
+  /** TAKEDOWN rewrite of an UNPARTITIONED parquet table: keep only the
+    * rows NOT matching `keys` under `cond(table, keys)` (an anti-join —
+    * keys broadcast, takedown lists are bounded), staged + atomically
+    * swapped like [[compact]]. Shared by every flat-table artifact the
+    * retraction path touches (MinHash index data, SQ8 data, media hash
+    * indexes, the corpus itself). Idempotent: excising absent keys is a
+    * no-op rewrite. A missing table is a no-op (nothing to excise).
+    */
+  def retractRows(spark: SparkSession, path: String,
+                  keys: org.apache.spark.sql.DataFrame,
+                  cond: (org.apache.spark.sql.DataFrame,
+                    org.apache.spark.sql.DataFrame) =>
+                    org.apache.spark.sql.Column): Unit = {
+    val dir = new File(path)
+    if (!dir.exists()) return
+    val table = spark.read.parquet(path)
+    val staging = stagingDir(dir, "retract")
+    if (staging.exists()) rm(staging)
+    table.join(org.apache.spark.sql.functions.broadcast(keys),
+        cond(table, keys), "left_anti")
+      .write.mode("overwrite").parquet(staging.toString)
+    swapInto(path, staging.toString)
+  }
+
   /** Compact every leaf partition directory of a `partitionBy`-written
     * table (e.g. an IVF-family index's `data/cell=N/` directories) while
     * PRESERVING the partition layout — the plain [[compact]] would read

@@ -89,6 +89,105 @@ object CorpusStream {
       }
       .start()
 
+  /** Outcome of a [[rejectQuarantined]] call: quarantined batches
+    * permanently rejected and how many distinct docs were retracted
+    * across every configured artifact.
+    */
+  case class RejectResult(batches: Long, docsRetracted: Long)
+
+  /** PERMANENT rejection — the third triage verb next to release and
+    * hold, enabled by [[graft.operators.Retraction]]: the operator has
+    * decided a quarantined batch is poison (bad crawl, license problem,
+    * adversarial injection) and it must neither re-enter triage nor
+    * leave residue in any artifact. Holding can't do this (held batches
+    * rejoin the queue forever), and deleting the queue rows alone would
+    * leak whatever a PARTIALLY-failed earlier run already committed:
+    * provenance edges land BEFORE the corpus append by design, and a
+    * [[CorpusPipeline.PostAppendFailure]] leaves corpus rows (and
+    * possibly ANN/text/sketch appends) committed with the batch back in
+    * quarantine. So rejection = compensate-then-drop:
+    *
+    *  1. claim the queue (the [[reprocessQuarantine]] rename discipline
+    *     — shared claim state: recover a crashed rejection with THIS
+    *     verb and the same ids before running any reprocess, or the
+    *     recovered claim would send the condemned batches to triage);
+    *  2. [[graft.operators.Retraction.retractDocs]] for the rejected
+    *     batches' doc ids — every committed trace (corpus rows, label
+    *     edges, index/sidecar rows) is excised; batches that never
+    *     committed anything cost a few no-op anti-joins;
+    *  3. one ledger row per rejected batch (append-only, like the
+    *     funnel: re-runs may duplicate rows, `rejected_ts` dedupes);
+    *  4. surviving batches rejoin the live queue; the claim is removed.
+    *
+    * Retraction runs FIRST so a crash anywhere leaves the rejected
+    * batches still claimed and the re-run re-heals (retraction is
+    * idempotent; the text-index `n_docs` residue is documented at
+    * [[graft.sources.TextIndex.retract]]). Scope, stated plainly:
+    * retraction is BY DOC ID — if a rejected batch re-delivered the id
+    * of a legitimately admitted document, that document is retracted
+    * too (ids are the corpus identity; a quarantined re-delivery of a
+    * GOOD doc is a release case, not a reject case).
+    */
+  def rejectQuarantined(spark: SparkSession, quarantinePath: String,
+                        rejectIds: Seq[Long],
+                        artifacts: graft.operators.Retraction.Artifacts,
+                        ledgerPath: Option[String] = None): RejectResult = {
+    require(rejectIds.nonEmpty, "rejectQuarantined needs batch ids")
+    val qDir = new java.io.File(quarantinePath)
+    val claimed = graft.sources.Compaction.stagingDir(qDir, "triage")
+    def hasParquet(dir: java.io.File): Boolean =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (claimed.exists() && !hasParquet(claimed))
+      graft.sources.Compaction.rm(claimed)
+    if (!claimed.exists()) {
+      if (!qDir.exists()) return RejectResult(0L, 0L)
+      if (!qDir.renameTo(claimed))
+        throw new java.io.IOException(s"cannot claim $quarantinePath")
+      if (!hasParquet(claimed)) {
+        graft.sources.Compaction.rm(claimed)
+        return RejectResult(0L, 0L)
+      }
+    }
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(claimed.toString)
+    val queue = (if (raw.columns.contains("__q_batch"))
+        raw.withColumn("__q_batch", coalesce(col("__q_batch"), lit(-1L)))
+      else raw.withColumn("__q_batch", lit(-1L)))
+      .localCheckpoint(true)
+    try {
+      val rejected = queue.where(col("__q_batch").isin(rejectIds: _*))
+      val perBatch = rejected
+        .groupBy("__q_batch")
+        .agg(count(lit(1)).as("n_docs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // nothing matched → skip the (whole-table-rewriting) retraction;
+      // the queue flows back through the same append-and-drop-claim path
+      // as the kept batches (a rename restore could collide with rows
+      // the live stream quarantined since the claim)
+      val requested = if (perBatch.isEmpty) 0L else {
+        val docIds = rejected
+          .select(col(artifacts.idCol).cast("long").as(artifacts.idCol))
+          .distinct()
+        val report = graft.operators.Retraction.retractDocs(spark, docIds,
+          artifacts.idCol, artifacts)
+        ledgerPath.foreach { lp =>
+          import spark.implicits._
+          val ts = System.currentTimeMillis()
+          perBatch.toSeq.map { case (bid, n) => (bid, n, ts) }
+            .toDF("batch_id", "n_docs", "rejected_ts")
+            .coalesce(1).write.mode("append").parquet(lp)
+        }
+        report.requested
+      }
+      val kept = queue.where(!col("__q_batch").isin(rejectIds: _*))
+      if (!kept.isEmpty)
+        kept.write.mode("append").parquet(quarantinePath)
+      graft.sources.Compaction.rm(claimed)
+      RejectResult(perBatch.length.toLong, requested)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(queue)
+  }
+
   /** Outcome of a [[reprocessQuarantine]] attempt: quarantined batches
     * triaged this invocation (≤ `maxBatches`; batches beyond the bound
     * wait in the queue uncounted), batches that cleared the updated

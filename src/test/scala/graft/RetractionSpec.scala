@@ -1,0 +1,264 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Components, Dedup, Merge, Multimodal, Retraction,
+  Similarity, Sq}
+import graft.sources.{BloomKeyIndex, TextIndex}
+
+/** The takedown verb: retractDocs must excise a document from the corpus
+  * and EVERY derived serving artifact, prune its rewrites to the
+  * partitions the document actually touches, re-run safely, and leave
+  * the gates willing to re-admit a re-submitted copy (tombstone ≠ ban).
+  */
+class RetractionSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val vocab = Vector("hash", "join", "vector", "scan", "sort",
+    "merge", "spill", "page", "codec", "probe")
+  private def docText(i: Long): String =
+    if (i % 17 == 0) ""
+    else (0 until (3 + (i % 9)).toInt)
+      .map(j => vocab(((i * 7 + j * j) % vocab.size).toInt))
+      .mkString(" ")
+  private def embed(i: Long): Array[Float] =
+    Array.tabulate(8)(d => (((i * 31 + d * 7) % 13).toInt - 6) / 6.0f)
+  private def corpus(n: Long): DataFrame =
+    (1L to n).map(i => (i, docText(i), embed(i)))
+      .toDF("doc_id", "text", "embedding")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).resolve("x").toString
+
+  test("retractDocs: every artifact excised, ANN rewrite cell-pruned, " +
+      "gates forget (minhash index + bloom keys + label store), corpus " +
+      "rewritten last, re-run is a found=0 no-op") {
+    val docs = corpus(80)
+    val gone = Seq(5L, 10L, 17L) // 17 is zero-token
+    val a = Retraction.Artifacts(
+      corpusPath = tmp("rt_corpus"),
+      minhashIndexPath = Some(tmp("rt_mh")),
+      textIndex = Some(TextIndex.Cfg(tmp("rt_ti"), partitions = 8)),
+      exactKeys = Some(BloomKeyIndex.Cfg(tmp("rt_bk"), keyExpr = "text",
+        keyPartitions = 16)),
+      annIndexPath = Some(tmp("rt_ann")),
+      sqIndexPath = Some(tmp("rt_sq")),
+      dupLabelsPath = Some(tmp("rt_lbl")))
+    docs.write.mode("overwrite").parquet(a.corpusPath)
+    TextIndex.writeIndex(docs, "doc_id", "text", a.textIndex.get)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", a.minhashIndexPath.get)
+    BloomKeyIndex.appendBatch(docs, a.exactKeys.get)
+    Similarity.writeIvfIndex(docs, "doc_id", "embedding",
+      a.annIndexPath.get, nlist = 4)
+    Sq.writeSqIndex(docs, "doc_id", "embedding", a.sqIndexPath.get)
+    // components: 5 is a canonical (min of {5,40,41}), 10 a satellite of
+    // {2,10}, {50,51} untouched
+    Components.updateLabelStore(spark, a.dupLabelsPath.get,
+      Seq((5L, 40L), (40L, 41L), (2L, 10L), (50L, 51L))
+        .toDF("src", "dst"), "src", "dst", partitions = 8)
+    // record untouched ANN cell leaves — they must not be rewritten
+    val cells = spark.read.parquet(s"${a.annIndexPath.get}/data")
+      .select(col("doc_id"), col("cell"))
+      .where(col("doc_id").isin(gone: _*))
+      .select("cell").distinct().as[Int].collect().toSet
+    def cellFiles(c: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"${a.annIndexPath.get}/data/cell=$c")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val untouchedCells = (0 until 4).filterNot(cells)
+    val cellsBefore = untouchedCells.map(c => c -> cellFiles(c)).toMap
+
+    val r = Retraction.retractDocs(spark,
+      (gone :+ 9999L).toDF("doc_id"), "doc_id", a)
+    assert(r === Retraction.Report(requested = 4, found = 3))
+
+    // corpus: survivors only
+    val left = spark.read.parquet(a.corpusPath).select("doc_id")
+      .as[Long].collect().toSet
+    assert(left === (1L to 80L).toSet -- gone)
+    // text index serves equal a fresh survivor index (df/N/avgdl shift)
+    val fresh = TextIndex.Cfg(tmp("rt_ti_fresh"), partitions = 8)
+    TextIndex.writeIndex(docs.where(!col("doc_id").isin(gone: _*)),
+      "doc_id", "text", fresh)
+    val q = Seq("hash", "join", "vector")
+    assert(
+      TextIndex.bm25TopK(spark, a.textIndex.get, "doc_id", q, 30)
+        .as[(Long, Double)].collect().toSeq ===
+      TextIndex.bm25TopK(spark, fresh, "doc_id", q, 30)
+        .as[(Long, Double)].collect().toSeq)
+    // minhash gate: the index answers with NO retracted corpus_id, so a
+    // re-submitted copy matches nothing and re-admits
+    val mh = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+      a.minhashIndexPath.get, threshold = 0.8)
+    assert(mh.where(col("corpus_id").isin(gone: _*)).isEmpty)
+    // bloom gate: retracted keys confirm absent → novel again
+    val back = BloomKeyIndex.novelRows(
+      docs.where(col("doc_id").isin(5L, 10L)), a.exactKeys.get)
+    assert(back.select("doc_id").as[Long].collect().toSet === Set(5L, 10L))
+    // and a surviving doc is still recognized as a duplicate
+    assert(BloomKeyIndex.novelRows(
+      docs.where(col("doc_id") === 20L), a.exactKeys.get).isEmpty)
+    // ANN: codes gone, untouched cells byte-identical
+    val annIds = spark.read.parquet(s"${a.annIndexPath.get}/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert((annIds & gone.toSet) === Set.empty)
+    assert(annIds.contains(20L))
+    untouchedCells.foreach(c => assert(cellFiles(c) === cellsBefore(c),
+      s"cell=$c holds no retracted doc but was rewritten"))
+    // SQ: rows gone
+    assert(spark.read.parquet(s"${a.sqIndexPath.get}/data")
+      .where(col("doc_id").isin(gone: _*)).isEmpty)
+    // label store: survivor star edges only — 5's satellites orphaned
+    // back to singletons, 10's row gone, {50,51} intact
+    val labels = Components.readLabelStore(spark, a.dupLabelsPath.get)
+      .as[(Long, Long)].collect().toSet
+    assert(labels === Set((2L, 2L), (50L, 50L), (51L, 50L)))
+    // re-run: clean no-op
+    assert(Retraction.retractDocs(spark, gone.toDF("doc_id"), "doc_id", a)
+      === Retraction.Report(requested = 3, found = 0))
+    assert(spark.read.parquet(a.corpusPath).count() === 77L)
+  }
+
+  test("media hash index retraction: rows excised, re-run no-op") {
+    val path = tmp("rt_media")
+    (1L to 30L).map(i => (i, i * 2654435761L))
+      .toDF("media_id", "dhash")
+      .write.mode("overwrite").parquet(path)
+    Multimodal.retractFromMediaIndex(spark, path,
+      Seq(3L, 7L).toDF("id"), "id")
+    val left = spark.read.parquet(path).select("media_id")
+      .as[Long].collect().toSet
+    assert(left === (1L to 30L).toSet -- Set(3L, 7L))
+    Multimodal.retractFromMediaIndex(spark, path,
+      Seq(3L).toDF("id"), "id") // absent — no-op
+    assert(spark.read.parquet(path).count() === 28L)
+  }
+
+  test("tombstone ≠ ban, end to end: a doc admitted by the corpus loop, " +
+      "retracted, then re-submitted is RE-ADMITTED through the full gate " +
+      "chain (exact-key + minhash + text index all forgot it)") {
+    val root = Files.createTempDirectory("rt_loop")
+    val corpusPath = root.resolve("corpus").toString
+    val indexPath = root.resolve("mh").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 8)
+    val bk = BloomKeyIndex.Cfg(root.resolve("bk").toString,
+      keyExpr = "text")
+    val lbl = root.resolve("lbl").toString
+    val batch = corpus(20).drop("embedding")
+    def admit(b: DataFrame): Long =
+      graft.ingest.CorpusPipeline.dedupAndAppend(b, corpusPath, indexPath,
+        "doc_id", "text", threshold = 0.8,
+        exactKeys = Some(bk), textIndex = Some(ti),
+        dupLabels = Some(lbl), dupLabelsPartitions = 4)
+    val first = admit(batch)
+    assert(first > 0)
+    // an immediate replay is fully swallowed (the gates remember)
+    assert(admit(batch.where(col("doc_id") === 3L)) === 0L)
+    // takedown doc 3, then the SAME document arrives again
+    Retraction.retractDocs(spark, Seq(3L).toDF("doc_id"), "doc_id",
+      Retraction.Artifacts(corpusPath,
+        minhashIndexPath = Some(indexPath), textIndex = Some(ti),
+        exactKeys = Some(bk), dupLabelsPath = Some(lbl)))
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 3L).isEmpty)
+    assert(admit(batch.where(col("doc_id") === 3L)) === 1L,
+      "a retracted doc must re-admit — forgetting is not banning")
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 3L).count() === 1L)
+    // and the text index serves it again
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id",
+        docText(3L).split(" ").toSeq, 20)
+      .where(col("doc_id") === 3L).count() === 1L)
+  }
+
+  test("rejectQuarantined: compensate-then-drop — a rejected batch's " +
+      "committed residue (corpus rows from a post-append crash, " +
+      "provenance edges) is excised, kept batches rejoin the queue, " +
+      "the ledger records the rejection, and a re-run is a no-op") {
+    val root = Files.createTempDirectory("rt_rej")
+    val qp = root.resolve("quarantine").toString
+    val corpusPath = root.resolve("corpus").toString
+    val lbl = root.resolve("lbl").toString
+    val ledger = root.resolve("ledger").toString
+    def mk(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, docText(i))).toDF("doc_id", "text")
+    val poison = mk(1L to 5L) // quarantined, then condemned
+    val healthy = mk(11L to 15L) // quarantined, stays queued
+    val admitted = mk(21L to 25L) // normally-admitted corpus content
+    // the post-append-crash state: the poison batch's rows committed to
+    // the corpus and its provenance edge landed, then it was re-queued
+    admitted.unionByName(poison).write.mode("overwrite").parquet(corpusPath)
+    Components.updateLabelStore(spark, lbl,
+      Seq((1L, 21L)).toDF("src", "dst"), "src", "dst")
+    poison.withColumn("__q_batch", lit(100L))
+      .write.mode("append").parquet(qp)
+    healthy.withColumn("__q_batch", lit(200L))
+      .write.mode("append").parquet(qp)
+    val a = Retraction.Artifacts(corpusPath, dupLabelsPath = Some(lbl))
+    val r = graft.streaming.CorpusStream.rejectQuarantined(spark, qp,
+      Seq(100L), a, Some(ledger))
+    assert(r === graft.streaming.CorpusStream.RejectResult(1L, 5L))
+    // corpus residue gone, legitimate content intact
+    assert(spark.read.parquet(corpusPath).select("doc_id")
+      .as[Long].collect().toSet === (21L to 25L).toSet)
+    // provenance edge excised: 21's row pointed at component 1 → gone
+    assert(Components.readLabelStore(spark, lbl).isEmpty)
+    // the healthy batch waits in the queue, tag intact
+    val q = spark.read.parquet(qp)
+    assert(q.select("__q_batch").distinct().as[Long].collect().toSeq
+      === Seq(200L))
+    assert(q.count() === 5L)
+    // ledger row
+    val led = spark.read.parquet(ledger)
+      .select("batch_id", "n_docs").as[(Long, Long)].collect().toSeq
+    assert(led === Seq((100L, 5L)))
+    // re-run (the crashed-rejection recovery path): no matching batch,
+    // queue and corpus unchanged
+    val r2 = graft.streaming.CorpusStream.rejectQuarantined(spark, qp,
+      Seq(100L), a, Some(ledger))
+    assert(r2 === graft.streaming.CorpusStream.RejectResult(0L, 0L))
+    assert(spark.read.parquet(qp).count() === 5L)
+    assert(spark.read.parquet(corpusPath).count() === 5L)
+  }
+
+  test("scd2CloseStored: close-don't-delete — history intact, closed at " +
+      "the given version, as-of reads before the close still reproduce; " +
+      "closing every key empties the current partition cleanly") {
+    val path = tmp("rt_scd2")
+    val recs = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (2L, 15L, "X"), (3L, 12L, "P"))
+      .toDF("k", "v", "attr")
+    Merge.scd2WriteStored(recs, path, Seq("k"), "v", Seq("attr"))
+    Merge.scd2CloseStored(spark, path, Seq(1L).toDF("k"), Seq("k"),
+      lit(100L))
+    val rows = Merge.scd2ReadStored(spark, path)
+      .select("k", "valid_from", "attr", "valid_to", "is_current")
+      .as[(Long, Long, String, Option[Long], Boolean)].collect().toSet
+    assert(rows === Set(
+      (1L, 10L, "A", Some(20L), false),
+      (1L, 20L, "B", Some(100L), false), // closed, not deleted
+      (2L, 15L, "X", None, true),
+      (3L, 12L, "P", None, true)))
+    // as-of 50 (before the close) still reproduces key 1 = "B"
+    val asof = Merge.scd2ReadStored(spark, path)
+      .where(col("valid_from") <= 50L &&
+        (col("valid_to").isNull || col("valid_to") > 50L))
+      .select("k", "attr").as[(Long, String)].collect().toSet
+    assert(asof === Set((1L, "B"), (2L, "X"), (3L, "P")))
+    // idempotent: re-closing a closed key changes nothing
+    Merge.scd2CloseStored(spark, path, Seq(1L).toDF("k"), Seq("k"),
+      lit(200L))
+    assert(Merge.scd2ReadStored(spark, path).count() === 4L)
+    // close the rest — zero current rows must not leave a stale
+    // current partition behind
+    Merge.scd2CloseStored(spark, path, Seq(2L, 3L).toDF("k"), Seq("k"),
+      lit(300L))
+    val all = Merge.scd2ReadStored(spark, path)
+    assert(all.where(col("is_current")).isEmpty)
+    assert(all.count() === 4L)
+  }
+}
