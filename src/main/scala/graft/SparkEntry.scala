@@ -98,5 +98,10 @@ object SparkEntry {
     // lexical-retrieval steady state next to q_bm25_topk's per-query
     // corpus scan (marker-gated fixture: pass 1 ingests, passes 2+ time
     // the pruned-partition serve alone)
-    "q_bm25_indexed")
+    "q_bm25_indexed",
+    // round 17: exact-phrase retrieval from the positional index — the
+    // same pruned tp= serve plus the position-array adjacency algebra;
+    // its cost is corpus-size-independent by construction and this row
+    // prices the positional overhead next to q_bm25_indexed
+    "q_bm25_phrase")
 }

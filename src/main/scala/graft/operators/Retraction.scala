@@ -44,9 +44,12 @@ import org.apache.spark.sql.functions._
   *    deployment that must forget even sketch-level membership evidence
   *    either re-derives the sidecar from the surviving corpus (one scan,
   *    the [[graft.sources.TextIndex.healStats]] shape) or segments
-  *    sidecars by ingest EPOCH and drops whole epochs. The one additive
-  *    face with exact inverse — the moments face — could take a negative
-  *    row, but a half-forgetting sidecar is worse than a documented one.
+  *    sidecars by ingest EPOCH and drops whole epochs —
+  *    [[graft.sources.SketchSidecar.retractGroups]] makes the epoch
+  *    path an operator (exact: the surviving rows ARE the surviving
+  *    epochs' state). The one additive face with exact inverse — the
+  *    moments face — could take a negative row, but a half-forgetting
+  *    sidecar is worse than a documented one.
   *  - the SCD2 store closes rather than deletes
   *    ([[Merge.scd2CloseStored]] — dimension keys, not doc ids, so it is
   *    not in [[Artifacts]]);

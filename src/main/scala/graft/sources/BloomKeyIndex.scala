@@ -202,7 +202,7 @@ object BloomKeyIndex {
         val seen =
           if (kps.isEmpty) suspectKeys.limit(0)
           else spark.read.parquet(cfg.keysPath)
-            .where(col("kp").isin(kps: _*))
+            .where(col("kp").isin(kps.toIndexedSeq: _*))
             .join(broadcast(suspectKeys), Seq("khash", "key"), "left_semi")
             .select(col("khash"), col("key"))
         val novelSuspects = suspects

@@ -729,6 +729,34 @@ object SketchSidecar {
       .toDF("grp", "distinct_estimate")
   }
 
+  /** TAKEDOWN for sketch state: EPOCH SEGMENTATION made an operator.
+    * Sketch faces are one-way additive — a member cannot be subtracted —
+    * so per-document retraction is impossible BY DESIGN (the
+    * [[graft.operators.Retraction]] stance); what IS exact is excising
+    * whole GROUP rows of a grouped sidecar. In the day/epoch-grouped
+    * monitoring layout each row is precisely one epoch's state, so
+    * dropping a poisoned ingest day's rows leaves every cross-group
+    * serve ([[servedMomentsAcrossGroups]], the windowed
+    * distinct/quantile/HH/KMV family) answering EXACTLY over the
+    * surviving epochs — the kept rows' content is untouched. One anti-join
+    * rewrite of the O(#batches·#groups) sidecar via the staged atomic
+    * swap; idempotent; refuses an ungrouped sidecar loudly (it has no
+    * epoch to segment — re-derive it from the surviving corpus instead,
+    * the [[graft.sources.TextIndex.healStats]] shape).
+    */
+  def retractGroups(spark: SparkSession, sidecarPath: String,
+                    groups: Seq[String]): Unit = {
+    require(groups.nonEmpty, "empty group selection")
+    val rows = spark.read.option("mergeSchema", "true").parquet(sidecarPath)
+    require(rows.columns.contains("grp"),
+      s"sidecar at $sidecarPath is not grouped (set Cfg.groupKeyExpr) — " +
+        "per-epoch retraction needs epoch rows; re-derive an ungrouped " +
+        "sidecar from the surviving corpus instead")
+    import spark.implicits._
+    Compaction.retractRows(spark, sidecarPath, groups.toDF("__rg"),
+      (t, k) => t("grp") === k("__rg"))
+  }
+
   /** Row-merge compaction for a GROUPED sidecar: collapse each group's
     * batch rows into one merged row — the same ledger as [[compactRows]]
     * face by face (n exact; HLL union, CMS cell-addition and KMV

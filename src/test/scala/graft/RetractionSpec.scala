@@ -225,6 +225,49 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(corpusPath).count() === 5L)
   }
 
+  test("sketch-sidecar epoch retraction: dropping a poisoned day's " +
+      "group rows leaves cross-group serves exactly equal to a sidecar " +
+      "that never ingested that day; re-run no-op; ungrouped sidecars " +
+      "refuse loudly") {
+    import graft.sources.SketchSidecar
+    def dayData(day: String, seed: Long): DataFrame =
+      (1L to 50L).map(i => (i + seed * 1000, day, (i * seed % 97).toDouble))
+        .toDF("id", "day", "v")
+    def build(path: String, days: Seq[(String, Long)]): SketchSidecar.Cfg = {
+      val cfg = SketchSidecar.Cfg(path, distinctExpr = "id",
+        valueExpr = "v", groupKeyExpr = Some("day"))
+      days.foreach { case (d, s) =>
+        SketchSidecar.appendBatch(dayData(d, s), cfg)
+      }
+      cfg
+    }
+    val full = build(tmp("rt_sketch"),
+      Seq(("d1", 1L), ("d2", 2L), ("d2", 3L), ("d3", 4L)))
+    val clean = build(tmp("rt_sketch_clean"), Seq(("d1", 1L), ("d3", 4L)))
+    SketchSidecar.retractGroups(spark, full.sidecarPath, Seq("d2"))
+    assert(spark.read.parquet(full.sidecarPath)
+      .where(col("grp") === "d2").isEmpty)
+    // the windowed serve over the survivors equals the never-ingested
+    // sidecar's answer exactly (the rows are the same deterministic
+    // appends)
+    def moments(p: String) = SketchSidecar
+      .servedMomentsAcrossGroups(spark, p, Seq("d1", "d3"))
+      .select("vn", "vsum", "vmin", "vmax")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(moments(full.sidecarPath) === moments(clean.sidecarPath))
+    // idempotent
+    SketchSidecar.retractGroups(spark, full.sidecarPath, Seq("d2"))
+    assert(spark.read.parquet(full.sidecarPath).count() === 2L)
+    // an ungrouped sidecar has no epoch to segment
+    val flat = SketchSidecar.Cfg(tmp("rt_sketch_flat"),
+      distinctExpr = "id", valueExpr = "v")
+    SketchSidecar.appendBatch(dayData("d1", 1L), flat)
+    val e = intercept[IllegalArgumentException] {
+      SketchSidecar.retractGroups(spark, flat.sidecarPath, Seq("d1"))
+    }
+    assert(e.getMessage.contains("not grouped"))
+  }
+
   test("scd2CloseStored: close-don't-delete — history intact, closed at " +
       "the given version, as-of reads before the close still reproduce; " +
       "closing every key empties the current partition cleanly") {
