@@ -3786,7 +3786,33 @@ object ExtQueries {
         .select(col("doc_id"), col("bm25"), col("n_occurrences"))
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // position-aware decontamination served from the positional index:
+    // docs NOT containing any benchmark phrase exactly — |phrases|
+    // pruned tp= reads decide membership (never a corpus text re-scan;
+    // the n-gram Contamination operator is the ingest-time scan form).
+    // One phrase repeats a term ("table table") to pin the shifted-
+    // intersection algebra under the oracle too. Full oracle: DuckDB
+    // NOT IN over the pos+1 adjacency join
+    "q_phrase_decontam" -> ((s, d) => {
+      val members = graft.sources.TextIndex.phraseMembers(s,
+        textIndexFor(s, d), "doc_id",
+        Seq(Seq("hash", "join"), Seq("table", "table")))
+      docs(s, d).select("doc_id")
+        .join(members, Seq("doc_id"), "left_anti")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // ---- round 17: takedown / retraction ----
+
+    // the text index's health stats AFTER retraction: the compensating
+    // NEGATIVE (n_docs, sum_len) row must land the additive sidecar
+    // exactly on the surviving corpus's facts — DuckDB recomputes them
+    // from the surviving documents directly
+    "q_takedown_stats" -> ((s, d) =>
+      graft.sources.TextIndex.stats(s, takedownFor(s, d).text)
+        .select(col("n_docs"), col("sum_len"),
+          round(col("avgdl"), 6).as("avgdl"),
+          col("n_postings"), col("n_terms"))),
 
     // BM25 served from the text index AFTER doc_id % 83 == 0 was
     // retracted ([[takedownFor]]): the pruned-partition excision + the
@@ -4984,6 +5010,49 @@ object ExtQueries {
     "q_takedown_corpus" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 83 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // post-retraction index health: the q_text_index_stats facts over
+    // the SURVIVING documents — the negative stats row's ground truth
+    "q_takedown_stats" ->
+      """WITH surviving AS (
+        |  SELECT * FROM documents WHERE doc_id % 83 <> 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM surviving),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM toks
+        |  GROUP BY doc_id, token),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM surviving),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS sum_len FROM toks),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_terms FROM tf)
+        |SELECT n_docs, sum_len,
+        |  round(CAST(sum_len AS DOUBLE) / n_docs, 6) AS avgdl,
+        |  n_postings, n_terms
+        |FROM d, t, p""".stripMargin,
+
+    // phrase-decontamination twin: survivors = docs with NO pos+1
+    // adjacency hit on either benchmark phrase
+    "q_phrase_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |      AS token,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1)
+        |      AS pos
+        |  FROM documents),
+        |hit AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE (a.token = 'hash' AND b.token = 'join')
+        |     OR (a.token = 'table' AND b.token = 'table'))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY doc_id""".stripMargin,
 
     // two-large-frames fuzzy join: DuckDB recomputes the probe
     // corruption and the levenshtein join directly (the length

@@ -295,9 +295,13 @@ object TextIndex {
     * instead of the n-gram re-scan [[graft.operators.Contamination]]
     * pays.
     */
-  def phraseTopK(spark: SparkSession, cfg: Cfg, idCol: String,
-                 phrase: Seq[String], k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The unordered phrase-match core: every matching doc with its BM25
+    * and occurrence count — [[phraseTopK]] adds the ranked cut,
+    * [[phraseMembers]] projects membership.
+    */
+  private def phraseHits(spark: SparkSession, cfg: Cfg, idCol: String,
+                         phrase: Seq[String],
+                         k1: Double, b: Double): DataFrame = {
     require(phrase.nonEmpty, "phrase retrieval needs at least one term")
     require(idCol != "bm25" && idCol != "n_occurrences",
       s"idCol '$idCol' collides with a reserved output column")
@@ -330,8 +334,32 @@ object TextIndex {
       .withColumn("n_occurrences", size(starts).cast("long"))
       .where(col("n_occurrences") > 0)
       .select(col("doc_id").as(idCol), col("bm25"), col("n_occurrences"))
+  }
+
+  def phraseTopK(spark: SparkSession, cfg: Cfg, idCol: String,
+                 phrase: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    phraseHits(spark, cfg, idCol, phrase, k1, b)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** Position-aware DECONTAMINATION from the index: the doc ids
+    * containing ANY of `phrases` exactly (each phrase decided by the
+    * [[phraseTopK]] adjacency algebra over its own pruned partitions,
+    * memberships unioned). This is the serving-path complement to
+    * [[graft.operators.Contamination.ngramOverlap]]'s ingest-time
+    * n-gram scan: benchmark phrases are few and FIXED, so their member
+    * sets come from |phrases| pruned reads — never a corpus text
+    * re-scan — and the caller's anti-join against them is the gate.
+    * Output: distinct (idCol) — membership only, no scores.
+    */
+  def phraseMembers(spark: SparkSession, cfg: Cfg, idCol: String,
+                    phrases: Seq[Seq[String]],
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrases.nonEmpty, "phrase decontamination needs >= 1 phrase")
+    phrases.map { p =>
+      phraseHits(spark, cfg, idCol, p, k1, b).select(col(idCol))
+    }.reduce(_ unionByName _).distinct()
   }
 
   /** BATCHED BM25 from the index — a whole query table answered in one

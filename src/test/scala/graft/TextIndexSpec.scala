@@ -213,6 +213,12 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
     }
     assert(TextIndex.phraseTopK(spark, cfg, "doc_id",
       Seq("hash", "nosuchterm"), 10).isEmpty)
+    // membership union across phrases (the decontamination serve)
+    val members = TextIndex.phraseMembers(spark, cfg, "doc_id",
+        Seq(Seq("hash", "join"), Seq("hash", "hash")))
+      .as[Long].collect().toSet
+    assert(members === (expectOcc(Seq("hash", "join")).keySet ++
+      expectOcc(Seq("hash", "hash")).keySet))
     // a bare index refuses phrase serves instead of answering wrong
     val bare = newCfg()
     TextIndex.writeIndex(docs, "doc_id", "text", bare)
