@@ -67,12 +67,15 @@ import org.apache.spark.sql.functions._
   * commits, a re-run finds zero docs and does nothing.
   *
   * Scale shape: every derived-artifact rewrite is partition-pruned or
-  * O(index-ints); the corpus rewrite is the one O(corpus) pass, so batch
-  * takedown requests and apply them on a cadence (the verb takes a SET).
-  * At 100 TB the corpus itself should be date-partitioned, turning that
-  * pass into a touched-partition rewrite too — the layouts here model
-  * the compute; a manifest-committing table format supplies the atomic
-  * multi-file swap on object stores.
+  * O(index-ints). The corpus rewrite is O(corpus) for a FLAT corpus —
+  * batch takedown requests and apply them on a cadence (the verb takes
+  * a SET) — and touched-partition-only when the corpus is partitioned:
+  * set [[Artifacts.corpusPartitionCol]] (e.g. an ingest-date column)
+  * and the rewrite finds the docs' partition values from their own rows
+  * (bounded by the takedown set) and swaps ONLY those leaves, untouched
+  * dates byte-identical (spec-asserted) — the 100 TB layout answer. The
+  * layouts here model the compute; a manifest-committing table format
+  * supplies the atomic multi-file swap on object stores.
   *
   * Tombstone ≠ ban, stated as a contract: after retraction the engine
   * holds NO memory of the document in any gate, so a re-submitted copy
@@ -87,10 +90,18 @@ object Retraction {
     * [[graft.ingest.CorpusPipeline.dedupAndAppend]] sidecar options, so
     * a loop's configuration maps 1:1 onto its takedown configuration.
     */
+  /** `corpusPartitionCol`: set when the corpus is `partitionBy`-written
+    * on this column (the date-partitioned 100 TB layout) — the corpus
+    * rewrite then prunes to the partitions the retracted docs live in.
+    * Values must be directory-safe (dates, small ints — the usual
+    * partition-value discipline). None = flat corpus, whole-table
+    * rewrite.
+    */
   case class Artifacts(
       corpusPath: String,
       idCol: String = "doc_id",
       textCol: String = "text",
+      corpusPartitionCol: Option[String] = None,
       minhashIndexPath: Option[String] = None,
       textIndex: Option[graft.sources.TextIndex.Cfg] = None,
       exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
@@ -148,9 +159,31 @@ object Retraction {
           Components.retractFromLabelStore(spark, p, keys, "__rid")
         }
         // corpus LAST — the commit point after which a re-run is a no-op
-        if (found > 0)
-          graft.sources.Compaction.retractRows(spark, a.corpusPath, keys,
-            (t, k) => t(a.idCol).cast("long") === k("__rid"))
+        if (found > 0) a.corpusPartitionCol match {
+          case None =>
+            graft.sources.Compaction.retractRows(spark, a.corpusPath, keys,
+              (t, k) => t(a.idCol).cast("long") === k("__rid"))
+          case Some(pc) =>
+            // touched partitions from the docs' own rows — bounded by
+            // the takedown set; only those leaves rewrite
+            val touched = docs.select(col(pc).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            touched.foreach { v =>
+              val leaf = new java.io.File(a.corpusPath, s"$pc=$v")
+              if (leaf.exists()) {
+                val staging =
+                  graft.sources.Compaction.stagingDir(leaf, "retract")
+                if (staging.exists()) graft.sources.Compaction.rm(staging)
+                val leafDf = spark.read.parquet(leaf.toString)
+                leafDf.join(broadcast(keys),
+                    leafDf(a.idCol).cast("long") === keys("__rid"),
+                    "left_anti")
+                  .write.mode("overwrite").parquet(staging.toString)
+                graft.sources.Compaction.swapInto(leaf.toString,
+                  staging.toString)
+              }
+            }
+        }
         Report(requested, found)
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)

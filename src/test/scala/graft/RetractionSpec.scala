@@ -123,6 +123,36 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(a.corpusPath).count() === 77L)
   }
 
+  test("partitioned-corpus takedown: only the retracted docs' date " +
+      "partitions rewrite — other dates keep their files byte-identical " +
+      "— and a re-run is a found=0 no-op") {
+    val corpusPath = tmp("rt_pcorpus")
+    corpus(40).drop("embedding")
+      .withColumn("day", concat(lit("d"), pmod(col("doc_id"), lit(4))))
+      .write.partitionBy("day").mode("overwrite").parquet(corpusPath)
+    def dayFiles(d: String): Set[(String, Long)] = {
+      val dir = new java.io.File(corpusPath, s"day=$d")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = (0 to 3).map(i => s"d$i" -> dayFiles(s"d$i")).toMap
+    // ids 1 and 5 both live in day=d1
+    val a = Retraction.Artifacts(corpusPath,
+      corpusPartitionCol = Some("day"))
+    val r = Retraction.retractDocs(spark, Seq(1L, 5L).toDF("doc_id"),
+      "doc_id", a)
+    assert(r === Retraction.Report(requested = 2, found = 2))
+    Seq("d0", "d2", "d3").foreach(d => assert(dayFiles(d) === before(d),
+      s"day=$d holds no retracted doc but was rewritten"))
+    assert(dayFiles("d1") !== before("d1"))
+    val left = spark.read.parquet(corpusPath).select("doc_id")
+      .as[Long].collect().toSet
+    assert(left === (1L to 40L).toSet -- Set(1L, 5L))
+    assert(Retraction.retractDocs(spark, Seq(1L).toDF("doc_id"),
+      "doc_id", a) === Retraction.Report(1, 0))
+  }
+
   test("media hash index retraction: rows excised, re-run no-op") {
     val path = tmp("rt_media")
     (1L to 30L).map(i => (i, i * 2654435761L))
