@@ -1345,19 +1345,23 @@ object Queries {
     // the ACL invariant as a floor: ‖ppr_full − p‖₁ ≤ Σ resid (+ the
     // full form's own d^k truncation tail + float slack) AND p ≤ ppr
     // pointwise. A push bug (lost mass, double-push, wrong dangling
-    // routing) breaks the bound and the row vanishes — machine-enforced
+    // routing) breaks the bound and the row vanishes — machine-enforced.
+    // The twin verifies the INVARIANT, which holds at ANY tolerance, so
+    // it runs the push at a coarse eps (fewer driver rounds — both
+    // halves of this row are round-bound on the 25-node graph, not
+    // data-bound) and prices the looser residual explicitly
     "q_ppr_local_gap" -> ((s, d) => {
       val seeds = t(s, d, "nation")
         .where(pmod(col("n_nationkey"), lit(5)) === 0)
         .select(col("n_nationkey").as("id"))
       val push = graft.operators.Graph.localPersonalizedPageRank(
-          tradeEdges(s, d), "src", "dst", seeds, "id", eps = 1e-4)
+          tradeEdges(s, d), "src", "dst", seeds, "id", eps = 5e-4)
         .select(col("id"), col("ppr").as("p_push"), col("resid"))
       val full = graft.operators.Graph.personalizedPageRank(
-        tradeEdges(s, d), "src", "dst", seeds, "id", iterations = 50)
-      // 50 damping-powers of truncation tail on the full side; the push
+        tradeEdges(s, d), "src", "dst", seeds, "id", iterations = 36)
+      // 36 damping-powers of truncation tail on the full side; the push
       // side prices itself via the residual sum
-      val tail = 2.0 * math.pow(0.85, 50)
+      val tail = 2.0 * math.pow(0.85, 36)
       full.join(push, Seq("id"), "full_outer")
         .agg(
           sum(abs(coalesce(col("ppr"), lit(0.0)) -

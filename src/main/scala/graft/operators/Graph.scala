@@ -246,23 +246,30 @@ object Graph {
     val s = seedsInGraph.count()
     require(s > 0,
       "localPersonalizedPageRank needs >= 1 seed inside the graph")
-    // state: (id, p, r) — estimate + residual; starts as r = e_S
-    var state = seedsInGraph
-      .select(col("id"), lit(0.0).as("p"), lit(1.0 / s).as("r"))
+    // ACL push threshold r(u) ≥ eps·deg(u), computed INTO the state so
+    // the convergence probe never re-joins (dangling nodes push at deg 1)
+    def pushFlagged(df: DataFrame): DataFrame =
+      df.join(degs, Seq("id"), "left")
+        .select(col("id"), col("p"), col("r"),
+          (col("r") >= lit(eps) * greatest(coalesce(col("__deg"), lit(1L))
+            .cast("double"), lit(1.0))).as("__push"))
+    // state: (id, p, r, __push) — estimate + residual; starts as r = e_S
+    var state = pushFlagged(seedsInGraph
+        .select(col("id"), lit(0.0).as("p"), lit(1.0 / s).as("r")))
       .localCheckpoint(true)
     var prev: DataFrame = state
     var round = 0
     var frontierEmpty = false
     while (!frontierEmpty && round < maxRounds) {
-      val st = state.join(degs, Seq("id"), "left")
-        .select(col("id"), col("p"), col("r"),
-          (col("r") >= lit(eps) * greatest(coalesce(col("__deg"), lit(1L))
-            .cast("double"), lit(1.0))).as("__push"))
-      val active = st.where(col("__push"))
+      // round latency, not data volume, is this loop's cost on a point
+      // query: the eligibility flag rides INSIDE the checkpointed state
+      // (pushFlagged below), so this per-round convergence probe scans
+      // in-memory checkpoint blocks instead of re-running the degree join
+      val active = state.where(col("__push"))
       frontierEmpty = active.isEmpty
       if (!frontierEmpty) {
         // settled mass stays put; pushed residual zeroes out
-        val settled = st.select(col("id"),
+        val settled = state.select(col("id"),
           when(col("__push"), col("p") + lit(1.0 - damping) * col("r"))
             .otherwise(col("p")).as("p"),
           when(col("__push"), lit(0.0)).otherwise(col("r")).as("r"))
@@ -283,11 +290,12 @@ object Graph {
             (lit(damping) * col("__dang") / s).as("__dr"))
         val incoming = viaEdges.union(toSeeds)
           .groupBy("id").agg(sum("__dr").as("__dr"))
-        val next = settled.join(incoming, Seq("id"), "full_outer")
-          .select(col("id"),
-            coalesce(col("p"), lit(0.0)).as("p"),
-            (coalesce(col("r"), lit(0.0)) +
-              coalesce(col("__dr"), lit(0.0))).as("r"))
+        val next = pushFlagged(
+            settled.join(incoming, Seq("id"), "full_outer")
+              .select(col("id"),
+                coalesce(col("p"), lit(0.0)).as("p"),
+                (coalesce(col("r"), lit(0.0)) +
+                  coalesce(col("__dr"), lit(0.0))).as("r")))
           .localCheckpoint(true)
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prev)
         prev = next
