@@ -127,6 +127,11 @@ object Retraction {
       .localCheckpoint(true)
     try {
       val requested = keys.count()
+      // a deployment with no corpus yet (e.g. a quarantined batch
+      // rejected before ANY admission) has nothing to excise anywhere —
+      // every artifact is born with its first corpus append
+      if (!new java.io.File(a.corpusPath).exists())
+        return Report(requested, 0L)
       // the docs' full rows, read BEFORE any rewrite: the text-pruned and
       // key-pruned excisions derive their partition lists from them
       val corpus = spark.read.parquet(a.corpusPath)

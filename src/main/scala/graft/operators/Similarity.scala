@@ -176,6 +176,8 @@ object Similarity {
                        ids: DataFrame, idsCol: String,
                        indexIdCol: String): Unit = {
     val table = cellTableDir(spark, path)
+    // an index that never materialized holds nothing to excise
+    if (!new java.io.File(table).exists()) return
     val keys = ids.select(col(idsCol).cast("long").as("__rid")).distinct()
       .localCheckpoint(true)
     try {

@@ -459,6 +459,9 @@ object TextIndex {
     */
   def retract(spark: SparkSession, cfg: Cfg, docs: DataFrame,
               idCol: String, textCol: String): (Long, Long) = {
+    // an index that was configured but never received an append holds
+    // nothing to excise — the no-op every other artifact verb answers
+    if (!pinFile(cfg).exists()) return (0L, 0L)
     val p = pinnedPartitionCount(cfg)
     val ids = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
       .localCheckpoint(true)

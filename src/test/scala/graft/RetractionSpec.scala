@@ -253,6 +253,22 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(r2 === graft.streaming.CorpusStream.RejectResult(0L, 0L))
     assert(spark.read.parquet(qp).count() === 5L)
     assert(spark.read.parquet(corpusPath).count() === 5L)
+    // rejection BEFORE any admission: no corpus (or any artifact) exists
+    // yet — every artifact verb answers a no-op instead of crashing, and
+    // the condemned batch still leaves the queue
+    val qp2 = root.resolve("quarantine2").toString
+    poison.withColumn("__q_batch", lit(7L))
+      .write.mode("append").parquet(qp2)
+    val r3 = graft.streaming.CorpusStream.rejectQuarantined(spark, qp2,
+      Seq(7L),
+      Retraction.Artifacts(root.resolve("nocorpus").toString,
+        textIndex = Some(TextIndex.Cfg(root.resolve("noti").toString)),
+        minhashIndexPath = Some(root.resolve("nomh").toString),
+        annIndexPath = Some(root.resolve("noann").toString),
+        dupLabelsPath = Some(root.resolve("nolbl").toString)))
+    assert(r3 === graft.streaming.CorpusStream.RejectResult(1L, 5L))
+    assert(!new java.io.File(qp2).exists(),
+      "an emptied queue leaves no directory behind")
   }
 
   test("sketch-sidecar epoch retraction: dropping a poisoned day's " +
