@@ -118,6 +118,29 @@ object Retraction {
     */
   case class Report(requested: Long, found: Long)
 
+  /** RETROACTIVE decontamination — the composition the positional text
+    * index and the takedown verb exist to enable: when the eval
+    * benchmark GROWS (new benchmark version, new held-out set), docs
+    * already admitted under the old contamination gate may verbatim-
+    * contain the new phrases. Membership comes from |phrases| pruned
+    * `tp=` index reads ([[graft.sources.TextIndex.phraseMembers]] —
+    * never a corpus text re-scan), and the hits flow through
+    * [[retractDocs]] so every serving artifact forgets them in the same
+    * call. Requires `a.textIndex` and a positional layout (the members
+    * serve refuses a bare index loudly).
+    */
+  def retractMatchingPhrases(spark: SparkSession,
+                             phrases: Seq[Seq[String]],
+                             a: Artifacts): Report = {
+    val cfg = a.textIndex.getOrElse(throw new IllegalArgumentException(
+      "retractMatchingPhrases needs Artifacts.textIndex (positional) — " +
+        "phrase membership is served from the index"))
+    val hits = graft.sources.TextIndex.phraseMembers(spark, cfg, a.idCol,
+      phrases)
+    if (hits.isEmpty) Report(0L, 0L) // clean corpus — touch nothing
+    else retractDocs(spark, hits, a.idCol, a)
+  }
+
   /** Excise `ids` from every configured artifact, then from the corpus.
     * Safe to re-run (see ordering contract above).
     */
@@ -141,24 +164,36 @@ object Retraction {
         .localCheckpoint(true)
       try {
         val found = docs.count()
-        a.textIndex.foreach { cfg =>
-          graft.sources.TextIndex.retract(spark, cfg, docs, a.idCol,
-            a.textCol)
-        }
-        a.exactKeys.foreach { cfg =>
-          graft.sources.BloomKeyIndex.retractKeys(docs, cfg)
-        }
-        a.minhashIndexPath.foreach { p =>
-          Dedup.retractFromMinhashIndex(spark, p, keys, "__rid")
-        }
-        a.annIndexPath.foreach { p =>
-          Similarity.retractFromIndex(spark, p, keys, "__rid", a.annIdCol)
-        }
-        a.sqIndexPath.foreach { p =>
-          Sq.retractFromSqIndex(spark, p, keys, "__rid", a.sqIdCol)
-        }
-        a.mediaIndexPath.foreach { p =>
-          Multimodal.retractFromMediaIndex(spark, p, keys, "__rid")
+        // found == 0 means either a completed prior run (the corpus is
+        // the LAST commit point, so its absence implies every index
+        // excision already committed) or ids that were never admitted —
+        // in both cases the corpus-fed indexes hold nothing for them,
+        // so the rewrites are skipped. The LABEL STORE is the one
+        // artifact that records ids that never reached the corpus
+        // (near-dups attributed to a survivor at the gate), so its
+        // excision runs regardless — retracting a doc that was dropped
+        // as a duplicate must still erase its provenance row.
+        if (found > 0) {
+          a.textIndex.foreach { cfg =>
+            graft.sources.TextIndex.retract(spark, cfg, docs, a.idCol,
+              a.textCol)
+          }
+          a.exactKeys.foreach { cfg =>
+            graft.sources.BloomKeyIndex.retractKeys(docs, cfg)
+          }
+          a.minhashIndexPath.foreach { p =>
+            Dedup.retractFromMinhashIndex(spark, p, keys, "__rid")
+          }
+          a.annIndexPath.foreach { p =>
+            Similarity.retractFromIndex(spark, p, keys, "__rid",
+              a.annIdCol)
+          }
+          a.sqIndexPath.foreach { p =>
+            Sq.retractFromSqIndex(spark, p, keys, "__rid", a.sqIdCol)
+          }
+          a.mediaIndexPath.foreach { p =>
+            Multimodal.retractFromMediaIndex(spark, p, keys, "__rid")
+          }
         }
         a.dupLabelsPath.foreach { p =>
           Components.retractFromLabelStore(spark, p, keys, "__rid")

@@ -271,6 +271,43 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       "an emptied queue leaves no directory behind")
   }
 
+  test("retroactive phrase decontamination: a benchmark update purges " +
+      "already-admitted verbatim-contaminated docs from every artifact " +
+      "via pruned index reads; a clean corpus is then untouched") {
+    val root = Files.createTempDirectory("rt_phrase")
+    val corpusPath = root.resolve("corpus").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 8,
+      positional = true)
+    val mh = root.resolve("mh").toString
+    val docs = corpus(40).drop("embedding")
+    docs.write.mode("overwrite").parquet(corpusPath)
+    TextIndex.writeIndex(docs, "doc_id", "text", ti)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", mh)
+    val a = Retraction.Artifacts(corpusPath, textIndex = Some(ti),
+      minhashIndexPath = Some(mh))
+    // ground truth: docs whose token stream contains "hash join"
+    val contaminated = docs.collect().filter { r =>
+      val ts = r.getString(1).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty)
+      (0 until math.max(ts.length - 1, 0))
+        .exists(i => ts(i) == "hash" && ts(i + 1) == "join")
+    }.map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "fixture must contain the phrase")
+    val phrases = Seq(Seq("hash", "join"))
+    val r = Retraction.retractMatchingPhrases(spark, phrases, a)
+    assert(r === Retraction.Report(contaminated.size.toLong,
+      contaminated.size.toLong))
+    assert(spark.read.parquet(corpusPath).select("doc_id")
+      .as[Long].collect().toSet === (1L to 40L).toSet -- contaminated)
+    assert(TextIndex.phraseMembers(spark, ti, "doc_id", phrases).isEmpty)
+    assert(graft.operators.Dedup.dedupAgainstIndex(docs, "doc_id",
+        "text", mh, 0.8)
+      .where(col("corpus_id").isin(contaminated.toSeq: _*)).isEmpty)
+    // the corpus is clean now — a repeat touches nothing
+    assert(Retraction.retractMatchingPhrases(spark, phrases, a)
+      === Retraction.Report(0L, 0L))
+  }
+
   test("sketch-sidecar epoch retraction: dropping a poisoned day's " +
       "group rows leaves cross-group serves exactly equal to a sidecar " +
       "that never ingested that day; re-run no-op; ungrouped sidecars " +

@@ -236,6 +236,16 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
     val q = Seq("hash", "join", "vector")
     assert(rows(TextIndex.bm25TopK(spark, cfg, "doc_id", q, 10))
       === rows(Keywords.bm25TopK(docs, "doc_id", "text", q, 10)))
+    // ...and invisible at the STORAGE layer too: the BM25 serve's scan
+    // must not read the positions column (parquet column pruning), while
+    // the phrase serve does
+    val bmPlan = TextIndex.bm25TopK(spark, cfg, "doc_id", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("positions"),
+      s"BM25 faces must not read positions:\n$bmPlan")
+    assert(TextIndex.phraseTopK(spark, cfg, "doc_id",
+        Seq("hash", "join"), 10)
+      .queryExecution.executedPlan.toString.contains("positions"))
   }
 
   test("retract excises docs from postings + stats: serves equal a " +
