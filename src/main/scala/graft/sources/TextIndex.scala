@@ -344,22 +344,59 @@ object TextIndex {
       .limit(k)
 
   /** Position-aware DECONTAMINATION from the index: the doc ids
-    * containing ANY of `phrases` exactly (each phrase decided by the
-    * [[phraseTopK]] adjacency algebra over its own pruned partitions,
-    * memberships unioned). This is the serving-path complement to
-    * [[graft.operators.Contamination.ngramOverlap]]'s ingest-time
-    * n-gram scan: benchmark phrases are few and FIXED, so their member
-    * sets come from |phrases| pruned reads — never a corpus text
-    * re-scan — and the caller's anti-join against them is the gate.
-    * Output: distinct (idCol) — membership only, no scores.
+    * containing ANY of `phrases` exactly — ONE plan for the whole
+    * benchmark, however many phrases it has (the batched-serving
+    * discipline of [[bm25BatchTopK]]). The postings read is pruned to
+    * the UNION of all phrases' terms; the phrase table ships as a
+    * broadcast of (phrase, slot, term) rows; each candidate doc folds
+    * its ≤|slots| (slot, positions) structs through the same
+    * shifted-intersection algebra as [[phraseTopK]] (the fold is a
+    * higher-order `aggregate` — interpreted, but over the per-candidate
+    * slot structs, never corpus-sized data). This is the serving-path
+    * complement to [[graft.operators.Contamination.ngramOverlap]]'s
+    * ingest-time n-gram scan: a benchmark UPDATE is audited with one
+    * job, never a corpus text re-scan. Output: distinct (idCol) —
+    * membership only, no scores.
     */
   def phraseMembers(spark: SparkSession, cfg: Cfg, idCol: String,
-                    phrases: Seq[Seq[String]],
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    phrases: Seq[Seq[String]]): DataFrame = {
     require(phrases.nonEmpty, "phrase decontamination needs >= 1 phrase")
-    phrases.map { p =>
-      phraseHits(spark, cfg, idCol, p, k1, b).select(col(idCol))
-    }.reduce(_ unionByName _).distinct()
+    require(phrases.forall(_.nonEmpty), "empty phrase")
+    require(posFile(cfg).exists(),
+      s"text index at ${cfg.indexPath} stores no positions — phrase " +
+        "retrieval needs an index created with Cfg(positional = true)")
+    import spark.implicits._
+    val slots = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      p.map(_.toLowerCase).zipWithIndex.map { case (t, i) => (pid, i, t) }
+    }.toDF("__ph_pid", "__ph_slot", "term")
+    val sizes = phrases.zipWithIndex
+      .map { case (p, pid) => (pid, p.map(_.toLowerCase).distinct.size) }
+      .toDF("__ph_pid", "__ph_nterms")
+    val terms = phrases.flatten.map(_.toLowerCase).distinct
+    val (postings, _, _) = servingFrames(spark, cfg, terms)
+    val perDoc = postings
+      .select(col("doc_id"), col("term"), col("positions"))
+      .join(broadcast(slots), "term")
+      .groupBy(col("__ph_pid"), col("doc_id"))
+      .agg(count_distinct(col("term")).as("__ph_matched"),
+        // one struct per phrase SLOT of this doc (a repeated term
+        // fans out per slot) — array_sort orders by the leading slot
+        sort_array(collect_list(struct(col("__ph_slot"), col("positions"))))
+          .as("__ph_sp"))
+      .join(broadcast(sizes), "__ph_pid")
+      // all the phrase's distinct terms present — adjacency can't hold
+      // otherwise, and the algebra below stays off the non-candidates
+      .where(col("__ph_matched") === col("__ph_nterms"))
+    val first = element_at(col("__ph_sp"), 1)
+    val rest = slice(col("__ph_sp"), lit(2),
+      greatest(size(col("__ph_sp")) - 1, lit(0)))
+    val starts = aggregate(rest,
+      transform(first.getField("positions"),
+        p => p - first.getField("__ph_slot")),
+      (acc, x) => array_intersect(acc,
+        transform(x.getField("positions"), p => p - x.getField("__ph_slot"))))
+    perDoc.where(size(starts) > 0)
+      .select(col("doc_id").as(idCol)).distinct()
   }
 
   /** BATCHED BM25 from the index — a whole query table answered in one
