@@ -3786,6 +3786,17 @@ object ExtQueries {
         .select(col("doc_id"), col("bm25"), col("n_occurrences"))
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // PROXIMITY retrieval (NEAR operator) from the positional index:
+    // docs where "hash" and "vector" co-occur within a 3-token window,
+    // any order, BM25-ranked — the middle ground between the
+    // conjunctive face and the exact phrase. Full oracle: DuckDB
+    // re-derives positions and checks the leftmost-anchor window with
+    // two EXISTS clauses, BM25 arithmetic verbatim
+    "q_proximity" -> ((s, d) =>
+      graft.sources.TextIndex.proximityTopK(s, textIndexFor(s, d),
+          "doc_id", terms = Seq("hash", "vector"), window = 3, k = 20)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // position-aware decontamination served from the positional index:
     // docs NOT containing any benchmark phrase exactly — |phrases|
     // pruned tp= reads decide membership (never a corpus text re-scan;
@@ -5031,6 +5042,53 @@ object ExtQueries {
         |  round(CAST(sum_len AS DOUBLE) / n_docs, 6) AS avgdl,
         |  n_postings, n_terms
         |FROM d, t, p""".stripMargin,
+
+    // proximity twin: a doc qualifies iff SOME occurrence of either
+    // term (the leftmost witness) sees both terms within [pos, pos+2];
+    // BM25 over the two terms with the scan-path arithmetic verbatim
+    "q_proximity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |      AS token,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1)
+        |      AS pos
+        |  FROM documents),
+        |near AS (
+        |  SELECT DISTINCT a.doc_id FROM toks a
+        |  WHERE a.token IN ('hash', 'vector')
+        |    AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = a.doc_id
+        |      AND t.token = 'hash' AND t.pos BETWEEN a.pos AND a.pos + 2)
+        |    AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = a.doc_id
+        |      AND t.token = 'vector' AND t.pos BETWEEN a.pos AND a.pos + 2)),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM documents LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT a.doc_id, a.bm25 FROM agg a JOIN near USING (doc_id)
+        |  ORDER BY a.bm25 DESC, a.doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
 
     // phrase-decontamination twin: survivors = docs with NO pos+1
     // adjacency hit on either benchmark phrase

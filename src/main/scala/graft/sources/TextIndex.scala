@@ -295,23 +295,23 @@ object TextIndex {
     * instead of the n-gram re-scan [[graft.operators.Contamination]]
     * pays.
     */
-  /** The unordered phrase-match core: every matching doc with its BM25
-    * and occurrence count — [[phraseTopK]] adds the ranked cut,
-    * [[phraseMembers]] projects membership.
+  /** The shared positional-candidate stage: docs containing ALL of
+    * `terms` (distinct, lowercased), each with its BM25 over those terms
+    * and the term → positions map (`__bm_pos`, ≤ |terms| entries — the
+    * positional algebra of [[phraseTopK]]/[[proximityTopK]] runs over
+    * these small per-candidate arrays, never corpus-sized data).
     */
-  private def phraseHits(spark: SparkSession, cfg: Cfg, idCol: String,
-                         phrase: Seq[String],
-                         k1: Double, b: Double): DataFrame = {
-    require(phrase.nonEmpty, "phrase retrieval needs at least one term")
+  private def phraseCandidates(spark: SparkSession, cfg: Cfg,
+                               idCol: String, terms: Seq[String],
+                               k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty, "positional retrieval needs at least one term")
     require(idCol != "bm25" && idCol != "n_occurrences",
       s"idCol '$idCol' collides with a reserved output column")
     require(posFile(cfg).exists(),
       s"text index at ${cfg.indexPath} stores no positions — phrase " +
         "retrieval needs an index created with Cfg(positional = true)")
-    val slots = phrase.map(_.toLowerCase)
-    val terms = slots.distinct
     val (postings, dfreq, stats) = servingFrames(spark, cfg, terms)
-    val byDoc = postings.join(broadcast(dfreq), "term")
+    postings.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("positions"),
         graft.operators.Keywords.bm25ScoreCol(col("tf"), col("__bm_df"),
@@ -324,16 +324,27 @@ object TextIndex {
         // ≤ |terms| entries per doc (postings are unique per (term, doc))
         map_from_entries(collect_list(struct(col("term"), col("positions"))))
           .as("__bm_pos"))
-      // all phrase terms present is necessary for adjacency; checking it
-      // first keeps the array algebra off the non-candidates
+      // all terms present is necessary for any positional predicate;
+      // checking it first keeps the array algebra off the non-candidates
       .where(col("__bm_matched") === terms.size)
+      .select(col("doc_id").as(idCol), col("bm25"), col("__bm_pos"))
+  }
+
+  /** The unordered phrase-match core: every matching doc with its BM25
+    * and occurrence count — [[phraseTopK]] adds the ranked cut.
+    */
+  private def phraseHits(spark: SparkSession, cfg: Cfg, idCol: String,
+                         phrase: Seq[String],
+                         k1: Double, b: Double): DataFrame = {
+    val slots = phrase.map(_.toLowerCase)
+    val byDoc = phraseCandidates(spark, cfg, idCol, slots.distinct, k1, b)
     val starts = slots.zipWithIndex.map { case (t, i) =>
         transform(col("__bm_pos").getItem(t), p => p - i)
       }.reduce(array_intersect(_, _))
     byDoc
       .withColumn("n_occurrences", size(starts).cast("long"))
       .where(col("n_occurrences") > 0)
-      .select(col("doc_id").as(idCol), col("bm25"), col("n_occurrences"))
+      .select(col(idCol), col("bm25"), col("n_occurrences"))
   }
 
   def phraseTopK(spark: SparkSession, cfg: Cfg, idCol: String,
@@ -342,6 +353,36 @@ object TextIndex {
     phraseHits(spark, cfg, idCol, phrase, k1, b)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** PROXIMITY retrieval (the NEAR operator): top-`k` among documents
+    * where EVERY query term occurs within some `window`-token span, in
+    * any order — the middle ground between the conjunctive face (terms
+    * anywhere in the doc) and [[phraseTopK]] (terms adjacent, ordered).
+    * Same pruned serve and BM25 ranking as both neighbors; the span
+    * decision is pure position algebra over the candidate's own arrays:
+    * a witness set with max−min < window exists iff SOME occurrence `p`
+    * (its leftmost member) sees every term in `[p, p+window)` — checked
+    * with nested higher-order exists over the ≤ tf-sized arrays of the
+    * all-terms candidates, never corpus-sized data.
+    */
+  def proximityTopK(spark: SparkSession, cfg: Cfg, idCol: String,
+                    terms: Seq[String], window: Int, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    val hits = phraseCandidates(spark, cfg, idCol, distinctTerms, k1, b)
+    // every occurrence of every term is a candidate leftmost anchor
+    val anchors = flatten(map_values(col("__bm_pos")))
+    val near = exists(anchors, p =>
+      distinctTerms.map(t =>
+          exists(col("__bm_pos").getItem(t),
+            q => q >= p && q < p + lit(window)))
+        .reduce(_ && _))
+    hits.where(near)
+      .select(col(idCol), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Position-aware DECONTAMINATION from the index: the doc ids
     * containing ANY of `phrases` exactly — ONE plan for the whole

@@ -248,6 +248,49 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
       .queryExecution.executedPlan.toString.contains("positions"))
   }
 
+  test("proximity serve (NEAR): membership equals a brute sliding-window " +
+      "scan at several widths and term counts; scores equal the " +
+      "conjunctive serve's; degenerate windows behave") {
+    val docs = corpus(80)
+    val cfg = TextIndex.Cfg(
+      Files.createTempDirectory("text_index_near").resolve("ti").toString,
+      partitions = 8, positional = true)
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    val toks: Map[Long, Array[String]] = docs.collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .toMap
+    def nearBrute(ts: Array[String], terms: Seq[String], w: Int): Boolean =
+      ts.indices.exists { s =>
+        terms.forall(t =>
+          (s until math.min(s + w, ts.length)).exists(i => ts(i) == t))
+      }
+    for (w <- Seq(2, 3, 5);
+         terms <- Seq(Seq("hash", "join"), Seq("hash", "join", "vector"))) {
+      val got = TextIndex.proximityTopK(spark, cfg, "doc_id", terms, w,
+          k = 200)
+        .as[(Long, Double)].collect()
+      val expect = toks.filter { case (_, ts) => nearBrute(ts, terms, w) }
+        .keySet
+      assert(got.map(_._1).toSet === expect, s"terms=$terms w=$w")
+      val and = rows(TextIndex.bm25TopKAll(spark, cfg, "doc_id", terms,
+        200)).toMap
+      assert(got.forall { case (id, sc) => and(id) == sc },
+        s"terms=$terms w=$w scores must match the conjunctive serve")
+    }
+    // two distinct terms cannot share a 1-token window
+    assert(TextIndex.proximityTopK(spark, cfg, "doc_id",
+      Seq("hash", "join"), window = 1, k = 10).isEmpty)
+    // a single term at window 1 is plain presence — equals the BM25 face
+    assert(TextIndex.proximityTopK(spark, cfg, "doc_id", Seq("spill"),
+        window = 1, k = 10).as[(Long, Double)].collect().toSeq
+      === rows(TextIndex.bm25TopK(spark, cfg, "doc_id", Seq("spill"), 10)))
+    intercept[IllegalArgumentException] {
+      TextIndex.proximityTopK(spark, cfg, "doc_id", Seq("hash"),
+        window = 0, k = 5)
+    }
+  }
+
   test("retract excises docs from postings + stats: serves equal a " +
       "fresh index over the survivors, untouched tp partitions keep " +
       "their files byte-for-byte, and the documented stats crash window " +
