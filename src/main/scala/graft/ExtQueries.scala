@@ -3786,6 +3786,17 @@ object ExtQueries {
         .select(col("doc_id"), col("bm25"), col("n_occurrences"))
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // SNIPPET extraction for the BM25 top-20: the index serves the cut,
+    // only the 20 winners join back to the corpus for text, and each
+    // returns its densest 8-token query-term window (earliest on ties).
+    // Full oracle: DuckDB recomputes the argmax over hit-anchored
+    // windows and slices the same token stream
+    "q_snippets" -> ((s, d) =>
+      graft.sources.TextIndex.snippetTopK(s, textIndexFor(s, d),
+          docs(s, d), "doc_id", "text",
+          query = Seq("hash", "join", "vector"), window = 8, k = 20)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
     // PROXIMITY retrieval (NEAR operator) from the positional index:
     // docs where "hash" and "vector" co-occur within a 3-token window,
     // any order, BM25-ranked — the middle ground between the
@@ -5042,6 +5053,71 @@ object ExtQueries {
         |  round(CAST(sum_len AS DOUBLE) / n_docs, 6) AS avgdl,
         |  n_postings, n_terms
         |FROM d, t, p""".stripMargin,
+
+    // snippet twin: BM25 top-20 CTEs verbatim, then per winner the
+    // hit-anchored window argmax (count desc, start asc) and the same
+    // token-stream slice; engine positions are 0-based, DuckDB
+    // subscripts 1-based — the start converts, the slice is identical
+    "q_snippets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+        |      AS token,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1)
+        |      AS pos
+        |  FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    avg(coalesce(blen, 0)) AS avgdl
+        |  FROM documents LEFT JOIN lens USING (doc_id)),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+        |  WHERE token IN ('hash', 'join', 'vector')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+        |      (tfreq * (1.2 + 1.0)) /
+        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS bm25
+        |  FROM scored GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, bm25 FROM agg
+        |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |hits AS (
+        |  SELECT doc_id, pos FROM toks
+        |  WHERE token IN ('hash', 'join', 'vector')
+        |    AND doc_id IN (SELECT doc_id FROM top)),
+        |cand AS (
+        |  SELECT h.doc_id, h.pos AS s,
+        |    (SELECT count(*) FROM hits h2 WHERE h2.doc_id = h.doc_id
+        |      AND h2.pos BETWEEN h.pos AND h.pos + 7) AS cnt
+        |  FROM hits h),
+        |best AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY cnt DESC, s ASC) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |lists AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS tl
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM top))
+        |SELECT t.doc_id, t.bm25,
+        |  CAST(b.s - 1 AS BIGINT) AS snippet_start,
+        |  array_to_string(list_slice(l.tl, b.s, b.s + 7), ' ') AS snippet
+        |FROM top t JOIN best b USING (doc_id) JOIN lists l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // proximity twin: a doc qualifies iff SOME occurrence of either
     // term (the leftmost witness) sees both terms within [pos, pos+2];

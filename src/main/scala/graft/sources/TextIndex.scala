@@ -45,6 +45,17 @@ import org.apache.spark.sql.functions._
   *    `bm25TopK` uses — with the same 6-decimal round, DECIMAL sum and
   *    id tie-break, so the index-backed top-k hash-matches the scan
   *    path's own DuckDB oracle (the `q_bm25_indexed` correctness row).
+  *  - '''Positions are opt-in and layout-pinned''' (`Cfg(positional)`):
+  *    a positional index additionally serves exact-phrase retrieval
+  *    ([[phraseTopK]]), proximity/NEAR ([[proximityTopK]]) and batched
+  *    phrase decontamination ([[phraseMembers]]) from the same pruned
+  *    partitions; the BM25 faces never read the column (ReadSchema-
+  *    pruned, spec-asserted).
+  *  - '''Documents can be UN-indexed''' ([[retract]]): takedowns excise
+  *    postings with a rewrite pruned to the docs' terms' partitions and
+  *    compensate the additive stats with a negative row —
+  *    [[graft.operators.Retraction]] orchestrates this across every
+  *    artifact.
   *
   * Delivery contract: each document is indexed by EXACTLY ONE append (the
   * corpus loop's exact-key gate enforces this upstream). A re-delivered
@@ -382,6 +393,51 @@ object TextIndex {
       .select(col(idCol), col("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+  }
+
+  /** SNIPPET extraction for a BM25 top-`k`: each hit comes back with the
+    * `window`-token span of its text that contains the most query-term
+    * occurrences (earliest span on ties) — the highlighting face of a
+    * retrieval stack. Cost shape: the CUT is the pruned index serve
+    * ([[bm25TopK]]); only the k winning docs join back to the corpus for
+    * their text (the O(matches)-minority join this module's class doc
+    * promises for exact verification), and the span argmax runs over
+    * each winner's own query-term hit positions — an optimal window can
+    * always be left-aligned on a hit, so the candidate starts are the
+    * hits themselves, folded with array algebra (struct max = lexico-
+    * graphic (count, −start), i.e. most hits then earliest).
+    *
+    * Output: (idCol, bm25, snippet_start, snippet) — `snippet_start` is
+    * the 0-based token offset, `snippet` the engine's token stream
+    * (lowercased, whitespace-normalized) re-joined with single spaces.
+    */
+  def snippetTopK(spark: SparkSession, cfg: Cfg, corpus: DataFrame,
+                  idCol: String, textCol: String, query: Seq[String],
+                  window: Int, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val terms = query.map(_.toLowerCase).distinct
+    val top = bm25TopK(spark, cfg, idCol, query, k, k1, b)
+    val t = top
+      .join(corpus.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("__sn_toks", tokens(textCol))
+    val hitPos = t
+      .select(col(idCol), posexplode(col("__sn_toks")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__sn_hits"))
+    // every top-k doc holds >= 1 query term (BM25 > 0 requires a
+    // posting), so the inner join loses nothing
+    val scored = transform(col("__sn_hits"), s => struct(
+      size(filter(col("__sn_hits"), q => q >= s && q < s + lit(window)))
+        .as("cnt"),
+      (-s).as("negs")))
+    t.join(hitPos, Seq(idCol))
+      .withColumn("__sn_best", array_max(scored))
+      .select(col(idCol), col("bm25"),
+        (-col("__sn_best.negs")).cast("long").as("snippet_start"),
+        array_join(slice(col("__sn_toks"),
+          -col("__sn_best.negs") + 1, lit(window)), " ").as("snippet"))
   }
 
   /** Position-aware DECONTAMINATION from the index: the doc ids

@@ -291,6 +291,42 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("snippet extraction: the densest query-term window per top-k " +
+      "doc equals a brute argmax (most hits, earliest on ties), the " +
+      "slice matches the token stream, and ranking equals the BM25 " +
+      "serve — works on a bare (non-positional) index") {
+    val docs = corpus(80)
+    val cfg = newCfg() // deliberately non-positional: snippets retokenize
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    val q = Seq("hash", "join", "vector")
+    val w = 6
+    val got = TextIndex.snippetTopK(spark, cfg, docs, "doc_id", "text",
+        q, window = w, k = 15)
+      .as[(Long, Double, Long, String)].collect()
+      .sortBy(_._1)
+    val top = rows(TextIndex.bm25TopK(spark, cfg, "doc_id", q, 15)).toMap
+    assert(got.map(r => r._1 -> r._2).toMap === top)
+    val toks: Map[Long, Array[String]] = docs.collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .toMap
+    got.foreach { case (id, _, start, snippet) =>
+      val ts = toks(id)
+      val hits = ts.indices.filter(i => q.contains(ts(i)))
+      def cnt(s: Int) = hits.count(h => h >= s && h < s + w)
+      val bestCnt = hits.map(cnt).max
+      val bestStart = hits.filter(h => cnt(h) == bestCnt).min
+      assert(start === bestStart.toLong, s"doc $id window start")
+      assert(snippet ===
+        ts.slice(bestStart, math.min(bestStart + w, ts.length))
+          .mkString(" "), s"doc $id snippet")
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.snippetTopK(spark, cfg, docs, "doc_id", "text", q,
+        window = 0, k = 5)
+    }
+  }
+
   test("retract excises docs from postings + stats: serves equal a " +
       "fresh index over the survivors, untouched tp partitions keep " +
       "their files byte-for-byte, and the documented stats crash window " +
