@@ -3896,6 +3896,167 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // ---- round 18: lazy takedown, satellite re-closure, forward
+    //      store, takedown throughput, incremental local PPR ----
+
+    // LAZY takedown floor: after tombstoneDocs — O(ids) overlay writes,
+    // NO physical rewrite anywhere — every serving face already
+    // excludes the ids, machine-enforced: BM25, ANN and the MinHash
+    // gate answer without them WHILE the postings and corpus still
+    // physically hold every retracted row (the not-rewritten clauses
+    // are the proof of laziness; a serve that still leaks the ids, or
+    // an overlay that physically rewrote after all, zeroes the row)
+    "q_takedown_lazy" -> ((s, d) => {
+      import s.implicits._
+      val fx = tombstoneFor(s, d)
+      val gone = docs(s, d).where(pmod(col("doc_id"), lit(83)) === 0)
+      val goneIds = gone.select("doc_id")
+      val nGone = gone.count()
+      val bmHits = graft.sources.TextIndex.bm25TopK(s, fx.text, "doc_id",
+          Seq("hash", "join", "vector"), k = 1000)
+        .join(goneIds, Seq("doc_id"), "left_semi").count()
+      val annHits = graft.operators.Similarity.ivfTopKFromIndex(s, fx.ann,
+          "vec_id", "embedding",
+          Tables.load(s, d, "embeddings").where(col("vec_id") === 83L),
+          "embedding", k = 500, nprobe = 8)
+        .join(goneIds.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").count()
+      val mhHits = graft.operators.Dedup.dedupAgainstIndex(docs(s, d),
+          "doc_id", "text", fx.minhash, threshold = 0.8)
+        .join(goneIds.select(col("doc_id").as("corpus_id")),
+          Seq("corpus_id"), "left_semi").count()
+      val postingsLeft = s.read
+        .parquet(s"${fx.text.indexPath}/postings")
+        .join(goneIds, Seq("doc_id"), "left_semi")
+        .select(countDistinct(col("doc_id"))).as[Long].collect().head
+      val corpusLeft = s.read.parquet(fx.corpus)
+        .join(goneIds, Seq("doc_id"), "left_semi").count()
+      Seq((bmHits, annHits, mhHits, postingsLeft, corpusLeft, nGone))
+        .toDF("bm25_hits", "ann_hits", "minhash_hits",
+          "postings_docs_still_present", "corpus_rows_still_present",
+          "n_tombstoned")
+        .withColumn("meets_floor",
+          col("bm25_hits") === 0 && col("ann_hits") === 0 &&
+            col("minhash_hits") === 0 &&
+            col("postings_docs_still_present") === col("n_tombstoned") &&
+            col("corpus_rows_still_present") === col("n_tombstoned") &&
+            col("n_tombstoned") > 0)
+        .where(col("meets_floor"))
+    }),
+
+    // SATELLITE RE-CLOSURE floor: retracting a duplicate cluster's
+    // CANONICAL re-derives the survivors' mutual pairs from the stored
+    // MinHash signatures and re-closes the label store — provenance
+    // queries for the survivors keep answering (co-labeled under the
+    // new minimum) instead of falling back to orphan singletons
+    "q_takedown_reclosure" -> ((s, d) => {
+      import s.implicits._
+      val fx = reclosureFor(s, d)
+      val m = graft.operators.Components.lookupComponents(s,
+          fx.labels, Seq(fx.satA, fx.satB))
+        .as[(Long, Long)].collect().toMap
+      Seq((fx.satA, fx.satB, m(fx.satA), m(fx.satB)))
+        .toDF("sat_a", "sat_b", "comp_a", "comp_b")
+        .withColumn("meets_floor",
+          col("comp_a") === col("comp_b") &&
+            col("comp_a") === least(col("sat_a"), col("sat_b")))
+        .where(col("meets_floor"))
+    }),
+
+    // q_snippets over the KEY-BUCKETED forward store: identical output
+    // (same oracle verbatim) but the text fetch prunes to the k
+    // winners' kb= buckets instead of scanning the corpus's (id, text)
+    // projection — the 100 TB point-fetch layout
+    "q_snippets_stored" -> ((s, d) =>
+      graft.sources.TextIndex.snippetTopKStored(s, textIndexFor(s, d),
+          forwardStoreFor(s, d), "doc_id", "text",
+          query = Seq("hash", "join", "vector"), window = 8, k = 20)
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // direct point fetch from the forward store — full oracle: the
+    // bucket-pruned read returns exactly the requested rows
+    "q_forward_fetch" -> ((s, d) =>
+      graft.sources.Bucketing.readKeys(s, forwardStoreFor(s, d),
+          "doc_id", Seq(1L, 83L, 250L, 499L))
+        .select(col("doc_id"), col("text"))
+        .transform(Queries.presentSorted(_, "doc_id"))),
+
+    // TAKEDOWN THROUGHPUT: the physical excision verb as a timed row —
+    // a pristine artifact set (corpus + positional text index + MinHash
+    // index + exact-key gate), buildOnce-gated, is COPIED to a scratch
+    // dir (bounded, constant cost) and retractDocs excises
+    // doc_id % 97 == 0 across every artifact. Wall time is the pruned
+    // leaf rewrites; a pruning regression (an accidental full-index
+    // rewrite) shows up here as time, not just in specs. Full oracle on
+    // the Report scalars.
+    "q_takedown_apply" -> ((s, d) => {
+      import s.implicits._
+      val src = takedownApplySrc(s, d)
+      val work = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_takedown_work_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Compaction.rm(work)
+      copyTree(src, work)
+      val r = graft.operators.Retraction.retractDocs(s,
+        docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0)
+          .select("doc_id"),
+        "doc_id", takedownApplyArtifacts(work))
+      Seq((r.requested, r.found)).toDF("requested", "found")
+    }),
+
+    // INCREMENTAL local PPR: rank state maintained across two edge
+    // batches by delta push (Ohsaka-style residual injection at the new
+    // edges' endpoints, then the push loop to tolerance) — served from
+    // the store, every row carrying its own unsettled residual.
+    // Engine-defined estimates (rows-only); the _gap twin below
+    // machine-enforces the pricing bound vs a from-scratch push
+    "q_ppr_incremental" -> ((s, d) => {
+      val store = pprStoreFor(s, d)
+      graft.operators.Graph.readLocalPprState(s, store)
+        .join(broadcast(Tables.load(s, d, "nation")
+            .select(col("n_nationkey").as("id"),
+              col("n_name").as("nation"))),
+          Seq("id"))
+        .select(col("nation"), round(col("ppr"), 6).as("ppr_inc"),
+          round(col("resid"), 6).as("resid"))
+        .transform(Queries.presentSorted(_, "nation"))
+    }),
+
+    // the delta-push pricing bound as a floor: ‖p_inc − p_scratch‖₁ ≤
+    // Σ|resid_inc| + Σ|resid_scratch| (+ float slack) — both sides
+    // approximate the SAME full-graph PPR (the store pins its seed set
+    // at creation and the fixture requires it to equal the full
+    // graph's), so their gap is bounded by their residual mass by
+    // linearity of ppr = p + Σ r(u)·ppr_u. A correction-formula bug
+    // (wrong scale, wrong dangling routing, missed source) breaks the
+    // bound and the row vanishes
+    "q_ppr_incremental_gap" -> ((s, d) => {
+      val store = pprStoreFor(s, d)
+      val inc = graft.operators.Graph.readLocalPprState(s, store)
+        .select(col("id"), col("ppr").as("p_inc"),
+          col("resid").as("r_inc"))
+      val seeds = Tables.load(s, d, "nation")
+        .where(pmod(col("n_nationkey"), lit(5)) === 0)
+        .select(col("n_nationkey").as("id"))
+      val scratch = graft.operators.Graph.localPersonalizedPageRank(
+          Queries.tradeEdges(s, d), "src", "dst", seeds, "id",
+          eps = 5e-4)
+        .select(col("id"), col("ppr").as("p_fs"),
+          col("resid").as("r_fs"))
+      inc.join(scratch, Seq("id"), "full_outer")
+        .agg(
+          sum(abs(coalesce(col("p_inc"), lit(0.0)) -
+            coalesce(col("p_fs"), lit(0.0)))).as("l1"),
+          sum(abs(coalesce(col("r_inc"), lit(0.0)))).as("resid_inc"),
+          sum(abs(coalesce(col("r_fs"), lit(0.0)))).as("resid_fs"))
+        .select(round(col("l1"), 6).as("l1"),
+          round(col("resid_inc"), 6).as("resid_inc"),
+          round(col("resid_fs"), 6).as("resid_fs"),
+          (col("l1") <= col("resid_inc") + col("resid_fs") + lit(1e-9))
+            .as("meets_floor"))
+        .where(col("meets_floor"))
+    }),
+
     // fuzzy join with BOTH sides corpus-scale — the cell the broadcast
     // fuzzyJoin excludes: typo'd probe names (3rd char deleted) matched
     // against the part catalog through the PassJoin composition (one
@@ -4082,6 +4243,178 @@ object ExtQueries {
           annIdCol = "vec_id"))
     }
     fx
+  }
+
+  /** The q_takedown_lazy fixture: the same artifact shapes as
+    * [[takedownFor]] but the takedown is the TOMBSTONE overlay alone —
+    * nothing physical rewrites, which is exactly what the row asserts.
+    */
+  private case class LazyFx(corpus: String,
+                            text: graft.sources.TextIndex.Cfg,
+                            minhash: String, ann: String)
+
+  private def tombstoneFor(s: SparkSession, d: String): LazyFx = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_tombstone_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val fx = LazyFx(
+      new java.io.File(root, "corpus").toString,
+      graft.sources.TextIndex.Cfg(
+        new java.io.File(root, "ti").toString, partitions = 16),
+      new java.io.File(root, "mh").toString,
+      new java.io.File(root, "ann").toString)
+    buildOnce(root) {
+      val all = docs(s, d)
+      all.write.mode("overwrite").parquet(fx.corpus)
+      graft.sources.TextIndex.writeIndex(all, "doc_id", "text", fx.text)
+      graft.operators.Dedup.writeMinhashIndex(all, "doc_id", "text",
+        fx.minhash)
+      graft.operators.Similarity.writeIvfIndex(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding", fx.ann,
+        nlist = 8)
+      graft.operators.Retraction.tombstoneDocs(s,
+        all.where(pmod(col("doc_id"), lit(83)) === 0).select("doc_id"),
+        "doc_id",
+        graft.operators.Retraction.Artifacts(fx.corpus,
+          minhashIndexPath = Some(fx.minhash), textIndex = Some(fx.text),
+          annIndexPath = Some(fx.ann), annIdCol = "vec_id"))
+    }
+    fx
+  }
+
+  /** The q_takedown_reclosure fixture: three docs planted with
+    * IDENTICAL text (a true duplicate cluster, canonical = the id
+    * minimum 7), label store built from the signature index's OWN pairs
+    * (gate-consistent), then the canonical retracted through
+    * retractDocs — the surviving satellites (11, 13) must stay
+    * co-labeled via signature-index re-closure.
+    */
+  private case class ReclosureFx(labels: String, satA: Long, satB: Long)
+
+  private def reclosureFor(s: SparkSession, d: String): ReclosureFx = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_reclosure_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val labels = new java.io.File(root, "lbl").toString
+    val fx = ReclosureFx(labels, 11L, 13L)
+    buildOnce(root) {
+      val corpusPath = new java.io.File(root, "corpus").toString
+      val mh = new java.io.File(root, "mh").toString
+      val planted = lit("graft reclosure cluster text alpha beta gamma " +
+        "delta epsilon zeta eta theta")
+      val all = docs(s, d).select(col("doc_id"),
+        when(col("doc_id").isin(7L, 11L, 13L), planted)
+          .otherwise(col("text")).as("text"))
+      all.write.mode("overwrite").parquet(corpusPath)
+      graft.operators.Dedup.writeMinhashIndex(all, "doc_id", "text", mh)
+      // the store from the index's own pairs — the same evidence the
+      // re-closure will re-derive from
+      val pairs = graft.operators.Dedup.pairsFromMinhashIndex(s, mh,
+        all.select("doc_id"), "doc_id", threshold = 0.8)
+      graft.operators.Components.updateLabelStore(s, labels, pairs,
+        "id_a", "id_b")
+      graft.operators.Retraction.retractDocs(s,
+        s.range(7, 8).select(col("id").as("doc_id")), "doc_id",
+        graft.operators.Retraction.Artifacts(corpusPath,
+          minhashIndexPath = Some(mh), dupLabelsPath = Some(labels)))
+    }
+    fx
+  }
+
+  /** The q_snippets_stored / q_forward_fetch fixture: the documents'
+    * (doc_id, text) projection laid out key-bucketed (16 buckets,
+    * [[graft.sources.Bucketing.writeKeyBucketed]]).
+    */
+  private def forwardStoreFor(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_fwd_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val path = new java.io.File(root, "fs").toString
+    buildOnce(root) {
+      graft.sources.Bucketing.writeKeyBucketed(
+        docs(s, d).select("doc_id", "text"), path, "doc_id",
+        partitions = 16)
+    }
+    path
+  }
+
+  /** The pristine artifact set behind q_takedown_apply, copied to a
+    * scratch dir per invocation so the timed verb always excises from
+    * the same state. */
+  private def takedownApplySrc(s: SparkSession, d: String): java.io.File = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_takedown_src_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    buildOnce(root) {
+      val all = docs(s, d)
+      val a = takedownApplyArtifacts(root)
+      all.write.mode("overwrite").parquet(a.corpusPath)
+      graft.sources.TextIndex.writeIndex(all, "doc_id", "text",
+        a.textIndex.get)
+      graft.operators.Dedup.writeMinhashIndex(all, "doc_id", "text",
+        a.minhashIndexPath.get)
+      graft.sources.BloomKeyIndex.appendBatch(all, a.exactKeys.get)
+    }
+    root
+  }
+
+  /** The q_takedown_apply artifact layout under a given root — shared
+    * by the fixture build and the scratch-copy excision so the two can
+    * never drift. */
+  private def takedownApplyArtifacts(root: java.io.File)
+      : graft.operators.Retraction.Artifacts =
+    graft.operators.Retraction.Artifacts(
+      new java.io.File(root, "corpus").toString,
+      minhashIndexPath = Some(new java.io.File(root, "mh").toString),
+      textIndex = Some(graft.sources.TextIndex.Cfg(
+        new java.io.File(root, "ti").toString, partitions = 16,
+        positional = true)),
+      exactKeys = Some(graft.sources.BloomKeyIndex.Cfg(
+        new java.io.File(root, "bk").toString, keyExpr = "text")))
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The q_ppr_incremental store: the trade graph split into two
+    * PAIR-DISJOINT batches (hash of (src, dst) — a pair lands wholly in
+    * one batch, so summed weights equal the one-shot graph's and the
+    * store's re-sent-pair dedup never drops mass) folded by two
+    * [[graft.operators.Graph.updateLocalPprStore]] calls. The
+    * creation-time seed pin must equal the full graph's in-graph seed
+    * set — required loudly, since the gap twin compares against a
+    * from-scratch push whose teleport comes from the full graph.
+    */
+  private def pprStoreFor(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ppr_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val store = new java.io.File(root, "st").toString
+    buildOnce(root) {
+      val e = Queries.tradeEdges(s, d)
+      val seeds = Tables.load(s, d, "nation")
+        .where(pmod(col("n_nationkey"), lit(5)) === 0)
+        .select(col("n_nationkey").as("id"))
+      val cut = pmod(xxhash64(col("src"), col("dst")), lit(3))
+      val b1 = e.where(cut < 2)
+      val b2 = e.where(cut === 2)
+      def seedCount(g: DataFrame): Long = seeds.join(
+        g.select(col("src").as("id"))
+          .union(g.select(col("dst").as("id"))).distinct(),
+        Seq("id"), "left_semi").count()
+      require(seedCount(b1) == seedCount(e),
+        "ppr fixture: batch 1 must already contain every in-graph seed")
+      graft.operators.Graph.updateLocalPprStore(s, store, b1,
+        "src", "dst", seeds, "id", eps = 5e-4)
+      graft.operators.Graph.updateLocalPprStore(s, store, b2,
+        "src", "dst", seeds, "id", eps = 5e-4)
+    }
+    store
   }
 
   /** The q_scd2_stored fixture: the orders history folded into the
@@ -5058,66 +5391,25 @@ object ExtQueries {
     // hit-anchored window argmax (count desc, start asc) and the same
     // token-stream slice; engine positions are 0-based, DuckDB
     // subscripts 1-based — the start converts, the slice is identical
-    "q_snippets" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(
-        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
-        |      AS token,
-        |    generate_subscripts(list_filter(
-        |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1)
-        |      AS pos
-        |  FROM documents),
-        |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
-        |stats AS (
-        |  SELECT count(*) AS n_docs,
-        |    avg(coalesce(blen, 0)) AS avgdl
-        |  FROM documents LEFT JOIN lens USING (doc_id)),
-        |tf AS (
-        |  SELECT doc_id, token, count(*) AS tfreq FROM toks
-        |  WHERE token IN ('hash', 'join', 'vector')
-        |  GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
-        |scored AS (
-        |  SELECT doc_id,
-        |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
-        |      (tfreq * (1.2 + 1.0)) /
-        |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
-        |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
-        |  CROSS JOIN stats),
-        |agg AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
-        |      AS DOUBLE) AS bm25
-        |  FROM scored GROUP BY doc_id),
-        |top AS (
-        |  SELECT doc_id, bm25 FROM agg
-        |  ORDER BY bm25 DESC, doc_id LIMIT 20),
-        |hits AS (
-        |  SELECT doc_id, pos FROM toks
-        |  WHERE token IN ('hash', 'join', 'vector')
-        |    AND doc_id IN (SELECT doc_id FROM top)),
-        |cand AS (
-        |  SELECT h.doc_id, h.pos AS s,
-        |    (SELECT count(*) FROM hits h2 WHERE h2.doc_id = h.doc_id
-        |      AND h2.pos BETWEEN h.pos AND h.pos + 7) AS cnt
-        |  FROM hits h),
-        |best AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, s,
-        |      row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY cnt DESC, s ASC) AS rn
-        |    FROM cand) WHERE rn = 1),
-        |lists AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      x -> x <> '') AS tl
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM top))
-        |SELECT t.doc_id, t.bm25,
-        |  CAST(b.s - 1 AS BIGINT) AS snippet_start,
-        |  array_to_string(list_slice(l.tl, b.s, b.s + 7), ' ') AS snippet
-        |FROM top t JOIN best b USING (doc_id) JOIN lists l USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q_snippets" -> snippetsOracleSql,
+
+    // identical output contract over the key-bucketed forward store:
+    // the pruned point fetch must change nothing — same twin verbatim
+    "q_snippets_stored" -> snippetsOracleSql,
+
+    // forward-store point fetch: the bucket-pruned read returns exactly
+    // the requested rows
+    "q_forward_fetch" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id IN (1, 83, 250, 499) ORDER BY doc_id""".stripMargin,
+
+    // takedown throughput row: the Report scalars of retracting
+    // doc_id % 97 == 0 from a pristine artifact copy — every id is
+    // admitted in the fixture, so requested = found = the plain count
+    "q_takedown_apply" ->
+      """SELECT CAST(count(*) AS BIGINT) AS requested,
+        |  CAST(count(*) AS BIGINT) AS found
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
 
     // proximity twin: a doc qualifies iff SOME occurrence of either
     // term (the leftmost witness) sees both terms within [pos, pos+2];
@@ -6050,4 +6342,72 @@ object ExtQueries {
       |    row_number() OVER (ORDER BY day) AS rn
       |  FROM daily)
       |""".stripMargin
+
+  /** The snippet twin shared by q_snippets (flat corpus fetch) and
+    * q_snippets_stored (key-bucketed forward-store fetch): BM25
+    * top-20 CTEs verbatim, then per winner the hit-anchored window
+    * argmax (count desc, start asc) and the same token-stream slice;
+    * engine positions are 0-based, DuckDB subscripts 1-based — the
+    * start converts, the slice is identical.
+    */
+  private def snippetsOracleSql: String =
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(
+          |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+          |      AS token,
+          |    generate_subscripts(list_filter(
+          |      string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 1)
+          |      AS pos
+          |  FROM documents),
+          |lens AS (SELECT doc_id, count(*) AS blen FROM toks GROUP BY doc_id),
+          |stats AS (
+          |  SELECT count(*) AS n_docs,
+          |    avg(coalesce(blen, 0)) AS avgdl
+          |  FROM documents LEFT JOIN lens USING (doc_id)),
+          |tf AS (
+          |  SELECT doc_id, token, count(*) AS tfreq FROM toks
+          |  WHERE token IN ('hash', 'join', 'vector')
+          |  GROUP BY doc_id, token),
+          |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token),
+          |scored AS (
+          |  SELECT doc_id,
+          |    ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) *
+          |      (tfreq * (1.2 + 1.0)) /
+          |      (tfreq + 1.2 * (0.25 + 0.75 * blen / avgdl)) AS term_score
+          |  FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id)
+          |  CROSS JOIN stats),
+          |agg AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CAST(round(term_score, 6) AS DECIMAL(18,6)))
+          |      AS DOUBLE) AS bm25
+          |  FROM scored GROUP BY doc_id),
+          |top AS (
+          |  SELECT doc_id, bm25 FROM agg
+          |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+          |hits AS (
+          |  SELECT doc_id, pos FROM toks
+          |  WHERE token IN ('hash', 'join', 'vector')
+          |    AND doc_id IN (SELECT doc_id FROM top)),
+          |cand AS (
+          |  SELECT h.doc_id, h.pos AS s,
+          |    (SELECT count(*) FROM hits h2 WHERE h2.doc_id = h.doc_id
+          |      AND h2.pos BETWEEN h.pos AND h.pos + 7) AS cnt
+          |  FROM hits h),
+          |best AS (
+          |  SELECT doc_id, s FROM (
+          |    SELECT doc_id, s,
+          |      row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY cnt DESC, s ASC) AS rn
+          |    FROM cand) WHERE rn = 1),
+          |lists AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |      x -> x <> '') AS tl
+          |  FROM documents WHERE doc_id IN (SELECT doc_id FROM top))
+          |SELECT t.doc_id, t.bm25,
+          |  CAST(b.s - 1 AS BIGINT) AS snippet_start,
+          |  array_to_string(list_slice(l.tl, b.s, b.s + 7), ' ') AS snippet
+          |FROM top t JOIN best b USING (doc_id) JOIN lists l USING (doc_id)
+          |ORDER BY doc_id""".stripMargin
 }

@@ -1543,7 +1543,7 @@ object Queries {
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
   }
 
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))

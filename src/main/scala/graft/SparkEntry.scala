@@ -103,5 +103,11 @@ object SparkEntry {
     // same pruned tp= serve plus the position-array adjacency algebra;
     // its cost is corpus-size-independent by construction and this row
     // prices the positional overhead next to q_bm25_indexed
-    "q_bm25_phrase")
+    "q_bm25_phrase",
+    // round 18: takedown THROUGHPUT — retractDocs over a pristine
+    // artifact copy (corpus + positional text index + MinHash + bloom
+    // keys; the copy is bounded and constant). The number tracks the
+    // pruned leaf rewrites: an accidental full-index rewrite regression
+    // shows up here as wall time, not just in specs
+    "q_takedown_apply")
 }

@@ -357,10 +357,13 @@ object Components {
     *    satellites back to singletons (the caller convention: no row =
     *    own component). The star form never stored the satellites'
     *    mutual pair evidence — attribution was to the canonical — so
-    *    regrouping them would be fabrication; re-deriving their true
-    *    pairs from the surviving corpus (the dedup gates' job) is the
-    *    sanctioned way to re-cluster them, and is exactly what happens
-    *    if they re-enter the corpus loop.
+    *    regrouping them from the star alone would be fabrication. Their
+    *    TRUE pairs, however, still live in the MinHash signature index,
+    *    and [[graft.operators.Retraction.retractDocs]] re-derives them
+    *    there ([[Dedup.pairsFromMinhashIndex]], admission threshold)
+    *    and re-closes via [[updateLabelStore]] — so provenance queries
+    *    for the survivors keep answering after the takedown. This verb
+    *    alone (no signature index configured) leaves the singletons.
     *
     * Partitioned layout: rows for ids in R live in their component's
     * `lp=` partition and rows pointing AT R live in `lp(r)` — one
@@ -412,12 +415,23 @@ object Components {
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
   }
 
+  /** Lazy-takedown overlay over label rows: a row is excluded when its
+    * id OR its component is tombstoned — exactly the row set the eager
+    * [[retractFromLabelStore]] drops (a member row pointing at a
+    * retracted canonical is itself a reference to the retracted
+    * document). Identity when no overlay exists.
+    */
+  private def excludeTombstoned(df: DataFrame, path: String): DataFrame =
+    graft.sources.Tombstones.exclude(
+      graft.sources.Tombstones.exclude(df, path, col("id")),
+      path, col("component"))
+
   /** The label store as (id, component), either layout — the partition
     * column is an implementation detail readers never see. A store with
     * no data yet (never written, or a pinned-meta-only directory from a
     * crash before the first partitioned write) reads as an EMPTY frame,
     * not a schema-inference error — the same fail-open stance as the
-    * watermark sidecar.
+    * watermark sidecar. Tombstoned rows (lazy takedown) are excluded.
     */
   def readLabelStore(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
@@ -428,11 +442,12 @@ object Components {
       (f.isDirectory && f.getName.startsWith("lp=")))
     if (!hasData)
       spark.range(0).select(col("id"), col("id").as("component"))
-    else spark.read.parquet(path).select("id", "component")
+    else excludeTombstoned(
+      spark.read.parquet(path).select("id", "component"), path)
   }
 
   /** The pinned partition count of a partitioned store (None = flat). */
-  private def storePartitions(path: String): Option[Int] = {
+  private[graft] def storePartitions(path: String): Option[Int] = {
     val meta = new java.io.File(new java.io.File(path), "_label_partitions")
     if (!meta.exists()) None
     else Some(java.nio.file.Files.readString(meta.toPath).trim.toInt)
@@ -492,8 +507,10 @@ object Components {
       case Some(_) =>
         val cands = candidateLps(spark, path, id)
         if (cands.isEmpty) None
-        else spark.read.parquet(path)
-          .where(col("lp").isin(cands: _*) && col("id") === id)
+        else excludeTombstoned(
+            spark.read.parquet(path)
+              .where(col("lp").isin(cands: _*) && col("id") === id)
+              .select("id", "component"), path)
           .select("component").collect().headOption.map(_.getLong(0))
     }
 
@@ -524,9 +541,10 @@ object Components {
               org.apache.spark.sql.catalyst.expressions.XxHash64Function
                 .hash(c, org.apache.spark.sql.types.LongType, 42L),
               p.toLong)
-            spark.read.parquet(path)
-              .where(col("lp") === lit(lp) && col("component") === c)
-              .select("id", "component")
+            excludeTombstoned(
+              spark.read.parquet(path)
+                .where(col("lp") === lit(lp) && col("component") === c)
+                .select("id", "component"), path)
         }
     }
   }
@@ -573,9 +591,10 @@ object Components {
           }
         if (cands.isEmpty)
           spark.range(0).select(col("id"), col("id").as("component"))
-        else spark.read.parquet(path)
-          .where(col("lp").isin(cands: _*) && col("id").isin(probes: _*))
-          .select("id", "component")
+        else excludeTombstoned(
+          spark.read.parquet(path)
+            .where(col("lp").isin(cands: _*) && col("id").isin(probes: _*))
+            .select("id", "component"), path)
     }
     probeDf.join(found, Seq("id"), "left")
       .select(col("id"),

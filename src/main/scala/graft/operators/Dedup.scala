@@ -483,6 +483,46 @@ object Dedup {
       ids.select(col(idCol).cast("long").as("__rid")).distinct(),
       (t, k) => t("corpus_id") === k("__rid"))
 
+  /** Near-dup PAIRS AMONG a given id set, re-derived from the STORED
+    * signatures — no text is re-read, no signature recomputed: the index
+    * rows of the ids band-join against themselves and candidate pairs
+    * are decided by the same signature-agreement estimate as
+    * [[dedupAgainstIndex]]. This is the satellite RE-CLOSURE primitive:
+    * when a takedown removes a duplicate cluster's canonical, the
+    * survivors' mutual linkage was never stored (the label store keeps
+    * star edges only — attribution was to the canonical), but their
+    * band rows still are, so their true pairs re-derive in O(the ids'
+    * band buckets) and [[Components.updateLabelStore]] re-closes them
+    * ([[Retraction.retractDocs]] wires the composition). Returns
+    * (id_a, id_b, est_jaccard), id_a < id_b.
+    */
+  def pairsFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val numHashes = meta.getInt(0)
+    val keys = ids.select(col(idCol).cast("long").as("__pid")).distinct()
+    val rows = spark.read.parquet(s"$path/data")
+      .join(broadcast(keys), col("corpus_id") === col("__pid"),
+        "left_semi")
+    rows.as("a")
+      .join(rows.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.corpus_id") < col("b.corpus_id"))
+      .select(col("a.corpus_id").as("id_a"),
+        col("b.corpus_id").as("id_b"),
+        col("a.sig").as("__sa"), col("b.sig").as("__sb"))
+      .dropDuplicates("id_a", "id_b") // multi-band hits decided once
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(
+            zip_with(col("__sa"), col("__sb"),
+              (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+            lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
   /** Near-duplicate matches of an arriving batch against an indexed
     * corpus: the batch's signatures are computed narrow (the only
     * shingling in the query), band-joined against the stored band hashes,
@@ -513,7 +553,12 @@ object Dedup {
       xxhash64(slice(col("sig_n"), b * rows + 1, rows), lit(b))): _*)
     val banded = sigs.select(col("new_id"), col("sig_n"),
       posexplode(bandHashes).as(Seq("band", "band_hash")))
-    val idx = spark.read.parquet(s"$path/data")
+    // lazy-takedown overlay: a tombstoned corpus doc must neither gate
+    // nor attribute an arriving near-dup (it is logically gone; the
+    // physical band rows wait for the excision pass — the
+    // [[graft.sources.Tombstones]] contract)
+    val idx = graft.sources.Tombstones.exclude(
+      spark.read.parquet(s"$path/data"), path, col("corpus_id"))
     banded.join(idx, Seq("band", "band_hash"))
       .dropDuplicates("new_id", "corpus_id") // multi-band hits decided once
       .select(col("new_id"), col("corpus_id"),

@@ -246,25 +246,52 @@ object Graph {
     val s = seedsInGraph.count()
     require(s > 0,
       "localPersonalizedPageRank needs >= 1 seed inside the graph")
-    // ACL push threshold r(u) ≥ eps·deg(u), computed INTO the state so
-    // the convergence probe never re-joins (dangling nodes push at deg 1)
+    // state starts as r = e_S
+    val init = seedsInGraph
+      .select(col("id"), lit(0.0).as("p"), lit(1.0 / s).as("r"))
+    val state =
+      try pushLoop(trans, degs, seedsInGraph, s, init, damping, eps,
+        maxRounds)
+      finally {
+        e.unpersist(false); trans.unpersist(false)
+        degs.unpersist(false); seedsInGraph.unpersist(false)
+      }
+    state.select(col("id"), col("p").as("ppr"), col("r").as("resid"))
+  }
+
+  /** The batch-synchronous ACL forward-push loop over a (id, p, r)
+    * state — shared by [[localPersonalizedPageRank]] (fresh push,
+    * residuals non-negative) and [[updateLocalPprStore]] (delta push,
+    * residuals SIGNED: an edge batch can reveal that stored estimates
+    * over-allocated mass, and the correction injects negative
+    * residual). Signed push is the same linear identity — settling
+    * moves (1−d)·r into the estimate whatever r's sign, and each push
+    * strictly removes (1−d)·|r| ≥ (1−d)·eps from Σ|r|, so the loop
+    * terminates; `Σ|ppr − p| ≤ Σ|r|` (the pricing bound) holds by
+    * linearity of `ppr = p + Σᵤ r(u)·pprᵤ`. Pointwise `p ≤ ppr` holds
+    * only for non-negative residuals (the fresh path) — a delta push
+    * can transiently overshoot, priced by |resid|.
+    *
+    * Push threshold: |r(u)| ≥ eps·deg(u), computed INTO the
+    * checkpointed state so the per-round convergence probe scans
+    * in-memory blocks instead of re-running the degree join (round
+    * latency, not data volume, is this loop's cost on a point query).
+    */
+  private def pushLoop(trans: DataFrame, degs: DataFrame,
+                       seedsInGraph: DataFrame, s: Long,
+                       init: DataFrame, damping: Double, eps: Double,
+                       maxRounds: Int): DataFrame = {
     def pushFlagged(df: DataFrame): DataFrame =
       df.join(degs, Seq("id"), "left")
         .select(col("id"), col("p"), col("r"),
-          (col("r") >= lit(eps) * greatest(coalesce(col("__deg"), lit(1L))
-            .cast("double"), lit(1.0))).as("__push"))
-    // state: (id, p, r, __push) — estimate + residual; starts as r = e_S
-    var state = pushFlagged(seedsInGraph
-        .select(col("id"), lit(0.0).as("p"), lit(1.0 / s).as("r")))
-      .localCheckpoint(true)
+          (abs(col("r")) >= lit(eps) *
+            greatest(coalesce(col("__deg"), lit(1L))
+              .cast("double"), lit(1.0))).as("__push"))
+    var state = pushFlagged(init).localCheckpoint(true)
     var prev: DataFrame = state
     var round = 0
     var frontierEmpty = false
     while (!frontierEmpty && round < maxRounds) {
-      // round latency, not data volume, is this loop's cost on a point
-      // query: the eligibility flag rides INSIDE the checkpointed state
-      // (pushFlagged below), so this per-round convergence probe scans
-      // in-memory checkpoint blocks instead of re-running the degree join
       val active = state.where(col("__push"))
       frontierEmpty = active.isEmpty
       if (!frontierEmpty) {
@@ -303,14 +330,281 @@ object Graph {
         round += 1
       }
     }
-    e.unpersist(false); trans.unpersist(false)
-    degs.unpersist(false); seedsInGraph.unpersist(false)
     if (!frontierEmpty)
       throw new IllegalStateException(
         s"forward push did not drain the frontier in $maxRounds rounds " +
           "at eps=" + eps + "; raise maxRounds or eps")
-    state.select(col("id"), col("p").as("ppr"), col("r").as("resid"))
+    state
   }
+
+  /** INCREMENTALLY-maintained local PPR — the delta engine for a link
+    * graph that GROWS: rank state is kept as the forward-push pair
+    * (estimate `p`, residual `r`) and an edge-batch append INJECTS
+    * RESIDUAL exactly where the stored estimates now mis-allocate mass,
+    * then drains it with the same [[pushLoop]] — work tracks the
+    * batch's blast radius at tolerance `eps`, not the graph, where the
+    * full [[personalizedPageRank]] re-pays whole-graph rounds per day.
+    *
+    * The correction (Ohsaka–Maehara–Kawarabayashi, "Efficient PageRank
+    * Tracking in Evolving Networks", KDD 2015 — re-derived for weighted
+    * transitions from the push invariant
+    * `r = e_S − (1/α)(I − (1−α)Pᵀ)p`, α = 1−damping): for a source `u`
+    * gaining edges (old out-weight W > 0, added weight ΔW, new edge
+    * (u,w) of weight ŵ):
+    *
+    *  - `p(u) ← p(u)·(W+ΔW)/W` (the scale that cancels every old-edge
+    *    term, keeping the update O(new edges), not O(deg u)),
+    *  - `r(u) −= p(u)·ΔW / (α·W)`,
+    *  - `r(w) += (d/α)·p(u)·ŵ/W` per new edge;
+    *
+    * a formerly-DANGLING source (W = 0) had the seed distribution as
+    * its effective transition row (the push's dangling rule), so its
+    * correction moves that mass instead: `r(w) += (d/α)·p(u)·ŵ/ΔW` per
+    * new edge and `r(t) −= (d/α)·p(u)/s` per seed. Sources with
+    * `p(u) = 0` (outside the settled neighborhood) need no correction —
+    * the delta cost tracks the seeds' neighborhood. Residuals go SIGNED
+    * here; [[pushLoop]] drains |r| and every row still prices itself
+    * (`Σ|ppr − p| ≤ Σ|r|` by linearity — the `q_ppr_incremental_gap`
+    * floor).
+    *
+    * Store layout: `edges/` (src, dst, w — canonical, distinct pairs),
+    * `state/` (id, p, r — with the pinned damping and the bit_xor
+    * signature of the edge set the state covers riding INSIDE as
+    * hidden files, so state and identity install in one rename),
+    * `seeds/` (the seed set ∩ creation graph, PINNED — the teleport
+    * distribution is part of the state's identity; later-arriving
+    * seeds don't enter it). Crash contract, the
+    * [[updateTriangleCensus]] discipline:
+    * state (with its signature) swaps BEFORE the edges append, and the
+    * next call compares signatures — a state matching old ∪ delta means
+    * this exact delta already applied (finish the append, serve);
+    * matching neither means an interleaved crash, healed by a full
+    * re-push over the merged edges. Stale state heals to exactly the
+    * fresh answer, never compounds. Re-sent (src, dst) pairs dedupe
+    * against the store (weight CHANGES to existing edges are not
+    * incremental — rebuild or re-push for those, documented like the
+    * census's re-sent rule).
+    *
+    * Returns the updated (id, ppr, resid) — [[readLocalPprState]] serves
+    * it later without recomputation.
+    */
+  def updateLocalPprStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, newEdges: DataFrame,
+                          srcCol: String, dstCol: String,
+                          seeds: DataFrame, seedIdCol: String,
+                          weightCol: Option[String] = None,
+                          damping: Double = 0.85, eps: Double = 1e-4,
+                          maxRounds: Int = 200): DataFrame = {
+    import graft.sources.Compaction
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    val edgesPath = s"$storePath/edges"
+    val statePath = s"$storePath/state"
+    val seedsPath = s"$storePath/seeds"
+    def sigOf(df: DataFrame): Long = df
+      .agg(expr("bit_xor(xxhash64(src, dst, w))")).collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    // the signature and damping pin ride INSIDE the state directory
+    // (hidden files), so state + its identity install in ONE atomic
+    // rename — a crash can never leave a state claiming another edge
+    // set's signature
+    def writeState(st: DataFrame, sig: Long): Unit = {
+      val dir = new java.io.File(statePath)
+      val staging = Compaction.stagingDir(dir, "pprstate")
+      if (staging.exists()) Compaction.rm(staging)
+      st.select("id", "p", "r").write.mode("overwrite")
+        .parquet(staging.toString)
+      java.nio.file.Files.writeString(
+        new java.io.File(staging, "_edges_sig").toPath, sig.toString)
+      java.nio.file.Files.writeString(
+        new java.io.File(staging, "_damping").toPath, damping.toString)
+      Compaction.swapInto(statePath, staging.toString)
+    }
+    def readMeta(): Option[(Long, Double)] = {
+      val sf = new java.io.File(statePath, "_edges_sig")
+      val df0 = new java.io.File(statePath, "_damping")
+      if (!sf.exists() || !df0.exists()) None
+      else Some((
+        java.nio.file.Files.readString(sf.toPath).trim.toLong,
+        java.nio.file.Files.readString(df0.toPath).trim.toDouble))
+    }
+    def frames(all: DataFrame): (DataFrame, DataFrame) = {
+      val trans = all.groupBy("src").agg(sum("w").as("__ow"))
+        .join(all, "src")
+        .select(col("src"), col("dst"), (col("w") / col("__ow")).as("p"))
+      val degs = all.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .select(col("src").as("id"), col("__deg"))
+      (trans.persist(StorageLevel.MEMORY_AND_DISK),
+        degs.persist(StorageLevel.MEMORY_AND_DISK))
+    }
+    def fullPush(all: DataFrame, seedsInGraph: DataFrame, s: Long,
+                 sig: Long): DataFrame = {
+      val (trans, degs) = frames(all)
+      val init = seedsInGraph
+        .select(col("id"), lit(0.0).as("p"), lit(1.0 / s).as("r"))
+      val st =
+        try pushLoop(trans, degs, seedsInGraph, s, init, damping, eps,
+          maxRounds)
+        finally { trans.unpersist(false); degs.unpersist(false) }
+      writeState(st, sig)
+      st
+    }
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val batch = newEdges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val exists = new java.io.File(edgesPath).exists()
+    if (!exists) {
+      // CREATION: the batch is the graph; the in-graph seed set pins
+      val all = batch.localCheckpoint(true)
+      try {
+        val nodes = all.select(col("src").as("id"))
+          .union(all.select(col("dst").as("id"))).distinct()
+        val seedsInGraph = seeds
+          .select(col(seedIdCol).cast("long").as("id")).distinct()
+          .join(nodes, Seq("id"), "left_semi")
+          .localCheckpoint(true)
+        try {
+          val s = seedsInGraph.count()
+          require(s > 0,
+            "updateLocalPprStore needs >= 1 seed inside the graph")
+          all.write.mode("overwrite").parquet(edgesPath)
+          seedsInGraph.write.mode("overwrite").parquet(seedsPath)
+          val st = fullPush(all, seedsInGraph, s, sigOf(all))
+          st.select(col("id"), col("p").as("ppr"), col("r").as("resid"))
+        } finally org.apache.spark.sql.GraftBridge
+          .unpersistCheckpoint(seedsInGraph)
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)
+    } else {
+      val old = spark.read.parquet(edgesPath)
+      // a crash before the creation-time seeds write: re-pin from the
+      // given seeds against the stored graph (same inputs → same pin)
+      if (!new java.io.File(seedsPath).exists()) {
+        val nodes = old.select(col("src").as("id"))
+          .union(old.select(col("dst").as("id"))).distinct()
+        seeds.select(col(seedIdCol).cast("long").as("id")).distinct()
+          .join(nodes, Seq("id"), "left_semi")
+          .write.mode("overwrite").parquet(seedsPath)
+      }
+      val seedsInGraph = spark.read.parquet(seedsPath)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val s = seedsInGraph.count()
+        require(s > 0,
+          "updateLocalPprStore needs >= 1 seed inside the graph")
+        val delta = batch.join(old, Seq("src", "dst"), "left_anti")
+          .localCheckpoint(true)
+        try {
+          val all = old.unionAll(delta).localCheckpoint(true)
+          try {
+            readMeta().foreach { case (_, pinned) =>
+              require(pinned == damping,
+                s"ppr store at $storePath was created with damping=" +
+                  s"$pinned, not $damping — the state encodes it")
+            }
+            val oldSig = sigOf(old)
+            readMeta().map(_._1) match {
+              case None =>
+                // crashed creation (edges without a committed state):
+                // full heal over the merged set
+                if (!delta.isEmpty)
+                  delta.write.mode("append").parquet(edgesPath)
+                val st = fullPush(all, seedsInGraph, s, sigOf(all))
+                return st.select(col("id"), col("p").as("ppr"),
+                  col("r").as("resid"))
+              case Some(storedSig) =>
+                if (delta.isEmpty && storedSig == oldSig)
+                  return readLocalPprState(spark, storePath) // no-op
+                if (storedSig == sigOf(all)) {
+                  // crash window healed: the state already covers
+                  // exactly old ∪ delta — finish the interrupted append
+                  if (!delta.isEmpty)
+                    delta.write.mode("append").parquet(edgesPath)
+                  return readLocalPprState(spark, storePath)
+                }
+                if (storedSig != oldSig) {
+                  // interleaved crash (state matches neither) — heal
+                  if (!delta.isEmpty)
+                    delta.write.mode("append").parquet(edgesPath)
+                  val st = fullPush(all, seedsInGraph, s, sigOf(all))
+                  return st.select(col("id"), col("p").as("ppr"),
+                    col("r").as("resid"))
+                }
+            }
+            // NORMAL DELTA PATH: state consistent with `old`
+            val st = spark.read.parquet(statePath)
+            val ratio = damping / (1.0 - damping)
+            val chg = delta.groupBy("src").agg(sum("w").as("__wadd"))
+              .join(old.groupBy("src").agg(sum("w").as("__wold")),
+                Seq("src"), "left")
+              .join(st.select(col("id").as("src"), col("p").as("__pu")),
+                Seq("src"), "left")
+              .select(col("src"),
+                coalesce(col("__wold"), lit(0.0)).as("__wold"),
+                col("__wadd"),
+                coalesce(col("__pu"), lit(0.0)).as("__pu"))
+              .where(col("__pu") =!= 0.0)
+              .localCheckpoint(true)
+            try {
+              val hadOut = chg.where(col("__wold") > 0)
+              val wasDang = chg.where(col("__wold") === 0)
+              val adjSelf = hadOut.select(col("src").as("id"),
+                (col("__pu") * col("__wadd") / col("__wold")).as("dp"),
+                (-col("__pu") * col("__wadd") /
+                  (lit(1.0 - damping) * col("__wold"))).as("dr"))
+              val adjNew = delta.join(hadOut, Seq("src"))
+                .select(col("dst").as("id"), lit(0.0).as("dp"),
+                  (lit(ratio) * col("__pu") * col("w") / col("__wold"))
+                    .as("dr"))
+              val adjDangNew = delta.join(wasDang, Seq("src"))
+                .select(col("dst").as("id"), lit(0.0).as("dp"),
+                  (lit(ratio) * col("__pu") * col("w") / col("__wadd"))
+                    .as("dr"))
+              val dangMass = wasDang
+                .agg(coalesce(sum("__pu"), lit(0.0)).as("__m"))
+              val adjSeeds = seedsInGraph.crossJoin(broadcast(dangMass))
+                .select(col("id"), lit(0.0).as("dp"),
+                  (-lit(ratio) * col("__m") / s).as("dr"))
+              val adj = adjSelf.unionAll(adjNew).unionAll(adjDangNew)
+                .unionAll(adjSeeds)
+                .groupBy("id").agg(sum("dp").as("dp"), sum("dr").as("dr"))
+              val init = st.join(adj, Seq("id"), "full_outer")
+                .select(col("id"),
+                  (coalesce(col("p"), lit(0.0)) +
+                    coalesce(col("dp"), lit(0.0))).as("p"),
+                  (coalesce(col("r"), lit(0.0)) +
+                    coalesce(col("dr"), lit(0.0))).as("r"))
+              val (trans, degs) = frames(all)
+              val pushed =
+                try pushLoop(trans, degs, seedsInGraph, s, init, damping,
+                  eps, maxRounds)
+                finally { trans.unpersist(false); degs.unpersist(false) }
+              // state (with its new signature) commits BEFORE the edges
+              // append — see the crash contract above
+              writeState(pushed, sigOf(all))
+              delta.write.mode("append").parquet(edgesPath)
+              pushed.select(col("id"), col("p").as("ppr"),
+                col("r").as("resid"))
+            } finally org.apache.spark.sql.GraftBridge
+              .unpersistCheckpoint(chg)
+          } finally org.apache.spark.sql.GraftBridge
+            .unpersistCheckpoint(all)
+        } finally org.apache.spark.sql.GraftBridge
+          .unpersistCheckpoint(delta)
+      } finally seedsInGraph.unpersist(false)
+    }
+  }
+
+  /** The stored (id, ppr, resid) of an incremental local-PPR store. */
+  def readLocalPprState(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/state")
+      .select(col("id"), col("p").as("ppr"), col("r").as("resid"))
 
   /** Degree/strength summary per node of the directed multigraph:
     * (id, out_deg, in_deg, out_w, in_w) — distinct-neighbor degrees and

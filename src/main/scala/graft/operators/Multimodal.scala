@@ -462,7 +462,10 @@ object Multimodal {
     */
   def imageNearDupPairsFromIndex(spark: SparkSession, indexPath: String,
                                  maxHamming: Int = 3): DataFrame =
-    Dedup.hammingPairs64(spark.read.parquet(indexPath),
+    Dedup.hammingPairs64(
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      graft.sources.Tombstones.exclude(spark.read.parquet(indexPath),
+        indexPath, col("media_id")),
       "media_id", "dhash", maxHamming)
 
   /** New-batch media ids whose fingerprint sits within `maxHamming` of
@@ -476,7 +479,8 @@ object Multimodal {
     val spark = batch.sparkSession
     val newHashes = dHashes(batch)
       .select(col("media_id").as("new_id"), col("dhash"))
-    val indexed = spark.read.parquet(indexPath)
+    val indexed = graft.sources.Tombstones.exclude(
+        spark.read.parquet(indexPath), indexPath, col("media_id"))
       .select(col("media_id").as("corpus_id"), col("dhash"))
     Dedup.hammingJoin64(newHashes, "new_id", indexed, "corpus_id",
       "dhash", maxHamming)

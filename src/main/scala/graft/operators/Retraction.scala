@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * rewrite):
   *
   *  - text postings  → [[graft.sources.TextIndex.retract]] — anti-join
-  *    pruned to the docs' terms' `tp=` partitions + a compensating
-  *    NEGATIVE stats row (the stats schema is additive; history is never
-  *    rewritten);
+  *    pruned to the docs' terms' `tp=` partitions + a doc-id-keyed
+  *    LEDGER compensation (additive stats history is never rewritten;
+  *    the ledger append is the commit point, exactly-once across
+  *    re-runs);
   *  - MinHash index  → [[Dedup.retractFromMinhashIndex]] — one O(index)
   *    ints-only rewrite (band hashes have no doc locality);
   *  - exact-key gate → [[graft.sources.BloomKeyIndex.retractKeys]] —
@@ -60,10 +61,10 @@ import org.apache.spark.sql.functions._
   * excision recomputes their keys, so the corpus row must still exist
   * when they run; putting the corpus rewrite last also makes the whole
   * verb re-runnable: a crash anywhere before it leaves the docs readable,
-  * and every artifact excision is an anti-join (absent ids are a no-op).
-  * The one non-idempotent residue is the text index's `n_docs`
-  * compensation (documented + healable at
-  * [[graft.sources.TextIndex.retract]]). After the corpus rewrite
+  * every artifact excision is an anti-join (absent ids are a no-op), and
+  * the text index's stats compensation is exactly-once by construction
+  * (the retraction ledger at [[graft.sources.TextIndex.retract]] — a
+  * re-run skips already-compensated ids). After the corpus rewrite
   * commits, a re-run finds zero docs and does nothing.
   *
   * Scale shape: every derived-artifact rewrite is partition-pruned or
@@ -83,6 +84,16 @@ import org.apache.spark.sql.functions._
   * (spec-proven in `RetractionSpec`). A deployment that wants a BLOCK
   * list should gate on it explicitly — forgetting and banning are
   * different verbs.
+  *
+  * TWO SPEEDS. [[retractDocs]] is the synchronous form: invisibility
+  * arrives when the last leaf rewrite commits. [[tombstoneDocs]] is the
+  * LAZY form a takedown SLA wants at 100 TB: an O(ids) overlay write
+  * per artifact makes every serving face exclude the ids immediately
+  * (see [[graft.sources.Tombstones]] for the visibility contract), and
+  * the physical excision is this same [[retractDocs]] run later on the
+  * compaction cadence — which retires the overlay rows it covers, so
+  * compact-then-retire lands in a state identical to eager retraction
+  * (spec-proven).
   */
 object Retraction {
 
@@ -97,6 +108,16 @@ object Retraction {
     * partition-value discipline). None = flat corpus, whole-table
     * rewrite.
     */
+  /** `forwardStorePath`: a key-bucketed (id, text) projection
+    * ([[graft.sources.Bucketing.writeKeyBucketed]]) serving point text
+    * fetches — excised with bucket-pruned leaf rewrites.
+    * `dupThreshold`: the corpus loop's near-dup admission bar, re-used
+    * by the satellite RE-CLOSURE — when a retracted doc was a cluster
+    * CANONICAL and both `dupLabelsPath` and `minhashIndexPath` are
+    * configured, the surviving satellites' mutual pairs re-derive from
+    * the stored signatures at this threshold and re-close, so
+    * provenance queries for the survivors keep answering.
+    */
   case class Artifacts(
       corpusPath: String,
       idCol: String = "doc_id",
@@ -110,13 +131,69 @@ object Retraction {
       sqIndexPath: Option[String] = None,
       sqIdCol: String = "doc_id",
       mediaIndexPath: Option[String] = None,
-      dupLabelsPath: Option[String] = None)
+      dupLabelsPath: Option[String] = None,
+      forwardStorePath: Option[String] = None,
+      dupThreshold: Double = 0.8)
 
   /** @param requested distinct ids asked for
     * @param found     of those, ids present in the corpus this run (0 on
-    *                  a clean re-run — the verb already completed)
+    *                  a clean re-run — the verb already completed); for
+    *                  [[tombstoneDocs]], equal to `requested` (the
+    *                  overlay write does not consult the corpus)
     */
   case class Report(requested: Long, found: Long)
+
+  /** Every configured artifact root that carries a tombstone overlay —
+    * the exact-key gate is deliberately absent (see the visibility
+    * contract at [[graft.sources.Tombstones]]).
+    */
+  private def overlayRoots(a: Artifacts): Seq[String] =
+    a.textIndex.map(_.indexPath).toSeq ++ a.minhashIndexPath ++
+      a.annIndexPath ++ a.sqIndexPath ++ a.mediaIndexPath ++
+      a.dupLabelsPath ++ a.forwardStorePath
+
+  /** LAZY takedown: write `ids` into every configured artifact's
+    * tombstone overlay — O(ids) per artifact, the whole verb — and
+    * every serving face stops answering with them IMMEDIATELY (each
+    * face anti-joins its overlay; [[graft.sources.Tombstones]] states
+    * the visibility contract). The physical excision is [[retractDocs]]
+    * run on the compaction cadence; it retires the overlay rows it
+    * covers, so a later re-admission of the same id is never hidden by
+    * a stale tombstone. Idempotent: re-appending ids only duplicates
+    * anti-join keys.
+    */
+  def tombstoneDocs(spark: SparkSession, ids: DataFrame, idsCol: String,
+                    a: Artifacts): Report = {
+    val roots = overlayRoots(a)
+    require(roots.nonEmpty,
+      "tombstoneDocs: Artifacts configures no overlay-carrying artifact")
+    val keys = ids.select(col(idsCol).cast("long").as("__rid")).distinct()
+      .localCheckpoint(true)
+    try {
+      val requested = keys.count()
+      roots.foreach(r => graft.sources.Tombstones.append(r, keys, "__rid"))
+      Report(requested, requested)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
+  }
+
+  /** LAZY retroactive decontamination — [[retractMatchingPhrases]]'s
+    * membership serve composed with the tombstone overlay instead of
+    * the physical fan-out: a benchmark update makes its contaminated
+    * docs unservable in O(ids) writes, and the excision runs on the
+    * maintenance cadence. Idempotent for free: already-tombstoned docs
+    * are excluded from the membership serve itself.
+    */
+  def tombstoneMatchingPhrases(spark: SparkSession,
+                               phrases: Seq[Seq[String]],
+                               a: Artifacts): Report = {
+    val cfg = a.textIndex.getOrElse(throw new IllegalArgumentException(
+      "tombstoneMatchingPhrases needs Artifacts.textIndex (positional) — " +
+        "phrase membership is served from the index"))
+    val hits = graft.sources.TextIndex.phraseMembers(spark, cfg, a.idCol,
+      phrases)
+    if (hits.isEmpty) Report(0L, 0L)
+    else tombstoneDocs(spark, hits, a.idCol, a)
+  }
 
   /** RETROACTIVE decontamination — the composition the positional text
     * index and the takedown verb exist to enable: when the eval
@@ -152,9 +229,15 @@ object Retraction {
       val requested = keys.count()
       // a deployment with no corpus yet (e.g. a quarantined batch
       // rejected before ANY admission) has nothing to excise anywhere —
-      // every artifact is born with its first corpus append
-      if (!new java.io.File(a.corpusPath).exists())
+      // every artifact is born with its first corpus append. Tombstone
+      // overlays for the ids still retire (empty indexes serve nothing,
+      // and a stale tombstone would hide a future admission of the id).
+      if (!new java.io.File(a.corpusPath).exists()) {
+        overlayRoots(a).foreach { r =>
+          graft.sources.Tombstones.retire(spark, r, keys, "__rid")
+        }
         return Report(requested, 0L)
+      }
       // the docs' full rows, read BEFORE any rewrite: the text-pruned and
       // key-pruned excisions derive their partition lists from them
       val corpus = spark.read.parquet(a.corpusPath)
@@ -164,6 +247,35 @@ object Retraction {
         .localCheckpoint(true)
       try {
         val found = docs.count()
+        // SATELLITE RE-CLOSURE input, derived BEFORE any excision (the
+        // orphans are only visible while the label store still holds
+        // the retracted canonical's star, and their pairs only while
+        // the MinHash index still holds every signature): survivors of
+        // a retracted canonical re-derive their mutual pairs from the
+        // stored signatures at the admission threshold. A crash between
+        // the label-store excision and the re-closure below degrades to
+        // orphaned singletons (the pre-re-closure behavior, never a
+        // wrong answer) — re-derivable from the surviving corpus
+        // through the dedup gates.
+        val orphanPairs: Option[DataFrame] =
+          (a.dupLabelsPath, a.minhashIndexPath) match {
+            case (Some(lp), Some(mp)) =>
+              val lbl = Components.readLabelStore(spark, lp)
+              val orphans = lbl
+                .join(broadcast(keys.select(col("__rid").as("__rc"))),
+                  col("component") === col("__rc"), "left_semi")
+                .join(broadcast(keys.select(col("__rid").as("__ri"))),
+                  col("id") === col("__ri"), "left_anti")
+                .select("id")
+              val pairs = Dedup.pairsFromMinhashIndex(spark, mp, orphans,
+                  "id", a.dupThreshold)
+                .select("id_a", "id_b").localCheckpoint(true)
+              if (pairs.isEmpty) {
+                org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pairs)
+                None
+              } else Some(pairs)
+            case _ => None
+          }
         // found == 0 means either a completed prior run (the corpus is
         // the LAST commit point, so its absence implies every index
         // excision already committed) or ids that were never admitted —
@@ -194,9 +306,34 @@ object Retraction {
           a.mediaIndexPath.foreach { p =>
             Multimodal.retractFromMediaIndex(spark, p, keys, "__rid")
           }
+          a.forwardStorePath.foreach { p =>
+            graft.sources.Bucketing.retractKeyBucketed(spark, p, keys,
+              "__rid")
+          }
         }
         a.dupLabelsPath.foreach { p =>
           Components.retractFromLabelStore(spark, p, keys, "__rid")
+        }
+        // re-close the surviving satellites from the pre-derived pairs
+        // (the label store's own incremental machinery does the closure;
+        // the star rows pointing at the retracted canonical are gone, so
+        // the closure runs over exactly the orphan pairs)
+        orphanPairs.foreach { pairs =>
+          try Components.updateLabelStore(spark, a.dupLabelsPath.get,
+            pairs, "id_a", "id_b",
+            partitions = Components
+              .storePartitions(a.dupLabelsPath.get).getOrElse(0))
+          finally org.apache.spark.sql.GraftBridge
+            .unpersistCheckpoint(pairs)
+        }
+        // tombstone overlays retire AFTER the physical excisions (never
+        // before — a doc must stay unservable through the whole verb)
+        // and BEFORE the corpus commit point, so a crash-rerun re-runs
+        // the retirement idempotently; ids that were never admitted (or
+        // already excised) retire too — their indexes hold nothing, and
+        // a stale tombstone would hide the id's future re-admission
+        overlayRoots(a).foreach { r =>
+          graft.sources.Tombstones.retire(spark, r, keys, "__rid")
         }
         // corpus LAST — the commit point after which a re-run is a no-op
         if (found > 0) a.corpusPartitionCol match {

@@ -579,6 +579,9 @@ object Similarity {
     spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
+      // lazy-takedown overlay: tombstoned ids never serve (broadcast
+      // anti-join over the probed cells only; identity when absent)
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
       .select(col(idCol), Vectors.cosine(col(vecCol), typedlit(q)).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -619,6 +622,8 @@ object Similarity {
     spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
+      // lazy-takedown overlay, as in [[ivfTopKFromIndex]]
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
       .select(col("cell"), col(idCol), col(vecCol))
       .join(broadcast(assigned), "cell")
       .select(col("query_id"), col(idCol),
@@ -660,6 +665,10 @@ object Similarity {
       .collect().map(_.getLong(0))
     val corpus = spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
+      // lazy-takedown overlay: a batch's near-dup of a TOMBSTONED doc
+      // is novel content — it must not be attributed to a document that
+      // is logically gone (the [[graft.sources.Tombstones]] contract)
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
       .select(col("cell"), col(idCol).as("corpus_id"),
         Vectors.toDouble(col(vecCol)).as("__cv"))
     assigned.join(corpus, "cell")

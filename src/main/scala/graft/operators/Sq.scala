@@ -184,6 +184,8 @@ object Sq {
     require(cells.nonEmpty, "IVF-SQ batch serving got an empty query table")
     val pruned = spark.read.parquet(s"$path/data")
       .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
+      // lazy-takedown overlay — covers candidates AND the rerank read
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
     val candidates = pruned
@@ -210,6 +212,8 @@ object Sq {
                            k: Int, oversample: Int = 4): DataFrame = {
     val (mins, maxs) = readSqParams(spark, path)
     val data = spark.read.parquet(s"$path/data")
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       Vectors.toDouble(col(queryVecCol)).as("__qvec")))
     val w = org.apache.spark.sql.expressions.Window

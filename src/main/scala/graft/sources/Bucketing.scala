@@ -87,6 +87,123 @@ object Bucketing {
     Compaction.swapInto(path, staging.toString)
   }
 
+  // ---------------------------------------------------------------------
+  // KEY-bucketed point-lookup layout — the forward-store shape: data laid
+  // out by `kb = pmod(xxhash64(key), P)` so a lookup of a FEW keys (the
+  // k winners of a retrieval cut, a takedown list) reads only those
+  // keys' kb= directories instead of scanning the table. This is the
+  // text index's `tp=` discipline applied to the DOC side: the text
+  // fetch behind [[graft.sources.TextIndex.snippetTopKStored]] prunes to
+  // ≤ k buckets where the flat corpus read pays the whole (id, text)
+  // column scan. P is pinned at creation, like every hashed layout here.
+  // ---------------------------------------------------------------------
+
+  private def keyPinFile(path: String): java.io.File =
+    new java.io.File(path, "_key_partitions")
+
+  /** The pinned bucket count of a [[writeKeyBucketed]] table. */
+  def keyBucketCount(path: String): Int = {
+    val f = keyPinFile(path)
+    require(f.exists(), s"no key-bucketed table at $path")
+    java.nio.file.Files.readString(f.toPath).trim.toInt
+  }
+
+  /** xxhash64-of-long under the SQL seed 42, evaluated driver-side so
+    * probe keys prune partitions with literal filters — the writer and
+    * the reader can never disagree on the hash. */
+  private def kbOf(key: Long, p: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(key, org.apache.spark.sql.types.LongType, 42L),
+      p.toLong).toInt
+
+  /** Lay `df` out bucketed by `keyCol` (castable to long) into
+    * `partitions` hash buckets — staged write + atomic swap, the pin
+    * riding the staged dir so layout and data install together. No
+    * shuffle is forced: the dynamic partition writer splits each task's
+    * output by bucket, so the write costs one pass like the flat write
+    * it replaces.
+    */
+  def writeKeyBucketed(df: DataFrame, path: String, keyCol: String,
+                       partitions: Int, bucketCol: String = "kb"): Unit = {
+    require(partitions > 0, s"partitions=$partitions")
+    val dir = new java.io.File(path)
+    val staging = Compaction.stagingDir(dir, "keybucket")
+    if (staging.exists()) Compaction.rm(staging)
+    df.withColumn(bucketCol,
+        pmod(xxhash64(col(keyCol).cast("long")), lit(partitions))
+          .cast("int"))
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(staging.toString)
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, "_key_partitions").toPath,
+      partitions.toString)
+    Compaction.swapInto(path, staging.toString)
+  }
+
+  /** Append a batch under the pinned layout — the corpus-loop form. */
+  def appendKeyBucketed(df: DataFrame, path: String, keyCol: String,
+                        bucketCol: String = "kb"): Unit = {
+    val p = keyBucketCount(path)
+    df.withColumn(bucketCol,
+        pmod(xxhash64(col(keyCol).cast("long")), lit(p)).cast("int"))
+      .write.mode("append").partitionBy(bucketCol).parquet(path)
+  }
+
+  /** Point-read of `keys`: the scan prunes STATICALLY to the keys'
+    * buckets (≤ |keys| of P directories — driver-side literal hashes,
+    * asserted as PartitionFilters in the spec) and the key filter lands
+    * on the surviving files. Key lists are bounded by nature (a top-k
+    * cut, a takedown set) — chunk anything larger. A tombstone overlay
+    * on the store ([[Tombstones]]) is honored, so a lazily-retracted
+    * doc's text is unservable even through a direct fetch.
+    */
+  def readKeys(spark: SparkSession, path: String, keyCol: String,
+               keys: Seq[Long], bucketCol: String = "kb"): DataFrame = {
+    require(keys.nonEmpty, "empty key list")
+    require(keys.size <= 65536,
+      s"readKeys got ${keys.size} keys — the point-lookup face is for " +
+        "bounded cuts; chunk larger fetches")
+    val p = keyBucketCount(path)
+    val kbs = keys.map(kbOf(_, p)).distinct
+    Tombstones.exclude(
+      spark.read.parquet(path)
+        .where(col(bucketCol).isin(kbs: _*) &&
+          col(keyCol).isin(keys: _*)),
+      path, col(keyCol))
+  }
+
+  /** TAKEDOWN over a key-bucketed store: leaf rewrites pruned to the
+    * keys' buckets (the [[graft.sources.TextIndex.retract]] leaf
+    * discipline — untouched buckets keep their files byte-for-byte).
+    * Idempotent; a missing store is a no-op.
+    */
+  def retractKeyBucketed(spark: SparkSession, path: String,
+                         keys: DataFrame, keyCol: String,
+                         bucketCol: String = "kb"): Unit = {
+    if (!keyPinFile(path).exists()) return
+    val p = keyBucketCount(path)
+    val ids = keys.select(col(keyCol).cast("long").as("__rid")).distinct()
+      .localCheckpoint(true)
+    try {
+      val kbs = ids.select(pmod(xxhash64(col("__rid")), lit(p))
+          .cast("int").as("kb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      kbs.foreach { v =>
+        val leaf = new java.io.File(path, s"$bucketCol=$v")
+        if (leaf.exists()) {
+          val staging = Compaction.stagingDir(leaf, "retract")
+          if (staging.exists()) Compaction.rm(staging)
+          val leafDf = spark.read.parquet(leaf.toString)
+          leafDf.join(broadcast(ids),
+              leafDf(keyCol).cast("long") === ids("__rid"), "left_anti")
+            .write.mode("overwrite").parquet(staging.toString)
+          Compaction.swapInto(leaf.toString, staging.toString)
+        }
+      }
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(ids)
+  }
+
   /** Range read over a [[writeRangeBucketed]] table: the value predicate
     * `lo ≤ colName ≤ hi` is composed with the DERIVED bucket predicate
     * (both endpoints' buckets computed driver-side from the same bounds

@@ -91,15 +91,23 @@ object Compaction {
     * retraction path touches (MinHash index data, SQ8 data, media hash
     * indexes, the corpus itself). Idempotent: excising absent keys is a
     * no-op rewrite. A missing table is a no-op (nothing to excise).
+    *
+    * `readOptions` flow into the scan of the table being rewritten —
+    * a caller whose table spans SCHEMA GENERATIONS (the sketch sidecar:
+    * faces added over time, so older files lack newer columns) must pass
+    * `mergeSchema=true` or the rewrite silently drops every column
+    * absent from the footer Spark happens to infer from, destroying the
+    * kept rows' state.
     */
   def retractRows(spark: SparkSession, path: String,
                   keys: org.apache.spark.sql.DataFrame,
                   cond: (org.apache.spark.sql.DataFrame,
                     org.apache.spark.sql.DataFrame) =>
-                    org.apache.spark.sql.Column): Unit = {
+                    org.apache.spark.sql.Column,
+                  readOptions: Map[String, String] = Map.empty): Unit = {
     val dir = new File(path)
     if (!dir.exists()) return
-    val table = spark.read.parquet(path)
+    val table = spark.read.options(readOptions).parquet(path)
     val staging = stagingDir(dir, "retract")
     if (staging.exists()) rm(staging)
     table.join(org.apache.spark.sql.functions.broadcast(keys),

@@ -753,8 +753,12 @@ object SketchSidecar {
         "per-epoch retraction needs epoch rows; re-derive an ungrouped " +
         "sidecar from the surviving corpus instead")
     import spark.implicits._
+    // mergeSchema: the sidecar's history spans schema generations (faces
+    // added over time) — the anti-join rewrite must see every
+    // generation's columns or kept epochs lose their newer sketch state
     Compaction.retractRows(spark, sidecarPath, groups.toDF("__rg"),
-      (t, k) => t("grp") === k("__rg"))
+      (t, k) => t("grp") === k("__rg"),
+      readOptions = Map("mergeSchema" -> "true"))
   }
 
   /** Row-merge compaction for a GROUPED sidecar: collapse each group's

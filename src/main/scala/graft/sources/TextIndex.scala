@@ -53,9 +53,12 @@ import org.apache.spark.sql.functions._
   *    pruned, spec-asserted).
   *  - '''Documents can be UN-indexed''' ([[retract]]): takedowns excise
   *    postings with a rewrite pruned to the docs' terms' partitions and
-  *    compensate the additive stats with a negative row —
+  *    compensate the additive stats through a doc-id-keyed retraction
+  *    LEDGER whose single append is the commit point — exactly-once
+  *    across crash re-runs, no reconciliation step —
   *    [[graft.operators.Retraction]] orchestrates this across every
-  *    artifact.
+  *    artifact, and the tombstone overlay
+  *    ([[graft.sources.Tombstones]]) gives the lazy O(ids) form.
   *
   * Delivery contract: each document is indexed by EXACTLY ONE append (the
   * corpus loop's exact-key gate enforces this upstream). A re-delivered
@@ -95,6 +98,42 @@ object TextIndex {
   private def statsPath(cfg: Cfg) = s"${cfg.indexPath}/stats"
   private def pinFile(cfg: Cfg) = new File(cfg.indexPath, "_index_partitions")
   private def posFile(cfg: Cfg) = new File(cfg.indexPath, "_index_positional")
+
+  /** The RETRACTION LEDGER: one (doc_id, dl) row per compensated
+    * takedown — the exactly-once replacement for the negative stats rows
+    * [[retract]] used to append. It lives INSIDE the stats directory,
+    * dot-prefixed so the stats parquet scan never sees it, which buys
+    * the property the two-table design could not have: [[compact]] and
+    * [[healStats]] rebuild base rows AND ledger under ONE staged
+    * directory and install both with ONE atomic rename — there is no
+    * crash window in which one moved and the other did not.
+    */
+  private def ledgerPath(cfg: Cfg) = s"${statsPath(cfg)}/.retract_ledger"
+  private def hasLedger(cfg: Cfg): Boolean = {
+    val d = new File(ledgerPath(cfg))
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** The served (n_docs, sum_len) truth — ONE row: the additive stats
+    * rows MINUS the retraction ledger's compensations. Every stats
+    * consumer (BM25's N/avgdl, [[stats]]) reads through this, so the
+    * ledger commit is the single instant a retraction's compensation
+    * becomes visible.
+    */
+  private def mergedStats(spark: SparkSession, cfg: Cfg): DataFrame = {
+    val base = spark.read.parquet(statsPath(cfg))
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("__sn"),
+        coalesce(sum("sum_len"), lit(0L)).as("__ss"))
+    if (!hasLedger(cfg))
+      base.select(col("__sn").as("n_docs"), col("__ss").as("sum_len"))
+    else base.crossJoin(
+        spark.read.parquet(ledgerPath(cfg))
+          .agg(count(lit(1)).as("__ln"),
+            coalesce(sum("dl"), lit(0L)).as("__ls")))
+      .select((col("__sn") - col("__ln")).as("n_docs"),
+        (col("__ss") - col("__ls")).as("sum_len"))
+  }
 
   /** The one tokenizer of the text family (Keywords/TextAnalysis):
     * whitespace split of the lowercased, trimmed text, empties dropped.
@@ -146,6 +185,18 @@ object TextIndex {
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
                   cfg: Cfg): Unit = {
     checkOrPin(cfg)
+    // RE-ADMISSION fold, FIRST: a batch doc that was retracted earlier
+    // (tombstone ≠ ban) still has its ledger compensation pending; left
+    // in place it would make a FUTURE retraction of the re-admitted doc
+    // skip as already-compensated. Fold those rows into the base — a
+    // net-neutral move (serve = base − ledger before and after), so the
+    // fold is safe at any time and idempotent — installed ATOMICALLY:
+    // one staged stats dir (folded row + kept ledger rows) and one
+    // rename. Cost: nothing while no ledger exists (the steady state —
+    // [[compact]] folds pending compensations away); one column-pruned
+    // id pass over the batch while one does.
+    foldReadmitted(batch.sparkSession, cfg,
+      batch.select(col(idCol).cast("long").as("doc_id")).distinct())
     val nDocsObs = new org.apache.spark.sql.Observation
     val sumLenObs = new org.apache.spark.sql.Observation
     val toks = batch
@@ -175,6 +226,43 @@ object TextIndex {
         sumLenObs.get("sum_len").asInstanceOf[Long]))
       .toDF("n_docs", "sum_len")
       .coalesce(1).write.mode("append").parquet(statsPath(cfg))
+  }
+
+  /** The re-admission fold of [[appendBatch]]: move the given docs'
+    * pending ledger compensations into the base stats (one merged row),
+    * keeping served values bit-identical, via ONE staged-dir rename.
+    * No-op when no ledger row matches.
+    */
+  private def foldReadmitted(spark: SparkSession, cfg: Cfg,
+                             batchIds: DataFrame): Unit = {
+    if (!hasLedger(cfg)) return
+    val ledger = spark.read.parquet(ledgerPath(cfg))
+    val overlap = ledger.join(batchIds, Seq("doc_id"), "left_semi")
+    if (overlap.isEmpty) return
+    // kept rows are re-written under the staging dir — sever their
+    // lineage from the very files the swap replaces
+    val kept = ledger.join(batchIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      val folded = spark.read.parquet(statsPath(cfg))
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("__sn"),
+          coalesce(sum("sum_len"), lit(0L)).as("__ss"))
+        .crossJoin(overlap.agg(count(lit(1)).as("__on"),
+          coalesce(sum("dl"), lit(0L)).as("__os")))
+        .select((col("__sn") - col("__on")).as("n_docs"),
+          (col("__ss") - col("__os")).as("sum_len"))
+        .collect().head // two scalars — bounded driver state
+      val dir = new File(statsPath(cfg))
+      val staging = Compaction.stagingDir(dir, "readmit")
+      if (staging.exists()) Compaction.rm(staging)
+      import spark.implicits._
+      Seq((folded.getLong(0), folded.getLong(1))).toDF("n_docs", "sum_len")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      if (!kept.isEmpty)
+        kept.write.mode("overwrite")
+          .parquet(new File(staging, ".retract_ledger").toString)
+      Compaction.swapInto(statsPath(cfg), staging.toString)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(kept)
   }
 
   /** Build from scratch: drop any existing index, then one append. */
@@ -221,16 +309,24 @@ object TextIndex {
       : (DataFrame, DataFrame, DataFrame) = {
     val tps = termPartitions(terms, pinnedPartitionCount(cfg))
     // tp is the partition column: this filter prunes statically, the
-    // term filter lands on the surviving files' dictionary pages
-    val postings = spark.read.parquet(postingsPath(cfg))
-      .where(col("tp").isin(tps: _*) && col("term").isin(terms: _*))
+    // term filter lands on the surviving files' dictionary pages.
+    // The tombstone overlay (lazy takedown) is consulted HERE, on the
+    // pruned read, so every face — BM25/AND/batched, phrase, proximity,
+    // snippets, phrase membership — inherits it in one place: a
+    // tombstoned doc's postings never enter any serve, which also
+    // shifts df toward its post-excision value (membership and df are
+    // immediate; N/avgdl ride the stats sidecar until the physical
+    // excision — the visibility contract at [[Tombstones]]).
+    val postings = Tombstones.exclude(
+      spark.read.parquet(postingsPath(cfg))
+        .where(col("tp").isin(tps: _*) && col("term").isin(terms: _*)),
+      cfg.indexPath, col("doc_id"))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("__bm_df"))
-    val stats = spark.read.parquet(statsPath(cfg))
-      .agg(sum("n_docs").as("__bm_n"), sum("sum_len").as("__bm_sl"))
+    val stats = mergedStats(spark, cfg)
       // avgdl = sum_len / n_docs: the same exact-long-sums division the
       // scan path's avg() computes
-      .select(col("__bm_n"),
-        (col("__bm_sl").cast("double") / col("__bm_n")).as("__bm_avgdl"))
+      .select(col("n_docs").as("__bm_n"),
+        (col("sum_len").cast("double") / col("n_docs")).as("__bm_avgdl"))
     (postings, dfreq, stats)
   }
 
@@ -416,11 +512,53 @@ object TextIndex {
                   window: Int, k: Int,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val terms = query.map(_.toLowerCase).distinct
     val top = bm25TopK(spark, cfg, idCol, query, k, k1, b)
-    val t = top
-      .join(corpus.select(col(idCol), col(textCol)), Seq(idCol))
-      .withColumn("__sn_toks", tokens(textCol))
+    snippetsOf(top.join(corpus.select(col(idCol), col(textCol)),
+        Seq(idCol)),
+      idCol, textCol, query, window)
+  }
+
+  /** [[snippetTopK]] with the text fetch served from a KEY-BUCKETED
+    * forward store ([[Bucketing.writeKeyBucketed]] over (id, text))
+    * instead of the flat corpus: the k winning ids are collected (k
+    * rows — the cut, bounded by construction) and the text read prunes
+    * STATICALLY to their ≤ k `kb=` buckets (PartitionFilters, spec-
+    * asserted) — at 100 TB the difference between a k-directory point
+    * read and scanning the corpus's whole (id, text) projection for
+    * every snippet query. Output identical to [[snippetTopK]] row for
+    * row (`q_snippets_stored` carries the same oracle verbatim).
+    */
+  def snippetTopKStored(spark: SparkSession, cfg: Cfg, storePath: String,
+                        idCol: String, textCol: String,
+                        query: Seq[String], window: Int, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    // the cut materializes once (k rows) — it is both collected for
+    // pruning and joined for output
+    val top = bm25TopK(spark, cfg, idCol, query, k, k1, b)
+      .localCheckpoint(true)
+    val ids = top.select(col(idCol).cast("long")).collect()
+      .map(_.getLong(0)).toSeq
+    if (ids.isEmpty)
+      return snippetsOf(top.withColumn(textCol, lit("")),
+        idCol, textCol, query, window)
+    val text = Bucketing.readKeys(spark, storePath, idCol, ids)
+      .select(col(idCol), col(textCol))
+    snippetsOf(top.join(text, Seq(idCol)), idCol, textCol, query, window)
+  }
+
+  /** The snippet span argmax shared by both fetch paths: for each row
+    * of `withText` (idCol, bm25, textCol), the `window`-token span with
+    * the most query-term hits, earliest on ties — an optimal window can
+    * always be left-aligned on a hit, so candidate starts are the hits
+    * themselves, folded with array algebra (struct max = lexicographic
+    * (count, −start)).
+    */
+  private def snippetsOf(withText: DataFrame, idCol: String,
+                         textCol: String, query: Seq[String],
+                         window: Int): DataFrame = {
+    val terms = query.map(_.toLowerCase).distinct
+    val t = withText.withColumn("__sn_toks", tokens(textCol))
     val hitPos = t
       .select(col(idCol), posexplode(col("__sn_toks")).as(Seq("pos", "tok")))
       .where(col("tok").isin(terms: _*))
@@ -551,8 +689,7 @@ object TextIndex {
     * narrow aggregate over the (term) column — no text, no corpus.
     */
   def stats(spark: SparkSession, cfg: Cfg): DataFrame = {
-    val s = spark.read.parquet(statsPath(cfg))
-      .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
+    val s = mergedStats(spark, cfg)
     val p = spark.read.parquet(postingsPath(cfg))
       .agg(count(lit(1)).as("n_postings"),
         count_distinct(col("term")).as("n_terms"))
@@ -571,25 +708,33 @@ object TextIndex {
     * so the touched `tp=` partitions are known up front (≤ P ints
     * driver-side) and ONLY those leaves are rewritten (anti-join on
     * doc_id, staged atomic swap per leaf — untouched partitions keep
-    * their files byte-for-byte, spec-asserted). The stats sidecar is
-    * additive, so history is never rewritten: one compensating NEGATIVE
-    * (n_docs, sum_len) row lands instead, measured from the postings
-    * actually present for these docs plus the docs' own count (zero-
-    * token docs left no postings but counted into N at append).
+    * their files byte-for-byte, spec-asserted).
     *
-    * Crash contract: the leaf rewrites are idempotent (an anti-join of
-    * absent ids is a no-op), so re-running after a crash mid-rewrite
-    * heals the remaining leaves; `sum_len` compensation is SELF-MEASURING
-    * (only postings still present count), so it stays exact across
-    * re-runs. The one non-idempotent quantity is `n_docs`: a re-run
-    * after any crash BEFORE the orchestrator's corpus rewrite still
-    * finds the docs in the corpus and subtracts their count again.
-    * Reconciliation is one cheap comparison — summed stats `n_docs` vs
-    * the corpus row count — and [[healStats]] rebuilds the sidecar
-    * exactly from the surviving postings + corpus when they disagree
-    * (spec-proven).
+    * EXACTLY-ONCE compensation, by construction. The stats sidecar is
+    * additive and its history is never rewritten; the compensation is a
+    * per-doc row in the retraction LEDGER (`stats/.retract_ledger/`,
+    * see [[mergedStats]]) appended in ONE write — the verb's single
+    * commit point — and every stats read serves base − ledger. The
+    * ordering is measure → ledger → leaf rewrites, and a re-run SKIPS
+    * ids already in the ledger, which makes every crash window exact:
     *
-    * Returns (docs removed from N, token mass removed).
+    *  - crash BEFORE the ledger append: nothing committed; the re-run
+    *    re-measures from the still-intact postings (the leaf rewrites
+    *    only start after the append) — same values, appended once;
+    *  - crash AFTER the append (mid-leaf-rewrites or before them): the
+    *    compensation is already serving; the re-run skips the measured
+    *    ids entirely and just re-runs the idempotent leaf rewrites.
+    *
+    * There is no reconciliation step left — [[healStats]] remains as an
+    * independent auditor, not a required repair. Zero-token docs carry
+    * a ledger row with dl = 0 (they counted into N at append, so they
+    * compensate N). A doc RE-ADMITTED after a completed retraction gets
+    * its stale ledger row folded away by [[appendBatch]] (atomically,
+    * see there), so a later retraction of the re-admitted doc measures
+    * and compensates afresh.
+    *
+    * Returns (docs removed from N, token mass removed) — zeros on a
+    * clean re-run.
     */
   def retract(spark: SparkSession, cfg: Cfg, docs: DataFrame,
               idCol: String, textCol: String): (Long, Long) = {
@@ -600,50 +745,69 @@ object TextIndex {
     val ids = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
       .localCheckpoint(true)
     try {
-      // touched partitions from the docs' own terms — the writer's hash,
-      // bounded by P
-      val tps = docs
-        .select(explode(tokens(textCol)).as("term"))
-        .select(pmod(xxhash64(col("term")), lit(p)).cast("int").as("tp"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val pdir = new File(postingsPath(cfg))
-      val liveTps = tps.filter(v => new File(pdir, s"tp=$v").exists())
-      // compensation measured from the postings ACTUALLY present (an
-      // already-excised doc contributes zero) + the doc count itself
-      val (nDocs, sumLen) =
-        if (liveTps.isEmpty) (docs.count(), 0L)
-        else {
-          val removed = spark.read.parquet(postingsPath(cfg))
-            .where(col("tp").isin(liveTps: _*))
-            .join(broadcast(ids), Seq("doc_id"), "left_semi")
-            .agg(coalesce(sum("tf"), lit(0L)).as("sl"))
-            .collect().head
-          (docs.count(), removed.getLong(0))
+      // already-compensated ids (a prior crashed run's committed ledger
+      // rows) are skipped by the measurement — their leaves still
+      // rewrite below, which is exactly what a crash-rerun must heal
+      val newIds = (if (!hasLedger(cfg)) ids
+        else ids.join(spark.read.parquet(ledgerPath(cfg))
+            .select("doc_id"), Seq("doc_id"), "left_anti"))
+        .localCheckpoint(true)
+      try {
+        // touched partitions from the docs' own terms — the writer's
+        // hash, bounded by P
+        val tps = docs
+          .select(explode(tokens(textCol)).as("term"))
+          .select(pmod(xxhash64(col("term")), lit(p)).cast("int").as("tp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val pdir = new File(postingsPath(cfg))
+        val liveTps = tps.filter(v => new File(pdir, s"tp=$v").exists())
+        val nDocs = newIds.count()
+        var sumLen = 0L
+        if (nDocs > 0) {
+          // per-doc token mass measured from the postings ACTUALLY
+          // present (zero-token docs left none → dl 0), written as the
+          // ledger append — the one commit of the whole compensation
+          val perDoc =
+            if (liveTps.isEmpty)
+              newIds.select(col("doc_id"), lit(0L).as("dl"))
+            else {
+              val present = spark.read.parquet(postingsPath(cfg))
+                .where(col("tp").isin(liveTps: _*))
+                .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+                .groupBy("doc_id").agg(sum("tf").as("__dl0"))
+              newIds.join(present, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("__dl0"), lit(0L)).as("dl"))
+            }
+          val obs = new org.apache.spark.sql.Observation
+          perDoc.observe(obs, coalesce(sum("dl"), lit(0L)).as("sl"))
+            .coalesce(1).write.mode("append").parquet(ledgerPath(cfg))
+          sumLen = obs.get("sl").asInstanceOf[Long]
         }
-      if (nDocs > 0) {
-        import spark.implicits._
-        Seq((-nDocs, -sumLen)).toDF("n_docs", "sum_len")
-          .coalesce(1).write.mode("append").parquet(statsPath(cfg))
-      }
-      liveTps.foreach { v =>
-        val leaf = new File(pdir, s"tp=$v")
-        val staging = Compaction.stagingDir(leaf, "retract")
-        if (staging.exists()) Compaction.rm(staging)
-        spark.read.parquet(leaf.toString)
-          .join(broadcast(ids), Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(staging.toString)
-        Compaction.swapInto(leaf.toString, staging.toString)
-      }
-      (nDocs, sumLen)
+        liveTps.foreach { v =>
+          val leaf = new File(pdir, s"tp=$v")
+          val staging = Compaction.stagingDir(leaf, "retract")
+          if (staging.exists()) Compaction.rm(staging)
+          spark.read.parquet(leaf.toString)
+            .join(broadcast(ids), Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(staging.toString)
+          Compaction.swapInto(leaf.toString, staging.toString)
+        }
+        (nDocs, sumLen)
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(newIds)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(ids)
   }
 
-  /** Rebuild the stats sidecar exactly from ground truth — the heal for
-    * [[retract]]'s documented stats crash window: n_docs from the
+  /** Rebuild the stats sidecar exactly from ground truth — since the
+    * retraction ledger made [[retract]] exactly-once this is an
+    * independent AUDITOR, not a required repair: n_docs from the
     * surviving corpus (zero-token docs included, as at append time),
     * sum_len from the surviving postings (one narrow O(index) aggregate
     * over the tf column — never the corpus text). Staged atomic swap,
-    * so a serve mid-heal sees old or new, never half.
+    * so a serve mid-heal sees old or new, never half — and because the
+    * ledger lives INSIDE the stats directory, the same swap clears it
+    * (a ground-truth rebuild supersedes every pending compensation) in
+    * the same rename.
     */
   def healStats(spark: SparkSession, cfg: Cfg, corpus: DataFrame): Unit = {
     val n = corpus.count()
@@ -660,14 +824,17 @@ object TextIndex {
 
   /** Small-files maintenance: per-term-partition rewrite of the postings
     * (atomic per leaf, layout preserved) and a lossless row-merge of the
-    * stats sidecar to ONE row (the columns are sums). Row-for-row
-    * content is untouched — every serve is bit-identical across it.
+    * stats sidecar to ONE row. The merged row is base − ledger
+    * ([[mergedStats]] — the served value, so every serve is
+    * bit-identical across the pass) and the staging dir carries no
+    * ledger, so the same atomic rename that installs the row FOLDS AND
+    * RETIRES every pending compensation — restoring [[appendBatch]]'s
+    * zero-cost steady state.
     */
   def compact(spark: SparkSession, cfg: Cfg): Unit = {
     Compaction.compactPartitioned(spark, postingsPath(cfg))
     val sp = statsPath(cfg)
-    val merged = spark.read.parquet(sp)
-      .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
+    val merged = mergedStats(spark, cfg)
       .collect().head // two scalars — bounded driver state
     import spark.implicits._
     val dir = new File(sp)

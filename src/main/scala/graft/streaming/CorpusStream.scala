@@ -121,8 +121,18 @@ object CorpusStream {
     *
     * Retraction runs FIRST so a crash anywhere leaves the rejected
     * batches still claimed and the re-run re-heals (retraction is
-    * idempotent; the text-index `n_docs` residue is documented at
-    * [[graft.sources.TextIndex.retract]]). Scope, stated plainly:
+    * idempotent — exactly-once stats via the text index's retraction
+    * ledger, [[graft.sources.TextIndex.retract]]). Crash windows, both
+    * append-side and both swallowed downstream: (a) a crash between the
+    * LEDGER append and the claim removal re-appends the ledger row on
+    * re-run — `rejected_ts` dedupes readers; (b) a crash between the
+    * KEPT-batch re-append and the claim removal makes the recovery
+    * re-run append the surviving queue rows AGAIN — the duplicated
+    * quarantine rows are re-triaged like any queue content and the
+    * corpus loop's exact-key gate swallows them at release (a held
+    * batch can be duplicated in the queue, never double-admitted; the
+    * same trade [[reprocessQuarantine]] documents for its own claimed-
+    * dir cleanup). Scope, stated plainly:
     * retraction is BY DOC ID — if a rejected batch re-delivered the id
     * of a legitimately admitted document, that document is retracted
     * too (ids are the corpus identity; a quarantined re-delivery of a

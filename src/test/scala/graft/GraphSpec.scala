@@ -265,6 +265,74 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental local PPR (delta push): batched updates land within " +
+      "the residual bound of a from-scratch push — including a source " +
+      "that gains its FIRST out-edges (formerly dangling) and a source " +
+      "whose out-weight grows; replaying a batch is a no-op; a lost " +
+      "state heals to the fresh answer") {
+    import graft.operators.Graph
+    val store = java.nio.file.Files.createTempDirectory("ppr_store")
+      .resolve("st").toString
+    // batch 1: a ring over 1..8 plus spokes into 9 (9 stays DANGLING),
+    // seeds {1, 5}
+    val b1 = ((1L to 8L).map(i => (i, i % 8 + 1)) ++
+      Seq((2L, 9L), (6L, 9L))).toDF("src", "dst")
+    // batch 2: 9 gains its first out-edges (the wasDangling branch),
+    // 1 gains an extra out-edge (the hadOut branch), plus a brand-new
+    // pair between nodes the state never touched deeply
+    val b2 = Seq((9L, 1L), (9L, 5L), (1L, 6L), (7L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val eps = 1e-5
+    Graph.updateLocalPprStore(spark, store, b1, "src", "dst", seeds,
+      "id", eps = eps)
+    val inc = Graph.updateLocalPprStore(spark, store, b2, "src", "dst",
+        seeds, "id", eps = eps)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val full = ((1L to 8L).map(i => (i, i % 8 + 1)) ++
+      Seq((2L, 9L), (6L, 9L), (9L, 1L), (9L, 5L), (1L, 6L), (7L, 3L)))
+      .toDF("src", "dst")
+    val fs = Graph.localPersonalizedPageRank(full, "src", "dst", seeds,
+        "id", eps = eps)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val ids = (inc.keySet ++ fs.keySet).toSeq
+    val l1 = ids.map(id => math.abs(
+      inc.get(id).map(_._1).getOrElse(0.0) -
+        fs.get(id).map(_._1).getOrElse(0.0))).sum
+    val bound = inc.values.map(t => math.abs(t._2)).sum +
+      fs.values.map(t => math.abs(t._2)).sum
+    assert(l1 <= bound + 1e-9, s"L1 $l1 vs residual bound $bound")
+    // the bound is also TIGHT enough to mean something at this eps
+    assert(l1 < 0.05, s"delta push drifted: L1 $l1")
+    // replaying batch 2 is a no-op: same state back
+    val replay = Graph.updateLocalPprStore(spark, store, b2, "src",
+        "dst", seeds, "id", eps = eps)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(replay === inc)
+    // damping drift fails loudly
+    intercept[IllegalArgumentException] {
+      Graph.updateLocalPprStore(spark, store,
+        Seq((3L, 9L)).toDF("src", "dst"), seeds = seeds,
+        srcCol = "src", dstCol = "dst", seedIdCol = "id",
+        damping = 0.5, eps = eps)
+    }
+    // crash heal: state lost (edges intact) → the next update re-pushes
+    // from scratch over the merged edges and lands within bound of fs
+    graft.sources.Compaction.rm(new java.io.File(s"$store/state"))
+    val healed = Graph.updateLocalPprStore(spark, store,
+        b2, "src", "dst", seeds, "id", eps = eps) // re-sent pairs dedupe
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val l1h = (healed.keySet ++ fs.keySet).toSeq.map(id => math.abs(
+      healed.get(id).map(_._1).getOrElse(0.0) -
+        fs.get(id).map(_._1).getOrElse(0.0))).sum
+    assert(l1h <= healed.values.map(t => math.abs(t._2)).sum +
+      fs.values.map(t => math.abs(t._2)).sum + 1e-9)
+  }
+
   test("coreness: hand cases (K4=3, cycle=2, star=1) and a randomized " +
       "law — the H-index fixpoint equals brute-force min-degree peeling") {
     def served(edges: Seq[(Long, Long)]): Map[Long, Long] =

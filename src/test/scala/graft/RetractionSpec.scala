@@ -351,6 +351,225 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("not grouped"))
   }
 
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("lazy takedown: tombstoneDocs hides the ids from EVERY serving " +
+      "face immediately with zero physical rewrites; the physical pass " +
+      "(retractDocs) then lands identical to eager retraction and " +
+      "retires the overlay, so a re-submitted copy is not hidden") {
+    val docs = corpus(60)
+    val gone = Seq(4L, 9L, 17L) // 17 zero-token
+    def build(tag: String): Retraction.Artifacts = {
+      val a = Retraction.Artifacts(
+        corpusPath = tmp(s"lz_corpus_$tag"),
+        minhashIndexPath = Some(tmp(s"lz_mh_$tag")),
+        textIndex = Some(TextIndex.Cfg(tmp(s"lz_ti_$tag"), partitions = 8)),
+        annIndexPath = Some(tmp(s"lz_ann_$tag")),
+        dupLabelsPath = Some(tmp(s"lz_lbl_$tag")))
+      docs.write.mode("overwrite").parquet(a.corpusPath)
+      TextIndex.writeIndex(docs, "doc_id", "text", a.textIndex.get)
+      Dedup.writeMinhashIndex(docs, "doc_id", "text",
+        a.minhashIndexPath.get)
+      Similarity.writeIvfIndex(docs, "doc_id", "embedding",
+        a.annIndexPath.get, nlist = 4)
+      // 4 is a canonical (min of {4,30,31}), 9 a satellite of {2,9}
+      Components.updateLabelStore(spark, a.dupLabelsPath.get,
+        Seq((4L, 30L), (30L, 31L), (2L, 9L)).toDF("src", "dst"),
+        "src", "dst")
+      a
+    }
+    val a = build("lazy")
+    val ti = a.textIndex.get
+    val postingsBefore = spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id").isin(gone: _*)).count()
+    assert(postingsBefore > 0)
+    val r = Retraction.tombstoneDocs(spark, gone.toDF("doc_id"),
+      "doc_id", a)
+    assert(r === Retraction.Report(3, 3))
+    // membership gone from every face — the floor contract
+    val q = Seq("hash", "join", "vector", "scan", "sort")
+    val bm = TextIndex.bm25TopK(spark, ti, "doc_id", q, 60)
+    assert(bm.where(col("doc_id").isin(gone: _*)).isEmpty)
+    assert(bm.count() > 0) // survivors still serve
+    val ann = Similarity.ivfTopKFromIndex(spark, a.annIndexPath.get,
+      "doc_id", "embedding",
+      docs.where(col("doc_id") === 4L).select("embedding"), "embedding",
+      k = 60, nprobe = 4)
+    assert(ann.where(col("doc_id").isin(gone: _*)).isEmpty)
+    val mh = Dedup.dedupAgainstIndex(docs, "doc_id", "text",
+      a.minhashIndexPath.get, threshold = 0.8)
+    assert(mh.where(col("corpus_id").isin(gone: _*)).isEmpty)
+    // label store: 9's row hidden; 4's satellites read as orphans
+    assert(Components.lookupComponent(spark, a.dupLabelsPath.get, 9L)
+      === None)
+    assert(Components.lookupComponents(spark, a.dupLabelsPath.get,
+        Seq(30L, 31L))
+      .select("component").as[Long].collect().toSet === Set(30L, 31L))
+    // ...and NOTHING was physically rewritten: postings + corpus intact
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id").isin(gone: _*)).count() === postingsBefore)
+    assert(spark.read.parquet(a.corpusPath)
+      .where(col("doc_id").isin(gone: _*)).count() === 3L)
+    // stats still price the physical index (N catches up at excision)
+    assert(TextIndex.stats(spark, ti).select("n_docs")
+      .as[Long].collect().head === 60L)
+
+    // the physical pass on the compaction cadence: identical to EAGER
+    Retraction.retractDocs(spark, gone.toDF("doc_id"), "doc_id", a)
+    val eager = build("eager")
+    Retraction.retractDocs(spark, gone.toDF("doc_id"), "doc_id", eager)
+    assert(
+      TextIndex.bm25TopK(spark, ti, "doc_id", q, 60)
+        .as[(Long, Double)].collect().toSeq ===
+      TextIndex.bm25TopK(spark, eager.textIndex.get, "doc_id", q, 60)
+        .as[(Long, Double)].collect().toSeq)
+    assert(TextIndex.stats(spark, ti).as[(Long, Long, Double, Long, Long)]
+        .collect().head ===
+      TextIndex.stats(spark, eager.textIndex.get)
+        .as[(Long, Long, Double, Long, Long)].collect().head)
+    assert(spark.read.parquet(a.corpusPath).select("doc_id")
+        .as[Long].collect().toSet ===
+      spark.read.parquet(eager.corpusPath).select("doc_id")
+        .as[Long].collect().toSet)
+    // overlays retired — a re-admission of the same id is NOT hidden
+    (a.minhashIndexPath.toSeq :+ ti.indexPath).foreach { root =>
+      assert(graft.sources.Tombstones
+        .readIds(spark, root).isEmpty, s"stale overlay at $root")
+    }
+    TextIndex.appendBatch(docs.where(col("doc_id") === 4L),
+      "doc_id", "text", ti)
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id", q, 60)
+      .where(col("doc_id") === 4L).count() === 1L)
+  }
+
+  test("exactly-once retraction ledger: a crash-rerun (ledger committed, " +
+      "leaves not yet rewritten) and a completed-run rerun both land " +
+      "EXACT stats with no healing; a re-admission folds the pending " +
+      "compensation so the next retraction compensates afresh") {
+    val docs = corpus(30)
+    val goneDocs = docs.where(col("doc_id").isin(6L, 17L)) // 17 zero-token
+    val survivors = docs.where(!col("doc_id").isin(6L, 17L))
+    def freshStats(of: DataFrame): (Long, Long, Double, Long, Long) = {
+      val cfg = TextIndex.Cfg(tmp("lx_fresh"), partitions = 8)
+      TextIndex.writeIndex(of, "doc_id", "text", cfg)
+      TextIndex.stats(spark, cfg)
+        .as[(Long, Long, Double, Long, Long)].collect().head
+    }
+    val ti = TextIndex.Cfg(tmp("lx_ti"), partitions = 8)
+    TextIndex.writeIndex(docs, "doc_id", "text", ti)
+    // snapshot the postings so the ledger-committed/leaves-intact crash
+    // state can be reconstructed
+    val pdir = new java.io.File(s"${ti.indexPath}/postings")
+    val snap = new java.io.File(tmp("lx_snap"))
+    copyTree(pdir, snap)
+    assert(TextIndex.retract(spark, ti, goneDocs, "doc_id", "text")
+      === ((2L, spark.read.parquet(snap.toString)
+        .where(col("doc_id") === 6L).agg(sum("tf"))
+        .as[Long].collect().head)))
+    val want = freshStats(survivors)
+    assert(TextIndex.stats(spark, ti)
+      .as[(Long, Long, Double, Long, Long)].collect().head === want)
+    // CRASH WINDOW: ledger committed, leaf rewrites lost — restore the
+    // pre-retract postings and re-run. The re-run must skip the
+    // already-compensated ids (no double-subtract) and re-heal the
+    // leaves. This is the r17 double-subtract window, now exact.
+    graft.sources.Compaction.rm(pdir)
+    copyTree(snap, pdir)
+    assert(TextIndex.retract(spark, ti, goneDocs, "doc_id", "text")
+      === ((0L, 0L)))
+    assert(TextIndex.stats(spark, ti)
+      .as[(Long, Long, Double, Long, Long)].collect().head === want,
+      "crash-rerun must land exact stats WITHOUT healStats")
+    assert(spark.read.parquet(pdir.toString)
+      .where(col("doc_id") === 6L).isEmpty)
+    // completed-run rerun (orchestrator crash before the corpus
+    // rewrite): same exactness
+    assert(TextIndex.retract(spark, ti, goneDocs, "doc_id", "text")
+      === ((0L, 0L)))
+    assert(TextIndex.stats(spark, ti)
+      .as[(Long, Long, Double, Long, Long)].collect().head === want)
+    // RE-ADMISSION: the same doc arrives again — appendBatch folds its
+    // pending compensation away atomically, so stats reflect presence…
+    TextIndex.appendBatch(docs.where(col("doc_id") === 6L),
+      "doc_id", "text", ti)
+    val withSix = freshStats(docs.where(col("doc_id") =!= 17L))
+    assert(TextIndex.stats(spark, ti)
+      .as[(Long, Long, Double, Long, Long)].collect().head === withSix)
+    // …and the NEXT retraction measures and compensates afresh —
+    // exactly-once across a full admit/retract/re-admit/retract cycle
+    val r2 = TextIndex.retract(spark, ti,
+      docs.where(col("doc_id") === 6L), "doc_id", "text")
+    assert(r2._1 === 1L && r2._2 > 0L)
+    assert(TextIndex.stats(spark, ti)
+      .as[(Long, Long, Double, Long, Long)].collect().head === want)
+    // compact folds the ledger into the base row without moving any
+    // served value — and empties it (the zero-cost steady state)
+    TextIndex.compact(spark, ti)
+    assert(TextIndex.stats(spark, ti)
+      .as[(Long, Long, Double, Long, Long)].collect().head === want)
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id",
+      Seq("hash", "join"), 30).count() > 0)
+  }
+
+  test("satellite re-closure: retracting a duplicate cluster's CANONICAL " +
+      "re-derives the survivors' mutual pairs from the stored MinHash " +
+      "signatures and re-closes the label store — provenance queries " +
+      "keep answering; unrelated clusters are untouched") {
+    val root = Files.createTempDirectory("rt_reclose")
+    val corpusPath = root.resolve("corpus").toString
+    val mh = root.resolve("mh").toString
+    val lbl = root.resolve("lbl").toString
+    // docs 3, 9, 15 share identical text (a true cluster, canonical 3);
+    // 20/21 form a second cluster; every other doc gets a unique suffix
+    // so no accidental cluster forms
+    val planted = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "iota kappa lambda mu nu xi omicron pi"
+    val docs = (1L to 30L).map { i =>
+      val text =
+        if (Seq(3L, 9L, 15L).contains(i)) planted
+        else if (Seq(20L, 21L).contains(i)) other
+        else docText(i) + " unique" + i
+      (i, text)
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(corpusPath)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", mh)
+    // the store from the signature index's own pairs (gate-consistent)
+    val pairs = Dedup.pairsFromMinhashIndex(spark, mh,
+      docs.select("doc_id"), "doc_id", threshold = 0.8)
+    assert(pairs.where(col("id_a") === 3L).count() === 2L,
+      "fixture: the planted cluster's pairs must re-derive")
+    Components.updateLabelStore(spark, lbl, pairs, "id_a", "id_b",
+      partitions = 4)
+    Retraction.retractDocs(spark, Seq(3L).toDF("doc_id"), "doc_id",
+      Retraction.Artifacts(corpusPath, minhashIndexPath = Some(mh),
+        dupLabelsPath = Some(lbl)))
+    val labels = Components.readLabelStore(spark, lbl)
+      .as[(Long, Long)].collect().toSet
+    // survivors re-closed under the new minimum 9; no reference to 3
+    // anywhere; the unrelated cluster intact
+    assert(labels.contains((9L, 9L)) && labels.contains((15L, 9L)),
+      s"survivors must stay co-labeled, got $labels")
+    assert(!labels.exists(t => t._1 == 3L || t._2 == 3L))
+    assert(labels.contains((20L, 20L)) && labels.contains((21L, 20L)))
+    // the point-lookup face agrees (bloom-routed partitioned store)
+    assert(Components.lookupComponent(spark, lbl, 15L) === Some(9L))
+    // a retracted SATELLITE (no canonical involved) just loses its row
+    Retraction.retractDocs(spark, Seq(21L).toDF("doc_id"), "doc_id",
+      Retraction.Artifacts(corpusPath, minhashIndexPath = Some(mh),
+        dupLabelsPath = Some(lbl)))
+    val after = Components.readLabelStore(spark, lbl)
+      .as[(Long, Long)].collect().toSet
+    assert(!after.exists(t => t._1 == 21L))
+    assert(after.contains((9L, 9L)) && after.contains((15L, 9L)))
+  }
+
   test("scd2CloseStored: close-don't-delete — history intact, closed at " +
       "the given version, as-of reads before the close still reproduce; " +
       "closing every key empties the current partition cleanly") {

@@ -329,8 +329,8 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
 
   test("retract excises docs from postings + stats: serves equal a " +
       "fresh index over the survivors, untouched tp partitions keep " +
-      "their files byte-for-byte, and the documented stats crash window " +
-      "heals via healStats") {
+      "their files byte-for-byte, and a replayed retract is exactly-once " +
+      "(ledger) with healStats as independent auditor") {
     val docs = corpus(60)
     val cfg = newCfg(parts = 8)
     TextIndex.writeIndex(docs, "doc_id", "text", cfg)
@@ -370,16 +370,76 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double, Long, Long)].collect().head
     assert(statsRow(cfg) === statsRow(fresh))
     // re-admission is clean: the retracted docs append again and serve
+    // (their pending ledger compensations fold away atomically)
     TextIndex.appendBatch(gone, "doc_id", "text", cfg)
     assert(statsRow(cfg)._1 === 60L)
-    // the documented crash window: a re-run BEFORE the corpus rewrite
-    // re-subtracts n_docs (sum_len self-measures to 0) — reconciliation
-    // sees stats disagree with the corpus, healStats rebuilds exactly
+    // EXACTLY-ONCE across re-runs: a replayed retract (the orchestrator
+    // crash-before-corpus-rewrite case) is a no-op — the r17 design
+    // double-subtracted n_docs here and needed healStats; the ledger
+    // skips already-compensated ids, so stats stay exact unhealed
     TextIndex.retract(spark, cfg, gone, "doc_id", "text")
-    TextIndex.retract(spark, cfg, gone, "doc_id", "text") // replayed
-    assert(statsRow(cfg)._1 === 54L, "the window double-subtracts n_docs")
+    assert(TextIndex.retract(spark, cfg, gone, "doc_id", "text")
+      === ((0L, 0L))) // replayed — skipped via the ledger
+    assert(statsRow(cfg) === statsRow(fresh),
+      "a replayed retract must not double-subtract")
+    // healStats remains the independent auditor (and clears the ledger
+    // in the same atomic swap)
     TextIndex.healStats(spark, cfg, survivors)
     assert(statsRow(cfg) === statsRow(fresh))
+  }
+
+  test("forward-store snippet fetch: snippetTopKStored equals " +
+      "snippetTopK row-for-row, the text read prunes to the winners' " +
+      "kb buckets (PartitionFilters), and the store's own retraction " +
+      "rewrites only the keys' buckets") {
+    import graft.sources.Bucketing
+    val docs = corpus(80)
+    val cfg = newCfg(parts = 8)
+    TextIndex.writeIndex(docs, "doc_id", "text", cfg)
+    val store = Files.createTempDirectory("fwd_store")
+      .resolve("fs").toString
+    Bucketing.writeKeyBucketed(docs.select("doc_id", "text"), store,
+      "doc_id", partitions = 8)
+    val q = Seq("hash", "join", "vector")
+    def snip(df: DataFrame): Seq[(Long, Double, Long, String)] =
+      df.as[(Long, Double, Long, String)].collect().sortBy(_._1).toSeq
+    assert(
+      snip(TextIndex.snippetTopKStored(spark, cfg, store, "doc_id",
+        "text", q, window = 6, k = 10)) ===
+      snip(TextIndex.snippetTopK(spark, cfg, docs, "doc_id", "text", q,
+        window = 6, k = 10)))
+    // the point read prunes statically on the keys' buckets
+    val read = Bucketing.readKeys(spark, store, "doc_id",
+      Seq(1L, 2L, 3L))
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*kb".r.findFirstIn(plan).nonEmpty,
+      s"forward-store read must prune on kb:\n$plan")
+    assert(read.select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+    // store retraction: only the keys' buckets rewrite
+    def leafFiles(v: Int): Set[(String, Long)] = {
+      val d = new java.io.File(store, s"kb=$v")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val touchedKb = spark.read.parquet(store)
+      .where(col("doc_id") === 2L)
+      .select("kb").as[Int].collect().toSet
+    val untouched = (0 until 8).filterNot(touchedKb).filter(v =>
+      new java.io.File(store, s"kb=$v").exists())
+    val before = untouched.map(v => v -> leafFiles(v)).toMap
+    Bucketing.retractKeyBucketed(spark, store,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    untouched.foreach(v => assert(leafFiles(v) === before(v),
+      s"kb=$v holds no retracted key but was rewritten"))
+    assert(Bucketing.readKeys(spark, store, "doc_id", Seq(1L, 2L, 3L))
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    // the tombstone overlay is honored by the point fetch
+    graft.sources.Tombstones.append(store, Seq(3L).toDF("doc_id"),
+      "doc_id")
+    assert(Bucketing.readKeys(spark, store, "doc_id", Seq(1L, 2L, 3L))
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
   }
 
   test("layout pin: a partition-count drift fails loudly; reserved " +
