@@ -182,6 +182,22 @@ object CorpusPipeline {
     */
   case class LmGate(indexPath: String, maxPpl: Double)
 
+  /** Key-bucketed FORWARD STORE maintained alongside the corpus: each
+    * admitted batch's (id, text) projection appends under the pinned
+    * `kb = pmod(xxhash64(id), partitions)` layout
+    * ([[graft.sources.Bucketing.writeKeyBucketed]]), created on the
+    * first batch. This is the point-text-fetch side of the retrieval
+    * stack — [[graft.sources.TextIndex.snippetTopKStored]] reads the k
+    * winners' text from ≤ k buckets instead of scanning the corpus's
+    * (id, text) columns — and it maps 1:1 onto
+    * [[graft.operators.Retraction.Artifacts.forwardStorePath]] so the
+    * loop's configuration IS its takedown configuration.
+    * `compactEvery` runs the per-leaf small-files pass on a cadence,
+    * like the ANN codes table.
+    */
+  case class ForwardStore(path: String, partitions: Int = 16,
+                          compactEvery: Int = 0)
+
   /** DSIR selection gate against a FROZEN importance-weight index (a
     * [[graft.operators.Dsir.writeDsirIndex]] sidecar — target and raw
     * feature models fitted once, up front, the paper's own convention).
@@ -308,6 +324,13 @@ object CorpusPipeline {
     * rebuild, visible and repairable — rather than SKIPPING it, which
     * would leave the batch permanently unfindable); compacted on its
     * own `compactEvery` cadence like the ANN codes table.
+    *
+    * `forwardStore`: when set, the survivors' (id, text) projection
+    * also appends to the key-bucketed point-fetch store
+    * ([[ForwardStore]]) — same retry stance and ordering as the text
+    * index (a repeated append duplicates the one batch's rows, visible
+    * through the id-keyed fetch and repairable by a rewrite; skipping
+    * would lose the batch's text from the point-fetch path forever).
     */
   def dedupAndAppend(batch: DataFrame, corpusPath: String, indexPath: String,
                      idCol: String, textCol: String, threshold: Double,
@@ -328,7 +351,8 @@ object CorpusPipeline {
                      funnel: Option[String] = None,
                      media: Option[MediaGate] = None,
                      funnelBatchId: Long = -1L,
-                     textIndex: Option[graft.sources.TextIndex.Cfg] = None)
+                     textIndex: Option[graft.sources.TextIndex.Cfg] = None,
+                     forwardStore: Option[ForwardStore] = None)
       : Long = {
     // schema-drift gate FIRST, before any other gate touches the batch:
     // parquet append accepts ANY schema — a renamed/retyped column in a
@@ -650,6 +674,21 @@ object CorpusPipeline {
             cfg)
           maybeCompact(cfg.indexPath, cfg.compactEvery) {
             graft.sources.TextIndex.compact(spark, cfg)
+          }
+        }
+        // point-fetch forward store: the survivors' (id, text) rows land
+        // under the pinned kb= layout — created on the first batch,
+        // appended after, same pre-gate retry stance as the text index
+        forwardStore.foreach { fs =>
+          val projected = survivors.select(col(idCol), col(textCol))
+          if (new java.io.File(fs.path, "_key_partitions").exists())
+            graft.sources.Bucketing.appendKeyBucketed(projected, fs.path,
+              idCol)
+          else
+            graft.sources.Bucketing.writeKeyBucketed(projected, fs.path,
+              idCol, fs.partitions)
+          maybeCompact(fs.path, fs.compactEvery) {
+            graft.sources.Compaction.compactPartitioned(spark, fs.path)
           }
         }
         // sketch monitoring sidecar: one narrow aggregation over the

@@ -398,7 +398,7 @@ object Components {
                 col("component") === col("__rid"), "left_semi")
             .select("lp").distinct()
             .collect().map(_.getInt(0)).toSeq
-          touched.foreach { x =>
+          graft.sources.Compaction.parEach(touched) { x =>
             val leaf = new java.io.File(dir, s"lp=$x")
             val staging =
               graft.sources.Compaction.stagingDir(leaf, "retract")

@@ -179,6 +179,8 @@ object Pq {
                     oversample: Int = 4): DataFrame = {
     val cb = readCodebooks(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
     rerank(codes, rawCorpus, idCol, vecCol, query, queryVecCol, k, cb,
       oversample)
   }
@@ -201,6 +203,8 @@ object Pq {
                          oversample: Int = 4): DataFrame = {
     val cb = readCodebooks(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       Vectors.toDouble(col(queryVecCol)).as("__qvec"),
       adcTablesExpr(cb, col(queryVecCol)).as("__adc")))

@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   *    precisely the re-admission contract;
   *  - ANN code/data  → [[Similarity.retractFromIndex]] — cell-pruned
   *    rewrite (≤ nlist touched leaves), geometry sidecars untouched;
+  *  - LSH index      → [[Similarity.retractFromLshIndex]] —
+  *    (table, bucket)-pruned rewrite (≤ |ids|·tables leaves);
   *  - SQ8 index      → [[Sq.retractFromSqIndex]];
   *  - media/audio    → [[Multimodal.retractFromMediaIndex]];
   *  - label store    → [[Components.retractFromLabelStore]] — re-closure
@@ -128,6 +130,8 @@ object Retraction {
       exactKeys: Option[graft.sources.BloomKeyIndex.Cfg] = None,
       annIndexPath: Option[String] = None,
       annIdCol: String = "doc_id",
+      lshIndexPath: Option[String] = None,
+      lshIdCol: String = "doc_id",
       sqIndexPath: Option[String] = None,
       sqIdCol: String = "doc_id",
       mediaIndexPath: Option[String] = None,
@@ -149,8 +153,8 @@ object Retraction {
     */
   private def overlayRoots(a: Artifacts): Seq[String] =
     a.textIndex.map(_.indexPath).toSeq ++ a.minhashIndexPath ++
-      a.annIndexPath ++ a.sqIndexPath ++ a.mediaIndexPath ++
-      a.dupLabelsPath ++ a.forwardStorePath
+      a.annIndexPath ++ a.lshIndexPath ++ a.sqIndexPath ++
+      a.mediaIndexPath ++ a.dupLabelsPath ++ a.forwardStorePath
 
   /** LAZY takedown: write `ids` into every configured artifact's
     * tombstone overlay — O(ids) per artifact, the whole verb — and
@@ -216,6 +220,24 @@ object Retraction {
       phrases)
     if (hits.isEmpty) Report(0L, 0L) // clean corpus — touch nothing
     else retractDocs(spark, hits, a.idCol, a)
+  }
+
+  /** The compaction-cadence PHYSICAL pass for lazy takedowns: the
+    * union of every configured artifact's tombstone-overlay ids IS the
+    * excision worklist (the maintenance job needs no memory of the
+    * original takedown requests), fed through [[retractDocs]], which
+    * also retires the overlay rows it covers — after this call the
+    * deployment is byte-equal to one that took the eager path
+    * (spec-proven). A deployment with no pending tombstones is a no-op.
+    */
+  def applyTombstones(spark: SparkSession, a: Artifacts): Report = {
+    val roots = overlayRoots(a)
+    require(roots.nonEmpty,
+      "applyTombstones: Artifacts configures no overlay-carrying artifact")
+    val ids = roots.map(r => graft.sources.Tombstones.readIds(spark, r))
+      .reduce(_ unionAll _).distinct()
+    if (ids.isEmpty) Report(0L, 0L)
+    else retractDocs(spark, ids, "__ts_id", a)
   }
 
   /** Excise `ids` from every configured artifact, then from the corpus.
@@ -300,6 +322,10 @@ object Retraction {
             Similarity.retractFromIndex(spark, p, keys, "__rid",
               a.annIdCol)
           }
+          a.lshIndexPath.foreach { p =>
+            Similarity.retractFromLshIndex(spark, p, keys, "__rid",
+              a.lshIdCol)
+          }
           a.sqIndexPath.foreach { p =>
             Sq.retractFromSqIndex(spark, p, keys, "__rid", a.sqIdCol)
           }
@@ -308,7 +334,7 @@ object Retraction {
           }
           a.forwardStorePath.foreach { p =>
             graft.sources.Bucketing.retractKeyBucketed(spark, p, keys,
-              "__rid")
+              "__rid", a.idCol)
           }
         }
         a.dupLabelsPath.foreach { p =>
@@ -345,7 +371,7 @@ object Retraction {
             // the takedown set; only those leaves rewrite
             val touched = docs.select(col(pc).cast("string")).distinct()
               .collect().map(_.getString(0)).toSeq
-            touched.foreach { v =>
+            graft.sources.Compaction.parEach(touched) { v =>
               val leaf = new java.io.File(a.corpusPath, s"$pc=$v")
               if (leaf.exists()) {
                 val staging =

@@ -186,7 +186,7 @@ object Similarity {
         .join(broadcast(keys), Seq("__rid"), "left_semi")
         .select("cell").distinct()
         .collect().map(_.getInt(0)).toSeq
-      touched.foreach { c =>
+      graft.sources.Compaction.parEach(touched) { c =>
         val leaf = new java.io.File(table, s"cell=$c")
         val staging = graft.sources.Compaction.stagingDir(leaf, "retract")
         if (staging.exists()) graft.sources.Compaction.rm(staging)
@@ -747,6 +747,8 @@ object Similarity {
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
     Pq.rerankWith(codes, rawCorpus, idCol, vecCol, q, k, cb, oversample)
   }
 
@@ -783,6 +785,8 @@ object Similarity {
     val candidates = spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(cells.toIndexedSeq: _*)) // → parquet PartitionFilters
       .transform(df => filter.fold(df)(df.where)) // → parquet PushedFilters
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
       .join(broadcast(assigned), "cell")
       .select(col("query_id"), col(idCol), col("__qvec"),
         Pq.adcScoreExpr(cb.m, col("__adc")).as("adc_score"))
@@ -849,6 +853,49 @@ object Similarity {
     * node. Candidates are deduplicated across tables before the exact
     * rerank, exactly as [[lshTopK]] does.
     */
+  /** TAKEDOWN over the (table, bucket)-partitioned LSH index — the
+    * [[retractFromIndex]] discipline under the two-level layout: a doc
+    * lives in exactly `tables` leaves, so one column-pruned pass (id +
+    * the directory-derived table/bucket, no vectors read) finds the
+    * touched (table, bucket) pairs (≤ |ids|·tables, bounded) and ONLY
+    * those leaves rewrite — anti-join on the id, staged atomic swap per
+    * leaf, overlapped via [[graft.sources.Compaction.parEach]]. The
+    * meta sidecar (nBits, tables) is geometry, untouched. Idempotent.
+    */
+  def retractFromLshIndex(spark: SparkSession, path: String,
+                          ids: DataFrame, idsCol: String,
+                          indexIdCol: String): Unit = {
+    val table = s"$path/data"
+    if (!new java.io.File(table).exists()) return
+    val keys = ids.select(col(idsCol).cast("long").as("__rid")).distinct()
+      .localCheckpoint(true)
+    try {
+      // partition-column values read back type-inferred from directory
+      // names (a small bucket parses as int) — cast both explicitly
+      val touched = spark.read.parquet(table)
+        .select(col(indexIdCol).cast("long").as("__rid"),
+          col("table").cast("int").as("table"),
+          col("bucket").cast("long").as("bucket"))
+        .join(broadcast(keys), Seq("__rid"), "left_semi")
+        .select("table", "bucket").distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      graft.sources.Compaction.parEach(touched) { case (t, b) =>
+        val leaf = new java.io.File(table, s"table=$t/bucket=$b")
+        if (leaf.exists()) {
+          val staging = graft.sources.Compaction.stagingDir(leaf, "retract")
+          if (staging.exists()) graft.sources.Compaction.rm(staging)
+          val leafDf = spark.read.parquet(leaf.toString)
+          leafDf.join(broadcast(keys),
+              leafDf(indexIdCol).cast("long") === keys("__rid"),
+              "left_anti")
+            .write.mode("overwrite").parquet(staging.toString)
+          graft.sources.Compaction.swapInto(leaf.toString,
+            staging.toString)
+        }
+      }
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
+  }
+
   def lshTopKFromIndex(spark: SparkSession, path: String, idCol: String,
                        vecCol: String, query: DataFrame, queryVecCol: String,
                        k: Int, hammingProbe: Int = 0): DataFrame = {
@@ -873,6 +920,8 @@ object Similarity {
     val qvec = broadcast(query.select(col(queryVecCol).as("__qvec")))
     spark.read.parquet(s"$path/data")
       .where(pruned)
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
       .dropDuplicates(idCol)
       .crossJoin(qvec)
       .select(col(idCol), Vectors.cosine(col(vecCol), col("__qvec")).as("score"))
@@ -917,6 +966,8 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("score").desc, col(idCol))
     spark.read.parquet(s"$path/data")
       .where(pruned)
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      .transform(graft.sources.Tombstones.exclude(_, path, col(idCol)))
       .join(broadcast(probes), Seq("table", "bucket"))
       .dropDuplicates("query_id", idCol) // multi-table collisions
       .select(col("query_id"), col(idCol),

@@ -242,7 +242,7 @@ object BloomKeyIndex {
       val kps = keyed
         .select(pmod(col("khash"), lit(cfg.keyPartitions)).as("kp"))
         .distinct().collect().map(_.getLong(0))
-      kps.foreach { v =>
+      Compaction.parEach(kps.toSeq) { v =>
         val leaf = new java.io.File(cfg.keysPath, s"kp=$v")
         if (leaf.exists()) {
           val staging = Compaction.stagingDir(leaf, "retract")

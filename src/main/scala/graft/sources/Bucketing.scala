@@ -179,24 +179,26 @@ object Bucketing {
     * Idempotent; a missing store is a no-op.
     */
   def retractKeyBucketed(spark: SparkSession, path: String,
-                         keys: DataFrame, keyCol: String,
+                         keys: DataFrame, keysCol: String,
+                         storeKeyCol: String,
                          bucketCol: String = "kb"): Unit = {
     if (!keyPinFile(path).exists()) return
     val p = keyBucketCount(path)
-    val ids = keys.select(col(keyCol).cast("long").as("__rid")).distinct()
+    val ids = keys.select(col(keysCol).cast("long").as("__rid")).distinct()
       .localCheckpoint(true)
     try {
       val kbs = ids.select(pmod(xxhash64(col("__rid")), lit(p))
           .cast("int").as("kb"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      kbs.foreach { v =>
+      Compaction.parEach(kbs) { v =>
         val leaf = new java.io.File(path, s"$bucketCol=$v")
         if (leaf.exists()) {
           val staging = Compaction.stagingDir(leaf, "retract")
           if (staging.exists()) Compaction.rm(staging)
           val leafDf = spark.read.parquet(leaf.toString)
           leafDf.join(broadcast(ids),
-              leafDf(keyCol).cast("long") === ids("__rid"), "left_anti")
+              leafDf(storeKeyCol).cast("long") === ids("__rid"),
+              "left_anti")
             .write.mode("overwrite").parquet(staging.toString)
           Compaction.swapInto(leaf.toString, staging.toString)
         }

@@ -56,6 +56,32 @@ object Compaction {
     (before.length, parquetFiles(dir).length)
   }
 
+  /** Run `f` over `xs` on a bounded thread pool — the leaf-rewrite
+    * parallelizer: a pruned takedown touches K independent partition
+    * leaves (disjoint directories, disjoint staging), and a sequential
+    * driver loop pays K full job round-trips where the cluster could
+    * overlap them. Spark schedules concurrent actions from separate
+    * threads fine (FIFO interleave); `parallelism` bounds the number of
+    * in-flight leaf jobs so a wide takedown cannot flood the scheduler.
+    * The first failure propagates after all submitted work settles —
+    * every leaf rewrite in this repo is idempotent, so a failed batch
+    * re-runs safely.
+    */
+  private[graft] def parEach[A](xs: Seq[A], parallelism: Int = 8)
+                               (f: A => Unit): Unit = {
+    if (xs.sizeIs <= 1) { xs.foreach(f); return }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(parallelism, xs.size))
+    try {
+      val futures = xs.map { x =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = f(x)
+        })
+      }
+      futures.foreach(_.get()) // rethrows the first failure
+    } finally pool.shutdown()
+  }
+
   /** Recursive delete, shared by every rewrite-then-replace site. */
   private[graft] def rm(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -784,7 +784,9 @@ object TextIndex {
             .coalesce(1).write.mode("append").parquet(ledgerPath(cfg))
           sumLen = obs.get("sl").asInstanceOf[Long]
         }
-        liveTps.foreach { v =>
+        // leaves are independent — overlap their rewrite jobs instead of
+        // paying |tps| sequential driver round-trips
+        Compaction.parEach(liveTps) { v =>
           val leaf = new File(pdir, s"tp=$v")
           val staging = Compaction.stagingDir(leaf, "retract")
           if (staging.exists()) Compaction.rm(staging)

@@ -42,7 +42,8 @@ object CorpusStream {
             dupLabelsPartitions: Int = 0,
             funnel: Option[String] = None,
             media: Option[CorpusPipeline.MediaGate] = None,
-            textIndex: Option[graft.sources.TextIndex.Cfg] = None)
+            textIndex: Option[graft.sources.TextIndex.Cfg] = None,
+            forwardStore: Option[CorpusPipeline.ForwardStore] = None)
       : StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
@@ -84,7 +85,8 @@ object CorpusStream {
             idCol, textCol, threshold, gates, benchmark, contaminationN,
             ann, lm, sq, dsir, lrq, indexCompactEvery, sketch, exactKeys,
             dupLabels, corpusCompactEvery, dupLabelsPartitions, funnel,
-            media, funnelBatchId = id, textIndex = textIndex)
+            media, funnelBatchId = id, textIndex = textIndex,
+            forwardStore = forwardStore)
         ()
       }
       .start()

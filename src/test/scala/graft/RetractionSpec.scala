@@ -44,6 +44,7 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       exactKeys = Some(BloomKeyIndex.Cfg(tmp("rt_bk"), keyExpr = "text",
         keyPartitions = 16)),
       annIndexPath = Some(tmp("rt_ann")),
+      lshIndexPath = Some(tmp("rt_lsh")),
       sqIndexPath = Some(tmp("rt_sq")),
       dupLabelsPath = Some(tmp("rt_lbl")))
     docs.write.mode("overwrite").parquet(a.corpusPath)
@@ -52,6 +53,8 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     BloomKeyIndex.appendBatch(docs, a.exactKeys.get)
     Similarity.writeIvfIndex(docs, "doc_id", "embedding",
       a.annIndexPath.get, nlist = 4)
+    Similarity.writeLshIndex(docs, "doc_id", "embedding",
+      a.lshIndexPath.get, nBits = 6, tables = 3)
     Sq.writeSqIndex(docs, "doc_id", "embedding", a.sqIndexPath.get)
     // components: 5 is a canonical (min of {5,40,41}), 10 a satellite of
     // {2,10}, {50,51} untouched
@@ -109,6 +112,11 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(annIds.contains(20L))
     untouchedCells.foreach(c => assert(cellFiles(c) === cellsBefore(c),
       s"cell=$c holds no retracted doc but was rewritten"))
+    // LSH: rows gone from the (table, bucket)-pruned rewrite, a
+    // survivor still resident with its tables× replication
+    val lshData = spark.read.parquet(s"${a.lshIndexPath.get}/data")
+    assert(lshData.where(col("doc_id").isin(gone: _*)).isEmpty)
+    assert(lshData.where(col("doc_id") === 20L).count() === 3L)
     // SQ: rows gone
     assert(spark.read.parquet(s"${a.sqIndexPath.get}/data")
       .where(col("doc_id").isin(gone: _*)).isEmpty)
@@ -516,6 +524,98 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Double, Long, Long)].collect().head === want)
     assert(TextIndex.bm25TopK(spark, ti, "doc_id",
       Seq("hash", "join"), 30).count() > 0)
+  }
+
+  test("tombstoneMatchingPhrases: a benchmark update makes its " +
+      "verbatim-contaminated docs unservable in O(ids) overlay writes; " +
+      "applyTombstones later runs the physical pass from the overlays " +
+      "alone (no memory of the request) and retires them") {
+    val root = Files.createTempDirectory("rt_lazyphrase")
+    val corpusPath = root.resolve("corpus").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 8,
+      positional = true)
+    val mh = root.resolve("mh").toString
+    val docs = corpus(40).drop("embedding")
+    docs.write.mode("overwrite").parquet(corpusPath)
+    TextIndex.writeIndex(docs, "doc_id", "text", ti)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", mh)
+    val a = Retraction.Artifacts(corpusPath, textIndex = Some(ti),
+      minhashIndexPath = Some(mh))
+    val phrases = Seq(Seq("hash", "join"))
+    val contaminated = TextIndex.phraseMembers(spark, ti, "doc_id",
+      phrases).as[Long].collect().toSet
+    assert(contaminated.nonEmpty)
+    val r = Retraction.tombstoneMatchingPhrases(spark, phrases, a)
+    assert(r === Retraction.Report(contaminated.size.toLong,
+      contaminated.size.toLong))
+    // membership and BM25 serves already exclude them — while the
+    // postings (and corpus) still physically hold every row
+    assert(TextIndex.phraseMembers(spark, ti, "doc_id", phrases).isEmpty)
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id",
+        Seq("hash", "join"), 40)
+      .where(col("doc_id").isin(contaminated.toSeq: _*)).isEmpty)
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id").isin(contaminated.toSeq: _*)).count() > 0)
+    assert(spark.read.parquet(corpusPath).count() === 40L)
+    // idempotent: the membership serve consults the overlay, so a
+    // repeat finds nothing new
+    assert(Retraction.tombstoneMatchingPhrases(spark, phrases, a)
+      === Retraction.Report(0L, 0L))
+    // the compaction-cadence physical pass: worklist = the overlays
+    val applied = Retraction.applyTombstones(spark, a)
+    assert(applied === Retraction.Report(contaminated.size.toLong,
+      contaminated.size.toLong))
+    assert(spark.read.parquet(corpusPath).select("doc_id")
+      .as[Long].collect().toSet === (1L to 40L).toSet -- contaminated)
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id").isin(contaminated.toSeq: _*)).isEmpty)
+    assert(graft.sources.Tombstones.readIds(spark, ti.indexPath).isEmpty)
+    assert(graft.sources.Tombstones.readIds(spark, mh).isEmpty)
+    // nothing pending → the cadence verb is a no-op
+    assert(Retraction.applyTombstones(spark, a)
+      === Retraction.Report(0L, 0L))
+  }
+
+  test("corpus loop maintains the key-bucketed forward store: created on " +
+      "the first batch, appended after, serves the stored snippet fetch, " +
+      "replays are swallowed by the gate, and takedown excises it") {
+    import graft.ingest.CorpusPipeline
+    val dir = Files.createTempDirectory("fwd_loop")
+    val corpusPath = dir.resolve("corpus").toString
+    val idx = dir.resolve("mh").toString
+    val fs = CorpusPipeline.ForwardStore(dir.resolve("fs").toString,
+      partitions = 8)
+    val ti = TextIndex.Cfg(dir.resolve("ti").toString, partitions = 8)
+    // fully distinct docs (unique suffixed tokens) sharing one query term
+    def t(i: Long): String =
+      s"alpha$i bravo$i shared charlie$i delta$i echo$i"
+    def mk(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, t(i))).toDF("doc_id", "text")
+    def admit(b: DataFrame): Long =
+      CorpusPipeline.dedupAndAppend(b, corpusPath, idx, "doc_id", "text",
+        threshold = 0.8, textIndex = Some(ti), forwardStore = Some(fs))
+    assert(admit(mk(1L to 6L)) === 6L)
+    assert(admit(mk(7L to 12L)) === 6L)
+    val rows = graft.sources.Bucketing.readKeys(spark, fs.path,
+        "doc_id", (1L to 12L))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(rows === (1L to 12L).map(i => (i, t(i))).toSet)
+    // the stored snippet face serves from the loop-maintained store
+    val snip = TextIndex.snippetTopKStored(spark, ti, fs.path, "doc_id",
+      "text", Seq("shared"), window = 3, k = 5)
+    assert(snip.count() === 5L)
+    assert(snip.where(!col("snippet").contains("shared")).isEmpty)
+    // a replayed batch is swallowed by the gate → no duplicate rows
+    assert(admit(mk(7L to 9L)) === 0L)
+    assert(graft.sources.Bucketing.readKeys(spark, fs.path, "doc_id",
+      Seq(7L, 8L, 9L)).count() === 3L)
+    // takedown: forwardStorePath rides Artifacts like every sidecar
+    Retraction.retractDocs(spark, Seq(3L).toDF("doc_id"), "doc_id",
+      Retraction.Artifacts(corpusPath, minhashIndexPath = Some(idx),
+        textIndex = Some(ti), forwardStorePath = Some(fs.path)))
+    assert(graft.sources.Bucketing.readKeys(spark, fs.path, "doc_id",
+        Seq(2L, 3L, 4L))
+      .select("doc_id").as[Long].collect().toSet === Set(2L, 4L))
   }
 
   test("satellite re-closure: retracting a duplicate cluster's CANONICAL " +

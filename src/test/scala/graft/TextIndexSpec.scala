@@ -430,7 +430,7 @@ class TextIndexSpec extends AnyFunSuite with SparkFixture {
       new java.io.File(store, s"kb=$v").exists())
     val before = untouched.map(v => v -> leafFiles(v)).toMap
     Bucketing.retractKeyBucketed(spark, store,
-      Seq(2L).toDF("doc_id"), "doc_id")
+      Seq(2L).toDF("doc_id"), "doc_id", "doc_id")
     untouched.foreach(v => assert(leafFiles(v) === before(v),
       s"kb=$v holds no retracted key but was rewritten"))
     assert(Bucketing.readKeys(spark, store, "doc_id", Seq(1L, 2L, 3L))
