@@ -4004,6 +4004,27 @@ object ExtQueries {
       Seq((r.requested, r.found)).toDF("requested", "found")
     }),
 
+    // TAKEDOWN SLA: the LAZY verb as a timed row next to
+    // q_takedown_apply's physical pass — tombstoneDocs over the same
+    // pristine artifact copy is O(ids) overlay writes, and its wall
+    // time IS the takedown SLA (invisibility latency); the physical
+    // row above prices the deferred excision. Full oracle on the
+    // Report scalars.
+    "q_takedown_tombstone" -> ((s, d) => {
+      import s.implicits._
+      val src = takedownApplySrc(s, d)
+      val work = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_tombstone_work_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Compaction.rm(work)
+      copyTree(src, work)
+      val r = graft.operators.Retraction.tombstoneDocs(s,
+        docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0)
+          .select("doc_id"),
+        "doc_id", takedownApplyArtifacts(work))
+      Seq((r.requested, r.found)).toDF("requested", "found")
+    }),
+
     // INCREMENTAL local PPR: rank state maintained across two edge
     // batches by delta push (Ohsaka-style residual injection at the new
     // edges' endpoints, then the push loop to tolerance) — served from
@@ -5407,6 +5428,13 @@ object ExtQueries {
     // doc_id % 97 == 0 from a pristine artifact copy — every id is
     // admitted in the fixture, so requested = found = the plain count
     "q_takedown_apply" ->
+      """SELECT CAST(count(*) AS BIGINT) AS requested,
+        |  CAST(count(*) AS BIGINT) AS found
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
+
+    // lazy-takedown SLA row: tombstoneDocs reports requested = found
+    // (the overlay write does not consult the corpus) over the same set
+    "q_takedown_tombstone" ->
       """SELECT CAST(count(*) AS BIGINT) AS requested,
         |  CAST(count(*) AS BIGINT) AS found
         |FROM documents WHERE doc_id % 97 = 0""".stripMargin,

@@ -109,5 +109,9 @@ object SparkEntry {
     // keys; the copy is bounded and constant). The number tracks the
     // pruned leaf rewrites: an accidental full-index rewrite regression
     // shows up here as wall time, not just in specs
-    "q_takedown_apply")
+    "q_takedown_apply",
+    // round 18: the LAZY verb on the same fixture — its wall time IS
+    // the takedown SLA (invisibility latency, O(ids) overlay writes),
+    // read against q_takedown_apply's deferred physical pass
+    "q_takedown_tombstone")
 }

@@ -642,7 +642,10 @@ object Multimodal {
     * decodes. Returns (id_a, id_b, hamming). */
   def audioNearDupPairsFromIndex(spark: SparkSession, indexPath: String,
                                  maxHamming: Int = 3): DataFrame =
-    Dedup.hammingPairs64(spark.read.parquet(indexPath),
+    Dedup.hammingPairs64(
+      // lazy-takedown overlay ([[graft.sources.Tombstones]])
+      graft.sources.Tombstones.exclude(spark.read.parquet(indexPath),
+        indexPath, col("media_id")),
       "media_id", "ahash", maxHamming)
 
   /** New-batch audio ids within `maxHamming` of an INDEXED fingerprint
@@ -653,7 +656,8 @@ object Multimodal {
     val spark = batch.sparkSession
     val newHashes = audioHashes(batch)
       .select(col("media_id").as("new_id"), col("ahash"))
-    val indexed = spark.read.parquet(indexPath)
+    val indexed = graft.sources.Tombstones.exclude(
+        spark.read.parquet(indexPath), indexPath, col("media_id"))
       .select(col("media_id").as("corpus_id"), col("ahash"))
     Dedup.hammingJoin64(newHashes, "new_id", indexed, "corpus_id",
       "ahash", maxHamming)

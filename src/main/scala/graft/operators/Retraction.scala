@@ -36,8 +36,11 @@ import org.apache.spark.sql.functions._
   *    (table, bucket)-pruned rewrite (≤ |ids|·tables leaves);
   *  - SQ8 index      → [[Sq.retractFromSqIndex]];
   *  - media/audio    → [[Multimodal.retractFromMediaIndex]];
-  *  - label store    → [[Components.retractFromLabelStore]] — re-closure
-  *    over the survivor star edges;
+  *  - label store    → [[Components.retractFromLabelStore]] + satellite
+  *    RE-CLOSURE from the stored signatures (a retracted canonical's
+  *    survivors re-derive their true pairs — see [[Artifacts]]);
+  *  - forward store  → [[graft.sources.Bucketing.retractKeyBucketed]] —
+  *    bucket-pruned leaf rewrites of the (id, text) point-fetch layout;
   *  - corpus         → one anti-join rewrite, LAST (see ordering below).
   *
   * Artifacts NOT excised, by design:

@@ -406,6 +406,11 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     val bm = TextIndex.bm25TopK(spark, ti, "doc_id", q, 60)
     assert(bm.where(col("doc_id").isin(gone: _*)).isEmpty)
     assert(bm.count() > 0) // survivors still serve
+    // scale shape: the overlay consult is a BROADCAST anti-join riding
+    // the pruned postings read — never a shuffle of the serve side
+    val plan = bm.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"overlay consult must be a broadcast anti-join:\n$plan")
     val ann = Similarity.ivfTopKFromIndex(spark, a.annIndexPath.get,
       "doc_id", "embedding",
       docs.where(col("doc_id") === 4L).select("embedding"), "embedding",
