@@ -53,7 +53,8 @@ object Tombstones {
   /** The overlay directory for an artifact root — a sibling, see the
     * placement note above. */
   def dirFor(root: String): File = {
-    val r = new File(root)
+    // absolute first: a bare relative root ("idx") has no parent File
+    val r = new File(root).getAbsoluteFile
     new File(r.getParentFile, r.getName + "__tombstones")
   }
 
