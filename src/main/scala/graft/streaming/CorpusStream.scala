@@ -91,9 +91,52 @@ object CorpusStream {
       }
       .start()
 
+  /** STREAMING takedown intake — the lifecycle verb's streaming twin:
+    * takedown requests (GDPR tickets, license revocations, audit hits)
+    * arrive as files of doc ids in `requestsDir`, each micro-batch
+    * lands the TOMBSTONE overlay ([[graft.operators.Retraction
+    * .tombstoneDocs]] — O(ids) writes, so invisibility is one
+    * micro-batch behind the request, the SLA the overlay exists for),
+    * and every `applyEvery`-th micro-batch runs the PHYSICAL pass
+    * ([[graft.operators.Retraction.applyTombstones]] — the overlays
+    * are the worklist, so the cadence needs no request memory;
+    * `applyEvery = 0` leaves the excision to an external maintenance
+    * job). Both verbs are idempotent, so a micro-batch replayed from
+    * the checkpoint re-lands the same state; an optional append-only
+    * ledger records one row per request batch (`takedown_ts` dedupes
+    * replays, the funnel discipline).
+    */
+  def startTakedowns(spark: SparkSession, requestsDir: String,
+                     schema: StructType, checkpoint: String,
+                     artifacts: graft.operators.Retraction.Artifacts,
+                     applyEvery: Int = 0,
+                     ledgerPath: Option[String] = None): StreamingQuery = {
+    require(applyEvery >= 0, s"applyEvery=$applyEvery")
+    spark.readStream.schema(schema).parquet(requestsDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val r = graft.operators.Retraction.tombstoneDocs(spark,
+            batch.select(artifacts.idCol), artifacts.idCol, artifacts)
+          ledgerPath.foreach { lp =>
+            import spark.implicits._
+            Seq((id, r.requested, System.currentTimeMillis()))
+              .toDF("batch_id", "n_requested", "takedown_ts")
+              .coalesce(1).write.mode("append").parquet(lp)
+          }
+        }
+        if (applyEvery > 0 && (id + 1) % applyEvery == 0)
+          graft.operators.Retraction.applyTombstones(spark, artifacts)
+        ()
+      }
+      .start()
+  }
+
   /** Outcome of a [[rejectQuarantined]] call: quarantined batches
     * permanently rejected and how many distinct docs were retracted
-    * across every configured artifact.
+    * across every configured artifact (tombstoned, for `lazily` calls).
     */
   case class RejectResult(batches: Long, docsRetracted: Long)
 
@@ -139,11 +182,20 @@ object CorpusStream {
     * of a legitimately admitted document, that document is retracted
     * too (ids are the corpus identity; a quarantined re-delivery of a
     * GOOD doc is a release case, not a reject case).
+    *
+    * `lazily = true` swaps the synchronous excision for the tombstone
+    * overlay ([[graft.operators.Retraction.tombstoneDocs]]): the
+    * rejected residue becomes unservable in O(ids) writes and the
+    * rejection returns immediately; the physical excision (including
+    * the corpus rows) is [[graft.operators.Retraction.applyTombstones]]
+    * on the compaction cadence. Requires ≥ 1 overlay-carrying artifact
+    * in `artifacts` (the eager path has no such constraint).
     */
   def rejectQuarantined(spark: SparkSession, quarantinePath: String,
                         rejectIds: Seq[Long],
                         artifacts: graft.operators.Retraction.Artifacts,
-                        ledgerPath: Option[String] = None): RejectResult = {
+                        ledgerPath: Option[String] = None,
+                        lazily: Boolean = false): RejectResult = {
     require(rejectIds.nonEmpty, "rejectQuarantined needs batch ids")
     val qDir = new java.io.File(quarantinePath)
     val claimed = graft.sources.Compaction.stagingDir(qDir, "triage")
@@ -181,8 +233,11 @@ object CorpusStream {
         val docIds = rejected
           .select(col(artifacts.idCol).cast("long").as(artifacts.idCol))
           .distinct()
-        val report = graft.operators.Retraction.retractDocs(spark, docIds,
-          artifacts.idCol, artifacts)
+        val report =
+          if (lazily) graft.operators.Retraction.tombstoneDocs(spark,
+            docIds, artifacts.idCol, artifacts)
+          else graft.operators.Retraction.retractDocs(spark, docIds,
+            artifacts.idCol, artifacts)
         ledgerPath.foreach { lp =>
           import spark.implicits._
           val ts = System.currentTimeMillis()

@@ -623,6 +623,75 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id").as[Long].collect().toSet === Set(2L, 4L))
   }
 
+  test("streaming takedown intake: invisibility lands with the " +
+      "micro-batch (tombstones), the applyEvery cadence runs the " +
+      "physical pass from the overlays alone, and LAZY quarantine " +
+      "rejection composes the same verbs") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = Files.createTempDirectory("rt_stream_td")
+    val corpusPath = root.resolve("corpus").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 8)
+    val mh = root.resolve("mh").toString
+    val docs = corpus(40).drop("embedding")
+    docs.write.mode("overwrite").parquet(corpusPath)
+    TextIndex.writeIndex(docs, "doc_id", "text", ti)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", mh)
+    val a = Retraction.Artifacts(corpusPath, textIndex = Some(ti),
+      minhashIndexPath = Some(mh))
+    val reqDir = root.resolve("requests").toString
+    val chk = root.resolve("chk").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    def drain(applyEvery: Int): Unit =
+      graft.streaming.CorpusStream.startTakedowns(spark, reqDir, schema,
+        chk, a, applyEvery).awaitTermination()
+    // request batch 1: no cadence — overlay only
+    Seq(5L, 10L).toDF("doc_id").write.mode("append").parquet(reqDir)
+    drain(applyEvery = 0)
+    val qr = Seq("hash", "join", "vector", "scan", "sort")
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id", qr, 40)
+      .where(col("doc_id").isin(5L, 10L)).isEmpty,
+      "tombstoned ids must be unservable one micro-batch after request")
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id").isin(5L, 10L)).count() > 0,
+      "no physical rewrite without the cadence")
+    // request batch 2 with applyEvery = 1 — the physical pass runs,
+    // excising EVERYTHING pending (batch 1's overlays included)
+    Seq(17L).toDF("doc_id").write.mode("append").parquet(reqDir)
+    drain(applyEvery = 1)
+    assert(spark.read.parquet(corpusPath).select("doc_id")
+      .as[Long].collect().toSet === (1L to 40L).toSet -- Set(5L, 10L, 17L))
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id").isin(5L, 10L, 17L)).isEmpty)
+    assert(graft.sources.Tombstones.readIds(spark, ti.indexPath).isEmpty)
+
+    // LAZY quarantine rejection: committed residue of a condemned batch
+    // becomes unservable immediately; the corpus rows wait for the
+    // cadence and applyTombstones finishes the job
+    val residue = Seq(45L, 46L, 47L)
+      .map(i => (i, docText(i))).toDF("doc_id", "text")
+    residue.write.mode("append").parquet(corpusPath)
+    TextIndex.appendBatch(residue, "doc_id", "text", ti)
+    Dedup.appendMinhashIndex(residue, "doc_id", "text", mh)
+    val qp = root.resolve("quarantine").toString
+    residue.withColumn("__q_batch", lit(7L))
+      .write.mode("append").parquet(qp)
+    val r = graft.streaming.CorpusStream.rejectQuarantined(spark, qp,
+      Seq(7L), a, lazily = true)
+    assert(r === graft.streaming.CorpusStream.RejectResult(1L, 3L))
+    assert(!new java.io.File(qp).exists(),
+      "the condemned batch leaves the queue")
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id").isin(45L, 46L, 47L)).count() === 3L,
+      "lazy rejection defers the corpus excision")
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id", qr, 40)
+      .where(col("doc_id").isin(45L, 46L, 47L)).isEmpty)
+    assert(Dedup.dedupAgainstIndex(residue, "doc_id", "text", mh, 0.8)
+      .where(col("corpus_id").isin(45L, 46L, 47L)).isEmpty)
+    Retraction.applyTombstones(spark, a)
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id").isin(45L, 46L, 47L)).isEmpty)
+  }
+
   test("satellite re-closure: retracting a duplicate cluster's CANONICAL " +
       "re-derives the survivors' mutual pairs from the stored MinHash " +
       "signatures and re-closes the label store — provenance queries " +
