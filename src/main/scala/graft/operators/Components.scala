@@ -434,7 +434,18 @@ object Components {
     * watermark sidecar. Tombstoned rows (lazy takedown) are excluded.
     */
   def readLabelStore(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame = {
+                     path: String): DataFrame =
+    excludeTombstoned(readLabelStoreRaw(spark, path), path)
+
+  /** The PHYSICAL rows, overlay ignored — the form the takedown path
+    * itself must read: a tombstoned canonical's satellite rows are
+    * hidden from serves but must stay visible to the excision's own
+    * re-closure derivation, or the lazy-then-apply path would silently
+    * skip re-closing them ([[graft.operators.Retraction.retractDocs]]
+    * reads through this).
+    */
+  private[graft] def readLabelStoreRaw(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val dir = new java.io.File(path)
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
     val hasData = entries.exists(f =>
@@ -442,8 +453,7 @@ object Components {
       (f.isDirectory && f.getName.startsWith("lp=")))
     if (!hasData)
       spark.range(0).select(col("id"), col("id").as("component"))
-    else excludeTombstoned(
-      spark.read.parquet(path).select("id", "component"), path)
+    else spark.read.parquet(path).select("id", "component")
   }
 
   /** The pinned partition count of a partitioned store (None = flat). */

@@ -285,7 +285,10 @@ object Retraction {
         val orphanPairs: Option[DataFrame] =
           (a.dupLabelsPath, a.minhashIndexPath) match {
             case (Some(lp), Some(mp)) =>
-              val lbl = Components.readLabelStore(spark, lp)
+              // the RAW store, overlay ignored: a lazily-tombstoned
+              // canonical's satellite rows are hidden from serves, but
+              // the physical pass must still see them to re-close
+              val lbl = Components.readLabelStoreRaw(spark, lp)
               val orphans = lbl
                 .join(broadcast(keys.select(col("__rid").as("__rc"))),
                   col("component") === col("__rc"), "left_semi")

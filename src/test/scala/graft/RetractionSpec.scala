@@ -700,14 +700,14 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     val corpusPath = root.resolve("corpus").toString
     val mh = root.resolve("mh").toString
     val lbl = root.resolve("lbl").toString
-    // docs 3, 9, 15 share identical text (a true cluster, canonical 3);
-    // 20/21 form a second cluster; every other doc gets a unique suffix
-    // so no accidental cluster forms
+    // docs 3, 9, 15, 18 share identical text (a true cluster, canonical
+    // 3); 20/21 form a second cluster; every other doc gets a unique
+    // suffix so no accidental cluster forms
     val planted = "alpha beta gamma delta epsilon zeta eta theta"
     val other = "iota kappa lambda mu nu xi omicron pi"
     val docs = (1L to 30L).map { i =>
       val text =
-        if (Seq(3L, 9L, 15L).contains(i)) planted
+        if (Seq(3L, 9L, 15L, 18L).contains(i)) planted
         else if (Seq(20L, 21L).contains(i)) other
         else docText(i) + " unique" + i
       (i, text)
@@ -717,7 +717,7 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     // the store from the signature index's own pairs (gate-consistent)
     val pairs = Dedup.pairsFromMinhashIndex(spark, mh,
       docs.select("doc_id"), "doc_id", threshold = 0.8)
-    assert(pairs.where(col("id_a") === 3L).count() === 2L,
+    assert(pairs.where(col("id_a") === 3L).count() === 3L,
       "fixture: the planted cluster's pairs must re-derive")
     Components.updateLabelStore(spark, lbl, pairs, "id_a", "id_b",
       partitions = 4)
@@ -728,7 +728,8 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toSet
     // survivors re-closed under the new minimum 9; no reference to 3
     // anywhere; the unrelated cluster intact
-    assert(labels.contains((9L, 9L)) && labels.contains((15L, 9L)),
+    assert(labels.contains((9L, 9L)) && labels.contains((15L, 9L)) &&
+      labels.contains((18L, 9L)),
       s"survivors must stay co-labeled, got $labels")
     assert(!labels.exists(t => t._1 == 3L || t._2 == 3L))
     assert(labels.contains((20L, 20L)) && labels.contains((21L, 20L)))
@@ -742,6 +743,20 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().toSet
     assert(!after.exists(t => t._1 == 21L))
     assert(after.contains((9L, 9L)) && after.contains((15L, 9L)))
+    // the LAZY path re-closes identically: tombstone the new canonical
+    // (hiding its satellite rows from serves), then the cadence pass —
+    // which must read the PHYSICAL store for its orphan derivation, or
+    // 15 and 18 would silently orphan here
+    val a2 = Retraction.Artifacts(corpusPath, minhashIndexPath = Some(mh),
+      dupLabelsPath = Some(lbl))
+    Retraction.tombstoneDocs(spark, Seq(9L).toDF("doc_id"), "doc_id", a2)
+    assert(Components.lookupComponent(spark, lbl, 15L) === None,
+      "serves hide the satellites of a tombstoned canonical")
+    Retraction.applyTombstones(spark, a2)
+    assert(Components.lookupComponent(spark, lbl, 15L) === Some(15L) &&
+      Components.lookupComponent(spark, lbl, 18L) === Some(15L),
+      "the physical pass must re-close from the raw store, not the " +
+        "overlay-filtered serve view")
   }
 
   test("scd2CloseStored: close-don't-delete — history intact, closed at " +
