@@ -211,7 +211,10 @@ object Retraction {
     * never a corpus text re-scan), and the hits flow through
     * [[retractDocs]] so every serving artifact forgets them in the same
     * call. Requires `a.textIndex` and a positional layout (the members
-    * serve refuses a bare index loudly).
+    * serve refuses a bare index loudly). Docs already TOMBSTONED are
+    * invisible to the membership serve and therefore not re-retracted
+    * here — their physical excision belongs to the cadence pass
+    * ([[applyTombstones]]), which owns every pending overlay id.
     */
   def retractMatchingPhrases(spark: SparkSession,
                              phrases: Seq[Seq[String]],

@@ -46,7 +46,12 @@ import org.apache.spark.sql.functions._
   * is immediate, FORGETTING arrives with the physical pass. Near-dup
   * gates (MinHash / semantic) DO consult the overlay: a new document
   * similar to a tombstoned one is novel content and must not be
-  * attributed to a document that is logically gone.
+  * attributed to a document that is logically gone. Corollary: the
+  * near-dup gate's replay swallowing ("a replayed batch matches its
+  * own indexed signatures and drops") is weakened for TOMBSTONED ids
+  * during the window — a loop that must stay replay-idempotent under
+  * lazy takedown should configure the exact-key gate (which keeps its
+  * memory until excision, for exactly this reason).
   */
 object Tombstones {
 
