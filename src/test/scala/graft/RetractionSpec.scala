@@ -692,6 +692,78 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       .where(col("doc_id").isin(45L, 46L, 47L)).isEmpty)
   }
 
+  test("GDPR drill, end to end: a fully-sidecarred corpus loop admits " +
+      "batches; a streamed takedown request tombstones one doc " +
+      "(unservable everywhere within the micro-batch, exact-key gate " +
+      "still HOLDING); the cadence pass excises physically and only " +
+      "then does the id re-admit like novel content") {
+    import graft.ingest.CorpusPipeline
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = Files.createTempDirectory("rt_gdpr")
+    val corpusPath = root.resolve("corpus").toString
+    val mh = root.resolve("mh").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 8,
+      positional = true)
+    val bk = BloomKeyIndex.Cfg(root.resolve("bk").toString,
+      keyExpr = "text")
+    val lbl = root.resolve("lbl").toString
+    val fs = CorpusPipeline.ForwardStore(root.resolve("fs").toString,
+      partitions = 8)
+    def t(i: Long): String =
+      s"alpha$i bravo$i shared charlie$i delta$i echo$i"
+    def mk(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    def admit(b: DataFrame): Long =
+      CorpusPipeline.dedupAndAppend(b, corpusPath, mh, "doc_id", "text",
+        threshold = 0.8, exactKeys = Some(bk), textIndex = Some(ti),
+        dupLabels = Some(lbl), forwardStore = Some(fs))
+    assert(admit(mk((1L to 10L).map(i => (i, t(i))))) === 10L)
+    // batch 2 carries an EXACT copy of doc 4 under a new id — the
+    // exact-key gate drops it (edge-less by its documented scope)
+    assert(admit(mk(Seq((11L, t(11)), (99L, t(4L))))) === 1L)
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 99L).isEmpty)
+    val a = Retraction.Artifacts(corpusPath, minhashIndexPath = Some(mh),
+      textIndex = Some(ti), exactKeys = Some(bk), dupLabelsPath = Some(lbl),
+      forwardStorePath = Some(fs.path))
+    // the takedown request arrives as a STREAM file
+    val reqDir = root.resolve("req").toString
+    Seq(4L).toDF("doc_id").write.mode("append").parquet(reqDir)
+    graft.streaming.CorpusStream.startTakedowns(spark, reqDir,
+        StructType(Seq(StructField("doc_id", LongType))),
+        root.resolve("chk").toString, a, applyEvery = 0)
+      .awaitTermination()
+    // unservable EVERYWHERE, one micro-batch after the request:
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id", Seq("shared"), 20)
+      .where(col("doc_id") === 4L).isEmpty)
+    assert(graft.sources.Bucketing.readKeys(spark, fs.path, "doc_id",
+      Seq(4L)).isEmpty)
+    assert(Dedup.dedupAgainstIndex(mk(Seq((500L, t(4L)))), "doc_id",
+        "text", mh, 0.8)
+      .where(col("corpus_id") === 4L).isEmpty)
+    // …but the EXACT-KEY gate still HOLDS (postings physically exist;
+    // re-admitting the id now would double-index — the documented
+    // window contract: invisibility is immediate, forgetting arrives
+    // with the physical pass)
+    assert(BloomKeyIndex.novelRows(mk(Seq((4L, t(4L)))), bk).isEmpty,
+      "an exact re-submission must stay gated during the window")
+    assert(admit(mk(Seq((4L, t(4L))))) === 0L)
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 4L).count() === 1L)
+    // the cadence pass: physical excision, overlays retired
+    Retraction.applyTombstones(spark, a)
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 4L).isEmpty)
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id") === 4L).isEmpty)
+    // …and ONLY NOW does the id re-admit like novel content, through
+    // the full gate chain, and serve again
+    assert(admit(mk(Seq((4L, t(4L))))) === 1L)
+    assert(TextIndex.bm25TopK(spark, ti, "doc_id", Seq("shared"), 20)
+      .where(col("doc_id") === 4L).count() === 1L)
+    assert(graft.sources.Bucketing.readKeys(spark, fs.path, "doc_id",
+      Seq(4L)).count() === 1L)
+  }
+
   test("satellite re-closure: retracting a duplicate cluster's CANONICAL " +
       "re-derives the survivors' mutual pairs from the stored MinHash " +
       "signatures and re-closes the label store — provenance queries " +
