@@ -3134,11 +3134,17 @@ object ExtQueries {
         Seq("query_id", "vec_id"), floor = 1.0)
     }),
 
-    // corpus cleaning — drop MinHash near-duplicates, keep lowest doc_id
-    // per duplicate cluster (rows-only: hash-based candidate set)
+    // corpus cleaning, GREEDY survivor policy — drop the id_b side of
+    // every verified near-dup pair. Flipped r19 to the ORACLE-CHECKED
+    // ngram-Jaccard pair set (dedup_components' — same blocks, same
+    // threshold), so the flagship clean composition is hash-checked end
+    // to end in DuckDB; the MinHash candidate path keeps its own rows
+    // (dedup_minhash[_recall], dedup_clean_transitive_mh, the _gap twin)
     "dedup_clean_corpus" -> ((s, d) =>
-      Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.8,
-          persistIntermediates = false)
+      Dedup.dropNearDuplicatesFromPairs(docs(s, d), "doc_id",
+          Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+            Seq(col("lang"), floor(col("n_chars") / 64)), n = 3,
+            threshold = 0.5))
         .select("doc_id")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
@@ -3228,12 +3234,31 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // transitive corpus cleaning — ONE survivor (min doc_id) per connected
-    // component of the MinHash near-dup graph, vs dedup_clean_corpus's
+    // transitive corpus cleaning — ONE survivor (min doc_id) per
+    // connected component of the near-dup graph, vs dedup_clean_corpus's
     // greedy drop-right-side (which over-keeps on star-shaped clusters
-    // whose pair list misses some transitive edges). Rows-only: hash-based
-    // candidate set, like dedup_clean_corpus.
+    // whose pair list misses some transitive edges). Flipped r19 to the
+    // oracle-checked ngram pair set (recursive-CTE closure twin), so
+    // pair generation AND closure AND survivor policy hash-check
     "dedup_clean_transitive" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 64)), n = 3,
+        threshold = 0.5)
+      Components.keepComponentMinima(docs(s, d), "doc_id",
+          pairs, "id_a", "id_b")
+        .select("doc_id")
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
+    // the MinHash composition of the same clean (the production pair
+    // source; engine-hashed signatures → rows-only, recall-priced via
+    // dedup_minhash_recall and floor-priced via the _gap twin). This is
+    // the BENCH row: MinHash-LSH pairs → components → anti-join is the
+    // scale composition the r7 bench entry has always timed — the
+    // oracle-checked row above now carries the correctness duty, this
+    // one carries the timing duty, same plan as the pre-r19
+    // dedup_clean_transitive
+    "dedup_clean_transitive_mh" -> ((s, d) => {
       val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text",
         threshold = 0.8, persistIntermediates = false)
       Components.keepComponentMinima(docs(s, d), "doc_id",
@@ -3245,10 +3270,12 @@ object ExtQueries {
     // transitive clean with the QUALITY survivor: same components as
     // dedup_clean_transitive (row count must match it exactly — same
     // cluster structure, different representative), keeping the longest
-    // member per cluster. Rows-only (MinHash pairs are engine-hashed)
+    // member per cluster (doc_id tie-break). Oracle-checked like the
+    // row above (window rank twin in DuckDB)
     "dedup_clean_best" -> ((s, d) => {
-      val pairs = Dedup.minhashLsh(docs(s, d), "doc_id", "text",
-        threshold = 0.8, persistIntermediates = false)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 64)), n = 3,
+        threshold = 0.5)
       Components.keepComponentBest(docs(s, d), "doc_id",
           pairs, "id_a", "id_b", qualityCol = "n_chars")
         .select("doc_id")
@@ -3984,19 +4011,17 @@ object ExtQueries {
     // TAKEDOWN THROUGHPUT: the physical excision verb as a timed row —
     // a pristine artifact set (corpus + positional text index + MinHash
     // index + exact-key gate), buildOnce-gated, is COPIED to a scratch
-    // dir (bounded, constant cost) and retractDocs excises
-    // doc_id % 97 == 0 across every artifact. Wall time is the pruned
-    // leaf rewrites; a pruning regression (an accidental full-index
-    // rewrite) shows up here as time, not just in specs. Full oracle on
-    // the Report scalars.
+    // dir and retractDocs excises doc_id % 97 == 0 across every
+    // artifact. The copy is staged OUTSIDE the timed region when the
+    // harness supports it (the bench runs `prepares` before the clock;
+    // the row self-stages only if no pristine copy is waiting), so the
+    // measured wall time is the pruned leaf rewrites ALONE — a pruning
+    // regression (an accidental full-index rewrite) shows up here as
+    // time with the constant copy cost no longer drowning the signal.
+    // Full oracle on the Report scalars.
     "q_takedown_apply" -> ((s, d) => {
       import s.implicits._
-      val src = takedownApplySrc(s, d)
-      val work = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_takedown_work_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.sources.Compaction.rm(work)
-      copyTree(src, work)
+      val work = takedownWork(s, d, "graft_takedown_work_")
       val r = graft.operators.Retraction.retractDocs(s,
         docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0)
           .select("doc_id"),
@@ -4008,21 +4033,45 @@ object ExtQueries {
     // q_takedown_apply's physical pass — tombstoneDocs over the same
     // pristine artifact copy is O(ids) overlay writes, and its wall
     // time IS the takedown SLA (invisibility latency); the physical
-    // row above prices the deferred excision. Full oracle on the
-    // Report scalars.
+    // row above prices the deferred excision. Same untimed staging as
+    // q_takedown_apply. Full oracle on the Report scalars.
     "q_takedown_tombstone" -> ((s, d) => {
       import s.implicits._
-      val src = takedownApplySrc(s, d)
-      val work = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_tombstone_work_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.sources.Compaction.rm(work)
-      copyTree(src, work)
+      val work = takedownWork(s, d, "graft_tombstone_work_")
       val r = graft.operators.Retraction.tombstoneDocs(s,
         docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0)
           .select("doc_id"),
         "doc_id", takedownApplyArtifacts(work))
       Seq((r.requested, r.found)).toDF("requested", "found")
+    }),
+
+    // TAKEDOWN EXPORT floor: during the lazy window a TRAINING-DATA
+    // EXPORT must not ship tombstoned docs — the corpus itself carries
+    // an overlay and readCorpusServed is its serving face — while the
+    // RAW corpus scan (the physical pass's view) still shows every row,
+    // proving nothing was rewritten. The reference contrast: a Postgres
+    // DELETE is invisible to full scans too; this row pins that the
+    // lazy path matches it on the one surface where "serving face" and
+    // "corpus scan" coincide.
+    "q_takedown_export" -> ((s, d) => {
+      import s.implicits._
+      val fx = tombstoneFor(s, d)
+      val gone = docs(s, d).where(pmod(col("doc_id"), lit(83)) === 0)
+        .select("doc_id")
+      val nGone = gone.count()
+      val served = graft.operators.Retraction.readCorpusServed(s,
+        lazyArtifacts(fx))
+      val exportHits = served.join(gone, Seq("doc_id"), "left_semi")
+        .count()
+      val exportRows = served.count()
+      val rawRows = s.read.parquet(fx.corpus).count()
+      Seq((exportHits, exportRows, rawRows, nGone))
+        .toDF("export_hits", "export_rows", "raw_rows", "n_tombstoned")
+        .withColumn("meets_floor",
+          col("export_hits") === 0 &&
+            col("raw_rows") === col("export_rows") + col("n_tombstoned") &&
+            col("n_tombstoned") > 0)
+        .where(col("meets_floor"))
     }),
 
     // INCREMENTAL local PPR: rank state maintained across two edge
@@ -4062,6 +4111,53 @@ object ExtQueries {
       val scratch = graft.operators.Graph.localPersonalizedPageRank(
           Queries.tradeEdges(s, d), "src", "dst", seeds, "id",
           eps = 5e-4)
+        .select(col("id"), col("ppr").as("p_fs"),
+          col("resid").as("r_fs"))
+      inc.join(scratch, Seq("id"), "full_outer")
+        .agg(
+          sum(abs(coalesce(col("p_inc"), lit(0.0)) -
+            coalesce(col("p_fs"), lit(0.0)))).as("l1"),
+          sum(abs(coalesce(col("r_inc"), lit(0.0)))).as("resid_inc"),
+          sum(abs(coalesce(col("r_fs"), lit(0.0)))).as("resid_fs"))
+        .select(round(col("l1"), 6).as("l1"),
+          round(col("resid_inc"), 6).as("resid_inc"),
+          round(col("resid_fs"), 6).as("resid_fs"),
+          (col("l1") <= col("resid_inc") + col("resid_fs") + lit(1e-9))
+            .as("meets_floor"))
+        .where(col("meets_floor"))
+    }),
+
+    // INCREMENTAL FULL-GRAPH PageRank: the uniform-teleport rank
+    // maintained across two edge batches by the same delta-push store
+    // discipline — q_pagerank re-pays whole-graph rounds per batch,
+    // this store folds the batch at its blast radius (plus the O(n)
+    // teleport re-aim when new nodes arrive). Engine-defined estimates
+    // (rows-only); the _gap twin machine-enforces the pricing bound
+    "q_pagerank_incremental" -> ((s, d) => {
+      val store = pagerankStoreFor(s, d)
+      graft.operators.Graph.readPageRankState(s, store)
+        .join(broadcast(Tables.load(s, d, "nation")
+            .select(col("n_nationkey").as("id"),
+              col("n_name").as("nation"))),
+          Seq("id"))
+        .select(col("nation"), round(col("rank"), 6).as("rank_inc"),
+          round(col("resid"), 6).as("resid"))
+        .transform(Queries.presentSorted(_, "nation"))
+    }),
+
+    // the delta-push pricing bound for the uniform store: ‖p_inc −
+    // p_scratch‖₁ ≤ Σ|resid_inc| + Σ|resid_scratch| (+ float slack) —
+    // both sides approximate the SAME stationary rank (uniform teleport
+    // over the full node set), so a correction-formula bug (wrong
+    // scale, wrong dangling withdrawal, missed teleport shift) breaks
+    // the bound and the row vanishes
+    "q_pagerank_incremental_gap" -> ((s, d) => {
+      val store = pagerankStoreFor(s, d)
+      val inc = graft.operators.Graph.readPageRankState(s, store)
+        .select(col("id"), col("rank").as("p_inc"),
+          col("resid").as("r_inc"))
+      val scratch = graft.operators.Graph.pageRankPush(
+          Queries.tradeEdges(s, d), "src", "dst", eps = 5e-4)
         .select(col("id"), col("ppr").as("p_fs"),
           col("resid").as("r_fs"))
       inc.join(scratch, Seq("id"), "full_outer")
@@ -4274,10 +4370,20 @@ object ExtQueries {
                             text: graft.sources.TextIndex.Cfg,
                             minhash: String, ann: String)
 
+  /** The fixture's artifact wiring, shared with the rows that read it
+    * (`q_takedown_lazy`, `q_takedown_export`) so the two can't drift. */
+  private def lazyArtifacts(fx: LazyFx): graft.operators.Retraction.Artifacts =
+    graft.operators.Retraction.Artifacts(fx.corpus,
+      minhashIndexPath = Some(fx.minhash), textIndex = Some(fx.text),
+      annIndexPath = Some(fx.ann), annIdCol = "vec_id")
+
   private def tombstoneFor(s: SparkSession, d: String): LazyFx = {
+    // dir renamed r19 (…tombstone2…): the corpus became an overlay root,
+    // so the fixture's on-disk shape changed — a stale pre-r19 fixture
+    // (no corpus overlay) must not survive the marker gate
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_tombstone_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft_tombstone2_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     val fx = LazyFx(
       new java.io.File(root, "corpus").toString,
       graft.sources.TextIndex.Cfg(
@@ -4295,10 +4401,7 @@ object ExtQueries {
         nlist = 8)
       graft.operators.Retraction.tombstoneDocs(s,
         all.where(pmod(col("doc_id"), lit(83)) === 0).select("doc_id"),
-        "doc_id",
-        graft.operators.Retraction.Artifacts(fx.corpus,
-          minhashIndexPath = Some(fx.minhash), textIndex = Some(fx.text),
-          annIndexPath = Some(fx.ann), annIdCol = "vec_id"))
+        "doc_id", lazyArtifacts(fx))
     }
     fx
   }
@@ -4379,6 +4482,49 @@ object ExtQueries {
     root
   }
 
+  /** Stage a pristine scratch copy of the takedown fixture under
+    * `prefix` and mark it `_PRISTINE` — the untimed half of the
+    * q_takedown_apply/q_takedown_tombstone rows. The bench calls this
+    * through [[prepares]] BEFORE starting the clock, so the timed body
+    * prices the excision verb alone (the copy is constant, but its
+    * noise was 7× the signal the row exists to catch). */
+  private def stageTakedownWork(s: SparkSession, d: String,
+                                prefix: String): java.io.File = {
+    val src = takedownApplySrc(s, d)
+    val work = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(work)
+    copyTree(src, work)
+    java.nio.file.Files.writeString(
+      new java.io.File(work, "_PRISTINE").toPath, "staged")
+    work
+  }
+
+  /** The scratch tree a takedown row mutates: consume the pristine copy
+    * a prior [[prepares]] call staged (delete the marker — each timed
+    * pass must excise from a fresh tree), or self-stage when none is
+    * waiting (the Verify path, where nothing is being timed). */
+  private def takedownWork(s: SparkSession, d: String,
+                           prefix: String): java.io.File = {
+    val work = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val marker = new java.io.File(work, "_PRISTINE")
+    if (marker.exists()) { marker.delete(); work }
+    else stageTakedownWork(s, d, prefix)
+  }
+
+  /** Untimed per-pass setup hooks: the bench invokes `prepares(name)`
+    * outside its clock before every timed pass of `name`; rows without
+    * an entry need no staging. Verify ignores this map — the row
+    * bodies self-stage. */
+  val prepares: Map[String, (SparkSession, String) => Unit] = Map(
+    "q_takedown_apply" ->
+      ((s, d) => { stageTakedownWork(s, d, "graft_takedown_work_"); () }),
+    "q_takedown_tombstone" ->
+      ((s, d) => { stageTakedownWork(s, d, "graft_tombstone_work_"); () }))
+
   /** The q_takedown_apply artifact layout under a given root — shared
     * by the fixture build and the scratch-copy excision so the two can
     * never drift. */
@@ -4434,6 +4580,30 @@ object ExtQueries {
         "src", "dst", seeds, "id", eps = 5e-4)
       graft.operators.Graph.updateLocalPprStore(s, store, b2,
         "src", "dst", seeds, "id", eps = 5e-4)
+    }
+    store
+  }
+
+  /** The q_pagerank_incremental store: the trade graph split into the
+    * same two PAIR-DISJOINT batches as [[pprStoreFor]], folded by two
+    * [[graft.operators.Graph.updatePageRankStore]] calls. No seed pin —
+    * uniform teleport derives from the node set, and a batch that
+    * introduces new nodes re-aims it (the correction the spec
+    * exercises; the trade graph's batches here both cover all 25
+    * nations, so the row prices the steady-state delta path).
+    */
+  private def pagerankStoreFor(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_pr_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val store = new java.io.File(root, "st").toString
+    buildOnce(root) {
+      val e = Queries.tradeEdges(s, d)
+      val cut = pmod(xxhash64(col("src"), col("dst")), lit(3))
+      graft.operators.Graph.updatePageRankStore(s, store,
+        e.where(cut < 2), "src", "dst", eps = 5e-4)
+      graft.operators.Graph.updatePageRankStore(s, store,
+        e.where(cut === 2), "src", "dst", eps = 5e-4)
     }
     store
   }
@@ -4671,8 +4841,50 @@ object ExtQueries {
       |FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The three `dedup_clean_*` twins (r19): the same closure prefix as
+    * `dedup_components`, with each survivor policy expressed over it —
+    * greedy (drop every pair's id_b side), component minima, and the
+    * quality-window representative (n_chars DESC, id tie-break). The
+    * `reach` CTE goes unused by the greedy twin; DuckDB evaluates only
+    * referenced CTEs.
+    */
+  private val cleanGreedyOracleSql: String =
+    componentsClosureCte +
+      """
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        |ORDER BY doc_id""".stripMargin
+
+  private val cleanTransitiveOracleSql: String =
+    componentsClosureCte +
+      """,
+        |closure AS (
+        |  SELECT id, least(min(r), id) AS component FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM closure WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin
+
+  private val cleanBestOracleSql: String =
+    componentsClosureCte +
+      """,
+        |closure AS (
+        |  SELECT id, least(min(r), id) AS component FROM reach GROUP BY id),
+        |members AS (
+        |  SELECT c.id,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.id) AS rn
+        |  FROM closure c JOIN documents d ON d.doc_id = c.id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM members WHERE rn <> 1)
+        |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_hash_split" -> oracleHashSplit,
+    // the r19 full-oracle flip of the clean family — pair set, closure,
+    // and survivor policy all cross-engine-checked
+    "dedup_clean_corpus" -> cleanGreedyOracleSql,
+    "dedup_clean_transitive" -> cleanTransitiveOracleSql,
+    "dedup_clean_best" -> cleanBestOracleSql,
     // the incremental store's census must equal the one-shot count —
     // the SAME oracle as the single-pass query
     "q_graph_triangles_incremental" ->

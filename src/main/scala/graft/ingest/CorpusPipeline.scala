@@ -677,16 +677,23 @@ object CorpusPipeline {
           }
         }
         // point-fetch forward store: the survivors' (id, text) rows land
-        // under the pinned kb= layout — created on the first batch,
-        // appended after, same pre-gate retry stance as the text index
+        // under the pinned kb= layout — appended per batch, same
+        // pre-gate retry stance as the text index
         forwardStore.foreach { fs =>
-          val projected = survivors.select(col(idCol), col(textCol))
           if (new java.io.File(fs.path, "_key_partitions").exists())
-            graft.sources.Bucketing.appendKeyBucketed(projected, fs.path,
-              idCol)
+            graft.sources.Bucketing.appendKeyBucketed(
+              survivors.select(col(idCol), col(textCol)), fs.path, idCol)
           else
-            graft.sources.Bucketing.writeKeyBucketed(projected, fs.path,
-              idCol, fs.partitions)
+            // CREATION = BACKFILL: the corpus append above already
+            // committed, so the (id, text) projection of the corpus AS
+            // WRITTEN covers every older batch plus this one — a store
+            // enabled on an existing deployment is born complete
+            // (snippetTopKStored's store-covers-corpus contract), never
+            // permanently missing pre-enable docs
+            graft.sources.Bucketing.writeKeyBucketed(
+              spark.read.parquet(corpusPath)
+                .select(col(idCol), col(textCol)),
+              fs.path, idCol, fs.partitions)
           maybeCompact(fs.path, fs.compactEvery) {
             graft.sources.Compaction.compactPartitioned(spark, fs.path)
           }

@@ -399,6 +399,23 @@ object Dedup {
       .select(col(leftIdCol), col(rightIdCol), col("hamming"))
   }
 
+  /** GREEDY survivor selection over ANY verified near-dup pair set:
+    * drop the `idB` side of every pair (pairs are canonically
+    * id_a < id_b, so the lowest id of each pair survives; for a chain
+    * a~b, b~c it keeps a). The pair source is a parameter — the
+    * MinHash, SimHash, n-gram-Jaccard and embedding candidate
+    * generators all emit the same (id_a, id_b) shape, and decoupling
+    * the survivor policy from the generator is what lets the
+    * `dedup_clean_corpus` row run over the ORACLE-CHECKED exact pair
+    * set while production runs the MinHash one.
+    */
+  def dropNearDuplicatesFromPairs(df: DataFrame, idCol: String,
+                                  pairs: DataFrame,
+                                  idB: String = "id_b"): DataFrame = {
+    val dupIds = pairs.select(col(idB).as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Corpus cleaning: drop near-duplicates, keeping the lowest id of every
     * duplicate pair (greedy — for a chain a~b, b~c it keeps a). Built on
     * [[minhashLsh]], so the only per-doc cost is the signature; the anti
@@ -408,12 +425,10 @@ object Dedup {
                          numHashes: Int = 32, bands: Int = 8,
                          shingleK: Int = 5,
                          threshold: Double = 0.8,
-                         persistIntermediates: Boolean = true): DataFrame = {
-    val dupIds = minhashLsh(df, idCol, textCol, numHashes, bands, shingleK,
-        threshold, persistIntermediates)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(dupIds, Seq(idCol), "left_anti")
-  }
+                         persistIntermediates: Boolean = true): DataFrame =
+    dropNearDuplicatesFromPairs(df, idCol,
+      minhashLsh(df, idCol, textCol, numHashes, bands, shingleK,
+        threshold, persistIntermediates))
 
   /** Materialize the MinHash/LSH index of a corpus: one row per (band,
     * band_hash) membership carrying the doc id and full signature, plus a

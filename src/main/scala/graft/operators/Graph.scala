@@ -337,6 +337,58 @@ object Graph {
     state
   }
 
+  // ---- shared machinery of the incremental push stores (local PPR +
+  // ---- full-graph PageRank): edge-set signature, one-rename state
+  // ---- install, transition/degree frames --------------------------------
+
+  /** bit_xor(xxhash64) signature of a canonical (src, dst, w) edge
+    * frame — the identity a push-store state claims. */
+  private def edgesSig(df: DataFrame): Long = df
+    .agg(expr("bit_xor(xxhash64(src, dst, w))")).collect().head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+
+  /** The signature and damping pin ride INSIDE the state directory
+    * (hidden files), so state + its identity install in ONE atomic
+    * rename — a crash can never leave a state claiming another edge
+    * set's signature. */
+  private def writePushState(statePath: String, st: DataFrame, sig: Long,
+                             damping: Double): Unit = {
+    import graft.sources.Compaction
+    val dir = new java.io.File(statePath)
+    val staging = Compaction.stagingDir(dir, "pprstate")
+    if (staging.exists()) Compaction.rm(staging)
+    st.select("id", "p", "r").write.mode("overwrite")
+      .parquet(staging.toString)
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, "_edges_sig").toPath, sig.toString)
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, "_damping").toPath, damping.toString)
+    Compaction.swapInto(statePath, staging.toString)
+  }
+
+  private def readPushMeta(statePath: String): Option[(Long, Double)] = {
+    val sf = new java.io.File(statePath, "_edges_sig")
+    val df0 = new java.io.File(statePath, "_damping")
+    if (!sf.exists() || !df0.exists()) None
+    else Some((
+      java.nio.file.Files.readString(sf.toPath).trim.toLong,
+      java.nio.file.Files.readString(df0.toPath).trim.toDouble))
+  }
+
+  /** Transition rows + out-degrees of a canonical edge frame, both
+    * persisted (the caller unpersists after its push loop). */
+  private def transAndDegs(all: DataFrame): (DataFrame, DataFrame) = {
+    val trans = all.groupBy("src").agg(sum("w").as("__ow"))
+      .join(all, "src")
+      .select(col("src"), col("dst"), (col("w") / col("__ow")).as("p"))
+    val degs = all.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .select(col("src").as("id"), col("__deg"))
+    (trans.persist(StorageLevel.MEMORY_AND_DISK),
+      degs.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** INCREMENTALLY-maintained local PPR — the delta engine for a link
     * graph that GROWS: rank state is kept as the forward-push pair
     * (estimate `p`, residual `r`) and an edge-batch append INJECTS
@@ -373,14 +425,18 @@ object Graph {
     * hidden files, so state and identity install in one rename),
     * `seeds/` (the seed set ∩ creation graph, PINNED — the teleport
     * distribution is part of the state's identity; later-arriving
-    * seeds don't enter it). Crash contract, the
-    * [[updateTriangleCensus]] discipline:
-    * state (with its signature) swaps BEFORE the edges append, and the
-    * next call compares signatures — a state matching old ∪ delta means
-    * this exact delta already applied (finish the append, serve);
-    * matching neither means an interleaved crash, healed by a full
-    * re-push over the merged edges. Stale state heals to exactly the
-    * fresh answer, never compounds. Re-sent (src, dst) pairs dedupe
+    * seeds don't enter it). Crash contract: the delta EDGES append
+    * BEFORE the state (with its signature) swaps — so a crash between
+    * the two leaves edges AHEAD of state, which the next call detects
+    * (the stored signature matches neither the disk edges nor
+    * disk ∪ its own delta) and heals with a full re-push over
+    * everything on disk plus the new delta: no delivered edge is ever
+    * dropped. The REVERSE order would silently lose a crashed batch —
+    * a state claiming old ∪ delta while the edge store never caught
+    * up means the next delivery's heal pushes over old ∪ nextDelta
+    * only, erasing the crashed batch from both stores forever. Stale
+    * state heals to exactly the fresh answer, never compounds.
+    * Re-sent (src, dst) pairs dedupe
     * against the store (weight CHANGES to existing edges are not
     * incremental — rebuild or re-push for those, documented like the
     * census's re-sent rule).
@@ -402,44 +458,11 @@ object Graph {
     val edgesPath = s"$storePath/edges"
     val statePath = s"$storePath/state"
     val seedsPath = s"$storePath/seeds"
-    def sigOf(df: DataFrame): Long = df
-      .agg(expr("bit_xor(xxhash64(src, dst, w))")).collect().head match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    // the signature and damping pin ride INSIDE the state directory
-    // (hidden files), so state + its identity install in ONE atomic
-    // rename — a crash can never leave a state claiming another edge
-    // set's signature
-    def writeState(st: DataFrame, sig: Long): Unit = {
-      val dir = new java.io.File(statePath)
-      val staging = Compaction.stagingDir(dir, "pprstate")
-      if (staging.exists()) Compaction.rm(staging)
-      st.select("id", "p", "r").write.mode("overwrite")
-        .parquet(staging.toString)
-      java.nio.file.Files.writeString(
-        new java.io.File(staging, "_edges_sig").toPath, sig.toString)
-      java.nio.file.Files.writeString(
-        new java.io.File(staging, "_damping").toPath, damping.toString)
-      Compaction.swapInto(statePath, staging.toString)
-    }
-    def readMeta(): Option[(Long, Double)] = {
-      val sf = new java.io.File(statePath, "_edges_sig")
-      val df0 = new java.io.File(statePath, "_damping")
-      if (!sf.exists() || !df0.exists()) None
-      else Some((
-        java.nio.file.Files.readString(sf.toPath).trim.toLong,
-        java.nio.file.Files.readString(df0.toPath).trim.toDouble))
-    }
-    def frames(all: DataFrame): (DataFrame, DataFrame) = {
-      val trans = all.groupBy("src").agg(sum("w").as("__ow"))
-        .join(all, "src")
-        .select(col("src"), col("dst"), (col("w") / col("__ow")).as("p"))
-      val degs = all.groupBy("src").agg(count(lit(1)).as("__deg"))
-        .select(col("src").as("id"), col("__deg"))
-      (trans.persist(StorageLevel.MEMORY_AND_DISK),
-        degs.persist(StorageLevel.MEMORY_AND_DISK))
-    }
+    def sigOf(df: DataFrame): Long = edgesSig(df)
+    def writeState(st: DataFrame, sig: Long): Unit =
+      writePushState(statePath, st, sig, damping)
+    def readMeta(): Option[(Long, Double)] = readPushMeta(statePath)
+    def frames(all: DataFrame): (DataFrame, DataFrame) = transAndDegs(all)
     def fullPush(all: DataFrame, seedsInGraph: DataFrame, s: Long,
                  sig: Long): DataFrame = {
       val (trans, degs) = frames(all)
@@ -521,8 +544,10 @@ object Graph {
                 if (delta.isEmpty && storedSig == oldSig)
                   return readLocalPprState(spark, storePath) // no-op
                 if (storedSig == sigOf(all)) {
-                  // crash window healed: the state already covers
-                  // exactly old ∪ delta — finish the interrupted append
+                  // state ahead of edges (unreachable under the
+                  // edges-first write order, kept as a defensive heal
+                  // for externally-produced stores): the state already
+                  // covers exactly old ∪ delta — finish the append
                   if (!delta.isEmpty)
                     delta.write.mode("append").parquet(edgesPath)
                   return readLocalPprState(spark, storePath)
@@ -584,10 +609,11 @@ object Graph {
                 try pushLoop(trans, degs, seedsInGraph, s, init, damping,
                   eps, maxRounds)
                 finally { trans.unpersist(false); degs.unpersist(false) }
-              // state (with its new signature) commits BEFORE the edges
-              // append — see the crash contract above
-              writeState(pushed, sigOf(all))
+              // edges append BEFORE the state commit — see the crash
+              // contract above (state-first would let a crash here
+              // silently drop this batch's edges on the next delivery)
               delta.write.mode("append").parquet(edgesPath)
+              writeState(pushed, sigOf(all))
               pushed.select(col("id"), col("p").as("ppr"),
                 col("r").as("resid"))
             } finally org.apache.spark.sql.GraftBridge
@@ -605,6 +631,242 @@ object Graph {
                         storePath: String): DataFrame =
     spark.read.parquet(s"$storePath/state")
       .select(col("id"), col("p").as("ppr"), col("r").as("resid"))
+
+  /** Uniform-teleport PageRank by forward push — [[pageRank]]'s answer
+    * through the ACL machinery: seeds = EVERY node, so the teleport
+    * distribution is 1/n everywhere and dangling mass routes uniformly,
+    * exactly the power iteration's stochastic completion. Converges to
+    * the same stationary vector the power iteration approaches; the
+    * returned `resid` prices the remaining gap per row
+    * (`Σ|rank − p| ≤ Σ|r|`). This is also [[updatePageRankStore]]'s
+    * from-scratch reference — the `q_pagerank_incremental_gap` floor
+    * compares the store against it.
+    */
+  def pageRankPush(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: Option[String] = None,
+                   damping: Double = 0.85, eps: Double = 1e-4,
+                   maxRounds: Int = 200): DataFrame = {
+    val nodes = edges
+      .select(col(srcCol).cast("long").as("id"))
+      .union(edges.select(col(dstCol).cast("long").as("id")))
+      .where(col("id").isNotNull).distinct()
+    localPersonalizedPageRank(edges, srcCol, dstCol, nodes, "id",
+      weightCol, damping, eps, maxRounds)
+  }
+
+  /** INCREMENTALLY-maintained FULL-GRAPH PageRank — the uniform-teleport
+    * twin of [[updateLocalPprStore]], closing the gap that the seeded
+    * store left: [[pageRank]] re-pays whole-graph rounds per edge batch,
+    * while this store folds a batch in work tracking the batch's blast
+    * radius plus one O(n) residual bump.
+    *
+    * The complication uniform teleport adds over the pinned-seed store:
+    * the teleport distribution is 1/n over the CURRENT node set, so a
+    * batch that introduces new nodes changes e itself and the dangling
+    * routing row of every still-dangling node. From the push invariant
+    * `r = e − (1/α)(I − (1−α)Pᵀ)p` (α = 1−d, ratio = d/α), holding the
+    * scaled p fixed, the batch injects:
+    *
+    *  - per source u gaining edges with old out-weight W > 0:
+    *    `p(u) ← p(u)·(W+ΔW)/W`, `r(u) −= p(u)·ΔW/(α·W)`,
+    *    `r(w) += ratio·p(u)·ŵ/W` per new edge (u,w) — unchanged from
+    *    the seeded store (the scale cancels every old-edge term);
+    *  - per formerly-DANGLING source (W = 0) with mass D_g = Σp(u):
+    *    `r(w) += ratio·p(u)·ŵ/ΔW` per new edge, and the old uniform
+    *    routing row is withdrawn: `r(v) −= ratio·D_g/n_old` for every
+    *    old node v;
+    *  - the TELEPORT + STILL-DANGLING shift, zero when no new nodes
+    *    arrive: with D_s = Σp(u) over nodes dangling before AND after,
+    *    every old node gets `r += (1 + ratio·D_s)·(1/n_new − 1/n_old)`
+    *    and every new node gets `r += (1 + ratio·D_s)/n_new` — the
+    *    e-change and the re-aimed uniform dangling rows, folded (both
+    *    are uniform over the same sets).
+    *
+    * Residuals go signed; [[pushLoop]] drains |r| ≥ eps·deg and the
+    * sub-threshold remainder is priced by the returned `resid`
+    * (`‖rank − p‖₁ ≤ Σ|r|` by linearity). Mass check: Σp + Σr = 1
+    * exactly (up to float) at every commit — spec-asserted.
+    *
+    * Store layout and crash contract are [[updateLocalPprStore]]'s,
+    * minus the seeds pin (the teleport set IS the node set, derived
+    * from the edges): `edges/` + `state/` with `_edges_sig`/`_damping`
+    * riding inside, edges append BEFORE the one-rename state install,
+    * signature mismatch heals with a full [[pageRankPush]] over the
+    * merged edges. Weight CHANGES to existing (src, dst) pairs are not
+    * incremental — re-sent pairs dedupe against the store, documented
+    * like the census's re-sent rule.
+    *
+    * Returns the updated (id, rank, resid); [[readPageRankState]]
+    * serves it later without recomputation.
+    */
+  def updatePageRankStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, newEdges: DataFrame,
+                          srcCol: String, dstCol: String,
+                          weightCol: Option[String] = None,
+                          damping: Double = 0.85, eps: Double = 1e-4,
+                          maxRounds: Int = 200): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    val edgesPath = s"$storePath/edges"
+    val statePath = s"$storePath/state"
+    def serve(st: DataFrame): DataFrame =
+      st.select(col("id"), col("p").as("rank"), col("r").as("resid"))
+    def nodesOf(e: DataFrame): DataFrame =
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+    def fullPush(all: DataFrame, sig: Long): DataFrame = {
+      val nodes = nodesOf(all).localCheckpoint(true)
+      try {
+        val n = nodes.count()
+        val (trans, degs) = transAndDegs(all)
+        val init = nodes
+          .select(col("id"), lit(0.0).as("p"), lit(1.0 / n).as("r"))
+        val st =
+          try pushLoop(trans, degs, nodes, n, init, damping, eps,
+            maxRounds)
+          finally { trans.unpersist(false); degs.unpersist(false) }
+        writePushState(statePath, st, sig, damping)
+        st
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(nodes)
+    }
+    val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+    val batch = newEdges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    if (!new java.io.File(edgesPath).exists()) {
+      // CREATION: the batch is the graph — edges land first, then the
+      // from-scratch push installs state + signature in one rename
+      val all = batch.localCheckpoint(true)
+      try {
+        require(!all.isEmpty, "updatePageRankStore needs >= 1 edge")
+        all.write.mode("overwrite").parquet(edgesPath)
+        serve(fullPush(all, edgesSig(all)))
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)
+    } else {
+      val old = spark.read.parquet(edgesPath)
+      val delta = batch.join(old, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val all = old.unionAll(delta).localCheckpoint(true)
+        try {
+          readPushMeta(statePath).foreach { case (_, pinned) =>
+            require(pinned == damping,
+              s"pagerank store at $storePath was created with damping=" +
+                s"$pinned, not $damping — the state encodes it")
+          }
+          val oldSig = edgesSig(old)
+          readPushMeta(statePath).map(_._1) match {
+            case None =>
+              // crashed creation (edges without a committed state)
+              if (!delta.isEmpty)
+                delta.write.mode("append").parquet(edgesPath)
+              return serve(fullPush(all, edgesSig(all)))
+            case Some(storedSig) =>
+              if (delta.isEmpty && storedSig == oldSig)
+                return readPageRankState(spark, storePath) // no-op
+              if (storedSig != oldSig) {
+                // edges ahead of state (a crash between the edges
+                // append and the state install) or any other mismatch —
+                // heal with a full push over everything delivered
+                if (!delta.isEmpty)
+                  delta.write.mode("append").parquet(edgesPath)
+                return serve(fullPush(all, edgesSig(all)))
+              }
+          }
+          // NORMAL DELTA PATH: state consistent with `old`
+          val st = spark.read.parquet(statePath)
+          val ratio = damping / (1.0 - damping)
+          val nodesOld = nodesOf(old).localCheckpoint(true)
+          val nodesAll = nodesOf(all).localCheckpoint(true)
+          try {
+            val nOld = nodesOld.count()
+            val nAll = nodesAll.count()
+            val newNodes = nodesAll.join(nodesOld, Seq("id"), "left_anti")
+            // sources whose transition row changes, with their mass
+            val chg = delta.groupBy("src").agg(sum("w").as("__wadd"))
+              .join(old.groupBy("src").agg(sum("w").as("__wold")),
+                Seq("src"), "left")
+              .join(st.select(col("id").as("src"), col("p").as("__pu")),
+                Seq("src"), "left")
+              .select(col("src"),
+                coalesce(col("__wold"), lit(0.0)).as("__wold"),
+                col("__wadd"),
+                coalesce(col("__pu"), lit(0.0)).as("__pu"))
+              .where(col("__pu") =!= 0.0)
+              .localCheckpoint(true)
+            try {
+              val hadOut = chg.where(col("__wold") > 0)
+              val wasDang = chg.where(col("__wold") === 0)
+              val adjSelf = hadOut.select(col("src").as("id"),
+                (col("__pu") * col("__wadd") / col("__wold")).as("dp"),
+                (-col("__pu") * col("__wadd") /
+                  (lit(1.0 - damping) * col("__wold"))).as("dr"))
+              val adjNew = delta.join(hadOut, Seq("src"))
+                .select(col("dst").as("id"), lit(0.0).as("dp"),
+                  (lit(ratio) * col("__pu") * col("w") / col("__wold"))
+                    .as("dr"))
+              val adjDangNew = delta.join(wasDang, Seq("src"))
+                .select(col("dst").as("id"), lit(0.0).as("dp"),
+                  (lit(ratio) * col("__pu") * col("w") / col("__wadd"))
+                    .as("dr"))
+              // the two bounded scalars of the uniform corrections:
+              // mass on sources that STOP being dangling (their old
+              // uniform row is withdrawn) and mass on nodes dangling
+              // before AND after (their uniform row re-aims at the
+              // grown node set)
+              val dGain = wasDang
+                .agg(coalesce(sum("__pu"), lit(0.0))).collect()
+                .head.getDouble(0)
+              val allSrcs = all.select("src").distinct()
+              val dStill = st.where(col("p") =!= 0.0)
+                .join(allSrcs, col("id") === col("src"), "left_anti")
+                .agg(coalesce(sum("p"), lit(0.0))).collect()
+                .head.getDouble(0)
+              val kOld = (1.0 + ratio * dStill) * (1.0 / nAll - 1.0 / nOld) -
+                ratio * dGain / nOld
+              val kNew = (1.0 + ratio * dStill) / nAll
+              val adjUnifOld = nodesOld.select(col("id"),
+                lit(0.0).as("dp"), lit(kOld).as("dr"))
+              val adjUnifNew = newNodes.select(col("id"),
+                lit(0.0).as("dp"), lit(kNew).as("dr"))
+              val adj = adjSelf.unionAll(adjNew).unionAll(adjDangNew)
+                .unionAll(adjUnifOld).unionAll(adjUnifNew)
+                .groupBy("id").agg(sum("dp").as("dp"), sum("dr").as("dr"))
+              val init = st.join(adj, Seq("id"), "full_outer")
+                .select(col("id"),
+                  (coalesce(col("p"), lit(0.0)) +
+                    coalesce(col("dp"), lit(0.0))).as("p"),
+                  (coalesce(col("r"), lit(0.0)) +
+                    coalesce(col("dr"), lit(0.0))).as("r"))
+              val (trans, degs) = transAndDegs(all)
+              val pushed =
+                try pushLoop(trans, degs, nodesAll, nAll, init, damping,
+                  eps, maxRounds)
+                finally { trans.unpersist(false); degs.unpersist(false) }
+              // edges append BEFORE the state commit — the crash
+              // contract shared with updateLocalPprStore
+              delta.write.mode("append").parquet(edgesPath)
+              writePushState(statePath, pushed, edgesSig(all), damping)
+              serve(pushed)
+            } finally org.apache.spark.sql.GraftBridge
+              .unpersistCheckpoint(chg)
+          } finally {
+            org.apache.spark.sql.GraftBridge.unpersistCheckpoint(nodesOld)
+            org.apache.spark.sql.GraftBridge.unpersistCheckpoint(nodesAll)
+          }
+        } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(delta)
+    }
+  }
+
+  /** The stored (id, rank, resid) of an incremental PageRank store. */
+  def readPageRankState(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/state")
+      .select(col("id"), col("p").as("rank"), col("r").as("resid"))
 
   /** Degree/strength summary per node of the directed multigraph:
     * (id, out_deg, in_deg, out_w, in_w) — distinct-neighbor degrees and

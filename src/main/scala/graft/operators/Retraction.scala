@@ -93,7 +93,9 @@ import org.apache.spark.sql.functions._
   * TWO SPEEDS. [[retractDocs]] is the synchronous form: invisibility
   * arrives when the last leaf rewrite commits. [[tombstoneDocs]] is the
   * LAZY form a takedown SLA wants at 100 TB: an O(ids) overlay write
-  * per artifact makes every serving face exclude the ids immediately
+  * per artifact — the CORPUS included, whose serving face is
+  * [[readCorpusServed]]/[[exportCorpus]] — makes every serving face
+  * exclude the ids immediately
   * (see [[graft.sources.Tombstones]] for the visibility contract), and
   * the physical excision is this same [[retractDocs]] run later on the
   * compaction cadence — which retires the overlay rows it covers, so
@@ -151,13 +153,17 @@ object Retraction {
   case class Report(requested: Long, found: Long)
 
   /** Every configured artifact root that carries a tombstone overlay —
-    * the exact-key gate is deliberately absent (see the visibility
-    * contract at [[graft.sources.Tombstones]]).
+    * including the CORPUS itself (its serving face is
+    * [[readCorpusServed]]/[[exportCorpus]]; physical passes and
+    * measurements keep reading the raw path). The exact-key gate is
+    * deliberately absent (see the visibility contract at
+    * [[graft.sources.Tombstones]]).
     */
   private def overlayRoots(a: Artifacts): Seq[String] =
-    a.textIndex.map(_.indexPath).toSeq ++ a.minhashIndexPath ++
-      a.annIndexPath ++ a.lshIndexPath ++ a.sqIndexPath ++
-      a.mediaIndexPath ++ a.dupLabelsPath ++ a.forwardStorePath
+    Seq(a.corpusPath) ++ a.textIndex.map(_.indexPath) ++
+      a.minhashIndexPath ++ a.annIndexPath ++ a.lshIndexPath ++
+      a.sqIndexPath ++ a.mediaIndexPath ++ a.dupLabelsPath ++
+      a.forwardStorePath
 
   /** LAZY takedown: write `ids` into every configured artifact's
     * tombstone overlay — O(ids) per artifact, the whole verb — and
@@ -168,12 +174,25 @@ object Retraction {
     * covers, so a later re-admission of the same id is never hidden by
     * a stale tombstone. Idempotent: re-appending ids only duplicates
     * anti-join keys.
+    *
+    * WINDOW SEMANTICS for an id re-admitted DURING the tombstone window
+    * (possible only when no exact-key gate is configured — the gate
+    * deliberately keeps its memory through the window and blocks a
+    * same-id exact copy; near-dup gates consult the overlay and treat a
+    * tombstoned doc's copy as novel): TAKEDOWN WINS. The overlay holds
+    * the id, so the freshly re-admitted content is unservable from the
+    * moment it lands, and the next [[applyTombstones]] pass physically
+    * excises it along with the original rows — the overlay records an
+    * id, not a version, and a takedown request must never be narrowed
+    * by content that arrived after it was filed (the conservative
+    * reading of a GDPR/poison request). A deployment that wants
+    * re-admission to survive the window must run [[applyTombstones]]
+    * (or [[maintain]]) before re-admitting, or configure the exact-key
+    * gate, which makes the race unrepresentable for exact copies.
     */
   def tombstoneDocs(spark: SparkSession, ids: DataFrame, idsCol: String,
                     a: Artifacts): Report = {
     val roots = overlayRoots(a)
-    require(roots.nonEmpty,
-      "tombstoneDocs: Artifacts configures no overlay-carrying artifact")
     val keys = ids.select(col(idsCol).cast("long").as("__rid")).distinct()
       .localCheckpoint(true)
     try {
@@ -235,11 +254,23 @@ object Retraction {
     * also retires the overlay rows it covers — after this call the
     * deployment is byte-equal to one that took the eager path
     * (spec-proven). A deployment with no pending tombstones is a no-op.
+    *
+    * Crash contract: the overlays ARE this verb's only memory of the
+    * requests, so [[retractDocs]] retires them strictly AFTER the
+    * corpus rewrite (its commit point). A crash anywhere before the
+    * corpus commit leaves every overlay in place (ids still hidden,
+    * fail-safe) and the next run re-derives the same worklist; a crash
+    * between the corpus commit and retirement leaves only STALE
+    * tombstones, which the next run self-heals (found = 0, every
+    * excision a no-op, retirement completes) — no takedown request can
+    * be stranded half-applied.
+    *
+    * Window semantics: an id re-admitted while its tombstone is pending
+    * is physically excised here too — see the contract at
+    * [[tombstoneDocs]] (takedown wins over interleaved re-admission).
     */
   def applyTombstones(spark: SparkSession, a: Artifacts): Report = {
     val roots = overlayRoots(a)
-    require(roots.nonEmpty,
-      "applyTombstones: Artifacts configures no overlay-carrying artifact")
     val ids = roots.map(r => graft.sources.Tombstones.readIds(spark, r))
       .reduce(_ unionAll _).distinct()
     if (ids.isEmpty) Report(0L, 0L)
@@ -361,16 +392,8 @@ object Retraction {
           finally org.apache.spark.sql.GraftBridge
             .unpersistCheckpoint(pairs)
         }
-        // tombstone overlays retire AFTER the physical excisions (never
-        // before — a doc must stay unservable through the whole verb)
-        // and BEFORE the corpus commit point, so a crash-rerun re-runs
-        // the retirement idempotently; ids that were never admitted (or
-        // already excised) retire too — their indexes hold nothing, and
-        // a stale tombstone would hide the id's future re-admission
-        overlayRoots(a).foreach { r =>
-          graft.sources.Tombstones.retire(spark, r, keys, "__rid")
-        }
-        // corpus LAST — the commit point after which a re-run is a no-op
+        // corpus LAST among the excisions — the commit point after
+        // which a re-run is a found=0 no-op
         if (found > 0) a.corpusPartitionCol match {
           case None =>
             graft.sources.Compaction.retractRows(spark, a.corpusPath, keys,
@@ -396,8 +419,119 @@ object Retraction {
               }
             }
         }
+        // tombstone overlays retire LAST — after the corpus commit,
+        // never before: the overlays are [[applyTombstones]]'s only
+        // memory of the request, so retiring them while corpus rows
+        // still exist would strand those rows forever if this process
+        // died before the corpus rewrite (visible again, on no
+        // worklist). A crash between the corpus commit and this loop
+        // merely leaves STALE tombstones: the next physical pass finds
+        // found = 0, every excision no-ops, and the retirement
+        // completes (spec: "crash window between corpus commit and
+        // overlay retirement self-heals"). Ids that were never admitted
+        // (or already excised) retire too — their indexes hold nothing,
+        // and a stale tombstone would hide the id's future re-admission.
+        overlayRoots(a).foreach { r =>
+          graft.sources.Tombstones.retire(spark, r, keys, "__rid")
+        }
         Report(requested, found)
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
+  }
+
+  /** The corpus SERVING face — the raw scan anti-joined against the
+    * corpus's own tombstone overlay, so a corpus-scale read during the
+    * lazy window (above all: a TRAINING-DATA EXPORT) never ships a
+    * tombstoned document, exactly as every index serve already refuses
+    * to. Identity when nothing is pending (one driver-side directory
+    * check — a deployment that never tombstones pays nothing).
+    *
+    * Consumer classification, the SERVE-vs-PHYSICAL discipline every
+    * overlay-carrying artifact follows: exports, quality filters,
+    * decontamination scans, and any downstream training-manifest read
+    * go through THIS face; the physical pass ([[retractDocs]]'s
+    * excisions, [[graft.sources.TextIndex.healStats]]-style
+    * measurement, satellite re-closure derivation) keeps reading the
+    * raw path — it must still see what it is about to excise.
+    */
+  def readCorpusServed(spark: SparkSession, a: Artifacts): DataFrame =
+    graft.sources.Tombstones.exclude(
+      spark.read.parquet(a.corpusPath), a.corpusPath, col(a.idCol))
+
+  /** Training-data EXPORT: [[readCorpusServed]] materialized to
+    * `outPath` — the one consumer where "serving face" and "corpus
+    * scan" coincide, and the surface a takedown SLA is ultimately
+    * about. Returns the exported row count.
+    */
+  def exportCorpus(spark: SparkSession, a: Artifacts,
+                   outPath: String): Long = {
+    val obs = new org.apache.spark.sql.Observation
+    readCorpusServed(spark, a).observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(outPath)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** The MAINTENANCE CADENCE as one verb — what a deployment schedules
+    * instead of remembering the recipe: (1) the physical pass over
+    * every pending tombstone ([[applyTombstones]], which retires the
+    * overlays it covers), then (2) per-artifact small-files compaction
+    * for every configured artifact that accumulates appended state
+    * (text postings + the stats/ledger fold, the MinHash index's ints
+    * table, the exact-key table, the key-bucketed forward store, the
+    * corpus itself), then (3) a stats AUDIT: the text index's served
+    * (n_docs, sum_len) re-derived from ground truth (corpus count +
+    * one postings aggregate — the [[graft.sources.TextIndex.healStats]]
+    * measurement, demoted to an assertion) must match exactly, or the
+    * verb throws rather than let drift compound silently.
+    *
+    * Idempotent and equal to the manual sequence by construction (each
+    * step is the same verb a deployment would call by hand, spec-pinned
+    * content-equal across a second run); every step no-ops on an
+    * artifact that does not exist yet, so `maintain` on a fresh
+    * deployment is safe. Returns [[applyTombstones]]'s report.
+    */
+  def maintain(spark: SparkSession, a: Artifacts): Report = {
+    def exists(p: String): Boolean = new java.io.File(p).exists()
+    val r = applyTombstones(spark, a)
+    a.textIndex.foreach { cfg =>
+      if (exists(s"${cfg.indexPath}/postings"))
+        graft.sources.TextIndex.compact(spark, cfg)
+    }
+    a.minhashIndexPath.foreach { p =>
+      if (exists(s"$p/data"))
+        graft.sources.Compaction.compact(spark, s"$p/data")
+    }
+    a.exactKeys.foreach { cfg =>
+      if (exists(cfg.indexPath))
+        graft.sources.BloomKeyIndex.compactRows(spark, cfg)
+    }
+    a.forwardStorePath.foreach { p =>
+      if (exists(s"$p/_key_partitions"))
+        graft.sources.Compaction.compactPartitioned(spark, p)
+    }
+    if (exists(a.corpusPath)) a.corpusPartitionCol match {
+      case None => graft.sources.Compaction.compact(spark, a.corpusPath)
+      case Some(_) =>
+        graft.sources.Compaction.compactPartitioned(spark, a.corpusPath)
+    }
+    // the audit: served stats vs ground truth, exact or loud
+    a.textIndex.foreach { cfg =>
+      if (exists(s"${cfg.indexPath}/postings") && exists(a.corpusPath)) {
+        val served = graft.sources.TextIndex.stats(spark, cfg)
+          .select(col("n_docs"), col("sum_len")).collect().head
+        val nTrue = spark.read.parquet(a.corpusPath).count()
+        val slTrue = spark.read
+          .parquet(s"${cfg.indexPath}/postings")
+          .agg(coalesce(sum("tf"), lit(0L))).collect().head.getLong(0)
+        if (served.getLong(0) != nTrue || served.getLong(1) != slTrue)
+          throw new IllegalStateException(
+            s"maintain: text-index stats drifted — served (n_docs=" +
+              s"${served.getLong(0)}, sum_len=${served.getLong(1)}) vs " +
+              s"ground truth ($nTrue, $slTrue); run " +
+              "TextIndex.healStats after diagnosing how the exactly-once " +
+              "ledger was bypassed")
+      }
+    }
+    r
   }
 }

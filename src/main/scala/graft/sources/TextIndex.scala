@@ -544,6 +544,23 @@ object TextIndex {
         idCol, textCol, query, window)
     val text = Bucketing.readKeys(spark, storePath, idCol, ids)
       .select(col(idCol), col(textCol))
+    // the store must cover the corpus ("output identical to snippetTopK
+    // row for row" — an inner join would silently DROP a winner whose
+    // text row is missing): fail loudly instead, naming the gap. The
+    // corpus loop keeps the contract by construction (creation
+    // backfills from the corpus as written, every batch appends); a
+    // hand-rolled store that skipped older docs surfaces here, not as
+    // quietly shorter top-k output. Cost: one ≤ k-row collect.
+    val got = text.select(col(idCol).cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    val missing = ids.filterNot(got)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snippetTopKStored: forward store at $storePath is missing " +
+          s"top-k winner(s) ${missing.sorted.mkString(", ")} — the " +
+          "store must cover the full corpus (backfill it from the " +
+          "corpus's (id, text) projection, or let the corpus loop " +
+          "create it)")
     snippetsOf(top.join(text, Seq(idCol)), idCol, textCol, query, window)
   }
 

@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   *     O(ids), one tiny file per artifact — and from that moment every
   *     serving face answers WITHOUT them (each face anti-joins the
   *     overlay via [[exclude]]; the takedown set is small by nature, so
-  *     the join is a broadcast against the already-pruned serve scan);
+  *     the join is a broadcast against the already-pruned serve scan).
+  *     The CORPUS itself is an overlay root too: its serving face is
+  *     [[graft.operators.Retraction.readCorpusServed]] /
+  *     [[graft.operators.Retraction.exportCorpus]], so a corpus-scale
+  *     training-data export during the window ships nothing tombstoned
+  *     — while physical passes (excision, measurement, re-closure
+  *     derivation) keep reading the raw path;
   *  2. the physical excision is the existing `retractDocs` fan-out,
   *     run on the compaction cadence, which also RETIRES the tombstone
   *     rows it covers ([[retire]]) — steady-state overlays stay small.

@@ -333,6 +333,139 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       fs.values.map(t => math.abs(t._2)).sum + 1e-9)
   }
 
+  test("incremental local PPR: edges AHEAD of state (a crash between the " +
+      "edges append and the state install — the only window the " +
+      "edges-first write order can leave) heals to the full-union " +
+      "answer; the crashed batch's edges are never dropped") {
+    import graft.operators.Graph
+    val store = java.nio.file.Files.createTempDirectory("ppr_crash")
+      .resolve("st").toString
+    val seeds = Seq(1L).toDF("id")
+    val eps = 1e-5
+    val b1 = (1L to 6L).map(i => (i, i % 6 + 1)).toDF("src", "dst")
+    Graph.updateLocalPprStore(spark, store, b1, "src", "dst", seeds,
+      "id", eps = eps)
+    // simulate the crash: batch 2's canonical rows reach the edge store
+    // but the state install never runs
+    val b2 = Seq((2L, 5L), (6L, 3L))
+    b2.map { case (s0, d0) => (s0, d0, 1.0) }.toDF("src", "dst", "w")
+      .write.mode("append").parquet(s"$store/edges")
+    // the NEXT delivery is a DIFFERENT batch — under the old
+    // state-first order this was the silent-loss window; now the
+    // signature mismatch (state covers neither disk nor disk ∪ delta)
+    // full-heals over everything delivered
+    val b3 = Seq((4L, 1L)).toDF("src", "dst")
+    val healed = Graph.updateLocalPprStore(spark, store, b3, "src",
+        "dst", seeds, "id", eps = eps)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val fresh = Graph.localPersonalizedPageRank(
+        ((1L to 6L).map(i => (i, i % 6 + 1)) ++ b2 ++ Seq((4L, 1L)))
+          .toDF("src", "dst"),
+        "src", "dst", seeds, "id", eps = eps)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(healed.keySet === fresh.keySet)
+    healed.keySet.foreach { id =>
+      assert(math.abs(healed(id)._1 - fresh(id)._1) < 1e-9,
+        s"node $id: healed ${healed(id)._1} vs fresh ${fresh(id)._1}")
+    }
+    // and the edge store holds the union — nothing dropped
+    assert(spark.read.parquet(s"$store/edges").count() === 9L)
+  }
+
+  test("incremental full-graph PageRank (uniform teleport): batched " +
+      "updates land within the residual bound of a from-scratch push — " +
+      "including NEW NODES (the teleport re-aim), a formerly-dangling " +
+      "source, and a growing source; mass is conserved; replay is a " +
+      "no-op; push equals the power iteration on a hand graph") {
+    import graft.operators.Graph
+    // anchor: the uniform push and the power iteration approximate the
+    // same stationary vector (triangle + a dangler)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val push = Graph.pageRankPush(tri, "src", "dst", eps = 1e-7)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val power = Graph.pageRank(tri, "src", "dst", iterations = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pushResid = push.values.map(t => math.abs(t._2)).sum
+    power.foreach { case (id, rank) =>
+      assert(math.abs(push(id)._1 - rank) <= pushResid + 1e-6,
+        s"node $id: push ${push(id)._1} vs power $rank")
+    }
+    // the store: ring 1..8 with spokes into dangling 9
+    val store = java.nio.file.Files.createTempDirectory("pr_store")
+      .resolve("st").toString
+    val b1 = ((1L to 8L).map(i => (i, i % 8 + 1)) ++
+      Seq((2L, 9L), (6L, 9L))).toDF("src", "dst")
+    val s1 = Graph.updatePageRankStore(spark, store, b1, "src", "dst",
+        eps = 1e-5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def mass(m: Map[Long, (Double, Double)]): Double =
+      m.values.map(t => t._1 + t._2).sum
+    assert(math.abs(mass(s1) - 1.0) < 1e-9,
+      s"mass after batch 1: ${mass(s1)}")
+    // batch 2: 9 gains its first out-edges (wasDangling), 1 grows
+    // (hadOut), and nodes 10/11 are NEW — n changes, so every old
+    // node's teleport shifts and still-dangling mass re-aims
+    val b2 = Seq((9L, 1L), (9L, 5L), (1L, 6L), (3L, 10L), (10L, 11L),
+      (11L, 10L)).toDF("src", "dst")
+    val inc = Graph.updatePageRankStore(spark, store, b2, "src", "dst",
+        eps = 1e-5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(inc.keySet === (1L to 11L).toSet, "state must cover new nodes")
+    assert(math.abs(mass(inc) - 1.0) < 1e-9,
+      s"mass after batch 2: ${mass(inc)}")
+    val full = ((1L to 8L).map(i => (i, i % 8 + 1)) ++
+      Seq((2L, 9L), (6L, 9L), (9L, 1L), (9L, 5L), (1L, 6L), (3L, 10L),
+        (10L, 11L), (11L, 10L))).toDF("src", "dst")
+    val fs = Graph.pageRankPush(full, "src", "dst", eps = 1e-5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val l1 = (inc.keySet ++ fs.keySet).toSeq.map(id => math.abs(
+      inc.get(id).map(_._1).getOrElse(0.0) -
+        fs.get(id).map(_._1).getOrElse(0.0))).sum
+    val bound = inc.values.map(t => math.abs(t._2)).sum +
+      fs.values.map(t => math.abs(t._2)).sum
+    assert(l1 <= bound + 1e-9, s"L1 $l1 vs residual bound $bound")
+    assert(l1 < 0.05, s"delta push drifted: L1 $l1")
+    // replay of batch 2 is a no-op
+    val replay = Graph.updatePageRankStore(spark, store, b2, "src",
+        "dst", eps = 1e-5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(replay === inc)
+    // served without recomputation
+    assert(Graph.readPageRankState(spark, store)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap === inc)
+    // damping pin
+    intercept[IllegalArgumentException] {
+      Graph.updatePageRankStore(spark, store,
+        Seq((3L, 9L)).toDF("src", "dst"), "src", "dst", damping = 0.5,
+        eps = 1e-5)
+    }
+    // edges-ahead-of-state crash heals without dropping the batch
+    Seq((5L, 9L, 1.0)).toDF("src", "dst", "w")
+      .write.mode("append").parquet(s"$store/edges")
+    val healed = Graph.updatePageRankStore(spark, store,
+        Seq((7L, 2L)).toDF("src", "dst"), "src", "dst", eps = 1e-5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val freshAll = Graph.pageRankPush(
+        full.unionAll(Seq((5L, 9L), (7L, 2L)).toDF("src", "dst")),
+        "src", "dst", eps = 1e-5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(healed.keySet === freshAll.keySet)
+    healed.keySet.foreach { id =>
+      assert(math.abs(healed(id)._1 - freshAll(id)._1) < 1e-9,
+        s"node $id: healed ${healed(id)._1} vs fresh ${freshAll(id)._1}")
+    }
+  }
+
   test("coreness: hand cases (K4=3, cycle=2, star=1) and a randomized " +
       "law — the H-index fixpoint equals brute-force min-degree peeling") {
     def served(edges: Seq[(Long, Long)]): Map[Long, Long] =

@@ -749,6 +749,16 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(admit(mk(Seq((4L, t(4L))))) === 0L)
     assert(spark.read.parquet(corpusPath)
       .where(col("doc_id") === 4L).count() === 1L)
+    // EXPORT during the window: the corpus's own serving face excludes
+    // the pending takedown (a training-data export ships nothing
+    // tombstoned) while the raw scan still shows the row
+    assert(Retraction.readCorpusServed(spark, a)
+      .where(col("doc_id") === 4L).isEmpty)
+    val exportDir = root.resolve("export").toString
+    val exported = Retraction.exportCorpus(spark, a, exportDir)
+    assert(exported === spark.read.parquet(corpusPath).count() - 1)
+    assert(spark.read.parquet(exportDir)
+      .where(col("doc_id") === 4L).isEmpty)
     // the cadence pass: physical excision, overlays retired
     Retraction.applyTombstones(spark, a)
     assert(spark.read.parquet(corpusPath)
@@ -762,6 +772,274 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       .where(col("doc_id") === 4L).count() === 1L)
     assert(graft.sources.Bucketing.readKeys(spark, fs.path, "doc_id",
       Seq(4L)).count() === 1L)
+    // nothing pending → export is the full corpus again
+    assert(Retraction.exportCorpus(spark, a, exportDir)
+      === spark.read.parquet(corpusPath).count())
+  }
+
+  test("applyTombstones crash window: overlays retire AFTER the corpus " +
+      "commit, so a crash between them (stale tombstones, corpus already " +
+      "excised) self-heals on the next pass — found=0, every excision a " +
+      "no-op, retirement completes, the ids stay re-admittable") {
+    val docs0 = corpus(30).drop("embedding")
+    val a = Retraction.Artifacts(
+      corpusPath = tmp("cw_corpus"),
+      minhashIndexPath = Some(tmp("cw_mh")),
+      textIndex = Some(TextIndex.Cfg(tmp("cw_ti"), partitions = 8)))
+    docs0.write.mode("overwrite").parquet(a.corpusPath)
+    TextIndex.writeIndex(docs0, "doc_id", "text", a.textIndex.get)
+    Dedup.writeMinhashIndex(docs0, "doc_id", "text", a.minhashIndexPath.get)
+    val gone = Seq(3L, 7L)
+    Retraction.tombstoneDocs(spark, gone.toDF("doc_id"), "doc_id", a)
+    assert(Retraction.applyTombstones(spark, a)
+      === Retraction.Report(2, 2))
+    // SIMULATE the crash state the retire-last order can leave: the
+    // corpus rewrite committed but the overlays never retired —
+    // re-plant the tombstones on every root
+    val roots = Seq(a.corpusPath, a.minhashIndexPath.get,
+      a.textIndex.get.indexPath)
+    roots.foreach(r =>
+      graft.sources.Tombstones.append(r, gone.toDF("doc_id"), "doc_id"))
+    // the next cadence pass self-heals (the reverse order — retire
+    // before the corpus commit — would instead STRAND the rows:
+    // visible again, on no worklist, forever)
+    assert(Retraction.applyTombstones(spark, a)
+      === Retraction.Report(2, 0))
+    roots.foreach(r => assert(
+      graft.sources.Tombstones.readIds(spark, r).isEmpty,
+      s"stale overlay at $r"))
+    assert(spark.read.parquet(a.corpusPath).count() === 28L)
+    // and the ids are not hidden from a future re-admission
+    TextIndex.appendBatch(docs0.where(col("doc_id") === 3L), "doc_id",
+      "text", a.textIndex.get)
+    assert(TextIndex.bm25TopK(spark, a.textIndex.get, "doc_id",
+        docText(3L).split(" ").toSeq, 30)
+      .where(col("doc_id") === 3L).count() === 1L)
+  }
+
+  test("tombstone window semantics: takedown WINS over an interleaved " +
+      "same-id re-admission (representable only without the exact-key " +
+      "gate) — both versions are hidden by the pending overlay and both " +
+      "are excised by the cadence pass") {
+    val docs0 = corpus(20).drop("embedding")
+    val a = Retraction.Artifacts(
+      corpusPath = tmp("wd_corpus"),
+      minhashIndexPath = Some(tmp("wd_mh")))
+    docs0.write.mode("overwrite").parquet(a.corpusPath)
+    Dedup.writeMinhashIndex(docs0, "doc_id", "text",
+      a.minhashIndexPath.get)
+    Retraction.tombstoneDocs(spark, Seq(5L).toDF("doc_id"), "doc_id", a)
+    // an interleaved pipeline admits the SAME id with fresh content
+    val fresh = Seq((5L, "completely new content for the re-admitted id"))
+      .toDF("doc_id", "text")
+    fresh.write.mode("append").parquet(a.corpusPath)
+    Dedup.appendMinhashIndex(fresh, "doc_id", "text",
+      a.minhashIndexPath.get)
+    // the overlay is id-keyed, not version-keyed: both rows hidden
+    assert(Retraction.readCorpusServed(spark, a)
+      .where(col("doc_id") === 5L).isEmpty)
+    assert(spark.read.parquet(a.corpusPath)
+      .where(col("doc_id") === 5L).count() === 2L)
+    // the physical pass destroys both — the documented conservative
+    // reading: a takedown request is never narrowed by content that
+    // arrived after it was filed
+    Retraction.applyTombstones(spark, a)
+    assert(spark.read.parquet(a.corpusPath)
+      .where(col("doc_id") === 5L).isEmpty)
+    assert(spark.read.parquet(s"${a.minhashIndexPath.get}/data")
+      .where(col("corpus_id") === 5L).isEmpty)
+    // tombstone ≠ ban still holds AFTER the window closes
+    fresh.write.mode("append").parquet(a.corpusPath)
+    assert(Retraction.readCorpusServed(spark, a)
+      .where(col("doc_id") === 5L).count() === 1L)
+  }
+
+  test("maintain: the whole cadence as ONE verb — equal to the manual " +
+      "applyTombstones→compact sequence, idempotent (a second run is a " +
+      "found=0 no-op that moves no served value), and the stats audit " +
+      "fails loudly on drift") {
+    import graft.ingest.CorpusPipeline
+    def build(tag: String): (Retraction.Artifacts, String) = {
+      val root = Files.createTempDirectory(s"rt_maint_$tag")
+      val corpusPath = root.resolve("corpus").toString
+      val mh = root.resolve("mh").toString
+      val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 8)
+      val bk = BloomKeyIndex.Cfg(root.resolve("bk").toString,
+        keyExpr = "text")
+      val fs = CorpusPipeline.ForwardStore(root.resolve("fs").toString,
+        partitions = 8)
+      def admit(b: DataFrame): Long =
+        CorpusPipeline.dedupAndAppend(b, corpusPath, mh, "doc_id",
+          "text", threshold = 0.8, exactKeys = Some(bk),
+          textIndex = Some(ti), forwardStore = Some(fs))
+      val all = corpus(20).drop("embedding")
+      admit(all.where(col("doc_id") <= 10))
+      admit(all.where(col("doc_id") > 10))
+      val a = Retraction.Artifacts(corpusPath,
+        minhashIndexPath = Some(mh), textIndex = Some(ti),
+        exactKeys = Some(bk), forwardStorePath = Some(fs.path))
+      val present = spark.read.parquet(corpusPath).select("doc_id")
+        .as[Long].collect().sorted.take(2)
+      Retraction.tombstoneDocs(spark, present.toSeq.toDF("doc_id"),
+        "doc_id", a)
+      (a, fs.path)
+    }
+    def state(a: Retraction.Artifacts, fsPath: String) = (
+      spark.read.parquet(a.corpusPath).select("doc_id")
+        .as[Long].collect().toSet,
+      TextIndex.stats(spark, a.textIndex.get)
+        .as[(Long, Long, Double, Long, Long)].collect().head,
+      TextIndex.bm25TopK(spark, a.textIndex.get, "doc_id",
+          Seq("hash", "join", "vector"), 20)
+        .as[(Long, Double)].collect().toSeq,
+      graft.sources.Bucketing.readKeys(spark, fsPath, "doc_id",
+          (1L to 20L))
+        .select("doc_id").as[Long].collect().toSet)
+    val (aM, fsM) = build("verb")
+    val (aH, fsH) = build("hand")
+    val rM = Retraction.maintain(spark, aM)
+    assert(rM.requested === 2L && rM.found === 2L)
+    // the manual recipe on the twin deployment
+    Retraction.applyTombstones(spark, aH)
+    TextIndex.compact(spark, aH.textIndex.get)
+    graft.sources.Compaction.compact(spark,
+      s"${aH.minhashIndexPath.get}/data")
+    BloomKeyIndex.compactRows(spark, aH.exactKeys.get)
+    graft.sources.Compaction.compactPartitioned(spark, fsH)
+    graft.sources.Compaction.compact(spark, aH.corpusPath)
+    assert(state(aM, fsM) === state(aH, fsH),
+      "maintain must land exactly the manual sequence's state")
+    // idempotent
+    val before = state(aM, fsM)
+    assert(Retraction.maintain(spark, aM) === Retraction.Report(0L, 0L))
+    assert(state(aM, fsM) === before)
+    // the audit: a drifted stats sidecar fails LOUDLY
+    import spark.implicits._
+    Seq((999L, 1L)).toDF("n_docs", "sum_len").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${aM.textIndex.get.indexPath}/stats")
+    val e = intercept[IllegalStateException] {
+      Retraction.maintain(spark, aM)
+    }
+    assert(e.getMessage.contains("drifted"))
+  }
+
+  test("streaming GDPR drill with cadence: admissions INTERLEAVE between " +
+      "the tombstone micro-batch and the apply micro-batch — the " +
+      "exact-key gate holds for the same id, a near-copy under a NEW id " +
+      "admits as novel (the overlay corollary) and SURVIVES the " +
+      "physical pass; a live doc's near-copy stays swallowed") {
+    import graft.ingest.CorpusPipeline
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = Files.createTempDirectory("rt_interleave")
+    val corpusPath = root.resolve("corpus").toString
+    val mh = root.resolve("mh").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 8)
+    val bk = BloomKeyIndex.Cfg(root.resolve("bk").toString,
+      keyExpr = "text")
+    // 30 fully-distinct tokens per doc: a one-token edit keeps shingle
+    // Jaccard ≈ 25/27 — above the near-dup bar; distinct docs share 0
+    def t(i: Long): String =
+      (0 until 30).map(j => s"tok${i}x$j").mkString(" ")
+    def mk(rows: Seq[(Long, String)]): DataFrame =
+      rows.toDF("doc_id", "text")
+    def admit(b: DataFrame): Long =
+      CorpusPipeline.dedupAndAppend(b, corpusPath, mh, "doc_id", "text",
+        threshold = 0.8, exactKeys = Some(bk), textIndex = Some(ti))
+    assert(admit(mk((1L to 8L).map(i => (i, t(i))))) === 8L)
+    val a = Retraction.Artifacts(corpusPath, minhashIndexPath = Some(mh),
+      textIndex = Some(ti), exactKeys = Some(bk))
+    val reqDir = root.resolve("req").toString
+    val chk = root.resolve("chk").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    def drain(): Unit =
+      graft.streaming.CorpusStream.startTakedowns(spark, reqDir, schema,
+        chk, a, applyEvery = 2).awaitTermination()
+    // micro-batch 0: tombstone 4 — the every-2nd cadence does NOT fire
+    Seq(4L).toDF("doc_id").write.mode("append").parquet(reqDir)
+    drain()
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id") === 4L).count() > 0, "no physical pass yet")
+    // INTERLEAVED admissions, mid-window:
+    val nearCopyOfGone = t(4).split(" ").init.mkString(" ") + " changed"
+    val nearCopyOfLive = t(6).split(" ").init.mkString(" ") + " changed"
+    // (a) same-id exact copy: the exact-key gate HOLDS (postings still
+    //     physically exist — re-admitting would double-index)
+    assert(admit(mk(Seq((4L, t(4))))) === 0L)
+    // (b) near-copy of the TOMBSTONED doc under a new id: novel by the
+    //     overlay corollary; (c) control: a LIVE doc's near-copy stays
+    //     swallowed — proving (b) admitted because of the overlay, not
+    //     because the gate missed it
+    assert(admit(mk(Seq((99L, nearCopyOfGone), (98L, nearCopyOfLive))))
+      === 1L)
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 99L).count() === 1L)
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 98L).isEmpty)
+    // micro-batch 1: tombstone 5 — (1+1) % 2 == 0 → the physical pass
+    Seq(5L).toDF("doc_id").write.mode("append").parquet(reqDir)
+    drain()
+    assert(spark.read.parquet(corpusPath).select("doc_id")
+      .as[Long].collect().toSet
+      === ((1L to 8L).toSet -- Set(4L, 5L)) + 99L,
+      "tombstoned ids excised; the novel near-copy survived the pass")
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id").isin(4L, 5L)).isEmpty)
+    assert(graft.sources.Tombstones.readIds(spark, ti.indexPath).isEmpty)
+    // post-window, the engine holds no memory of doc 4 ITSELF — but its
+    // admitted near-copy (99) now owns that text neighborhood, so a
+    // re-submission is swallowed as 99's duplicate: correct near-dup
+    // semantics, not a stale gate
+    assert(admit(mk(Seq((4L, t(4))))) === 0L)
+    assert(graft.operators.Dedup.dedupAgainstIndex(mk(Seq((4L, t(4)))),
+        "doc_id", "text", mh, 0.8)
+      .select("corpus_id").as[Long].collect().toSet === Set(99L),
+      "the swallow must attribute to the SURVIVING near-copy, not to " +
+        "any memory of the retracted doc")
+    // and a genuinely novel doc still admits
+    assert(admit(mk(Seq((12L, t(12))))) === 1L)
+  }
+
+  test("forward store enabled on an EXISTING corpus backfills at " +
+      "creation — older docs are fetchable, the stored snippet face " +
+      "covers both eras, and a hand-rolled store with gaps fails " +
+      "LOUDLY instead of silently dropping winners") {
+    import graft.ingest.CorpusPipeline
+    val dir = Files.createTempDirectory("fwd_backfill")
+    val corpusPath = dir.resolve("corpus").toString
+    val idx = dir.resolve("mh").toString
+    val ti = TextIndex.Cfg(dir.resolve("ti").toString, partitions = 8)
+    val fs = CorpusPipeline.ForwardStore(dir.resolve("fs").toString,
+      partitions = 8)
+    def t(i: Long): String =
+      s"alpha$i bravo$i shared charlie$i delta$i echo$i"
+    def mk(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, t(i))).toDF("doc_id", "text")
+    def admit(b: DataFrame,
+              f: Option[CorpusPipeline.ForwardStore]): Long =
+      CorpusPipeline.dedupAndAppend(b, corpusPath, idx, "doc_id", "text",
+        threshold = 0.8, textIndex = Some(ti), forwardStore = f)
+    // batch 1 lands BEFORE the store is configured
+    assert(admit(mk(1L to 5L), None) === 5L)
+    // batch 2 enables the store → creation backfills batch 1 from the
+    // corpus as written (the store-covers-corpus contract)
+    assert(admit(mk(6L to 10L), Some(fs)) === 5L)
+    assert(graft.sources.Bucketing.readKeys(spark, fs.path, "doc_id",
+      (1L to 10L)).count() === 10L)
+    val snip = TextIndex.snippetTopKStored(spark, ti, fs.path, "doc_id",
+      "text", Seq("shared"), window = 3, k = 10)
+    assert(snip.count() === 10L)
+    assert(snip.where(!col("snippet").contains("shared")).isEmpty)
+    // a store with a gap names the missing winner instead of shrinking
+    // the top-k
+    val partial = dir.resolve("fs_partial").toString
+    graft.sources.Bucketing.writeKeyBucketed(mk(2L to 10L), partial,
+      "doc_id", 8)
+    val e = intercept[IllegalStateException] {
+      TextIndex.snippetTopKStored(spark, ti, partial, "doc_id", "text",
+        Seq("shared"), window = 3, k = 10)
+    }
+    assert(e.getMessage.contains("missing") && e.getMessage.contains("1"))
   }
 
   test("satellite re-closure: retracting a duplicate cluster's CANONICAL " +
