@@ -484,15 +484,31 @@ object Retraction {
     * measurement, demoted to an assertion) must match exactly, or the
     * verb throws rather than let drift compound silently.
     *
+    * `sketch`: the monitoring sidecar is not excised by takedown (the
+    * documented one-way-additive stance at the class doc), but its
+    * small files ARE this cadence's business — pass the loop's cfg and
+    * `maintain` folds it too (file compaction + the lossless row-merge,
+    * grouped or flat).
+    *
     * Idempotent and equal to the manual sequence by construction (each
     * step is the same verb a deployment would call by hand, spec-pinned
     * content-equal across a second run); every step no-ops on an
     * artifact that does not exist yet, so `maintain` on a fresh
     * deployment is safe. Returns [[applyTombstones]]'s report.
     */
-  def maintain(spark: SparkSession, a: Artifacts): Report = {
+  def maintain(spark: SparkSession, a: Artifacts,
+               sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
+      : Report = {
     def exists(p: String): Boolean = new java.io.File(p).exists()
     val r = applyTombstones(spark, a)
+    sketch.foreach { cfg =>
+      if (exists(cfg.sidecarPath)) {
+        graft.sources.Compaction.compact(spark, cfg.sidecarPath)
+        if (cfg.groupKeyExpr.isDefined)
+          graft.sources.SketchSidecar.compactRowsByGroup(spark, cfg)
+        else graft.sources.SketchSidecar.compactRows(spark, cfg)
+      }
+    }
     a.textIndex.foreach { cfg =>
       if (exists(s"${cfg.indexPath}/postings"))
         graft.sources.TextIndex.compact(spark, cfg)

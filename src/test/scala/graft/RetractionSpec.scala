@@ -859,7 +859,9 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
       "found=0 no-op that moves no served value), and the stats audit " +
       "fails loudly on drift") {
     import graft.ingest.CorpusPipeline
-    def build(tag: String): (Retraction.Artifacts, String) = {
+    import graft.sources.SketchSidecar
+    def build(tag: String)
+        : (Retraction.Artifacts, String, SketchSidecar.Cfg) = {
       val root = Files.createTempDirectory(s"rt_maint_$tag")
       val corpusPath = root.resolve("corpus").toString
       val mh = root.resolve("mh").toString
@@ -868,10 +870,13 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
         keyExpr = "text")
       val fs = CorpusPipeline.ForwardStore(root.resolve("fs").toString,
         partitions = 8)
+      val sk = SketchSidecar.Cfg(root.resolve("sk").toString,
+        distinctExpr = "doc_id", valueExpr = "length(text)")
       def admit(b: DataFrame): Long =
         CorpusPipeline.dedupAndAppend(b, corpusPath, mh, "doc_id",
           "text", threshold = 0.8, exactKeys = Some(bk),
-          textIndex = Some(ti), forwardStore = Some(fs))
+          textIndex = Some(ti), forwardStore = Some(fs),
+          sketch = Some(sk))
       val all = corpus(20).drop("embedding")
       admit(all.where(col("doc_id") <= 10))
       admit(all.where(col("doc_id") > 10))
@@ -882,9 +887,10 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
         .as[Long].collect().sorted.take(2)
       Retraction.tombstoneDocs(spark, present.toSeq.toDF("doc_id"),
         "doc_id", a)
-      (a, fs.path)
+      (a, fs.path, sk)
     }
-    def state(a: Retraction.Artifacts, fsPath: String) = (
+    def state(a: Retraction.Artifacts, fsPath: String,
+              sk: SketchSidecar.Cfg) = (
       spark.read.parquet(a.corpusPath).select("doc_id")
         .as[Long].collect().toSet,
       TextIndex.stats(spark, a.textIndex.get)
@@ -894,25 +900,32 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
         .as[(Long, Double)].collect().toSeq,
       graft.sources.Bucketing.readKeys(spark, fsPath, "doc_id",
           (1L to 20L))
-        .select("doc_id").as[Long].collect().toSet)
-    val (aM, fsM) = build("verb")
-    val (aH, fsH) = build("hand")
-    val rM = Retraction.maintain(spark, aM)
+        .select("doc_id").as[Long].collect().toSet,
+      SketchSidecar.servedMoments(spark, sk.sidecarPath)
+        .select("vn", "vsum").as[(Long, Double)].collect().head)
+    val (aM, fsM, skM) = build("verb")
+    val (aH, fsH, skH) = build("hand")
+    val rM = Retraction.maintain(spark, aM, sketch = Some(skM))
     assert(rM.requested === 2L && rM.found === 2L)
     // the manual recipe on the twin deployment
     Retraction.applyTombstones(spark, aH)
+    graft.sources.Compaction.compact(spark, skH.sidecarPath)
+    SketchSidecar.compactRows(spark, skH)
     TextIndex.compact(spark, aH.textIndex.get)
     graft.sources.Compaction.compact(spark,
       s"${aH.minhashIndexPath.get}/data")
     BloomKeyIndex.compactRows(spark, aH.exactKeys.get)
     graft.sources.Compaction.compactPartitioned(spark, fsH)
     graft.sources.Compaction.compact(spark, aH.corpusPath)
-    assert(state(aM, fsM) === state(aH, fsH),
+    assert(state(aM, fsM, skM) === state(aH, fsH, skH),
       "maintain must land exactly the manual sequence's state")
+    // …and the sketch fold really folded: one merged row serves
+    assert(spark.read.parquet(skM.sidecarPath).count() === 1L)
     // idempotent
-    val before = state(aM, fsM)
-    assert(Retraction.maintain(spark, aM) === Retraction.Report(0L, 0L))
-    assert(state(aM, fsM) === before)
+    val before = state(aM, fsM, skM)
+    assert(Retraction.maintain(spark, aM, sketch = Some(skM))
+      === Retraction.Report(0L, 0L))
+    assert(state(aM, fsM, skM) === before)
     // the audit: a drifted stats sidecar fails LOUDLY
     import spark.implicits._
     Seq((999L, 1L)).toDF("n_docs", "sum_len").coalesce(1)
