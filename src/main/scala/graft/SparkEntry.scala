@@ -129,5 +129,14 @@ object SparkEntry {
     // round 18: the LAZY verb on the same fixture — its wall time IS
     // the takedown SLA (invisibility latency, O(ids) overlay writes),
     // read against q_takedown_apply's deferred physical pass
-    "q_takedown_tombstone")
+    "q_takedown_tombstone",
+    // round 19: the two LAYOUT-MAINTENANCE verbs as throughput rows —
+    // IVF re-clustering (Lloyd over current contents + whole-root swap;
+    // the number an operator weighs against degraded probe latency when
+    // ann_index_stats' imbalance drifts) and the z-order rewrite (the
+    // OPTIMIZE ZORDER BY cost next to the avg_box_frac decay it buys
+    // back). Both rows build their fixture inside the clock by design:
+    // the verbs ARE rewrite passes, so fixture build + rewrite is the
+    // honest unit of work
+    "q_ivf_recluster", "q_zorder_maintain")
 }

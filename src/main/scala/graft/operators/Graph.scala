@@ -1277,4 +1277,110 @@ object Graph {
       else censusOrStorePath
     spark.read.parquet(p)
   }
+
+  /** Community detection by synchronous LABEL PROPAGATION (Raghavan,
+    * Albert & Kumara 2007) over the undirected simple graph: every node
+    * starts in its own community and each round adopts the most frequent
+    * label among its neighbors AND itself, ties to the smallest label —
+    * both choices deterministic (the paper's random tie-break and
+    * visit order are what make vanilla LPA unstable run-to-run; fixed
+    * tie-break + synchronous rounds give the same partition every run on
+    * the same data). Including the node's own label damps the 2-cycle
+    * oscillation synchronous LPA is known for on bipartite-ish
+    * structure; convergence is "no label changed", bounded by
+    * `maxIters` (LPA converges in few rounds on modular graphs — near-
+    * diameter rounds only on structureless ones, where any answer is as
+    * good).
+    *
+    * Scale shape = [[graft.operators.Components.connectedComponents]]'s:
+    * per round one equi-join (labels into edge endpoints), one
+    * (id, label) count aggregate and one per-id argmax — all
+    * key-partitioned shuffles, no cartesian; per-round eager
+    * localCheckpoint truncates the iterative-plan growth and the
+    * previous round's blocks release immediately. Returns
+    * (id, community) with community = the surviving shared label.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be positive, got $maxIters")
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("hi").as("lo"), col("lo").as("hi")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("lo").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+    var prevRound: DataFrame = null
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // neighbor labels + the node's own (self-vote, the oscillation
+      // damper); most frequent wins, smallest label on ties
+      val votes = sym
+        .join(labels.select(col("id").as("hi"),
+          col("community").as("vote")), "hi")
+        .select(col("lo").as("id"), col("vote"))
+        .unionAll(labels.select(col("id"), col("community").as("vote")))
+        .groupBy("id", "vote").agg(count(lit(1)).as("n"))
+      val next = votes
+        .groupBy("id")
+        .agg(max(struct(col("n"), (-col("vote")).as("nv")))
+          .as("best"))
+        .select(col("id"), (-col("best.nv")).as("community"))
+        .join(labels.withColumnRenamed("community", "__old"), Seq("id"))
+        .select(col("id"), col("community"),
+          (col("community") =!= col("__old")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select("id", "community")
+      if (prevRound != null)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prevRound)
+      prevRound = next
+      iter += 1
+    }
+    sym.unpersist(false)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(e)
+    labels
+  }
+
+  /** Newman MODULARITY of a node partition over the undirected simple
+    * graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] with m simple edges, e_c
+    * intra-community edges and d_c the community's degree sum — the
+    * standard "is this partition better than chance" score (Q ≈ 0 for
+    * random/trivial partitions, 0.3+ for real community structure), the
+    * machine-checkable floor for [[labelPropagation]]'s otherwise
+    * engine-specific labels. One row (communities, edges, intra_edges,
+    * modularity). Cost: two broadcast-or-hash joins of the edge set
+    * against the labels and two bounded aggregates.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, idCol: String,
+                 communityCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val l = labels.select(col(idCol).cast("long").as("__id"),
+      col(communityCol).cast("long").as("__c"))
+    val tagged = e
+      .join(l.select(col("__id").as("lo"), col("__c").as("__clo")), "lo")
+      .join(l.select(col("__id").as("hi"), col("__c").as("__chi")), "hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // d_c = Σ degrees in c, from the edge side (each simple edge
+      // contributes 1 to each endpoint's community)
+      val degByC = tagged.select(col("__clo").as("c"))
+        .unionAll(tagged.select(col("__chi").as("c")))
+        .groupBy("c").agg(count(lit(1)).cast("double").as("dc"))
+      val intraByC = tagged.where(col("__clo") === col("__chi"))
+        .groupBy(col("__clo").as("c"))
+        .agg(count(lit(1)).cast("double").as("ec"))
+      val m = tagged.count().toDouble
+      degByC.join(intraByC, Seq("c"), "left")
+        .select(col("c"), coalesce(col("ec"), lit(0.0)).as("ec"),
+          col("dc"))
+        .agg(count(lit(1)).as("communities"),
+          sum(col("ec")).as("intra"),
+          sum(col("ec") / m - (col("dc") / (2 * m)) *
+            (col("dc") / (2 * m))).as("q"))
+        .select(col("communities"), lit(m.toLong).as("edges"),
+          col("intra").cast("long").as("intra_edges"),
+          round(col("q"), 6).as("modularity"))
+    } finally tagged.unpersist(false)
+  }
 }

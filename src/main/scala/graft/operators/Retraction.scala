@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
   *  - LSH index      → [[Similarity.retractFromLshIndex]] —
   *    (table, bucket)-pruned rewrite (≤ |ids|·tables leaves);
   *  - SQ8 index      → [[Sq.retractFromSqIndex]];
+  *  - BQ index       → [[Bq.retractFromBqIndex]];
   *  - media/audio    → [[Multimodal.retractFromMediaIndex]];
   *  - label store    → [[Components.retractFromLabelStore]] + satellite
   *    RE-CLOSURE from the stored signatures (a retracted canonical's
@@ -139,6 +140,8 @@ object Retraction {
       lshIdCol: String = "doc_id",
       sqIndexPath: Option[String] = None,
       sqIdCol: String = "doc_id",
+      bqIndexPath: Option[String] = None,
+      bqIdCol: String = "doc_id",
       mediaIndexPath: Option[String] = None,
       dupLabelsPath: Option[String] = None,
       forwardStorePath: Option[String] = None,
@@ -162,8 +165,8 @@ object Retraction {
   private def overlayRoots(a: Artifacts): Seq[String] =
     Seq(a.corpusPath) ++ a.textIndex.map(_.indexPath) ++
       a.minhashIndexPath ++ a.annIndexPath ++ a.lshIndexPath ++
-      a.sqIndexPath ++ a.mediaIndexPath ++ a.dupLabelsPath ++
-      a.forwardStorePath
+      a.sqIndexPath ++ a.bqIndexPath ++ a.mediaIndexPath ++
+      a.dupLabelsPath ++ a.forwardStorePath
 
   /** LAZY takedown: write `ids` into every configured artifact's
     * tombstone overlay — O(ids) per artifact, the whole verb — and
@@ -369,6 +372,9 @@ object Retraction {
           a.sqIndexPath.foreach { p =>
             Sq.retractFromSqIndex(spark, p, keys, "__rid", a.sqIdCol)
           }
+          a.bqIndexPath.foreach { p =>
+            Bq.retractFromBqIndex(spark, p, keys, "__rid", a.bqIdCol)
+          }
           a.mediaIndexPath.foreach { p =>
             Multimodal.retractFromMediaIndex(spark, p, keys, "__rid")
           }
@@ -471,6 +477,141 @@ object Retraction {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** One artifact's row in the [[audit]] report. `missing`/`extra_*`
+    * are DISTINCT-ID counts; `missing` is -1 for artifacts that cover
+    * the corpus only partially BY DESIGN (label store: duped docs only;
+    * ANN/media: only docs with that modality), where absence is not
+    * drift.
+    */
+  case class AuditRow(artifact: String, ids: Long, missing: Long,
+                      missing_pending: Long, extra_leaked: Long,
+                      extra_pending: Long)
+
+  /** Cross-artifact CONSISTENCY AUDIT — the independent auditor for the
+    * whole derived-artifact set, the [[graft.sources.TextIndex.healStats]]
+    * stance generalized from one statistic to MEMBERSHIP itself: every
+    * takedown/append verb documents its crash window and how it
+    * converges, and this verb is how a deployment PROVES convergence
+    * happened instead of trusting it. Per configured artifact, the
+    * distinct-id sets are compared against the corpus (raw read — the
+    * physical truth):
+    *
+    *  - `missing`  = corpus ids absent from the artifact. Real drift for
+    *    full-coverage artifacts (text index, MinHash index, forward
+    *    store — the loop feeds every admitted doc to each); reported as
+    *    -1 for subset-by-design artifacts. Split: ids with a PENDING
+    *    corpus tombstone count as `missing_pending` (a takedown mid-
+    *    flight — indexes excise before the corpus commits, so this state
+    *    is expected and self-heals on the next cadence), the rest are
+    *    `missing` proper (e.g. a half-landed append).
+    *  - `extra`    = artifact ids absent from the corpus. Split by the
+    *    ARTIFACT root's own overlay: `extra_pending` ids are hidden from
+    *    every serve (harmless, awaiting the physical pass);
+    *    `extra_leaked` ids are SERVING while the corpus no longer has
+    *    them — the alarm this verb exists to raise (can only arise from
+    *    out-of-band mutation: the verbs' own ordering — indexes first,
+    *    corpus last — never produces it). Remedy note: an extra id is
+    *    invisible to the corpus-driven cadence ([[retractDocs]] derives
+    *    its pruned partition lists from CORPUS rows, which an index-only
+    *    stray has none of) — excise it with the ARTIFACT-level verb
+    *    (e.g. [[graft.sources.TextIndex.retract]] with the stray's own
+    *    text) and retire its tombstone if one was filed.
+    *
+    * Cost shape at 100 TB: one column-pruned distinct-id projection per
+    * artifact plus broadcast-against-corpus anti-joins — the same class
+    * as the maintenance scans the cadence already pays; corpus ids are
+    * localCheckpointed once and shared across all comparisons. Run it on
+    * the audit cadence, not per query.
+    */
+  def audit(spark: SparkSession, a: Artifacts): DataFrame = {
+    import spark.implicits._
+    val corpusIds = spark.read.parquet(a.corpusPath)
+      .select(col(a.idCol).cast("long").as("__cid")).distinct()
+      .localCheckpoint(true)
+    try {
+      val corpusPending = graft.sources.Tombstones
+        .readIds(spark, a.corpusPath)
+      def row(name: String, artifactIds: DataFrame, root: String,
+              fullCoverage: Boolean): AuditRow = {
+        val aids = artifactIds
+          .select(col(artifactIds.columns.head).cast("long").as("__aid"))
+          .distinct()
+        val (miss, missPending) = if (!fullCoverage) (-1L, -1L) else {
+          val m = corpusIds
+            .join(aids, corpusIds("__cid") === aids("__aid"), "left_anti")
+          val mp = m.join(broadcast(corpusPending),
+            m("__cid") === corpusPending("__ts_id"), "left_semi").count()
+          (m.count() - mp, mp)
+        }
+        val extra = aids
+          .join(corpusIds, aids("__aid") === corpusIds("__cid"),
+            "left_anti")
+        val pending = graft.sources.Tombstones.readIds(spark, root)
+        val ep = extra.join(broadcast(pending),
+          extra("__aid") === pending("__ts_id"), "left_semi").count()
+        AuditRow(name, aids.count(), miss, missPending,
+          extra.count() - ep, ep)
+      }
+      def exists(p: String) = new java.io.File(p).exists()
+      val rows = Seq.newBuilder[AuditRow]
+      a.textIndex.foreach { cfg =>
+        if (exists(s"${cfg.indexPath}/postings"))
+          rows += row("text_index",
+            spark.read.parquet(s"${cfg.indexPath}/postings")
+              .select("doc_id"),
+            cfg.indexPath, fullCoverage = true)
+      }
+      a.minhashIndexPath.foreach { p =>
+        if (exists(s"$p/data"))
+          rows += row("minhash_index",
+            spark.read.parquet(s"$p/data").select("corpus_id"),
+            p, fullCoverage = true)
+      }
+      a.forwardStorePath.foreach { p =>
+        if (exists(p))
+          rows += row("forward_store",
+            spark.read.parquet(p).select(a.idCol),
+            p, fullCoverage = true)
+      }
+      a.annIndexPath.foreach { p =>
+        if (exists(s"$p/data"))
+          rows += row("ann_index",
+            spark.read.parquet(s"$p/data").select(a.annIdCol),
+            p, fullCoverage = false)
+      }
+      a.lshIndexPath.foreach { p =>
+        if (exists(s"$p/data"))
+          rows += row("lsh_index",
+            spark.read.parquet(s"$p/data").select(a.lshIdCol),
+            p, fullCoverage = false)
+      }
+      a.sqIndexPath.foreach { p =>
+        if (exists(s"$p/data"))
+          rows += row("sq_index",
+            spark.read.parquet(s"$p/data").select(a.sqIdCol),
+            p, fullCoverage = false)
+      }
+      a.bqIndexPath.foreach { p =>
+        if (exists(s"$p/data"))
+          rows += row("bq_index",
+            spark.read.parquet(s"$p/data").select(a.bqIdCol),
+            p, fullCoverage = false)
+      }
+      a.mediaIndexPath.foreach { p =>
+        if (exists(p))
+          rows += row("media_index",
+            spark.read.parquet(p).select("media_id"),
+            p, fullCoverage = false)
+      }
+      a.dupLabelsPath.foreach { p =>
+        val ids = Components.readLabelStoreRaw(spark, p).select("id")
+        rows += row("label_store", ids, p, fullCoverage = false)
+      }
+      rows.result().toDF()
+    } finally org.apache.spark.sql.GraftBridge
+      .unpersistCheckpoint(corpusIds)
+  }
+
   /** The MAINTENANCE CADENCE as one verb — what a deployment schedules
     * instead of remembering the recipe: (1) the physical pass over
     * every pending tombstone ([[applyTombstones]], which retires the
@@ -482,7 +623,17 @@ object Retraction {
     * (n_docs, sum_len) re-derived from ground truth (corpus count +
     * one postings aggregate — the [[graft.sources.TextIndex.healStats]]
     * measurement, demoted to an assertion) must match exactly, or the
-    * verb throws rather than let drift compound silently.
+    * verb throws rather than let drift compound silently. Between (2)
+    * and (3), a [[graft.sources.Compaction.vacuum]] sweep over every
+    * configured root GCs staged-rewrite crash orphans older than
+    * `vacuumMinAgeMs` (default 24 h; pass a negative value to skip) —
+    * the crash windows the verbs document converge on DISK too, not
+    * just in served state; triage claims and sole-copy retired dirs
+    * are never touched (the safety rules live in `vacuum`). With
+    * `auditMembership = true`, the [[audit]] verb runs after the stats
+    * audit and THROWS on any membership drift — right after a full
+    * physical pass nothing is legitimately pending, so any leak or
+    * strand is an out-of-band mutation the cadence must not paper over.
     *
     * `sketch`: the monitoring sidecar is not excised by takedown (the
     * documented one-way-additive stance at the class doc), but its
@@ -497,7 +648,9 @@ object Retraction {
     * deployment is safe. Returns [[applyTombstones]]'s report.
     */
   def maintain(spark: SparkSession, a: Artifacts,
-               sketch: Option[graft.sources.SketchSidecar.Cfg] = None)
+               sketch: Option[graft.sources.SketchSidecar.Cfg] = None,
+               vacuumMinAgeMs: Long = 24L * 3600 * 1000,
+               auditMembership: Boolean = false)
       : Report = {
     def exists(p: String): Boolean = new java.io.File(p).exists()
     val r = applyTombstones(spark, a)
@@ -530,6 +683,19 @@ object Retraction {
       case Some(_) =>
         graft.sources.Compaction.compactPartitioned(spark, a.corpusPath)
     }
+    // GC crash orphans (staged-rewrite leftovers) under every configured
+    // root — the age guard keeps in-flight rewrites safe, the triage and
+    // sole-copy-retired rules are inside [[graft.sources.Compaction
+    // .vacuum]]; sole-copy holds re-surface every cadence until recovered
+    if (vacuumMinAgeMs >= 0) {
+      val roots = Seq(a.corpusPath) ++ a.textIndex.map(_.indexPath) ++
+        a.minhashIndexPath ++ a.exactKeys.map(_.indexPath) ++
+        a.annIndexPath ++ a.lshIndexPath ++ a.sqIndexPath ++
+        a.bqIndexPath ++ a.mediaIndexPath ++ a.dupLabelsPath ++
+        a.forwardStorePath ++ sketch.map(_.sidecarPath)
+      roots.distinct.foreach(r =>
+        graft.sources.Compaction.vacuum(r, vacuumMinAgeMs))
+    }
     // the audit: served stats vs ground truth, exact or loud
     a.textIndex.foreach { cfg =>
       if (exists(s"${cfg.indexPath}/postings") && exists(a.corpusPath)) {
@@ -547,6 +713,23 @@ object Retraction {
               "TextIndex.healStats after diagnosing how the exactly-once " +
               "ledger was bypassed")
       }
+    }
+    // optional MEMBERSHIP audit ([[audit]]): after a full cadence pass no
+    // artifact may hold a serving id the corpus lacks (the physical pass
+    // just ran, so nothing is legitimately pending) and no full-coverage
+    // artifact may be missing a live id — drift here means a verb's
+    // crash-window contract was violated out-of-band, and the cadence is
+    // the right place to refuse to paper over it
+    if (auditMembership && exists(a.corpusPath)) {
+      val bad = audit(spark, a)
+        .where(col("extra_leaked") > 0 || col("extra_pending") > 0 ||
+          col("missing") > 0 || col("missing_pending") > 0)
+        .collect()
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          "maintain: membership drift after the physical pass — " +
+            bad.map(_.toString).mkString("; ") +
+            "; diagnose with Retraction.audit before the next cadence")
     }
     r
   }

@@ -142,6 +142,77 @@ object Compaction {
     swapInto(path, staging.toString)
   }
 
+  /** What [[vacuum]] did: orphan staging/retired dirs removed (with their
+    * byte sizes summed) and sole-copy `__retired` dirs HELD for manual
+    * recovery (their live sibling is missing — deleting them would be the
+    * data loss the swap discipline exists to prevent).
+    */
+  case class VacuumReport(removed: Seq[String], bytes: Long,
+                          held: Seq[String])
+
+  /** GC of crash orphans under `root`: every staged rewrite in the engine
+    * goes through [[stagingDir]]'s `.name__suffix` siblings + [[swapInto]],
+    * so a crash mid-rewrite leaves a dot-prefixed directory that every
+    * Spark scan ignores (correctness is unaffected — that is the point of
+    * the dot) but that holds disk forever and, for partition leaves, gets
+    * re-created beside on every retry. This sweep makes the crash windows
+    * every verb documents actually CONVERGE on disk too.
+    *
+    * Safety rules, each load-bearing:
+    *  - only names matching `.name__suffix` are candidates — live data,
+    *    `key=value` leaves, `_`-metadata and `<root>__tombstones` overlay
+    *    siblings never match;
+    *  - the `triage` suffix is NEVER touched: the streaming triage claims
+    *    the quarantine queue BY RENAMING it to `.q__triage` (the claimed
+    *    dir IS the sole copy; a crashed claim is recovered, not garbage —
+    *    [[graft.streaming.CorpusStream.rejectQuarantined]]);
+    *  - a `retired` dir is removed only when its live sibling EXISTS: a
+    *    crash between [[swapInto]]'s retire-rename and install-rename
+    *    leaves `.name__retired` as the ONLY copy of the data — those are
+    *    reported in `held`, never deleted;
+    *  - an age guard: a candidate whose tree was modified within
+    *    `minAgeMs` is skipped — it may be a rewrite IN FLIGHT on another
+    *    driver (the bounded-pool leaf rewrites run concurrently).
+    *
+    * Driver-side listing walk (no data read), the same cost class as the
+    * partition discovery the maintenance pass already pays.
+    */
+  def vacuum(root: String, minAgeMs: Long = 24L * 3600 * 1000,
+             nowMs: Long = System.currentTimeMillis()): VacuumReport = {
+    val candidate = """^\.(.+)__([A-Za-z0-9]+)$""".r
+    def treeBytes(f: File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).map(treeBytes).sum
+    def newestMtime(f: File): Long = {
+      val own = f.lastModified()
+      if (f.isFile) own
+      else (own +: Option(f.listFiles()).getOrElse(Array.empty)
+        .map(newestMtime).toSeq).max
+    }
+    val removed = Seq.newBuilder[String]
+    val held = Seq.newBuilder[String]
+    var bytes = 0L
+    def walk(dir: File): Unit = {
+      val children = Option(dir.listFiles()).getOrElse(Array.empty)
+      children.foreach { c =>
+        c.getName match {
+          case candidate(name, suffix) =>
+            val fresh = nowMs - newestMtime(c) < minAgeMs
+            val soleRetired =
+              suffix == "retired" && !new File(dir, name).exists()
+            if (suffix == "triage" || fresh) () // never / in-flight
+            else if (soleRetired) held += c.getPath
+            else { bytes += treeBytes(c); removed += c.getPath; rm(c) }
+          case n if c.isDirectory && !n.startsWith(".") => walk(c)
+          case _ => ()
+        }
+      }
+    }
+    val r = new File(root)
+    if (r.exists()) walk(r)
+    VacuumReport(removed.result(), bytes, held.result())
+  }
+
   /** Compact every leaf partition directory of a `partitionBy`-written
     * table (e.g. an IVF-family index's `data/cell=N/` directories) while
     * PRESERVING the partition layout — the plain [[compact]] would read

@@ -46,4 +46,66 @@ object ZOrder {
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Layout health of a clustered table — the number that tells an
+    * operator WHEN to pay for [[recluster]], the
+    * [[graft.operators.Similarity.ivfIndexStats]] stance for the file
+    * layout: per file, the bounding-box volume of the clustered
+    * dimensions as a fraction of the table's domain volume. A freshly
+    * clustered table sits near `1/files` per file; every unclustered
+    * append drags the average toward 1.0 (each new file spans the whole
+    * domain — min-max skipping degrades to a full scan for exactly the
+    * filters the layout was bought for). One column-pruned scan: the
+    * per-file agg is map-side (files don't straddle tasks at row-group
+    * granularity), the per-file frame is #files rows of driver-bounded
+    * metadata. Returns (files, avg_box_frac, max_box_frac).
+    */
+  def clusterStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                   clusterCols: Seq[String]): DataFrame = {
+    require(clusterCols.nonEmpty)
+    val aggs = clusterCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+    val gaggs = clusterCols.flatMap(c => Seq(
+      min(col(s"__mn_$c")).as(s"__gmn_$c"),
+      max(col(s"__mx_$c")).as(s"__gmx_$c")))
+    val global = perFile.agg(gaggs.head, gaggs.tail: _*)
+    val boxFrac = clusterCols.map(c =>
+        (col(s"__mx_$c") - col(s"__mn_$c") + 1).cast("double") /
+          (col(s"__gmx_$c") - col(s"__gmn_$c") + 1).cast("double"))
+      .reduce(_ * _)
+    perFile.crossJoin(broadcast(global))
+      .select(boxFrac.as("__frac"))
+      .agg(count(lit(1)).as("files"),
+        round(avg("__frac"), 6).as("avg_box_frac"),
+        round(max("__frac"), 6).as("max_box_frac"))
+  }
+
+  /** Re-cluster a table whose layout decayed under appends — the
+    * lakehouse `OPTIMIZE ZORDER BY` maintenance verb: one staged
+    * [[clusteredWrite]] of the current contents + the atomic whole-root
+    * swap ([[graft.sources.Compaction.swapInto]] — a crash leaves the
+    * original intact or the retired copy recoverable, never a mix).
+    * Content is IDENTICAL after (same rows, new file layout), so every
+    * reader and sidecar is untouched; run it when [[clusterStats]]'s
+    * avg_box_frac drifts toward 1.0, on the same cadence as small-files
+    * compaction (which this subsumes for the table: the rewrite also
+    * merges files).
+    */
+  def recluster(spark: org.apache.spark.sql.SparkSession, path: String,
+                clusterCols: Seq[String], bits: Int = 16,
+                partitions: Int = 8): Unit = {
+    val dir = new java.io.File(path)
+    // sever lineage from the files about to be swapped out
+    val snap = spark.read.parquet(path).localCheckpoint(true)
+    try {
+      val staging = Compaction.stagingDir(dir, "zorder")
+      if (staging.exists()) Compaction.rm(staging)
+      clusteredWrite(snap, staging.toString, clusterCols, bits, partitions)
+      Compaction.swapInto(path, staging.toString)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(snap)
+  }
 }

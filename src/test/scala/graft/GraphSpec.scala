@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Graph
 
@@ -589,5 +590,46 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(r === Seq(
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 2L),
       ("2024-01-02", 0, 1L)))
+  }
+
+  test("labelPropagation: two bridged cliques resolve to exactly their " +
+      "two communities, deterministically; modularity matches the " +
+      "hand-computed value and zeroes on the trivial partition") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
+      .toDF("src", "dst")
+    val part = Graph.labelPropagation(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).map(part).toSet.size === 1, part)
+    assert((11L to 15L).map(part).toSet.size === 1, part)
+    assert(part(1L) !== part(11L), part)
+    // deterministic: same partition on a re-run (the fixed tie-break —
+    // vanilla LPA's random tie-break is exactly what this forbids)
+    val again = Graph.labelPropagation(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(again === part)
+    // modularity, by hand: m = 21, e_c = 10 each, d_c = 21 each
+    //   Q = 2·(10/21 − (21/42)²) = 0.452381
+    val labels = part.toSeq.toDF("id", "community")
+    val q = Graph.modularity(edges, "src", "dst", labels,
+      "id", "community").collect().head
+    assert(q.getLong(0) === 2L)       // communities
+    assert(q.getLong(1) === 21L)      // simple edges
+    assert(q.getLong(2) === 20L)      // intra
+    assert(math.abs(q.getDouble(3) - 0.452381) < 1e-6)
+    // the trivial one-community partition scores exactly 0
+    val trivial = part.keys.map(k => (k, 0L)).toSeq.toDF("id", "community")
+    val q0 = Graph.modularity(edges, "src", "dst", trivial,
+      "id", "community").collect().head
+    assert(math.abs(q0.getDouble(3)) < 1e-12)
+    // direction and multiplicity are dropped like every graph op here
+    val noisy = edges.unionAll(edges.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val qn = Graph.modularity(noisy, "src", "dst", labels,
+      "id", "community").collect().head
+    assert(qn.getLong(1) === 21L && math.abs(
+      qn.getDouble(3) - q.getDouble(3)) < 1e-12)
   }
 }

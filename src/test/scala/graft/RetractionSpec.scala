@@ -1158,4 +1158,86 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(all.where(col("is_current")).isEmpty)
     assert(all.count() === 4L)
   }
+
+  test("audit: clean deployment is all-zero; planted drift names the " +
+      "artifact and the right column; tombstones reclassify drift as " +
+      "pending") {
+    val root = Files.createTempDirectory("rt_audit")
+    val corpusPath = root.resolve("corpus").toString
+    val fwd = root.resolve("fwd").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 4)
+    val docs = corpus(12).where(col("doc_id") % 17 =!= 0) // drop empty doc
+    docs.select("doc_id", "text").write.parquet(corpusPath)
+    TextIndex.appendBatch(docs, "doc_id", "text", ti)
+    graft.sources.Bucketing.writeKeyBucketed(
+      docs.select("doc_id", "text"), fwd, "doc_id", partitions = 4)
+    val a = Retraction.Artifacts(corpusPath,
+      textIndex = Some(ti), forwardStorePath = Some(fwd))
+    def auditMap() = Retraction.audit(spark, a).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = docs.count()
+    val clean = auditMap()
+    assert(clean.keySet === Set("text_index", "forward_store"))
+    clean.values.foreach { r =>
+      assert(r.getLong(1) === n, r)            // ids
+      assert((2 to 5).map(r.getLong) === Seq(0L, 0L, 0L, 0L), r)
+    }
+    // EXTRA: index a stray doc the corpus never admitted — it is
+    // SERVING (leak) until a tombstone covers it
+    TextIndex.appendBatch(Seq((99L, "hash join stray")).toDF(
+      "doc_id", "text"), "doc_id", "text", ti)
+    val leaked = auditMap()
+    assert(leaked("text_index").getLong(4) === 1L, "extra_leaked")
+    assert(leaked("text_index").getLong(5) === 0L)
+    assert(leaked("forward_store").getLong(4) === 0L)
+    graft.sources.Tombstones.append(ti.indexPath,
+      Seq(99L).toDF("doc_id"), "doc_id")
+    val pending = auditMap()
+    assert(pending("text_index").getLong(4) === 0L, "leak covered")
+    assert(pending("text_index").getLong(5) === 1L, "extra_pending")
+    // MISSING: excise one id from the forward store only (a half-landed
+    // verb) — real drift until the corpus root carries its tombstone
+    graft.sources.Bucketing.retractKeyBucketed(spark, fwd,
+      Seq(1L).toDF("id"), "id", "doc_id")
+    val stranded = auditMap()
+    assert(stranded("forward_store").getLong(2) === 1L, "missing")
+    assert(stranded("forward_store").getLong(3) === 0L)
+    graft.sources.Tombstones.append(corpusPath,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    val inflight = auditMap()
+    assert(inflight("forward_store").getLong(2) === 0L)
+    assert(inflight("forward_store").getLong(3) === 1L,
+      "missing_pending — a takedown mid-flight, not drift")
+    // text index still holds id 1 → its row reports no missing
+    assert(inflight("text_index").getLong(2) === 0L)
+    // remediation, each drift class by its own verb. The index-only
+    // stray is INVISIBLE to the corpus-driven cadence (retractDocs
+    // derives text partitions from CORPUS rows — id 99 has none), so
+    // the artifact-level verb excises it, and its now-stale tombstone
+    // retires so a future re-admission isn't silently hidden:
+    TextIndex.retract(spark, ti,
+      Seq((99L, "hash join stray")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    graft.sources.Tombstones.retire(spark, ti.indexPath,
+      Seq(99L).toDF("doc_id"), "doc_id")
+    // the half-landed id-1 takedown is filed properly (every root) and
+    // the cadence heals it; the membership audit passes right after
+    Retraction.tombstoneDocs(spark, Seq(1L).toDF("doc_id"), "doc_id", a)
+    Retraction.maintain(spark, a, auditMembership = true)
+    val healed = auditMap()
+    healed.values.foreach { r =>
+      assert((2 to 5).map(r.getLong) === Seq(0L, 0L, 0L, 0L), r)
+    }
+    assert(healed("text_index").getLong(1) === n - 1)
+    // but out-of-band drift with NO tombstone is refused loudly (planted
+    // in the forward store — an artifact with no stats sidecar, so the
+    // MEMBERSHIP audit is the only thing that can catch it)
+    graft.sources.Bucketing.appendKeyBucketed(
+      Seq((777L, "stray")).toDF("doc_id", "text"), fwd, "doc_id")
+    val e = intercept[IllegalStateException] {
+      Retraction.maintain(spark, a, auditMembership = true)
+    }
+    assert(e.getMessage.contains("membership drift"))
+    assert(e.getMessage.contains("forward_store"))
+  }
 }

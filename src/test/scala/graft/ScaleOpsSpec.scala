@@ -76,6 +76,42 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
       boxes.mkString(","))
   }
 
+  test("z-order maintenance: unclustered appends decay the layout, " +
+      "recluster restores it, content identical through the swap") {
+    import graft.sources.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("zorder_maint")
+      .resolve("t").toString
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    ZOrder.clusteredWrite(grid.where(col("b") % 2 === 0), dir,
+      Seq("a", "b"), bits = 6, partitions = 8)
+    def stats() = ZOrder.clusterStats(spark, dir, Seq("a", "b"))
+      .select("avg_box_frac", "max_box_frac")
+      .as[(Double, Double)].head()
+    val healthy = stats()
+    assert(healthy._1 < 0.4, s"fresh layout not clustered: $healthy")
+    // the append path a steady-state ingest takes: correct content,
+    // no clustering — round-robin repartition makes each new file span
+    // the whole domain (coalesce would keep the source's a-ordering)
+    grid.where(col("b") % 2 =!= 0).repartition(2)
+      .write.mode("append").parquet(dir)
+    val decayed = stats()
+    assert(decayed._1 > healthy._1, s"$decayed vs $healthy")
+    assert(decayed._2 > 0.9, s"appended file should span the domain: $decayed")
+    val checksum = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("a") * 64 + col("b"))).collect().head
+    ZOrder.recluster(spark, dir, Seq("a", "b"), bits = 6, partitions = 8)
+    val restored = stats()
+    assert(restored._1 < 0.4, s"recluster did not restore layout: $restored")
+    assert(spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("a") * 64 + col("b"))).collect()
+      .head === checksum)
+    // the staged swap leaves no siblings behind
+    val parent = new java.io.File(dir).getParentFile
+    assert(Option(parent.listFiles()).getOrElse(Array.empty)
+      .forall(!_.getName.contains("__zorder")))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
@@ -168,6 +204,86 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(after < before, s"$before -> $after")
     val post = spark.read.parquet(dir).agg(sum("id"), count(lit(1))).collect().head
     assert(post === checksum)
+  }
+
+  test("vacuum GCs old staged-rewrite orphans; never triage, never a " +
+      "sole-copy retired dir, never anything fresh or live") {
+    import graft.sources.Compaction
+    val root = java.nio.file.Files.createTempDirectory("vacuum").toString
+    def mk(rel: String, withFile: Boolean = true): java.io.File = {
+      val d = new java.io.File(root, rel)
+      d.mkdirs()
+      if (withFile) {
+        val f = new java.io.File(d, "part-0.parquet")
+        java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      }
+      d
+    }
+    def age(f: java.io.File): Unit = {
+      val old = System.currentTimeMillis() - 48L * 3600 * 1000
+      def go(x: java.io.File): Unit = {
+        x.setLastModified(old)
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(go)
+      }
+      go(f)
+    }
+    mk("data")                                   // live table
+    age(mk("data/cell=3"))                       // live partition leaf
+    age(mk(".data__compacting"))                 // crashed pre-swap staging
+    age(mk("data/.cell=3__retract"))             // crashed leaf staging
+    age(mk(".queue__triage"))                    // claimed live queue
+    val fresh = mk(".data__retract")             // rewrite possibly in flight
+    age(mk(".data__retired"))                    // live sibling exists → junk
+    age(mk(".gone__retired"))                    // NO live sibling → sole copy
+    val r = Compaction.vacuum(root, minAgeMs = 24L * 3600 * 1000)
+    assert(r.removed.map(new java.io.File(_).getName).sorted ===
+      Seq(".cell=3__retract", ".data__compacting", ".data__retired"))
+    assert(r.bytes > 0)
+    assert(r.held.map(new java.io.File(_).getName) === Seq(".gone__retired"))
+    assert(new java.io.File(root, ".queue__triage").exists())
+    assert(fresh.exists())
+    assert(new java.io.File(root, ".gone__retired").exists())
+    assert(new java.io.File(root, "data/cell=3/part-0.parquet").exists())
+    // idempotent: a second sweep finds nothing new to remove
+    val r2 = Compaction.vacuum(root, minAgeMs = 24L * 3600 * 1000)
+    assert(r2.removed.isEmpty && r2.bytes === 0L)
+    assert(r2.held.map(new java.io.File(_).getName) === Seq(".gone__retired"))
+  }
+
+  test("maintain sweeps staged-rewrite orphans under its artifact roots") {
+    // the case vacuum exists for: a PARTITIONED table's maintenance
+    // rewrites swap individual leaves, so a crashed leaf-rewrite's
+    // staging dir in the table root survives every later compaction
+    // (the leaf lister skips dot-dirs by design) — only the sweep
+    // removes it. (A FLAT table's compact is a whole-root swap that
+    // incidentally carries in-root orphans away with the retired copy.)
+    import graft.operators.Retraction
+    val base = java.nio.file.Files.createTempDirectory("maintain_vac")
+    val corpus = base.resolve("corpus").toString
+    (1L to 20L).map(i => (i, i % 3, s"doc $i text"))
+      .toDF("doc_id", "day", "text")
+      .write.partitionBy("day").mode("overwrite").parquet(corpus)
+    val arts = Retraction.Artifacts(corpusPath = corpus,
+      corpusPartitionCol = Some("day"))
+    def plantOrphan(name: String): java.io.File = {
+      val o = new java.io.File(base.toFile, s"corpus/$name")
+      o.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(o, "part-0.parquet").toPath, Array[Byte](9))
+      val old = System.currentTimeMillis() - 48L * 3600 * 1000
+      o.listFiles().foreach(_.setLastModified(old))
+      o.setLastModified(old)
+      o
+    }
+    val orphan = plantOrphan(".day=0__retract")
+    val before = spark.read.parquet(corpus).count()
+    Retraction.maintain(spark, arts)
+    assert(!orphan.exists(), "maintain did not vacuum the orphan")
+    assert(spark.read.parquet(corpus).count() === before)
+    // and a negative age disables the sweep
+    val orphan2 = plantOrphan(".day=1__retract")
+    Retraction.maintain(spark, arts, vacuumMinAgeMs = -1L)
+    assert(orphan2.exists(), "vacuumMinAgeMs < 0 must skip the sweep")
   }
 
   test("swapInto concurrency contract: a concurrent reader sees exactly " +
