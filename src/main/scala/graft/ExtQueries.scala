@@ -4361,6 +4361,27 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // TRAINING-SHARD EXPORT — the whole "ship to the trainer" verb in
+    // one hash-checked row: served corpus → Knuth-multiplicative
+    // pseudo-shuffle (plain integer arithmetic, so DuckDB recomputes the
+    // identical assignment — no RNG shuffle can be oracled) → shard =
+    // h mod 8 → token-budget packing within shard in h-order → sharded
+    // write + swap. The oracle twin reproduces doc→(shard, seq)
+    // bit-for-bit; the overlay-awareness half is spec'd
+    // (RetractionSpec: a tombstoned doc never ships)
+    "q_export_shards" -> ((s, d) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_export_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      graft.operators.Retraction.exportTrainingShards(s,
+        graft.operators.Retraction.Artifacts(s"$d/documents.parquet"),
+        out, shards = 8, tokenBudget = 512)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("int").as("shard"), col("seq_id"))
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // COMMUNITY DETECTION by deterministic synchronous label propagation
     // (fixed smallest-label tie-break + self-vote — vanilla LPA's random
     // tie-break would make this row unhashable run-to-run) over the
@@ -5476,6 +5497,19 @@ object ExtQueries {
         |WHERE cum * 10 <= tot * 8 ORDER BY doc_id""".stripMargin,
     // packing twin: identical shard-local cumsum; CASTs because DuckDB's
     // windowed/grouped sums of BIGINT are HUGEINT (repr breaks the hash)
+    "q_export_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 2654435761) % 4294967296) AS h,
+        |    CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INT) AS shard,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+        |    AS seq_id
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_token_packing" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

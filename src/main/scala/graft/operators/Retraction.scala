@@ -477,6 +477,69 @@ object Retraction {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** TRAINING-SHARD EXPORT — the full "ship to the trainer" verb, the
+    * composition a data loader actually consumes: the SERVED corpus
+    * ([[readCorpusServed]] — tombstone-clean during a lazy-takedown
+    * window), deterministically pseudo-shuffled, token-budget packed
+    * ([[Packing.packByBudget]]), and laid down as `shard=` partitions
+    * with a per-shard manifest.
+    *
+    * The shuffle is a Knuth multiplicative hash
+    * `h = (id · 2654435761) mod 2³²` — plain integer arithmetic, so the
+    * ENTIRE assignment (shard = h mod `shards`, within-shard order = h,
+    * sequence = cumulative-token window) is reproducible in any engine:
+    * the `q_export_shards` DuckDB twin recomputes it bit-for-bit, which
+    * no RNG-based shuffle allows. An odd multiplier mod 2³² is a
+    * bijection on [0, 2³²), so distinct 32-bit ids never collide and the
+    * within-shard order is a total order — re-running the export (or
+    * running it on another cluster) yields byte-identical assignments.
+    * Ids must fit in 31 bits (checked up front, loudly): beyond that the
+    * multiply would overflow differently across engines. Scale shape:
+    * one served scan + one hash-partitioned window per shard (no global
+    * sort), one dynamic-partitioned write, staged + atomically swapped.
+    *
+    * Returns the per-shard manifest (shard, n_docs, n_tokens,
+    * n_sequences), also persisted at `outPath/_manifest` — the
+    * reproducibility receipt a training run records.
+    */
+  def exportTrainingShards(spark: SparkSession, a: Artifacts,
+                           outPath: String, shards: Int,
+                           tokenBudget: Int): DataFrame = {
+    require(shards > 0, s"shards=$shards")
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
+    val served = readCorpusServed(spark, a)
+    val maxId = served.agg(max(col(a.idCol).cast("long"))).collect()
+      .head
+    if (!maxId.isNullAt(0))
+      require(maxId.getLong(0) < (1L << 31) && maxId.getLong(0) >= 0,
+        s"exportTrainingShards needs ids in [0, 2^31): max ${maxId.get(0)}" +
+          " would overflow the cross-engine hash")
+    val assigned = Packing.packByBudget(
+      served
+        .withColumn("__h", pmod(col(a.idCol).cast("long") *
+          lit(2654435761L), lit(4294967296L)))
+        .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+        .withColumn("n_tokens",
+          graft.functions.TextAnalysis.tokenCount(col(a.textCol))),
+      "shard", "__h", "n_tokens", tokenBudget)
+      .drop("__h")
+    val dir = new java.io.File(outPath)
+    val staging = graft.sources.Compaction.stagingDir(dir, "export")
+    if (staging.exists()) graft.sources.Compaction.rm(staging)
+    assigned.write.partitionBy("shard").parquet(staging.toString)
+    // manifest from the STAGED files (what will actually serve), riding
+    // the same atomic swap so data + receipt install together
+    val manifest = spark.read.parquet(staging.toString)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("seq_id").as("n_sequences"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(staging, "_manifest").toString)
+    graft.sources.Compaction.swapInto(outPath, staging.toString)
+    spark.read.parquet(s"$outPath/_manifest")
+  }
+
   /** One artifact's row in the [[audit]] report. `missing`/`extra_*`
     * are DISTINCT-ID counts; `missing` is -1 for artifacts that cover
     * the corpus only partially BY DESIGN (label store: duped docs only;

@@ -1159,6 +1159,55 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(all.count() === 4L)
   }
 
+  test("exportTrainingShards: tombstone-clean during the window, " +
+      "deterministic across runs, manifest is the shipped receipt, " +
+      "32-bit id contract fails loudly") {
+    val root = Files.createTempDirectory("rt_export")
+    val corpusPath = root.resolve("corpus").toString
+    corpus(30).select("doc_id", "text").write.parquet(corpusPath)
+    val a = Retraction.Artifacts(corpusPath)
+    graft.sources.Tombstones.append(corpusPath,
+      Seq(7L).toDF("doc_id"), "doc_id")
+    val out1 = root.resolve("out1").toString
+    val m1 = Retraction.exportTrainingShards(spark, a, out1,
+      shards = 4, tokenBudget = 64)
+    val shipped = spark.read.parquet(out1)
+    // the lazy window: nothing tombstoned ships, the raw corpus still
+    // physically holds the row
+    assert(shipped.where(col("doc_id") === 7L).isEmpty)
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === 7L).count() === 1L)
+    assert(shipped.count() === 29L)
+    // the manifest is the receipt for exactly what shipped
+    assert(m1.agg(sum("n_docs")).collect().head.getLong(0) === 29L)
+    assert(m1.agg(sum("n_tokens")).collect().head.getLong(0) ===
+      shipped.agg(sum("n_tokens")).collect().head.getLong(0))
+    // deterministic: a second export (fresh dir) lands identical
+    // (doc_id, shard, seq_id) assignments — the reproducibility claim
+    val out2 = root.resolve("out2").toString
+    Retraction.exportTrainingShards(spark, a, out2,
+      shards = 4, tokenBudget = 64)
+    val asg = (p: String) => spark.read.parquet(p)
+      .select("doc_id", "shard", "seq_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(asg(out1) === asg(out2))
+    // and re-exporting over out1 swaps atomically to the same content
+    Retraction.exportTrainingShards(spark, a, out1,
+      shards = 4, tokenBudget = 64)
+    assert(asg(out1) === asg(out2))
+    // ids beyond 31 bits would overflow the cross-engine hash: loud
+    val corpus2 = root.resolve("corpus2").toString
+    corpus(5).select("doc_id", "text")
+      .unionByName(Seq((3000000000L, "big id doc")).toDF("doc_id", "text"))
+      .write.parquet(corpus2)
+    val e = intercept[IllegalArgumentException] {
+      Retraction.exportTrainingShards(spark,
+        Retraction.Artifacts(corpus2), root.resolve("out3").toString,
+        shards = 4, tokenBudget = 64)
+    }
+    assert(e.getMessage.contains("2^31"))
+  }
+
   test("audit: clean deployment is all-zero; planted drift names the " +
       "artifact and the right column; tombstones reclassify drift as " +
       "pending") {
