@@ -4766,8 +4766,15 @@ object ExtQueries {
       sys.props("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9]", "_"))
     val marker = new java.io.File(work, "_PRISTINE")
-    if (marker.exists()) { marker.delete(); work }
-    else stageTakedownWork(s, d, prefix)
+    if (!marker.exists()) stageTakedownWork(s, d, prefix)
+    // consume the marker on BOTH branches. The self-stage branch used to
+    // return with its own freshly-written marker still in place, so the
+    // run ended with marker + ALREADY-EXCISED tree — and the NEXT verify
+    // run consumed that stale marker, retracted an empty copy, and
+    // reported found=0: consecutive full-suite runs alternated pass/fail
+    // with zero code change (caught as a CORRECTNESS flake, r19).
+    marker.delete()
+    work
   }
 
   /** Untimed per-pass setup hooks: the bench invokes `prepares(name)`

@@ -138,5 +138,9 @@ object SparkEntry {
     // back). Both rows build their fixture inside the clock by design:
     // the verbs ARE rewrite passes, so fixture build + rewrite is the
     // honest unit of work
-    "q_ivf_recluster", "q_zorder_maintain")
+    "q_ivf_recluster", "q_zorder_maintain",
+    // round 19: the training-shard export — served read + hash shuffle
+    // + packing window + sharded write, the full "ship to the trainer"
+    // pass whose wall-clock at 100 TB is a maintenance-window line item
+    "q_export_shards")
 }

@@ -1159,6 +1159,22 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(all.count() === 4L)
   }
 
+  test("q_takedown_apply self-stages a FRESH tree on every run — " +
+      "consecutive runs land identical non-zero Reports") {
+    // regression pin for the r19 marker flake: the self-stage path left
+    // its own _PRISTINE marker behind, so run N+1 consumed a marker
+    // planted on run N's already-excised tree and reported found=0 —
+    // verify suites alternated pass/fail with zero code change
+    val d = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("q_takedown_apply")(spark, d)
+      .as[(Long, Long)].head()
+    val first = run()
+    assert(first._1 > 0 && first._2 === first._1,
+      s"first run must find every requested id: $first")
+    assert(run() === first, "second run saw a stale scratch tree")
+    assert(run() === first, "third run saw a stale scratch tree")
+  }
+
   test("exportTrainingShards: tombstone-clean during the window, " +
       "deterministic across runs, manifest is the shipped receipt, " +
       "32-bit id contract fails loudly") {
