@@ -4087,7 +4087,7 @@ object ExtQueries {
     // Full oracle on the Report scalars.
     "q_takedown_apply" -> ((s, d) => {
       import s.implicits._
-      val work = takedownWork(s, d, "graft_takedown_work_")
+      val work = takedownWork(s, d, takedownApplyPrefix)
       val r = graft.operators.Retraction.retractDocs(s,
         docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0)
           .select("doc_id"),
@@ -4103,7 +4103,7 @@ object ExtQueries {
     // q_takedown_apply. Full oracle on the Report scalars.
     "q_takedown_tombstone" -> ((s, d) => {
       import s.implicits._
-      val work = takedownWork(s, d, "graft_tombstone_work_")
+      val work = takedownWork(s, d, takedownTombstonePrefix)
       val r = graft.operators.Retraction.tombstoneDocs(s,
         docs(s, d).where(pmod(col("doc_id"), lit(97)) === 0)
           .select("doc_id"),
@@ -4737,6 +4737,14 @@ object ExtQueries {
     root
   }
 
+  /** The two scratch-tree prefixes, shared by [[prepares]] and the row
+    * bodies — ONE definition each: if they drifted apart, prep would
+    * stage one directory while the timed body looked for the marker in
+    * another, found none, and silently self-staged INSIDE the clock,
+    * re-adding the copy noise [[prepares]] exists to remove. */
+  private val takedownApplyPrefix = "graft_takedown_work_"
+  private val takedownTombstonePrefix = "graft_tombstone_work_"
+
   /** Stage a pristine scratch copy of the takedown fixture under
     * `prefix` and mark it `_PRISTINE` — the untimed half of the
     * q_takedown_apply/q_takedown_tombstone rows. The bench calls this
@@ -4783,9 +4791,9 @@ object ExtQueries {
     * bodies self-stage. */
   val prepares: Map[String, (SparkSession, String) => Unit] = Map(
     "q_takedown_apply" ->
-      ((s, d) => { stageTakedownWork(s, d, "graft_takedown_work_"); () }),
+      ((s, d) => { stageTakedownWork(s, d, takedownApplyPrefix); () }),
     "q_takedown_tombstone" ->
-      ((s, d) => { stageTakedownWork(s, d, "graft_tombstone_work_"); () }))
+      ((s, d) => { stageTakedownWork(s, d, takedownTombstonePrefix); () }))
 
   /** The q_takedown_apply artifact layout under a given root — shared
     * by the fixture build and the scratch-copy excision so the two can

@@ -508,12 +508,40 @@ object Retraction {
     require(shards > 0, s"shards=$shards")
     require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
     val served = readCorpusServed(spark, a)
-    val maxId = served.agg(max(col(a.idCol).cast("long"))).collect()
-      .head
-    if (!maxId.isNullAt(0))
-      require(maxId.getLong(0) < (1L << 31) && maxId.getLong(0) >= 0,
-        s"exportTrainingShards needs ids in [0, 2^31): max ${maxId.get(0)}" +
-          " would overflow the cross-engine hash")
+    // BOTH bounds checked: a negative id would pass a max-only guard,
+    // and Spark's pmod vs a C-style % disagree on negative operands —
+    // the cross-engine bit-for-bit contract would break silently (and a
+    // negative id's h could collide with a positive id's).
+    val bounds = served.agg(min(col(a.idCol).cast("long")),
+      max(col(a.idCol).cast("long"))).collect().head
+    if (bounds.isNullAt(0)) {
+      // EMPTY served corpus (everything tombstoned, or export before the
+      // first admission): a partitionBy write of zero rows stages only a
+      // _SUCCESS marker, which a parquet read cannot infer a schema
+      // from — install an explicitly-typed empty manifest instead so the
+      // verb stays total and the receipt says "zero shards" loudly.
+      val dir = new java.io.File(outPath)
+      val staging = graft.sources.Compaction.stagingDir(dir, "export")
+      if (staging.exists()) graft.sources.Compaction.rm(staging)
+      val emptyManifest = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_sequences",
+            org.apache.spark.sql.types.LongType))))
+      emptyManifest.coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(staging, "_manifest").toString)
+      graft.sources.Compaction.swapInto(outPath, staging.toString)
+      return spark.read.parquet(s"$outPath/_manifest")
+    }
+    require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
+      s"exportTrainingShards needs ids in [0, 2^31): [${bounds.get(0)}, " +
+        s"${bounds.get(1)}] would overflow the cross-engine hash")
     val assigned = Packing.packByBudget(
       served
         .withColumn("__h", pmod(col(a.idCol).cast("long") *
@@ -562,7 +590,13 @@ object Retraction {
     *  - `missing`  = corpus ids absent from the artifact. Real drift for
     *    full-coverage artifacts (text index, MinHash index, forward
     *    store — the loop feeds every admitted doc to each); reported as
-    *    -1 for subset-by-design artifacts. Split: ids with a PENDING
+    *    -1 for subset-by-design artifacts. Docs the artifact is
+    *    STRUCTURALLY unable to hold are excluded first (a zero-token doc
+    *    has no postings; a sub-shingle-length doc has a null MinHash
+    *    signature) — their absence is the artifact's admission predicate
+    *    at work, not drift, and the predicate is re-derived over the
+    *    would-be-missing set only (bounded by drift size). Split: ids
+    *    with a PENDING
     *    corpus tombstone count as `missing_pending` (a takedown mid-
     *    flight — indexes excise before the corpus commits, so this state
     *    is expected and self-heals on the next cadence), the rest are
@@ -594,14 +628,33 @@ object Retraction {
     try {
       val corpusPending = graft.sources.Tombstones
         .readIds(spark, a.corpusPath)
+      // A "full-coverage" artifact can still be structurally unable to
+      // hold some docs: the MinHash index drops null signatures (text
+      // shorter than one shingle), the text index writes no postings for
+      // a zero-token doc. Those docs were never supposed to be there, so
+      // counting them `missing` would make [[maintain]]'s membership
+      // audit throw on a HEALTHY deployment. `eligible` re-derives the
+      // artifact's own admission predicate over the would-be-missing ids
+      // only — the missing set is empty on a converged deployment, so
+      // the text join is bounded by drift size, not corpus size.
+      def eligibleOnly(missing: DataFrame,
+                       pred: org.apache.spark.sql.Column): DataFrame =
+        missing.join(
+          spark.read.parquet(a.corpusPath)
+            .select(col(a.idCol).cast("long").as("__eid"),
+              col(a.textCol).as("__etext"))
+            .where(pred),
+          missing("__cid") === col("__eid"), "left_semi")
       def row(name: String, artifactIds: DataFrame, root: String,
-              fullCoverage: Boolean): AuditRow = {
+              fullCoverage: Boolean,
+              eligible: Option[DataFrame => DataFrame] = None): AuditRow = {
         val aids = artifactIds
           .select(col(artifactIds.columns.head).cast("long").as("__aid"))
           .distinct()
         val (miss, missPending) = if (!fullCoverage) (-1L, -1L) else {
-          val m = corpusIds
+          val m0 = corpusIds
             .join(aids, corpusIds("__cid") === aids("__aid"), "left_anti")
+          val m = eligible.fold(m0)(f => f(m0))
           val mp = m.join(broadcast(corpusPending),
             m("__cid") === corpusPending("__ts_id"), "left_semi").count()
           (m.count() - mp, mp)
@@ -622,13 +675,27 @@ object Retraction {
           rows += row("text_index",
             spark.read.parquet(s"${cfg.indexPath}/postings")
               .select("doc_id"),
-            cfg.indexPath, fullCoverage = true)
+            cfg.indexPath, fullCoverage = true,
+            // a zero-token doc writes no postings rows by construction
+            eligible = Some(m => eligibleOnly(m,
+              size(graft.sources.TextIndex.tokens("__etext")) > 0)))
       }
       a.minhashIndexPath.foreach { p =>
         if (exists(s"$p/data"))
           rows += row("minhash_index",
             spark.read.parquet(s"$p/data").select("corpus_id"),
-            p, fullCoverage = true)
+            p, fullCoverage = true,
+            // a null signature (text shorter than one shingle) never
+            // enters the index — re-derive under the index's OWN pinned
+            // parameters from its meta sidecar
+            eligible = Some { m =>
+              val meta = spark.read.parquet(s"$p/meta")
+                .select("num_hashes", "shingle_k").collect().head
+              eligibleOnly(m, graft.functions.MinhashSig.minhashSig(
+                graft.functions.HashedShingles.hashedShingles(
+                  col("__etext"), meta.getInt(1)), meta.getInt(0))
+                .isNotNull)
+            })
       }
       a.forwardStorePath.foreach { p =>
         if (exists(p))
@@ -751,11 +818,13 @@ object Retraction {
     // sole-copy-retired rules are inside [[graft.sources.Compaction
     // .vacuum]]; sole-copy holds re-surface every cadence until recovered
     if (vacuumMinAgeMs >= 0) {
-      val roots = Seq(a.corpusPath) ++ a.textIndex.map(_.indexPath) ++
-        a.minhashIndexPath ++ a.exactKeys.map(_.indexPath) ++
-        a.annIndexPath ++ a.lshIndexPath ++ a.sqIndexPath ++
-        a.bqIndexPath ++ a.mediaIndexPath ++ a.dupLabelsPath ++
-        a.forwardStorePath ++ sketch.map(_.sidecarPath)
+      // overlayRoots IS the artifact-root list — reusing it means the
+      // next artifact wired into Artifacts is GC'd the moment it joins
+      // the overlay set, with no second list to forget to update; only
+      // the two roots that deliberately carry no overlay (exact-key
+      // gates, the sketch sidecar) are appended by hand
+      val roots = overlayRoots(a) ++ a.exactKeys.map(_.indexPath) ++
+        sketch.map(_.sidecarPath)
       roots.distinct.foreach(r =>
         graft.sources.Compaction.vacuum(r, vacuumMinAgeMs))
     }

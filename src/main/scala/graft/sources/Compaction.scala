@@ -174,6 +174,13 @@ object Compaction {
     *    `minAgeMs` is skipped — it may be a rewrite IN FLIGHT on another
     *    driver (the bounded-pool leaf rewrites run concurrently).
     *
+    * The sweep covers the root's own `.root__suffix` siblings in its
+    * PARENT directory too (where [[stagingDir]] places whole-root rewrite
+    * staging), under the same rules and scoped to exactly this root's
+    * name — and that check runs even when the root itself is missing,
+    * because root-gone-with-`.root__retired`-present is precisely the
+    * sole-copy crash state `held` exists to surface.
+    *
     * Driver-side listing walk (no data read), the same cost class as the
     * partition discovery the maintenance pass already pays.
     */
@@ -192,17 +199,19 @@ object Compaction {
     val removed = Seq.newBuilder[String]
     val held = Seq.newBuilder[String]
     var bytes = 0L
+    def decide(dir: File, c: File, name: String, suffix: String): Unit = {
+      val fresh = nowMs - newestMtime(c) < minAgeMs
+      val soleRetired =
+        suffix == "retired" && !new File(dir, name).exists()
+      if (suffix == "triage" || fresh) () // never / in-flight
+      else if (soleRetired) held += c.getPath
+      else { bytes += treeBytes(c); removed += c.getPath; rm(c) }
+    }
     def walk(dir: File): Unit = {
       val children = Option(dir.listFiles()).getOrElse(Array.empty)
       children.foreach { c =>
         c.getName match {
-          case candidate(name, suffix) =>
-            val fresh = nowMs - newestMtime(c) < minAgeMs
-            val soleRetired =
-              suffix == "retired" && !new File(dir, name).exists()
-            if (suffix == "triage" || fresh) () // never / in-flight
-            else if (soleRetired) held += c.getPath
-            else { bytes += treeBytes(c); removed += c.getPath; rm(c) }
+          case candidate(name, suffix) => decide(dir, c, name, suffix)
           case n if c.isDirectory && !n.startsWith(".") => walk(c)
           case _ => ()
         }
@@ -210,6 +219,24 @@ object Compaction {
     }
     val r = new File(root)
     if (r.exists()) walk(r)
+    // the root's OWN rewrite orphans live in its PARENT ([[stagingDir]]
+    // places `.corpus__compacting` BESIDE the dir being rewritten), so a
+    // walk that starts inside the root never sees a whole-root compact/
+    // recluster/export leftover — including the one state that must be
+    // surfaced loudest: a sole-copy `.root__retired` with the root itself
+    // gone (mid-[[swapInto]] crash), which is why this check runs even
+    // when the root does not exist. Scoped to exactly this root's name:
+    // sibling TABLES' staging dirs belong to their own vacuum call.
+    Option(r.getParentFile).foreach { parent =>
+      val own = ("""^\.""" + java.util.regex.Pattern.quote(r.getName) +
+        """__([A-Za-z0-9]+)$""").r
+      Option(parent.listFiles()).getOrElse(Array.empty).foreach { c =>
+        c.getName match {
+          case own(suffix) => decide(parent, c, r.getName, suffix)
+          case _ => ()
+        }
+      }
+    }
     VacuumReport(removed.result(), bytes, held.result())
   }
 

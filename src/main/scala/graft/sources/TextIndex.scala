@@ -139,7 +139,7 @@ object TextIndex {
     * whitespace split of the lowercased, trimmed text, empties dropped.
     * The index MUST match the scan path token-for-token or df/tf drift.
     */
-  private def tokens(textCol: String) =
+  private[graft] def tokens(textCol: String) =
     filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
 
   private def checkOrPin(cfg: Cfg): Unit = {

@@ -1222,6 +1222,35 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
         shards = 4, tokenBudget = 64)
     }
     assert(e.getMessage.contains("2^31"))
+    // a NEGATIVE id breaks the cross-engine hash just as silently (pmod
+    // vs C-style % disagree below zero) — a max-only guard passes it;
+    // the bounds check must not
+    val corpus3 = root.resolve("corpus3").toString
+    corpus(5).select("doc_id", "text")
+      .unionByName(Seq((-3L, "negative id doc")).toDF("doc_id", "text"))
+      .write.parquet(corpus3)
+    val e2 = intercept[IllegalArgumentException] {
+      Retraction.exportTrainingShards(spark,
+        Retraction.Artifacts(corpus3), root.resolve("out4").toString,
+        shards = 4, tokenBudget = 64)
+    }
+    assert(e2.getMessage.contains("2^31"))
+    // an EMPTY served corpus (every doc tombstoned) must export a
+    // zero-shard receipt, not die on schema inference mid-stage
+    val corpus4 = root.resolve("corpus4").toString
+    corpus(3).select("doc_id", "text").write.parquet(corpus4)
+    graft.sources.Tombstones.append(corpus4,
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    val out5 = root.resolve("out5").toString
+    val m5 = Retraction.exportTrainingShards(spark,
+      Retraction.Artifacts(corpus4), out5, shards = 4, tokenBudget = 64)
+    assert(m5.isEmpty)
+    assert(m5.columns.toSeq ===
+      Seq("shard", "n_docs", "n_tokens", "n_sequences"))
+    assert(spark.read.parquet(s"$out5/_manifest").isEmpty)
+    // staging swapped away cleanly
+    assert(Option(root.toFile.listFiles()).get
+      .forall(!_.getName.contains("__export")))
   }
 
   test("audit: clean deployment is all-zero; planted drift names the " +
@@ -1304,5 +1333,47 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("membership drift"))
     assert(e.getMessage.contains("forward_store"))
+  }
+
+  test("audit structural eligibility: a zero-token doc (no postings) and " +
+      "a sub-shingle doc (null MinHash signature) are NOT missing — the " +
+      "artifact's own admission predicate is not drift, and " +
+      "maintain(auditMembership) stays green on a healthy deployment") {
+    val root = Files.createTempDirectory("rt_audit_elig")
+    val corpusPath = root.resolve("corpus").toString
+    val ti = TextIndex.Cfg(root.resolve("ti").toString, partitions = 4)
+    val mh = root.resolve("mh").toString
+    // doc 17 is zero-token ("" text); doc 100 is "hi" — 2 chars, under
+    // the 5-char shingle, so its MinHash signature is null (it DOES
+    // tokenize, so it is in the text index but not the MinHash index)
+    val docs = corpus(20).select("doc_id", "text")
+      .unionByName(Seq((100L, "hi")).toDF("doc_id", "text"))
+    docs.write.parquet(corpusPath)
+    TextIndex.appendBatch(docs, "doc_id", "text", ti)
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", mh)
+    val a = Retraction.Artifacts(corpusPath,
+      textIndex = Some(ti), minhashIndexPath = Some(mh))
+    // sanity: the artifacts genuinely lack the ineligible docs
+    assert(spark.read.parquet(s"${ti.indexPath}/postings")
+      .where(col("doc_id") === 17L).isEmpty)
+    assert(spark.read.parquet(s"$mh/data")
+      .where(col("corpus_id").isin(17L, 100L)).isEmpty)
+    assert(spark.read.parquet(s"$mh/data")
+      .where(col("corpus_id") === 18L).count() > 0)
+    val rows = Retraction.audit(spark, a).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("text_index", "minhash_index").foreach { k =>
+      assert(rows(k).getLong(2) === 0L, s"$k missing: ${rows(k)}")
+      assert(rows(k).getLong(3) === 0L, s"$k missing_pending: ${rows(k)}")
+    }
+    Retraction.maintain(spark, a, auditMembership = true) // must not throw
+    // the predicate shields ONLY structural absence: an ELIGIBLE doc
+    // half-landed out of the MinHash index is still real drift
+    graft.sources.Compaction.retractRows(spark, s"$mh/data",
+      Seq(18L).toDF("__k"), (t, k) => t("corpus_id") === k("__k"))
+    val drifted = Retraction.audit(spark, a).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(drifted("minhash_index").getLong(2) === 1L,
+      s"eligible doc must still count missing: ${drifted("minhash_index")}")
   }
 }

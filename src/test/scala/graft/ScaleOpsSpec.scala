@@ -250,6 +250,44 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r2.held.map(new java.io.File(_).getName) === Seq(".gone__retired"))
   }
 
+  test("vacuum sees the root's OWN parent-sibling orphans: whole-root " +
+      "rewrite staging swept, sole-copy retired root held, other " +
+      "tables' staging untouched") {
+    import graft.sources.Compaction
+    val base = java.nio.file.Files.createTempDirectory("vacuum_sib")
+    def mk(rel: String): java.io.File = {
+      val d = new java.io.File(base.toFile, rel)
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "part-0.parquet").toPath, Array[Byte](1, 2))
+      val old = System.currentTimeMillis() - 48L * 3600 * 1000
+      d.listFiles().foreach(_.setLastModified(old))
+      d.setLastModified(old)
+      d
+    }
+    mk("corpus")                       // the live root being vacuumed
+    val own = mk(".corpus__compacting") // ITS whole-root rewrite orphan
+    val ownJunkRetired = mk(".corpus__retired") // live sibling → junk
+    val other = mk(".index__compacting") // ANOTHER table's staging
+    val r = Compaction.vacuum(new java.io.File(base.toFile, "corpus")
+      .toString, minAgeMs = 24L * 3600 * 1000)
+    assert(r.removed.map(new java.io.File(_).getName).sorted ===
+      Seq(".corpus__compacting", ".corpus__retired"))
+    assert(!own.exists() && !ownJunkRetired.exists())
+    assert(other.exists(), "a sibling TABLE's staging belongs to its " +
+      "own vacuum call")
+    // root GONE with .root__retired present — the mid-swap sole-copy
+    // crash state — must be surfaced held even though the walk has no
+    // root to start from
+    val soleRetired = mk(".gonetable__retired")
+    val r2 = Compaction.vacuum(new java.io.File(base.toFile, "gonetable")
+      .toString, minAgeMs = 24L * 3600 * 1000)
+    assert(r2.removed.isEmpty)
+    assert(r2.held.map(new java.io.File(_).getName) ===
+      Seq(".gonetable__retired"))
+    assert(soleRetired.exists())
+  }
+
   test("maintain sweeps staged-rewrite orphans under its artifact roots") {
     // the case vacuum exists for: a PARTITIONED table's maintenance
     // rewrites swap individual leaves, so a crashed leaf-rewrite's
