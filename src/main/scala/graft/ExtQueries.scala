@@ -2043,6 +2043,16 @@ object ExtQueries {
         .select("doc_id", "lang")
         .transform(Queries.presentSorted(_, "doc_id"))),
 
+    // DETERMINISTIC Poisson bootstrap: 95% error bars on mean order
+    // value from ONE narrow scan — per-(row, replicate) Poisson(1)
+    // counts drawn by inverse-CDF over the house hash, replicate means
+    // as exact decimal sums, percentile CI over the 64 means. Fully
+    // DuckDB-oracled (identical hash, identical CDF literals, identical
+    // rounding discipline) — a rand()-seeded bootstrap could never be
+    "q_bootstrap_ci" -> ((s, d) =>
+      graft.operators.Sampling.poissonBootstrap(
+        Tables.load(s, d, "orders"), "o_orderkey", "o_totalprice", 64)),
+
     // priority sampling: a fixed-512-row weighted sample of orders
     // (weight = o_totalprice) from which ANY subset spend is estimable
     // via the Horvitz-Thompson weights. Priorities are deterministic
@@ -4361,6 +4371,50 @@ object ExtQueries {
         .where(col("meets_floor"))
     }),
 
+    // PARTIAL z-order recluster floor: the 100 TB form of the verb
+    // above — after unclustered appends decay the layout, rewrite ONLY
+    // the decayed files (still-tight files hardlink-carried untouched)
+    // and land under the same health bar. Machine-enforced: the pass
+    // must be genuinely partial (rewritten < files seen, kept > 0), the
+    // layout restored (< 0.4 avg box frac), and no row lost — a
+    // regression to whole-table rewriting or a dropped carry-over file
+    // zeroes the row
+    "q_zorder_incremental" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders").select(
+        (col("o_custkey") % 256).cast("long").as("a"),
+        (col("o_orderkey") % 256).cast("long").as("b"))
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_zorder_inc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Compaction.rm(dir)
+      graft.sources.ZOrder.clusteredWrite(o.where(col("b") % 2 === 0),
+        dir.toString, Seq("a", "b"), bits = 8, partitions = 8)
+      def frac() = graft.sources.ZOrder
+        .clusterStats(s, dir.toString, Seq("a", "b"))
+        .select("avg_box_frac").first().getDouble(0)
+      o.where(col("b") % 2 =!= 0).repartition(2)
+        .write.mode("append").parquet(dir.toString)
+      val decayed = frac()
+      val total = s.read.parquet(dir.toString).count()
+      val r = graft.sources.ZOrder.reclusterDecayed(s, dir.toString,
+        Seq("a", "b"), bits = 8, decayFrac = 0.5,
+        rewritePartitions = Some(8))
+      val restored = frac()
+      val kept = s.read.parquet(dir.toString).count()
+      Seq((math.rint(decayed * 1e6) / 1e6,
+          math.rint(restored * 1e6) / 1e6, total,
+          r.files, r.rewritten, r.kept))
+        .toDF("decayed_frac", "restored_frac", "rows",
+          "files", "rewritten", "carried")
+        .withColumn("meets_floor",
+          col("decayed_frac") > col("restored_frac") &&
+            col("restored_frac") < 0.4 && lit(kept) === col("rows") &&
+            col("rewritten") > 0 && col("rewritten") < col("files") &&
+            col("carried") > 0)
+        .where(col("meets_floor"))
+    }),
+
     // TRAINING-SHARD EXPORT — the whole "ship to the trainer" verb in
     // one hash-checked row: served corpus → Knuth-multiplicative
     // pseudo-shuffle (plain integer arithmetic, so DuckDB recomputes the
@@ -5286,6 +5340,51 @@ object ExtQueries {
         |       + (sb2 / n_b - (sb / n_b) * (sb / n_b)) / n_b), 6)
         |    AS welch_z
         |FROM a, b""".stripMargin,
+    // Poisson-bootstrap twin: identical per-(row, replicate) hash →
+    // uniform → inverse-CDF count (same decimal literals), exact
+    // DECIMAL sums per replicate, same 6dp rounding BEFORE the
+    // continuous-quantile interpolation (quantile_cont and Spark's
+    // percentile share the (n-1)p linear-interp definition)
+    "q_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |h1 AS (
+        |  SELECT r, v,
+        |    (id * 2654435761 + r * 40503) % 4294967296 AS a
+        |  FROM base CROSS JOIN range(0, 64) t(r)),
+        |h2 AS (SELECT r, v, xor(a, a >> 16) AS b FROM h1),
+        |h3 AS (SELECT r, v, (b * 1540483477) % 4294967296 AS c FROM h2),
+        |draws AS (
+        |  SELECT r, v, xor(c, c >> 13) / 4294967296.0 AS u FROM h3),
+        |ks AS (
+        |  SELECT r, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS k
+        |  FROM draws),
+        |means AS (
+        |  SELECT r, ROUND(CAST(SUM(k * v) AS DOUBLE)
+        |    / NULLIF(SUM(k), 0), 6) AS m
+        |  FROM ks GROUP BY r),
+        |pt AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS point_mean
+        |  FROM base)
+        |SELECT 64 AS replicates, n_rows, point_mean,
+        |  ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  ROUND(quantile_cont(m, 0.5), 6) AS ci_median,
+        |  ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM means CROSS JOIN pt
+        |GROUP BY n_rows, point_mean""".stripMargin,
+
     // priority-sampling twin: identical priority arithmetic (w divided
     // by the scramble-uniform), identical (priority desc, id) ranking,
     // tau = the (k+1)-th priority, HT weight = greatest(w, tau)

@@ -139,6 +139,12 @@ object SparkEntry {
     // the verbs ARE rewrite passes, so fixture build + rewrite is the
     // honest unit of work
     "q_ivf_recluster", "q_zorder_maintain",
+    // round 19 cont.: the PARTIAL z-order rewrite beside the whole-root
+    // one — same decay fixture, only the decayed files rewritten
+    // (tight files hardlink-carried). The pair of numbers is the
+    // incremental-maintenance claim made measurable: partial should
+    // track the decayed-tail size, not the table size
+    "q_zorder_incremental",
     // round 19: the training-shard export — served read + hash shuffle
     // + packing window + sharded write, the full "ship to the trainer"
     // pass whose wall-clock at 100 TB is a maintenance-window line item

@@ -61,7 +61,19 @@ object ZOrder {
     * metadata. Returns (files, avg_box_frac, max_box_frac).
     */
   def clusterStats(spark: org.apache.spark.sql.SparkSession, path: String,
-                   clusterCols: Seq[String]): DataFrame = {
+                   clusterCols: Seq[String]): DataFrame =
+    perFileBoxFracs(spark, path, clusterCols)
+      .agg(count(lit(1)).as("files"),
+        round(avg("__frac"), 6).as("avg_box_frac"),
+        round(max("__frac"), 6).as("max_box_frac"))
+
+  /** Per-file bounding-box fraction `(__f file-uri, __frac)` — the frame
+    * behind [[clusterStats]]'s aggregate and [[reclusterDecayed]]'s
+    * worklist. #files rows of driver-bounded metadata.
+    */
+  private def perFileBoxFracs(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              clusterCols: Seq[String]): DataFrame = {
     require(clusterCols.nonEmpty)
     val aggs = clusterCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__mn_$c"),
@@ -78,10 +90,7 @@ object ZOrder {
           (col(s"__gmx_$c") - col(s"__gmn_$c") + 1).cast("double"))
       .reduce(_ * _)
     perFile.crossJoin(broadcast(global))
-      .select(boxFrac.as("__frac"))
-      .agg(count(lit(1)).as("files"),
-        round(avg("__frac"), 6).as("avg_box_frac"),
-        round(max("__frac"), 6).as("max_box_frac"))
+      .select(col("__f"), boxFrac.as("__frac"))
   }
 
   /** Re-cluster a table whose layout decayed under appends — the
@@ -95,6 +104,92 @@ object ZOrder {
     * compaction (which this subsumes for the table: the rewrite also
     * merges files).
     */
+  /** What [[reclusterDecayed]] did: total files seen, files rewritten
+    * (their summed bytes), files carried over untouched.
+    */
+  case class PartialReclusterReport(files: Long, rewritten: Long,
+                                    kept: Long, rewrittenBytes: Long)
+
+  /** PARTIAL recluster — the 100 TB form of [[recluster]]: rewrite ONLY
+    * the files whose bounding-box fraction decayed past `decayFrac`,
+    * carrying every still-tight file into the staging dir as a HARDLINK
+    * (O(1) metadata per file, no bytes moved — the compute side of what
+    * Delta/Iceberg `OPTIMIZE` does with manifest references), then the
+    * same atomic whole-root swap. A steady-state table where appends
+    * decay only the tail pays for the tail, not the table: the
+    * whole-root [[recluster]] rewrites N bytes to fix M << N decayed
+    * ones, which at 100 TB is the difference between a nightly
+    * maintenance job and an impossible one.
+    *
+    * The z-interleave is computed over the REWRITTEN subset only, so
+    * the tight files' existing layout is preserved byte-identical
+    * (their bounding boxes were already small — re-sorting them buys
+    * nothing and costs everything). Rewritten output is sized by
+    * `targetBytes`, so the pass also subsumes small-files compaction
+    * for the decayed subset.
+    *
+    * Convergence note: range boundaries are SAMPLED quantiles, so a
+    * rewritten piece can straddle a top-level z-quadrant boundary and
+    * carry a bounding box ~the union of two quadrants. Keep the rewrite
+    * fan-out ABOVE `2^dims` (via `targetBytes` or `rewritePartitions`)
+    * and straddle boxes shrink well below any sane `decayFrac`, making
+    * a second pass at the same threshold a no-op — at exactly `2^dims`
+    * pieces, a straddler can sit right at frac ≈ 0.5 and re-trigger.
+    *
+    * Crash contract: the staged dir (`.root__zorderinc`) either swaps
+    * in whole or is GC'd by [[Compaction.vacuum]]'s parent-sibling
+    * sweep; hardlinked carry-overs keep their inodes alive when
+    * [[Compaction.swapInto]] retires the old root, so no crash window
+    * holds the only copy of an untouched file. Falls back to a byte
+    * copy on filesystems without hardlinks.
+    */
+  def reclusterDecayed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, clusterCols: Seq[String],
+                       bits: Int = 16, decayFrac: Double = 0.5,
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       rewritePartitions: Option[Int] = None)
+      : PartialReclusterReport = {
+    require(decayFrac > 0 && decayFrac <= 1.0, s"decayFrac=$decayFrac")
+    require(targetBytes > 0)
+    val fracs = perFileBoxFracs(spark, path, clusterCols)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val toFile = (uri: String) =>
+      if (uri.startsWith("file:")) new java.io.File(new java.net.URI(uri))
+      else new java.io.File(uri)
+    val (decayed0, tight0) = fracs.partition(_._2 > decayFrac)
+    if (decayed0.isEmpty)
+      return PartialReclusterReport(fracs.length.toLong, 0L,
+        fracs.length.toLong, 0L)
+    val decayed = decayed0.map(f => toFile(f._1))
+    val tight = tight0.map(f => toFile(f._1))
+    val dir = new java.io.File(path)
+    val staging = Compaction.stagingDir(dir, "zorderinc")
+    if (staging.exists()) Compaction.rm(staging)
+    staging.mkdirs()
+    tight.foreach { f =>
+      val link = new java.io.File(staging, f.getName).toPath
+      try java.nio.file.Files.createLink(link, f.toPath)
+      catch { case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.copy(f.toPath, link) }
+    }
+    val bytes = decayed.map(_.length()).sum
+    // rewrite granularity: sized by bytes, or pinned by the caller when
+    // the rewritten subset must land at a specific file count (the
+    // restored per-file boxes tighten with the z-range fan-out)
+    val n = rewritePartitions.getOrElse(
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
+    val z = zValue(clusterCols.map(col), bits)
+    // mode Append: the staged dir already holds the carried-over links
+    spark.read.parquet(decayed.map(_.toString).toIndexedSeq: _*)
+      .repartitionByRange(n, z)
+      .sortWithinPartitions(z)
+      .write.mode("append").parquet(staging.toString)
+    Compaction.swapInto(path, staging.toString)
+    PartialReclusterReport(fracs.length.toLong, decayed.length.toLong,
+      tight.length.toLong, bytes)
+  }
+
   def recluster(spark: org.apache.spark.sql.SparkSession, path: String,
                 clusterCols: Seq[String], bits: Int = 16,
                 partitions: Int = 8): Unit = {

@@ -315,4 +315,55 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
         <= psBound, s"$seg: ${bySeg(seg)._2} vs ${exactSeg(seg)}")
     }
   }
+
+  test("poissonBootstrap: CI brackets the true mean, interval ordered, " +
+      "deterministic under re-partitioning, draw mass ≈ n per replicate") {
+    import graft.operators.Sampling
+    val n = 4000
+    val df = (1 to n).map(i => (i.toLong, 100.0 + (i % 97).toDouble))
+      .toDF("id", "v")
+    val exact = df.agg(avg("v")).as[Double].head()
+    val r = Sampling.poissonBootstrap(df, "id", "v", replicates = 64)
+      .as[(Int, Long, Double, Double, Double, Double)].head()
+    val (reps, rows, point, lo, med, hi) = r
+    assert(reps === 64 && rows === n.toLong)
+    assert(math.abs(point - exact) < 1e-6)
+    assert(lo < med && med < hi, r)
+    // the bootstrap SE of a mean of sd≈28 over 4000 rows is ≈0.44, so a
+    // 95% interval sits near 4·SE ≈ 1.7 wide — the interval must
+    // bracket the truth AND be at that scale: an UNDERDISPERSED
+    // interval (the low-discrepancy-hash failure mode this operator's
+    // finalizer rounds exist to prevent — a bare multiplicative
+    // scramble measured ~0.28 here) fails the lower bound
+    assert(lo < exact && exact < hi, s"CI [$lo, $hi] misses $exact")
+    assert(hi - lo > 0.9 && hi - lo < 3.5, s"width ${hi - lo}")
+    // deterministic: the interval cannot move under a different
+    // physical layout (the hash is content-derived, not partition-
+    // seeded) — the property a rand()-seeded bootstrap lacks
+    val r2 = Sampling.poissonBootstrap(df.repartition(13), "id", "v",
+      replicates = 64)
+      .as[(Int, Long, Double, Double, Double, Double)].head()
+    assert(r2 === r)
+    // Poisson(1) draw mass: each replicate redraws ~n rows total
+    // the mix replicated by hand — this IS the cross-engine contract
+    // (the DuckDB twin runs the same four steps), pinned here
+    val h1 = pmod(col("__id") * lit(2654435761L) +
+      col("__r") * lit(40503L), lit(4294967296L))
+    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h3 = pmod(h2 * lit(1540483477L), lit(4294967296L))
+    val base = df.select(col("id").cast("long").as("__id"),
+      col("v").cast("decimal(18,2)").as("__v"))
+      .withColumn("__r", explode(sequence(lit(0), lit(63))))
+      .withColumn("__u", h3.bitwiseXOR(shiftright(h3, 13))
+        .cast("double") / lit(4294967296.0))
+    val ks = base.withColumn("__k",
+        Sampling.poisson1Cdf.zipWithIndex.foldRight(
+          lit(Sampling.poisson1Cdf.size): org.apache.spark.sql.Column) {
+          case ((c, i), rest) => when(col("__u") < lit(c), lit(i))
+            .otherwise(rest)
+        })
+      .groupBy("__r").agg(sum("__k").as("mass"))
+      .agg(avg("mass")).as[Double].head()
+    assert(math.abs(ks - n) < 0.05 * n, s"avg draw mass $ks vs n=$n")
+  }
 }
