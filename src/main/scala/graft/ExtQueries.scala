@@ -2053,6 +2053,15 @@ object ExtQueries {
       graft.operators.Sampling.poissonBootstrap(
         Tables.load(s, d, "orders"), "o_orderkey", "o_totalprice", 64)),
 
+    // the per-domain twin: one CI per order-priority class from the
+    // same single scan — "did domain X's mean move outside its error
+    // bars?" is the mixture-monitoring question. Same full oracle
+    "q_bootstrap_ci_by_group" -> ((s, d) =>
+      graft.operators.Sampling.poissonBootstrapByGroup(
+          Tables.load(s, d, "orders"), Seq("o_orderpriority"),
+          "o_orderkey", "o_totalprice", 64)
+        .transform(Queries.presentSorted(_, "o_orderpriority"))),
+
     // priority sampling: a fixed-512-row weighted sample of orders
     // (weight = o_totalprice) from which ANY subset spend is estimable
     // via the Horvitz-Thompson weights. Priorities are deterministic
@@ -5384,6 +5393,53 @@ object ExtQueries {
         |  ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
         |FROM means CROSS JOIN pt
         |GROUP BY n_rows, point_mean""".stripMargin,
+
+    // grouped-bootstrap twin: group keys ride the replicate aggregate;
+    // identical draw arithmetic
+    "q_bootstrap_ci_by_group" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |h1 AS (
+        |  SELECT g, r, v,
+        |    (id * 2654435761 + r * 40503) % 4294967296 AS a
+        |  FROM base CROSS JOIN range(0, 64) t(r)),
+        |h2 AS (SELECT g, r, v, xor(a, a >> 16) AS b FROM h1),
+        |h3 AS (SELECT g, r, v, (b * 1540483477) % 4294967296 AS c
+        |  FROM h2),
+        |draws AS (
+        |  SELECT g, r, v, xor(c, c >> 13) / 4294967296.0 AS u FROM h3),
+        |ks AS (
+        |  SELECT g, r, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS k
+        |  FROM draws),
+        |means AS (
+        |  SELECT g, r, ROUND(CAST(SUM(k * v) AS DOUBLE)
+        |    / NULLIF(SUM(k), 0), 6) AS m
+        |  FROM ks GROUP BY g, r),
+        |pt AS (
+        |  SELECT g, COUNT(*) AS n_rows,
+        |    ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS point_mean
+        |  FROM base GROUP BY g),
+        |ci AS (
+        |  SELECT g,
+        |    ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |    ROUND(quantile_cont(m, 0.5), 6) AS ci_median,
+        |    ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+        |  FROM means GROUP BY g)
+        |SELECT ci.g AS o_orderpriority, 64 AS replicates, n_rows,
+        |  point_mean, ci_lo, ci_median, ci_hi
+        |FROM ci JOIN pt ON ci.g = pt.g
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // priority-sampling twin: identical priority arithmetic (w divided
     // by the scramble-uniform), identical (priority desc, id) ranking,

@@ -361,10 +361,31 @@ object Sampling {
     */
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
                        replicates: Int = 64, seed: Long = 40503L)
+      : DataFrame =
+    bootstrapCore(df, Nil, idCol, valueCol, replicates, seed)
+
+  /** [[poissonBootstrap]] per group — one CI per domain/stratum from the
+    * SAME single scan (the per-domain twin every mixture monitor wants:
+    * "did domain X's mean move outside its error bars?"). Group keys
+    * ride the replicate aggregate; draws still depend on (id, replicate)
+    * only, so a row's counts are identical whether bootstrapped globally
+    * or within its group.
+    */
+  def poissonBootstrapByGroup(df: DataFrame, groupCols: Seq[String],
+                              idCol: String, valueCol: String,
+                              replicates: Int = 64, seed: Long = 40503L)
       : DataFrame = {
+    require(groupCols.nonEmpty, "use poissonBootstrap for no groups")
+    bootstrapCore(df, groupCols, idCol, valueCol, replicates, seed)
+  }
+
+  private def bootstrapCore(df: DataFrame, groupCols: Seq[String],
+                            idCol: String, valueCol: String,
+                            replicates: Int, seed: Long): DataFrame = {
     require(replicates >= 4, s"replicates=$replicates")
-    val base = df.select(col(idCol).cast("long").as("__id"),
-      col(valueCol).cast("decimal(18,2)").as("__v"))
+    val base = df.select(groupCols.map(col) ++ Seq(
+      col(idCol).cast("long").as("__id"),
+      col(valueCol).cast("decimal(18,2)").as("__v")): _*)
     val h1 = pmod(col("__id") * lit(2654435761L) + col("__r") * lit(seed),
       lit(4294967296L))
     val h2 = h1.bitwiseXOR(shiftright(h1, 16))
@@ -380,19 +401,29 @@ object Sampling {
       .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
       .withColumn("__u", u)
       .withColumn("__k", k)
-      .groupBy("__r")
+      .groupBy((groupCols :+ "__r").map(col): _*)
       .agg(round(sum(col("__k") * col("__v")).cast("double") /
           when(sum(col("__k")) =!= 0, sum(col("__k"))), 6).as("__m"))
-    val point = base.agg(
+    val pointAggs = Seq(
       count(lit(1)).as("n_rows"),
       round(sum("__v").cast("double") / count(lit(1)), 6)
         .as("point_mean"))
-    means.agg(
-        round(expr("percentile(__m, 0.025)"), 6).as("ci_lo"),
-        round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
-        round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"))
-      .crossJoin(point)
-      .select(lit(replicates).as("replicates"), col("n_rows"),
-        col("point_mean"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+    val ciAggs = Seq(
+      round(expr("percentile(__m, 0.025)"), 6).as("ci_lo"),
+      round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
+      round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"))
+    val outCols = groupCols.map(col) ++ Seq(
+      lit(replicates).as("replicates"), col("n_rows"),
+      col("point_mean"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+    if (groupCols.isEmpty)
+      means.agg(ciAggs.head, ciAggs.tail: _*)
+        .crossJoin(base.agg(pointAggs.head, pointAggs.tail: _*))
+        .select(outCols: _*)
+    else
+      means.groupBy(groupCols.map(col): _*)
+        .agg(ciAggs.head, ciAggs.tail: _*)
+        .join(base.groupBy(groupCols.map(col): _*)
+          .agg(pointAggs.head, pointAggs.tail: _*), groupCols)
+        .select(outCols: _*)
   }
 }

@@ -344,6 +344,17 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       replicates = 64)
       .as[(Int, Long, Double, Double, Double, Double)].head()
     assert(r2 === r)
+    // the grouped twin: each stratum's CI brackets its own mean, from
+    // the same single-scan mechanics
+    val gdf = df.withColumn("g", (col("id") % 2).cast("string"))
+    val gex = gdf.groupBy("g").agg(avg("v")).as[(String, Double)]
+      .collect().toMap
+    Sampling.poissonBootstrapByGroup(gdf, Seq("g"), "id", "v", 64)
+      .select("g", "ci_lo", "ci_hi").as[(String, Double, Double)]
+      .collect().foreach { case (g, glo, ghi) =>
+        assert(glo < gex(g) && gex(g) < ghi,
+          s"group $g CI [$glo, $ghi] misses ${gex(g)}")
+      }
     // Poisson(1) draw mass: each replicate redraws ~n rows total
     // the mix replicated by hand — this IS the cross-engine contract
     // (the DuckDB twin runs the same four steps), pinned here
