@@ -4351,20 +4351,9 @@ object ExtQueries {
     // swap ⇒ 0 rows.
     "q_zorder_maintain" -> ((s, d) => {
       import s.implicits._
-      val o = Tables.load(s, d, "orders").select(
-        (col("o_custkey") % 256).cast("long").as("a"),
-        (col("o_orderkey") % 256).cast("long").as("b"))
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_zorder_maint_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-        .toString
-      graft.sources.ZOrder.clusteredWrite(o.where(col("b") % 2 === 0),
-        dir, Seq("a", "b"), bits = 8, partitions = 8)
-      def frac() = graft.sources.ZOrder.clusterStats(s, dir, Seq("a", "b"))
-        .select("avg_box_frac").first().getDouble(0)
+      val (dir, frac) = zorderDecayFixture(s, d, "graft_zorder_maint_")
       val healthy = frac()
-      o.where(col("b") % 2 =!= 0).repartition(2)
-        .write.mode("append").parquet(dir)
+      appendZorderDecay(s, d, dir)
       val decayed = frac()
       val total = s.read.parquet(dir).count()
       graft.sources.ZOrder.recluster(s, dir, Seq("a", "b"),
@@ -4390,27 +4379,15 @@ object ExtQueries {
     // zeroes the row
     "q_zorder_incremental" -> ((s, d) => {
       import s.implicits._
-      val o = Tables.load(s, d, "orders").select(
-        (col("o_custkey") % 256).cast("long").as("a"),
-        (col("o_orderkey") % 256).cast("long").as("b"))
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_zorder_inc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      graft.sources.Compaction.rm(dir)
-      graft.sources.ZOrder.clusteredWrite(o.where(col("b") % 2 === 0),
-        dir.toString, Seq("a", "b"), bits = 8, partitions = 8)
-      def frac() = graft.sources.ZOrder
-        .clusterStats(s, dir.toString, Seq("a", "b"))
-        .select("avg_box_frac").first().getDouble(0)
-      o.where(col("b") % 2 =!= 0).repartition(2)
-        .write.mode("append").parquet(dir.toString)
+      val (dir, frac) = zorderDecayFixture(s, d, "graft_zorder_inc_")
+      appendZorderDecay(s, d, dir)
       val decayed = frac()
-      val total = s.read.parquet(dir.toString).count()
-      val r = graft.sources.ZOrder.reclusterDecayed(s, dir.toString,
+      val total = s.read.parquet(dir).count()
+      val r = graft.sources.ZOrder.reclusterDecayed(s, dir,
         Seq("a", "b"), bits = 8, decayFrac = 0.5,
         rewritePartitions = Some(8))
       val restored = frac()
-      val kept = s.read.parquet(dir.toString).count()
+      val kept = s.read.parquet(dir).count()
       Seq((math.rint(decayed * 1e6) / 1e6,
           math.rint(restored * 1e6) / 1e6, total,
           r.files, r.rewritten, r.kept))
@@ -4799,6 +4776,38 @@ object ExtQueries {
     }
     root
   }
+
+  /** The z-order decay fixture shared by `q_zorder_maintain` and
+    * `q_zorder_incremental` — ONE definition so the two rows stay the
+    * comparable pair SparkEntry.benchQueries claims (whole-root vs
+    * partial rewrite of the SAME decay): even-`b` orders projection
+    * z-clustered at bits=8 into 8 files under a per-sf tmp dir.
+    * Returns (dir, avg-box-frac probe). */
+  private def zorderDecayFixture(s: SparkSession, d: String,
+                                 prefix: String): (String, () => Double) = {
+    val o = zorderOrders(s, d)
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(dir)
+    graft.sources.ZOrder.clusteredWrite(o.where(col("b") % 2 === 0),
+      dir.toString, Seq("a", "b"), bits = 8, partitions = 8)
+    (dir.toString, () => graft.sources.ZOrder
+      .clusterStats(s, dir.toString, Seq("a", "b"))
+      .select("avg_box_frac").first().getDouble(0))
+  }
+
+  /** The decay half: odd-`b` rows appended UNCLUSTERED (round-robin
+    * repartition — each new file spans the whole (a, b) domain). */
+  private def appendZorderDecay(s: SparkSession, d: String,
+                                dir: String): Unit =
+    zorderOrders(s, d).where(col("b") % 2 =!= 0).repartition(2)
+      .write.mode("append").parquet(dir)
+
+  private def zorderOrders(s: SparkSession, d: String) =
+    Tables.load(s, d, "orders").select(
+      (col("o_custkey") % 256).cast("long").as("a"),
+      (col("o_orderkey") % 256).cast("long").as("b"))
 
   /** The two scratch-tree prefixes, shared by [[prepares]] and the row
     * bodies — ONE definition each: if they drifted apart, prep would

@@ -346,9 +346,14 @@ object Sampling {
     * nothing about independence ACROSS rows). Two murmur-style
     * finalizer rounds (xor-shift + multiply mod 2³²) break the
     * linearity; the replicate-mean spread then matches a true-RNG
-    * Poisson bootstrap within ~8% (1024-replicate calibration). Every
-    * intermediate stays below 2⁶² — safe under ANSI overflow checking —
-    * and every step is plain integer arithmetic DuckDB replays verbatim.
+    * Poisson bootstrap within ~8% (1024-replicate calibration). With ids
+    * in [0, 2³¹) — checked loudly up front, the
+    * [[graft.operators.Retraction.exportTrainingShards]] contract: a
+    * negative id makes pmod and C-style `%` diverge, a larger one
+    * overflows differently across engines — every intermediate stays
+    * below 2⁶³ (max h1 pre-mod ≈ 5.7e18, max h2·1540483477 ≈ 6.6e18),
+    * safe under ANSI overflow checking, and every step is plain integer
+    * arithmetic DuckDB replays verbatim.
     *
     * Numeric discipline for the cross-engine contract: values are summed
     * as DECIMAL(18,2) (exact, order-independent — a double sum differs
@@ -356,8 +361,14 @@ object Sampling {
     * oracle compare would flag), divided once as double, rounded to 6dp
     * BEFORE the quantile interpolation.
     *
-    * Returns one row: (replicates, n_rows, point_mean, ci_lo, ci_median,
-    * ci_hi) — the 95% percentile interval over replicate means.
+    * Returns one row per group (one total for the ungrouped form; EMPTY
+    * input → zero rows, matching the SQL twin): (replicates, n_rows,
+    * point_mean, ci_lo, ci_median, ci_hi) — the 95% percentile interval
+    * over replicate means. Cost: the id-bounds guard is one
+    * column-pruned agg; the estimate itself is ONE R×-inflated scan of
+    * the (group, id, value) projection — the point estimate rides the
+    * same pass (per-(group, replicate) partials carry the base sum and
+    * count, identical for every replicate).
     */
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
                        replicates: Int = 64, seed: Long = 40503L)
@@ -383,9 +394,21 @@ object Sampling {
                             idCol: String, valueCol: String,
                             replicates: Int, seed: Long): DataFrame = {
     require(replicates >= 4, s"replicates=$replicates")
+    val reserved = Seq("__id", "__v", "__r", "__u", "__k", "__m",
+      "__sv", "__n")
+    (groupCols ++ Seq(idCol, valueCol)).foreach(c =>
+      require(!reserved.contains(c), s"column name $c is reserved"))
     val base = df.select(groupCols.map(col) ++ Seq(
       col(idCol).cast("long").as("__id"),
       col(valueCol).cast("decimal(18,2)").as("__v")): _*)
+    // the cross-engine contract needs ids in [0, 2^31): negative ids
+    // split pmod from C-style %, larger ones overflow differently
+    // across engines (the exportTrainingShards guard, both bounds)
+    val bounds = base.agg(min("__id"), max("__id")).collect().head
+    if (!bounds.isNullAt(0))
+      require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
+        s"poissonBootstrap needs ids in [0, 2^31): [${bounds.get(0)}, " +
+          s"${bounds.get(1)}] would break the cross-engine hash")
     val h1 = pmod(col("__id") * lit(2654435761L) + col("__r") * lit(seed),
       lit(4294967296L))
     val h2 = h1.bitwiseXOR(shiftright(h1, 16))
@@ -397,33 +420,33 @@ object Sampling {
       case ((c, i), rest) => when(col("__u") < lit(c), lit(i))
         .otherwise(rest)
     }
+    // one inflated scan: each (group, replicate) partial also carries
+    // the group's base sum and row count (identical for every r — each
+    // base row appears exactly once per replicate), so the point
+    // estimate needs no second pass over the source
     val means = base
       .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
       .withColumn("__u", u)
       .withColumn("__k", k)
       .groupBy((groupCols :+ "__r").map(col): _*)
       .agg(round(sum(col("__k") * col("__v")).cast("double") /
-          when(sum(col("__k")) =!= 0, sum(col("__k"))), 6).as("__m"))
-    val pointAggs = Seq(
-      count(lit(1)).as("n_rows"),
-      round(sum("__v").cast("double") / count(lit(1)), 6)
-        .as("point_mean"))
-    val ciAggs = Seq(
+          when(sum(col("__k")) =!= 0, sum(col("__k"))), 6).as("__m"),
+        sum("__v").as("__sv"), count(lit(1)).as("__n"))
+    val aggs = Seq(
       round(expr("percentile(__m, 0.025)"), 6).as("ci_lo"),
       round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
-      round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"))
+      round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"),
+      first("__n").as("n_rows"),
+      round(first("__sv").cast("double") / first("__n"), 6)
+        .as("point_mean"))
     val outCols = groupCols.map(col) ++ Seq(
       lit(replicates).as("replicates"), col("n_rows"),
       col("point_mean"), col("ci_lo"), col("ci_median"), col("ci_hi"))
-    if (groupCols.isEmpty)
-      means.agg(ciAggs.head, ciAggs.tail: _*)
-        .crossJoin(base.agg(pointAggs.head, pointAggs.tail: _*))
-        .select(outCols: _*)
-    else
-      means.groupBy(groupCols.map(col): _*)
-        .agg(ciAggs.head, ciAggs.tail: _*)
-        .join(base.groupBy(groupCols.map(col): _*)
-          .agg(pointAggs.head, pointAggs.tail: _*), groupCols)
-        .select(outCols: _*)
+    val out =
+      if (groupCols.isEmpty) means.agg(aggs.head, aggs.tail: _*)
+      else means.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // empty input → zero rows (a global agg would emit one null row,
+    // which the SQL twin's empty GROUP BY correctly does not)
+    out.where(col("n_rows").isNotNull).select(outCols: _*)
   }
 }

@@ -151,12 +151,18 @@ object ZOrder {
       : PartialReclusterReport = {
     require(decayFrac > 0 && decayFrac <= 1.0, s"decayFrac=$decayFrac")
     require(targetBytes > 0)
+    // a file whose cluster-column stats are all-NULL has a null box
+    // frac — it cannot be proven tight, so it joins the rewrite set
+    // (the whole-root recluster would rewrite it too; carrying it
+    // unexamined would exempt it from maintenance forever)
     val fracs = perFileBoxFracs(spark, path, clusterCols)
-      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
     val toFile = (uri: String) =>
       if (uri.startsWith("file:")) new java.io.File(new java.net.URI(uri))
       else new java.io.File(uri)
-    val (decayed0, tight0) = fracs.partition(_._2 > decayFrac)
+    val (decayed0, tight0) =
+      fracs.partition(f => f._2.forall(_ > decayFrac))
     if (decayed0.isEmpty)
       return PartialReclusterReport(fracs.length.toLong, 0L,
         fracs.length.toLong, 0L)

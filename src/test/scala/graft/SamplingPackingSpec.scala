@@ -344,6 +344,22 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       replicates = 64)
       .as[(Int, Long, Double, Double, Double, Double)].head()
     assert(r2 === r)
+    // contract edges: empty input → zero rows (matching the SQL twin's
+    // empty GROUP BY), ids outside [0, 2^31) and reserved column names
+    // rejected loudly
+    assert(Sampling.poissonBootstrap(
+      df.where(lit(false)), "id", "v", 64).isEmpty)
+    val eNeg = intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrap(
+        df.withColumn("id", col("id") - 10L), "id", "v", 64)
+    }
+    assert(eNeg.getMessage.contains("2^31"))
+    val eRes = intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrap(df.withColumnRenamed("v", "__v"),
+        "id", "__v", 64)
+    }
+    assert(eRes.getMessage.contains("reserved"))
+
     // the grouped twin: each stratum's CI brackets its own mean, from
     // the same single-scan mechanics
     val gdf = df.withColumn("g", (col("id") % 2).cast("string"))

@@ -153,6 +153,17 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     val r2 = ZOrder.reclusterDecayed(spark, dir, Seq("a", "b"), bits = 6,
       decayFrac = 0.5)
     assert(r2.rewritten === 0L && r2.kept === r2.files)
+    // a file whose cluster column is entirely NULL has a NULL box frac:
+    // it cannot be proven tight, so it joins the rewrite set (instead
+    // of NPE-ing the pass or being carried unexamined forever)
+    (1 to 10).map(i => (None: Option[Long], (i % 64).toLong))
+      .toDF("a", "b").coalesce(1).write.mode("append").parquet(dir)
+    val n3 = spark.read.parquet(dir).count()
+    val r3 = ZOrder.reclusterDecayed(spark, dir, Seq("a", "b"), bits = 6,
+      decayFrac = 0.5, rewritePartitions = Some(8))
+    assert(r3.rewritten === 1L, r3)
+    assert(spark.read.parquet(dir).count() === n3)
+    assert(spark.read.parquet(dir).where(col("a").isNull).count() === 10L)
     // staging swapped away cleanly
     val parent = new java.io.File(dir).getParentFile
     assert(Option(parent.listFiles()).getOrElse(Array.empty)
