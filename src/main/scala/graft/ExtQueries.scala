@@ -2053,6 +2053,14 @@ object ExtQueries {
       graft.operators.Sampling.poissonBootstrap(
         Tables.load(s, d, "orders"), "o_orderkey", "o_totalprice", 64)),
 
+    // the A/B twin: CI on mean(URGENT) − mean(LOW) — per replicate both
+    // cohorts redraw under the same (id, r) counts, the interval
+    // excluding 0 IS the significance call, deterministic in any engine
+    "q_bootstrap_diff" -> ((s, d) =>
+      graft.operators.Sampling.poissonBootstrapDiff(
+        Tables.load(s, d, "orders"), "o_orderpriority",
+        "1-URGENT", "5-LOW", "o_orderkey", "o_totalprice", 64)),
+
     // the per-domain twin: one CI per order-priority class from the
     // same single scan — "did domain X's mean move outside its error
     // bars?" is the mixture-monitoring question. Same full oracle
@@ -5402,6 +5410,62 @@ object ExtQueries {
         |  ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
         |FROM means CROSS JOIN pt
         |GROUP BY n_rows, point_mean""".stripMargin,
+
+    // A/B-difference twin: both cohort means from the same draw table,
+    // ONE rounding of the difference (matching the Spark expression),
+    // quantile over the per-replicate differences
+    "q_bootstrap_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS c, o_orderkey AS id,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |h1 AS (
+        |  SELECT c, r, v,
+        |    (id * 2654435761 + r * 40503) % 4294967296 AS a
+        |  FROM base CROSS JOIN range(0, 64) t(r)),
+        |h2 AS (SELECT c, r, v, xor(a, a >> 16) AS b FROM h1),
+        |h3 AS (SELECT c, r, v, (b * 1540483477) % 4294967296 AS cc
+        |  FROM h2),
+        |draws AS (
+        |  SELECT c, r, v, xor(cc, cc >> 13) / 4294967296.0 AS u FROM h3),
+        |ks AS (
+        |  SELECT c, r, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS k
+        |  FROM draws),
+        |diffs AS (
+        |  SELECT r, ROUND(
+        |    CAST(SUM(CASE WHEN c = '1-URGENT' THEN k * v END) AS DOUBLE)
+        |      / NULLIF(SUM(CASE WHEN c = '1-URGENT' THEN k END), 0)
+        |    - CAST(SUM(CASE WHEN c = '5-LOW' THEN k * v END) AS DOUBLE)
+        |      / NULLIF(SUM(CASE WHEN c = '5-LOW' THEN k END), 0), 6)
+        |    AS m
+        |  FROM ks GROUP BY r),
+        |pt AS (
+        |  SELECT
+        |    SUM(CASE WHEN c = '1-URGENT' THEN 1 END) AS n_a,
+        |    SUM(CASE WHEN c = '5-LOW' THEN 1 END) AS n_b,
+        |    ROUND(
+        |      CAST(SUM(CASE WHEN c = '1-URGENT' THEN v END) AS DOUBLE)
+        |        / SUM(CASE WHEN c = '1-URGENT' THEN 1 END)
+        |      - CAST(SUM(CASE WHEN c = '5-LOW' THEN v END) AS DOUBLE)
+        |        / SUM(CASE WHEN c = '5-LOW' THEN 1 END), 6)
+        |      AS point_diff
+        |  FROM base)
+        |SELECT 64 AS replicates, n_a, n_b, point_diff,
+        |  ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  ROUND(quantile_cont(m, 0.5), 6) AS ci_median,
+        |  ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM diffs CROSS JOIN pt
+        |GROUP BY n_a, n_b, point_diff""".stripMargin,
 
     // grouped-bootstrap twin: group keys ride the replicate aggregate;
     // identical draw arithmetic

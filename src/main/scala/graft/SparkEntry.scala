@@ -148,5 +148,9 @@ object SparkEntry {
     // round 19: the training-shard export — served read + hash shuffle
     // + packing window + sharded write, the full "ship to the trainer"
     // pass whose wall-clock at 100 TB is a maintenance-window line item
-    "q_export_shards")
+    "q_export_shards",
+    // round 19 cont.: the deterministic Poisson bootstrap — prices the
+    // R×-inflated narrow scan + two-level aggregate shape (error bars
+    // from one pass; the statistical-monitoring cost at scale)
+    "q_bootstrap_ci")
 }

@@ -390,6 +390,81 @@ object Sampling {
     bootstrapCore(df, groupCols, idCol, valueCol, replicates, seed)
   }
 
+  /** Bootstrap CI on the DIFFERENCE of two cohort means — the A/B
+    * question ("did the treatment move the metric, outside noise?") at
+    * 100 TB: per replicate, mean(A) − mean(B) with both cohorts drawn
+    * under the same (id, replicate) counts, then the percentile
+    * interval. An interval excluding 0 is the deterministic,
+    * any-engine-replayable significance call (`q_bootstrap_diff`'s
+    * DuckDB twin reproduces it bit-for-bit). Same hash/decimal/rounding
+    * discipline and id contract as [[poissonBootstrap]]; one inflated
+    * scan, replicates where a cohort drew zero mass yield a null
+    * difference that both engines' quantile aggregates skip.
+    *
+    * Returns one row: (replicates, n_a, n_b, point_diff, ci_lo,
+    * ci_median, ci_hi); zero rows on empty input.
+    */
+  def poissonBootstrapDiff(df: DataFrame, cohortCol: String,
+                           cohortA: String, cohortB: String,
+                           idCol: String, valueCol: String,
+                           replicates: Int = 64, seed: Long = 40503L)
+      : DataFrame = {
+    require(replicates >= 4, s"replicates=$replicates")
+    require(cohortA != cohortB, "cohorts must differ")
+    val reserved = Seq("__id", "__v", "__c", "__r", "__u", "__k", "__m",
+      "__na", "__nb", "__sa", "__sb")
+    Seq(cohortCol, idCol, valueCol).foreach(c =>
+      require(!reserved.contains(c), s"column name $c is reserved"))
+    val base = df
+      .where(col(cohortCol).isin(cohortA, cohortB))
+      .select(col(cohortCol).cast("string").as("__c"),
+        col(idCol).cast("long").as("__id"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+    val bounds = base.agg(min("__id"), max("__id")).collect().head
+    if (!bounds.isNullAt(0))
+      require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
+        s"poissonBootstrapDiff needs ids in [0, 2^31): [${bounds.get(0)}" +
+          s", ${bounds.get(1)}] would break the cross-engine hash")
+    val h1 = pmod(col("__id") * lit(2654435761L) + col("__r") * lit(seed),
+      lit(4294967296L))
+    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h3 = pmod(h2 * lit(1540483477L), lit(4294967296L))
+    val h4 = h3.bitwiseXOR(shiftright(h3, 13))
+    val u = h4.cast("double") / lit(4294967296.0)
+    val k = poisson1Cdf.zipWithIndex.foldRight(
+        lit(poisson1Cdf.size): Column) {
+      case ((c, i), rest) => when(col("__u") < lit(c), lit(i))
+        .otherwise(rest)
+    }
+    def side(c: String, e: Column): Column = sum(when(col("__c") === c, e))
+    val means = base
+      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__u", u)
+      .withColumn("__k", k)
+      .groupBy("__r")
+      .agg(round(
+          side(cohortA, col("__k") * col("__v")).cast("double") /
+            when(side(cohortA, col("__k")) =!= 0,
+              side(cohortA, col("__k"))) -
+          side(cohortB, col("__k") * col("__v")).cast("double") /
+            when(side(cohortB, col("__k")) =!= 0,
+              side(cohortB, col("__k"))), 6).as("__m"),
+        side(cohortA, lit(1L)).as("__na"), side(cohortB, lit(1L)).as("__nb"),
+        side(cohortA, col("__v")).as("__sa"),
+        side(cohortB, col("__v")).as("__sb"))
+    means.agg(
+        round(expr("percentile(__m, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
+        round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"),
+        first("__na").as("n_a"), first("__nb").as("n_b"),
+        round(first("__sa").cast("double") / first("__na") -
+          first("__sb").cast("double") / first("__nb"), 6)
+          .as("point_diff"))
+      .where(col("n_a").isNotNull || col("n_b").isNotNull)
+      .select(lit(replicates).as("replicates"), col("n_a"), col("n_b"),
+        col("point_diff"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+  }
+
   private def bootstrapCore(df: DataFrame, groupCols: Seq[String],
                             idCol: String, valueCol: String,
                             replicates: Int, seed: Long): DataFrame = {

@@ -371,6 +371,33 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
         assert(glo < gex(g) && gex(g) < ghi,
           s"group $g CI [$glo, $ghi] misses ${gex(g)}")
       }
+    // the A/B twin: a planted +5 treatment effect is detected (CI
+    // brackets +5, excludes 0); a null effect's CI contains 0
+    val ab = (1 to n).map { i =>
+      val c = if (i % 2 == 0) "t" else "c"
+      val lift = if (c == "t") 5.0 else 0.0
+      (i.toLong, c, 100.0 + (i % 97).toDouble + lift)
+    }.toDF("id", "c", "v")
+    val dr = Sampling.poissonBootstrapDiff(ab, "c", "t", "c", "id", "v",
+      replicates = 64)
+      .select("point_diff", "ci_lo", "ci_hi")
+      .as[(Double, Double, Double)].head()
+    // the cohorts interleave by parity, so their (i % 97) means differ
+    // slightly from each other — compute the exact gap
+    val exactDiff = ab.where(col("c") === "t").agg(avg("v"))
+      .as[Double].head() -
+      ab.where(col("c") === "c").agg(avg("v")).as[Double].head()
+    assert(dr._2 < exactDiff && exactDiff < dr._3,
+      s"diff CI [${dr._2}, ${dr._3}] misses $exactDiff")
+    assert(dr._2 > 0, s"a +5 effect must exclude 0: [${dr._2}, ${dr._3}]")
+    assert(math.abs(dr._1 - exactDiff) < 1e-6)
+    val nullEff = Sampling.poissonBootstrapDiff(
+      ab.withColumn("v", col("v") - when(col("c") === "t", 5.0)
+        .otherwise(0.0)), "c", "t", "c", "id", "v", replicates = 64)
+      .select("ci_lo", "ci_hi").as[(Double, Double)].head()
+    assert(nullEff._1 < 0.5 && nullEff._2 > -0.5,
+      s"null-effect CI should straddle ~0: $nullEff")
+
     // Poisson(1) draw mass: each replicate redraws ~n rows total
     // the mix replicated by hand — this IS the cross-engine contract
     // (the DuckDB twin runs the same four steps), pinned here
