@@ -4430,6 +4430,36 @@ object ExtQueries {
         .transform(Queries.presentSorted(_, "doc_id"))
     }),
 
+    // INCREMENTAL export — the daily delta ship, fully hash-checked:
+    // day 1 ships two thirds of the corpus as epoch=0, day 2's
+    // admissions ship as epoch=1 ONLY (the ledger anti-join), shard =
+    // the same Knuth hash in both epochs (trainer's shard K = union of
+    // epoch=*/shard=K), packing per epoch. The DuckDB twin recomputes
+    // BOTH epochs' (shard, seq) bit-for-bit
+    "q_export_delta" -> ((s, d) => {
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_export_delta_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Compaction.rm(base)
+      val corpus = new java.io.File(base, "corpus").toString
+      val out = new java.io.File(base, "out").toString
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+      docsDf.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        .write.parquet(corpus)
+      val a = graft.operators.Retraction.Artifacts(corpus)
+      graft.operators.Retraction.exportTrainingShardsIncremental(
+        s, a, out, shards = 8, tokenBudget = 512)
+      docsDf.where(pmod(col("doc_id"), lit(3)) === 0)
+        .write.mode("append").parquet(corpus)
+      graft.operators.Retraction.exportTrainingShardsIncremental(
+        s, a, out, shards = 8, tokenBudget = 512)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("int").as("shard"), col("seq_id"),
+          col("epoch").cast("int").as("epoch"))
+        .transform(Queries.presentSorted(_, "doc_id"))
+    }),
+
     // COMMUNITY DETECTION by deterministic synchronous label propagation
     // (fixed smallest-label tie-break + self-vote — vanilla LPA's random
     // tie-break would make this row unhashable run-to-run) over the
@@ -5752,6 +5782,27 @@ object ExtQueries {
         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY h
         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
         |    AS seq_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // incremental-export twin: epoch membership is the fixture's own
+    // day split, shard/h identical to the full export, packing window
+    // partitioned by (epoch, shard) — each epoch packs its delta alone
+    "q_export_delta" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |      AS epoch,
+        |    ((doc_id * 2654435761) % 4294967296) AS h,
+        |    CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INT)
+        |      AS shard,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY epoch, shard
+        |    ORDER BY h ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+        |    AS BIGINT) AS seq_id,
+        |  epoch
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_token_packing" ->
       """WITH t AS (

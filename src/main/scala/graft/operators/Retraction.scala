@@ -568,6 +568,113 @@ object Retraction {
     spark.read.parquet(s"$outPath/_manifest")
   }
 
+  /** INCREMENTAL training-shard export — the daily delta ship, the
+    * [[graft.sources.ZOrder.reclusterDecayed]] stance applied to
+    * [[exportTrainingShards]]: at 100 TB a full re-export per corpus
+    * batch is prohibitive, so each call ships ONLY the served docs no
+    * previous epoch shipped, as a new `epoch=N` directory under
+    * `outRoot`. Shard assignment is the same Knuth hash (`shard =
+    * h mod shards`, pinned via an `_shards` sidecar and checked loudly
+    * — a changed shard count would silently re-deal every doc), so a
+    * trainer's shard K is simply the union of every epoch's `shard=K`
+    * directory: epochs never rewrite each other, and within an epoch the
+    * assignment carries the same bit-for-bit cross-engine contract as
+    * the full verb (the `q_export_delta` DuckDB twin recomputes both
+    * epochs). Token-budget packing runs per epoch (sequences never
+    * span a shipping boundary — each epoch is a self-contained set of
+    * training sequences).
+    *
+    * Membership ledger: each epoch persists its shipped ids at
+    * `epoch=N/_ids` (column-pruned, `_`-invisible to data scans); the
+    * next call anti-joins the served corpus against the union of all
+    * prior ledgers. A doc tombstoned AFTER it shipped is not re-judged
+    * here — shipped epochs are immutable artifacts; the takedown story
+    * for already-shipped data is re-exporting from scratch (the
+    * reference contrast: a DELETE is invisible to NEW queries, not to
+    * yesterday's backups).
+    *
+    * Returns the new epoch's manifest (shard, n_docs, n_tokens,
+    * n_sequences, epoch); an EMPTY delta returns an empty manifest and
+    * creates no epoch — the verb is an idempotent daily cadence.
+    * Crash contract: the epoch stages as a dot-prefixed sibling inside
+    * `outRoot` (invisible to partition discovery) and installs by ONE
+    * rename; a crashed staging is rebuilt fresh by the next call and
+    * swept by [[graft.sources.Compaction.vacuum]].
+    */
+  def exportTrainingShardsIncremental(spark: SparkSession, a: Artifacts,
+                                      outRoot: String, shards: Int,
+                                      tokenBudget: Int): DataFrame = {
+    require(shards > 0, s"shards=$shards")
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
+    val root = new java.io.File(outRoot)
+    root.mkdirs()
+    val pin = new java.io.File(root, "_shards")
+    if (pin.exists()) {
+      val pinned = java.nio.file.Files.readString(pin.toPath).trim.toInt
+      require(pinned == shards,
+        s"export root $outRoot is pinned to shards=$pinned, got " +
+          s"$shards — a different count re-deals every doc's shard")
+    } else java.nio.file.Files.writeString(pin.toPath, shards.toString)
+    val epochs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toInt)
+    val next = if (epochs.isEmpty) 0 else epochs.max + 1
+    val served = readCorpusServed(spark, a)
+    val delta =
+      if (epochs.isEmpty) served
+      else served.join(
+        epochs.map(e => spark.read.parquet(s"$outRoot/epoch=$e/_ids"))
+          .reduce(_ unionByName _).select(a.idCol),
+        Seq(a.idCol), "left_anti")
+    val emptyManifest = () => spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_sequences",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("epoch",
+          org.apache.spark.sql.types.IntegerType))))
+    val bounds = delta.agg(min(col(a.idCol).cast("long")),
+      max(col(a.idCol).cast("long"))).collect().head
+    if (bounds.isNullAt(0)) return emptyManifest()
+    require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
+      s"exportTrainingShardsIncremental needs ids in [0, 2^31): " +
+        s"[${bounds.get(0)}, ${bounds.get(1)}] would overflow the " +
+        "cross-engine hash")
+    val assigned = Packing.packByBudget(
+      delta
+        .withColumn("__h", pmod(col(a.idCol).cast("long") *
+          lit(2654435761L), lit(4294967296L)))
+        .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+        .withColumn("n_tokens",
+          graft.functions.TextAnalysis.tokenCount(col(a.textCol))),
+      "shard", "__h", "n_tokens", tokenBudget)
+      .drop("__h")
+    val epochDir = new java.io.File(root, s"epoch=$next")
+    val staging = graft.sources.Compaction.stagingDir(epochDir, "export")
+    if (staging.exists()) graft.sources.Compaction.rm(staging)
+    assigned.write.partitionBy("shard").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    staged.select(a.idCol).coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(staging, "_ids").toString)
+    staged.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("seq_id").as("n_sequences"))
+      .withColumn("epoch", lit(next))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(staging, "_manifest").toString)
+    if (!staging.renameTo(epochDir))
+      throw new java.io.IOException(
+        s"cannot install $staging as $epochDir")
+    spark.read.parquet(s"$epochDir/_manifest")
+  }
+
   /** One artifact's row in the [[audit]] report. `missing`/`extra_*`
     * are DISTINCT-ID counts; `missing` is -1 for artifacts that cover
     * the corpus only partially BY DESIGN (label store: duped docs only;

@@ -1335,6 +1335,66 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("forward_store"))
   }
 
+  test("exportTrainingShardsIncremental: the daily delta ship — epoch 1 " +
+      "holds exactly the new admissions, tombstoned docs never ship, " +
+      "an empty delta is a no-op, the shard pin is loud, epochs are " +
+      "immutable") {
+    val root = Files.createTempDirectory("rt_export_inc")
+    val corpusPath = root.resolve("corpus").toString
+    val out = root.resolve("out").toString
+    val day1 = corpus(20).select("doc_id", "text")
+    day1.write.parquet(corpusPath)
+    graft.sources.Tombstones.append(corpusPath,
+      Seq(7L).toDF("doc_id"), "doc_id")
+    val a = Retraction.Artifacts(corpusPath)
+    val m0 = Retraction.exportTrainingShardsIncremental(spark, a, out,
+      shards = 4, tokenBudget = 64)
+    assert(m0.agg(sum("n_docs")).collect().head.getLong(0) === 19L)
+    assert(m0.select("epoch").distinct().as[Int].collect().toSeq ===
+      Seq(0))
+    val e0 = spark.read.parquet(s"$out/epoch=0")
+    assert(e0.where(col("doc_id") === 7L).isEmpty, "tombstoned doc shipped")
+    // idempotent cadence: nothing new → no epoch, empty manifest
+    val mNoop = Retraction.exportTrainingShardsIncremental(spark, a, out,
+      shards = 4, tokenBudget = 64)
+    assert(mNoop.isEmpty)
+    assert(!new java.io.File(out, "epoch=1").exists())
+    // day 2: new admissions (and the tombstoned id's physical pass ran,
+    // so 7 re-admits as fresh content — it ships now, not before)
+    Retraction.retractDocs(spark, Seq(7L).toDF("doc_id"), "doc_id", a)
+    val day2 = corpus(30).where(col("doc_id") > 20 ||
+      col("doc_id") === 7L).select("doc_id", "text")
+    day2.write.mode("append").parquet(corpusPath)
+    val m1 = Retraction.exportTrainingShardsIncremental(spark, a, out,
+      shards = 4, tokenBudget = 64)
+    assert(m1.select("epoch").distinct().as[Int].collect().toSeq ===
+      Seq(1))
+    val e1 = spark.read.parquet(s"$out/epoch=1")
+    val e1Ids = e1.select("doc_id").as[Long].collect().toSet
+    assert(e1Ids === (21L to 30L).toSet + 7L,
+      s"epoch 1 must hold exactly the delta: $e1Ids")
+    // epoch 0 untouched by the second ship (immutability)
+    assert(spark.read.parquet(s"$out/epoch=0").count() === e0.count())
+    // union across epochs = the served corpus, no doc twice
+    val all = spark.read.parquet(out)
+    assert(all.count() === all.select("doc_id").distinct().count())
+    assert(all.count() ===
+      Retraction.readCorpusServed(spark, a).count())
+    // the trainer-side contract: a shard's members agree with the full
+    // verb's hash (shard = h mod 4) in every epoch
+    val wrongShard = all.withColumn("__expect",
+      pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+        lit(4L)).cast("int"))
+      .where(col("shard") =!= col("__expect"))
+    assert(wrongShard.isEmpty)
+    // a different shard count is refused loudly
+    val ePin = intercept[IllegalArgumentException] {
+      Retraction.exportTrainingShardsIncremental(spark, a, out,
+        shards = 8, tokenBudget = 64)
+    }
+    assert(ePin.getMessage.contains("pinned"))
+  }
+
   test("audit structural eligibility: a zero-token doc (no postings) and " +
       "a sub-shingle doc (null MinHash signature) are NOT missing — the " +
       "artifact's own admission predicate is not drift, and " +
