@@ -5481,8 +5481,8 @@ object ExtQueries {
         |  FROM ks GROUP BY r),
         |pt AS (
         |  SELECT
-        |    SUM(CASE WHEN c = '1-URGENT' THEN 1 END) AS n_a,
-        |    SUM(CASE WHEN c = '5-LOW' THEN 1 END) AS n_b,
+        |    COUNT(CASE WHEN c = '1-URGENT' THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN c = '5-LOW' THEN 1 END) AS n_b,
         |    ROUND(
         |      CAST(SUM(CASE WHEN c = '1-URGENT' THEN v END) AS DOUBLE)
         |        / SUM(CASE WHEN c = '1-URGENT' THEN 1 END)

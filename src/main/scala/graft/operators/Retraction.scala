@@ -502,6 +502,20 @@ object Retraction {
     * n_sequences), also persisted at `outPath/_manifest` — the
     * reproducibility receipt a training run records.
     */
+  /** The export receipt's schema — ONE definition shared by the full
+    * and incremental verbs' empty-result paths, so the two receipts can
+    * never diverge (incremental appends its `epoch` column).
+    */
+  private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_sequences",
+      org.apache.spark.sql.types.LongType)))
+
   def exportTrainingShards(spark: SparkSession, a: Artifacts,
                            outPath: String, shards: Int,
                            tokenBudget: Int): DataFrame = {
@@ -525,15 +539,7 @@ object Retraction {
       if (staging.exists()) graft.sources.Compaction.rm(staging)
       val emptyManifest = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("shard",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("n_docs",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_tokens",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_sequences",
-            org.apache.spark.sql.types.LongType))))
+        manifestSchema)
       emptyManifest.coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(staging, "_manifest").toString)
       graft.sources.Compaction.swapInto(outPath, staging.toString)
@@ -574,8 +580,11 @@ object Retraction {
     * batch is prohibitive, so each call ships ONLY the served docs no
     * previous epoch shipped, as a new `epoch=N` directory under
     * `outRoot`. Shard assignment is the same Knuth hash (`shard =
-    * h mod shards`, pinned via an `_shards` sidecar and checked loudly
-    * — a changed shard count would silently re-deal every doc), so a
+    * h mod shards`, pinned via an `_shards` sidecar INSIDE each
+    * installed epoch — it rides the epoch's atomic rename, so shipped
+    * epochs are never unpinned and nothing pins before anything ships —
+    * and checked loudly against the oldest epoch: a changed shard count
+    * would silently re-deal every doc), so a
     * trainer's shard K is simply the union of every epoch's `shard=K`
     * directory: epochs never rewrite each other, and within an epoch the
     * assignment carries the same bit-for-bit cross-engine contract as
@@ -608,44 +617,32 @@ object Retraction {
     require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
     val root = new java.io.File(outRoot)
     root.mkdirs()
-    val pin = new java.io.File(root, "_shards")
-    if (pin.exists()) {
-      val pinned = java.nio.file.Files.readString(pin.toPath).trim.toInt
-      require(pinned == shards,
-        s"export root $outRoot is pinned to shards=$pinned, got " +
-          s"$shards — a different count re-deals every doc's shard")
-    } else java.nio.file.Files.writeString(pin.toPath, shards.toString)
     val epochs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
       .map(_.getName.stripPrefix("epoch=").toInt)
+    // the shard-count pin lives INSIDE each installed epoch (it rode
+    // that epoch's atomic rename), so there is no crash window where
+    // shipped epochs exist unpinned, and nothing is pinned before
+    // anything ships — a first call that fails or ships nothing leaves
+    // the root reconfigurable
+    epochs.sorted.headOption.foreach { e =>
+      val pin = new java.io.File(root, s"epoch=$e/_shards")
+      if (pin.exists()) {
+        val pinned = java.nio.file.Files.readString(pin.toPath).trim.toInt
+        require(pinned == shards,
+          s"export root $outRoot is pinned to shards=$pinned, got " +
+            s"$shards — a different count re-deals every doc's shard")
+      }
+    }
     val next = if (epochs.isEmpty) 0 else epochs.max + 1
     val served = readCorpusServed(spark, a)
     val delta =
       if (epochs.isEmpty) served
       else served.join(
-        epochs.map(e => spark.read.parquet(s"$outRoot/epoch=$e/_ids"))
-          .reduce(_ unionByName _).select(a.idCol),
+        spark.read.parquet(
+          epochs.map(e => s"$outRoot/epoch=$e/_ids").toIndexedSeq: _*)
+          .select(a.idCol),
         Seq(a.idCol), "left_anti")
-    val emptyManifest = () => spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("shard",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("n_docs",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_tokens",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_sequences",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("epoch",
-          org.apache.spark.sql.types.IntegerType))))
-    val bounds = delta.agg(min(col(a.idCol).cast("long")),
-      max(col(a.idCol).cast("long"))).collect().head
-    if (bounds.isNullAt(0)) return emptyManifest()
-    require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
-      s"exportTrainingShardsIncremental needs ids in [0, 2^31): " +
-        s"[${bounds.get(0)}, ${bounds.get(1)}] would overflow the " +
-        "cross-engine hash")
     val assigned = Packing.packByBudget(
       delta
         .withColumn("__h", pmod(col(a.idCol).cast("long") *
@@ -658,10 +655,33 @@ object Retraction {
     val epochDir = new java.io.File(root, s"epoch=$next")
     val staging = graft.sources.Compaction.stagingDir(epochDir, "export")
     if (staging.exists()) graft.sources.Compaction.rm(staging)
-    assigned.write.partitionBy("shard").parquet(staging.toString)
+    // ONE scan: the id-bounds check and the emptiness test ride the
+    // write as observed metrics — an out-of-bounds id throws AFTER the
+    // staged write but BEFORE install (the staging is rebuilt fresh by
+    // the next call and vacuum-swept), and an empty delta discards the
+    // row-less staging without ever re-scanning the corpus
+    val obs = new org.apache.spark.sql.Observation
+    assigned.observe(obs, count(lit(1)).as("n"),
+        min(col(a.idCol).cast("long")).as("lo"),
+        max(col(a.idCol).cast("long")).as("hi"))
+      .write.partitionBy("shard").parquet(staging.toString)
+    if (obs.get("n").asInstanceOf[Long] == 0L) {
+      graft.sources.Compaction.rm(staging)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        manifestSchema.add("epoch",
+          org.apache.spark.sql.types.IntegerType))
+    }
+    val (lo, hi) = (obs.get("lo").asInstanceOf[Long],
+      obs.get("hi").asInstanceOf[Long])
+    require(lo >= 0 && hi < (1L << 31),
+      s"exportTrainingShardsIncremental needs ids in [0, 2^31): " +
+        s"[$lo, $hi] would overflow the cross-engine hash")
     val staged = spark.read.parquet(staging.toString)
     staged.select(a.idCol).coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(staging, "_ids").toString)
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, "_shards").toPath, shards.toString)
     staged.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),

@@ -420,27 +420,9 @@ object Sampling {
       .select(col(cohortCol).cast("string").as("__c"),
         col(idCol).cast("long").as("__id"),
         col(valueCol).cast("decimal(18,2)").as("__v"))
-    val bounds = base.agg(min("__id"), max("__id")).collect().head
-    if (!bounds.isNullAt(0))
-      require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
-        s"poissonBootstrapDiff needs ids in [0, 2^31): [${bounds.get(0)}" +
-          s", ${bounds.get(1)}] would break the cross-engine hash")
-    val h1 = pmod(col("__id") * lit(2654435761L) + col("__r") * lit(seed),
-      lit(4294967296L))
-    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
-    val h3 = pmod(h2 * lit(1540483477L), lit(4294967296L))
-    val h4 = h3.bitwiseXOR(shiftright(h3, 13))
-    val u = h4.cast("double") / lit(4294967296.0)
-    val k = poisson1Cdf.zipWithIndex.foldRight(
-        lit(poisson1Cdf.size): Column) {
-      case ((c, i), rest) => when(col("__u") < lit(c), lit(i))
-        .otherwise(rest)
-    }
+    requireBootstrapIds(base, "poissonBootstrapDiff")
     def side(c: String, e: Column): Column = sum(when(col("__c") === c, e))
-    val means = base
-      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("__u", u)
-      .withColumn("__k", k)
+    val means = withPoissonDraws(base, replicates, seed)
       .groupBy("__r")
       .agg(round(
           side(cohortA, col("__k") * col("__v")).cast("double") /
@@ -465,6 +447,44 @@ object Sampling {
         col("point_diff"), col("ci_lo"), col("ci_median"), col("ci_hi"))
   }
 
+  /** The id-domain guard every bootstrap verb shares — the
+    * exportTrainingShards contract: ids in [0, 2^31), checked loudly
+    * (negative ids split pmod from C-style %, larger ones overflow
+    * differently across engines). One column-pruned agg over `__id`.
+    */
+  private def requireBootstrapIds(base: DataFrame, verb: String): Unit = {
+    val bounds = base.agg(min("__id"), max("__id")).collect().head
+    if (!bounds.isNullAt(0))
+      require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
+        s"$verb needs ids in [0, 2^31): [${bounds.get(0)}, " +
+          s"${bounds.get(1)}] would break the cross-engine hash")
+  }
+
+  /** The shared draw machinery — ONE definition of the cross-engine
+    * contract (the murmur-style finalizer chain and the inverse-CDF
+    * fold), so the Spark side and every DuckDB twin can never
+    * desynchronize through a fix applied to one copy: inflate `base`
+    * (which must carry `__id`) to `replicates` rows per input row,
+    * each with its Poisson(1) count `__k`.
+    */
+  private def withPoissonDraws(base: DataFrame, replicates: Int,
+                               seed: Long): DataFrame = {
+    val h1 = pmod(col("__id") * lit(2654435761L) + col("__r") * lit(seed),
+      lit(4294967296L))
+    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h3 = pmod(h2 * lit(1540483477L), lit(4294967296L))
+    val h4 = h3.bitwiseXOR(shiftright(h3, 13))
+    val k = poisson1Cdf.zipWithIndex.foldRight(
+        lit(poisson1Cdf.size): Column) {
+      case ((c, i), rest) => when(col("__u") < lit(c), lit(i))
+        .otherwise(rest)
+    }
+    base
+      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__u", h4.cast("double") / lit(4294967296.0))
+      .withColumn("__k", k)
+  }
+
   private def bootstrapCore(df: DataFrame, groupCols: Seq[String],
                             idCol: String, valueCol: String,
                             replicates: Int, seed: Long): DataFrame = {
@@ -479,30 +499,12 @@ object Sampling {
     // the cross-engine contract needs ids in [0, 2^31): negative ids
     // split pmod from C-style %, larger ones overflow differently
     // across engines (the exportTrainingShards guard, both bounds)
-    val bounds = base.agg(min("__id"), max("__id")).collect().head
-    if (!bounds.isNullAt(0))
-      require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
-        s"poissonBootstrap needs ids in [0, 2^31): [${bounds.get(0)}, " +
-          s"${bounds.get(1)}] would break the cross-engine hash")
-    val h1 = pmod(col("__id") * lit(2654435761L) + col("__r") * lit(seed),
-      lit(4294967296L))
-    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
-    val h3 = pmod(h2 * lit(1540483477L), lit(4294967296L))
-    val h4 = h3.bitwiseXOR(shiftright(h3, 13))
-    val u = h4.cast("double") / lit(4294967296.0)
-    val k = poisson1Cdf.zipWithIndex.foldRight(
-        lit(poisson1Cdf.size): Column) {
-      case ((c, i), rest) => when(col("__u") < lit(c), lit(i))
-        .otherwise(rest)
-    }
+    requireBootstrapIds(base, "poissonBootstrap")
     // one inflated scan: each (group, replicate) partial also carries
     // the group's base sum and row count (identical for every r — each
     // base row appears exactly once per replicate), so the point
     // estimate needs no second pass over the source
-    val means = base
-      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("__u", u)
-      .withColumn("__k", k)
+    val means = withPoissonDraws(base, replicates, seed)
       .groupBy((groupCols :+ "__r").map(col): _*)
       .agg(round(sum(col("__k") * col("__v")).cast("double") /
           when(sum(col("__k")) =!= 0, sum(col("__k"))), 6).as("__m"),
