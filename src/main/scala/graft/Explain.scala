@@ -25,7 +25,11 @@ object Explain {
       // round 14: sidecar serving paths (merged sketch / CMS pricing /
       // bloom route-confirm with kp pruning) and the hash-once dedup
       "q_sketch_sidecar", "q_heavy_hitters", "q_bloom_gate",
-      "mm_dhash_dedup_indexed", "q_kmv_overlap", "q_sketch_by_group")
+      "mm_dhash_dedup_indexed", "q_kmv_overlap", "q_sketch_by_group",
+      // round 19: the bootstrap's R×-inflated shape — audit that the
+      // scan stays 2-column-pruned and the (r) aggregate combines
+      // map-side before the exchange
+      "q_bootstrap_ci")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
