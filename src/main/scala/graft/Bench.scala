@@ -32,9 +32,16 @@ object Bench {
     // scratch-copy rows stage OUTSIDE the clock: the copy is constant,
     // but its I/O noise was measured at 7× the leaf-rewrite signal the
     // takedown rows exist to track
+    // a prep failure must be VISIBLE: the timed body then self-stages
+    // INSIDE the clock and the row silently reverts to the copy-noise
+    // regime prepares exists to remove — log it (stderr; the bench keeps
+    // running) so a staging regression is attributable instead of
+    // appearing as a mystery 7x on the takedown rows
     def prep(name: String): Unit =
       SparkEntry.prepares.get(name)
-        .foreach(p => try p(spark, sfDir) catch { case _: Throwable => () })
+        .foreach(p => try p(spark, sfDir) catch { case t: Throwable =>
+          System.err.println(s"[bench] prep($name) failed, timed body " +
+            s"will self-stage: $t") })
     // dev-only filter for chasing a single row's variance (unset in the
     // driver's runs → full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -1341,6 +1341,197 @@ object Graph {
     labels
   }
 
+  /** INCREMENTALLY-maintained LPA communities — the store discipline of
+    * [[updatePageRankStore]] applied to [[labelPropagation]]: every
+    * sibling graph operator (components, triangles, local PPR, full
+    * PageRank) folds an edge batch at its blast radius, while the
+    * from-scratch LPA re-propagates the whole graph per run. Here the
+    * stored partition is a CONVERGED synchronous-LPA fixed point (no
+    * node's argmax vote differs from its label), and an edge batch can
+    * only break that fixed point where the batch changed a
+    * neighborhood — so the delta pass seeds the stored labels (new
+    * nodes start as their own community, LPA's initial state), puts
+    * ONLY the batch's endpoints on the frontier, and each round
+    * re-votes just the frontier's closed neighborhood: nodes whose
+    * label flips become the next frontier, untouched regions never
+    * re-vote (their neighbors' labels are unchanged, so their argmax is
+    * unchanged — the fixed-point argument, not a heuristic). Same
+    * deterministic tie-break (most frequent label among neighbors AND
+    * self, smallest label on ties) as the full verb, so a converged
+    * incremental state is itself a synchronous-LPA fixed point of the
+    * merged graph.
+    *
+    * LPA fixed points are not unique — the incremental result can be a
+    * DIFFERENT partition than from-scratch LPA on the merged graph
+    * (both are valid fixed points); quality is priced by
+    * [[modularity]], which is how the `q_communities_incremental_gap`
+    * floor machine-checks the store (incremental Q within tolerance of
+    * from-scratch Q). If the stored state was cut off by `maxIters`
+    * before converging, the delta pass still only improves it around
+    * the batch (never worse than stored), matching the full verb's own
+    * `maxIters` stance.
+    *
+    * Cost shape per batch: each round scans the persisted symmetric
+    * edge frame once with a BROADCAST semi-join against the (bounded)
+    * candidate set — no shuffle of the edge set, and the vote aggregate
+    * is over the frontier's incident edges only; rounds track how far
+    * the batch's influence actually travels. Store layout and crash
+    * contract are [[updatePageRankStore]]'s: `edges/` + `state/` with
+    * `_edges_sig` riding inside the one-rename state install, edges
+    * append BEFORE the state commit, signature mismatch heals with a
+    * full [[labelPropagation]] over the merged edges. Re-sent edges
+    * dedupe against the store (the census's re-sent rule).
+    *
+    * Returns the updated (id, community);
+    * [[readCommunityState]] serves it later without recomputation.
+    */
+  def updateCommunityStore(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String, newEdges: DataFrame,
+                           srcCol: String, dstCol: String,
+                           maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be positive, got $maxIters")
+    val edgesPath = s"$storePath/edges"
+    val statePath = s"$storePath/state"
+    def sig(df: DataFrame): Long = df
+      .agg(expr("bit_xor(xxhash64(lo, hi))")).collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    def writeState(labels: DataFrame, s: Long): Unit = {
+      import graft.sources.Compaction
+      val dir = new java.io.File(statePath)
+      val staging = Compaction.stagingDir(dir, "lpastate")
+      if (staging.exists()) Compaction.rm(staging)
+      labels.select("id", "community").write.mode("overwrite")
+        .parquet(staging.toString)
+      java.nio.file.Files.writeString(
+        new java.io.File(staging, "_edges_sig").toPath, s.toString)
+      Compaction.swapInto(statePath, staging.toString)
+    }
+    def storedSig(): Option[Long] = {
+      val f = new java.io.File(statePath, "_edges_sig")
+      if (!f.exists()) None
+      else Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+    }
+    def full(all: DataFrame): DataFrame = {
+      val labels = labelPropagation(all, "lo", "hi", maxIters)
+      writeState(labels, sig(all))
+      labels
+    }
+    val batch = canonicalEdges(newEdges, srcCol, dstCol)
+    if (!new java.io.File(edgesPath).exists()) {
+      // CREATION: edges land first, then the from-scratch propagation
+      // installs state + signature in one rename
+      val all = batch.localCheckpoint(true)
+      try {
+        require(!all.isEmpty, "updateCommunityStore needs >= 1 edge")
+        all.write.mode("overwrite").parquet(edgesPath)
+        full(all)
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)
+    } else {
+      val old = spark.read.parquet(edgesPath)
+      val delta = batch.join(old, Seq("lo", "hi"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val all = old.unionAll(delta).localCheckpoint(true)
+        try {
+          val oldSig = sig(old)
+          storedSig() match {
+            case None =>
+              // crashed creation (edges without a committed state)
+              if (!delta.isEmpty)
+                delta.write.mode("append").parquet(edgesPath)
+              return full(all)
+            case Some(ss) =>
+              if (delta.isEmpty && ss == oldSig)
+                return readCommunityState(spark, storePath) // no-op
+              if (ss != oldSig) {
+                // edges ahead of state (a crash between the edges
+                // append and the state install) — heal from scratch
+                if (!delta.isEmpty)
+                  delta.write.mode("append").parquet(edgesPath)
+                return full(all)
+              }
+          }
+          // NORMAL DELTA PATH: state consistent with `old`
+          val st = spark.read.parquet(statePath)
+            .select(col("id"), col("community"))
+          val sym = all
+            .unionAll(all.select(col("hi").as("lo"), col("lo").as("hi")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            var labels = sym.select(col("lo").as("id")).distinct()
+              .join(st, Seq("id"), "left")
+              .select(col("id"),
+                coalesce(col("community"), col("id")).as("community"))
+              .localCheckpoint(true)
+            // blast radius: only the batch's endpoints saw their
+            // neighborhood change — everything else is still at the
+            // stored fixed point
+            var frontier = delta.select(col("lo").as("id"))
+              .unionAll(delta.select(col("hi").as("id"))).distinct()
+              .localCheckpoint(true)
+            var iter = 0
+            while (!frontier.isEmpty && iter < maxIters) {
+              // the only argmaxes that can move: the frontier and its
+              // neighbors (one vote input changed for each)
+              val cand = frontier.unionAll(
+                  sym.join(broadcast(frontier.select(col("id").as("hi"))),
+                    "hi").select(col("lo").as("id")))
+                .distinct()
+              val symC = sym.join(broadcast(cand.select(col("id")
+                .as("lo"))), Seq("lo"), "left_semi")
+              val votes = symC
+                .join(labels.select(col("id").as("hi"),
+                  col("community").as("vote")), "hi")
+                .select(col("lo").as("id"), col("vote"))
+                .unionAll(labels.join(broadcast(cand), Seq("id"),
+                    "left_semi")
+                  .select(col("id"), col("community").as("vote")))
+                .groupBy("id", "vote").agg(count(lit(1)).as("n"))
+              val changed = votes
+                .groupBy("id")
+                .agg(max(struct(col("n"), (-col("vote")).as("nv")))
+                  .as("best"))
+                .select(col("id"), (-col("best.nv")).as("community"))
+                .join(labels.withColumnRenamed("community", "__old"),
+                  Seq("id"))
+                .where(col("community") =!= col("__old"))
+                .select("id", "community")
+                .localCheckpoint(true)
+              val nextLabels = labels
+                .join(changed.withColumnRenamed("community", "__new"),
+                  Seq("id"), "left")
+                .select(col("id"),
+                  coalesce(col("__new"), col("community"))
+                    .as("community"))
+                .localCheckpoint(true)
+              org.apache.spark.sql.GraftBridge
+                .unpersistCheckpoint(labels)
+              org.apache.spark.sql.GraftBridge
+                .unpersistCheckpoint(frontier)
+              labels = nextLabels
+              frontier = changed.select("id")
+              iter += 1
+            }
+            // edges append BEFORE the state commit — the crash contract
+            // shared with every push store
+            if (!delta.isEmpty)
+              delta.write.mode("append").parquet(edgesPath)
+            writeState(labels, sig(all))
+            labels
+          } finally sym.unpersist(false)
+        } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)
+      } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(delta)
+    }
+  }
+
+  /** The stored (id, community) of an incremental LPA store. */
+  def readCommunityState(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/state")
+      .select(col("id"), col("community"))
+
   /** Newman MODULARITY of a node partition over the undirected simple
     * graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] with m simple edges, e_c
     * intra-community edges and d_c the community's degree sum — the

@@ -42,7 +42,12 @@ import org.apache.spark.sql.functions._
   *    survivors re-derive their true pairs — see [[Artifacts]]);
   *  - forward store  → [[graft.sources.Bucketing.retractKeyBucketed]] —
   *    bucket-pruned leaf rewrites of the (id, text) point-fetch layout;
-  *  - corpus         → one anti-join rewrite, LAST (see ordering below).
+  *  - corpus         → one anti-join rewrite, LAST among the serving
+  *    artifacts (see ordering below);
+  *  - shipped epochs → [[retractFromExport]] — ledger-pruned
+  *    (epoch, shard) leaf rewrites of already-exported training shards,
+  *    strictly AFTER the corpus commit (its ledger excision re-opens
+  *    delta membership).
   *
   * Artifacts NOT excised, by design:
   *  - sketch sidecars (HLL/KMV/CMS/quantiles) are one-way additive —
@@ -119,6 +124,12 @@ object Retraction {
   /** `forwardStorePath`: a key-bucketed (id, text) projection
     * ([[graft.sources.Bucketing.writeKeyBucketed]]) serving point text
     * fetches — excised with bucket-pruned leaf rewrites.
+    * `exportRoots`: incremental training-shard export roots
+    * ([[exportTrainingShardsIncremental]]) — already-SHIPPED epochs
+    * join the takedown cadence via [[retractFromExport]]'s
+    * ledger-pruned (epoch, shard) leaf rewrites, run AFTER the corpus
+    * commit (the ledger excision re-opens delta membership, so it must
+    * never precede the corpus forgetting the id).
     * `dupThreshold`: the corpus loop's near-dup admission bar, re-used
     * by the satellite RE-CLOSURE — when a retracted doc was a cluster
     * CANONICAL and both `dupLabelsPath` and `minhashIndexPath` are
@@ -145,6 +156,7 @@ object Retraction {
       mediaIndexPath: Option[String] = None,
       dupLabelsPath: Option[String] = None,
       forwardStorePath: Option[String] = None,
+      exportRoots: Seq[String] = Nil,
       dupThreshold: Double = 0.8)
 
   /** @param requested distinct ids asked for
@@ -425,6 +437,17 @@ object Retraction {
               }
             }
         }
+        // ALREADY-SHIPPED export epochs, strictly AFTER the corpus
+        // commit: retractFromExport's ledger excision re-opens delta
+        // membership, so it may only run once the corpus no longer
+        // serves the ids (corpus-first makes a re-ship unreachable).
+        // Like the label store it runs even when found = 0 — the
+        // ledgers record ids whose corpus rows are already gone (a
+        // crashed prior pass, or ids shipped then excised eagerly),
+        // and absent ids are a no-op by construction.
+        a.exportRoots.foreach { r =>
+          retractFromExport(spark, r, keys, "__rid", a.idCol)
+        }
         // tombstone overlays retire LAST — after the corpus commit,
         // never before: the overlays are [[applyTombstones]]'s only
         // memory of the request, so retiring them while corpus rows
@@ -522,32 +545,6 @@ object Retraction {
     require(shards > 0, s"shards=$shards")
     require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
     val served = readCorpusServed(spark, a)
-    // BOTH bounds checked: a negative id would pass a max-only guard,
-    // and Spark's pmod vs a C-style % disagree on negative operands —
-    // the cross-engine bit-for-bit contract would break silently (and a
-    // negative id's h could collide with a positive id's).
-    val bounds = served.agg(min(col(a.idCol).cast("long")),
-      max(col(a.idCol).cast("long"))).collect().head
-    if (bounds.isNullAt(0)) {
-      // EMPTY served corpus (everything tombstoned, or export before the
-      // first admission): a partitionBy write of zero rows stages only a
-      // _SUCCESS marker, which a parquet read cannot infer a schema
-      // from — install an explicitly-typed empty manifest instead so the
-      // verb stays total and the receipt says "zero shards" loudly.
-      val dir = new java.io.File(outPath)
-      val staging = graft.sources.Compaction.stagingDir(dir, "export")
-      if (staging.exists()) graft.sources.Compaction.rm(staging)
-      val emptyManifest = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        manifestSchema)
-      emptyManifest.coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(staging, "_manifest").toString)
-      graft.sources.Compaction.swapInto(outPath, staging.toString)
-      return spark.read.parquet(s"$outPath/_manifest")
-    }
-    require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
-      s"exportTrainingShards needs ids in [0, 2^31): [${bounds.get(0)}, " +
-        s"${bounds.get(1)}] would overflow the cross-engine hash")
     val assigned = Packing.packByBudget(
       served
         .withColumn("__h", pmod(col(a.idCol).cast("long") *
@@ -560,7 +557,40 @@ object Retraction {
     val dir = new java.io.File(outPath)
     val staging = graft.sources.Compaction.stagingDir(dir, "export")
     if (staging.exists()) graft.sources.Compaction.rm(staging)
-    assigned.write.partitionBy("shard").parquet(staging.toString)
+    // ONE served-corpus scan (the incremental twin's shape): the
+    // id-bounds check and the emptiness test ride the staged write as
+    // observed metrics. BOTH bounds matter — a negative id would pass a
+    // max-only guard, and Spark's pmod vs a C-style % disagree on
+    // negative operands, breaking the cross-engine bit-for-bit contract
+    // silently. An out-of-bounds id throws AFTER the staged write but
+    // BEFORE install (the staging is rebuilt fresh by the next call and
+    // vacuum-swept); at 100 TB the separate bounds aggregate this
+    // replaces was a second full pass over the served corpus.
+    val obs = new org.apache.spark.sql.Observation
+    assigned.observe(obs, count(lit(1)).as("n"),
+        min(col(a.idCol).cast("long")).as("lo"),
+        max(col(a.idCol).cast("long")).as("hi"))
+      .write.partitionBy("shard").parquet(staging.toString)
+    if (obs.get("n").asInstanceOf[Long] == 0L) {
+      // EMPTY served corpus (everything tombstoned, or export before the
+      // first admission): a partitionBy write of zero rows stages only a
+      // _SUCCESS marker, which a parquet read cannot infer a schema
+      // from — install an explicitly-typed empty manifest instead so the
+      // verb stays total and the receipt says "zero shards" loudly.
+      graft.sources.Compaction.rm(staging)
+      val emptyManifest = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        manifestSchema)
+      emptyManifest.coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(staging, "_manifest").toString)
+      graft.sources.Compaction.swapInto(outPath, staging.toString)
+      return spark.read.parquet(s"$outPath/_manifest")
+    }
+    val (exLo, exHi) = (obs.get("lo").asInstanceOf[Long],
+      obs.get("hi").asInstanceOf[Long])
+    require(exLo >= 0 && exHi < (1L << 31),
+      s"exportTrainingShards needs ids in [0, 2^31): [$exLo, $exHi] " +
+        "would overflow the cross-engine hash")
     // manifest from the STAGED files (what will actually serve), riding
     // the same atomic swap so data + receipt install together
     val manifest = spark.read.parquet(staging.toString)
@@ -597,10 +627,13 @@ object Retraction {
     * `epoch=N/_ids` (column-pruned, `_`-invisible to data scans); the
     * next call anti-joins the served corpus against the union of all
     * prior ledgers. A doc tombstoned AFTER it shipped is not re-judged
-    * here — shipped epochs are immutable artifacts; the takedown story
-    * for already-shipped data is re-exporting from scratch (the
-    * reference contrast: a DELETE is invisible to NEW queries, not to
-    * yesterday's backups).
+    * here — shipped epochs are immutable under the daily cadence
+    * (epochs never rewrite each other); the takedown verb for
+    * already-shipped data is [[retractFromExport]], a ledger-pruned
+    * (epoch, shard) excision that runs on the takedown cadence itself
+    * (wire the root into [[Artifacts.exportRoots]]). The reference
+    * contrast: a DELETE is invisible to NEW queries, not to
+    * yesterday's backups — here even the backups join the cadence.
     *
     * Returns the new epoch's manifest (shard, n_docs, n_tokens,
     * n_sequences, epoch); an EMPTY delta returns an empty manifest and
@@ -695,6 +728,148 @@ object Retraction {
     spark.read.parquet(s"$epochDir/_manifest")
   }
 
+  /** What [[retractFromExport]] did: ids asked, epochs whose ledger held
+    * any of them, shard leaves rewritten, (epoch, id) ledger rows
+    * removed (an id shipped in exactly one epoch, so this is also the
+    * distinct-doc count excised).
+    */
+  case class ExportRetractReport(requested: Long, epochsTouched: Long,
+                                 shardsRewritten: Long, docsRemoved: Long)
+
+  /** TAKEDOWN for ALREADY-SHIPPED export epochs — the verb that closes
+    * [[exportTrainingShardsIncremental]]'s immutability caveat: shipped
+    * epochs are immutable under the DAILY cadence (epochs never rewrite
+    * each other), but a takedown request reaches what was shipped too,
+    * and "re-export everything" is prohibitive by the incremental verb's
+    * own 100 TB argument. The `_ids` ledgers make a PRUNED excision
+    * cheap, and the shard assignment being pure id arithmetic makes it
+    * cheaper still:
+    *
+    *  1. per epoch, the takedown set semi-joins the epoch's `_ids`
+    *     ledger — a column-pruned O(ledger) scan per epoch, zero data
+    *     files opened for epochs that shipped none of the ids;
+    *  2. the touched shard leaves come from ARITHMETIC, not a scan:
+    *     `shard = (id · 2654435761 mod 2³²) mod shards` under the
+    *     epoch's own `_shards` pin — the hit ids ARE the leaf list;
+    *  3. only those `epoch=N/shard=S` leaves rewrite (broadcast
+    *     anti-join, staged + atomically swapped — the [[retractDocs]]
+    *     partitioned-corpus stance); a leaf left row-less is removed
+    *     whole, untouched leaves stay byte-identical;
+    *  4. the `_manifest` receipt re-derives its TOUCHED shards' rows
+    *     from the rewritten leaves (untouched rows carried verbatim), so
+    *     the receipt keeps describing exactly what a trainer can read;
+    *  5. the `_ids` ledger rewrite runs LAST — it is both this verb's
+    *     only pruning memory (a crash anywhere above leaves the hit ids
+    *     in the ledger, so the next run re-derives the same worklist and
+    *     every step above converges idempotently) and the incremental
+    *     export's delta membership, so it must never forget an id whose
+    *     rows still exist anywhere.
+    *
+    * Packed sequences are NOT re-packed: surviving rows keep their
+    * (shard, seq_id) — re-packing would reassign sequences of UNTOUCHED
+    * docs, destroying the bit-for-bit reproducibility of data the
+    * takedown never covered. A sequence that lost docs simply carries
+    * fewer tokens, which the recomputed manifest prices.
+    *
+    * Call it with ids the corpus itself no longer serves (tombstoned or
+    * already excised): the ledger excision re-opens delta membership,
+    * so an id still LIVE in the served corpus would re-ship on the next
+    * incremental export. [[retractDocs]] wires this in AFTER its corpus
+    * commit (set [[Artifacts.exportRoots]]), which makes that ordering
+    * automatic for the whole takedown cadence.
+    */
+  def retractFromExport(spark: SparkSession, outRoot: String,
+                        ids: DataFrame, idsCol: String,
+                        idCol: String = "doc_id"): ExportRetractReport = {
+    def hasParquet(d: java.io.File): Boolean =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    val root = new java.io.File(outRoot)
+    val keys = ids.select(col(idsCol).cast("long").as("__rid")).distinct()
+      .localCheckpoint(true)
+    try {
+      val requested = keys.count()
+      if (!root.exists() || requested == 0L)
+        return ExportRetractReport(requested, 0L, 0L, 0L)
+      val epochs = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+        .sortBy(_.getName.stripPrefix("epoch=").toInt)
+      var epochsTouched = 0L
+      var shardsRewritten = 0L
+      var docsRemoved = 0L
+      epochs.foreach { epochDir =>
+        val epoch = epochDir.getName.stripPrefix("epoch=").toInt
+        val ledgerDir = new java.io.File(epochDir, "_ids")
+        if (ledgerDir.exists()) {
+          val ledger = spark.read.parquet(ledgerDir.toString)
+          val hits = ledger.join(broadcast(keys),
+            ledger(idCol).cast("long") === keys("__rid"), "left_semi")
+          val nHits = hits.count()
+          if (nHits > 0) {
+            epochsTouched += 1
+            docsRemoved += nHits
+            val pin = new java.io.File(epochDir, "_shards")
+            require(pin.exists(),
+              s"$epochDir holds an _ids ledger but no _shards pin — " +
+                "not an exportTrainingShardsIncremental epoch")
+            val nShards =
+              java.nio.file.Files.readString(pin.toPath).trim.toInt
+            // the hit ids ARE the worklist: same hash the export dealt
+            val touched = hits.select(
+                pmod(pmod(col(idCol).cast("long") * lit(2654435761L),
+                  lit(4294967296L)), lit(nShards)).cast("int").as("__s"))
+              .distinct().collect().map(_.getInt(0)).toIndexedSeq.sorted
+            graft.sources.Compaction.parEach(touched) { sv =>
+              val leaf = new java.io.File(epochDir, s"shard=$sv")
+              if (hasParquet(leaf)) {
+                graft.sources.Compaction.retractRows(spark, leaf.toString,
+                  keys, (t, k) => t(idCol).cast("long") === k("__rid"))
+                // a leaf excised to zero rows swaps in as _SUCCESS-only;
+                // remove it whole so readers and manifests agree it is
+                // gone (a parquet read cannot infer schema from nothing)
+                if (!hasParquet(leaf)) graft.sources.Compaction.rm(leaf)
+              }
+            }
+            shardsRewritten += touched.size
+            // receipt fixup: touched shards re-derived from the leaves
+            // as rewritten (disk truth — a crashed prior pass converges
+            // here too), untouched rows carried verbatim
+            val manifestDir = new java.io.File(epochDir, "_manifest")
+            val untouched = spark.read.parquet(manifestDir.toString)
+              .where(!col("shard").isin(touched: _*))
+            val recomputed = touched
+              .map(sv => new java.io.File(epochDir, s"shard=$sv"))
+              .filter(hasParquet)
+              .map { leaf =>
+                val sv = leaf.getName.stripPrefix("shard=").toInt
+                spark.read.parquet(leaf.toString)
+                  .agg(count(lit(1)).as("n_docs"),
+                    sum("n_tokens").as("n_tokens"),
+                    countDistinct("seq_id").as("n_sequences"))
+                  .select(lit(sv).as("shard"), col("n_docs"),
+                    col("n_tokens"), col("n_sequences"),
+                    lit(epoch).as("epoch"))
+              }
+            val mStaging = graft.sources.Compaction
+              .stagingDir(manifestDir, "retract")
+            if (mStaging.exists()) graft.sources.Compaction.rm(mStaging)
+            recomputed.foldLeft(untouched)(_ unionByName _)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(mStaging.toString)
+            graft.sources.Compaction.swapInto(manifestDir.toString,
+              mStaging.toString)
+            // ledger LAST — the commit point (see the contract above)
+            graft.sources.Compaction.retractRows(spark,
+              ledgerDir.toString, keys,
+              (t, k) => t(idCol).cast("long") === k("__rid"))
+          }
+        }
+      }
+      ExportRetractReport(requested, epochsTouched, shardsRewritten,
+        docsRemoved)
+    } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
+  }
+
   /** One artifact's row in the [[audit]] report. `missing`/`extra_*`
     * are DISTINCT-ID counts; `missing` is -1 for artifacts that cover
     * the corpus only partially BY DESIGN (label store: duped docs only;
@@ -764,14 +939,24 @@ object Retraction {
       // artifact's own admission predicate over the would-be-missing ids
       // only — the missing set is empty on a converged deployment, so
       // the text join is bounded by drift size, not corpus size.
+      // Drift-bounded by CONSTRUCTION, not by comment: the corpus text
+      // joins onto the (converged: empty) missing set FIRST, and the
+      // admission predicate evaluates gated on a both-sides `when` —
+      // a bare corpus-side predicate would be split off and pushed
+      // below the join by Catalyst, re-deriving admission (e.g. a
+      // MinHash signature over every corpus row) for the FULL corpus
+      // on every audit of a drifted deployment.
       def eligibleOnly(missing: DataFrame,
-                       pred: org.apache.spark.sql.Column): DataFrame =
-        missing.join(
-          spark.read.parquet(a.corpusPath)
-            .select(col(a.idCol).cast("long").as("__eid"),
-              col(a.textCol).as("__etext"))
-            .where(pred),
-          missing("__cid") === col("__eid"), "left_semi")
+                       pred: org.apache.spark.sql.Column): DataFrame = {
+        val hits = missing.select(col("__cid").as("__mid"))
+          .join(spark.read.parquet(a.corpusPath)
+              .select(col(a.idCol).cast("long").as("__eid"),
+                col(a.textCol).as("__etext")),
+            col("__mid") === col("__eid"))
+          .where(when(col("__mid").isNotNull, pred).otherwise(lit(false)))
+          .select("__mid")
+        missing.join(hits, missing("__cid") === hits("__mid"), "left_semi")
+      }
       def row(name: String, artifactIds: DataFrame, root: String,
               fullCoverage: Boolean,
               eligible: Option[DataFrame => DataFrame] = None): AuditRow = {
@@ -951,7 +1136,7 @@ object Retraction {
       // the two roots that deliberately carry no overlay (exact-key
       // gates, the sketch sidecar) are appended by hand
       val roots = overlayRoots(a) ++ a.exactKeys.map(_.indexPath) ++
-        sketch.map(_.sidecarPath)
+        sketch.map(_.sidecarPath) ++ a.exportRoots
       roots.distinct.foreach(r =>
         graft.sources.Compaction.vacuum(r, vacuumMinAgeMs))
     }

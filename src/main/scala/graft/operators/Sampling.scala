@@ -422,6 +422,10 @@ object Sampling {
         col(valueCol).cast("decimal(18,2)").as("__v"))
     requireBootstrapIds(base, "poissonBootstrapDiff")
     def side(c: String, e: Column): Column = sum(when(col("__c") === c, e))
+    // cohort row counts as count(when(...)) — 0 when a cohort is entirely
+    // absent, matching the twin's COUNT(CASE ...); sum(when(..., 1)) would
+    // emit NULL there and diverge from the oracle
+    def nside(c: String): Column = count(when(col("__c") === c, lit(1)))
     val means = withPoissonDraws(base, replicates, seed)
       .groupBy("__r")
       .agg(round(
@@ -431,7 +435,7 @@ object Sampling {
           side(cohortB, col("__k") * col("__v")).cast("double") /
             when(side(cohortB, col("__k")) =!= 0,
               side(cohortB, col("__k"))), 6).as("__m"),
-        side(cohortA, lit(1L)).as("__na"), side(cohortB, lit(1L)).as("__nb"),
+        nside(cohortA).as("__na"), nside(cohortB).as("__nb"),
         side(cohortA, col("__v")).as("__sa"),
         side(cohortB, col("__v")).as("__sb"))
     means.agg(
@@ -445,6 +449,129 @@ object Sampling {
       .where(col("n_a").isNotNull || col("n_b").isNotNull)
       .select(lit(replicates).as("replicates"), col("n_a"), col("n_b"),
         col("point_diff"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+  }
+
+  /** Bootstrap CI on a QUANTILE — the next question a mixture monitor
+    * asks after the mean ("did p50 doc length move?"), from the same
+    * draw machinery as [[poissonBootstrap]]: per replicate, the
+    * WEIGHTED discrete quantile of the values under the replicate's
+    * Poisson counts, then the percentile interval over the replicate
+    * quantiles. The per-replicate quantile is deliberately TYPE-1
+    * (discrete: the smallest value whose cumulative weight reaches
+    * `qNum/qDen` of the replicate's total) — the cut is pure integer
+    * arithmetic over exact DECIMAL values, bit-stable in any engine,
+    * where an interpolated quantile would put a float formula between
+    * the data and the oracle; it is also what a weighted resample
+    * means (a row drawn k times is k copies — there is nothing between
+    * copies to interpolate). The point estimate is the same discrete
+    * quantile of the base data (weight 1), riding the SAME inflated
+    * frame as a sentinel replicate — one scan for everything.
+    *
+    * Scale shape: ONE shuffle of the (replicates+1)×-inflated
+    * two-column projection, partitioned by replicate, each partition
+    * sorted once for the running-weight window — the exact-quantile
+    * floor (order statistics need an order); contrast the classic
+    * bootstrap's R independent resample-then-sort passes. Same
+    * hash/decimal discipline and [0, 2³¹) id contract as every
+    * bootstrap verb here; replicates that drew zero total mass are
+    * skipped (both engines alike).
+    *
+    * Returns one row: (replicates, n_rows, point_q, ci_lo, ci_median,
+    * ci_hi); zero rows on empty input.
+    */
+  def poissonBootstrapQuantile(df: DataFrame, idCol: String,
+                               valueCol: String, qNum: Long, qDen: Long,
+                               replicates: Int = 64, seed: Long = 40503L)
+      : DataFrame = {
+    require(replicates >= 4, s"replicates=$replicates")
+    require(qNum >= 1 && qDen > 0 && qNum <= qDen,
+      s"need 1 <= qNum <= qDen, got $qNum/$qDen (qNum = 0 would make " +
+        "zero-weight rows eligible)")
+    val reserved = Seq("__id", "__v", "__r", "__u", "__k", "__cum",
+      "__tot", "__q", "__t")
+    Seq(idCol, valueCol).foreach(c =>
+      require(!reserved.contains(c), s"column name $c is reserved"))
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(valueCol).cast("decimal(18,2)").as("__v"))
+    requireBootstrapIds(base, "poissonBootstrapQuantile")
+    // the base data rides as sentinel replicate -1 with weight 1: the
+    // point estimate shares the window pass instead of paying a second
+    // (single-partition!) global sort over the source
+    val inflated = withPoissonDraws(base, replicates, seed)
+      .select(col("__r"), col("__id"), col("__v"), col("__k"))
+      .unionAll(base.select(lit(-1).as("__r"), col("__id"), col("__v"),
+        lit(1).as("__k")))
+    val run = Window.partitionBy("__r").orderBy(col("__v"), col("__id"))
+    val all = Window.partitionBy("__r")
+    val qv = inflated
+      .withColumn("__cum", sum("__k").over(run))
+      .withColumn("__tot", sum("__k").over(all))
+      // the qualifying suffix starts at the first row whose cumulative
+      // weight reaches the target (cum only crosses it where k > 0, so
+      // min(v) lands on a drawn row; zero-total replicates are skipped)
+      .where(col("__tot") > 0 &&
+        col("__cum") * lit(qDen) >= col("__tot") * lit(qNum))
+      .groupBy("__r")
+      .agg(min("__v").as("__q"), max("__tot").as("__t"))
+    val pt = qv.where(col("__r") === -1)
+      .select(round(col("__q").cast("double"), 6).as("point_q"),
+        col("__t").as("n_rows"))
+    qv.where(col("__r") >= 0)
+      .agg(
+        round(expr("percentile(CAST(__q AS DOUBLE), 0.025)"), 6)
+          .as("ci_lo"),
+        round(expr("percentile(CAST(__q AS DOUBLE), 0.5)"), 6)
+          .as("ci_median"),
+        round(expr("percentile(CAST(__q AS DOUBLE), 0.975)"), 6)
+          .as("ci_hi"))
+      .crossJoin(pt)
+      .where(col("ci_median").isNotNull)
+      .select(lit(replicates).as("replicates"), col("n_rows"),
+        col("point_q"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+  }
+
+  /** Bootstrap CI on a RATIO OF SUMS — Σnum/Σden per replicate under
+    * the shared (id, replicate) counts: the per-unit metric family
+    * ("revenue per item", "tokens per document") where bootstrapping
+    * the row-wise quotient would weight every row equally and answer a
+    * different question. Same one-inflated-scan shape, decimal sums,
+    * single rounding and percentile interval as [[poissonBootstrap]];
+    * replicates whose denominator drew zero mass yield a null ratio
+    * both engines' quantile aggregates skip.
+    *
+    * Returns one row: (replicates, n_rows, point_ratio, ci_lo,
+    * ci_median, ci_hi); zero rows on empty input.
+    */
+  def poissonBootstrapRatio(df: DataFrame, idCol: String,
+                            numCol: String, denCol: String,
+                            replicates: Int = 64, seed: Long = 40503L)
+      : DataFrame = {
+    require(replicates >= 4, s"replicates=$replicates")
+    val reserved = Seq("__id", "__v", "__v2", "__r", "__u", "__k", "__m",
+      "__sn", "__sd", "__n")
+    Seq(idCol, numCol, denCol).foreach(c =>
+      require(!reserved.contains(c), s"column name $c is reserved"))
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(numCol).cast("decimal(18,2)").as("__v"),
+      col(denCol).cast("decimal(18,2)").as("__v2"))
+    requireBootstrapIds(base, "poissonBootstrapRatio")
+    val means = withPoissonDraws(base, replicates, seed)
+      .groupBy("__r")
+      .agg(round(sum(col("__k") * col("__v")).cast("double") /
+          when(sum(col("__k") * col("__v2")) =!= 0,
+            sum(col("__k") * col("__v2"))), 6).as("__m"),
+        sum("__v").as("__sn"), sum("__v2").as("__sd"),
+        count(lit(1)).as("__n"))
+    means.agg(
+        round(expr("percentile(__m, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
+        round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"),
+        first("__n").as("n_rows"),
+        round(first("__sn").cast("double") /
+          when(first("__sd") =!= 0, first("__sd")), 6).as("point_ratio"))
+      .where(col("n_rows").isNotNull)
+      .select(lit(replicates).as("replicates"), col("n_rows"),
+        col("point_ratio"), col("ci_lo"), col("ci_median"), col("ci_hi"))
   }
 
   /** The id-domain guard every bootstrap verb shares — the

@@ -169,6 +169,20 @@ object ZOrder {
     val decayed = decayed0.map(f => toFile(f._1))
     val tight = tight0.map(f => toFile(f._1))
     val dir = new java.io.File(path)
+    // FLAT roots only, enforced loudly: the carry-over links tight files
+    // into staging by bare name and the rewrite re-reads decayed files
+    // without a basePath, so on a `key=val`-partitioned root the partition
+    // values would be silently dropped after the swap (and same-named
+    // part files from different partition dirs would collide). Partition
+    // roots recluster per leaf — call this verb on each leaf dir.
+    val rootCanon = dir.getCanonicalFile
+    (decayed ++ tight).find(_.getParentFile.getCanonicalFile != rootCanon)
+      .foreach { nested =>
+        throw new IllegalArgumentException(
+          s"reclusterDecayed needs a FLAT parquet root; $path holds a " +
+            s"nested data file ($nested) — recluster each partition leaf " +
+            "directory instead")
+      }
     val staging = Compaction.stagingDir(dir, "zorderinc")
     if (staging.exists()) Compaction.rm(staging)
     staging.mkdirs()

@@ -1248,7 +1248,19 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(m5.columns.toSeq ===
       Seq("shard", "n_docs", "n_tokens", "n_sequences"))
     assert(spark.read.parquet(s"$out5/_manifest").isEmpty)
-    // staging swapped away cleanly
+    // successful (and empty) exports swap their staging away cleanly;
+    // the two BOUNDS-VIOLATION exports above threw AFTER their staged
+    // write but BEFORE install (the one-scan observe contract), so
+    // exactly their staging dirs remain — the documented crash-window
+    // state vacuum converges
+    val leftovers = Option(root.toFile.listFiles()).get
+      .filter(_.getName.contains("__export")).map(_.getName).toSet
+    assert(leftovers === Set(".out3__export", ".out4__export"))
+    Seq("out3", "out4").foreach { o =>
+      val r = graft.sources.Compaction.vacuum(
+        root.resolve(o).toString, minAgeMs = -1)
+      assert(r.removed.nonEmpty && r.held.isEmpty)
+    }
     assert(Option(root.toFile.listFiles()).get
       .forall(!_.getName.contains("__export")))
   }
