@@ -4280,22 +4280,17 @@ object ExtQueries {
     // partitioning is balanced by construction for ANY seed set —
     // there is no hot cell to fix; the hot-cell-reduction behavior is
     // pinned in SimilaritySpec on a fixture with real direction
-    // structure. This row prices the verb's throughput and proves its
-    // swap/serve safety on every round.
+    // structure. Round 20: the decayed index AND the brute-force truth
+    // stage UNTIMED (prepares / the takedownWork convention — the truth
+    // depends only on the corpus, never on the index layout), so the
+    // timed body prices recluster + post-swap serve alone instead of
+    // paying its own fixture build and floor machinery inside the
+    // clock; the floor itself is asserted on every run, Verify and
+    // Bench alike.
     "q_ivf_recluster" -> ((s, d) => {
       import s.implicits._
-      val all = embs(s, d)
-      val base = all.filter(pmod(col("vec_id"), lit(2)) === 0)
-        .select("vec_id", "embedding")
-      val drifted = all.filter(pmod(col("vec_id"), lit(2)) === 1)
-        .select("vec_id", "embedding")
-      val idx = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_ivf_recluster_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-        .toString
-      Similarity.writeIvfIndex(base, "vec_id", "embedding", idx,
-        nlist = 8, kmeansIters = 0)
-      Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", idx)
+      val work = ivfReclusterWork(s, d)
+      val idx = new java.io.File(work, "idx").toString
       val before = Similarity.ivfIndexStats(s, idx)
         .select("imbalance").first().getDouble(0)
       val total = s.read.parquet(s"$idx/data").count()
@@ -4304,11 +4299,11 @@ object ExtQueries {
       val after = Similarity.ivfIndexStats(s, idx)
         .select("imbalance").first().getDouble(0)
       val kept = s.read.parquet(s"$idx/data").count()
-      val corpus = base.unionByName(drifted)
-      val queries = corpus.filter(pmod(col("vec_id"), lit(40)) === 0)
-      val truth = Similarity.bruteForceBatchTopK(corpus, "vec_id",
-          "embedding", queries, "vec_id", "embedding", k = 5)
-        .select("query_id", "vec_id")
+      val queries = embs(s, d)
+        .filter(pmod(col("vec_id"), lit(40)) === 0)
+        .select("vec_id", "embedding")
+      val truth = s.read.parquet(
+        new java.io.File(work, "truth").toString)
       val nTruth = truth.count()
       val found = truth.join(
         Similarity.ivfBatchTopKFromIndex(s, idx, "vec_id", "embedding",
@@ -4485,6 +4480,134 @@ object ExtQueries {
         .withColumn("meets_floor", col("modularity") >= 0.6)
         .where(col("meets_floor"))
     }),
+
+    // INCREMENTAL LPA communities: the partition maintained across two
+    // edge batches by the frontier store (stored fixed point re-voted
+    // only around the batch's blast radius) — q_communities re-pays
+    // whole-graph propagation per run, this serves from the store.
+    // Rows-only (labels are engine-side); quality machine-enforced by
+    // the _gap twin below
+    "q_communities_incremental" -> ((s, d) =>
+      graft.operators.Graph.readCommunityState(s,
+          communityStoreFor(s, d))
+        .groupBy("community").agg(count(lit(1)).as("size"))
+        .transform(Queries.presentSorted(_, "community"))),
+
+    // the incremental partition's quality floor: LPA fixed points are
+    // not unique, so the store can land a DIFFERENT valid partition
+    // than from-scratch LPA on the merged graph — but it must score
+    // the same modularity band (the planted blocks) and stay within
+    // tolerance of the from-scratch score; a store that shattered or
+    // collapsed under the delta pass zeroes the row
+    "q_communities_incremental_gap" -> ((s, d) => {
+      val g = docBlockGraph(s, d)
+      val qInc = graft.operators.Graph.modularity(g, "src", "dst",
+          graft.operators.Graph.readCommunityState(s,
+            communityStoreFor(s, d)), "id", "community")
+        .select("modularity").first().getDouble(0)
+      val qFs = graft.operators.Graph.modularity(g, "src", "dst",
+          graft.operators.Graph.labelPropagation(g, "src", "dst",
+            maxIters = 20), "id", "community")
+        .select("modularity").first().getDouble(0)
+      import s.implicits._
+      Seq((qInc, qFs)).toDF("q_incremental", "q_scratch")
+        .withColumn("meets_floor",
+          col("q_incremental") >= 0.6 &&
+            col("q_incremental") >= col("q_scratch") - 0.02)
+        .where(col("meets_floor"))
+    }),
+
+    // TAKEDOWN FOR SHIPPED EPOCHS floor: ids tombstoned AFTER they
+    // shipped are excised from the immutable export tree by the
+    // ledger-pruned retractFromExport pass (wired into the cadence via
+    // Artifacts.exportRoots). Machine-enforced: the taken ids are
+    // absent from every epoch's data AND every _ids ledger, every
+    // epoch's _manifest receipt re-derives exactly from its rewritten
+    // data, and the untouched shard leaves are byte-identical to the
+    // pre-takedown snapshot (same file set, sizes and mtimes — the
+    // pruning claim made physical); the pass must also be genuinely
+    // partial (untouched leaves exist) or the row zeroes
+    "q_export_takedown" -> ((s, d) => {
+      import s.implicits._
+      val fx = exportTakedownFor(s, d)
+      val taken = s.read.parquet(fx.taken)
+      val nTaken = taken.count()
+      val shipped = s.read.parquet(fx.out)
+      val dataHits = shipped.join(taken, Seq("doc_id"), "left_semi")
+        .count()
+      val epochDirs = Option(new java.io.File(fx.out).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      val ledgerHits = epochDirs.map { e =>
+        s.read.parquet(s"$e/_ids").join(taken, Seq("doc_id"),
+          "left_semi").count()
+      }.sum
+      // receipt consistency: manifests vs a full re-derivation from
+      // the shipped data — exact equality, every (epoch, shard) row
+      val manifests = epochDirs.map(e =>
+          s.read.parquet(s"$e/_manifest"))
+        .reduce(_ unionByName _)
+      val rederived = shipped.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          countDistinct("seq_id").as("n_sequences"))
+      val manifestDrift = manifests
+        .join(rederived, Seq("epoch", "shard"), "full_outer")
+        .where(manifests("n_docs") <=> rederived("n_docs") === false ||
+          manifests("n_tokens") <=> rederived("n_tokens") === false ||
+          manifests("n_sequences") <=> rederived("n_sequences") === false)
+        .count()
+      // byte-identity of the untouched leaves vs the pre-takedown
+      // snapshot: same file set, same sizes, same mtimes
+      val now = exportLeafListing(s, fx.out)
+      val pre = s.read.parquet(fx.pre)
+      val takenShards = taken
+        .select(pmod(pmod(col("doc_id") * lit(2654435761L),
+          lit(4294967296L)), lit(8)).cast("int").as("shard"))
+        .distinct().as[Int].collect().toSet
+      val untouchedPre = pre.where(!col("shard").isin(takenShards.toSeq: _*))
+      val untouchedNow = now.where(!col("shard").isin(takenShards.toSeq: _*))
+      val listingDrift = untouchedPre.join(untouchedNow,
+          Seq("epoch", "shard", "name", "size", "mtime"), "full_outer")
+        .where(untouchedPre("epoch").isNull || untouchedNow("epoch").isNull)
+        .count()
+      val untouchedLeaves = untouchedPre
+        .select("epoch", "shard").distinct().count()
+      Seq((nTaken, dataHits, ledgerHits, manifestDrift, listingDrift,
+          untouchedLeaves, takenShards.size.toLong))
+        .toDF("n_taken", "data_hits", "ledger_hits", "manifest_drift",
+          "untouched_drift", "untouched_leaves", "touched_shards")
+        .withColumn("meets_floor",
+          col("n_taken") > 0 && col("data_hits") === 0 &&
+            col("ledger_hits") === 0 && col("manifest_drift") === 0 &&
+            col("untouched_drift") === 0 &&
+            col("untouched_leaves") > 0 && col("touched_shards") > 0)
+        .where(col("meets_floor"))
+    }),
+
+    // BOOTSTRAP QUANTILE CI — the deterministic Poisson bootstrap
+    // extended past the mean: per replicate the WEIGHTED type-1 median
+    // of o_totalprice (integer-exact cut over decimal values — no
+    // interpolation formula between the engines), percentile interval
+    // over the replicate medians, point estimate riding the same
+    // inflated scan as a sentinel replicate. Full oracle: DuckDB
+    // replays the draw chain, the running-weight window and the cut
+    // bit-for-bit
+    "q_bootstrap_quantile" -> ((s, d) =>
+      graft.operators.Sampling.poissonBootstrapQuantile(
+        Tables.load(s, d, "orders"), "o_orderkey", "o_totalprice",
+        qNum = 1, qDen = 2)),
+
+    // BOOTSTRAP RATIO CI — Σ extendedprice / Σ quantity per replicate
+    // under the shared draws (revenue per unit, the ratio-of-sums
+    // metric a row-wise mean would mis-weight); same one-scan shape
+    // and decimal discipline as the mean rows. Full oracle
+    "q_bootstrap_ratio" -> ((s, d) =>
+      graft.operators.Sampling.poissonBootstrapRatio(
+        Tables.load(s, d, "lineitem")
+          .select((col("l_orderkey") * 8 + col("l_linenumber"))
+            .as("rid"),
+            col("l_extendedprice"), col("l_quantity")),
+        "rid", "l_extendedprice", "l_quantity")),
 
     // fuzzy join with BOTH sides corpus-scale — the cell the broadcast
     // fuzzyJoin excludes: typo'd probe names (3rd char deleted) matched
@@ -4903,7 +5026,9 @@ object ExtQueries {
     "q_takedown_apply" ->
       ((s, d) => { stageTakedownWork(s, d, takedownApplyPrefix); () }),
     "q_takedown_tombstone" ->
-      ((s, d) => { stageTakedownWork(s, d, takedownTombstonePrefix); () }))
+      ((s, d) => { stageTakedownWork(s, d, takedownTombstonePrefix); () }),
+    "q_ivf_recluster" ->
+      ((s, d) => { stageIvfReclusterWork(s, d); () }))
 
   /** The q_takedown_apply artifact layout under a given root — shared
     * by the fixture build and the scratch-copy excision so the two can
@@ -4962,6 +5087,175 @@ object ExtQueries {
         "src", "dst", seeds, "id", eps = 5e-4)
     }
     store
+  }
+
+  /** The q_communities_incremental store: the planted block graph
+    * split by GROWTH — day 1 is the graph over the first two thirds of
+    * the id space, day 2 appends the remaining docs' blocks and their
+    * chain edges into the old region — folded by two
+    * [[graft.operators.Graph.updateCommunityStore]] calls. Growth is
+    * the cadence the store exists for (new documents, new blocks); a
+    * uniformly RANDOM edge split would instead seed LPA with the
+    * sparsified subgraph's locally-stable fragments, a known LPA
+    * seeding sensitivity ([[graft.operators.Graph.updateCommunityStore]]
+    * doc) that no delta pass can vote its way out of — and not how a
+    * corpus link graph ever arrives.
+    */
+  private def communityStoreFor(s: SparkSession, d: String): String = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_lpa_store_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val store = new java.io.File(root, "st").toString
+    buildOnce(root) {
+      val e = docBlockGraph(s, d)
+      val cut = docs(s, d).agg(max("doc_id")).collect().head
+        .getLong(0) * 2 / 3
+      graft.operators.Graph.updateCommunityStore(s, store,
+        e.where(col("src") <= cut && col("dst") <= cut), "src", "dst",
+        maxIters = 20)
+      graft.operators.Graph.updateCommunityStore(s, store,
+        e.where(col("src") > cut || col("dst") > cut), "src", "dst",
+        maxIters = 20)
+    }
+    store
+  }
+
+  /** The q_export_takedown fixture: a two-epoch incremental export,
+    * then a lazy takedown of SHIPPED ids (chosen to land in shards
+    * {0, 1} only, so most leaves must survive byte-identical) applied
+    * through the cadence with the export root wired into
+    * [[graft.operators.Retraction.Artifacts.exportRoots]]. The
+    * pre-takedown leaf listing and the taken id set persist beside the
+    * tree so the floor row can prove absence, receipt consistency and
+    * untouched-leaf byte-identity on every later run.
+    */
+  private case class ExportTakedownFx(out: String, taken: String,
+                                      pre: String)
+
+  private def exportTakedownFor(s: SparkSession,
+                                d: String): ExportTakedownFx = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_export_td_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val fx = ExportTakedownFx(
+      new java.io.File(root, "out").toString,
+      new java.io.File(root, "taken").toString,
+      new java.io.File(root, "pre").toString)
+    buildOnce(root) {
+      val corpusPath = new java.io.File(root, "corpus").toString
+      val docsDf = docs(s, d).select("doc_id", "text")
+      docsDf.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        .write.parquet(corpusPath)
+      val a = graft.operators.Retraction.Artifacts(corpusPath,
+        exportRoots = Seq(fx.out))
+      graft.operators.Retraction.exportTrainingShardsIncremental(
+        s, a, fx.out, shards = 8, tokenBudget = 512)
+      docsDf.where(pmod(col("doc_id"), lit(3)) === 0)
+        .write.mode("append").parquet(corpusPath)
+      graft.operators.Retraction.exportTrainingShardsIncremental(
+        s, a, fx.out, shards = 8, tokenBudget = 512)
+      // shipped ids whose Knuth shard is 0 or 1 — the takedown set,
+      // bounded to two shard leaves per epoch by construction
+      val taken = docsDf
+        .where(pmod(pmod(col("doc_id") * lit(2654435761L),
+          lit(4294967296L)), lit(8)) < 2 &&
+          pmod(col("doc_id"), lit(17)) === 0)
+        .select("doc_id")
+      taken.write.parquet(fx.taken)
+      exportLeafListing(s, fx.out).write.parquet(fx.pre)
+      // the cadence: lazy takedown filed, then the physical pass —
+      // which reaches the shipped epochs through exportRoots
+      graft.operators.Retraction.tombstoneDocs(s, taken, "doc_id", a)
+      graft.operators.Retraction.applyTombstones(s, a)
+    }
+    fx
+  }
+
+  /** Driver-side (epoch, shard, name, size, mtime) listing of every
+    * shard leaf file under an incremental export root — bounded
+    * metadata (one row per data file), the byte-identity witness for
+    * q_export_takedown.
+    */
+  private def exportLeafListing(s: SparkSession,
+                                outRoot: String): DataFrame = {
+    import s.implicits._
+    val rows = for {
+      e <- Option(new java.io.File(outRoot).listFiles())
+        .getOrElse(Array.empty).toSeq
+      if e.isDirectory && e.getName.startsWith("epoch=")
+      sh <- Option(e.listFiles()).getOrElse(Array.empty).toSeq
+      if sh.isDirectory && sh.getName.startsWith("shard=")
+      f <- Option(sh.listFiles()).getOrElse(Array.empty).toSeq
+      if f.isFile
+    } yield (e.getName.stripPrefix("epoch=").toInt,
+      sh.getName.stripPrefix("shard=").toInt,
+      f.getName, f.length(), f.lastModified())
+    rows.toDF("epoch", "shard", "name", "size", "mtime")
+  }
+
+  /** The q_ivf_recluster pristine SOURCE (buildOnce): the decayed index
+    * (seed-frozen base write + drifted append into the frozen
+    * geometry) plus the brute-force recall TRUTH — the truth depends
+    * only on the corpus, never on the index layout, so it is computed
+    * once here and the timed row pays recluster + serve + one
+    * semi-join against it.
+    */
+  private def ivfReclusterSrc(s: SparkSession, d: String): java.io.File = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_rc_src_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    buildOnce(root) {
+      val all = embs(s, d)
+      val base = all.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select("vec_id", "embedding")
+      val drifted = all.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select("vec_id", "embedding")
+      val idx = new java.io.File(root, "idx").toString
+      Similarity.writeIvfIndex(base, "vec_id", "embedding", idx,
+        nlist = 8, kmeansIters = 0)
+      Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", idx)
+      val corpus = base.unionByName(drifted)
+      val queries = corpus.filter(pmod(col("vec_id"), lit(40)) === 0)
+      Similarity.bruteForceBatchTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "vec_id")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(root, "truth").toString)
+    }
+    root
+  }
+
+  private val ivfReclusterPrefix = "graft_ivf_rc_work_"
+
+  /** Stage a pristine scratch copy of the decayed-index fixture —
+    * the untimed half of q_ivf_recluster (recluster MUTATES the index
+    * by whole-root swap, so each timed pass needs a fresh decayed
+    * copy; the [[stageTakedownWork]] convention). */
+  private def stageIvfReclusterWork(s: SparkSession,
+                                    d: String): java.io.File = {
+    val src = ivfReclusterSrc(s, d)
+    val work = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      ivfReclusterPrefix + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.sources.Compaction.rm(work)
+    copyTree(src, work)
+    java.nio.file.Files.writeString(
+      new java.io.File(work, "_PRISTINE").toPath, "staged")
+    work
+  }
+
+  /** The scratch tree q_ivf_recluster mutates — consume the pristine
+    * copy prepares staged, or self-stage when none is waiting (the
+    * Verify path); the marker is consumed on BOTH branches (the r19
+    * flake rule at [[takedownWork]]). */
+  private def ivfReclusterWork(s: SparkSession, d: String): java.io.File = {
+    val work = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      ivfReclusterPrefix + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val marker = new java.io.File(work, "_PRISTINE")
+    if (!marker.exists()) stageIvfReclusterWork(s, d)
+    marker.delete()
+    work
   }
 
   /** The q_pagerank_incremental store: the trade graph split into the
@@ -5543,6 +5837,106 @@ object ExtQueries {
         |  point_mean, ci_lo, ci_median, ci_hi
         |FROM ci JOIN pt ON ci.g = pt.g
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // bootstrap-quantile twin: same draw chain, then the type-1 cut —
+    // a running-weight window ordered (v, id) and the integer-exact
+    // `cum * qDen >= tot * qNum` threshold; the point estimate is the
+    // sentinel replicate r = -1 with weight 1, exactly as in Spark
+    "q_bootstrap_quantile" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |h1 AS (
+        |  SELECT r, id, v,
+        |    (id * 2654435761 + r * 40503) % 4294967296 AS a
+        |  FROM base CROSS JOIN range(0, 64) t(r)),
+        |h2 AS (SELECT r, id, v, xor(a, a >> 16) AS b FROM h1),
+        |h3 AS (SELECT r, id, v, (b * 1540483477) % 4294967296 AS c
+        |  FROM h2),
+        |draws AS (
+        |  SELECT r, id, v, xor(c, c >> 13) / 4294967296.0 AS u FROM h3),
+        |ks AS (
+        |  SELECT r, id, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS k
+        |  FROM draws),
+        |u AS (
+        |  SELECT r, id, v, k FROM ks
+        |  UNION ALL SELECT -1 AS r, id, v, 1 AS k FROM base),
+        |c AS (
+        |  SELECT r, v, k,
+        |    SUM(k) OVER (PARTITION BY r ORDER BY v, id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(k) OVER (PARTITION BY r) AS tot
+        |  FROM u),
+        |q AS (
+        |  SELECT r, MIN(v) AS qv, MAX(tot) AS t
+        |  FROM c WHERE tot > 0 AND cum * 2 >= tot * 1
+        |  GROUP BY r),
+        |pt AS (
+        |  SELECT ROUND(CAST(qv AS DOUBLE), 6) AS point_q,
+        |    CAST(t AS BIGINT) AS n_rows
+        |  FROM q WHERE r = -1)
+        |SELECT 64 AS replicates, n_rows, point_q,
+        |  ROUND(quantile_cont(CAST(qv AS DOUBLE), 0.025), 6) AS ci_lo,
+        |  ROUND(quantile_cont(CAST(qv AS DOUBLE), 0.5), 6) AS ci_median,
+        |  ROUND(quantile_cont(CAST(qv AS DOUBLE), 0.975), 6) AS ci_hi
+        |FROM q CROSS JOIN pt WHERE r >= 0
+        |GROUP BY n_rows, point_q""".stripMargin,
+
+    // bootstrap-ratio twin: Σ(k·num)/Σ(k·den) per replicate from the
+    // same draw table, one rounding of the quotient, decimal sums cast
+    // to double only at the division (matching the Spark expression)
+    "q_bootstrap_ratio" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS id,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS v2 FROM lineitem),
+        |h1 AS (
+        |  SELECT r, v, v2,
+        |    (id * 2654435761 + r * 40503) % 4294967296 AS a
+        |  FROM base CROSS JOIN range(0, 64) t(r)),
+        |h2 AS (SELECT r, v, v2, xor(a, a >> 16) AS b FROM h1),
+        |h3 AS (SELECT r, v, v2, (b * 1540483477) % 4294967296 AS c
+        |  FROM h2),
+        |draws AS (
+        |  SELECT r, v, v2, xor(c, c >> 13) / 4294967296.0 AS u FROM h3),
+        |ks AS (
+        |  SELECT r, v, v2,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS k
+        |  FROM draws),
+        |means AS (
+        |  SELECT r, ROUND(CAST(SUM(k * v) AS DOUBLE) /
+        |    NULLIF(CAST(SUM(k * v2) AS DOUBLE), 0), 6) AS m
+        |  FROM ks GROUP BY r),
+        |pt AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    ROUND(CAST(SUM(v) AS DOUBLE) /
+        |      NULLIF(CAST(SUM(v2) AS DOUBLE), 0), 6) AS point_ratio
+        |  FROM base)
+        |SELECT 64 AS replicates, n_rows, point_ratio,
+        |  ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  ROUND(quantile_cont(m, 0.5), 6) AS ci_median,
+        |  ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM means CROSS JOIN pt
+        |GROUP BY n_rows, point_ratio""".stripMargin,
 
     // priority-sampling twin: identical priority arithmetic (w divided
     // by the scramble-uniform), identical (priority desc, id) ranking,

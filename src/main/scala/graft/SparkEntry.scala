@@ -135,9 +135,13 @@ object SparkEntry {
     // the number an operator weighs against degraded probe latency when
     // ann_index_stats' imbalance drifts) and the z-order rewrite (the
     // OPTIMIZE ZORDER BY cost next to the avg_box_frac decay it buys
-    // back). Both rows build their fixture inside the clock by design:
-    // the verbs ARE rewrite passes, so fixture build + rewrite is the
-    // honest unit of work
+    // back). q_zorder_maintain builds its fixture inside the clock by
+    // design (the verb IS a rewrite pass, so fixture build + rewrite is
+    // the honest unit of work); q_ivf_recluster moved to untimed
+    // staging in round 20 — the decayed index and the brute-force
+    // recall truth are CONSTANT fixture, not the verb, so prepares
+    // stages them (the q_takedown_apply convention) and the row prices
+    // recluster + post-swap serve alone
     "q_ivf_recluster", "q_zorder_maintain",
     // round 19 cont.: the PARTIAL z-order rewrite beside the whole-root
     // one — same decay fixture, only the decayed files rewritten
@@ -152,5 +156,10 @@ object SparkEntry {
     // round 19 cont.: the deterministic Poisson bootstrap — prices the
     // R×-inflated narrow scan + two-level aggregate shape (error bars
     // from one pass; the statistical-monitoring cost at scale)
-    "q_bootstrap_ci")
+    "q_bootstrap_ci",
+    // round 20: the bootstrap QUANTILE — the other aggregate shape the
+    // family has (a replicate-partitioned running-weight window over
+    // the inflated frame, i.e. R per-replicate sorts), priced next to
+    // q_bootstrap_ci's pure two-level aggregate
+    "q_bootstrap_quantile")
 }

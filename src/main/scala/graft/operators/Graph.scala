@@ -1366,7 +1366,15 @@ object Graph {
     * (both are valid fixed points); quality is priced by
     * [[modularity]], which is how the `q_communities_incremental_gap`
     * floor machine-checks the store (incremental Q within tolerance of
-    * from-scratch Q). If the stored state was cut off by `maxIters`
+    * from-scratch Q). Seeding sensitivity, stated plainly: the store
+    * matches from-scratch quality when batches arrive as GROWTH (new
+    * nodes with their internal structure plus edges into the old
+    * region — how a corpus link graph actually accretes); a batch
+    * sequence that delivers a uniformly random EDGE sample of a denser
+    * graph first seeds the store with the sparsified subgraph's
+    * fragments, which are locally stable under any label dynamics —
+    * re-running from scratch (delete `state/`) is the remedy there,
+    * not a finer delta pass. If the stored state was cut off by `maxIters`
     * before converging, the delta pass still only improves it around
     * the batch (never worse than stored), matching the full verb's own
     * `maxIters` stance.

@@ -822,12 +822,25 @@ object Retraction {
             graft.sources.Compaction.parEach(touched) { sv =>
               val leaf = new java.io.File(epochDir, s"shard=$sv")
               if (hasParquet(leaf)) {
-                graft.sources.Compaction.retractRows(spark, leaf.toString,
-                  keys, (t, k) => t(idCol).cast("long") === k("__rid"))
-                // a leaf excised to zero rows swaps in as _SUCCESS-only;
-                // remove it whole so readers and manifests agree it is
-                // gone (a parquet read cannot infer schema from nothing)
-                if (!hasParquet(leaf)) graft.sources.Compaction.rm(leaf)
+                val staging = graft.sources.Compaction
+                  .stagingDir(leaf, "retract")
+                if (staging.exists()) graft.sources.Compaction.rm(staging)
+                val leafDf = spark.read.parquet(leaf.toString)
+                val obs = new org.apache.spark.sql.Observation
+                leafDf.join(broadcast(keys),
+                    leafDf(idCol).cast("long") === keys("__rid"),
+                    "left_anti")
+                  .observe(obs, count(lit(1)).as("n"))
+                  .write.mode("overwrite").parquet(staging.toString)
+                if (obs.get("n").asInstanceOf[Long] == 0L) {
+                  // the takedown emptied the leaf: remove it WHOLE — a
+                  // schema-only stub would serve nothing but still
+                  // carry a receipt row, and readers and manifests must
+                  // agree the shard is gone from this epoch
+                  graft.sources.Compaction.rm(staging)
+                  graft.sources.Compaction.rm(leaf)
+                } else graft.sources.Compaction.swapInto(leaf.toString,
+                  staging.toString)
               }
             }
             shardsRewritten += touched.size
@@ -846,6 +859,7 @@ object Retraction {
                   .agg(count(lit(1)).as("n_docs"),
                     sum("n_tokens").as("n_tokens"),
                     countDistinct("seq_id").as("n_sequences"))
+                  .where(col("n_docs") > 0) // a stale empty stub owns no row
                   .select(lit(sv).as("shard"), col("n_docs"),
                     col("n_tokens"), col("n_sequences"),
                     lit(epoch).as("epoch"))

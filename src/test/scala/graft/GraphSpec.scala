@@ -632,4 +632,67 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(qn.getLong(1) === 21L && math.abs(
       qn.getDouble(3) - q.getDouble(3)) < 1e-12)
   }
+
+  test("updateCommunityStore: creation matches from-scratch LPA, a " +
+      "strengthened bridge batch MERGES two communities through the " +
+      "frontier pass, re-sent batches no-op, edges-ahead-of-state heals") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val store = java.nio.file.Files.createTempDirectory("lpa_store")
+      .resolve("st").toString
+    // day 1: a 5-clique and a detached pair
+    val b1 = (clique(1L to 5L) :+ ((11L, 12L))).toDF("src", "dst")
+    val m1 = Graph.updateCommunityStore(spark, store, b1, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val fs1 = Graph.labelPropagation(b1, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(m1 === fs1, "creation must equal the from-scratch partition")
+    assert((1L to 5L).forall(m1(_) == 1L) && m1(11L) === 11L &&
+      m1(12L) === 11L)
+    // day 2: node 11 gains three edges into the clique — its
+    // neighborhood now votes 1 (×3) over 11 (pair + self, ×2), and the
+    // flip propagates to 12 on the next frontier round: the two
+    // communities MERGE, reached from the stored fixed point by
+    // re-voting only the blast radius
+    val b2 = Seq((3L, 11L), (4L, 11L), (5L, 11L)).toDF("src", "dst")
+    val m2 = Graph.updateCommunityStore(spark, store, b2, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(((1L to 5L) ++ Seq(11L, 12L)).forall(m2(_) == 1L), m2)
+    // the store serves the same partition without recomputation
+    assert(Graph.readCommunityState(spark, store)
+      .as[(Long, Long)].collect().toMap === m2)
+    // the merged state is a fixed point of the merged graph: a full
+    // from-scratch LPA finds one community too (same modularity class)
+    val all = b1.unionAll(b2)
+    val qInc = Graph.modularity(all, "src", "dst",
+      m2.toSeq.toDF("id", "community"), "id", "community")
+      .select("modularity").as[Double].head()
+    val qFs = Graph.modularity(all, "src", "dst",
+      Graph.labelPropagation(all, "src", "dst"), "id", "community")
+      .select("modularity").as[Double].head()
+    assert(qInc >= qFs - 1e-9, s"$qInc vs $qFs")
+    // re-sent batch: pure no-op (the census's re-sent rule)
+    val m3 = Graph.updateCommunityStore(spark, store, b2, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(m3 === m2)
+    // edges AHEAD of state (crash between the edges append and the
+    // state install): the next update heals with a full propagation
+    // over everything delivered
+    Seq((21L, 22L)).toDF("lo", "hi").write.mode("append")
+      .parquet(s"$store/edges")
+    val m4 = Graph.updateCommunityStore(spark, store,
+        Seq((22L, 23L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(21L, 22L, 23L).forall(m4(_) == 21L), m4)
+    assert(m4(11L) === 1L, "healed state keeps the merged community")
+    // empty store creation is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Graph.updateCommunityStore(spark,
+        java.nio.file.Files.createTempDirectory("lpa_e").resolve("x")
+          .toString,
+        b1.where(lit(false)), "src", "dst")
+    }
+    assert(e.getMessage.contains("edge"))
+  }
 }

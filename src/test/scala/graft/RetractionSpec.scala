@@ -1448,4 +1448,113 @@ class RetractionSpec extends AnyFunSuite with SparkFixture {
     assert(drifted("minhash_index").getLong(2) === 1L,
       s"eligible doc must still count missing: ${drifted("minhash_index")}")
   }
+
+  test("retractFromExport: shipped ids excised from data + ledger + " +
+      "receipt, untouched leaves byte-identical, idempotent, a crashed " +
+      "partial pass converges, a row-less shard leaf is removed whole") {
+    val root = Files.createTempDirectory("rt_export_td")
+    val corpusPath = root.resolve("corpus").toString
+    val out = root.resolve("out").toString
+    corpus(20).select("doc_id", "text").write.parquet(corpusPath)
+    val a = Retraction.Artifacts(corpusPath, exportRoots = Seq(out))
+    Retraction.exportTrainingShardsIncremental(spark, a, out,
+      shards = 4, tokenBudget = 64)
+    corpus(30).where(col("doc_id") > 20).select("doc_id", "text")
+      .write.mode("append").parquet(corpusPath)
+    Retraction.exportTrainingShardsIncremental(spark, a, out,
+      shards = 4, tokenBudget = 64)
+    def shardOf(id: Long): Int =
+      (((id * 2654435761L) % 4294967296L) % 4).toInt
+    def listing(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(walk)
+      walk(new java.io.File(out))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    def ledgerIds(): Set[Long] = spark.read
+      .parquet(s"$out/epoch=0/_ids", s"$out/epoch=1/_ids")
+      .as[Long].collect().toSet
+    def manifestsConsistent(): Unit = Seq(0, 1).foreach { e =>
+      val m = spark.read.parquet(s"$out/epoch=$e/_manifest")
+        .select("shard", "n_docs", "n_tokens", "n_sequences")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      val re = spark.read.parquet(s"$out/epoch=$e")
+        .groupBy("shard").agg(count(lit(1)), sum("n_tokens"),
+          countDistinct("seq_id"))
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(m === re, s"epoch $e receipt drifted from its data")
+    }
+    // one shipped id per epoch — the pruned worklist is (epoch 0,
+    // shard(1)) and (epoch 1, shard(25)) only
+    val taken = Seq(1L, 25L)
+    val touchedLeaves = Set(s"epoch=0/shard=${shardOf(1L)}",
+      s"epoch=1/shard=${shardOf(25L)}")
+    val before = listing()
+    val rep = Retraction.retractFromExport(spark, out,
+      taken.toDF("doc_id"), "doc_id")
+    assert(rep.requested === 2L && rep.epochsTouched === 2L &&
+      rep.shardsRewritten === 2L && rep.docsRemoved === 2L)
+    assert(spark.read.parquet(out)
+      .where(col("doc_id").isin(taken: _*)).isEmpty, "data still ships")
+    assert(ledgerIds().intersect(taken.toSet).isEmpty, "ledger remembers")
+    manifestsConsistent()
+    // untouched shard leaves byte-identical: every pre-pass data file
+    // outside the two touched leaves survives with size + mtime intact
+    val after = listing()
+    val untouchedBefore = before.filter { case (p, _) =>
+      p.contains("/shard=") && !touchedLeaves.exists(p.contains) }
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach { case (p, meta) =>
+      assert(after.get(p) === Some(meta), s"untouched leaf changed: $p")
+    }
+    // idempotent: absent ids touch nothing (byte-level nothing)
+    val rep2 = Retraction.retractFromExport(spark, out,
+      taken.toDF("doc_id"), "doc_id")
+    assert(rep2.docsRemoved === 0L && rep2.epochsTouched === 0L)
+    assert(listing() === after)
+    // CRASH CONVERGENCE: a partial pass that rewrote a touched leaf but
+    // died before the manifest + ledger commits — simulated by running
+    // exactly the verb's own leaf rewrite out-of-band — must converge
+    // on the next run: the ledger still holds the id, so the worklist
+    // re-derives, the leaf rewrite no-ops, receipt and ledger land
+    val cid = 5L
+    graft.sources.Compaction.retractRows(spark,
+      s"$out/epoch=0/shard=${shardOf(cid)}",
+      Seq(cid).toDF("__k"), (t, k) => t("doc_id") === k("__k"))
+    assert(ledgerIds().contains(cid), "crash state: ledger still holds it")
+    val rep3 = Retraction.retractFromExport(spark, out,
+      Seq(cid).toDF("doc_id"), "doc_id")
+    assert(rep3.docsRemoved === 1L, "ledger-derived worklist")
+    assert(!ledgerIds().contains(cid))
+    manifestsConsistent()
+    // ROW-LESS LEAF: retract every remaining id of one epoch-1 shard —
+    // the leaf dir is removed whole (no schema-less stub) and its
+    // receipt row disappears; the epoch still reads
+    val sv = 2
+    val victims = Seq(22L, 26L, 30L) // epoch 1, shard 2 — complete
+    assert(victims.forall(shardOf(_) == sv))
+    val repAll = Retraction.retractFromExport(spark, out,
+      victims.toDF("doc_id"), "doc_id")
+    assert(repAll.docsRemoved === victims.size.toLong)
+    assert(!new java.io.File(s"$out/epoch=1/shard=$sv").exists())
+    assert(spark.read.parquet(s"$out/epoch=1/_manifest")
+      .where(col("shard") === sv).isEmpty)
+    manifestsConsistent()
+    // and the cadence path reaches the epochs through exportRoots: a
+    // lazy takedown of a still-shipping id lands everywhere in one
+    // applyTombstones pass
+    val lazyId = spark.read.parquet(s"$out/epoch=0/_ids")
+      .as[Long].collect().max
+    Retraction.tombstoneDocs(spark, Seq(lazyId).toDF("doc_id"),
+      "doc_id", a)
+    Retraction.applyTombstones(spark, a)
+    assert(spark.read.parquet(out)
+      .where(col("doc_id") === lazyId).isEmpty)
+    assert(!ledgerIds().contains(lazyId))
+    assert(spark.read.parquet(corpusPath)
+      .where(col("doc_id") === lazyId).isEmpty)
+    manifestsConsistent()
+  }
 }

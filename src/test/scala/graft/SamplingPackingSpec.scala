@@ -420,4 +420,91 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       .agg(avg("mass")).as[Double].head()
     assert(math.abs(ks - n) < 0.05 * n, s"avg draw mass $ks vs n=$n")
   }
+
+  test("poissonBootstrapQuantile: point is the exact type-1 quantile, " +
+      "CI ordered and brackets it at sampling-noise scale, quantiles " +
+      "monotone in p, deterministic under re-partitioning") {
+    import graft.operators.Sampling
+    val n = 4000
+    val df = (1 to n).map(i => (i.toLong, 100.0 + (i % 97).toDouble))
+      .toDF("id", "v")
+    // type-1 median by hand: the ceil(n/2)-th value in sorted order
+    val sorted = df.select("v").as[Double].collect().sorted
+    val exactMed = sorted(n / 2 - 1 + (n % 2)) // 2000th (1-indexed)
+    val r = Sampling.poissonBootstrapQuantile(df, "id", "v", 1, 2,
+        replicates = 64)
+      .as[(Int, Long, Double, Double, Double, Double)].head()
+    val (reps, rows, point, lo, med, hi) = r
+    assert(reps === 64 && rows === n.toLong)
+    assert(point === exactMed, s"$point vs $exactMed")
+    assert(lo <= med && med <= hi, r)
+    // the replicate medians of this near-uniform integer-valued data
+    // move a few units (SE ≈ 1/(2·f(m)·√n) ≈ 0.8): the interval must
+    // bracket the truth and sit at that scale, not collapse to a point
+    // (the underdispersion failure mode) nor blow out
+    assert(lo <= exactMed && exactMed <= hi, s"CI [$lo, $hi] misses")
+    assert(hi - lo > 0.4 && hi - lo < 8.0, s"width ${hi - lo}")
+    // monotone in p, and the tails land where the data says they must
+    val p25 = Sampling.poissonBootstrapQuantile(df, "id", "v", 1, 4,
+      replicates = 64).select("point_q").as[Double].head()
+    val p75 = Sampling.poissonBootstrapQuantile(df, "id", "v", 3, 4,
+      replicates = 64).select("point_q").as[Double].head()
+    assert(p25 === sorted(n / 4 - 1) && p75 === sorted(3 * n / 4 - 1))
+    assert(p25 < point && point < p75, s"$p25 / $point / $p75")
+    // deterministic under physical layout (content-derived hash)
+    val r2 = Sampling.poissonBootstrapQuantile(df.repartition(13),
+        "id", "v", 1, 2, replicates = 64)
+      .as[(Int, Long, Double, Double, Double, Double)].head()
+    assert(r2 === r)
+    // contract edges
+    assert(Sampling.poissonBootstrapQuantile(
+      df.where(lit(false)), "id", "v", 1, 2, 64).isEmpty)
+    val eQ = intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrapQuantile(df, "id", "v", 0, 2, 64)
+    }
+    assert(eQ.getMessage.contains("qNum"))
+    val eNeg = intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrapQuantile(
+        df.withColumn("id", col("id") - 10L), "id", "v", 1, 2, 64)
+    }
+    assert(eNeg.getMessage.contains("2^31"))
+  }
+
+  test("poissonBootstrapRatio: exact ratio on a constant-ratio fixture " +
+      "(degenerate CI), noisy fixture brackets the true ratio of sums, " +
+      "deterministic, empty input -> zero rows") {
+    import graft.operators.Sampling
+    val n = 3000
+    // num = 3·den exactly: every replicate's Σk·num/Σk·den is exactly 3,
+    // whatever the draws — the CI must collapse onto the point
+    val const = (1 to n).map(i => (i.toLong, 3.0 * (1 + i % 7),
+      (1 + i % 7).toDouble)).toDF("id", "num", "den")
+    val rc = Sampling.poissonBootstrapRatio(const, "id", "num", "den",
+        replicates = 64)
+      .select("point_ratio", "ci_lo", "ci_median", "ci_hi")
+      .as[(Double, Double, Double, Double)].head()
+    assert(rc === ((3.0, 3.0, 3.0, 3.0)), rc)
+    // noisy ratio: CI brackets the exact Σnum/Σden, ordered, at
+    // sampling-noise width
+    val noisy = (1 to n).map { i =>
+      val den = (1 + i % 7).toDouble
+      (i.toLong, 3.0 * den + (i % 11 - 5).toDouble, den)
+    }.toDF("id", "num", "den")
+    val exact = noisy.agg(sum("num")).as[Double].head() /
+      noisy.agg(sum("den")).as[Double].head()
+    val rn = Sampling.poissonBootstrapRatio(noisy, "id", "num", "den",
+        replicates = 64)
+      .as[(Int, Long, Double, Double, Double, Double)].head()
+    assert(rn._2 === n.toLong)
+    assert(math.abs(rn._3 - exact) < 1e-6)
+    assert(rn._4 <= rn._5 && rn._5 <= rn._6)
+    assert(rn._4 < exact && exact < rn._6,
+      s"CI [${rn._4}, ${rn._6}] misses $exact")
+    val rn2 = Sampling.poissonBootstrapRatio(noisy.repartition(7),
+        "id", "num", "den", replicates = 64)
+      .as[(Int, Long, Double, Double, Double, Double)].head()
+    assert(rn2 === rn)
+    assert(Sampling.poissonBootstrapRatio(
+      noisy.where(lit(false)), "id", "num", "den", 64).isEmpty)
+  }
 }
