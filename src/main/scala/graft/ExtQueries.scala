@@ -4597,6 +4597,17 @@ object ExtQueries {
         Tables.load(s, d, "orders"), "o_orderkey", "o_totalprice",
         qNum = 1, qDen = 2)),
 
+    // the per-domain quantile twin: one median CI per order-priority
+    // class from the same inflated scan — "did domain X's p50 move
+    // outside its error bars?", the distributional half of the
+    // mixture-monitoring pair q_bootstrap_ci_by_group opened. Same
+    // full oracle
+    "q_bootstrap_quantile_by_group" -> ((s, d) =>
+      graft.operators.Sampling.poissonBootstrapQuantileByGroup(
+          Tables.load(s, d, "orders"), Seq("o_orderpriority"),
+          "o_orderkey", "o_totalprice", qNum = 1, qDen = 2)
+        .transform(Queries.presentSorted(_, "o_orderpriority"))),
+
     // BOOTSTRAP RATIO CI — Σ extendedprice / Σ quantity per replicate
     // under the shared draws (revenue per unit, the ratio-of-sums
     // metric a row-wise mean would mis-weight); same one-scan shape
@@ -5891,6 +5902,64 @@ object ExtQueries {
         |  ROUND(quantile_cont(CAST(qv AS DOUBLE), 0.975), 6) AS ci_hi
         |FROM q CROSS JOIN pt WHERE r >= 0
         |GROUP BY n_rows, point_q""".stripMargin,
+
+    // grouped bootstrap-quantile twin: the type-1 cut windowed by
+    // (group, replicate); point estimate = the sentinel replicate per
+    // group
+    "q_bootstrap_quantile_by_group" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS g, o_orderkey AS id,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+        |h1 AS (
+        |  SELECT g, r, id, v,
+        |    (id * 2654435761 + r * 40503) % 4294967296 AS a
+        |  FROM base CROSS JOIN range(0, 64) t(r)),
+        |h2 AS (SELECT g, r, id, v, xor(a, a >> 16) AS b FROM h1),
+        |h3 AS (SELECT g, r, id, v, (b * 1540483477) % 4294967296 AS c
+        |  FROM h2),
+        |draws AS (
+        |  SELECT g, r, id, v, xor(c, c >> 13) / 4294967296.0 AS u
+        |  FROM h3),
+        |ks AS (
+        |  SELECT g, r, id, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS k
+        |  FROM draws),
+        |u AS (
+        |  SELECT g, r, id, v, k FROM ks
+        |  UNION ALL SELECT g, -1 AS r, id, v, 1 AS k FROM base),
+        |c AS (
+        |  SELECT g, r, v, k,
+        |    SUM(k) OVER (PARTITION BY g, r ORDER BY v, id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(k) OVER (PARTITION BY g, r) AS tot
+        |  FROM u),
+        |q AS (
+        |  SELECT g, r, MIN(v) AS qv, MAX(tot) AS t
+        |  FROM c WHERE tot > 0 AND cum * 2 >= tot * 1
+        |  GROUP BY g, r),
+        |pt AS (
+        |  SELECT g, ROUND(CAST(qv AS DOUBLE), 6) AS point_q,
+        |    CAST(t AS BIGINT) AS n_rows
+        |  FROM q WHERE r = -1),
+        |ci AS (
+        |  SELECT g,
+        |    ROUND(quantile_cont(CAST(qv AS DOUBLE), 0.025), 6) AS ci_lo,
+        |    ROUND(quantile_cont(CAST(qv AS DOUBLE), 0.5), 6) AS ci_median,
+        |    ROUND(quantile_cont(CAST(qv AS DOUBLE), 0.975), 6) AS ci_hi
+        |  FROM q WHERE r >= 0 GROUP BY g)
+        |SELECT ci.g AS o_orderpriority, 64 AS replicates, n_rows,
+        |  point_q, ci_lo, ci_median, ci_hi
+        |FROM ci JOIN pt ON ci.g = pt.g
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // bootstrap-ratio twin: Σ(k·num)/Σ(k·den) per replicate from the
     // same draw table, one rounding of the quotient, decimal sums cast

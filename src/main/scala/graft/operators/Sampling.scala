@@ -482,27 +482,58 @@ object Sampling {
   def poissonBootstrapQuantile(df: DataFrame, idCol: String,
                                valueCol: String, qNum: Long, qDen: Long,
                                replicates: Int = 64, seed: Long = 40503L)
-      : DataFrame = {
+      : DataFrame =
+    quantileCore(df, Nil, idCol, valueCol, qNum, qDen, replicates, seed)
+
+  /** [[poissonBootstrapQuantile]] per group — one quantile CI per
+    * domain/stratum from the same single inflated scan (the
+    * per-domain p50 drift question a mixture monitor asks). Group keys
+    * ride the window partition and the replicate aggregate; draws
+    * still depend on (id, replicate) only, so a row's counts are
+    * identical whether bootstrapped globally or within its group.
+    */
+  def poissonBootstrapQuantileByGroup(df: DataFrame,
+                                      groupCols: Seq[String],
+                                      idCol: String, valueCol: String,
+                                      qNum: Long, qDen: Long,
+                                      replicates: Int = 64,
+                                      seed: Long = 40503L): DataFrame = {
+    require(groupCols.nonEmpty,
+      "use poissonBootstrapQuantile for no groups")
+    quantileCore(df, groupCols, idCol, valueCol, qNum, qDen, replicates,
+      seed)
+  }
+
+  private def quantileCore(df: DataFrame, groupCols: Seq[String],
+                           idCol: String, valueCol: String,
+                           qNum: Long, qDen: Long,
+                           replicates: Int, seed: Long): DataFrame = {
     require(replicates >= 4, s"replicates=$replicates")
     require(qNum >= 1 && qDen > 0 && qNum <= qDen,
       s"need 1 <= qNum <= qDen, got $qNum/$qDen (qNum = 0 would make " +
         "zero-weight rows eligible)")
     val reserved = Seq("__id", "__v", "__r", "__u", "__k", "__cum",
       "__tot", "__q", "__t")
-    Seq(idCol, valueCol).foreach(c =>
+    (groupCols ++ Seq(idCol, valueCol)).foreach(c =>
       require(!reserved.contains(c), s"column name $c is reserved"))
-    val base = df.select(col(idCol).cast("long").as("__id"),
-      col(valueCol).cast("decimal(18,2)").as("__v"))
+    val base = df.select(groupCols.map(col) ++ Seq(
+      col(idCol).cast("long").as("__id"),
+      col(valueCol).cast("decimal(18,2)").as("__v")): _*)
     requireBootstrapIds(base, "poissonBootstrapQuantile")
     // the base data rides as sentinel replicate -1 with weight 1: the
     // point estimate shares the window pass instead of paying a second
     // (single-partition!) global sort over the source
+    val cols = groupCols.map(col) ++
+      Seq(col("__r"), col("__id"), col("__v"), col("__k"))
     val inflated = withPoissonDraws(base, replicates, seed)
-      .select(col("__r"), col("__id"), col("__v"), col("__k"))
-      .unionAll(base.select(lit(-1).as("__r"), col("__id"), col("__v"),
-        lit(1).as("__k")))
-    val run = Window.partitionBy("__r").orderBy(col("__v"), col("__id"))
-    val all = Window.partitionBy("__r")
+      .select(cols: _*)
+      .unionAll(base.select(groupCols.map(col) ++ Seq(
+        lit(-1).as("__r"), col("__id"), col("__v"),
+        lit(1).as("__k")): _*))
+    val part = (groupCols :+ "__r").map(col)
+    val run = Window.partitionBy(part: _*)
+      .orderBy(col("__v"), col("__id"))
+    val all = Window.partitionBy(part: _*)
     val qv = inflated
       .withColumn("__cum", sum("__k").over(run))
       .withColumn("__tot", sum("__k").over(all))
@@ -511,23 +542,31 @@ object Sampling {
       // min(v) lands on a drawn row; zero-total replicates are skipped)
       .where(col("__tot") > 0 &&
         col("__cum") * lit(qDen) >= col("__tot") * lit(qNum))
-      .groupBy("__r")
+      .groupBy(part: _*)
       .agg(min("__v").as("__q"), max("__tot").as("__t"))
     val pt = qv.where(col("__r") === -1)
-      .select(round(col("__q").cast("double"), 6).as("point_q"),
-        col("__t").as("n_rows"))
-    qv.where(col("__r") >= 0)
-      .agg(
-        round(expr("percentile(CAST(__q AS DOUBLE), 0.025)"), 6)
-          .as("ci_lo"),
-        round(expr("percentile(CAST(__q AS DOUBLE), 0.5)"), 6)
-          .as("ci_median"),
-        round(expr("percentile(CAST(__q AS DOUBLE), 0.975)"), 6)
-          .as("ci_hi"))
-      .crossJoin(pt)
-      .where(col("ci_median").isNotNull)
-      .select(lit(replicates).as("replicates"), col("n_rows"),
-        col("point_q"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__q").cast("double"), 6).as("point_q"),
+        col("__t").as("n_rows")): _*)
+    val aggs = Seq(
+      round(expr("percentile(CAST(__q AS DOUBLE), 0.025)"), 6)
+        .as("ci_lo"),
+      round(expr("percentile(CAST(__q AS DOUBLE), 0.5)"), 6)
+        .as("ci_median"),
+      round(expr("percentile(CAST(__q AS DOUBLE), 0.975)"), 6)
+        .as("ci_hi"))
+    val reps = qv.where(col("__r") >= 0)
+    val outCols = groupCols.map(col) ++ Seq(
+      lit(replicates).as("replicates"), col("n_rows"),
+      col("point_q"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+    val out =
+      if (groupCols.isEmpty)
+        reps.agg(aggs.head, aggs.tail: _*).crossJoin(pt)
+      else
+        reps.groupBy(groupCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .join(pt, groupCols)
+    out.where(col("ci_median").isNotNull).select(outCols: _*)
   }
 
   /** Bootstrap CI on a RATIO OF SUMS — Σnum/Σden per replicate under

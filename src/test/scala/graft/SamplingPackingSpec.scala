@@ -468,6 +468,24 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
         df.withColumn("id", col("id") - 10L), "id", "v", 1, 2, 64)
     }
     assert(eNeg.getMessage.contains("2^31"))
+    // the grouped twin: each stratum's point is its own exact type-1
+    // median and its CI brackets it, from the same single-scan shape
+    val gdf = df.withColumn("g", (col("id") % 2).cast("string"))
+    val gex = gdf.select("g", "v").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (g, vs) =>
+        val sv = vs.map(_._2).sorted
+        g -> sv(sv.length / 2 - 1 + (sv.length % 2))
+      }
+    val grouped = Sampling.poissonBootstrapQuantileByGroup(gdf,
+        Seq("g"), "id", "v", 1, 2, 64)
+      .select("g", "point_q", "ci_lo", "ci_hi")
+      .as[(String, Double, Double, Double)].collect()
+    assert(grouped.length === 2)
+    grouped.foreach { case (g, pq, glo, ghi) =>
+      assert(pq === gex(g), s"group $g point $pq vs ${gex(g)}")
+      assert(glo <= gex(g) && gex(g) <= ghi,
+        s"group $g CI [$glo, $ghi] misses ${gex(g)}")
+    }
   }
 
   test("poissonBootstrapRatio: exact ratio on a constant-ratio fixture " +
