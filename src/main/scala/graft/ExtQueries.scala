@@ -4557,23 +4557,34 @@ object ExtQueries {
           manifests("n_sequences") <=> rederived("n_sequences") === false)
         .count()
       // byte-identity of the untouched leaves vs the pre-takedown
-      // snapshot: same file set, same sizes, same mtimes
+      // snapshot: same file set, same sizes, same mtimes. Touched is a
+      // PER-EPOCH (epoch, shard) set — the verb prunes per epoch, so a
+      // shard touched only in epoch 0 must NOT exempt its same-numbered
+      // (untouched) leaf in epoch 1 from the byte-identity check; epoch
+      // membership re-derives from the fixture's own day split
       val now = exportLeafListing(s, fx.out)
       val pre = s.read.parquet(fx.pre)
-      val takenShards = taken
-        .select(pmod(pmod(col("doc_id") * lit(2654435761L),
-          lit(4294967296L)), lit(8)).cast("int").as("shard"))
-        .distinct().as[Int].collect().toSet
-      val untouchedPre = pre.where(!col("shard").isin(takenShards.toSeq: _*))
-      val untouchedNow = now.where(!col("shard").isin(takenShards.toSeq: _*))
+      val touchedPairs = taken.select(
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(1)).otherwise(lit(0))
+            .as("epoch"),
+          graft.operators.Retraction.exportShard(
+            graft.operators.Retraction.exportHash(col("doc_id")), 8)
+            .as("shard"))
+        .distinct().localCheckpoint(true)
+      val nTouched = touchedPairs.count()
+      val untouchedPre = pre.join(touchedPairs, Seq("epoch", "shard"),
+        "left_anti")
+      val untouchedNow = now.join(touchedPairs, Seq("epoch", "shard"),
+        "left_anti")
       val listingDrift = untouchedPre.join(untouchedNow,
           Seq("epoch", "shard", "name", "size", "mtime"), "full_outer")
         .where(untouchedPre("epoch").isNull || untouchedNow("epoch").isNull)
         .count()
       val untouchedLeaves = untouchedPre
         .select("epoch", "shard").distinct().count()
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(touchedPairs)
       Seq((nTaken, dataHits, ledgerHits, manifestDrift, listingDrift,
-          untouchedLeaves, takenShards.size.toLong))
+          untouchedLeaves, nTouched))
         .toDF("n_taken", "data_hits", "ledger_hits", "manifest_drift",
           "untouched_drift", "untouched_leaves", "touched_shards")
         .withColumn("meets_floor",
@@ -4989,15 +5000,17 @@ object ExtQueries {
   private val takedownApplyPrefix = "graft_takedown_work_"
   private val takedownTombstonePrefix = "graft_tombstone_work_"
 
-  /** Stage a pristine scratch copy of the takedown fixture under
-    * `prefix` and mark it `_PRISTINE` — the untimed half of the
-    * q_takedown_apply/q_takedown_tombstone rows. The bench calls this
-    * through [[prepares]] BEFORE starting the clock, so the timed body
-    * prices the excision verb alone (the copy is constant, but its
-    * noise was 7× the signal the row exists to catch). */
-  private def stageTakedownWork(s: SparkSession, d: String,
-                                prefix: String): java.io.File = {
-    val src = takedownApplySrc(s, d)
+  /** Stage a pristine scratch copy of `src` under `prefix` and mark it
+    * `_PRISTINE` — the untimed half of every mutate-the-fixture row
+    * (q_takedown_apply, q_takedown_tombstone, q_ivf_recluster). The
+    * bench calls this through [[prepares]] BEFORE starting the clock,
+    * so the timed body prices the verb alone (the copy is constant,
+    * but its noise was 7× the signal the takedown rows exist to
+    * catch). ONE implementation for every scratch pair — the marker
+    * lifecycle below is flake-prone enough (r19) that a second copy to
+    * keep in sync would be a regression waiting. */
+  private def stageScratch(src: java.io.File, d: String,
+                           prefix: String): java.io.File = {
     val work = new java.io.File(
       sys.props("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9]", "_"))
@@ -5008,26 +5021,35 @@ object ExtQueries {
     work
   }
 
-  /** The scratch tree a takedown row mutates: consume the pristine copy
+  /** The scratch tree a mutating row consumes: take the pristine copy
     * a prior [[prepares]] call staged (delete the marker — each timed
-    * pass must excise from a fresh tree), or self-stage when none is
-    * waiting (the Verify path, where nothing is being timed). */
-  private def takedownWork(s: SparkSession, d: String,
-                           prefix: String): java.io.File = {
+    * pass must mutate a fresh tree), or self-stage when none is
+    * waiting (the Verify path, where nothing is being timed). The
+    * marker is consumed on BOTH branches: the self-stage branch used
+    * to return with its own freshly-written marker still in place, so
+    * the run ended with marker + ALREADY-MUTATED tree — and the NEXT
+    * verify run consumed that stale marker, ran on a spent copy, and
+    * reported found=0: consecutive full-suite runs alternated
+    * pass/fail with zero code change (caught as a CORRECTNESS flake,
+    * r19). */
+  private def consumeScratch(d: String, prefix: String)
+                            (stage: => java.io.File): java.io.File = {
     val work = new java.io.File(
       sys.props("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9]", "_"))
     val marker = new java.io.File(work, "_PRISTINE")
-    if (!marker.exists()) stageTakedownWork(s, d, prefix)
-    // consume the marker on BOTH branches. The self-stage branch used to
-    // return with its own freshly-written marker still in place, so the
-    // run ended with marker + ALREADY-EXCISED tree — and the NEXT verify
-    // run consumed that stale marker, retracted an empty copy, and
-    // reported found=0: consecutive full-suite runs alternated pass/fail
-    // with zero code change (caught as a CORRECTNESS flake, r19).
+    if (!marker.exists()) stage
     marker.delete()
     work
   }
+
+  private def stageTakedownWork(s: SparkSession, d: String,
+                                prefix: String): java.io.File =
+    stageScratch(takedownApplySrc(s, d), d, prefix)
+
+  private def takedownWork(s: SparkSession, d: String,
+                           prefix: String): java.io.File =
+    consumeScratch(d, prefix)(stageTakedownWork(s, d, prefix))
 
   /** Untimed per-pass setup hooks: the bench invokes `prepares(name)`
     * outside its clock before every timed pass of `name`; rows without
@@ -5166,10 +5188,12 @@ object ExtQueries {
       graft.operators.Retraction.exportTrainingShardsIncremental(
         s, a, fx.out, shards = 8, tokenBudget = 512)
       // shipped ids whose Knuth shard is 0 or 1 — the takedown set,
-      // bounded to two shard leaves per epoch by construction
+      // bounded to two shard leaves per epoch by construction (the
+      // verb's OWN shared deal expression, so fixture and verb cannot
+      // drift)
       val taken = docsDf
-        .where(pmod(pmod(col("doc_id") * lit(2654435761L),
-          lit(4294967296L)), lit(8)) < 2 &&
+        .where(graft.operators.Retraction.exportShard(
+          graft.operators.Retraction.exportHash(col("doc_id")), 8) < 2 &&
           pmod(col("doc_id"), lit(17)) === 0)
         .select("doc_id")
       taken.write.parquet(fx.taken)
@@ -5238,36 +5262,16 @@ object ExtQueries {
 
   private val ivfReclusterPrefix = "graft_ivf_rc_work_"
 
-  /** Stage a pristine scratch copy of the decayed-index fixture —
-    * the untimed half of q_ivf_recluster (recluster MUTATES the index
-    * by whole-root swap, so each timed pass needs a fresh decayed
-    * copy; the [[stageTakedownWork]] convention). */
+  /** The q_ivf_recluster scratch pair — [[stageScratch]] /
+    * [[consumeScratch]] over the decayed-index fixture (recluster
+    * MUTATES the index by whole-root swap, so each timed pass needs a
+    * fresh decayed copy). */
   private def stageIvfReclusterWork(s: SparkSession,
-                                    d: String): java.io.File = {
-    val src = ivfReclusterSrc(s, d)
-    val work = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      ivfReclusterPrefix + d.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.sources.Compaction.rm(work)
-    copyTree(src, work)
-    java.nio.file.Files.writeString(
-      new java.io.File(work, "_PRISTINE").toPath, "staged")
-    work
-  }
+                                    d: String): java.io.File =
+    stageScratch(ivfReclusterSrc(s, d), d, ivfReclusterPrefix)
 
-  /** The scratch tree q_ivf_recluster mutates — consume the pristine
-    * copy prepares staged, or self-stage when none is waiting (the
-    * Verify path); the marker is consumed on BOTH branches (the r19
-    * flake rule at [[takedownWork]]). */
-  private def ivfReclusterWork(s: SparkSession, d: String): java.io.File = {
-    val work = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      ivfReclusterPrefix + d.replaceAll("[^A-Za-z0-9]", "_"))
-    val marker = new java.io.File(work, "_PRISTINE")
-    if (!marker.exists()) stageIvfReclusterWork(s, d)
-    marker.delete()
-    work
-  }
+  private def ivfReclusterWork(s: SparkSession, d: String): java.io.File =
+    consumeScratch(d, ivfReclusterPrefix)(stageIvfReclusterWork(s, d))
 
   /** The q_pagerank_incremental store: the trade graph split into the
     * same two PAIR-DISJOINT batches as [[pprStoreFor]], folded by two

@@ -1522,6 +1522,11 @@ object Graph {
               frontier = changed.select("id")
               iter += 1
             }
+            // the final round's frontier blocks are dead once the loop
+            // exits (labels is its own checkpoint) — release them, or a
+            // driver folding many batches pins one leaked checkpoint
+            // per call for the session
+            org.apache.spark.sql.GraftBridge.unpersistCheckpoint(frontier)
             // edges append BEFORE the state commit — the crash contract
             // shared with every push store
             if (!delta.isEmpty)

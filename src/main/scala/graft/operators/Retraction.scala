@@ -539,6 +539,24 @@ object Retraction {
     org.apache.spark.sql.types.StructField("n_sequences",
       org.apache.spark.sql.types.LongType)))
 
+  /** The export family's pseudo-shuffle key — ONE definition of the
+    * Knuth multiplicative hash `h = (id · 2654435761) mod 2³²`, shared
+    * by the full verb, the incremental verb, the shipped-epoch
+    * takedown and the q_export_takedown fixture, so no copy can drift
+    * (a drifted copy would silently re-deal which leaf a takedown
+    * rewrites — exactly the hazard the `_shards` pin guards against
+    * for the COUNT, guarded here for the EXPRESSION).
+    */
+  private[graft] def exportHash(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** `shard = h mod shards` — the deal over [[exportHash]]. */
+  private[graft] def exportShard(h: org.apache.spark.sql.Column,
+                                 shards: Int)
+      : org.apache.spark.sql.Column =
+    pmod(h, lit(shards)).cast("int")
+
   def exportTrainingShards(spark: SparkSession, a: Artifacts,
                            outPath: String, shards: Int,
                            tokenBudget: Int): DataFrame = {
@@ -547,9 +565,8 @@ object Retraction {
     val served = readCorpusServed(spark, a)
     val assigned = Packing.packByBudget(
       served
-        .withColumn("__h", pmod(col(a.idCol).cast("long") *
-          lit(2654435761L), lit(4294967296L)))
-        .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+        .withColumn("__h", exportHash(col(a.idCol)))
+        .withColumn("shard", exportShard(col("__h"), shards))
         .withColumn("n_tokens",
           graft.functions.TextAnalysis.tokenCount(col(a.textCol))),
       "shard", "__h", "n_tokens", tokenBudget)
@@ -678,9 +695,8 @@ object Retraction {
         Seq(a.idCol), "left_anti")
     val assigned = Packing.packByBudget(
       delta
-        .withColumn("__h", pmod(col(a.idCol).cast("long") *
-          lit(2654435761L), lit(4294967296L)))
-        .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+        .withColumn("__h", exportHash(col(a.idCol)))
+        .withColumn("shard", exportShard(col("__h"), shards))
         .withColumn("n_tokens",
           graft.functions.TextAnalysis.tokenCount(col(a.textCol))),
       "shard", "__h", "n_tokens", tokenBudget)
@@ -729,9 +745,11 @@ object Retraction {
   }
 
   /** What [[retractFromExport]] did: ids asked, epochs whose ledger held
-    * any of them, shard leaves rewritten, (epoch, id) ledger rows
-    * removed (an id shipped in exactly one epoch, so this is also the
-    * distinct-doc count excised).
+    * any of them, shard leaves actually touched (rewritten, or removed
+    * whole when the takedown emptied them — NOT the arithmetic
+    * worklist, which a convergence re-run can find already gone), and
+    * (epoch, id) ledger rows removed (an id shipped in exactly one
+    * epoch, so this is also the distinct-doc count excised).
     */
   case class ExportRetractReport(requested: Long, epochsTouched: Long,
                                  shardsRewritten: Long, docsRemoved: Long)
@@ -816,12 +834,13 @@ object Retraction {
               java.nio.file.Files.readString(pin.toPath).trim.toInt
             // the hit ids ARE the worklist: same hash the export dealt
             val touched = hits.select(
-                pmod(pmod(col(idCol).cast("long") * lit(2654435761L),
-                  lit(4294967296L)), lit(nShards)).cast("int").as("__s"))
+                exportShard(exportHash(col(idCol)), nShards).as("__s"))
               .distinct().collect().map(_.getInt(0)).toIndexedSeq.sorted
+            val rewrote = new java.util.concurrent.atomic.AtomicLong(0L)
             graft.sources.Compaction.parEach(touched) { sv =>
               val leaf = new java.io.File(epochDir, s"shard=$sv")
               if (hasParquet(leaf)) {
+                rewrote.incrementAndGet()
                 val staging = graft.sources.Compaction
                   .stagingDir(leaf, "retract")
                 if (staging.exists()) graft.sources.Compaction.rm(staging)
@@ -843,7 +862,11 @@ object Retraction {
                   staging.toString)
               }
             }
-            shardsRewritten += touched.size
+            // count LEAVES ACTUALLY TOUCHED (rewritten or removed), not
+            // the arithmetic worklist — a re-run converging a prior
+            // crash finds some leaves already gone, and a report that
+            // over-counts reads as phantom drift to a reconciling audit
+            shardsRewritten += rewrote.get()
             // receipt fixup: touched shards re-derived from the leaves
             // as rewritten (disk truth — a crashed prior pass converges
             // here too), untouched rows carried verbatim

@@ -544,29 +544,30 @@ object Sampling {
         col("__cum") * lit(qDen) >= col("__tot") * lit(qNum))
       .groupBy(part: _*)
       .agg(min("__v").as("__q"), max("__tot").as("__t"))
-    val pt = qv.where(col("__r") === -1)
-      .select(groupCols.map(col) ++ Seq(
-        round(col("__q").cast("double"), 6).as("point_q"),
-        col("__t").as("n_rows")): _*)
+    // ONE aggregation over qv carries both the CI (real replicates)
+    // and the sentinel's point estimate as conditional aggregates — a
+    // separate point-estimate branch would duplicate the whole
+    // Sort+Window subtree over the inflated frame in the plan (Spark
+    // reuses the Exchange, not the Sort above it), doubling the verb's
+    // dominant cost
     val aggs = Seq(
-      round(expr("percentile(CAST(__q AS DOUBLE), 0.025)"), 6)
-        .as("ci_lo"),
-      round(expr("percentile(CAST(__q AS DOUBLE), 0.5)"), 6)
-        .as("ci_median"),
-      round(expr("percentile(CAST(__q AS DOUBLE), 0.975)"), 6)
-        .as("ci_hi"))
-    val reps = qv.where(col("__r") >= 0)
+      round(expr("percentile(CASE WHEN __r >= 0 THEN " +
+        "CAST(__q AS DOUBLE) END, 0.025)"), 6).as("ci_lo"),
+      round(expr("percentile(CASE WHEN __r >= 0 THEN " +
+        "CAST(__q AS DOUBLE) END, 0.5)"), 6).as("ci_median"),
+      round(expr("percentile(CASE WHEN __r >= 0 THEN " +
+        "CAST(__q AS DOUBLE) END, 0.975)"), 6).as("ci_hi"),
+      round(max(when(col("__r") === -1, col("__q").cast("double"))), 6)
+        .as("point_q"),
+      max(when(col("__r") === -1, col("__t"))).as("n_rows"))
+    val out =
+      if (groupCols.isEmpty) qv.agg(aggs.head, aggs.tail: _*)
+      else qv.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val outCols = groupCols.map(col) ++ Seq(
       lit(replicates).as("replicates"), col("n_rows"),
       col("point_q"), col("ci_lo"), col("ci_median"), col("ci_hi"))
-    val out =
-      if (groupCols.isEmpty)
-        reps.agg(aggs.head, aggs.tail: _*).crossJoin(pt)
-      else
-        reps.groupBy(groupCols.map(col): _*)
-          .agg(aggs.head, aggs.tail: _*)
-          .join(pt, groupCols)
-    out.where(col("ci_median").isNotNull).select(outCols: _*)
+    out.where(col("ci_median").isNotNull && col("n_rows").isNotNull)
+      .select(outCols: _*)
   }
 
   /** Bootstrap CI on a RATIO OF SUMS — Σnum/Σden per replicate under

@@ -161,6 +161,26 @@ object ZOrder {
     val toFile = (uri: String) =>
       if (uri.startsWith("file:")) new java.io.File(new java.net.URI(uri))
       else new java.io.File(uri)
+    val dir = new java.io.File(path)
+    // FLAT roots only, enforced loudly and UNCONDITIONALLY (before the
+    // all-tight early return — a misconfigured partitioned root must
+    // fail at wiring time, not weeks later on the first night decay
+    // crosses the threshold): the carry-over links tight files into
+    // staging by bare name and the rewrite re-reads decayed files
+    // without a basePath, so on a `key=val`-partitioned root the
+    // partition values would be silently dropped after the swap (and
+    // same-named part files from different partition dirs would
+    // collide). Partition roots recluster per leaf — call this verb on
+    // each leaf dir.
+    val rootCanon = dir.getCanonicalFile
+    fracs.map(f => toFile(f._1))
+      .find(_.getParentFile.getCanonicalFile != rootCanon)
+      .foreach { nested =>
+        throw new IllegalArgumentException(
+          s"reclusterDecayed needs a FLAT parquet root; $path holds a " +
+            s"nested data file ($nested) — recluster each partition leaf " +
+            "directory instead")
+      }
     val (decayed0, tight0) =
       fracs.partition(f => f._2.forall(_ > decayFrac))
     if (decayed0.isEmpty)
@@ -168,21 +188,6 @@ object ZOrder {
         fracs.length.toLong, 0L)
     val decayed = decayed0.map(f => toFile(f._1))
     val tight = tight0.map(f => toFile(f._1))
-    val dir = new java.io.File(path)
-    // FLAT roots only, enforced loudly: the carry-over links tight files
-    // into staging by bare name and the rewrite re-reads decayed files
-    // without a basePath, so on a `key=val`-partitioned root the partition
-    // values would be silently dropped after the swap (and same-named
-    // part files from different partition dirs would collide). Partition
-    // roots recluster per leaf — call this verb on each leaf dir.
-    val rootCanon = dir.getCanonicalFile
-    (decayed ++ tight).find(_.getParentFile.getCanonicalFile != rootCanon)
-      .foreach { nested =>
-        throw new IllegalArgumentException(
-          s"reclusterDecayed needs a FLAT parquet root; $path holds a " +
-            s"nested data file ($nested) — recluster each partition leaf " +
-            "directory instead")
-      }
     val staging = Compaction.stagingDir(dir, "zorderinc")
     if (staging.exists()) Compaction.rm(staging)
     staging.mkdirs()

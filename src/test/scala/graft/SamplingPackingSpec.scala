@@ -397,6 +397,16 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       .select("ci_lo", "ci_hi").as[(Double, Double)].head()
     assert(nullEff._1 < 0.5 && nullEff._2 > -0.5,
       s"null-effect CI should straddle ~0: $nullEff")
+    // a cohort entirely ABSENT from the input: counts come back 0 (the
+    // twin's COUNT(CASE) semantics — sum(when(..,1)) would emit NULL
+    // and hash-diverge from the oracle) with null diff/CI, one row
+    val absent = Sampling.poissonBootstrapDiff(
+        ab.where(col("c") === "t"), "c", "t", "c", "id", "v", 64)
+      .select("n_a", "n_b", "point_diff", "ci_median")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(absent.length === 1)
+    assert(absent.head._1 === (n / 2).toLong && absent.head._2 === 0L)
+    assert(absent.head._3.isEmpty && absent.head._4.isEmpty)
 
     // Poisson(1) draw mass: each replicate redraws ~n rows total
     // the mix replicated by hand — this IS the cross-engine contract

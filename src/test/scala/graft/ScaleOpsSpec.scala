@@ -168,6 +168,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkFixture {
     val parent = new java.io.File(dir).getParentFile
     assert(Option(parent.listFiles()).getOrElse(Array.empty)
       .forall(!_.getName.contains("__zorderinc")))
+    // a NESTED (partitioned) root is refused loudly: the flat-name
+    // hardlink carry-over and the basePath-less rewrite would silently
+    // drop key=val partition values after the swap — partition roots
+    // recluster per leaf
+    val pdir = java.nio.file.Files.createTempDirectory("zorder_part")
+      .resolve("t").toString
+    (1 to 40).map(i => ((i % 8).toLong, (i % 64).toLong, i % 2))
+      .toDF("a", "b", "p").write.partitionBy("p").parquet(pdir)
+    val eNested = intercept[IllegalArgumentException] {
+      ZOrder.reclusterDecayed(spark, pdir, Seq("a", "b"), bits = 6,
+        decayFrac = 0.01)
+    }
+    assert(eNested.getMessage.contains("FLAT"))
+    // the untouched nested table still reads back whole
+    assert(spark.read.parquet(pdir).count() === 40L)
   }
 
   test("runtime bloom filter prunes the fact side of a selective dim join") {
