@@ -29,7 +29,12 @@ object Explain {
       // round 19: the bootstrap's R×-inflated shape — audit that the
       // scan stays 2-column-pruned and the (r) aggregate combines
       // map-side before the exchange
-      "q_bootstrap_ci")
+      "q_bootstrap_ci",
+      // round 20: the quantile twin — audit that the plan holds ONE
+      // Sort+Window subtree over the inflated frame (the sentinel
+      // point-estimate rides conditional aggregates; a second branch
+      // would re-sort everything) and ONE exchange keyed by __r
+      "q_bootstrap_quantile")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
