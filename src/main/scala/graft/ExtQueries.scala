@@ -4619,6 +4619,15 @@ object ExtQueries {
           "o_orderkey", "o_totalprice", qNum = 1, qDen = 2)
         .transform(Queries.presentSorted(_, "o_orderpriority"))),
 
+    // the A/B quantile twin: CI on median(URGENT) − median(LOW) — the
+    // distribution's-middle significance call a mean difference is
+    // blind to when heavy tails pin the mean. Full oracle
+    "q_bootstrap_quantile_diff" -> ((s, d) =>
+      graft.operators.Sampling.poissonBootstrapQuantileDiff(
+        Tables.load(s, d, "orders"), "o_orderpriority",
+        "1-URGENT", "5-LOW", "o_orderkey", "o_totalprice",
+        qNum = 1, qDen = 2)),
+
     // BOOTSTRAP RATIO CI — Σ extendedprice / Σ quantity per replicate
     // under the shared draws (revenue per unit, the ratio-of-sums
     // metric a row-wise mean would mis-weight); same one-scan shape
@@ -5964,6 +5973,71 @@ object ExtQueries {
         |  point_q, ci_lo, ci_median, ci_hi
         |FROM ci JOIN pt ON ci.g = pt.g
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // quantile-difference twin: both cohorts' type-1 cuts from the
+    // same draw table (windows partitioned by (cohort, replicate)),
+    // one rounding of the per-replicate difference of doubles
+    "q_bootstrap_quantile_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS c, o_orderkey AS id,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |h1 AS (
+        |  SELECT c, r, id, v,
+        |    (id * 2654435761 + r * 40503) % 4294967296 AS a
+        |  FROM base CROSS JOIN range(0, 64) t(r)),
+        |h2 AS (SELECT c, r, id, v, xor(a, a >> 16) AS b FROM h1),
+        |h3 AS (SELECT c, r, id, v, (b * 1540483477) % 4294967296 AS cc
+        |  FROM h2),
+        |draws AS (
+        |  SELECT c, r, id, v, xor(cc, cc >> 13) / 4294967296.0 AS u
+        |  FROM h3),
+        |ks AS (
+        |  SELECT c, r, id, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS k
+        |  FROM draws),
+        |u AS (
+        |  SELECT c, r, id, v, k FROM ks
+        |  UNION ALL SELECT c, -1 AS r, id, v, 1 AS k FROM base),
+        |cw AS (
+        |  SELECT c, r, v, k,
+        |    SUM(k) OVER (PARTITION BY c, r ORDER BY v, id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(k) OVER (PARTITION BY c, r) AS tot
+        |  FROM u),
+        |q AS (
+        |  SELECT c, r, MIN(v) AS qv, MAX(tot) AS t
+        |  FROM cw WHERE tot > 0 AND cum * 2 >= tot * 1
+        |  GROUP BY c, r),
+        |p AS (
+        |  SELECT r,
+        |    ROUND(CAST(MAX(CASE WHEN c = '1-URGENT' THEN qv END)
+        |        AS DOUBLE) -
+        |      CAST(MAX(CASE WHEN c = '5-LOW' THEN qv END) AS DOUBLE), 6)
+        |      AS m,
+        |    MAX(CASE WHEN c = '1-URGENT' THEN t END) AS ta,
+        |    MAX(CASE WHEN c = '5-LOW' THEN t END) AS tb
+        |  FROM q GROUP BY r),
+        |pt AS (
+        |  SELECT m AS point_diff,
+        |    CAST(COALESCE(ta, 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(tb, 0) AS BIGINT) AS n_b
+        |  FROM p WHERE r = -1)
+        |SELECT 64 AS replicates, n_a, n_b, point_diff,
+        |  ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  ROUND(quantile_cont(m, 0.5), 6) AS ci_median,
+        |  ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM p CROSS JOIN pt WHERE r >= 0
+        |GROUP BY n_a, n_b, point_diff""".stripMargin,
 
     // bootstrap-ratio twin: Σ(k·num)/Σ(k·den) per replicate from the
     // same draw table, one rounding of the quotient, decimal sums cast

@@ -504,6 +504,83 @@ object Sampling {
       seed)
   }
 
+  /** Bootstrap CI on the DIFFERENCE of two cohort QUANTILES — the A/B
+    * question asked of the distribution's middle instead of its mean
+    * ("did the treatment move p50, outside noise?"): per replicate,
+    * each cohort's weighted type-1 quantile under the shared
+    * (id, replicate) draws, the difference rounded once, then the
+    * percentile interval. A mean difference ([[poissonBootstrapDiff]])
+    * is blind to exactly the interventions that move the middle while
+    * heavy tails pin the mean. Same integer-exact cut, sentinel
+    * point-estimate replicate, decimal/rounding discipline and id
+    * contract as [[poissonBootstrapQuantile]]; a replicate where a
+    * cohort drew zero mass yields a null difference both engines'
+    * quantile aggregates skip.
+    *
+    * Returns one row: (replicates, n_a, n_b, point_diff, ci_lo,
+    * ci_median, ci_hi) — cohort counts 0 when a cohort is entirely
+    * absent (the COUNT(CASE) convention); zero rows on empty input.
+    */
+  def poissonBootstrapQuantileDiff(df: DataFrame, cohortCol: String,
+                                   cohortA: String, cohortB: String,
+                                   idCol: String, valueCol: String,
+                                   qNum: Long, qDen: Long,
+                                   replicates: Int = 64,
+                                   seed: Long = 40503L): DataFrame = {
+    require(replicates >= 4, s"replicates=$replicates")
+    require(cohortA != cohortB, "cohorts must differ")
+    require(qNum >= 1 && qDen > 0 && qNum <= qDen,
+      s"need 1 <= qNum <= qDen, got $qNum/$qDen")
+    val reserved = Seq("__id", "__v", "__c", "__r", "__u", "__k",
+      "__cum", "__tot", "__q", "__t", "__qa", "__qb", "__ta", "__tb",
+      "__m")
+    Seq(cohortCol, idCol, valueCol).foreach(c =>
+      require(!reserved.contains(c), s"column name $c is reserved"))
+    val base = df
+      .where(col(cohortCol).isin(cohortA, cohortB))
+      .select(col(cohortCol).cast("string").as("__c"),
+        col(idCol).cast("long").as("__id"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+    requireBootstrapIds(base, "poissonBootstrapQuantileDiff")
+    val inflated = withPoissonDraws(base, replicates, seed)
+      .select(col("__c"), col("__r"), col("__id"), col("__v"),
+        col("__k"))
+      .unionAll(base.select(col("__c"), lit(-1).as("__r"), col("__id"),
+        col("__v"), lit(1).as("__k")))
+    val run = Window.partitionBy("__c", "__r")
+      .orderBy(col("__v"), col("__id"))
+    val all = Window.partitionBy("__c", "__r")
+    val qv = inflated
+      .withColumn("__cum", sum("__k").over(run))
+      .withColumn("__tot", sum("__k").over(all))
+      .where(col("__tot") > 0 &&
+        col("__cum") * lit(qDen) >= col("__tot") * lit(qNum))
+      .groupBy("__c", "__r")
+      .agg(min("__v").as("__q"), max("__tot").as("__t"))
+    val byR = qv.groupBy("__r")
+      .agg(max(when(col("__c") === cohortA, col("__q"))).as("__qa"),
+        max(when(col("__c") === cohortB, col("__q"))).as("__qb"),
+        max(when(col("__c") === cohortA, col("__t"))).as("__ta"),
+        max(when(col("__c") === cohortB, col("__t"))).as("__tb"))
+      .withColumn("__m", round(col("__qa").cast("double") -
+        col("__qb").cast("double"), 6))
+    byR.agg(
+        round(expr("percentile(CASE WHEN __r >= 0 THEN __m END, 0.025)"),
+          6).as("ci_lo"),
+        round(expr("percentile(CASE WHEN __r >= 0 THEN __m END, 0.5)"),
+          6).as("ci_median"),
+        round(expr("percentile(CASE WHEN __r >= 0 THEN __m END, 0.975)"),
+          6).as("ci_hi"),
+        max(when(col("__r") === -1, col("__m"))).as("point_diff"),
+        max(when(col("__r") === -1, coalesce(col("__ta"), lit(0L))))
+          .as("n_a"),
+        max(when(col("__r") === -1, coalesce(col("__tb"), lit(0L))))
+          .as("n_b"))
+      .where(col("n_a").isNotNull || col("n_b").isNotNull)
+      .select(lit(replicates).as("replicates"), col("n_a"), col("n_b"),
+        col("point_diff"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+  }
+
   private def quantileCore(df: DataFrame, groupCols: Seq[String],
                            idCol: String, valueCol: String,
                            qNum: Long, qDen: Long,

@@ -496,6 +496,30 @@ class SamplingPackingSpec extends AnyFunSuite with SparkFixture {
       assert(glo <= gex(g) && gex(g) <= ghi,
         s"group $g CI [$glo, $ghi] misses ${gex(g)}")
     }
+    // the A/B quantile twin: a planted +5 treatment shift moves the
+    // median-difference CI clear of 0
+    val ab = (1 to n).map { i =>
+      val c = if (i % 2 == 0) "t" else "c"
+      val lift = if (c == "t") 5.0 else 0.0
+      (i.toLong, c, 100.0 + (i % 97).toDouble + lift)
+    }.toDF("id", "c", "v")
+    val qd = Sampling.poissonBootstrapQuantileDiff(ab, "c", "t", "c",
+        "id", "v", 1, 2, replicates = 64)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].head()
+    assert(qd._2 === (n / 2).toLong && qd._3 === (n / 2).toLong)
+    assert(qd._4 > 2.0 && qd._4 < 8.0, s"point median shift: $qd")
+    assert(qd._5 <= qd._6 && qd._6 <= qd._7)
+    assert(qd._5 > 0.0, s"a +5 median shift must exclude 0: $qd")
+    // a cohort entirely absent: counts 0 (COUNT(CASE) semantics), null
+    // diff, one row; empty input: zero rows
+    val qabs = Sampling.poissonBootstrapQuantileDiff(
+        ab.where(col("c") === "t"), "c", "t", "c", "id", "v", 1, 2, 64)
+      .select("n_a", "n_b", "point_diff")
+      .as[(Long, Long, Option[Double])].head()
+    assert(qabs._1 === (n / 2).toLong && qabs._2 === 0L &&
+      qabs._3.isEmpty)
+    assert(Sampling.poissonBootstrapQuantileDiff(
+      ab.where(lit(false)), "c", "t", "c", "id", "v", 1, 2, 64).isEmpty)
   }
 
   test("poissonBootstrapRatio: exact ratio on a constant-ratio fixture " +
