@@ -524,6 +524,14 @@ object Retraction {
     * Returns the per-shard manifest (shard, n_docs, n_tokens,
     * n_sequences), also persisted at `outPath/_manifest` — the
     * reproducibility receipt a training run records.
+    *
+    * Takedown story for THIS (full, ledger-less) verb's output: re-run
+    * the export — it rewrites the whole tree from the served corpus,
+    * which already excludes everything tombstoned, and a full rewrite
+    * is this verb's own cost model (one pass either way). Only the
+    * incremental verb's immutable epochs need the pruned
+    * [[retractFromExport]]; a mixed deployment wires those roots into
+    * [[Artifacts.exportRoots]] and re-runs full exports on demand.
     */
   /** The export receipt's schema — ONE definition shared by the full
     * and incremental verbs' empty-result paths, so the two receipts can
