@@ -355,11 +355,12 @@ object Sampling {
     * safe under ANSI overflow checking, and every step is plain integer
     * arithmetic DuckDB replays verbatim.
     *
-    * Numeric discipline for the cross-engine contract: values are summed
-    * as DECIMAL(18,2) (exact, order-independent — a double sum differs
-    * across partition orders in the last bits, which an exact-repr
-    * oracle compare would flag), divided once as double, rounded to 6dp
-    * BEFORE the quantile interpolation.
+    * Numeric discipline for the cross-engine contract: DECIMAL(18,2)
+    * values are summed exactly (as long cents — see [[cents]]; exact
+    * and order-independent, where a double sum differs across partition
+    * orders in the last bits, which an exact-repr oracle compare would
+    * flag), divided once as double, rounded to 6dp BEFORE the quantile
+    * interpolation.
     *
     * Returns one row per group (one total for the ungrouped form; EMPTY
     * input → zero rows, matching the SQL twin): (replicates, n_rows,
@@ -419,7 +420,7 @@ object Sampling {
       .where(col(cohortCol).isin(cohortA, cohortB))
       .select(col(cohortCol).cast("string").as("__c"),
         col(idCol).cast("long").as("__id"),
-        col(valueCol).cast("decimal(18,2)").as("__v"))
+        cents(col(valueCol).cast("decimal(18,2)")).as("__v"))
     requireBootstrapIds(base, "poissonBootstrapDiff")
     def side(c: String, e: Column): Column = sum(when(col("__c") === c, e))
     // cohort row counts as count(when(...)) — 0 when a cohort is entirely
@@ -429,10 +430,10 @@ object Sampling {
     val means = withPoissonDraws(base, replicates, seed)
       .groupBy("__r")
       .agg(round(
-          side(cohortA, col("__k") * col("__v")).cast("double") /
+          centsToDouble(side(cohortA, col("__k") * col("__v"))) /
             when(side(cohortA, col("__k")) =!= 0,
               side(cohortA, col("__k"))) -
-          side(cohortB, col("__k") * col("__v")).cast("double") /
+          centsToDouble(side(cohortB, col("__k") * col("__v"))) /
             when(side(cohortB, col("__k")) =!= 0,
               side(cohortB, col("__k"))), 6).as("__m"),
         nside(cohortA).as("__na"), nside(cohortB).as("__nb"),
@@ -443,8 +444,8 @@ object Sampling {
         round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
         round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"),
         first("__na").as("n_a"), first("__nb").as("n_b"),
-        round(first("__sa").cast("double") / first("__na") -
-          first("__sb").cast("double") / first("__nb"), 6)
+        round(centsToDouble(first("__sa")) / first("__na") -
+          centsToDouble(first("__sb")) / first("__nb"), 6)
           .as("point_diff"))
       .where(col("n_a").isNotNull || col("n_b").isNotNull)
       .select(lit(replicates).as("replicates"), col("n_a"), col("n_b"),
@@ -467,14 +468,25 @@ object Sampling {
     * quantile of the base data (weight 1), riding the SAME inflated
     * frame as a sentinel replicate — one scan for everything.
     *
-    * Scale shape: ONE shuffle of the (replicates+1)×-inflated
-    * two-column projection, partitioned by replicate, each partition
-    * sorted once for the running-weight window — the exact-quantile
-    * floor (order statistics need an order); contrast the classic
-    * bootstrap's R independent resample-then-sort passes. Same
-    * hash/decimal discipline and [0, 2³¹) id contract as every
-    * bootstrap verb here; replicates that drew zero total mass are
-    * skipped (both engines alike).
+    * Scale shape (two-pass exact selection): the naive form — sort the
+    * whole (replicates+1)×-inflated frame once per replicate for a
+    * running-weight window — pays R near-full sorts and caps
+    * parallelism at R window partitions (65 single-task sorts at
+    * 100 TB). Instead, pass 1 HASH-AGGREGATES the inflated frame to
+    * per-(replicate, value-bucket) weight sums (map-side partials — the
+    * inflated rows never cross the shuffle) and a tiny window over the
+    * ≤ R×256 bucket rows finds, per replicate, the one bucket whose
+    * cumulative weight crosses `qNum/qDen` plus the exact cumulative
+    * prefix before it; pass 2 re-derives the (deterministic) draws for
+    * ONLY the rows of each replicate's target bucket (a broadcast join
+    * against the bucket map) and runs the exact running-weight cut
+    * there — ~1/256 of the data through the only sort in the plan. The
+    * cut itself is unchanged: the smallest value whose cumulative
+    * weight reaches the target, bit-identical to the single-window
+    * form and to the DuckDB twin (which replays the one-window
+    * definition). Same hash/decimal discipline and [0, 2³¹) id
+    * contract as every bootstrap verb here; replicates that drew zero
+    * total mass are skipped (both engines alike).
     *
     * Returns one row: (replicates, n_rows, point_q, ci_lo, ci_median,
     * ci_hi); zero rows on empty input.
@@ -533,7 +545,7 @@ object Sampling {
       s"need 1 <= qNum <= qDen, got $qNum/$qDen")
     val reserved = Seq("__id", "__v", "__c", "__r", "__u", "__k",
       "__cum", "__tot", "__q", "__t", "__qa", "__qb", "__ta", "__tb",
-      "__m")
+      "__m", "__b", "__w", "__wcum", "__pre")
     Seq(cohortCol, idCol, valueCol).foreach(c =>
       require(!reserved.contains(c), s"column name $c is reserved"))
     val base = df
@@ -541,22 +553,8 @@ object Sampling {
       .select(col(cohortCol).cast("string").as("__c"),
         col(idCol).cast("long").as("__id"),
         col(valueCol).cast("decimal(18,2)").as("__v"))
-    requireBootstrapIds(base, "poissonBootstrapQuantileDiff")
-    val inflated = withPoissonDraws(base, replicates, seed)
-      .select(col("__c"), col("__r"), col("__id"), col("__v"),
-        col("__k"))
-      .unionAll(base.select(col("__c"), lit(-1).as("__r"), col("__id"),
-        col("__v"), lit(1).as("__k")))
-    val run = Window.partitionBy("__c", "__r")
-      .orderBy(col("__v"), col("__id"))
-    val all = Window.partitionBy("__c", "__r")
-    val qv = inflated
-      .withColumn("__cum", sum("__k").over(run))
-      .withColumn("__tot", sum("__k").over(all))
-      .where(col("__tot") > 0 &&
-        col("__cum") * lit(qDen) >= col("__tot") * lit(qNum))
-      .groupBy("__c", "__r")
-      .agg(min("__v").as("__q"), max("__tot").as("__t"))
+    val qv = quantileCuts(base, Seq("__c"), qNum, qDen, replicates, seed,
+      "poissonBootstrapQuantileDiff")
     val byR = qv.groupBy("__r")
       .agg(max(when(col("__c") === cohortA, col("__q"))).as("__qa"),
         max(when(col("__c") === cohortB, col("__q"))).as("__qb"),
@@ -590,43 +588,19 @@ object Sampling {
       s"need 1 <= qNum <= qDen, got $qNum/$qDen (qNum = 0 would make " +
         "zero-weight rows eligible)")
     val reserved = Seq("__id", "__v", "__r", "__u", "__k", "__cum",
-      "__tot", "__q", "__t")
+      "__tot", "__q", "__t", "__b", "__w", "__wcum", "__pre")
     (groupCols ++ Seq(idCol, valueCol)).foreach(c =>
       require(!reserved.contains(c), s"column name $c is reserved"))
     val base = df.select(groupCols.map(col) ++ Seq(
       col(idCol).cast("long").as("__id"),
       col(valueCol).cast("decimal(18,2)").as("__v")): _*)
-    requireBootstrapIds(base, "poissonBootstrapQuantile")
-    // the base data rides as sentinel replicate -1 with weight 1: the
-    // point estimate shares the window pass instead of paying a second
-    // (single-partition!) global sort over the source
-    val cols = groupCols.map(col) ++
-      Seq(col("__r"), col("__id"), col("__v"), col("__k"))
-    val inflated = withPoissonDraws(base, replicates, seed)
-      .select(cols: _*)
-      .unionAll(base.select(groupCols.map(col) ++ Seq(
-        lit(-1).as("__r"), col("__id"), col("__v"),
-        lit(1).as("__k")): _*))
-    val part = (groupCols :+ "__r").map(col)
-    val run = Window.partitionBy(part: _*)
-      .orderBy(col("__v"), col("__id"))
-    val all = Window.partitionBy(part: _*)
-    val qv = inflated
-      .withColumn("__cum", sum("__k").over(run))
-      .withColumn("__tot", sum("__k").over(all))
-      // the qualifying suffix starts at the first row whose cumulative
-      // weight reaches the target (cum only crosses it where k > 0, so
-      // min(v) lands on a drawn row; zero-total replicates are skipped)
-      .where(col("__tot") > 0 &&
-        col("__cum") * lit(qDen) >= col("__tot") * lit(qNum))
-      .groupBy(part: _*)
-      .agg(min("__v").as("__q"), max("__tot").as("__t"))
+    val qv = quantileCuts(base, groupCols, qNum, qDen, replicates, seed,
+      "poissonBootstrapQuantile")
     // ONE aggregation over qv carries both the CI (real replicates)
     // and the sentinel's point estimate as conditional aggregates — a
     // separate point-estimate branch would duplicate the whole
-    // Sort+Window subtree over the inflated frame in the plan (Spark
-    // reuses the Exchange, not the Sort above it), doubling the verb's
-    // dominant cost
+    // two-pass subtree over the inflated frame in the plan,
+    // doubling the verb's dominant cost
     val aggs = Seq(
       round(expr("percentile(CASE WHEN __r >= 0 THEN " +
         "CAST(__q AS DOUBLE) END, 0.025)"), 6).as("ci_lo"),
@@ -669,14 +643,14 @@ object Sampling {
     Seq(idCol, numCol, denCol).foreach(c =>
       require(!reserved.contains(c), s"column name $c is reserved"))
     val base = df.select(col(idCol).cast("long").as("__id"),
-      col(numCol).cast("decimal(18,2)").as("__v"),
-      col(denCol).cast("decimal(18,2)").as("__v2"))
+      cents(col(numCol).cast("decimal(18,2)")).as("__v"),
+      cents(col(denCol).cast("decimal(18,2)")).as("__v2"))
     requireBootstrapIds(base, "poissonBootstrapRatio")
     val means = withPoissonDraws(base, replicates, seed)
       .groupBy("__r")
-      .agg(round(sum(col("__k") * col("__v")).cast("double") /
-          when(sum(col("__k") * col("__v2")) =!= 0,
-            sum(col("__k") * col("__v2"))), 6).as("__m"),
+      .agg(round(centsToDouble(sum(col("__k") * col("__v"))) /
+          centsToDouble(when(sum(col("__k") * col("__v2")) =!= 0,
+            sum(col("__k") * col("__v2")))), 6).as("__m"),
         sum("__v").as("__sn"), sum("__v2").as("__sd"),
         count(lit(1)).as("__n"))
     means.agg(
@@ -684,11 +658,112 @@ object Sampling {
         round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
         round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"),
         first("__n").as("n_rows"),
-        round(first("__sn").cast("double") /
-          when(first("__sd") =!= 0, first("__sd")), 6).as("point_ratio"))
+        round(centsToDouble(first("__sn")) /
+          centsToDouble(when(first("__sd") =!= 0, first("__sd"))), 6)
+          .as("point_ratio"))
       .where(col("n_rows").isNotNull)
       .select(lit(replicates).as("replicates"), col("n_rows"),
         col("point_ratio"), col("ci_lo"), col("ci_median"), col("ci_hi"))
+  }
+
+  /** Per-(partCols, replicate) weighted TYPE-1 quantile cuts over the
+    * deterministic Poisson draws — the shared engine behind
+    * [[poissonBootstrapQuantile]], its grouped twin and the A/B diff.
+    * `base` must carry `__id` (long) and `__v` (decimal(18,2)) plus
+    * `partCols`; returns one row per (partCols, __r) with positive
+    * drawn mass: (__q = the cut value, __t = the replicate's total
+    * weight), the sentinel replicate −1 (base data, weight 1) included.
+    *
+    * Two-pass exact selection (the 100 TB shape — see
+    * [[poissonBootstrapQuantile]]'s scaladoc):
+    *
+    *  1. the inflated frame hash-aggregates to per-(part, __r, bucket)
+    *     weight sums — map-side partials, so the inflated rows never
+    *     cross a shuffle; buckets are ≤ 256 equal-width slices of the
+    *     value domain (bounds from the same one-row agg as the id
+    *     guard), a monotone function of `__v`, nulls first (bucket −1,
+    *     Spark's ASC NULLS FIRST). A window over the tiny bucket frame
+    *     finds per (part, __r) the FIRST bucket whose cumulative weight
+    *     reaches `qNum/qDen` of the total — the cut provably lands
+    *     inside it (its cumulative crosses the target there) — plus the
+    *     exact cumulative prefix before it and the total.
+    *  2. only that bucket's rows join back (broadcast of the one-row-
+    *     per-replicate bucket map), the draws re-derive — they are pure
+    *     (id, replicate) arithmetic, so re-deriving is cheaper than
+    *     carrying them through a shuffle — and the exact running-weight
+    *     cut runs inside the bucket, seeded with the pass-1 prefix:
+    *     the only sort in the plan sees ~1/256 of the inflated frame.
+    *
+    * The qualifying suffix starts at the first row whose cumulative
+    * weight reaches the target (cum only crosses it where k > 0, so
+    * min(v) lands on a drawn row; zero-total replicates are skipped) —
+    * the same cut, bit-for-bit, as a single running-weight window over
+    * the full inflated frame, which is what the DuckDB twins replay.
+    */
+  private def quantileCuts(base: DataFrame, partCols: Seq[String],
+                           qNum: Long, qDen: Long, replicates: Int,
+                           seed: Long, verb: String): DataFrame = {
+    // id guard + histogram domain in ONE column-pruned one-row agg
+    val bounds = base.agg(min("__id"), max("__id"),
+      min(col("__v").cast("double")), max(col("__v").cast("double")))
+      .collect().head
+    if (!bounds.isNullAt(0))
+      require(bounds.getLong(0) >= 0 && bounds.getLong(1) < (1L << 31),
+        s"$verb needs ids in [0, 2^31): [${bounds.get(0)}, " +
+          s"${bounds.get(1)}] would break the cross-engine hash")
+    val nb = 256
+    val width =
+      if (bounds.isNullAt(2)) 0.0
+      else (bounds.getDouble(3) - bounds.getDouble(2)) / nb
+    val vMin = if (bounds.isNullAt(2)) 0.0 else bounds.getDouble(2)
+    // monotone in __v by construction (shared literal width), so bucket
+    // order refines value order and the per-bucket cut is exact
+    val bucket = when(col("__v").isNull, lit(-1)).otherwise(
+      if (width > 0)
+        least(floor((col("__v").cast("double") - lit(vMin)) / lit(width)),
+          lit(nb - 1)).cast("int")
+      else lit(0))
+    val part = (partCols :+ "__r").map(col)
+    // pass 1: the base data rides as sentinel replicate -1 with weight
+    // 1 (the point estimate shares every pass instead of paying its own
+    // single-partition global sort over the source)
+    val wsum = withPoissonDraws(base, replicates, seed)
+      .select(partCols.map(col) ++
+        Seq(col("__r"), bucket.as("__b"), col("__k")): _*)
+      .unionAll(base.select(partCols.map(col) ++ Seq(
+        lit(-1).as("__r"), bucket.as("__b"), lit(1).as("__k")): _*))
+      .groupBy((partCols :+ "__r" :+ "__b").map(col): _*)
+      .agg(sum("__k").as("__w"))
+    val wrun = Window.partitionBy(part: _*).orderBy(col("__b"))
+    val wall = Window.partitionBy(part: _*)
+    // the first qualifying bucket always has __w > 0 (a zero-weight
+    // bucket leaves the cumulative unchanged, so an earlier bucket
+    // would already have qualified), hence __pre < target <= __wcum
+    val marks = wsum
+      .withColumn("__wcum", sum("__w").over(wrun))
+      .withColumn("__tot", sum("__w").over(wall))
+      .where(col("__tot") > 0 &&
+        col("__wcum") * lit(qDen) >= col("__tot") * lit(qNum))
+      .groupBy(part: _*)
+      .agg(min("__b").as("__b"),
+        min_by(col("__wcum") - col("__w"), col("__b")).as("__pre"),
+        max("__tot").as("__tot"))
+    // pass 2: rows after the in-bucket crossing all qualify and carry
+    // the bucket's smallest qualifying value; rows of later buckets
+    // qualify too but are strictly larger, so the in-bucket min IS the
+    // global min — the full-frame window's answer
+    val run = Window.partitionBy(part: _*)
+      .orderBy(col("__v"), col("__id"))
+    base
+      .withColumn("__b", bucket)
+      .join(broadcast(marks), partCols :+ "__b")
+      .withColumn("__u", poissonU(col("__id"), col("__r"), seed))
+      .withColumn("__k", when(col("__r") === lit(-1), lit(1))
+        .otherwise(poissonKOfU(col("__u"))))
+      .withColumn("__cum", col("__pre") + sum("__k").over(run))
+      .where(col("__cum") * lit(qDen) >= col("__tot") * lit(qNum))
+      .groupBy(part: _*)
+      .agg(min("__v").as("__q"), max("__tot").as("__t"))
   }
 
   /** The id-domain guard every bootstrap verb shares — the
@@ -712,22 +787,53 @@ object Sampling {
     * each with its Poisson(1) count `__k`.
     */
   private def withPoissonDraws(base: DataFrame, replicates: Int,
-                               seed: Long): DataFrame = {
-    val h1 = pmod(col("__id") * lit(2654435761L) + col("__r") * lit(seed),
+                               seed: Long): DataFrame =
+    base
+      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__u", poissonU(col("__id"), col("__r"), seed))
+      .withColumn("__k", poissonKOfU(col("__u")))
+
+  /** The uniform draw u(id, r) — the murmur-style finalizer chain that
+    * breaks the multiplicative congruence's linearity (see
+    * [[poissonBootstrap]]'s scaladoc for why a bare scramble
+    * underdisperses). One definition for the exploded inflate AND the
+    * re-derivation on already-(id, r)-keyed rows ([[quantileCuts]]'s
+    * pass 2).
+    */
+  private def poissonU(id: Column, r: Column, seed: Long): Column = {
+    val h1 = pmod(id * lit(2654435761L) + r * lit(seed),
       lit(4294967296L))
     val h2 = h1.bitwiseXOR(shiftright(h1, 16))
     val h3 = pmod(h2 * lit(1540483477L), lit(4294967296L))
     val h4 = h3.bitwiseXOR(shiftright(h3, 13))
-    val k = poisson1Cdf.zipWithIndex.foldRight(
-        lit(poisson1Cdf.size): Column) {
-      case ((c, i), rest) => when(col("__u") < lit(c), lit(i))
-        .otherwise(rest)
-    }
-    base
-      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("__u", h4.cast("double") / lit(4294967296.0))
-      .withColumn("__k", k)
+    h4.cast("double") / lit(4294967296.0)
   }
+
+  /** Inverse-CDF fold from a materialized uniform column (keep `u` a
+    * real column — the 9-arm `when` chain re-evaluates its input per
+    * arm without a common-subexpression anchor).
+    */
+  private def poissonKOfU(u: Column): Column =
+    poisson1Cdf.zipWithIndex.foldRight(
+        lit(poisson1Cdf.size): Column) {
+      case ((c, i), rest) => when(u < lit(c), lit(i)).otherwise(rest)
+    }
+
+  /** DECIMAL(18,2) → exact long cents. The aggregates below sum cents
+    * as plain longs instead of decimal(38,2) (hash-agg decimal buffers
+    * measured ~2× the whole aggregation's cost at bench scale); the
+    * value is identical — both are exact, order-independent integer
+    * sums — and `centsToDouble` reproduces decimal→double casting
+    * bit-for-bit: Java's `BigDecimal.doubleValue()` small-scale fast
+    * path IS `(double)unscaled / 100.0` (exact while |cents| < 2⁵²,
+    * i.e. 45 trillion currency units — far beyond the id contract's
+    * 2³¹-row ceiling at any realistic per-row value; the oracle compare
+    * re-proves equality at every driver SF).
+    */
+  private def cents(v: Column): Column = (v * 100).cast("long")
+
+  private def centsToDouble(c: Column): Column =
+    c.cast("double") / lit(100.0)
 
   private def bootstrapCore(df: DataFrame, groupCols: Seq[String],
                             idCol: String, valueCol: String,
@@ -739,7 +845,7 @@ object Sampling {
       require(!reserved.contains(c), s"column name $c is reserved"))
     val base = df.select(groupCols.map(col) ++ Seq(
       col(idCol).cast("long").as("__id"),
-      col(valueCol).cast("decimal(18,2)").as("__v")): _*)
+      cents(col(valueCol).cast("decimal(18,2)")).as("__v")): _*)
     // the cross-engine contract needs ids in [0, 2^31): negative ids
     // split pmod from C-style %, larger ones overflow differently
     // across engines (the exportTrainingShards guard, both bounds)
@@ -750,7 +856,7 @@ object Sampling {
     // estimate needs no second pass over the source
     val means = withPoissonDraws(base, replicates, seed)
       .groupBy((groupCols :+ "__r").map(col): _*)
-      .agg(round(sum(col("__k") * col("__v")).cast("double") /
+      .agg(round(centsToDouble(sum(col("__k") * col("__v"))) /
           when(sum(col("__k")) =!= 0, sum(col("__k"))), 6).as("__m"),
         sum("__v").as("__sv"), count(lit(1)).as("__n"))
     val aggs = Seq(
@@ -758,7 +864,7 @@ object Sampling {
       round(expr("percentile(__m, 0.5)"), 6).as("ci_median"),
       round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"),
       first("__n").as("n_rows"),
-      round(first("__sv").cast("double") / first("__n"), 6)
+      round(centsToDouble(first("__sv")) / first("__n"), 6)
         .as("point_mean"))
     val outCols = groupCols.map(col) ++ Seq(
       lit(replicates).as("replicates"), col("n_rows"),
