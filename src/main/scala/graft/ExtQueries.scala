@@ -81,10 +81,34 @@ object ExtQueries {
       "graft_media_hash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       graft.sources.Compaction.rm(path)
-      Multimodal.writeMediaHashIndex(dhashMedia(s, d), path.toString)
+      Multimodal.writeMediaHashIndex(readDhashMedia(s, d), path.toString)
     }
     path.toString
   }
+
+  /** The [[dhashMedia]] corpus STAGED as parquet bytes, built IF ABSENT
+    * (`_SUCCESS`-gated, keyed by sf dir — the [[mediaHashIndexFor]]
+    * convention): the PNG synthesis (ImageIO encode per doc, plus a
+    * decode+re-encode for every upscaled odd doc) is FIXTURE BUILD, not
+    * the verb mm_dhash_dedup prices — a deployment decodes stored
+    * bytes, it does not synthesize them — so the timed body reads the
+    * staged bytes and pays decode + dHash + the blocked Hamming join
+    * alone. Deterministic (seed-keyed synthetic media), so reuse across
+    * passes is sound; Verify self-stages on first touch.
+    */
+  private def dhashMediaPathFor(s: SparkSession, d: String): String = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_dhash_media_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.sources.Compaction.rm(path)
+      dhashMedia(s, d).write.mode("overwrite").parquet(path.toString)
+    }
+    path.toString
+  }
+
+  private def readDhashMedia(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(dhashMediaPathFor(s, d))
 
   /** The mm_ahash_dedup_indexed fixture: the hash-once AUDIO fingerprint
     * index for the [[ahashMedia]] corpus — the waveform twin of
@@ -2489,8 +2513,11 @@ object ExtQueries {
     // shuffle). rows-only (perceptual hashing is engine-defined); priced
     // by the recall twin below at floor 1.0 — resize invariance here is
     // a THEOREM (9 | width, 8 | height), not a tuning outcome.
+    // Round 21: the media bytes stage UNTIMED ([[dhashMediaPathFor]]) —
+    // the timed body prices decode + dHash + Hamming join over stored
+    // bytes, not the fixture's PNG synthesis.
     "mm_dhash_dedup" -> ((s, d) =>
-      Multimodal.imageNearDupPairs(dhashMedia(s, d))
+      Multimodal.imageNearDupPairs(readDhashMedia(s, d))
         .transform(Queries.presentSorted(_, "id_a", "id_b"))),
 
     "mm_dhash_recall" -> ((s, d) => {
@@ -2500,7 +2527,7 @@ object ExtQueries {
           (col("doc_id") + 1).as("id_b"))
         .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"),
           "left_semi")
-      recallOf(truth, Multimodal.imageNearDupPairs(dhashMedia(s, d)),
+      recallOf(truth, Multimodal.imageNearDupPairs(readDhashMedia(s, d)),
         Seq("id_a", "id_b"), floor = 1.0)
     }),
 
@@ -5070,7 +5097,11 @@ object ExtQueries {
     "q_takedown_tombstone" ->
       ((s, d) => { stageTakedownWork(s, d, takedownTombstonePrefix); () }),
     "q_ivf_recluster" ->
-      ((s, d) => { stageIvfReclusterWork(s, d); () }))
+      ((s, d) => { stageIvfReclusterWork(s, d); () }),
+    // buildOnce fixture, not a scratch pair: the media bytes are
+    // read-only to the row, so staging is a no-op after the first call
+    "mm_dhash_dedup" ->
+      ((s, d) => { dhashMediaPathFor(s, d); () }))
 
   /** The q_takedown_apply artifact layout under a given root — shared
     * by the fixture build and the scratch-copy excision so the two can

@@ -398,19 +398,11 @@ object Components {
                 col("component") === col("__rid"), "left_semi")
             .select("lp").distinct()
             .collect().map(_.getInt(0)).toSeq
-          graft.sources.Compaction.parEach(touched) { x =>
-            val leaf = new java.io.File(dir, s"lp=$x")
-            val staging =
-              graft.sources.Compaction.stagingDir(leaf, "retract")
-            if (staging.exists()) graft.sources.Compaction.rm(staging)
-            spark.read.parquet(leaf.toString)
-              .join(broadcast(keys),
-                col("id") === col("__rid") ||
-                  col("component") === col("__rid"), "left_anti")
-              .write.mode("overwrite").parquet(staging.toString)
-            graft.sources.Compaction.swapInto(leaf.toString,
-              staging.toString)
-          }
+          graft.sources.Compaction.rewriteLeaves(spark, dir.toString,
+            "lp", touched,
+            df => df.join(broadcast(keys),
+              col("id") === col("__rid") ||
+                col("component") === col("__rid"), "left_anti"))
       }
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
   }

@@ -370,13 +370,19 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Long](gh * gw)
     val counts = new Array[Long](gh * gw)
+    // ONE bulk getRGB per image: the per-pixel accessor dispatches
+    // through the ColorModel per call, which dominates decode-side CPU
+    // on small grids; the bulk form performs the identical sRGB
+    // conversion row-block-wise, so the hash is bit-unchanged
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var y = 0
     while (y < h) {
       val gy = math.min(y * gh / h, gh - 1)
+      val row = y * w
       var x = 0
       while (x < w) {
         val gx = math.min(x * gw / w, gw - 1)
-        val rgb = img.getRGB(x, y)
+        val rgb = px(row + x)
         sums(gy * gw + gx) += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
           (rgb & 0xFF)
         counts(gy * gw + gx) += 1

@@ -212,7 +212,9 @@ object Retraction {
       .localCheckpoint(true)
     try {
       val requested = keys.count()
-      roots.foreach(r => graft.sources.Tombstones.append(r, keys, "__rid"))
+      // independent overlay dirs — append them concurrently (§2.6)
+      graft.sources.Compaction.parEach(roots)(r =>
+        graft.sources.Tombstones.append(r, keys, "__rid"))
       Report(requested, requested)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
   }
@@ -307,7 +309,7 @@ object Retraction {
       // overlays for the ids still retire (empty indexes serve nothing,
       // and a stale tombstone would hide a future admission of the id).
       if (!new java.io.File(a.corpusPath).exists()) {
-        overlayRoots(a).foreach { r =>
+        graft.sources.Compaction.parEach(overlayRoots(a)) { r =>
           graft.sources.Tombstones.retire(spark, r, keys, "__rid")
         }
         return Report(requested, 0L)
@@ -362,54 +364,70 @@ object Retraction {
         // (near-dups attributed to a survivor at the gate), so its
         // excision runs regardless — retracting a doc that was dropped
         // as a duplicate must still erase its provenance row.
+        // INDEPENDENT artifact excisions fan out on driver threads
+        // (guide §2.6: actions are only sequential because the driver
+        // calls them sequentially — each excision here is a short
+        // pruned-leaf rewrite whose tasks nowhere near fill the
+        // cluster, so overlapping them back-fills the idle cores).
+        // Every track touches its OWN directory tree and inputs are
+        // pre-materialized (`keys`/`docs`/`orphanPairs` are local
+        // checkpoints), so tracks share nothing but the SparkContext,
+        // which schedules concurrent jobs FIFO. The crash contract is
+        // unchanged: excision order among indexes was never load-
+        // bearing — any interleaving of a crash re-heals on re-run
+        // because the corpus (the commit point) still rewrites strictly
+        // LAST, below.
+        val tracks = Seq.newBuilder[() => Unit]
         if (found > 0) {
-          a.textIndex.foreach { cfg =>
+          a.textIndex.foreach { cfg => tracks += (() =>
             graft.sources.TextIndex.retract(spark, cfg, docs, a.idCol,
-              a.textCol)
+              a.textCol))
           }
-          a.exactKeys.foreach { cfg =>
-            graft.sources.BloomKeyIndex.retractKeys(docs, cfg)
+          a.exactKeys.foreach { cfg => tracks += (() =>
+            graft.sources.BloomKeyIndex.retractKeys(docs, cfg))
           }
-          a.minhashIndexPath.foreach { p =>
-            Dedup.retractFromMinhashIndex(spark, p, keys, "__rid")
+          a.minhashIndexPath.foreach { p => tracks += (() =>
+            Dedup.retractFromMinhashIndex(spark, p, keys, "__rid"))
           }
-          a.annIndexPath.foreach { p =>
+          a.annIndexPath.foreach { p => tracks += (() =>
             Similarity.retractFromIndex(spark, p, keys, "__rid",
-              a.annIdCol)
+              a.annIdCol))
           }
-          a.lshIndexPath.foreach { p =>
+          a.lshIndexPath.foreach { p => tracks += (() =>
             Similarity.retractFromLshIndex(spark, p, keys, "__rid",
-              a.lshIdCol)
+              a.lshIdCol))
           }
-          a.sqIndexPath.foreach { p =>
-            Sq.retractFromSqIndex(spark, p, keys, "__rid", a.sqIdCol)
+          a.sqIndexPath.foreach { p => tracks += (() =>
+            Sq.retractFromSqIndex(spark, p, keys, "__rid", a.sqIdCol))
           }
-          a.bqIndexPath.foreach { p =>
-            Bq.retractFromBqIndex(spark, p, keys, "__rid", a.bqIdCol)
+          a.bqIndexPath.foreach { p => tracks += (() =>
+            Bq.retractFromBqIndex(spark, p, keys, "__rid", a.bqIdCol))
           }
-          a.mediaIndexPath.foreach { p =>
-            Multimodal.retractFromMediaIndex(spark, p, keys, "__rid")
+          a.mediaIndexPath.foreach { p => tracks += (() =>
+            Multimodal.retractFromMediaIndex(spark, p, keys, "__rid"))
           }
-          a.forwardStorePath.foreach { p =>
+          a.forwardStorePath.foreach { p => tracks += (() =>
             graft.sources.Bucketing.retractKeyBucketed(spark, p, keys,
-              "__rid", a.idCol)
+              "__rid", a.idCol))
           }
         }
-        a.dupLabelsPath.foreach { p =>
+        // the label store rides its own track: excision, then the
+        // satellite re-closure from the pre-derived pairs (the label
+        // store's own incremental machinery does the closure; the star
+        // rows pointing at the retracted canonical are gone, so the
+        // closure runs over exactly the orphan pairs) — sequential
+        // WITHIN the track, independent of every other artifact
+        a.dupLabelsPath.foreach { p => tracks += (() => {
           Components.retractFromLabelStore(spark, p, keys, "__rid")
-        }
-        // re-close the surviving satellites from the pre-derived pairs
-        // (the label store's own incremental machinery does the closure;
-        // the star rows pointing at the retracted canonical are gone, so
-        // the closure runs over exactly the orphan pairs)
-        orphanPairs.foreach { pairs =>
-          try Components.updateLabelStore(spark, a.dupLabelsPath.get,
-            pairs, "id_a", "id_b",
-            partitions = Components
-              .storePartitions(a.dupLabelsPath.get).getOrElse(0))
-          finally org.apache.spark.sql.GraftBridge
-            .unpersistCheckpoint(pairs)
-        }
+          orphanPairs.foreach { pairs =>
+            try Components.updateLabelStore(spark, p,
+              pairs, "id_a", "id_b",
+              partitions = Components.storePartitions(p).getOrElse(0))
+            finally org.apache.spark.sql.GraftBridge
+              .unpersistCheckpoint(pairs)
+          }
+        })}
+        graft.sources.Compaction.parEach(tracks.result())(_.apply())
         // corpus LAST among the excisions — the commit point after
         // which a re-run is a found=0 no-op
         if (found > 0) a.corpusPartitionCol match {
@@ -421,21 +439,10 @@ object Retraction {
             // the takedown set; only those leaves rewrite
             val touched = docs.select(col(pc).cast("string")).distinct()
               .collect().map(_.getString(0)).toSeq
-            graft.sources.Compaction.parEach(touched) { v =>
-              val leaf = new java.io.File(a.corpusPath, s"$pc=$v")
-              if (leaf.exists()) {
-                val staging =
-                  graft.sources.Compaction.stagingDir(leaf, "retract")
-                if (staging.exists()) graft.sources.Compaction.rm(staging)
-                val leafDf = spark.read.parquet(leaf.toString)
-                leafDf.join(broadcast(keys),
-                    leafDf(a.idCol).cast("long") === keys("__rid"),
-                    "left_anti")
-                  .write.mode("overwrite").parquet(staging.toString)
-                graft.sources.Compaction.swapInto(leaf.toString,
-                  staging.toString)
-              }
-            }
+            graft.sources.Compaction.rewriteLeaves(spark, a.corpusPath,
+              pc, touched,
+              df => df.join(broadcast(keys),
+                df(a.idCol).cast("long") === keys("__rid"), "left_anti"))
         }
         // ALREADY-SHIPPED export epochs, strictly AFTER the corpus
         // commit: retractFromExport's ledger excision re-opens delta
@@ -460,7 +467,7 @@ object Retraction {
         // overlay retirement self-heals"). Ids that were never admitted
         // (or already excised) retire too — their indexes hold nothing,
         // and a stale tombstone would hide the id's future re-admission.
-        overlayRoots(a).foreach { r =>
+        graft.sources.Compaction.parEach(overlayRoots(a)) { r =>
           graft.sources.Tombstones.retire(spark, r, keys, "__rid")
         }
         Report(requested, found)
@@ -559,11 +566,21 @@ object Retraction {
       : org.apache.spark.sql.Column =
     pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
 
-  /** `shard = h mod shards` — the deal over [[exportHash]]. */
+  /** `shard = h mod shards` — the deal over [[exportHash]]. The
+    * Column-count form exists for the one site that deals MANY epochs'
+    * pins in one plan ([[retractFromExport]]'s unioned worklist scan);
+    * both forms are the same expression, so the deal still has exactly
+    * one definition.
+    */
+  private[graft] def exportShard(h: org.apache.spark.sql.Column,
+                                 shards: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(h, shards).cast("int")
+
   private[graft] def exportShard(h: org.apache.spark.sql.Column,
                                  shards: Int)
       : org.apache.spark.sql.Column =
-    pmod(h, lit(shards)).cast("int")
+    exportShard(h, lit(shards))
 
   def exportTrainingShards(spark: SparkSession, a: Artifacts,
                            outPath: String, shards: Int,
@@ -771,9 +788,13 @@ object Retraction {
     * cheap, and the shard assignment being pure id arithmetic makes it
     * cheaper still:
     *
-    *  1. per epoch, the takedown set semi-joins the epoch's `_ids`
-    *     ledger — a column-pruned O(ledger) scan per epoch, zero data
-    *     files opened for epochs that shipped none of the ids;
+    *  1. the takedown set semi-joins EVERY epoch's `_ids` ledger in ONE
+    *     unioned column-pruned job (each child scan tagged with its
+    *     epoch and `_shards` pin as literals) whose per-epoch aggregate
+    *     is the complete (epoch → hits, touched shards) worklist — zero
+    *     data files opened for epochs that shipped none of the ids, and
+    *     a multi-year root with zero hits pays ONE small job, not one
+    *     ledger count per epoch;
     *  2. the touched shard leaves come from ARITHMETIC, not a scan:
     *     `shard = (id · 2654435761 mod 2³²) mod shards` under the
     *     epoch's own `_shards` pin — the hit ids ARE the leaf list;
@@ -820,30 +841,80 @@ object Retraction {
       val epochs = Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
         .sortBy(_.getName.stripPrefix("epoch=").toInt)
-      var epochsTouched = 0L
-      var shardsRewritten = 0L
-      var docsRemoved = 0L
-      epochs.foreach { epochDir =>
-        val epoch = epochDir.getName.stripPrefix("epoch=").toInt
+      // LOUD on silent miswiring (the reclusterDecayed flat-root-guard
+      // stance): an epoch dir that ships data without an _ids ledger —
+      // or a root in exportRoots holding parquet data with no epoch=
+      // layout at all (a full, ledger-less export root) — would make
+      // the takedown cadence report success while shipped data still
+      // serves the ids.
+      def shipsData(d: java.io.File): Boolean =
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(sh => sh.isDirectory && sh.getName.startsWith("shard=")
+            && hasParquet(sh))
+      epochs.foreach { e =>
+        require(new java.io.File(e, "_ids").exists() || !shipsData(e),
+          s"$e ships shard data but carries no _ids ledger — a " +
+            "takedown cannot prune it; only " +
+            "exportTrainingShardsIncremental epochs belong in " +
+            "Artifacts.exportRoots")
+      }
+      require(epochs.nonEmpty || !shipsData(root),
+        s"$outRoot ships shard data but has no epoch= layout — a full " +
+          "(ledger-less) export root cannot take pruned takedowns; " +
+          "re-run the full export against the served corpus instead " +
+          "of wiring it into Artifacts.exportRoots")
+      // the complete (epoch, shard) worklist from ONE job: every
+      // epoch's column-pruned _ids ledger rides a single unioned scan
+      // (its epoch number and _shards pin attached as literals), the
+      // takedown set semi-joins once, and a per-epoch aggregate carries
+      // the hit count plus the touched-shard set via the shared deal
+      // arithmetic. A multi-year root with zero hits pays one small job
+      // instead of one ledger-count job PER epoch.
+      val ledgered = epochs.flatMap { epochDir =>
         val ledgerDir = new java.io.File(epochDir, "_ids")
-        if (ledgerDir.exists()) {
-          val ledger = spark.read.parquet(ledgerDir.toString)
-          val hits = ledger.join(broadcast(keys),
-            ledger(idCol).cast("long") === keys("__rid"), "left_semi")
-          val nHits = hits.count()
-          if (nHits > 0) {
-            epochsTouched += 1
-            docsRemoved += nHits
-            val pin = new java.io.File(epochDir, "_shards")
-            require(pin.exists(),
-              s"$epochDir holds an _ids ledger but no _shards pin — " +
-                "not an exportTrainingShardsIncremental epoch")
-            val nShards =
-              java.nio.file.Files.readString(pin.toPath).trim.toInt
-            // the hit ids ARE the worklist: same hash the export dealt
-            val touched = hits.select(
-                exportShard(exportHash(col(idCol)), nShards).as("__s"))
-              .distinct().collect().map(_.getInt(0)).toIndexedSeq.sorted
+        if (!ledgerDir.exists()) None
+        else {
+          val pin = new java.io.File(epochDir, "_shards")
+          require(pin.exists(),
+            s"$epochDir holds an _ids ledger but no _shards pin — " +
+              "not an exportTrainingShardsIncremental epoch")
+          Some((epochDir,
+            java.nio.file.Files.readString(pin.toPath).trim.toInt,
+            ledgerDir))
+        }
+      }
+      val worklist: Seq[(Int, Long, Seq[Int])] =
+        if (ledgered.isEmpty) Nil
+        else ledgered.map { case (epochDir, nShards, ledgerDir) =>
+            spark.read.parquet(ledgerDir.toString)
+              .select(col(idCol).cast("long").as("__lid"),
+                lit(epochDir.getName.stripPrefix("epoch=").toInt)
+                  .as("__epoch"),
+                lit(nShards).as("__ns"))
+          }
+          .reduce(_ unionAll _)
+          .join(broadcast(keys), col("__lid") === col("__rid"),
+            "left_semi")
+          .groupBy("__epoch")
+          .agg(count(lit(1)).as("__n"),
+            collect_set(exportShard(exportHash(col("__lid")),
+              col("__ns"))).as("__shards"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1),
+            r.getSeq[Int](2).sorted))
+          .sortBy(_._1).toIndexedSeq
+      val epochsTouched = worklist.size.toLong
+      val docsRemoved = worklist.map(_._2).sum
+      val shardsRewrittenTotal =
+        new java.util.concurrent.atomic.AtomicLong(0L)
+      // hit epochs are independent (own leaves, own receipt, own
+      // ledger; the per-epoch commit contract below is WITHIN an
+      // epoch) — rewrite them concurrently, leaves concurrently within
+      // each
+      graft.sources.Compaction.parEach(worklist) {
+        case (epoch, _, touched) =>
+          val epochDir = new java.io.File(root, s"epoch=$epoch")
+          locally {
             val rewrote = new java.util.concurrent.atomic.AtomicLong(0L)
             graft.sources.Compaction.parEach(touched) { sv =>
               val leaf = new java.io.File(epochDir, s"shard=$sv")
@@ -874,7 +945,7 @@ object Retraction {
             // the arithmetic worklist — a re-run converging a prior
             // crash finds some leaves already gone, and a report that
             // over-counts reads as phantom drift to a reconciling audit
-            shardsRewritten += rewrote.get()
+            shardsRewrittenTotal.addAndGet(rewrote.get())
             // receipt fixup: touched shards re-derived from the leaves
             // as rewritten (disk truth — a crashed prior pass converges
             // here too), untouched rows carried verbatim
@@ -905,13 +976,12 @@ object Retraction {
               mStaging.toString)
             // ledger LAST — the commit point (see the contract above)
             graft.sources.Compaction.retractRows(spark,
-              ledgerDir.toString, keys,
+              new java.io.File(epochDir, "_ids").toString, keys,
               (t, k) => t(idCol).cast("long") === k("__rid"))
           }
-        }
       }
-      ExportRetractReport(requested, epochsTouched, shardsRewritten,
-        docsRemoved)
+      ExportRetractReport(requested, epochsTouched,
+        shardsRewrittenTotal.get(), docsRemoved)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
   }
 

@@ -186,16 +186,9 @@ object Similarity {
         .join(broadcast(keys), Seq("__rid"), "left_semi")
         .select("cell").distinct()
         .collect().map(_.getInt(0)).toSeq
-      graft.sources.Compaction.parEach(touched) { c =>
-        val leaf = new java.io.File(table, s"cell=$c")
-        val staging = graft.sources.Compaction.stagingDir(leaf, "retract")
-        if (staging.exists()) graft.sources.Compaction.rm(staging)
-        val leafDf = spark.read.parquet(leaf.toString)
-        leafDf.join(broadcast(keys),
-            leafDf(indexIdCol).cast("long") === keys("__rid"), "left_anti")
-          .write.mode("overwrite").parquet(staging.toString)
-        graft.sources.Compaction.swapInto(leaf.toString, staging.toString)
-      }
+      graft.sources.Compaction.rewriteLeaves(spark, table, "cell", touched,
+        df => df.join(broadcast(keys),
+          df(indexIdCol).cast("long") === keys("__rid"), "left_anti"))
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keys)
   }
 

@@ -242,17 +242,11 @@ object BloomKeyIndex {
       val kps = keyed
         .select(pmod(col("khash"), lit(cfg.keyPartitions)).as("kp"))
         .distinct().collect().map(_.getLong(0))
-      Compaction.parEach(kps.toSeq) { v =>
-        val leaf = new java.io.File(cfg.keysPath, s"kp=$v")
-        if (leaf.exists()) {
-          val staging = Compaction.stagingDir(leaf, "retract")
-          if (staging.exists()) Compaction.rm(staging)
-          spark.read.parquet(leaf.toString)
-            .join(broadcast(keyed), Seq("khash", "key"), "left_anti")
-            .write.mode("overwrite").parquet(staging.toString)
-          Compaction.swapInto(leaf.toString, staging.toString)
-        }
-      }
+      // one pruned-scan job rewrites every touched kp leaf (a takedown
+      // of k keys touches up to k leaves — per-leaf jobs made this the
+      // most expensive excision in retractDocs at bench scale)
+      Compaction.rewriteLeaves(spark, cfg.keysPath, "kp", kps.toSeq,
+        df => df.join(broadcast(keyed), Seq("khash", "key"), "left_anti"))
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(keyed)
   }
 

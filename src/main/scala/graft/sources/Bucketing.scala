@@ -190,19 +190,9 @@ object Bucketing {
       val kbs = ids.select(pmod(xxhash64(col("__rid")), lit(p))
           .cast("int").as("kb"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      Compaction.parEach(kbs) { v =>
-        val leaf = new java.io.File(path, s"$bucketCol=$v")
-        if (leaf.exists()) {
-          val staging = Compaction.stagingDir(leaf, "retract")
-          if (staging.exists()) Compaction.rm(staging)
-          val leafDf = spark.read.parquet(leaf.toString)
-          leafDf.join(broadcast(ids),
-              leafDf(storeKeyCol).cast("long") === ids("__rid"),
-              "left_anti")
-            .write.mode("overwrite").parquet(staging.toString)
-          Compaction.swapInto(leaf.toString, staging.toString)
-        }
-      }
+      Compaction.rewriteLeaves(spark, path, bucketCol, kbs,
+        df => df.join(broadcast(ids),
+          df(storeKeyCol).cast("long") === ids("__rid"), "left_anti"))
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(ids)
   }
 

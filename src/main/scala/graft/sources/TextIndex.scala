@@ -801,17 +801,10 @@ object TextIndex {
             .coalesce(1).write.mode("append").parquet(ledgerPath(cfg))
           sumLen = obs.get("sl").asInstanceOf[Long]
         }
-        // leaves are independent — overlap their rewrite jobs instead of
-        // paying |tps| sequential driver round-trips
-        Compaction.parEach(liveTps) { v =>
-          val leaf = new File(pdir, s"tp=$v")
-          val staging = Compaction.stagingDir(leaf, "retract")
-          if (staging.exists()) Compaction.rm(staging)
-          spark.read.parquet(leaf.toString)
-            .join(broadcast(ids), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(staging.toString)
-          Compaction.swapInto(leaf.toString, staging.toString)
-        }
+        // one pruned-scan job rewrites every touched leaf (per-leaf
+        // jobs were pure scheduling latency at this leaf size)
+        Compaction.rewriteLeaves(spark, postingsPath(cfg), "tp", liveTps,
+          df => df.join(broadcast(ids), Seq("doc_id"), "left_anti"))
         (nDocs, sumLen)
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(newIds)
     } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(ids)
