@@ -4318,20 +4318,28 @@ object ExtQueries {
       import s.implicits._
       val work = ivfReclusterWork(s, d)
       val idx = new java.io.File(work, "idx").toString
-      val before = Similarity.ivfIndexStats(s, idx)
-        .select("imbalance").first().getDouble(0)
-      val total = s.read.parquet(s"$idx/data").count()
+      // independent bounded actions overlap on driver threads (§2.6) —
+      // the verb's phases stay strictly ordered around the swap
+      var before = 0.0; var total = 0L
+      graft.sources.Compaction.parEach(Seq(
+        () => before = Similarity.ivfIndexStats(s, idx)
+          .select("imbalance").first().getDouble(0),
+        () => total = s.read.parquet(s"$idx/data").count()
+      ))(_.apply())
       Similarity.reclusterIvfIndex(s, idx, "vec_id", "embedding",
         kmeansIters = 5)
-      val after = Similarity.ivfIndexStats(s, idx)
-        .select("imbalance").first().getDouble(0)
-      val kept = s.read.parquet(s"$idx/data").count()
+      val truth = s.read.parquet(
+        new java.io.File(work, "truth").toString)
+      var after = 0.0; var kept = 0L; var nTruth = 0L
+      graft.sources.Compaction.parEach(Seq(
+        () => after = Similarity.ivfIndexStats(s, idx)
+          .select("imbalance").first().getDouble(0),
+        () => kept = s.read.parquet(s"$idx/data").count(),
+        () => nTruth = truth.count()
+      ))(_.apply())
       val queries = embs(s, d)
         .filter(pmod(col("vec_id"), lit(40)) === 0)
         .select("vec_id", "embedding")
-      val truth = s.read.parquet(
-        new java.io.File(work, "truth").toString)
-      val nTruth = truth.count()
       val found = truth.join(
         Similarity.ivfBatchTopKFromIndex(s, idx, "vec_id", "embedding",
             queries, "vec_id", "embedding", k = 5, nprobe = 4)

@@ -159,10 +159,8 @@ object Dedup {
     val sigB = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     val prefiltered = pin(candidates
       .join(sigA, "id_a").join(sigB, "id_b")
-      .where(aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-          lit(0), (acc, v) => acc + v) >= minMatch)
+      .where(graft.functions.LongArrayJaccard
+        .matchCountLong(col("sig_a"), col("sig_b")) >= minMatch)
       .select("id_a", "id_b"))
     // Exact Jaccard verification over HASHED shingles (long-array
     // intersect/union is far cheaper than string sets). Only the candidate
@@ -530,10 +528,9 @@ object Dedup {
         col("a.sig").as("__sa"), col("b.sig").as("__sb"))
       .dropDuplicates("id_a", "id_b") // multi-band hits decided once
       .select(col("id_a"), col("id_b"),
-        round(aggregate(
-            zip_with(col("__sa"), col("__sb"),
-              (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-            lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4)
+        round(graft.functions.LongArrayJaccard
+            .matchCountLong(col("__sa"), col("__sb"))
+            .cast("double") / numHashes, 4)
           .as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
@@ -577,10 +574,9 @@ object Dedup {
     banded.join(idx, Seq("band", "band_hash"))
       .dropDuplicates("new_id", "corpus_id") // multi-band hits decided once
       .select(col("new_id"), col("corpus_id"),
-        round(aggregate(
-            zip_with(col("sig_n"), col("sig"),
-              (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-            lit(0), (acc, v) => acc + v).cast("double") / numHashes, 4)
+        round(graft.functions.LongArrayJaccard
+            .matchCountLong(col("sig_n"), col("sig"))
+            .cast("double") / numHashes, 4)
           .as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
@@ -636,10 +632,25 @@ object Dedup {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 16,
                             keyByHash: Boolean = false): DataFrame = {
-    val wins = Chunking.chunkByTokens(df, idCol, textCol, k, k - 1)
-      .where(col("n_chunk_tokens") === k) // short-doc partial window
-      .withColumn("__key",
-        if (keyByHash) xxhash64(col("chunk_text")) else col("chunk_text"))
+    // hashed mode never BUILDS the window strings: one native O(T)
+    // rolling pass emits every full window's 64-bit fingerprint from
+    // the token array directly, where the textual-key path (kept for
+    // the cross-engine oracle) materializes each k-token window string
+    // through chunkByTokens before keying — O(T·k) string building that
+    // was the detection pass's dominant cost. Key semantics are
+    // unchanged where they matter: fingerprints agree exactly when
+    // window token sequences agree (the same ~2⁻⁶⁴-per-pair collision
+    // trade as xxhash64(window-text), pinned byte-identical to the
+    // textual variant by `dedup_span_removal_hashed_gap`).
+    val wins =
+      if (keyByHash)
+        df.select(col(idCol),
+            posexplode(graft.functions.TokenWindowHashes.tokenWindowHashes(
+              split(trim(col(textCol)), "\\s+"), k))
+              .as(Seq("chunk_idx", "__key")))
+      else Chunking.chunkByTokens(df, idCol, textCol, k, k - 1)
+        .where(col("n_chunk_tokens") === k) // short-doc partial window
+        .withColumn("__key", col("chunk_text"))
     // canonical occurrence per window text: min (id, start) — one struct
     // min, so the groupBy carries two longs beyond the key
     val canon = wins.groupBy("__key")

@@ -503,13 +503,19 @@ object Similarity {
       // surviving old ones — the swap would then install a corrupt
       // sidecar (two conflicting trained_meta rows, say)
       if (staging.exists()) graft.sources.Compaction.rm(staging)
-      corpus.select(Seq(col(idCol), col(vecCol)) ++ attrCols.map(col) :+
-          bestCellFor(cents)(col(vecCol)).as("cell"): _*)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(new java.io.File(staging, "data").toString)
       import spark.implicits._
-      cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(staging, "centroids").toString)
+      // the two staged writes are independent (data from the
+      // checkpointed corpus, sidecar from the driver-held centroids) —
+      // overlap their jobs; the swap below is still the single commit
+      graft.sources.Compaction.parEach(Seq(
+        () => corpus.select(Seq(col(idCol), col(vecCol)) ++
+            attrCols.map(col) :+
+            bestCellFor(cents)(col(vecCol)).as("cell"): _*)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(new java.io.File(staging, "data").toString),
+        () => cents.toDF("cid", "cvec").coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(staging, "centroids").toString)
+      ))(_.apply())
       // any other sidecar at the root (e.g. a trained_meta written by a
       // maintenance loop) rides through the swap by COPY — the original
       // stays complete until the single parent rename below

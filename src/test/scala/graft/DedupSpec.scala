@@ -70,6 +70,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     r.foreach { case (native, hof) => assert(native === hof) }
   }
 
+  test("native matchCountLong is bit-identical to the declarative HOF " +
+      "fold (incl. length mismatch and null arrays)") {
+    // the fold the native expression replaced — kept as the executable
+    // specification (zip_with pads the shorter side with nulls, which
+    // the IF counts as 0)
+    def hofCount(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b,
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+        lit(0), (acc, v) => acc + v)
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)), // length mismatch
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(5L, 5L, 5L), Seq(5L, 5L, 5L)))
+      .toDF("a", "b")
+      .unionByName(Seq((Option.empty[Seq[Long]], Option(Seq(1L))))
+        .toDF("a", "b"))
+    val r = rows.select(
+        graft.functions.LongArrayJaccard.matchCountLong(col("a"), col("b"))
+          .as("native"),
+        hofCount(col("a"), col("b")).as("hof"))
+      .as[(Option[Int], Option[Int])].collect()
+    r.foreach { case (native, hof) => assert(native === hof) }
+  }
+
   test("simhash pairs: near dups within hamming 3, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
