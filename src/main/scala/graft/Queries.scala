@@ -265,14 +265,19 @@ object Queries {
       // lambda inside) once per reference — CollapseProject keeps the
       // staging projection because the alias is multiply-referenced
       val sal = JobText.cleanSalary(col("salary_raw"))
+      // sort FIRST (raw and the whole parse chain derive from
+      // o_orderkey alone): the range exchange carries one long per row
+      // instead of the rendered string + parsed struct; the projection
+      // stack above the sort preserves row order
       t(s, d, "orders")
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
         .select(col("o_orderkey"), raw.as("salary_raw"))
         .withColumn("sal", sal)
         .select(col("o_orderkey"), col("salary_raw"),
           col("sal.lo").as("lo"), col("sal.hi").as("hi"),
           col("sal.negotiable").as("negotiable"),
           JobText.salaryAvg(col("sal")).as("salary_avg"))
-        .transform(presentSorted(_, "o_orderkey"))
     }),
 
     // E4 — Vietnamese relative-duration parsing → posted/due dates
@@ -307,10 +312,14 @@ object Queries {
         lit(200000)) - 100000
       val due = ntz(LAnchor) +
         make_dt_interval(lit(0), lit(0), lit(0), offs.cast("double"))
+      // sort FIRST, format AFTER: the range exchange then carries two
+      // longs per row instead of the formatted string (same rows, same
+      // order — a projection above the sort is order-preserving)
       t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           JobText.remainingTime(due, ntz(LAnchor)).as("remaining_time"))
-        .transform(presentSorted(_, "l_orderkey", "l_linenumber"))
     }),
 
     // A3/A4 — batch max (watermark advance) + count over the full table

@@ -746,40 +746,55 @@ object Graph {
         serve(fullPush(all, edgesSig(all)))
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)
     } else {
-      val old = spark.read.parquet(edgesPath)
-      val delta = batch.join(old, Seq("src", "dst"), "left_anti")
+      // ONE stored-edge scan per batch (down from three): sig(old)
+      // rides the dedup anti-join's scan as an observed metric, and the
+      // post-batch signature delta-folds (bit_xor is its own inverse:
+      // sig(old ∪ delta) = sig(old) XOR sig(delta), delta disjoint by
+      // the anti-join) — the updateCommunityStore discipline.
+      val oldRaw = spark.read.parquet(edgesPath)
+      val obs = new org.apache.spark.sql.Observation
+      val delta = batch.join(
+          oldRaw.observe(obs,
+            expr("bit_xor(xxhash64(src, dst, w))").as("__sig")),
+          Seq("src", "dst"), "left_anti")
         .localCheckpoint(true)
       try {
-        val all = old.unionAll(delta).localCheckpoint(true)
+        val all = oldRaw.unionAll(delta).localCheckpoint(true)
         try {
           readPushMeta(statePath).foreach { case (_, pinned) =>
             require(pinned == damping,
               s"pagerank store at $storePath was created with damping=" +
                 s"$pinned, not $damping — the state encodes it")
           }
-          val oldSig = edgesSig(old)
+          val oldSig = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs).get("__sig") match {
+            case Some(null) => 0L // empty stored-edge frame
+            case Some(x) => x.asInstanceOf[Long]
+            case None => edgesSig(oldRaw) // metric pruned (empty batch)
+          }
+          lazy val allSig = oldSig ^ edgesSig(delta)
           readPushMeta(statePath).map(_._1) match {
             case None =>
               // crashed creation (edges without a committed state)
               if (!delta.isEmpty)
                 delta.write.mode("append").parquet(edgesPath)
-              return serve(fullPush(all, edgesSig(all)))
+              return serve(fullPush(all, allSig))
             case Some(storedSig) =>
               if (delta.isEmpty && storedSig == oldSig)
                 return readPageRankState(spark, storePath) // no-op
               if (storedSig != oldSig) {
                 // edges ahead of state (a crash between the edges
                 // append and the state install) or any other mismatch —
-                // heal with a full push over everything delivered
+                // heal with a full push over everything delivered (the
+                // fold still holds: observed disk sig ^ delta sig)
                 if (!delta.isEmpty)
                   delta.write.mode("append").parquet(edgesPath)
-                return serve(fullPush(all, edgesSig(all)))
+                return serve(fullPush(all, allSig))
               }
           }
           // NORMAL DELTA PATH: state consistent with `old`
           val st = spark.read.parquet(statePath)
           val ratio = damping / (1.0 - damping)
-          val nodesOld = nodesOf(old).localCheckpoint(true)
+          val nodesOld = nodesOf(oldRaw).localCheckpoint(true)
           val nodesAll = nodesOf(all).localCheckpoint(true)
           try {
             val nOld = nodesOld.count()
@@ -787,7 +802,7 @@ object Graph {
             val newNodes = nodesAll.join(nodesOld, Seq("id"), "left_anti")
             // sources whose transition row changes, with their mass
             val chg = delta.groupBy("src").agg(sum("w").as("__wadd"))
-              .join(old.groupBy("src").agg(sum("w").as("__wold")),
+              .join(oldRaw.groupBy("src").agg(sum("w").as("__wold")),
                 Seq("src"), "left")
               .join(st.select(col("id").as("src"), col("p").as("__pu")),
                 Seq("src"), "left")
@@ -849,7 +864,7 @@ object Graph {
               // edges append BEFORE the state commit — the crash
               // contract shared with updateLocalPprStore
               delta.write.mode("append").parquet(edgesPath)
-              writePushState(statePath, pushed, edgesSig(all), damping)
+              writePushState(statePath, pushed, allSig, damping)
               serve(pushed)
             } finally org.apache.spark.sql.GraftBridge
               .unpersistCheckpoint(chg)
@@ -1421,9 +1436,9 @@ object Graph {
       if (!f.exists()) None
       else Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
     }
-    def full(all: DataFrame): DataFrame = {
+    def full(all: DataFrame, s: Long): DataFrame = {
       val labels = labelPropagation(all, "lo", "hi", maxIters)
-      writeState(labels, sig(all))
+      writeState(labels, s)
       labels
     }
     val batch = canonicalEdges(newEdges, srcCol, dstCol)
@@ -1434,31 +1449,52 @@ object Graph {
       try {
         require(!all.isEmpty, "updateCommunityStore needs >= 1 edge")
         all.write.mode("overwrite").parquet(edgesPath)
-        full(all)
+        full(all, sig(all))
       } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)
     } else {
-      val old = spark.read.parquet(edgesPath)
-      val delta = batch.join(old, Seq("lo", "hi"), "left_anti")
+      // ONE stored-edge scan per batch (down from three): sig(old)
+      // rides the dedup anti-join's scan as an observed metric, and
+      // the post-batch signature delta-folds — bit_xor is its own
+      // inverse, so sig(old ∪ delta) = sig(old) XOR sig(delta), with
+      // delta disjoint from old by the anti-join and a local
+      // checkpoint (small) feeding sig(delta).
+      val oldRaw = spark.read.parquet(edgesPath)
+      val obs = new org.apache.spark.sql.Observation
+      val delta = batch.join(
+          oldRaw.observe(obs,
+            expr("bit_xor(xxhash64(lo, hi))").as("__sig")),
+          Seq("lo", "hi"), "left_anti")
         .localCheckpoint(true)
       try {
-        val all = old.unionAll(delta).localCheckpoint(true)
+        val all = oldRaw.unionAll(delta).localCheckpoint(true)
         try {
-          val oldSig = sig(old)
+          val oldSig = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs).get("__sig") match {
+            case Some(null) => 0L // empty stored-edge frame
+            case Some(x) => x.asInstanceOf[Long]
+            // the metric node can be pruned away (an empty batch lets
+            // AQE fold the anti-join to an empty relation without
+            // touching the store side) — pay the explicit scan then
+            case None => sig(oldRaw)
+          }
+          // lazy: the no-op early return must not pay even the small
+          // delta-signature action
+          lazy val allSig = oldSig ^ sig(delta)
           storedSig() match {
             case None =>
               // crashed creation (edges without a committed state)
               if (!delta.isEmpty)
                 delta.write.mode("append").parquet(edgesPath)
-              return full(all)
+              return full(all, allSig)
             case Some(ss) =>
               if (delta.isEmpty && ss == oldSig)
                 return readCommunityState(spark, storePath) // no-op
               if (ss != oldSig) {
                 // edges ahead of state (a crash between the edges
-                // append and the state install) — heal from scratch
+                // append and the state install) — heal from scratch:
+                // the fold still holds (observed disk sig ^ delta sig)
                 if (!delta.isEmpty)
                   delta.write.mode("append").parquet(edgesPath)
-                return full(all)
+                return full(all, allSig)
               }
           }
           // NORMAL DELTA PATH: state consistent with `old`
@@ -1531,7 +1567,7 @@ object Graph {
             // shared with every push store
             if (!delta.isEmpty)
               delta.write.mode("append").parquet(edgesPath)
-            writeState(labels, sig(all))
+            writeState(labels, allSig)
             labels
           } finally sym.unpersist(false)
         } finally org.apache.spark.sql.GraftBridge.unpersistCheckpoint(all)

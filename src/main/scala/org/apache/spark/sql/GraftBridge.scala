@@ -50,6 +50,26 @@ object GraftBridge {
         catalyst.expressions.Literal(numBits))
       .toAggregateExpression())
 
+  /** Bounded-wait read of an [[Observation]] for call sites where the
+    * observed plan node may never execute (AQE empty-relation
+    * propagation can fold away a join side wholesale, and the metrics
+    * listener fires asynchronously after the action returns):
+    * `Observation.get` would block forever on the pruned plan, and
+    * 4.1's `getOrEmpty` NPEs on its own empty-row path. Returns the
+    * metrics map once the listener delivers (normally milliseconds
+    * after the action), or empty after `timeoutMs` so the caller can
+    * fall back to an explicit computation.
+    */
+  def observedOrEmpty(obs: Observation,
+                      timeoutMs: Long = 3000L): Map[String, Any] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(timeoutMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      if (row == null || row.schema == null) Map.empty
+      else row.schema.fieldNames.zip(row.toSeq).toMap
+    } catch { case _: java.util.concurrent.TimeoutException => Map.empty }
+
   /** Drain the async listener bus (`listenerBus` is `private[spark]`) —
     * lets a spec read listener-collected metrics (e.g. job counts)
     * deterministically right after an action returns.
